@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational operator coverage (SURVEY.md §2 sections B–H) expressed as
+  * named queries over the driver testdata. Each entry has a DuckDB oracle in
+  * [[Relational.oracles]] with identical column names/aliases.
+  *
+  * Design rules (100 TB honesty):
+  *   - declarative DataFrame chains only — Catalyst picks broadcast vs
+  *     sort-merge, pushes filters into the parquet scan, prunes columns;
+  *   - doubles that aggregate are rounded at the END of the query (both
+  *     sides) so float summation order cannot flip the hash;
+  *   - every result has a deterministic total order via an ORDER BY on a
+  *     unique key prefix (oracle side mirrors it; harness may resort anyway).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary: groupBy + multi-agg.
+    * Capability: SURVEY §2 E2/E3 (groupBy count/agg) + B3 (derived cols).
+    * Scale note: partial aggregation map-side, 6-row result — no skew risk.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
