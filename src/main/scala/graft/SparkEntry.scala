@@ -15,7 +15,13 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracles)
+      (operators.Relational.queries, operators.Relational.oracles),
+      (operators.Projections.queries, operators.Projections.oracles),
+      (operators.Joins.queries, operators.Joins.oracles),
+      (operators.Aggregations.queries, operators.Aggregations.oracles),
+      (operators.Sorting.queries, operators.Sorting.oracles),
+      (operators.SetOps.queries, operators.SetOps.oracles),
+      (operators.Windows.queries, operators.Windows.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Aggregation / distinct / dedup coverage (SURVEY §2 E-rows + extensions).
+  *
+  * All groupBys are partial-aggregated map-side by Catalyst (HashAggregate
+  * pair), so the shuffle carries only group keys × partial states — the
+  * pattern that survives 100 TB. Distinct over a high-cardinality key is the
+  * one genuinely shuffle-heavy op here; approx_count_distinct is provided as
+  * the scale-path alternative.
+  */
+object Aggregations {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Multi-key groupBy (E4-shape: 4 keys). Reference: prediction breakdown by
+    * 5 demographic cols, 03-work with ML models.py:119-121.
+    */
+  def multiKeyBreakdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        col("o_orderstatus"),
+        col("o_orderpriority")
+      )
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        col("o_orderstatus"),
+        col("o_orderpriority")
+      )
+  }
+
+  /** Global extrema aggregate, no grouping (E5). Reference: max AUC over
+    * runs, 03-work with ML models.py:191.
+    */
+  def priceExtrema(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .agg(
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        count(lit(1)).as("n")
+      )
+
+  /** SELECT DISTINCT (E6). Reference: distinct patients per condition,
+    * 01-rwe-dashboard.r:46.
+    */
+  def distinctCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select(col("o_custkey"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+
+  /** dropDuplicates on a subset (E7). Reference: one row per (PATIENT,
+    * REASONDESCRIPTION), 02-patient-trajectory.py:60. The survivor row is
+    * non-deterministic, so the declared query projects only the dedup keys
+    * (deterministic set) and aggregates.
+    */
+  def dedupCustomerStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .dropDuplicates("o_custkey", "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** count-distinct vs approx_count_distinct (extension; the scale path for
+    * distinct over high-cardinality keys). Oracle checks the exact count
+    * only; the approx value is engine-tested for ±5% in ScalaTest.
+    */
+  def distinctPartsPerStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Grouping-sets rollup (extension surface; built-in `rollup`). */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def queries: Map[String, Q] = Map(
+    "q_group_multikey" -> (multiKeyBreakdown _),
+    "q_agg_extrema" -> (priceExtrema _),
+    "q_distinct_customers" -> (distinctCustomers _),
+    "q_dropdup_subset" -> (dedupCustomerStatus _),
+    "q_count_distinct" -> (distinctPartsPerStatus _),
+    "q_rollup" -> (rollupRevenue _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_group_multikey" ->
+      """SELECT c_mktsegment, c_nationkey, o_orderstatus, o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q_agg_extrema" ->
+      """SELECT round(max(o_totalprice), 2) AS max_price,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(avg(o_totalprice), 4) AS avg_price,
+        | count(*) AS n
+        |FROM orders""".stripMargin,
+    "q_distinct_customers" ->
+      "SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey",
+    "q_dropdup_subset" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT ifnull(l_returnflag, 'ALL') AS l_returnflag,
+        | ifnull(l_linestatus, 'ALL') AS l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

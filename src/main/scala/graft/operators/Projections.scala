@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Projection / column-op / scalar-function coverage (SURVEY §2 B-rows).
+  *
+  * Everything here is a narrow projection over a single scan — Catalyst
+  * prunes the parquet read to exactly the referenced columns, so at 100 TB
+  * these are IO-bound column scans with zero shuffle (except the final
+  * oracle-determinism ORDER BY, which TakeOrderedAndProject/TopK handles or
+  * the harness re-sorts anyway).
+  */
+object Projections {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** select/alias + arithmetic + coalesce + lit + cast (B1,B2,B3,B6,B7,B8).
+    * Reference shape: derived-column ETL at 00-etl-rwd.py:79 and model
+    * metadata stamping at 03-work with ML models.py:148-152.
+    */
+  def projectArith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select(
+        col("o_orderkey"),
+        // round at 4: the product of a 2-decimal price and 0.95 is exact at
+        // 4 decimals, so no decimal-vs-binary rounding-tie divergence vs the
+        // oracle (rounding it at 2 hits ties like x.xx5).
+        round(col("o_totalprice") * (lit(1.0) - lit(0.05)), 4).as("disc_price"),
+        coalesce(col("o_orderpriority"), lit("NA")).as("priority"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent")
+      )
+      .orderBy(col("o_orderkey"))
+
+  /** withColumnRenamed + drop (B4,B5). Reference shape: ingest renames at
+    * 00-etl-rwd.py:96-119, nested-col drop at 03:183.
+    */
+  def renameDrop(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).part
+      .withColumnRenamed("p_name", "part_name")
+      .withColumnRenamed("p_retailprice", "price")
+      .drop("p_type", "p_size")
+      .select(col("p_partkey"), col("part_name"), col("p_brand"), col("price"))
+      .orderBy(col("p_partkey"))
+
+  /** lower() + LIKE contains (B10,B11,C4). Reference: case-insensitive
+    * condition match, 01-rwe-dashboard.r:63-64.
+    */
+  def likeLower(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).part
+      .where(lower(col("p_type")).like("%romo%"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+
+  /** NOT LIKE exclusion (B12). Reference: comorbidity exclusion,
+    * 01-rwe-dashboard.r:84.
+    */
+  def notLike(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).part
+      .where(!lower(col("p_type")).like("%romo%"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("p_type"))
+
+  /** datediff + date_format over a join (B13,B15,D1). Reference: day-index /
+    * age derivation at 02-patient-trajectory.py:114-115.
+    */
+  def shipDelayByMonth(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay")
+      )
+      .groupBy(col("month"))
+      .agg(round(avg(col("delay")), 4).as("avg_delay"), count(lit(1)).as("n"))
+      .orderBy(col("month"))
+  }
+
+  /** Hash de-identification (B16), reference 00-etl-rwd.py:62-79: the
+    * reference uses a *Python UDF* sha1 over coalesce(col,'null'); we use the
+    * codegen'd built-in hash family instead (no serialization boundary).
+    * sha256 here because the DuckDB oracle lacks sha1; the sha1 path is
+    * [[graft.functions.Deidentify]] and is pinned by ScalaTest instead.
+    */
+  def deidHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).customer
+      .select(
+        col("c_custkey"),
+        sha2(coalesce(col("c_name"), lit("null")), 256).as("name_hash")
+      )
+      .orderBy(col("c_custkey"))
+
+  /** JSON-in-string extraction (B9-shape / M5), events.props = {"k": n}. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).eventsRaw
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  def queries: Map[String, Q] = Map(
+    "q_project_arith" -> (projectArith _),
+    "q_rename_drop" -> (renameDrop _),
+    "q_like_lower" -> (likeLower _),
+    "q_not_like" -> (notLike _),
+    "q_ship_delay_month" -> (shipDelayByMonth _),
+    "q_deid_hash" -> (deidHash _),
+    "q_json_props" -> (jsonProps _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_project_arith" ->
+      """SELECT o_orderkey, round(o_totalprice * 0.95, 4) AS disc_price,
+        | ifnull(o_orderpriority, 'NA') AS priority,
+        | CAST(o_orderpriority = '1-URGENT' AS INT) AS urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_rename_drop" ->
+      """SELECT p_partkey, p_name AS part_name, p_brand, p_retailprice AS price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_like_lower" ->
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE lower(p_type) LIKE '%romo%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_not_like" ->
+      """SELECT p_type, count(*) AS n FROM part
+        |WHERE lower(p_type) NOT LIKE '%romo%'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_ship_delay_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | round(avg(datediff('day', o_orderdate, l_shipdate)), 4) AS avg_delay,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_deid_hash" ->
+      """SELECT c_custkey, sha256(ifnull(c_name, 'null')) AS name_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Window-function coverage (SURVEY §2 H-rows + ranking/lag extensions).
+  *
+  * WindowExec = one shuffle on the partition keys + per-partition sort, then
+  * a streaming frame walk. Partitioning by the entity key (customer) is the
+  * scale-correct choice: frames never cross partitions, state is bounded by
+  * one entity's history.
+  */
+object Windows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Trailing-90-day range-frame sum + count (H1 + H2). Reference: the
+    * trailing-N-days comorbidity features, 02-patient-trajectory.py:152-168:
+    * `Window.partitionBy(PATIENT).orderBy(day).rangeBetween(-days, -1)`.
+    * Frame deliberately excludes the current day (reference semantics,
+    * SURVEY §7.5.3).
+    */
+  def trailingSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val withDay = t.orders.withColumn(
+      "day",
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+    )
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-90, -1)
+    withDay
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(coalesce(sum(col("o_totalprice")).over(w), lit(0.0)), 2)
+          .as("trailing_spend"),
+        count(lit(1)).over(w).as("trailing_orders")
+      )
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Top-k per group via row_number (ranking extension; TPC-style). */
+  def top3OrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t.orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        row_number().over(w).cast("bigint").as("rn")
+      )
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** lag: days since previous order per customer (extension). */
+  def orderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t.orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        coalesce(
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)),
+          lit(-1)
+        ).cast("bigint").as("gap_days")
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_window_trailing" -> (trailingSpend _),
+    "q_window_topk_group" -> (top3OrdersPerCustomer _),
+    "q_window_lag_gap" -> (orderGaps _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_window_trailing" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(ifnull(sum(o_totalprice) OVER w, 0), 2) AS trailing_spend,
+        | count(*) OVER w AS trailing_orders
+        |FROM (SELECT *, datediff('day', DATE '1995-01-01', o_orderdate) AS day FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_window_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag_gap" ->
+      """SELECT o_custkey, o_orderkey,
+        | ifnull(datediff('day',
+        |   lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey),
+        |   o_orderdate), -1) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}
