@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Golden-plan assertions (SURVEY §4): the physical plans we rely on for
+  * 100 TB scale actually materialize. If Catalyst stops picking these
+  * shapes, perf regressed even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Sorting.topParts(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dimension joins broadcast (supplier-nation-region)") {
+    val p = plan(Joins.supplierByRegion(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dims should not sort-merge:\n$p")
+  }
+
+  test("scalar cross join is a broadcast nested loop") {
+    val p = plan(Joins.orderDayBuckets(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val p = plan(Projections.renameDrop(spark, sf0001))
+    // scan should read exactly the 4 projected columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey"), p)
+    assert(!readSchema.contains("p_type"), s"p_type not pruned:\n$readSchema")
+    assert(!readSchema.contains("p_size"), s"p_size not pruned:\n$readSchema")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.core.Tables(spark, sf0001).orders
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"), p)
+  }
+
+  test("partial aggregation happens map-side (HashAggregate pair)") {
+    val p = plan(Relational.q1PricingSummary(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the agg pipeline") {
+    val df = Relational.q1PricingSummary(spark, sf0001)
+    df.collect() // finalize the AQE plan; codegen stages only appear then
+    val p = plan(df)
+    // codegen stages render as "*(n)" prefixes in the tree string
+    assert(p.contains("*(1)"), p)
+  }
+}
