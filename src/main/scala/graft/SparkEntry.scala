@@ -21,7 +21,8 @@ object SparkEntry {
       (operators.Aggregations.queries, operators.Aggregations.oracles),
       (operators.Sorting.queries, operators.Sorting.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
-      (operators.Windows.queries, operators.Windows.oracles)
+      (operators.Windows.queries, operators.Windows.oracles),
+      (sources.SourceQueries.queries, sources.SourceQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

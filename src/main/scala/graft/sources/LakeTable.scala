@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed lake table with a minimal JSON commit log.
+  *
+  * Replaces the reference's Delta Lake usage (no Delta jars in this
+  * environment): `write.format('delta').save(path)` (reference:
+  * 00-etl-rwd.py:94-141), `OPTIMIZE ... ZORDER BY` (00-etl-rwd.py:213,217),
+  * and `DESCRIBE HISTORY` (03-work with ML models.py:63-65). The commit-log
+  * design follows the Delta Lake paper (VLDB'20): an ordered directory of
+  * JSON actions beside the data; we keep only the metadata needed for a
+  * `history` DataFrame — full ACID/time-travel is explicitly out of scope.
+  *
+  * Scale notes:
+  *   - [[optimize]] clusters with `repartitionByRange(cols) +
+  *     sortWithinPartitions(cols)`: range partitioning gives disjoint key
+  *     ranges per file and the local sort tightens parquet row-group min/max
+  *     stats, so predicate pushdown skips files AND row groups — the same
+  *     data-skipping effect ZORDER provides for Delta. One shuffle, fully
+  *     distributed, no driver bottleneck.
+  *   - the log directory holds one tiny JSON per commit — listing it is
+  *     O(commits), independent of data size.
+  */
+final class LakeTable(spark: SparkSession, val path: String) {
+
+  private val logDir = new Path(path, LakeTable.LogDirName)
+
+  private def fs: FileSystem =
+    logDir.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Read the current table data. */
+  def read: DataFrame =
+    spark.read.parquet(path)
+
+  /** Write (overwrite or append) and record a commit.
+    *
+    * Parquet Overwrite deletes the whole table dir — including the commit
+    * log — so the (tiny) log is held in memory across the write and
+    * restored after, preserving history like Delta does.
+    */
+  def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): LakeTable = {
+    val saved: Seq[(String, Array[Byte])] =
+      if (mode == SaveMode.Overwrite && fs.exists(logDir)) {
+        fs.listStatus(logDir).toSeq.map { st =>
+          val in = fs.open(st.getPath)
+          try st.getPath.getName -> org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        }
+      } else Seq.empty
+    df.write.mode(mode).parquet(path)
+    if (saved.nonEmpty) {
+      val f = fs
+      if (!f.exists(logDir)) f.mkdirs(logDir)
+      saved.foreach { case (name, bytes) =>
+        val out = f.create(new Path(logDir, name), true)
+        try out.write(bytes)
+        finally out.close()
+      }
+    }
+    commit(if (mode == SaveMode.Append) "WRITE APPEND" else "WRITE OVERWRITE",
+      Map("mode" -> mode.toString))
+    this
+  }
+
+  /** Compaction + multi-column clustering — the ZORDER substitute.
+    *
+    * @param zorderBy cluster columns, highest-selectivity first
+    * @param numFiles target file count (compaction); defaults to the
+    *                 session shuffle parallelism
+    */
+  def optimize(zorderBy: Seq[String], numFiles: Option[Int] = None): LakeTable = {
+    val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val cols = zorderBy.map(col)
+    val clustered = read
+      .repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    // stage to a sibling dir, then swap — avoids reading+overwriting the
+    // same location in one job
+    val staged = s"$path${LakeTable.StageSuffix}"
+    clustered.write.mode(SaveMode.Overwrite).parquet(staged)
+    val p = new Path(path)
+    val s = new Path(staged)
+    val f = fs
+    // keep the log: move it into the staged dir before the swap
+    if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
+    f.delete(p, true)
+    f.rename(s, p)
+    commit("OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
+    this
+  }
+
+  /** Commit history as a DataFrame (DESCRIBE HISTORY substitute). */
+  def history: DataFrame = {
+    val f = fs
+    if (!f.exists(logDir)) {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("json")
+        .select(
+          lit(0L).as("version"),
+          lit("").as("operation"),
+          lit("").as("operationParameters"),
+          current_timestamp().as("timestamp")
+        ).limit(0)
+    } else {
+      spark.read.json(s"$path/${LakeTable.LogDirName}/*.json")
+        .orderBy(col("version").desc)
+    }
+  }
+
+  private def currentVersion(): Long = {
+    val f = fs
+    if (!f.exists(logDir)) -1L
+    else
+      f.listStatus(logDir)
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)
+        .foldLeft(-1L)(math.max)
+  }
+
+  private def commit(op: String, params: Map[String, String]): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val v = currentVersion() + 1
+    val ts = java.time.Instant.now().toString
+    val paramJson = params
+      .map { case (k, w) => s""""$k":"${w.replace("\"", "\\\"")}"""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
+    val out = f.create(new Path(logDir, f"$v%020d.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object LakeTable {
+  val LogDirName = "_graft_log"
+  val StageSuffix = "__staging"
+
+  def apply(spark: SparkSession, path: String): LakeTable =
+    new LakeTable(spark, path)
+}

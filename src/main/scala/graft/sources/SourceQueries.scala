@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Declared queries for the source/sink/DDL surface (SURVEY §2 A-rows).
+  * Each runs a real write/read cycle through the lake layer and produces a
+  * deterministic, oracle-matched result proving content fidelity.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scratch dir namespaced by scale factor so sf0.001/sf0.01 runs don't
+    * collide.
+    */
+  private def scratch(sfDir: String, name: String): String = {
+    val sf = Paths.get(sfDir).getFileName.toString
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_lake", sf)
+    Files.createDirectories(base)
+    base.resolve(name).toString
+  }
+
+  /** A2+A3: parquet round-trip through LakeTable (write -> commit -> read).
+    * Result = full customer content, proving byte fidelity of the sink.
+    */
+  def lakeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "customer"))
+    lake.write(t.customer)
+    lake.read.orderBy(col("c_custkey"))
+  }
+
+  /** A7: OPTIMIZE+ZORDER substitute — write lineitem, cluster by
+    * (l_shipdate, l_partkey), prove content is unchanged by the rewrite.
+    */
+  def lakeOptimizeCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "lineitem"))
+    lake.write(t.lineitem)
+    lake.optimize(Seq("l_shipdate", "l_partkey"), numFiles = Some(4))
+    lake.read
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("total_price")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A1: CSV landing-zone ingest with header + schema inference — export
+    * nation to CSV, re-ingest, prove schema+content parity with the
+    * parquet original.
+    */
+  def csvIngestNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val csvDir = scratch(sfDir, "nation_csv")
+    t.nation.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    CsvIngest.ingest(spark, csvDir).orderBy(col("n_nationkey"))
+  }
+
+  /** A4+A5+A6: database DDL + external-table DDL + SQL select through the
+    * session catalog. Reference: rwd_hls DDL at 00-etl-rwd.py:151-200 and
+    * `SELECT * FROM rwd_hls.patient_encounters` at 00:204.
+    */
+  def catalogSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = "graft_" + Paths.get(sfDir).getFileName.toString.replace(".", "_")
+    Catalog.createDatabase(spark, db)
+    Catalog.registerTable(spark, db, "region", s"$sfDir/region.parquet")
+    Catalog.registerTable(spark, db, "nation", s"$sfDir/nation.parquet")
+    spark.sql(
+      s"""SELECT r.r_name, count(*) AS n_nations
+         |FROM `$db`.nation n JOIN `$db`.region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+  }
+
+  /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
+    * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
+    * the hex/NULL semantics are pinned in DeidentifySpec.
+    */
+  def deidSha1(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    graft.functions.Deidentify(t.customer, Seq("c_name"))
+      .select(col("c_custkey"), col("c_name").as("name_sha1"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_lake_roundtrip" -> (lakeRoundtrip _),
+    "q_lake_optimize_cluster" -> (lakeOptimizeCluster _),
+    "q_csv_ingest" -> (csvIngestNation _),
+    "q_catalog_sql" -> (catalogSql _),
+    "q_deid_sha1" -> (deidSha1 _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_lake_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "q_lake_optimize_cluster" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_catalog_sql" ->
+      """SELECT r.r_name, count(*) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
+  )
+}

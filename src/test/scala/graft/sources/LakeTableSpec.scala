@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class LakeTableSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_laketest").resolve("t").toString
+
+  test("write/read round-trip preserves content") {
+    val c = Tables(spark, sf0001).customer
+    val lake = LakeTable(spark, tmp()).write(c)
+    assert(lake.read.count() === c.count())
+    assert(
+      lake.read.agg(round(sum("c_acctbal"), 2)).head.getDouble(0) ===
+        c.agg(round(sum("c_acctbal"), 2)).head.getDouble(0))
+  }
+
+  test("append mode adds rows and a commit") {
+    val n = Tables(spark, sf0001).nation
+    val lake = LakeTable(spark, tmp()).write(n)
+    lake.write(n, SaveMode.Append)
+    assert(lake.read.count() === 2 * n.count())
+    val hist = lake.history.collect()
+    assert(hist.length === 2)
+  }
+
+  test("optimize preserves content, compacts files, and logs the commit") {
+    val li = Tables(spark, sf0001).lineitem
+    val lake = LakeTable(spark, tmp()).write(li)
+    val before = lake.read.count()
+    lake.optimize(Seq("l_shipdate", "l_partkey"), numFiles = Some(2))
+    assert(lake.read.count() === before)
+    val files = new java.io.File(lake.path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2, files.map(_.getName).toSeq)
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.contains("OPTIMIZE"))
+  }
+
+  test("clustering tightens per-file ranges (data skipping works)") {
+    val li = Tables(spark, sf0001).lineitem
+    val lake = LakeTable(spark, tmp()).write(li)
+    lake.optimize(Seq("l_partkey"), numFiles = Some(4))
+    // after range-clustering by l_partkey, each file holds a disjoint key
+    // range -> a point predicate should prune to ~1 file. Check via the
+    // min/max of each file.
+    val files = new java.io.File(lake.path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_partkey"), max("l_partkey")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $sorted")
+      case _ =>
+    }
+  }
+
+  test("history survives an overwrite (Delta-like)") {
+    val n = Tables(spark, sf0001).nation
+    val lake = LakeTable(spark, tmp()).write(n)
+    lake.write(n) // second overwrite must not reset the log
+    val versions = lake.history.select("version").collect().map(_.getLong(0)).sorted
+    assert(versions.toSeq === Seq(0L, 1L))
+  }
+
+  test("history is empty for a fresh path") {
+    assert(LakeTable(spark, tmp()).history.count() === 0)
+  }
+}
