@@ -22,7 +22,9 @@ object SparkEntry {
       (operators.Sorting.queries, operators.Sorting.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
-      (sources.SourceQueries.queries, sources.SourceQueries.oracles)
+      (sources.SourceQueries.queries, sources.SourceQueries.oracles),
+      (text.TextQueries.queries, text.TextQueries.oracles),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,168 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north-star pillar): image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample operators.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container — see `FakeDecoder`): the decode produces a deterministic
+  * feature vector derived from the payload bytes. Everything around it —
+  * the schema contract, the per-partition batch iteration, the
+  * repartitioning for decode parallelism, the flatMap frame explosion — is
+  * the real 100 TB plumbing: decode is CPU-bound, so the operator
+  * repartitions to spread payloads across executors and streams each
+  * partition without materializing it.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the opaque payload. */
+  case class MediaMeta(
+      modality: String, // image | audio | video
+      width: Int,
+      height: Int,
+      sampleRate: Int,
+      durationMs: Long
+  )
+
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      decode_ok: Boolean,
+      features: Array[Float]
+  )
+
+  case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, frame: Array[Byte])
+
+  /** STUB decoder: a real build would call an image/audio codec here
+    * (payload -> pixels/samples -> model features). This fake is
+    * deterministic in the payload bytes so tests/pipelines are stable.
+    */
+  private[multimodal] object FakeDecoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      var h = 1125899906842597L // large prime seed
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        h = 31 * h + payload(i)
+        out(i % dim) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      // fold the running hash in so equal-length payloads still differ
+      out((((h % dim) + dim) % dim).toInt) += (h & 0xFF) / 255.0f
+      out
+    }
+  }
+
+  /** Fabricate a deterministic media table from `documents` (payload =
+    * UTF-8 bytes, metadata derived from doc fields) — the test stand-in for
+    * a real binary ingest.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (col("n_chars") * 10).cast("long").as("durationMs")
+      ).as("meta"),
+      encode(col("text"), "UTF-8").as("payload")
+    ).as[MediaRow]
+  }
+
+  /** Decode + feature-extract: repartition for decode parallelism, then a
+    * streaming per-partition pass (mapPartitions — the decode boundary is
+    * genuine imperative per-row work, SURVEY §7.4 preference (d)).
+    */
+  def decodeFeatures(
+      media: Dataset[MediaRow],
+      dim: Int = 16,
+      parallelism: Option[Int] = None
+  ): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val repart = parallelism.map(media.repartition(_)).getOrElse(media)
+    repart.mapPartitions { rows =>
+      rows.map { r =>
+        val ok = r.payload != null && r.payload.nonEmpty
+        MediaFeatures(
+          media_id = r.media_id,
+          modality = r.meta.modality,
+          n_bytes = if (r.payload == null) 0L else r.payload.length.toLong,
+          decode_ok = ok,
+          features =
+            if (ok) FakeDecoder.features(r.payload, dim) else new Array[Float](dim)
+        )
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame (video/audio). STUB: frames
+    * are fixed-size payload slices; the flatMap row-explosion shape is the
+    * real operator.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.max(1, (r.meta.durationMs / math.max(everyMs, 1L)).toInt)
+      val chunk = math.max(1, r.payload.length / n)
+      (0 until math.min(n, r.payload.length)).map { i =>
+        Frame(
+          media_id = r.media_id,
+          frame_idx = i,
+          offset_ms = i * everyMs,
+          frame = r.payload.slice(i * chunk, math.min((i + 1) * chunk, r.payload.length))
+        )
+      }
+    }
+  }
+
+  /** Declared rows-only query: decode features for every fabricated media
+    * row and profile by modality (deterministic).
+    */
+  def featureProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val media = mediaFromDocuments(spark, docs)
+    decodeFeatures(media, dim = 16, parallelism = Some(8))
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0")
+      )
+      .orderBy(col("modality"))
+  }
+
+  /** Oracle-matched slice of the multimodal surface: byte-length profile of
+    * the binary payloads (encode/octet_length agree across engines).
+    */
+  def payloadBytesProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, sfDir).documents
+    mediaFromDocuments(spark, docs)
+      .select(col("media_id"), col("meta.modality").as("modality"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("modality"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> (featureProfile _),
+    "q_multimodal_bytes" -> (payloadBytesProfile _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_bytes" ->
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

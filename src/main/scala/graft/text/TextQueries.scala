@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Declared queries for the text / dedup / similarity surface (SURVEY §2 M,
+  * north-star LLM-pipeline pillars) over `documents` and `embeddings`.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** M4: per-document stats — chars, whitespace tokens, distinct tokens,
+    * regex (BPE-ish pre-tokenizer) tokens.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      size(array_distinct(TextFunctions.tokens(col("text")))).cast("bigint").as("n_uniq"),
+      TextFunctions.regexTokenCount(col("text")).cast("bigint").as("n_subword")
+    ).orderBy(col("doc_id"))
+
+  /** M4: corpus profile by (lang, source). */
+  def docProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).cast("bigint").as("total_tokens")
+      )
+      .orderBy(col("lang"), col("source"))
+
+  /** M4: global token frequency top-20 (explode + count + top-k). */
+  def tokenTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+
+  /** M1: exact-dup profile per source: docs vs distinct text hashes. */
+  def dedupExactCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq")
+      )
+      .orderBy(col("source"))
+
+  /** Near-dup ground truth: exact 3-gram Jaccard pairs >= 0.8 via the
+    * inverted-index shingle join (the planted near-duplicates in testdata).
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.8)
+
+  /** M3: exact cosine top-5 neighbors for query vectors vec_id < 10. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Similarity.bruteTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  /** M3: per-label embedding norm profile (vector math via the custom
+    * codegen expressions).
+    */
+  def embeddingNorms(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).embeddings
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(graft.functions.VectorFunctions.l2Norm(col("embedding"))), 6)
+          .as("avg_norm")
+      )
+      .orderBy(col("label"))
+
+  // ---- rows-only declared ops (not SQL-expressible in DuckDB 1.0) ----
+
+  /** M2: MinHash-LSH near-dup candidates (seeded). Accuracy vs exact
+    * Jaccard asserted in DedupSpec.
+    */
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashPairs(
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7)
+
+  /** SimHash near-dup pairs (hamming <= 3 on 64-bit signatures). */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, sfDir).documents, "doc_id", "text", maxHamming = 3)
+
+  /** Embedding near-dup via hyperplane LSH + cosine refine. */
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDup(
+      Tables(spark, sfDir).embeddings, "vec_id", "embedding",
+      dim = 64, threshold = 0.4)
+
+  /** Language-ID + quality + fingerprint profile (heuristics; pinned by
+    * TextFunctionsSpec, not oracle-matched).
+    */
+  def langQualityProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_guess"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.fingerprint64(col("text")).as("fp64")
+      )
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, Q] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_doc_profile" -> (docProfile _),
+    "q_token_topk" -> (tokenTopK _),
+    "q_dedup_exact" -> (dedupExactCount _),
+    "q_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q_cosine_topk" -> (cosineTopK _),
+    "q_embedding_norms" -> (embeddingNorms _),
+    "q_minhash_neardup" -> (minhashNearDup _),
+    "q_simhash_neardup" -> (simhashNearDup _),
+    "q_embedding_neardup" -> (embeddingNearDupLsh _),
+    "q_lang_quality" -> (langQualityProfile _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, n_chars,
+        | len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+        | len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))::BIGINT AS n_uniq,
+        | len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))::BIGINT AS n_subword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | round(avg(n_chars), 2) AS avg_chars,
+        | CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_token_topk" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        | round(common * 1.0 / (la.n + lb.n - common), 6) AS jaccard
+        |FROM p
+        |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_cosine_topk" ->
+      """SELECT q_id, rank, n_id, cos FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |              e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eps = 1e-12
+
+  test("cosine matches scala reference on float arrays") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(got - expected) < eps)
+  }
+
+  test("dot on double arrays, and identity cosine == 1") {
+    val got = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(got === 11.0)
+    val self = Seq((Array(0.3f, -0.7f), Array(0.3f, -0.7f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  test("length mismatch and zero vector yield null") {
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head
+    assert(mismatch.isNullAt(0))
+    val zero = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head
+    assert(zero.isNullAt(0))
+  }
+
+  test("interpreted and codegen paths agree") {
+    val df = Seq((Array(1.5f, -2.5f, 0.25f), Array(4.0f, 1.0f, -3.0f))).toDF("a", "b")
+    val withCodegen = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+      assert(withCodegen === interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration works") {
+    VectorFunctions.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0D,0.0D), array(1.0D,0.0D)) c," +
+      " dot_product(array(2.0D,3.0D), array(4.0D,5.0D)) d").head
+    assert(math.abs(r.getDouble(0) - 1.0) < eps)
+    assert(r.getDouble(1) === 23.0)
+  }
+}
