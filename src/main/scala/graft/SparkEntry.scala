@@ -24,7 +24,8 @@ object SparkEntry {
       (operators.Windows.queries, operators.Windows.oracles),
       (sources.SourceQueries.queries, sources.SourceQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
-      (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+      (streaming.EventsAnalytics.queries, streaming.EventsAnalytics.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

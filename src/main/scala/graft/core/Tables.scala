@@ -40,6 +40,11 @@ final class Tables(spark: SparkSession, sfDir: String) {
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
 
-  /** epoch-nanos bigint -> TimestampType (micro precision, truncating). */
-  def nanosToTimestamp(c: Column): Column = timestamp_micros(c / 1000L cast "long")
+  /** epoch-nanos bigint -> TimestampType (micro precision, truncating).
+    * Integral division via decimal: `c / 1000L` would promote to DOUBLE,
+    * whose 53-bit mantissa cannot hold epoch-nanos (~1.7e18) — that rounds
+    * the microsecond and corrupts timestamps by ±1us.
+    */
+  def nanosToTimestamp(c: Column): Column =
+    timestamp_micros(floor(c.cast("decimal(38,0)") / lit(1000)).cast("long"))
 }

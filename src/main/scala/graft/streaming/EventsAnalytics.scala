@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Event-stream analytics (SURVEY §2 L-rows): every aggregation is written
+  * once against a DataFrame and runs BOTH as a batch query (the oracle-
+  * matched dual) and as a Structured Streaming query (readStream + watermark
+  * + windowed state) — the batch/stream duality Spark's unified Dataset API
+  * gives for free, which is exactly the property worth preserving at scale:
+  * the same window logic backfills 100 TB of history and then tails the
+  * live stream.
+  *
+  * Window starts are emitted as `unix_micros` bigints: integer epoch values
+  * compare engine-agnostically (no timestamp-rendering divergence).
+  */
+object EventsAnalytics {
+
+  /** Schema of the events table as read with nanosAsLong (ts = epoch nanos). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** L1 (tumbling): hourly counts+sums per event type. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** L1 (sliding): 1-hour windows sliding every 15 minutes. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** L2: 30-minute-gap session windows per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("s.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Events stream from a parquet directory (file source), with the same
+    * ts_ts derivation as the batch table.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts_ts", Tables.nanosToTimestamp(col("ts")))
+
+  /** L1+L3 streaming: watermarked tumbling aggregation (append mode emits a
+    * window once the watermark passes it; late data beyond 10min dropped).
+    */
+  def streamTumbling(stream: DataFrame): DataFrame =
+    tumblingHourly(stream.withWatermark("ts_ts", "10 minutes"))
+
+  /** L2 streaming: watermarked session windows. */
+  def streamSessions(stream: DataFrame): DataFrame =
+    sessions(stream.withWatermark("ts_ts", "10 minutes"))
+
+  /** L4: streaming dedup by event_id within the watermark. */
+  def streamDedup(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** L5: custom per-key state via flatMapGroupsWithState — a running
+    * (count, sum) per user emitted on every update. The state is one small
+    * case class per key: bounded memory, scales with |users| not |events|.
+    */
+  def runningUserTotals(
+      spark: SparkSession,
+      stream: DataFrame
+  ): Dataset[UserRunning] = {
+    import spark.implicits._
+    val typed = stream
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  // ---------- declared batch queries ----------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def qTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingHourly(Tables(spark, sfDir).events)
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  def qSliding(spark: SparkSession, sfDir: String): DataFrame =
+    slidingHourly(Tables(spark, sfDir).events)
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  def qSessions(spark: SparkSession, sfDir: String): DataFrame =
+    sessions(Tables(spark, sfDir).events)
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Per-user activity profile: events, distinct types, value stats. */
+  def qUserActivity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        round(sum(col("value")), 2).as("total_value"),
+        unix_micros(max(col("ts_ts"))).as("last_seen_us"))
+      .orderBy(col("user_id"))
+
+  def queries: Map[String, Q] = Map(
+    "q_events_tumbling" -> (qTumbling _),
+    "q_events_sliding" -> (qSliding _),
+    "q_events_sessions" -> (qSessions _),
+    "q_events_user_activity" -> (qUserActivity _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_sliding" ->
+      """SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS window_start_us,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_events_user_activity" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(DISTINCT event_type) AS n_types,
+        | round(sum(value), 2) AS total_value,
+        | epoch_us(max(ts)) AS last_seen_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** L1–L5 streaming behavior via the memory sink: the stream must agree with
+  * its batch dual, drop late data past the watermark, dedup within the
+  * watermark, and keep custom per-key state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** events.parquet copied into its own dir (file-source needs a directory). */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(
+      Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg equals the batch dual (complete mode)") {
+    // complete mode emits every window at end-of-input; append mode would
+    // hold back the final windows the watermark never passes
+    val stream = EventsAnalytics.readStream(spark, eventsDir)
+    val got = runToMemory(
+      EventsAnalytics.tumblingHourly(stream), "t_tumbling", "complete")
+      .orderBy("window_start_us", "event_type").collect().map(_.toSeq)
+    val expected = EventsAnalytics.qTumbling(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("streaming session windows equal the batch dual (complete mode)") {
+    val stream = EventsAnalytics.readStream(spark, eventsDir)
+    val got = runToMemory(
+      EventsAnalytics.sessions(
+        stream.withWatermark("ts_ts", "10 minutes")), "t_sessions", "complete")
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq)
+    val expected = EventsAnalytics.qSessions(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("append-mode watermarked tumbling emits only watermark-passed windows, all matching batch") {
+    val stream = EventsAnalytics.readStream(spark, eventsDir)
+    val got = runToMemory(
+      EventsAnalytics.streamTumbling(stream), "t_tumbling_append", "append")
+      .collect().map(_.toSeq).toSet
+    val batch = EventsAnalytics.qTumbling(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch), s"streamed windows disagree with batch: ${got -- batch}")
+  }
+
+  test("streaming dedup removes duplicate event_ids within the watermark") {
+    // duplicate the whole file -> every event_id appears twice
+    val dir = Files.createTempDirectory("graft_events_dup")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+    val stream = EventsAnalytics.readStream(spark, dir.toString)
+    val got = runToMemory(
+      EventsAnalytics.streamDedup(stream).select("event_id"), "t_dedup", "append")
+    val n = Tables(spark, sf0001).events.count()
+    assert(got.count() === n, "each event_id must survive exactly once")
+  }
+
+  test("watermark drops events later than 10 minutes behind the max ts") {
+    import spark.implicits._
+    // batch 1: events at T0+1h; batch 2: one event 2h earlier (far past
+    // the watermark) plus one current -> late one dropped from the agg
+    val dir = Files.createTempDirectory("graft_events_late")
+    val t0 = 1700000000000000000L // epoch nanos
+    def mk(rows: Seq[(Long, Long, Long, String, Double, String)], f: String) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$f")
+    mk(Seq((1L, t0 + 3600L * 1000000000L, 1L, "a", 1.0, "{}")), "b1")
+    val stream = EventsAnalytics.readStream(spark, s"$dir/*")
+    val q = EventsAnalytics.streamTumbling(stream).writeStream
+      .outputMode("append").format("memory").queryName("t_late")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable() // watermark advances to T0+1h-10m
+      mk(Seq(
+        (2L, t0 - 3600L * 1000000000L, 1L, "late", 9.9, "{}"), // 2h late
+        (3L, t0 + 3610L * 1000000000L, 1L, "a", 2.0, "{}")
+      ), "b2")
+      q.processAllAvailable()
+      mk(Seq((4L, t0 + 7300L * 1000000000L, 1L, "a", 1.0, "{}")), "b3")
+      q.processAllAvailable() // push watermark past T0+1h windows to emit them
+    } finally q.stop()
+    val types = spark.table("t_late").select("event_type")
+      .collect().map(_.getString(0)).toSet
+    assert(!types.contains("late"), s"late event leaked: $types")
+    assert(types.contains("a"))
+  }
+
+  test("flatMapGroupsWithState running totals match batch groupBy") {
+    val stream = EventsAnalytics.readStream(spark, eventsDir)
+    val updates = runToMemory(
+      EventsAnalytics.runningUserTotals(spark, stream).toDF(),
+      "t_state", "update")
+    // last update per user = final totals
+    val finalRows = updates
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables(spark, sf0001).events
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalRows === expected)
+  }
+}
