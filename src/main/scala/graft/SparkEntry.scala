@@ -25,7 +25,8 @@ object SparkEntry {
       (sources.SourceQueries.queries, sources.SourceQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
-      (streaming.EventsAnalytics.queries, streaming.EventsAnalytics.oracles)
+      (streaming.EventsAnalytics.queries, streaming.EventsAnalytics.oracles),
+      (analytics.Cohort.queries, analytics.Cohort.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,165 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The reference's RWE dashboard + cohort analytics (01-rwe-dashboard.r,
+  * 02-patient-trajectory.py:49-87) as a typed facade, generalized over any
+  * (entity, category) table.
+  */
+object Cohort {
+
+  /** Top-k categories by row count (01-rwe-dashboard.r:31-35), with the
+    * tiebreaker sort the oracle harness requires.
+    */
+  def topCategories(df: DataFrame, categoryCol: String, k: Int): DataFrame =
+    df.where(col(categoryCol).isNotNull)
+      .groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(categoryCol).asc)
+      .limit(k)
+
+  /** Top-k categories by DISTINCT entity (01-rwe-dashboard.r:40-52). */
+  def topCategoriesByEntity(
+      df: DataFrame, entityCol: String, categoryCol: String, k: Int): DataFrame =
+    df.where(col(categoryCol).isNotNull)
+      .select(col(entityCol), col(categoryCol))
+      .distinct()
+      .groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col(categoryCol).asc)
+      .limit(k)
+
+  /** Entities matching a category pattern, case-insensitive contains
+    * (02-patient-trajectory.py:53-56).
+    */
+  def entitiesWith(df: DataFrame, entityCol: String, categoryCol: String,
+      pattern: String): DataFrame =
+    df.where(lower(col(categoryCol)).contains(pattern.toLowerCase))
+      .select(col(entityCol))
+      .distinct()
+
+  /** Top-k co-occurring categories among entities having `pattern`,
+    * excluding the index category itself (01-rwe-dashboard.r:73-90:
+    * comorbid conditions via join + NOT LIKE + dropDuplicates + count).
+    */
+  def coOccurring(df: DataFrame, entityCol: String, categoryCol: String,
+      pattern: String, k: Int): DataFrame = {
+    val cohort = entitiesWith(df, entityCol, categoryCol, pattern)
+    df.join(cohort, Seq(entityCol))
+      .where(col(categoryCol).isNotNull &&
+        !lower(col(categoryCol)).contains(pattern.toLowerCase))
+      .select(col(entityCol), col(categoryCol))
+      .distinct()
+      .groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col(categoryCol).asc)
+      .limit(k)
+  }
+
+  /** Case/control cohort: entities with the pattern labeled 1, an equal
+    * number without it labeled 0 (02-patient-trajectory.py:68-82 —
+    * including the reference's deliberate `limit(caseCount)` on controls,
+    * made deterministic with an orderBy).
+    */
+  def caseControl(df: DataFrame, entityCol: String, categoryCol: String,
+      pattern: String): DataFrame = {
+    val cases = entitiesWith(df, entityCol, categoryCol, pattern)
+      .withColumn("label", lit(1))
+    val caseCount = cases.count()
+    val controls = df.select(col(entityCol)).distinct()
+      .join(cases.select(entityCol), Seq(entityCol), "left_anti")
+      .orderBy(col(entityCol)) // determinism: reference used bare limit
+      .limit(caseCount.toInt)
+      .withColumn("label", lit(0))
+    cases.union(controls)
+  }
+
+  /** Pearson chi-square over an (a, b) contingency table, fully
+    * distributed (01-rwe-dashboard.r:109-124 collects the table into R's
+    * chisq.test; here expected counts and the statistic are DataFrame
+    * arithmetic — no driver-side table).
+    * Returns one row: (chi2, dof).
+    */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("a"), b.as("b")).agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("n")).as("rn"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+    val total = cells.agg(sum(col("n")).as("t"))
+    cells
+      .join(broadcast(rowTot), Seq("a"))
+      .join(broadcast(colTot), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("rn") * col("cn") / col("t"))
+      .agg(
+        round(sum(pow(col("n") - col("e"), 2) / col("e")), 4).as("chi2"),
+        ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1)).as("dof"))
+  }
+
+  // ---------- declared queries over testdata ----------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dashboard top-k re-expressed on orders: top order priorities. */
+  def qTopCategories(spark: SparkSession, sfDir: String): DataFrame =
+    topCategories(Tables(spark, sfDir).orders, "o_orderpriority", 3)
+
+  /** Distinct-entity top-k: priorities by distinct customer. */
+  def qTopByEntity(spark: SparkSession, sfDir: String): DataFrame =
+    topCategoriesByEntity(Tables(spark, sfDir).orders, "o_custkey", "o_orderpriority", 3)
+
+  /** Comorbidity-shaped co-occurrence: among customers with an URGENT
+    * order, which other priorities co-occur (by distinct customer).
+    */
+  def qCoOccurring(spark: SparkSession, sfDir: String): DataFrame =
+    coOccurring(Tables(spark, sfDir).orders, "o_custkey", "o_orderpriority", "urgent", 5)
+
+  /** E8: chi-square of (mktsegment × high-balance flag), distributed. */
+  def qChiSquare(spark: SparkSession, sfDir: String): DataFrame =
+    chiSquare(Tables(spark, sfDir).customer,
+      col("c_mktsegment"), (col("c_acctbal") > 5000).as("high"))
+
+  def queries: Map[String, Q] = Map(
+    "q_top_categories" -> (qTopCategories _),
+    "q_top_by_entity" -> (qTopByEntity _),
+    "q_cooccurring" -> (qCoOccurring _),
+    "q_chi_square" -> (qChiSquare _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_top_categories" ->
+      """SELECT o_orderpriority, count(*) AS count FROM orders
+        |WHERE o_orderpriority IS NOT NULL
+        |GROUP BY o_orderpriority ORDER BY count DESC, o_orderpriority
+        |LIMIT 3""".stripMargin,
+    "q_top_by_entity" ->
+      """SELECT o_orderpriority, count(*) AS n_entities
+        |FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+        |      WHERE o_orderpriority IS NOT NULL)
+        |GROUP BY o_orderpriority ORDER BY n_entities DESC, o_orderpriority
+        |LIMIT 3""".stripMargin,
+    "q_cooccurring" ->
+      """WITH cohort AS (SELECT DISTINCT o_custkey FROM orders
+        |                WHERE lower(o_orderpriority) LIKE '%urgent%')
+        |SELECT o_orderpriority, count(*) AS n_entities
+        |FROM (SELECT DISTINCT o.o_custkey, o.o_orderpriority
+        |      FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+        |      WHERE o.o_orderpriority IS NOT NULL
+        |        AND lower(o.o_orderpriority) NOT LIKE '%urgent%')
+        |GROUP BY o_orderpriority ORDER BY n_entities DESC, o_orderpriority
+        |LIMIT 5""".stripMargin,
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS a, (c_acctbal > 5000) AS b, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(n) rn FROM cells GROUP BY a),
+        |ct AS (SELECT b, sum(n) cn FROM cells GROUP BY b),
+        |t AS (SELECT sum(n) t FROM cells)
+        |SELECT round(sum(pow(cells.n - (rn * cn * 1.0 / t.t), 2)
+        |                 / (rn * cn * 1.0 / t.t)), 4) AS chi2,
+        |  CAST((count(DISTINCT cells.a) - 1) * (count(DISTINCT cells.b) - 1) AS BIGINT) AS dof
+        |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t""".stripMargin
+  )
+}

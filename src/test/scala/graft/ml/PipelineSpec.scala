@@ -1,0 +1,109 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analytics.Cohort
+import graft.features.Featurizer
+import graft.ingest.EtlJob
+
+/** End-to-end reference pipeline over the EHR fixtures: ETL (00) ->
+  * dashboard analytics (01) -> featurize + train (02) -> registry/score
+  * (03). Floating/stochastic outputs are bounds-checked, not hash-matched
+  * (SURVEY §5.2).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val csvDir = getClass.getResource("/ehr").getPath
+  private lazy val lakeDir = Files.createTempDirectory("graft_ehr_lake").toString
+  private lazy val etl = EtlJob.run(spark, csvDir, lakeDir, "rwd_test")
+
+  test("ETL: PII hashed, star join registered, catalog queryable") {
+    val pe0 = etl.patientEncounters // force the lazy pipeline first
+    val pats = spark.table("rwd_test.patients")
+    // every PII value is a 40-hex sha1 (incl. NULL -> sha1("null"))
+    val row = pats.select("SSN", "FIRST", "SUFFIX").head
+    (0 until 3).foreach(i => assert(row.getString(i).matches("[0-9a-f]{40}")))
+    val pe = etl.patientEncounters
+    assert(pe.count() === 132)
+    assert(pe.columns.contains("Org_Name") && pe.columns.contains("MARITAL"))
+    // catalog SQL over the registered star (reference 00:204)
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM rwd_test.patient_encounters WHERE REASONDESCRIPTION IS NOT NULL")
+    assert(viaSql.head.getLong(0) > 0)
+  }
+
+  test("dashboard: top conditions + comorbid conditions behave like the reference") {
+    val pe = etl.patientEncounters
+    val top = Cohort.topCategories(pe, "REASONDESCRIPTION", 5).collect()
+    assert(top.nonEmpty && top.length <= 5)
+    // counts descending
+    val counts = top.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // planted comorbidity: among diabetes patients, hypertension co-occurs
+    val co = Cohort.coOccurring(pe, "PATIENT", "REASONDESCRIPTION", "diabetes", 5)
+      .collect().map(_.getString(0))
+    assert(co.contains("Hypertension"), s"got ${co.toSeq}")
+  }
+
+  test("chi-square over the EHR contingency is finite and nonnegative") {
+    val pe = etl.patientEncounters
+    val r = Cohort.chiSquare(pe, col("GENDER"), col("REASONDESCRIPTION").isNotNull).head
+    assert(r.getDouble(0) >= 0.0)
+    assert(r.getLong(1) === 1L)
+  }
+
+  test("featurize -> seeded search -> registry -> score round-trip") {
+    val pe = etl.patientEncounters
+    val comorbidities = Seq("diabetes", "hypertension", "asthma")
+    val feats = Featurizer.encounterFeatures(pe, comorbidities, windowDays = 90)
+    // window-feature invariants (SURVEY §5.2): nonneg, frame excludes today
+    val bad = feats.where(col("recent_0") < 0 ||
+      col("recent_encounters") < 0).count()
+    assert(bad === 0)
+    val fz = Featurizer.assemble(
+      feats,
+      categoricalCols = Seq("MARITAL", "RACE", "GENDER"),
+      numericCols = Seq("recent_0", "recent_1", "recent_2",
+        "recent_encounters", "age", "ZIP"))
+    // seeded split (J3) — deterministic
+    val Array(train, test) = fz.data.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val runDir = Files.createTempDirectory("graft_runs").toString
+    val runLog = new RunLog(runDir)
+    val result = Trainer.search(train, test, evals = 5, seed = 42L,
+      runLog = Some(runLog))
+    assert(result.evals.length === 5)
+    assert(result.best.auc >= 0.5 && result.best.auc <= 1.0,
+      s"AUC ${result.best.auc}")
+    // run log queryable with nested metrics (A9)
+    val runs = runLog.runs(spark)
+    assert(runs.count() === 5)
+    val best = runLog.bestRun(spark, "area_under_ROC").head
+    assert(best.schema.fieldNames.contains("params"))
+    // registry promote + load + score (K5, 03:108-140)
+    val reg = new ModelRegistry(Files.createTempDirectory("graft_registry").toString)
+    reg.promote(result.model, "comorbidity_dt", "Production")
+    assert(reg.exists("comorbidity_dt", "Production"))
+    val loaded = reg.loadDecisionTree("comorbidity_dt", "Production")
+    val scored = loaded.transform(fz.data)
+    assert(scored.columns.contains("prediction"))
+    // prediction breakdown by demographics (03:119-121)
+    val breakdown = scored.where("prediction = 1")
+      .groupBy("MARITAL", "RACE", "GENDER", "prediction").count()
+    assert(breakdown.count() >= 0)
+  }
+
+  test("search is deterministic given the seed") {
+    val pe = etl.patientEncounters
+    val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)
+    val fz = Featurizer.assemble(feats, Seq("GENDER"), Seq("recent_encounters", "age"))
+    val Array(tr, te) = fz.data.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val a = Trainer.search(tr, te, evals = 3, seed = 7L)
+    val b = Trainer.search(tr, te, evals = 3, seed = 7L)
+    assert(a.best.params === b.best.params)
+    assert(a.best.auc === b.best.auc)
+    assert(a.evals.map(_.params) === b.evals.map(_.params))
+  }
+}
