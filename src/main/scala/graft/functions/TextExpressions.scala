@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom per-row text expressions for the dedup pipelines.
+  *
+  * Why expressions and not `transform`/`aggregate` built-ins: higher-order
+  * built-ins re-evaluate captured argument expressions once per ELEMENT
+  * (and CollapseProject re-inlines any projection boundary), so a
+  * shingling pipeline written with lambdas re-runs the upstream regex
+  * split per shingle — measured 25s on 5,000 docs. These expressions
+  * evaluate their input array exactly once per row and do the loop in
+  * plain JVM code (sub-second for the same input). CodegenFallback is fine
+  * here: the per-row work dominates, not expression dispatch.
+  */
+abstract class TokensUnaryExpression extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<string>, got $other")
+    }
+}
+
+/** Distinct n-token shingles (first-occurrence order) of a token array. */
+case class ShinglesExpr(child: Expression, n: Int) extends TokensUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= m - n) {
+        val sb = new StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        seen.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit SimHash of a token array: per-token XXH64, bit-vote, sign. */
+case class SimHash64Expr(child: Expression) extends TokensUnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val m = toks.numElements()
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, 42)
+      // widen 32-bit murmur to 64 bits with a second seed
+      val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, 1299709)
+      val h64 = (h.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h64 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MinHash signature: k independent min-hashes of a string array, one pass
+  * over the array per row (k seeds, not k array traversals of a lambda).
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int, seed: Int)
+    extends TokensUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val seeds: Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)(rnd.nextInt())
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val m = toks.numElements()
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      var s = 0
+      while (s < k) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, seeds(s))
+        val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, seeds(s) ^ 0x5bd1e995)
+        val h64 = (h.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+        if (h64 < mins(s)) mins(s) = h64
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextExpressions {
+  def shingles(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), n))
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  def minhashSignature(arr: Column, k: Int, seed: Int = 42): Column =
+    GraftBridge.column(MinHashSignatureExpr(GraftBridge.expression(arr), k, seed))
+}

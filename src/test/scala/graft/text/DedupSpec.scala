@@ -24,7 +24,7 @@ class DedupSpec extends SparkSpec {
     assert(once.count() === twice.count())
   }
 
-  test("minhash candidates include every high-jaccard exact pair (recall=1 on planted dups)") {
+  test("MLlib minhash candidates include every high-jaccard exact pair (recall=1 on planted dups)") {
     val docs = Tables(spark, sf0001).documents
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -32,6 +32,21 @@ class DedupSpec extends SparkSpec {
     val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.7)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+  }
+
+  test("native banded minhash finds every high-jaccard pair with exact jaccard values") {
+    val docs = Tables(spark, sf0001).documents
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    val banded = Dedup.minhashBandedPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    exact.foreach { case (pair, j) =>
+      assert(banded.contains(pair), s"missed planted pair $pair")
+      assert(math.abs(banded(pair) - j) < 1e-6, s"jaccard mismatch for $pair")
+    }
+    // verification step keeps false positives out
+    banded.values.foreach(j => assert(j >= 0.7))
   }
 
   test("simhash near-dup pairs overlap the planted high-jaccard pairs") {
