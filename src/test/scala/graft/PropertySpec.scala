@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Deidentify
+import graft.text.{Dedup, TextFunctions}
+
+/** Property-based invariants (SURVEY §5.2) using raw ScalaCheck generators
+  * sampled with fixed seeds (the scalatest-scalacheck bridge artifact is
+  * not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("sha1 de-id: 40 lowercase hex, deterministic, injective on samples") {
+    samples(Gen.listOfN(8, word), 10).filter(_.nonEmpty).foreach { ws =>
+      val out = ws.distinct.toDF("v")
+        .select(Deidentify.hashCol(col("v")).as("h"), col("v"))
+        .collect().map(r => r.getString(1) -> r.getString(0)).toMap
+      assert(out.values.forall(_.matches("[0-9a-f]{40}")))
+      assert(out.keySet.size === out.values.toSet.size)
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    samples(Gen.listOfN(10, Gen.oneOf("a b c", "d e f", "g h i")), 10)
+      .filter(_.nonEmpty).foreach { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val once = Dedup.exact(df, "text", "id")
+        assert(once.count() === texts.distinct.size.toLong)
+        assert(Dedup.exact(once, "text", "id").count() === once.count())
+      }
+  }
+
+  test("shingle count algebra: 1 <= |shingles| <= tokens - n + 1") {
+    samples(Gen.listOfN(5, text), 6).filter(_.nonEmpty).foreach { texts =>
+      val rows = texts.toDF("text")
+        .select(
+          size(TextFunctions.tokens(col("text"))).as("nt"),
+          size(TextFunctions.shingles(col("text"), 3)).as("ns"))
+        .collect()
+      rows.foreach { r =>
+        val bound = math.max(r.getInt(0) - 2, 0)
+        assert(r.getInt(1) <= bound)
+        if (bound > 0) assert(r.getInt(1) >= 1)
+      }
+    }
+  }
+
+  test("fingerprint64: whitespace-insensitive, distinct for distinct token streams") {
+    samples(Gen.zip(text, text), 15).foreach { case (a, b) =>
+      val fps = Seq(a, a.replace(" ", "   "), b).toDF("t")
+        .select(TextFunctions.fingerprint64(col("t"))).collect().map(_.getLong(0))
+      assert(fps(0) === fps(1))
+      val sameTokens = a.trim.split("\\s+").toSeq == b.trim.split("\\s+").toSeq
+      if (!sameTokens) assert(fps(0) !== fps(2))
+    }
+  }
+
+  test("union count algebra: |a union b| = |a| + |b| (bag semantics)") {
+    samples(Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)), 8).foreach {
+      case (n, m) =>
+        val a = (0 until n).map(_.toLong).toDF("x")
+        val b = (0 until m).map(_.toLong).toDF("x")
+        assert(a.union(b).count() === (n + m).toLong)
+    }
+  }
+}

@@ -80,6 +80,13 @@ class PipelineSpec extends SparkSpec {
     // run log queryable with nested metrics (A9)
     val runs = runLog.runs(spark)
     assert(runs.count() === 5)
+    // ... and through the DataSourceV2 table (A9 stretch)
+    val v2 = spark.read.format("graft.ml.runsource").load(runDir)
+    assert(v2.count() === 5)
+    val bestV2 = v2.agg(max(col("metrics.area_under_ROC"))).head.getDouble(0)
+    assert(bestV2 >= 0.5 && bestV2 <= 1.0)
+    assert(v2.select(col("params")("impurity")).collect()
+      .forall(r => Set("gini", "entropy").contains(r.getString(0))))
     val best = runLog.bestRun(spark, "area_under_ROC").head
     assert(best.schema.fieldNames.contains("params"))
     // registry promote + load + score (K5, 03:108-140)

@@ -112,6 +112,19 @@ class StreamingSpec extends SparkSpec {
     assert(types.contains("a"))
   }
 
+  test("foreachBatch sink receives every micro-batch exactly once (L6)") {
+    val stream = EventsAnalytics.readStream(spark, eventsDir)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.select("event_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(batch.count()): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(seen.get() === Tables(spark, sf0001).events.count())
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     val stream = EventsAnalytics.readStream(spark, eventsDir)
     val updates = runToMemory(
