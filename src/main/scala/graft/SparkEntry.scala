@@ -26,7 +26,8 @@ object SparkEntry {
       (text.TextQueries.queries, text.TextQueries.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.EventsAnalytics.queries, streaming.EventsAnalytics.oracles),
-      (analytics.Cohort.queries, analytics.Cohort.oracles)
+      (analytics.Cohort.queries, analytics.Cohort.oracles),
+      (operators.AsOfJoin.queries, operators.AsOfJoin.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

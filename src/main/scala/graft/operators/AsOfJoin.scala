@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** As-of join: for each left row, the latest right row with
+  * `rightTime <= leftTime` on the same key (the standard event-attribution
+  * / point-in-time-feature operator Spark has no built-in for).
+  *
+  * Implementation choice (SURVEY §7.4 preference (a) — compose before
+  * custom Catalyst): the union-and-carry-forward formulation needs exactly
+  * ONE shuffle (by key) and ONE sort (by key, time) — the same physical
+  * cost as the dedicated as-of sort-merge exec a custom SparkStrategy
+  * would build, with AQE/spill/codegen for free:
+  *
+  *   1. tag left(1)/right(0) rows, union them;
+  *   2. per key, order by (time, tag) — tag puts the right row FIRST on
+  *      ties, making the match inclusive (rightTime == leftTime matches);
+  *   3. `last(rightValue, ignoreNulls)` over rows-unbounded-preceding
+  *      carries the latest right values forward;
+  *   4. keep left rows.
+  *
+  * At 100 TB both sides stream through one Exchange each; no broadcast,
+  * no per-key state beyond the sort.
+  */
+object AsOfJoin {
+
+  /** @param leftTime/rightTime  comparable time columns (same type)
+    * @param carryCols           right columns carried onto left rows
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      carryCols: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(carryCols.contains),
+      s"carryCols ${carryCols.intersect(leftCols)} collide with left columns")
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        carryCols.map(c => col(c).as(s"__carry_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        carryCols.map(c => lit(null).as(s"__carry_$c")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = carryCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (d, c) => d.withColumn(s"__carry_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .where(col("__tag") === 1)
+      .select(
+        leftCols.map(col) ++
+          carryCols.map(c => col(s"__carry_$c").as(c)): _*)
+  }
+
+  // ---------- declared query ----------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Purchase-to-last-view attribution over the events stream: for each
+    * purchase, the most recent prior (or simultaneous) view by the same
+    * user. Right side deduped to one row per (user, ts) so ties are
+    * deterministic across engines.
+    */
+  def qAsofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).eventsRaw
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
+    asOf(
+      purchases, views,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      carryCols = Seq("view_event_id"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_asof_attribution" -> (qAsofAttribution _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_attribution" ->
+      """SELECT p.event_id, p.user_id, ifnull(v.view_event_id, -1) AS view_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS view_event_id
+        |                FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+}

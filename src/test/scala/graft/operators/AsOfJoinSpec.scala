@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val right = Seq(
+    ("a", 10L, "r1"), ("a", 20L, "r2"), ("b", 15L, "r3")
+  ).toDF("k", "t", "v")
+
+  private def join(left: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).getOrElse("-")))
+
+  test("picks the latest right row at or before the left time") {
+    val left = Seq(("a", 25L), ("a", 12L), ("b", 100L)).toDF("k", "t")
+    assert(join(left).toSeq === Seq(("a", 12L, "r1"), ("a", 25L, "r2"), ("b", 100L, "r3")))
+  }
+
+  test("equal timestamps match inclusively") {
+    val left = Seq(("a", 20L)).toDF("k", "t")
+    assert(join(left).toSeq === Seq(("a", 20L, "r2")))
+  }
+
+  test("left rows before any right row carry null") {
+    val left = Seq(("a", 5L), ("c", 50L)).toDF("k", "t")
+    assert(join(left).toSeq === Seq(("a", 5L, "-"), ("c", 50L, "-")))
+  }
+
+  test("rejects carry column collisions") {
+    val left = Seq(("a", 5L, "x")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+    }
+  }
+}
