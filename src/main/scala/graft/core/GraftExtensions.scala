@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignatureExpr, ShinglesExpr, SimHash64Expr}
+
+/** SparkSessionExtensions entry point: makes the graft custom expressions
+  * available to pure-SQL users on any session built with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.core.GraftExtensions")
+  * }}}
+  *
+  * (the standard extension-injection path; [[graft.functions.VectorFunctions.register]]
+  * does the same imperatively for an existing session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingles"),
+      info("shingles", "shingles(tokens, n) - distinct n-token shingles"),
+      (es: Seq[Expression]) =>
+        ShinglesExpr(es.head, es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash signature"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(arr, k[, seed]) - k min-hashes"),
+      (es: Seq[Expression]) => MinHashSignatureExpr(
+        es.head,
+        es(1).eval().asInstanceOf[Int],
+        if (es.length > 2) es(2).eval().asInstanceOf[Int] else 42)))
+  }
+}

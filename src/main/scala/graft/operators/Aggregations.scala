@@ -92,7 +92,23 @@ object Aggregations {
       .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Exact percentiles (extension): `percentile` (exact interpolated) maps
+    * to DuckDB `quantile_cont`. The approximate scale path
+    * (`approx_percentile` / t-digest) is engine-tested only — approx
+    * algorithms differ across engines by design.
+    */
+  def pricePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99")
+      )
+      .orderBy(col("o_orderstatus"))
+
   def queries: Map[String, Q] = Map(
+    "q_percentiles" -> (pricePercentiles _),
     "q_group_multikey" -> (multiKeyBreakdown _),
     "q_agg_extrema" -> (priceExtrema _),
     "q_distinct_customers" -> (distinctCustomers _),
@@ -102,6 +118,12 @@ object Aggregations {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_group_multikey" ->
       """SELECT c_mktsegment, c_nationkey, o_orderstatus, o_orderpriority,
         | count(*) AS n, round(sum(o_totalprice), 2) AS total

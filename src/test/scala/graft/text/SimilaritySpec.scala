@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("ivfTopK recall vs brute force is reasonable at test scale") {
+    val e = Tables(spark, sf0001).embeddings
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(e, q, "vec_id", "embedding", 3, nCells = 8, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("lshTopK is deterministic given the seed") {
     val e = Tables(spark, sf0001).embeddings
     val q = e.where(col("vec_id") < 3)
