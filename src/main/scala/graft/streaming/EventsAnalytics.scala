@@ -112,6 +112,54 @@ object EventsAnalytics {
       }
   }
 
+  /** L5 via Spark 4's transformWithState API (the successor to
+    * flatMapGroupsWithState): same running per-user totals, state kept in
+    * a typed ValueState backed by the RocksDB state store — the
+    * arbitrary-state path with per-key TTL/timer support that a long-lived
+    * 100 TB stream needs.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "totals", org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(user, 0L, 0.0))
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { case (_, v) => n += 1; tot += v }
+      val next = UserRunning(user, n, tot)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** L5 (transformWithState flavor); requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def runningUserTotalsTws(
+      spark: SparkSession,
+      stream: DataFrame
+  ): Dataset[UserRunning] = {
+    import spark.implicits._
+    stream
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---------- declared batch queries ----------
 
   type Q = (SparkSession, String) => DataFrame

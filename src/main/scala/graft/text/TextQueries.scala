@@ -80,6 +80,19 @@ object TextQueries {
       )
       .orderBy(col("label"))
 
+  /** Custom UDAF surface: per-label embedding centroid via the
+    * [[graft.functions.VectorMean]] TypedImperativeAggregate, exploded to
+    * (label, dim, value) rows for engine-agnostic compare.
+    */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).embeddings
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorMean(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
+      .select(col("label"), col("dim").cast("bigint").as("dim"),
+        round(col("value"), 6).as("value"))
+      .orderBy(col("label"), col("dim"))
+
   // ---- rows-only declared ops (not SQL-expressible in DuckDB 1.0) ----
 
   /** M2: banded-MinHash near-dups with exact-jaccard verification (the
@@ -121,6 +134,7 @@ object TextQueries {
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_embedding_norms" -> (embeddingNorms _),
+    "q_embedding_centroids" -> (embeddingCentroids _),
     "q_minhash_neardup" -> (minhashNearDup _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_embedding_neardup" -> (embeddingNearDupLsh _),
@@ -171,6 +185,10 @@ object TextQueries {
         |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_embedding_centroids" ->
+      """SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS value
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm

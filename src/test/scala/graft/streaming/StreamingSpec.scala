@@ -125,6 +125,34 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() === Tables(spark, sf0001).events.count())
   }
 
+  test("transformWithState running totals match batch groupBy (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventsAnalytics.readStream(spark, eventsDir)
+      val updates = runToMemory(
+        EventsAnalytics.runningUserTotalsTws(spark, stream).toDF(),
+        "t_tws", "update")
+      val finalRows = updates
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n_events").desc)))
+        .where(col("rn") === 1)
+        .select("user_id", "n_events")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = Tables(spark, sf0001).events
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalRows === expected)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     val stream = EventsAnalytics.readStream(spark, eventsDir)
     val updates = runToMemory(
