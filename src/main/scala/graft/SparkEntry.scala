@@ -27,7 +27,8 @@ object SparkEntry {
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.EventsAnalytics.queries, streaming.EventsAnalytics.oracles),
       (analytics.Cohort.queries, analytics.Cohort.oracles),
-      (operators.AsOfJoin.queries, operators.AsOfJoin.oracles)
+      (operators.AsOfJoin.queries, operators.AsOfJoin.oracles),
+      (operators.RangeJoin.queries, operators.RangeJoin.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

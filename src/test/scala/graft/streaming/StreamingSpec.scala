@@ -112,6 +112,38 @@ class StreamingSpec extends SparkSpec {
     assert(types.contains("a"))
   }
 
+  test("stream-stream join: purchases joined to views within the watermark") {
+    val s1 = EventsAnalytics.readStream(spark, eventsDir)
+    val purchases = s1.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts_ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val s2 = EventsAnalytics.readStream(spark, eventsDir)
+    val views = s2.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts_ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+    val got = runToMemory(joined.select("p_id", "v_id"), "t_ssjoin", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch dual
+    val ev = Tables(spark, sf0001).events
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts_ts").as("p_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts_ts").as("v_ts"))
+    val expected = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select("p_id", "v_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "need signal")
+    assert(got === expected)
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once (L6)") {
     val stream = EventsAnalytics.readStream(spark, eventsDir)
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
