@@ -47,8 +47,13 @@ object Cohort {
     */
   def coOccurring(df: DataFrame, entityCol: String, categoryCol: String,
       pattern: String, k: Int): DataFrame = {
-    val cohort = entitiesWith(df, entityCol, categoryCol, pattern)
-    df.join(cohort, Seq(entityCol))
+    // left_semi against the raw filtered rows: the semi join dedupes the
+    // cohort implicitly, saving the distinct's Exchange + aggregate pair
+    // that an inner join against entitiesWith() would need
+    val cohort = df
+      .where(lower(col(categoryCol)).contains(pattern.toLowerCase))
+      .select(col(entityCol))
+    df.join(cohort, Seq(entityCol), "left_semi")
       .where(col(categoryCol).isNotNull &&
         !lower(col(categoryCol)).contains(pattern.toLowerCase))
       .select(col(entityCol), col(categoryCol))

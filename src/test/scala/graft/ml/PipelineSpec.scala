@@ -96,9 +96,17 @@ class PipelineSpec extends SparkSpec {
     val loaded = reg.loadDecisionTree("comorbidity_dt", "Production")
     val scored = loaded.transform(fz.data)
     assert(scored.columns.contains("prediction"))
-    // prediction breakdown by demographics (03:119-121)
-    val breakdown = scored.where("prediction = 1")
-      .groupBy("MARITAL", "RACE", "GENDER", "prediction").count()
+    // scorer facade: provenance stamping + breakdown (03:110-152)
+    val stamped = Scorer.scoreWithMetadata(
+      reg, Scorer.ModelRef("comorbidity_dt", "Production", "1"), fz.data)
+    val head = stamped.select("model_name", "model_stage", "scored_at").head
+    assert(head.getString(0) === "comorbidity_dt")
+    assert(head.getString(1) === "Production")
+    assert(!head.isNullAt(2)) // current_timestamp stamped
+    val breakdown = Scorer.predictionBreakdown(
+      stamped, Seq("MARITAL", "RACE", "GENDER"))
+    assert(breakdown.columns.toSeq ===
+      Seq("MARITAL", "RACE", "GENDER", "prediction", "count"))
     assert(breakdown.count() >= 0)
   }
 
