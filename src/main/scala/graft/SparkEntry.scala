@@ -28,7 +28,9 @@ object SparkEntry {
       (streaming.EventsAnalytics.queries, streaming.EventsAnalytics.oracles),
       (analytics.Cohort.queries, analytics.Cohort.oracles),
       (operators.AsOfJoin.queries, operators.AsOfJoin.oracles),
-      (operators.RangeJoin.queries, operators.RangeJoin.oracles)
+      (operators.RangeJoin.queries, operators.RangeJoin.oracles),
+      (text.TrainingData.queries, text.TrainingData.oracles),
+      (text.TfIdf.queries, text.TfIdf.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
