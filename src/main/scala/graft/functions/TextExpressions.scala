@@ -44,12 +44,19 @@ case class ShinglesExpr(child: Expression, n: Int) extends TokensUnaryExpression
       while (i <= m - n) {
         val sb = new StringBuilder
         var j = 0
+        var hasNull = false
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(i + j).toString)
+          val t = toks.getUTF8String(i + j)
+          if (t == null) hasNull = true
+          else {
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(t.toString)
+          }
           j += 1
         }
-        seen.add(UTF8String.fromString(sb.toString))
+        // windows containing a NULL token are skipped (the array type
+        // admits containsNull=true and this is SQL-exposed)
+        if (!hasNull) seen.add(UTF8String.fromString(sb.toString))
         i += 1
       }
       new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
@@ -70,16 +77,18 @@ case class SimHash64Expr(child: Expression) extends TokensUnaryExpression {
     val m = toks.numElements()
     while (i < m) {
       val t = toks.getUTF8String(i)
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, 42)
-      // widen 32-bit murmur to 64 bits with a second seed
-      val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, 1299709)
-      val h64 = (h.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
-      var b = 0
-      while (b < 64) {
-        if (((h64 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (t != null) { // null tokens cast no vote
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, 42)
+        // widen 32-bit murmur to 64 bits with a second seed
+        val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, 1299709)
+        val h64 = (h.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+        var b = 0
+        while (b < 64) {
+          if (((h64 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -115,7 +124,7 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Int)
     while (i < m) {
       val t = toks.getUTF8String(i)
       var s = 0
-      while (s < k) {
+      while (t != null && s < k) { // null elements don't contribute
         val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
           .hashUnsafeBytes2(t.getBaseObject, t.getBaseOffset, t.numBytes, seeds(s))
         val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32

@@ -53,6 +53,10 @@ case class VectorMean(
   override def merge(b: VectorMean.Buffer, o: VectorMean.Buffer): VectorMean.Buffer = {
     if (o.sums == null) return b
     if (b.sums == null) { b.sums = o.sums.clone(); b.count = o.count; return b }
+    // mixed-dimension groups are malformed input: rows of the "other"
+    // dimension are skipped (same policy as update()); without this guard
+    // merge would read out of bounds
+    if (o.sums.length != b.sums.length) return b
     var i = 0
     while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
     b.count += o.count

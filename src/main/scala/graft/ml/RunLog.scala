@@ -30,8 +30,17 @@ final class RunLog(dir: String) {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+
+  /** NaN/Infinity are not valid JSON number literals — serialize as null
+    * (e.g. AUC over a single-class split is NaN).
+    */
+  private def num(v: Double): String =
+    if (java.lang.Double.isFinite(v)) v.toString else "null"
 
   /** Append one run record. Returns the run id. */
   def log(
@@ -46,7 +55,7 @@ final class RunLog(dir: String) {
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
         .mkString("{", ",", "}")
     val metricsJson = metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""${esc(k)}":${num(v)}""" }.mkString("{", ",", "}")
     val line =
       s"""{"run_id":"$runId","params":${obj(params)},"metrics":$metricsJson,"tags":${obj(tags)}}\n"""
     Files.write(logFile, line.getBytes(StandardCharsets.UTF_8),

@@ -70,11 +70,14 @@ final class RunsScan(path: String) extends Scan with Batch {
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(path != null, "graft.ml.runsource requires a path: .load(dir)")
     val dir = new java.io.File(path)
     val files =
       if (dir.isDirectory)
-        dir.listFiles().filter(_.getName.endsWith(".jsonl")).map(_.getAbsolutePath)
-      else Array(path)
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".jsonl")).map(_.getAbsolutePath)
+      else if (dir.isFile) Array(path)
+      else Array.empty[String] // not-yet-existing log dir -> empty table
     files.sorted.map(f => RunsPartition(f): InputPartition)
   }
 

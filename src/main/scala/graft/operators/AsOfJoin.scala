@@ -30,6 +30,10 @@ object AsOfJoin {
 
   /** @param leftTime/rightTime  comparable time columns (same type)
     * @param carryCols           right columns carried onto left rows
+    * @note if the right side has several rows with the SAME (key, time),
+    *       which of them is carried is not deterministic (rows tie in the
+    *       sort) — pre-aggregate the right side to one row per (key, time)
+    *       as qAsofAttribution does when determinism matters
     */
   def asOf(
       left: DataFrame,
@@ -43,15 +47,20 @@ object AsOfJoin {
     require(!leftCols.exists(carryCols.contains),
       s"carryCols ${carryCols.intersect(leftCols)} collide with left columns")
 
+    // the carried values travel as ONE struct: last(ignoreNulls) then picks
+    // the latest right ROW atomically. Carrying columns individually would
+    // (a) skip a legitimately-NULL field on the latest row in favor of a
+    // stale older value and (b) mix fields from different right rows.
+    val carryStruct = struct(carryCols.map(col): _*)
     val taggedRight = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
-        carryCols.map(c => col(c).as(s"__carry_$c")) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
+          carryStruct.as("__carry")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
-        carryCols.map(c => lit(null).as(s"__carry_$c")) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag"),
+          lit(null).cast(taggedRight.schema("__carry").dataType).as("__carry")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
     val w = Window
@@ -59,15 +68,12 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = carryCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (d, c) => d.withColumn(s"__carry_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
       .select(
         leftCols.map(col) ++
-          carryCols.map(c => col(s"__carry_$c").as(c)): _*)
+          carryCols.map(c => col(s"__carry.$c").as(c)): _*)
   }
 
   // ---------- declared query ----------

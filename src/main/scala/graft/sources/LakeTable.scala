@@ -94,18 +94,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
-  /** Commit history as a DataFrame (DESCRIBE HISTORY substitute). */
+  /** Commit history as a DataFrame (DESCRIBE HISTORY substitute).
+    *
+    * Stable columns: version (long), operation (string), timestamp
+    * (string). `operationParameters` is a struct whose fields depend on
+    * the operations present, so it only exists once the table has commits
+    * — code touching it must handle a fresh table.
+    */
   def history: DataFrame = {
     val f = fs
     if (!f.exists(logDir)) {
       import spark.implicits._
-      spark.emptyDataset[String].toDF("json")
-        .select(
-          lit(0L).as("version"),
-          lit("").as("operation"),
-          lit("").as("operationParameters"),
-          current_timestamp().as("timestamp")
-        ).limit(0)
+      Seq.empty[(Long, String, String)]
+        .toDF("version", "operation", "timestamp")
     } else {
       spark.read.json(s"$path/${LakeTable.LogDirName}/*.json")
         .orderBy(col("version").desc)

@@ -147,20 +147,25 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         graft.functions.TextExpressions.minhashSignature(col("sh"), k, seed).as("sig"))
+    // the band shuffle carries only (id, band, key): shipping the shingle
+    // arrays through the bands-times explode would multiply shuffle volume
+    // by the band factor; candidates join back to the single shingle table
     val banded = sh.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val shingleTable = sh.select(col("id"), col("sh"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("a.sh").as("a_sh"),
-        col("b.id").as("b_id"), col("b.sh").as("b_sh"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .join(shingleTable.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shingleTable.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
     candidates
       .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard",

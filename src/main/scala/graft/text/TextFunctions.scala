@@ -82,6 +82,18 @@ object TextFunctions {
     round(lit(0.4) * lenScore + lit(0.2) * punctScore + lit(0.4) * least(ttr * 2, lit(1.0)), 6)
   }
 
+  /** Remove stopwords for a language from a tokens column. Uses filter +
+    * array_contains rather than array_except: array_except deduplicates
+    * the survivors, which would corrupt downstream term frequencies.
+    */
+  def removeStopwords(ts: Column, lang: String): Column =
+    stopwords.get(lang) match {
+      case Some(words) =>
+        val w = array(words.map(lit): _*)
+        filter(ts, t => !array_contains(w, t))
+      case None => ts
+    }
+
   /** 64-bit document fingerprint: order-sensitive rolling combination of
     * token hashes (xxhash64 seeded per position via the running value) —
     * equal fingerprints <=> equal token streams (w.h.p.), robust to

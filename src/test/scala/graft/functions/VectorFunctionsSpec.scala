@@ -55,6 +55,22 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("text expressions tolerate NULL array elements (SQL-exposed surface)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Seq[String]("a", null, "b", "c")).toDF("arr")
+    val shingles = df.select(
+      graft.functions.TextExpressions.shingles(col("arr"), 2)).head.getSeq[String](0)
+    assert(shingles === Seq("b c"), s"null-window shingles must be skipped: $shingles")
+    val sh = df.select(graft.functions.TextExpressions.simhash64(col("arr"))).head.getLong(0)
+    val shNoNull = Seq(Seq("a", "b", "c")).toDF("arr")
+      .select(graft.functions.TextExpressions.simhash64(col("arr"))).head.getLong(0)
+    assert(sh === shNoNull, "null tokens must cast no simhash vote")
+    val mh = df.select(graft.functions.TextExpressions.minhashSignature(col("arr"), 4))
+      .head.getSeq[Long](0)
+    assert(mh.length === 4)
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0D,0.0D), array(1.0D,0.0D)) c," +

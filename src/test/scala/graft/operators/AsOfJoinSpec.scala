@@ -29,6 +29,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(join(left).toSeq === Seq(("a", 5L, "-"), ("c", 50L, "-")))
   }
 
+  test("a NULL carry value on the latest right row is carried as NULL, not a stale value") {
+    val r = Seq(
+      ("a", 10L, Some("old"), Some("x1")),
+      ("a", 20L, None, Some("x2"))
+    ).toDF("k", "t", "v", "w")
+    val l = Seq(("a", 25L)).toDF("k", "t")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("v", "w")).head
+    // the t=20 row is the as-of match: v must be NULL (not "old"), and v/w
+    // must come from the SAME row (not v from t=10 with w from t=20)
+    assert(out.isNullAt(2), s"stale carry leaked: $out")
+    assert(out.getString(3) === "x2")
+  }
+
   test("rejects carry column collisions") {
     val left = Seq(("a", 5L, "x")).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {

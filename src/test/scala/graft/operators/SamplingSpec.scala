@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratified sample is deterministic given the seed") {
+    val c = Tables(spark, sf001).customer
+    val fr: Map[Any, Double] = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
+    def run() = Sampling.stratified(c, "c_mktsegment", fr, seed = 42L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(run() === run())
+  }
+
+  test("stratified fractions are approximately honored") {
+    val c = Tables(spark, sf001).customer
+    val base = c.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.stratified(
+      c, "c_mktsegment", Map[Any, Double]("BUILDING" -> 0.5), 42L)
+    val got = out.count().toDouble
+    val expected = base("BUILDING") * 0.5
+    assert(math.abs(got - expected) / expected < 0.25, s"got $got vs ~$expected")
+  }
+
+  test("balanced downsampling equalizes strata within tolerance") {
+    val docs = Tables(spark, sf001).documents
+    val out = Sampling.balanced(docs, "lang", seed = 7L)
+    val counts = out.groupBy("lang").count()
+      .collect().map(_.getLong(1))
+    val (mn, mx) = (counts.min.toDouble, counts.max.toDouble)
+    assert(mx / mn <= 1.6, s"strata spread too wide: ${counts.toSeq}")
+  }
+
+  test("stopword removal drops only stopwords and keeps duplicate tokens") {
+    import spark.implicits._
+    val out = Seq("the cat sat on the cat mat").toDF("t")
+      .select(graft.text.TextFunctions.removeStopwords(
+        graft.text.TextFunctions.tokens(col("t")), "en"))
+      .head.getSeq[String](0)
+    // duplicates must survive (term frequencies downstream depend on it)
+    assert(out === Seq("cat", "sat", "on", "cat", "mat"))
+  }
+
+  test("balanced sampling of an empty frame returns empty, not a crash") {
+    val empty = Tables(spark, sf001).documents.where(col("lang") === "nope")
+    assert(Sampling.balanced(empty, "lang", 1L).count() === 0L)
+  }
+}
