@@ -157,6 +157,20 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() === Tables(spark, sf0001).events.count())
   }
 
+  test("streaming into a LakeTable appends data + commits, then reads back as a table") {
+    val lakeDir = Files.createTempDirectory("graft_lake_sink").resolve("events").toString
+    val lake = graft.sources.LakeTable(spark, lakeDir)
+    val q = LakeSink.streamTo(
+      EventsAnalytics.readStream(spark, eventsDir).drop("ts_ts"), lake)
+    q.awaitTermination(120000)
+    val n = Tables(spark, sf0001).events.count()
+    assert(lake.read.count() === n)
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.forall(_ == "WRITE APPEND"), ops.toSeq)
+    // the lake table is a normal batch table now: aggregate it
+    assert(lake.read.groupBy("event_type").count().count() === 5)
+  }
+
   test("transformWithState running totals match batch groupBy (RocksDB store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
