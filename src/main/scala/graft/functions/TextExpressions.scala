@@ -47,11 +47,12 @@ case class ShinglesExpr(child: Expression, n: Int) extends TokensUnaryExpression
         var hasNull = false
         while (j < n) {
           val t = toks.getUTF8String(i + j)
+          // positional separator (j>0, not sb.nonEmpty): empty-string
+          // tokens keep their slot, so ["a","","b"] and ["","a","b"]
+          // yield distinct shingles — matching array_to_string semantics
+          if (j > 0) sb.append(' ')
           if (t == null) hasNull = true
-          else {
-            if (sb.nonEmpty) sb.append(' ')
-            sb.append(t.toString)
-          }
+          else sb.append(t.toString)
           j += 1
         }
         // windows containing a NULL token are skipped (the array type

@@ -30,6 +30,16 @@ case class VectorMean(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_mean expects array<float|double>, got $other")
+    }
+
   override def createAggregationBuffer(): VectorMean.Buffer =
     new VectorMean.Buffer(0L, null)
 
@@ -38,6 +48,9 @@ case class VectorMean(
     if (v == null) return b
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return b // empty arrays are ignored like nulls: a zero-dim
+    // buffer would serialize indistinguishably from "no data", making the
+    // result depend on partitioning
     if (b.sums == null) b.sums = new Array[Double](n)
     if (b.sums.length != n) return b // length mismatch: skip row
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -53,9 +66,10 @@ case class VectorMean(
   override def merge(b: VectorMean.Buffer, o: VectorMean.Buffer): VectorMean.Buffer = {
     if (o.sums == null) return b
     if (b.sums == null) { b.sums = o.sums.clone(); b.count = o.count; return b }
-    // mixed-dimension groups are malformed input: rows of the "other"
-    // dimension are skipped (same policy as update()); without this guard
-    // merge would read out of bounds
+    // mixed-dimension groups are malformed input: the whole partial buffer
+    // of the other dimension is discarded (coarser than update's per-row
+    // skip, but never out-of-bounds; result for malformed input is
+    // best-effort either way)
     if (o.sums.length != b.sums.length) return b
     var i = 0
     while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }

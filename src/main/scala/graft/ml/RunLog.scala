@@ -76,16 +76,34 @@ final class RunLog(dir: String) {
   }
 }
 
-/** Stage-tagged model registry over PipelineModel save/load dirs. */
+/** Stage-tagged model registry over PipelineModel save/load dirs. Each
+  * promote bumps a per-(name, stage) version counter stored BESIDE the
+  * artifact, so provenance stamps are derived from the registry rather
+  * than asserted by callers.
+  */
 final class ModelRegistry(dir: String) {
 
   private def stagePath(name: String, stage: String) =
     Paths.get(dir, name, stage)
 
+  private def versionFile(name: String, stage: String) =
+    Paths.get(dir, name, s"$stage.version")
+
   def promote(model: org.apache.spark.ml.util.MLWritable,
-      name: String, stage: String): Unit =
+      name: String, stage: String): Long = {
     model.asInstanceOf[org.apache.spark.ml.util.MLWritable]
       .write.overwrite().save(stagePath(name, stage).toString)
+    val next = currentVersion(name, stage) + 1
+    Files.createDirectories(Paths.get(dir, name))
+    Files.writeString(versionFile(name, stage), next.toString)
+    next
+  }
+
+  /** Version of the artifact currently at (name, stage); 0 if none. */
+  def currentVersion(name: String, stage: String): Long =
+    if (Files.exists(versionFile(name, stage)))
+      Files.readString(versionFile(name, stage)).trim.toLong
+    else 0L
 
   def loadDecisionTree(name: String, stage: String)
       : org.apache.spark.ml.classification.DecisionTreeClassificationModel =

@@ -11,18 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object Scorer {
 
-  case class ModelRef(name: String, stage: String, version: String)
+  case class ModelRef(name: String, stage: String)
 
-  /** Score `df` with the registered model and stamp provenance columns. */
+  /** Score `df` with the registered model and stamp provenance columns.
+    * The version is READ FROM THE REGISTRY (bumped at promote time), not
+    * asserted by the caller — a caller-supplied version could silently
+    * disagree with the artifact actually loaded.
+    */
   def scoreWithMetadata(
       registry: ModelRegistry,
       ref: ModelRef,
       df: DataFrame
   ): DataFrame = {
     val model = registry.loadDecisionTree(ref.name, ref.stage)
+    val version = registry.currentVersion(ref.name, ref.stage)
     model.transform(df)
       .withColumn("model_name", lit(ref.name))
-      .withColumn("model_version", lit(ref.version))
+      .withColumn("model_version", lit(version))
       .withColumn("model_stage", lit(ref.stage))
       .withColumn("scored_at", current_timestamp())
   }

@@ -33,6 +33,8 @@ object RangeJoin {
     val expanded = base.select(
       col("id"), col("us"),
       explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+    // no dedup needed: side a's three exploded bins are distinct, so each
+    // (a_id, b_id) pair can match b's single bin at most once
     expanded.as("a")
       .join(base.as("b"), col("a.bin") === col("b.bin") && col("a.id") < col("b.id"))
       .where(abs(col("a.us") - col("b.us")) <= maxGapUs)
@@ -40,7 +42,6 @@ object RangeJoin {
         col("a.id").as("a_id"),
         col("b.id").as("b_id"),
         abs(col("a.us") - col("b.us")).as("gap_us"))
-      .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -101,43 +101,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * the operations present, so it only exists once the table has commits
     * — code touching it must handle a fresh table.
     */
-  def history: DataFrame = {
-    val f = fs
-    if (!f.exists(logDir)) {
-      import spark.implicits._
-      Seq.empty[(Long, String, String)]
-        .toDF("version", "operation", "timestamp")
-    } else {
-      spark.read.json(s"$path/${LakeTable.LogDirName}/*.json")
-        .orderBy(col("version").desc)
-    }
-  }
+  def history: DataFrame = CommitLog.history(spark, fs, path, logDir)
 
-  private def currentVersion(): Long = {
-    val f = fs
-    if (!f.exists(logDir)) -1L
-    else
-      f.listStatus(logDir)
-        .map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong)
-        .foldLeft(-1L)(math.max)
-  }
-
-  private def commit(op: String, params: Map[String, String]): Unit = {
-    val f = fs
-    if (!f.exists(logDir)) f.mkdirs(logDir)
-    val v = currentVersion() + 1
-    val ts = java.time.Instant.now().toString
-    val paramJson = params
-      .map { case (k, w) => s""""$k":"${w.replace("\"", "\\\"")}"""" }
-      .mkString("{", ",", "}")
-    val json =
-      s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
-    val out = f.create(new Path(logDir, f"$v%020d.json"), true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def commit(op: String, params: Map[String, String]): Unit =
+    CommitLog.append(fs, logDir, op, params)
 }
 
 object LakeTable {

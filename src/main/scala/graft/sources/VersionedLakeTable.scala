@@ -42,7 +42,7 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
   def write(df: DataFrame): VersionedLakeTable = {
     val v = latestVersion + 1
     df.write.mode("overwrite").parquet(versionDir(v))
-    commit(v, "WRITE", Map("dataVersion" -> v.toString))
+    commit("WRITE", Map("dataVersion" -> v.toString))
     this
   }
 
@@ -67,40 +67,30 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
       .repartitionByRange(n, zorderBy.map(col): _*)
       .sortWithinPartitions(zorderBy.map(col): _*)
       .write.mode("overwrite").parquet(versionDir(v))
-    commit(v, "OPTIMIZE",
+    commit("OPTIMIZE",
       Map("dataVersion" -> v.toString, "zOrderBy" -> zorderBy.mkString(",")))
     this
   }
 
-  /** Drop all but the newest `keepLast` snapshots. */
+  /** Drop all but the newest `keepLast` snapshots (keepLast >= 1: the
+    * latest snapshot is never vacuumable — a zero/negative keepLast would
+    * silently delete the whole table).
+    */
   def vacuum(keepLast: Int): VersionedLakeTable = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val latest = latestVersion
     val f = fs
     (0L to latest - keepLast).foreach { v =>
       f.delete(new Path(versionDir(v)), true)
     }
-    commit(latest, "VACUUM", Map("keepLast" -> keepLast.toString))
+    commit("VACUUM", Map("keepLast" -> keepLast.toString))
     this
   }
 
-  def history: DataFrame =
-    spark.read.json(s"$path/${LakeTable.LogDirName}/*.json")
-      .orderBy(col("version").desc)
+  def history: DataFrame = CommitLog.history(spark, fs, path, log)
 
-  private def commit(dataVersion: Long, op: String, params: Map[String, String]): Unit = {
-    val f = fs
-    if (!f.exists(log)) f.mkdirs(log)
-    val commitId =
-      f.listStatus(log).count(_.getPath.getName.endsWith(".json")).toLong
-    val paramJson = params.toSeq.sortBy(_._1)
-      .map { case (k, w) => s""""$k":"$w"""" }.mkString("{", ",", "}")
-    val ts = java.time.Instant.now().toString
-    val json =
-      s"""{"version":$commitId,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
-    val out = f.create(new Path(log, f"$commitId%020d.json"), true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def commit(op: String, params: Map[String, String]): Unit =
+    CommitLog.append(fs, log, op, params)
 }
 
 object VersionedLakeTable {

@@ -96,13 +96,19 @@ class PipelineSpec extends SparkSpec {
     val loaded = reg.loadDecisionTree("comorbidity_dt", "Production")
     val scored = loaded.transform(fz.data)
     assert(scored.columns.contains("prediction"))
-    // scorer facade: provenance stamping + breakdown (03:110-152)
+    // scorer facade: provenance stamping + breakdown (03:110-152); the
+    // version comes from the registry's promote counter, not the caller
+    assert(reg.currentVersion("comorbidity_dt", "Production") === 1L)
     val stamped = Scorer.scoreWithMetadata(
-      reg, Scorer.ModelRef("comorbidity_dt", "Production", "1"), fz.data)
-    val head = stamped.select("model_name", "model_stage", "scored_at").head
+      reg, Scorer.ModelRef("comorbidity_dt", "Production"), fz.data)
+    val head = stamped.select("model_name", "model_stage", "scored_at", "model_version").head
     assert(head.getString(0) === "comorbidity_dt")
     assert(head.getString(1) === "Production")
     assert(!head.isNullAt(2)) // current_timestamp stamped
+    assert(head.getLong(3) === 1L)
+    // re-promoting bumps the registry version
+    reg.promote(result.model, "comorbidity_dt", "Production")
+    assert(reg.currentVersion("comorbidity_dt", "Production") === 2L)
     val breakdown = Scorer.predictionBreakdown(
       stamped, Seq("MARITAL", "RACE", "GENDER"))
     assert(breakdown.columns.toSeq ===

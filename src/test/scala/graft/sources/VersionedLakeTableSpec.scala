@@ -53,6 +53,12 @@ class VersionedLakeTableSpec extends SparkSpec {
     }
   }
 
+  test("history on a fresh table is empty, and vacuum(0) is rejected") {
+    val lake = VersionedLakeTable(spark, tmp())
+    assert(lake.history.count() === 0L)
+    intercept[IllegalArgumentException](lake.vacuum(0))
+  }
+
   test("readVersion on a missing version fails with a clear error") {
     val lake = VersionedLakeTable(spark, tmp())
     val e = intercept[IllegalArgumentException](lake.readVersion(7))
