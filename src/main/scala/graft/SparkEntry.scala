@@ -33,10 +33,14 @@ object SparkEntry {
       (text.TfIdf.queries, text.TfIdf.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The training-corpus pipeline is the engine's most representative
+    * single query: filters, hash dedup, inverted-index near-dup join, and
+    * expression-composed quality scoring in one plan.
+    */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.ensureConfigured(spark)
-    operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    text.TrainingData.qTrainingCorpus(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
