@@ -86,14 +86,28 @@ object Cohort {
     * distributed (01-rwe-dashboard.r:109-124 collects the table into R's
     * chisq.test; here expected counts and the statistic are DataFrame
     * arithmetic — no driver-side table).
-    * Returns one row: (chi2, dof).
+    *
+    * The table is the FULL cross product of observed a-levels × b-levels:
+    * a combination that never co-occurs still has expected count
+    * rn*cn/t > 0 and contributes (0-e)²/e, exactly as R's chisq.test
+    * builds it — deriving cells only from observed (a,b) pairs would
+    * understate the statistic whenever a cell is empty.
+    *
+    * Returns one row: (chi2, dof, p_value) — the p-value via the
+    * regularized-gamma survival function (graft.functions.Stats), from
+    * the ROUNDED statistic so the result is reproducible across engines.
     */
   def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.groupBy(a.as("a"), b.as("b")).agg(count(lit(1)).as("n"))
-    val rowTot = cells.groupBy(col("a")).agg(sum(col("n")).as("rn"))
-    val colTot = cells.groupBy(col("b")).agg(sum(col("n")).as("cn"))
-    val total = cells.agg(sum(col("n")).as("t"))
-    cells
+    // observed level sets are tiny (categorical) — broadcast cross product
+    val full = cells.select(col("a")).distinct()
+      .crossJoin(broadcast(cells.select(col("b")).distinct()))
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n"))
+    val rowTot = full.groupBy(col("a")).agg(sum(col("n")).as("rn"))
+    val colTot = full.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+    val total = full.agg(sum(col("n")).as("t"))
+    full
       .join(broadcast(rowTot), Seq("a"))
       .join(broadcast(colTot), Seq("b"))
       .crossJoin(broadcast(total))
@@ -101,6 +115,10 @@ object Cohort {
       .agg(
         round(sum(pow(col("n") - col("e"), 2) / col("e")), 4).as("chi2"),
         ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1)).as("dof"))
+      .select(
+        col("chi2"), col("dof"),
+        round(graft.functions.Stats.chiSqPValue(col("chi2"), col("dof")), 6)
+          .as("p_value"))
   }
 
   // ---------- declared queries over testdata ----------
@@ -155,16 +173,30 @@ object Cohort {
         |        AND lower(o.o_orderpriority) NOT LIKE '%urgent%')
         |GROUP BY o_orderpriority ORDER BY n_entities DESC, o_orderpriority
         |LIMIT 5""".stripMargin,
+    // p-value: dof here is even ((5 segments - 1) × (2 flags - 1) = 4), so
+    // the survival function has the closed form
+    // Q(x; 2m) = exp(-x/2) * sum_{j<m} (x/2)^j / j! — computed from the
+    // same rounded chi2 the Spark side feeds its gamma implementation.
     "q_chi_square" ->
       """WITH cells AS (
         |  SELECT c_mktsegment AS a, (c_acctbal > 5000) AS b, count(*) AS n
         |  FROM customer GROUP BY 1, 2),
-        |rt AS (SELECT a, sum(n) rn FROM cells GROUP BY a),
-        |ct AS (SELECT b, sum(n) cn FROM cells GROUP BY b),
-        |t AS (SELECT sum(n) t FROM cells)
-        |SELECT round(sum(pow(cells.n - (rn * cn * 1.0 / t.t), 2)
-        |                 / (rn * cn * 1.0 / t.t)), 4) AS chi2,
-        |  CAST((count(DISTINCT cells.a) - 1) * (count(DISTINCT cells.b) - 1) AS BIGINT) AS dof
-        |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t""".stripMargin
+        |fc AS (
+        |  SELECT a, b, coalesce(n, 0) AS n
+        |  FROM (SELECT DISTINCT a FROM cells)
+        |  CROSS JOIN (SELECT DISTINCT b FROM cells)
+        |  LEFT JOIN cells USING (a, b)),
+        |rt AS (SELECT a, sum(n) rn FROM fc GROUP BY a),
+        |ct AS (SELECT b, sum(n) cn FROM fc GROUP BY b),
+        |t AS (SELECT sum(n) t FROM fc),
+        |stat AS (
+        |  SELECT round(sum(pow(fc.n - (rn * cn * 1.0 / t.t), 2)
+        |                   / (rn * cn * 1.0 / t.t)), 4) AS chi2,
+        |    CAST((count(DISTINCT fc.a) - 1) * (count(DISTINCT fc.b) - 1) AS BIGINT) AS dof
+        |  FROM fc JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t)
+        |SELECT chi2, dof,
+        |  round(exp(-chi2 / 2) * list_sum([pow(chi2 / 2, j) / factorial(CAST(j AS INT))
+        |                                   for j in range(0, CAST(dof / 2 AS INT))]), 6) AS p_value
+        |FROM stat""".stripMargin
   )
 }

@@ -39,6 +39,21 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   @inline protected final def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** True if either vector has a null slot — the whole result must be NULL
+    * (SQL null propagation). ArrayData.getDouble on a null slot silently
+    * reads 0.0, so skipping this check would yield a wrong number, not an
+    * error.
+    */
+  @inline protected final def anyNullSlot(a: ArrayData, b: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   protected def getterCode(v: String, i: String, isFloat: Boolean): String =
     if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
 }
@@ -50,7 +65,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
+    if (a.numElements() != b.numElements() || anyNullSlot(a, b)) null
     else {
       val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
       var dot = 0.0
@@ -71,10 +86,13 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += ${getterCode(a, i, elemIsFloat(left))} *
          |            ${getterCode(b, i, elemIsFloat(right))};
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })
@@ -92,7 +110,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
+    if (a.numElements() != b.numElements() || anyNullSlot(a, b)) null
     else {
       val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
       var dot = 0.0
@@ -125,14 +143,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = ${getterCode(a, i, elemIsFloat(left))};
          |    double $y = ${getterCode(b, i, elemIsFloat(right))};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -51,6 +51,11 @@ case class VectorMean(
     if (n == 0) return b // empty arrays are ignored like nulls: a zero-dim
     // buffer would serialize indistinguishably from "no data", making the
     // result depend on partitioning
+    // arrays with null slots are skipped whole, like null rows — summing
+    // a null slot as 0.0 (what ArrayData.getDouble silently returns) would
+    // corrupt the mean instead of ignoring the malformed vector
+    var j = 0
+    while (j < n) { if (arr.isNullAt(j)) return b; j += 1 }
     if (b.sums == null) b.sums = new Array[Double](n)
     if (b.sums.length != n) return b // length mismatch: skip row
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType

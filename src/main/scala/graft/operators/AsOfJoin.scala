@@ -47,17 +47,28 @@ object AsOfJoin {
     require(!leftCols.exists(carryCols.contains),
       s"carryCols ${carryCols.intersect(leftCols)} collide with left columns")
 
+    // NULL join keys never match (equi/ASOF join semantics) — but
+    // Window.partitionBy groups NULL keys into ONE partition, which would
+    // carry values between unrelated null-key rows. Route null-key left
+    // rows around the window (they surface with null carry) and drop
+    // null-key right rows (they could never be matched).
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val keyHasNull = keys.map(col(_).isNull).reduce(_ || _)
+    val matchableLeft = left.where(keyNotNull)
+    val matchableRight = right.where(keyNotNull)
+    val nullKeyLeft = left.where(keyHasNull)
+
     // the carried values travel as ONE struct: last(ignoreNulls) then picks
     // the latest right ROW atomically. Carrying columns individually would
     // (a) skip a legitimately-NULL field on the latest row in favor of a
     // stale older value and (b) mix fields from different right rows.
     val carryStruct = struct(carryCols.map(col): _*)
-    val taggedRight = right.select(
+    val taggedRight = matchableRight.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
           carryStruct.as("__carry")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
-    val taggedLeft = left.select(
+    val taggedLeft = matchableLeft.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__tag"),
           lit(null).cast(taggedRight.schema("__carry").dataType).as("__carry")) ++
@@ -68,12 +79,18 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight.unionByName(taggedLeft)
+    val matched = taggedRight.unionByName(taggedLeft)
       .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
       .select(
         leftCols.map(col) ++
           carryCols.map(c => col(s"__carry.$c").as(c)): _*)
+    val carryTypes = taggedRight.schema("__carry").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val unmatched = nullKeyLeft.select(
+      leftCols.map(col) ++
+        carryTypes.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    matched.unionByName(unmatched)
   }
 
   // ---------- declared query ----------

@@ -19,13 +19,20 @@ object TfIdf {
     val terms = docs.select(
       col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val n = docs.count()
+    // corpus size as a 1-row aggregate broadcast onto the df table (a
+    // BroadcastNestedLoopJoin with a single-row build side) — a driver-side
+    // docs.count() here would force an extra full scan of the corpus per run
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // NO broadcast hint on the vocab: |vocab| is unbounded at corpus scale
+    // (it would blow the broadcast limit at 100 TB); AQE decides at runtime
+    // from actual stage stats — it still broadcasts when the vocab is small
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("term"))
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
   }
 

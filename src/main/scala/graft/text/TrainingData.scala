@@ -34,7 +34,11 @@ object TrainingData {
   def prepare(docs: DataFrame, cfg: Config): DataFrame = {
     val gated = cfg.lang.fold(docs)(l => docs.where(col("lang") === l))
       .where(col("n_chars").between(cfg.minChars, cfg.maxChars))
-    val exact = Dedup.exact(gated, "text", "doc_id")
+    // cache the exact-dedup stage: it feeds BOTH the near-dup pair
+    // generation and the left_anti survivor branch — without this the
+    // window-dedup subplan (scan + shuffle + sort) runs twice per job.
+    // MEMORY_AND_DISK (the DF default) spills rather than OOMs at scale.
+    val exact = Dedup.exact(gated, "text", "doc_id").cache()
     val nearDupDrops = Dedup
       .ngramJaccardPairs(exact, "doc_id", "text", cfg.nearDupNgram, cfg.nearDupThreshold)
       .select(col("b_id").as("doc_id"))
