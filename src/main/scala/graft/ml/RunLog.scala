@@ -68,11 +68,23 @@ final class RunLog(dir: String) {
     if (!Files.exists(logFile)) spark.emptyDataFrame
     else spark.read.json(logFile.toString)
 
-  /** The run with the best value of a metric (03:187-198). */
+  /** The run with the best value of a metric (03:187-198). Empty result
+    * when the log is empty or no run recorded the metric — `.head` on the
+    * aggregate would otherwise throw on an empty log (emptyDataFrame has
+    * no `metrics` column to resolve) and NPE when every value is null.
+    */
   def bestRun(spark: SparkSession, metric: String): DataFrame = {
     val r = runs(spark)
-    val best = r.agg(max(col(s"metrics.$metric"))).head.getDouble(0)
-    r.where(col(s"metrics.$metric") === best).limit(1)
+    val hasMetric = r.schema.fields.find(_.name == "metrics").exists {
+      _.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains(metric)
+        case _ => false
+      }
+    }
+    if (!hasMetric) return r.limit(0)
+    val row = r.agg(max(col(s"metrics.$metric"))).head
+    if (row.isNullAt(0)) r.limit(0)
+    else r.where(col(s"metrics.$metric") === row.getDouble(0)).limit(1)
   }
 }
 

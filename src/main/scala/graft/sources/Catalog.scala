@@ -11,15 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
+  /** Paths are spliced into DDL inside single quotes — double any quote
+    * so a path like `it's.parquet` can't break the statement (or smuggle
+    * extra SQL in from an untrusted location string).
+    */
+  private def sqlQuote(path: String): String = path.replace("'", "''")
+
   def createDatabase(spark: SparkSession, name: String, location: Option[String] = None): Unit = {
-    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    val loc = location.map(l => s" LOCATION '${sqlQuote(l)}'").getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`$loc")
   }
 
   /** Register an external parquet table over an existing location. */
   def registerTable(spark: SparkSession, db: String, table: String, path: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
-    spark.sql(s"CREATE TABLE `$db`.`$table` USING PARQUET LOCATION '$path'")
+    spark.sql(s"CREATE TABLE `$db`.`$table` USING PARQUET LOCATION '${sqlQuote(path)}'")
   }
 
   /** Register every parquet table in a scale-factor dir as `db`.`name`. */

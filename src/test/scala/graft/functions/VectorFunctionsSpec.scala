@@ -71,6 +71,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(mh.length === 4)
   }
 
+  test("a null array slot yields NULL, in codegen and interpreted paths") {
+    VectorFunctions.register(spark)
+    // ArrayData.getDouble on a null slot silently reads 0.0 — the
+    // expressions must return NULL instead of a silently-wrong number
+    val q = "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) c," +
+      " dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) d"
+    val codegen = spark.sql(q).head
+    assert(codegen.isNullAt(0) && codegen.isNullAt(1), s"codegen: $codegen")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = spark.sql(q).head
+      assert(interp.isNullAt(0) && interp.isNullAt(1), s"interpreted: $interp")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0D,0.0D), array(1.0D,0.0D)) c," +

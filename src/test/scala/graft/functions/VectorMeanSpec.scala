@@ -27,6 +27,18 @@ class VectorMeanSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("arrays with a null slot are skipped whole, not summed as 0.0") {
+    val df = Seq(
+      (1, Seq[java.lang.Double](2.0, 4.0)),
+      (1, Seq[java.lang.Double](1.0, null)), // must be ignored, not (1,0)
+      (2, Seq[java.lang.Double](3.0, null))
+    ).toDF("g", "v")
+    val out = df.groupBy("g").agg(VectorMean(col("v")).as("c"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Double](1) === Seq(2.0, 4.0))
+    assert(out(1).isNullAt(1), "a group with only malformed vectors yields null")
+  }
+
   test("partial merge across many partitions agrees with single partition") {
     val df = (1 to 1000).map(i => (i % 3, Array(i.toDouble, -i.toDouble))).toDF("g", "v")
     val wide = df.repartition(16).groupBy("g").agg(VectorMean(col("v")).as("c"))

@@ -53,6 +53,10 @@ class PipelineSpec extends SparkSpec {
     val r = Cohort.chiSquare(pe, col("GENDER"), col("REASONDESCRIPTION").isNotNull).head
     assert(r.getDouble(0) >= 0.0)
     assert(r.getLong(1) === 1L)
+    // p-value consistent with the statistic at dof=1
+    val p = r.getDouble(2)
+    assert(p >= 0.0 && p <= 1.0)
+    assert(math.abs(p - graft.functions.Stats.chiSqSurvival(r.getDouble(0), 1.0)) < 1e-6)
   }
 
   test("featurize -> seeded search -> registry -> score round-trip") {
@@ -114,6 +118,14 @@ class PipelineSpec extends SparkSpec {
     assert(breakdown.columns.toSeq ===
       Seq("MARITAL", "RACE", "GENDER", "prediction", "count"))
     assert(breakdown.count() >= 0)
+  }
+
+  test("bestRun on an empty or metric-less log returns empty, not an exception") {
+    val emptyLog = new RunLog(Files.createTempDirectory("graft_runs_empty").toString)
+    assert(emptyLog.bestRun(spark, "area_under_ROC").isEmpty)
+    emptyLog.log(Map("p" -> "1"), Map("other_metric" -> 0.5))
+    assert(emptyLog.bestRun(spark, "area_under_ROC").isEmpty)
+    assert(emptyLog.bestRun(spark, "other_metric").count() === 1)
   }
 
   test("search is deterministic given the seed") {

@@ -42,6 +42,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getString(3) === "x2")
   }
 
+  test("NULL join keys never match — not even other NULL-key rows") {
+    val r = Seq(
+      (Option("a"), 10L, "ra"), (Option.empty[String], 5L, "rnull")
+    ).toDF("k", "t", "v")
+    val l = Seq(
+      (Option("a"), 25L), (Option.empty[String], 25L)
+    ).toDF("k", "t")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect()
+      .map(row => (Option(row.getString(0)), Option(row.getString(2))))
+      .toSet
+    // the null-key left row surfaces exactly once, with NULL carry — it
+    // must NOT pick up "rnull" via a shared null window partition
+    assert(out === Set((Some("a"), Some("ra")), (None, None)), s"got $out")
+  }
+
   test("rejects carry column collisions") {
     val left = Seq(("a", 5L, "x")).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {
