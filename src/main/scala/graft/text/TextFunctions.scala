@@ -47,7 +47,9 @@ object TextFunctions {
 
   // Tiny per-language stopword profiles. Enough to separate real prose in
   // the five testdata languages; scored by distinct-stopword overlap.
-  private val stopwords: Map[String, Seq[String]] = Map(
+  // private[text] so TextQueries can derive the DuckDB oracle SQL from the
+  // SAME lists — a hand-copied list would silently drift.
+  private[text] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "a"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu", "den"),
     "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de", "un", "una", "por", "como"),

@@ -61,6 +61,18 @@ object TextQueries {
     Dedup.ngramJaccardPairs(
       Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.8)
 
+  /** The 100 TB variant of the above: hot shingles (doc frequency > cap)
+    * are dropped before the pair join, bounding the worst shingle's
+    * contribution to the shuffle at cap² pairs instead of df². The cap is
+    * deterministic, so this path is fully oracle-matched too — `common`
+    * comes from capped shingles while union sizes stay uncapped, making
+    * the capped jaccard a conservative (never inflated) estimate.
+    */
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
+      maxShingleDf = Some(4))
+
   /** M3: exact cosine top-5 neighbors for query vectors vec_id < 10. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
@@ -113,16 +125,19 @@ object TextQueries {
       Tables(spark, sfDir).embeddings, "vec_id", "embedding",
       dim = 64, threshold = 0.4)
 
-  /** Language-ID + quality + fingerprint profile (heuristics; pinned by
-    * TextFunctionsSpec, not oracle-matched).
+  /** Language-ID + quality profile. Both heuristics are deterministic
+    * closed forms (stopword-overlap argmax; length/punct/TTR blend), so
+    * the query is fully oracle-matched — the DuckDB side is generated from
+    * the SAME stopword lists in [[TextFunctions.stopwords]]. The 64-bit
+    * fingerprint stays spec-pinned only (Spark's seeded xxhash64 chain has
+    * no DuckDB equivalent).
     */
   def langQualityProfile(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir).documents
       .select(
         col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.fingerprint64(col("text")).as("fp64")
+        TextFunctions.qualityScore(col("text")).as("quality")
       )
       .orderBy(col("doc_id"))
 
@@ -132,6 +147,7 @@ object TextQueries {
     "q_token_topk" -> (tokenTopK _),
     "q_dedup_exact" -> (dedupExactCount _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_embedding_norms" -> (embeddingNorms _),
     "q_embedding_centroids" -> (embeddingCentroids _),
@@ -140,6 +156,40 @@ object TextQueries {
     "q_embedding_neardup" -> (embeddingNearDupLsh _),
     "q_lang_quality" -> (langQualityProfile _)
   )
+
+  /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
+    * the Spark expression uses.
+    */
+  private def langScoreSql: Seq[(String, String)] =
+    TextFunctions.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+      lang -> s"len(list_intersect(ts, $arr)) AS s_$lang"
+    }
+
+  private def langQualityOracle: String = {
+    val langs = TextFunctions.stopwords.keys.toSeq.sorted
+    val scoreCols = langScoreSql.map(_._2).mkString(",\n  ")
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    // same tie-break as the Spark foldRight: first lang in sorted order
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text, ts,
+       |  $scoreCols
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN $best <= 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS lang_guess,
+       |  round(
+       |    0.4 * least(len(ts) / 20.0, 1.0)
+       |  + 0.2 * (1.0 - least(round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+       |                             * 1.0 / greatest(length(text), 1), 6) * 5, 1.0))
+       |  + 0.4 * least(len(list_distinct(ts)) * 1.0 / greatest(len(ts), 1) * 2, 1.0)
+       |  , 6) AS quality
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -175,6 +225,25 @@ object TextQueries {
         |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
         |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    // capped variant: `common` over df<=4 shingles, union sizes uncapped
+    "q_ngram_jaccard_capped" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM e0 GROUP BY g) WHERE df > 4),
+        |e AS (SELECT * FROM e0 WHERE g NOT IN (SELECT g FROM hot)),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        | round(common * 1.0 / (la.n + lb.n - common), 6) AS jaccard
+        |FROM p
+        |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_lang_quality" -> langQualityOracle,
     "q_cosine_topk" ->
       """SELECT q_id, rank, n_id, cos FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,

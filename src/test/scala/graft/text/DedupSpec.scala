@@ -24,6 +24,36 @@ class DedupSpec extends SparkSpec {
     assert(once.count() === twice.count())
   }
 
+  test("shingle df-cap bounds the hottest shingle's pair fan-out") {
+    // 40 docs share the boilerplate prefix "lorem ipsum dolor sit amet":
+    // its shingles have df=40, so uncapped they alone generate
+    // 40*39/2 = 780 candidate pairs. With cap=5 those shingles vanish
+    // from the pair join entirely, and only the genuinely-similar pair
+    // (same tail) survives the threshold.
+    val boiler = "lorem ipsum dolor sit amet"
+    val docs = (1 to 40).map(i => (i.toLong, s"$boiler unique tail $i ${i * 7}")) :+
+      (100L, s"$boiler unique tail 1 7 extra")
+    val df = docs.toDF("id", "text")
+    val uncappedPairs = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.0)
+    val cappedPairs = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.0,
+      maxShingleDf = Some(5))
+    // every pair that the capped run reports exists in the uncapped run
+    // with a jaccard at least as high (cap only removes common shingles)
+    val un = uncappedPairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cp = cappedPairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cp.keySet.subsetOf(un.keySet))
+    cp.foreach { case (k, j) => assert(j <= un(k) + 1e-9) }
+    // the fan-out bound: uncapped the boilerplate links all 41 docs
+    // (>=780 pairs); capped only docs sharing a rare tail shingle pair up
+    assert(un.size >= 780, s"uncapped should be all-pairs-ish, got ${un.size}")
+    assert(cp.size < 50, s"cap failed to bound hot-shingle fan-out: ${cp.size}")
+    // and the true near-dup pair is retained with high capped jaccard
+    assert(cp.keys.exists { case (a, b) => a == 1L && b == 100L },
+      s"planted near-dup lost: ${cp.keys.toSeq.sorted}")
+  }
+
   test("MLlib minhash candidates include every high-jaccard exact pair (recall=1 on planted dups)") {
     val docs = Tables(spark, sf0001).documents
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
