@@ -23,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft-required dynamic confs to an existing builder. */
+  /** Apply graft-required dynamic confs to an existing builder. The graft
+    * custom expressions (cosine_sim, shingles, ...) reach pure-SQL users
+    * through the standard SparkSessionExtensions injection — a static conf,
+    * so it must be on the builder, not set post-hoc.
+    */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.core.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")

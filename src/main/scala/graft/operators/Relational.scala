@@ -40,8 +40,25 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** The literal string-SQL surfaces the reference leans on: a bare
+    * SQL-string filter — `where("prediction = 1")`-shaped
+    * (03-work with ML models.py:120) — and ordinal `GROUP BY 1 ORDER BY 1`
+    * (01-rwe-dashboard.r:62-64). Both parse through the same Catalyst
+    * analyzer as Column expressions, so plan quality is identical.
+    */
+  def qSqlStringSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.orders
+      .where("o_orderstatus = 'F' AND o_totalprice > 150000.0")
+      .createOrReplaceTempView("graft_orders_filtered")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM graft_orders_filtered GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _)
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_sql_string_surface" -> (qSqlStringSurface _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -54,6 +71,10 @@ object Relational {
         | count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_string_surface" ->
+      """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

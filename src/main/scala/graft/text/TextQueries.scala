@@ -105,6 +105,23 @@ object TextQueries {
         round(col("value"), 6).as("value"))
       .orderBy(col("label"), col("dim"))
 
+  /** The SQL face of the custom Catalyst expressions: `cosine_sim` called
+    * from `spark.sql` text. On sessions built by [[graft.core.GraftSession]]
+    * the function arrives via the SparkSessionExtensions injection
+    * (graft.core.GraftExtensions — the spark.sql.extensions path); on a
+    * foreign session it falls back to imperative registration, same
+    * expression class either way.
+    */
+  def extensionsSql(spark: SparkSession, sfDir: String): DataFrame = {
+    if (!spark.catalog.functionExists("cosine_sim"))
+      graft.functions.VectorFunctions.register(spark)
+    Tables(spark, sfDir).embeddings.createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 6) AS cos_next
+        |FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 50 ORDER BY a.vec_id""".stripMargin)
+  }
+
   // ---- rows-only declared ops (not SQL-expressible in DuckDB 1.0) ----
 
   /** M2: banded-MinHash near-dups with exact-jaccard verification (the
@@ -154,7 +171,8 @@ object TextQueries {
     "q_minhash_neardup" -> (minhashNearDup _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_embedding_neardup" -> (embeddingNearDupLsh _),
-    "q_lang_quality" -> (langQualityProfile _)
+    "q_lang_quality" -> (langQualityProfile _),
+    "q_extensions_sql" -> (extensionsSql _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -244,6 +262,11 @@ object TextQueries {
         |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.7
         |ORDER BY a_id, b_id""".stripMargin,
     "q_lang_quality" -> langQualityOracle,
+    "q_extensions_sql" ->
+      """SELECT a.vec_id,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_next
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 50 ORDER BY a.vec_id""".stripMargin,
     "q_cosine_topk" ->
       """SELECT q_id, rank, n_id, cos FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
