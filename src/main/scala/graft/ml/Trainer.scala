@@ -9,11 +9,14 @@ import org.apache.spark.sql.DataFrame
   *
   * The reference searches with hyperopt TPE, 20 evals over
   * {max_depth ∈ [2,25], max_bins ∈ {8,16,32,64}, impurity ∈ {gini,entropy}}
-  * (02-patient-trajectory.py:236-259). No hyperopt on the JVM: the same
-  * contract (argmax AUC over 20 draws from that space) with a seeded
-  * uniform sampler — deterministic and dependency-free. Each eval is a
-  * distributed fit; the loop itself is driver-side exactly like the
-  * reference's Trials loop.
+  * (02-patient-trajectory.py:236-259). No hyperopt on the JVM: [[search]]
+  * keeps the contract (argmax AUC over 20 evaluations of that space) with
+  * a seeded explore/exploit loop that, like TPE, spends the tail of the
+  * budget near the incumbent instead of uniformly — dependency-free and
+  * deterministic. [[searchRandom]] is the pure uniform sampler, kept as
+  * the baseline the adaptive loop must beat (PipelineSpec asserts it).
+  * Each eval is a distributed fit; the loop itself is driver-side exactly
+  * like the reference's Trials loop.
   */
 object Trainer {
 
@@ -35,23 +38,46 @@ object Trainer {
   def auc(model: DecisionTreeClassificationModel, test: DataFrame): Double =
     evaluator.evaluate(model.transform(test))
 
-  /** Seeded random search, 20 evals (the reference's budget). */
-  def search(
+  private val binsGrid = Seq(8, 16, 32, 64)
+
+  private def uniformDraw(rnd: scala.util.Random): Params = Params(
+    maxDepth = 2 + rnd.nextInt(24), // [2, 25]
+    maxBins = binsGrid(rnd.nextInt(4)),
+    impurity = Seq("gini", "entropy")(rnd.nextInt(2)))
+
+  /** One seeded local move from the incumbent: jitter depth, step bins one
+    * grid notch, or flip impurity.
+    */
+  private def mutate(rnd: scala.util.Random, p: Params): Params =
+    rnd.nextInt(3) match {
+      case 0 =>
+        val d = p.maxDepth + (rnd.nextInt(7) - 3) // +-3
+        p.copy(maxDepth = math.min(math.max(d, 2), 25))
+      case 1 =>
+        val i = binsGrid.indexOf(p.maxBins)
+        val j = if (rnd.nextBoolean()) math.min(i + 1, 3) else math.max(i - 1, 0)
+        p.copy(maxBins = binsGrid(j))
+      case _ =>
+        p.copy(impurity = if (p.impurity == "gini") "entropy" else "gini")
+    }
+
+  private def runSearch(
       train: DataFrame,
       test: DataFrame,
-      evals: Int = 20,
-      seed: Long = 42L,
-      runLog: Option[RunLog] = None
+      evals: Int,
+      seed: Long,
+      runLog: Option[RunLog],
+      propose: (scala.util.Random, Seq[Eval], Set[Params]) => Params
   ): SearchResult = {
     val rnd = new scala.util.Random(seed)
-    val draws = Seq.fill(evals)(Params(
-      maxDepth = 2 + rnd.nextInt(24), // [2, 25]
-      maxBins = Seq(8, 16, 32, 64)(rnd.nextInt(4)),
-      impurity = Seq("gini", "entropy")(rnd.nextInt(2))))
     val cachedTrain = train.cache()
     val cachedTest = test.cache()
     try {
-      val results = draws.map { p =>
+      var results = Vector.empty[Eval]
+      var seen = Set.empty[Params]
+      while (results.length < evals) {
+        val p = propose(rnd, results, seen)
+        seen += p
         val m = fitOne(cachedTrain, p, seed)
         val a = auc(m, cachedTest)
         runLog.foreach(_.log(
@@ -60,7 +86,7 @@ object Trainer {
             "maxBins" -> p.maxBins.toString,
             "impurity" -> p.impurity),
           metrics = Map("area_under_ROC" -> a)))
-        Eval(p, a)
+        results :+= Eval(p, a)
       }
       val best = results.maxBy(r => (r.auc, -r.params.maxDepth))
       SearchResult(best, results, fitOne(cachedTrain, best.params, seed))
@@ -69,4 +95,42 @@ object Trainer {
       cachedTest.unpersist()
     }
   }
+
+  /** Adaptive explore/exploit search (the default): the first half of the
+    * budget samples the space uniformly; the rest proposes seeded local
+    * moves around the incumbent best (falling back to a fresh uniform draw
+    * when the move lands on an already-evaluated point). The exploit tail
+    * is what TPE buys the reference — concentrating late evals near the
+    * posterior mode — without the surrogate machinery.
+    */
+  def search(
+      train: DataFrame,
+      test: DataFrame,
+      evals: Int = 20,
+      seed: Long = 42L,
+      runLog: Option[RunLog] = None
+  ): SearchResult = {
+    val exploreBudget = math.max(evals / 2, math.min(3, evals))
+    runSearch(train, test, evals, seed, runLog, (rnd, sofar, seen) => {
+      if (sofar.length < exploreBudget) {
+        uniformDraw(rnd)
+      } else {
+        val incumbent = sofar.maxBy(r => (r.auc, -r.params.maxDepth)).params
+        val prop = mutate(rnd, incumbent)
+        if (seen.contains(prop)) uniformDraw(rnd) else prop
+      }
+    })
+  }
+
+  /** Pure seeded uniform random search — the baseline [[search]] is
+    * measured against.
+    */
+  def searchRandom(
+      train: DataFrame,
+      test: DataFrame,
+      evals: Int = 20,
+      seed: Long = 42L,
+      runLog: Option[RunLog] = None
+  ): SearchResult =
+    runSearch(train, test, evals, seed, runLog, (rnd, _, _) => uniformDraw(rnd))
 }

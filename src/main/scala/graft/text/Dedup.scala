@@ -221,18 +221,41 @@ object Dedup {
   /** Embedding cosine near-dup: random-hyperplane LSH buckets (seeded) then
     * exact cosine refine inside each bucket. Sub-quadratic at scale; recall
     * measured vs brute force in SimilaritySpec.
+    *
+    * `nPlanes = None` (the default) derives the plane count from the corpus
+    * size: ~log2(n / targetBucketSize), clamped to [4, 24]. A FIXED plane
+    * count caps the bucket count, so bucket population — and the O(pop²)
+    * within-bucket pairing — grows linearly with the corpus; scaling planes
+    * with log(n) keeps expected bucket size ~targetBucketSize at any n. The
+    * count() here is planning-time statistics over parquet footers (a
+    * column-pruned count-star), not a mid-query data scan. For corpora
+    * where even log-scaled hyperplanes recall too little, [[Ivf]] is the
+    * coarse-quantizer alternative.
     */
+  /** Hyperplane count for a corpus of n vectors: 2^planes buckets sized
+    * ~targetBucketSize on average. Clamped to [4, 24]: fewer than 4 planes
+    * degenerates to near-all-pairs; beyond 24 (16M buckets) recall loss
+    * outweighs pruning and IVF routing is the better tool.
+    */
+  def adaptivePlaneCount(n: Long, targetBucketSize: Long = 1024L): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt
+    math.min(math.max(raw, 4), 24)
+  }
+
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       threshold: Double,
-      nPlanes: Int = 8,
+      nPlanes: Option[Int] = None,
+      targetBucketSize: Long = 1024L,
       seed: Long = 42L
   ): DataFrame = {
+    val planeCount = nPlanes.getOrElse(adaptivePlaneCount(df.count(), targetBucketSize))
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planes = Array.fill(planeCount, dim)(rnd.nextGaussian())
     val planeCols = planes.zipWithIndex.map { case (p, i) =>
       val lit_p = array(p.map(x => lit(x)): _*)
       when(VectorFunctions.dot(col(vecCol), lit_p) >= 0, lit(1L << i)).otherwise(lit(0L))

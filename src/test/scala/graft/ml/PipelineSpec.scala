@@ -128,6 +128,26 @@ class PipelineSpec extends SparkSpec {
     assert(emptyLog.bestRun(spark, "other_metric").count() === 1)
   }
 
+  test("adaptive search is at least as good as the random baseline, same budget+seed") {
+    val pe = etl.patientEncounters
+    val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)
+    val fz = Featurizer.assemble(feats, Seq("GENDER"), Seq("recent_encounters", "age"))
+    val Array(tr, te) = fz.data.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val adaptive = Trainer.search(tr, te, evals = 8, seed = 11L)
+    val random = Trainer.searchRandom(tr, te, evals = 8, seed = 11L)
+    assert(adaptive.evals.length === 8 && random.evals.length === 8)
+    assert(adaptive.best.auc >= random.best.auc,
+      s"adaptive ${adaptive.best.auc} < random ${random.best.auc}")
+    // the exploit tail actually concentrates: at least one late eval is a
+    // local move (distance 1 in one dimension) from an earlier incumbent
+    val late = adaptive.evals.drop(4).map(_.params)
+    val early = adaptive.evals.map(_.params)
+    def near(a: Trainer.Params, b: Trainer.Params): Boolean =
+      (a.maxDepth != b.maxDepth) ^ (a.maxBins != b.maxBins) ^ (a.impurity != b.impurity)
+    assert(late.exists(l => early.exists(e => near(l, e))),
+      s"no local move found in exploit tail: $late")
+  }
+
   test("search is deterministic given the seed") {
     val pe = etl.patientEncounters
     val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)

@@ -119,4 +119,38 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("adaptive plane count scales with log(corpus/bucket) and clamps") {
+    assert(Dedup.adaptivePlaneCount(500) === 4) // small corpora clamp low
+    assert(Dedup.adaptivePlaneCount(1024L << 10) === 10) // 2^10 buckets of ~1024
+    assert(Dedup.adaptivePlaneCount(100_000_000_000L) === 24) // 100G rows clamp high
+    assert(Dedup.adaptivePlaneCount(1024L << 10, targetBucketSize = 1L << 20) === 4)
+  }
+
+  test("embedding LSH recall on planted near-identical pairs, at two plane counts") {
+    // 60 clusters of two near-identical vectors (cos > 0.99): ground truth
+    // is the 60 within-cluster pairs. All seeded -> deterministic.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val rows = (0 until 60).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      val noisy = base.map(_ + rnd.nextGaussian() * 0.02)
+      Seq((c.toLong * 2, base), (c.toLong * 2 + 1, noisy))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def recall(planes: Int): Double = {
+      val found = Dedup
+        .embeddingNearDup(df, "vec_id", "embedding", dim, 0.99, nPlanes = Some(planes))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = (0 until 60).map(c => (c.toLong * 2, c.toLong * 2 + 1)).toSet
+      assert(found.subsetOf(truth ++ found), "sanity") // refine step is exact
+      truth.intersect(found).size.toDouble / truth.size
+    }
+    val rFew = recall(4)
+    val rMany = recall(12)
+    // collision probability decays with plane count: (1 - theta/pi)^k
+    assert(rFew >= 0.8, s"4-plane recall $rFew")
+    assert(rMany >= 0.5, s"12-plane recall $rMany")
+    assert(rFew >= rMany, s"recall should not rise with plane count ($rFew < $rMany)")
+  }
 }
