@@ -36,6 +36,56 @@ object TfIdf {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Okapi BM25 score for every (doc, term): the retrieval-grade upgrade
+    * of tf-idf — tf saturates at k1, and scores normalize by document
+    * length against the corpus average. Same distributed shape as
+    * [[tfidf]]: the only big shuffle keys on (doc, term); corpus-level
+    * scalars (N, avgdl) travel as 1-row broadcast aggregates, never as
+    * driver-side actions; idf uses the standard
+    * ln(1 + (N - df + 0.5)/(df + 0.5)) form (always positive).
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val terms = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // N and avgdl as one 1-row aggregate, broadcast-cross-joined
+    val corpus = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("bm25",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl"))))
+      .select(col("doc_id"), col("term"), col("tf"), col("bm25"))
+  }
+
+  /** Top-k BM25 terms per document. */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25").desc, col("term").asc)
+    bm25(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("bm25"), 6).as("bm25"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Top-k most characteristic terms per document. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
@@ -54,7 +104,12 @@ object TfIdf {
   def qTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     topTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
 
-  def queries: Map[String, Q] = Map("q_tfidf_top_terms" -> (qTopTerms _))
+  def qBm25TopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
+
+  def queries: Map[String, Q] = Map(
+    "q_tfidf_top_terms" -> (qTopTerms _),
+    "q_bm25_top_terms" -> (qBm25TopTerms _))
 
   def oracles: Map[String, String] = Map(
     "q_tfidf_top_terms" ->
@@ -74,6 +129,27 @@ object TfIdf {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_bm25_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |corpus AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (c.n - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus c),
+        |ranked AS (
+        |  SELECT doc_id, term, bm25,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, round(bm25, 6) AS bm25 FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }
