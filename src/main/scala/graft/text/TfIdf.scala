@@ -14,7 +14,14 @@ import graft.core.Tables
   */
 object TfIdf {
 
-  /** (doc_id, term, tf, tfidf) for every document-term. */
+  /** (doc_id, term, tf, tfidf) for every document-term.
+    *
+    * Every derived table (df, corpus size) hangs off the ONE (doc, term)
+    * aggregate: tf is already the distinct (doc, term) set, so df is a
+    * groupBy over it rather than a second explode+distinct of the raw
+    * token stream — the exploded scan runs once and the tf exchange is
+    * byte-identical across branches, so ReuseExchange computes it once.
+    */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docs.select(
       col(idCol).as("doc_id"),
@@ -28,8 +35,7 @@ object TfIdf {
     // NO broadcast hint on the vocab: |vocab| is unbounded at corpus scale
     // (it would blow the broadcast limit at 100 TB); AQE decides at runtime
     // from actual stage stats — it still broadcasts when the vocab is small
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
     tf.join(df, Seq("term"))
       .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
@@ -51,20 +57,26 @@ object TfIdf {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val terms = docs.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+    // dl (doc length) is functionally dependent on the doc, so it RIDES
+    // ALONG as a groupBy key instead of being aggregated separately and
+    // joined back — same group cardinality, one fewer shuffle of the big
+    // table. (A window formulation — count().over(partitionBy(term)) — was
+    // also measured: the term-partition sort made it 2x slower than this
+    // aggregate+broadcast-join shape at sf0.1.)
+    val toks = docs.select(
+      col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // N and avgdl as one 1-row aggregate, broadcast-cross-joined
-    val corpus = dl.agg(
+    // vocab-keyed doc frequency: unhinted join, AQE broadcasts when small
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N and avgdl as one 1-row aggregate over docs (no explode needed:
+    // avgdl = mean token count), broadcast-cross-joined
+    val corpus = docs.agg(
       count(lit(1)).cast("double").as("__n"),
-      avg(col("dl")).as("__avgdl"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dl, Seq("doc_id"))
-      .join(df, Seq("term"))
+      avg(size(TextFunctions.tokens(col(textCol)))).as("__avgdl"))
+    tf.join(dfT, Seq("term"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
         log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
