@@ -92,6 +92,50 @@ object Aggregations {
       .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** CUBE over two dimensions (extension surface; built-in `cube`) —
+    * all four grouping sets in one pass; Spark expands grouping sets
+    * map-side, so this is still a single shuffle.
+    */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Explicit GROUPING SETS (extension): two unrelated dimension rollups in
+    * one aggregation pass, the grouping-sets shape CUBE/ROLLUP can't
+    * express. Via spark.sql — the DataFrame API has no grouping-sets
+    * builder (SPARK-34932 added it to SQL only).
+    */
+  def groupingSetsRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.lineitem.createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql(
+      """SELECT ifnull(l_returnflag, 'ALL') AS l_returnflag,
+        | ifnull(cast(l_linenumber AS string), 'ALL') AS l_linenumber,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber))
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Pivot (extension): status columns per segment via the DataFrame
+    * `pivot` operator with an explicit value list. Explicit values matter
+    * at scale — omitting them triggers a driver-side distinct collect to
+    * discover the columns.
+    */
+  def pivotStatusBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Exact percentiles (extension): `percentile` (exact interpolated) maps
     * to DuckDB `quantile_cont`. The approximate scale path
     * (`approx_percentile` / t-digest) is engine-tested only — approx
@@ -114,7 +158,10 @@ object Aggregations {
     "q_distinct_customers" -> (distinctCustomers _),
     "q_dropdup_subset" -> (dedupCustomerStatus _),
     "q_count_distinct" -> (distinctPartsPerStatus _),
-    "q_rollup" -> (rollupRevenue _)
+    "q_rollup" -> (rollupRevenue _),
+    "q_cube" -> (cubeRevenue _),
+    "q_grouping_sets" -> (groupingSetsRevenue _),
+    "q_pivot" -> (pivotStatusBySegment _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -149,6 +196,26 @@ object Aggregations {
         | ifnull(l_linestatus, 'ALL') AS l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT ifnull(l_returnflag, 'ALL') AS l_returnflag,
+        | ifnull(l_linestatus, 'ALL') AS l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT ifnull(l_returnflag, 'ALL') AS l_returnflag,
+        | ifnull(cast(l_linenumber AS varchar), 'ALL') AS l_linenumber,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber))
+        |ORDER BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -52,6 +52,11 @@ def main(out_dir: str, sf_dir: str) -> int:
     names = sorted(
         os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
         if os.path.isdir(d))
+    # a query that threw in Verify leaves NO output dir — without this it
+    # would vanish from the report entirely instead of failing loudly
+    for name in sorted(set(oracles) - set(names)):
+        print(f"FAIL {name}: declared oracle but no Verify output (query threw?)")
+        fails += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
