@@ -79,8 +79,31 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val clustered = read
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
-    // stage to a sibling dir, then swap — avoids reading+overwriting the
-    // same location in one job
+    rewrite(clustered,
+      "OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
+  }
+
+  /** True Morton-curve clustering (numeric columns): rows are tiled by
+    * interleaved bit rank ([[ZOrder.withZValue]]), so min/max skipping
+    * works on EVERY clustered dimension — linear [[optimize]] clustering
+    * only prunes on the leading column. Same cost shape: one stats pass
+    * (1-row broadcast agg) + one range shuffle + local sort.
+    */
+  def optimizeZorder(zorderBy: Seq[String], numFiles: Option[Int] = None): LakeTable = {
+    val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val zCol = "__graft_z"
+    val clustered = ZOrder.withZValue(read, zorderBy, zCol = zCol)
+      .repartitionByRange(n, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
+    rewrite(clustered,
+      "OPTIMIZE ZORDER", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
+  }
+
+  /** Stage the clustered rewrite to a sibling dir, then swap — avoids
+    * reading+overwriting the same location in one job.
+    */
+  private def rewrite(clustered: DataFrame, op: String, params: Map[String, String]): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
     clustered.write.mode(SaveMode.Overwrite).parquet(staged)
     val p = new Path(path)
@@ -90,7 +113,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
     f.delete(p, true)
     f.rename(s, p)
-    commit("OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
+    commit(op, params)
     this
   }
 

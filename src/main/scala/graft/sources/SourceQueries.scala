@@ -52,6 +52,29 @@ object SourceQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** A7 (Morton variant): true bit-interleaved ZORDER rewrite — prove the
+    * staged rewrite preserves content exactly (the skipping win is
+    * measured in LakeTableSpec).
+    */
+  def lakeZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "part_zorder"))
+    lake.write(t.part)
+    lake.optimizeZorder(Seq("p_size", "p_retailprice"), numFiles = Some(4))
+    lake.read
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        // decimal sum, not double: the rewrite reorders rows, and float
+        // summation order drift can flip a 2-decimal rounding edge; the
+        // final cast back to double is a deterministic conversion of the
+        // SAME exact decimal on both engines
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+        sum(col("p_size")).as("total_size")
+      )
+      .orderBy(col("p_brand"))
+  }
+
   /** A1: CSV landing-zone ingest with header + schema inference — export
     * nation to CSV, re-ingest, prove schema+content parity with the
     * parquet original.
@@ -93,6 +116,7 @@ object SourceQueries {
   def queries: Map[String, Q] = Map(
     "q_lake_roundtrip" -> (lakeRoundtrip _),
     "q_lake_optimize_cluster" -> (lakeOptimizeCluster _),
+    "q_lake_zorder" -> (lakeZorder _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
@@ -104,6 +128,11 @@ object SourceQueries {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_lake_zorder" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | CAST(sum(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Morton (Z-order) curve values for multi-dimensional clustering — the
+  * real bit-interleave behind Delta's `OPTIMIZE ... ZORDER BY`
+  * (00-etl-rwd.py:213,217), as opposed to [[LakeTable.optimize]]'s linear
+  * `repartitionByRange` clustering which favors the leading column only.
+  *
+  * Each column is min/max-scaled to a `bits`-bit integer rank, then the
+  * ranks' bits are interleaved: bit i of column j lands at position
+  * i*k + j of the z-value. Sorting by z-value groups rows into 2^k-ary
+  * spatial tiles, so parquet min/max stats prune row groups for
+  * predicates on ANY clustered dimension, not just the first.
+  *
+  * Everything is built from codegen'd bitwise built-ins (shift/and/or) —
+  * no UDF, no custom expression — and the per-column min/max travels as a
+  * 1-row broadcast aggregate, so the whole thing is one extra pass and
+  * zero driver actions.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of the given non-negative long
+    * columns. With k columns the result uses k*bits bits (k*bits <= 63).
+    */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && cols.length * bits <= 63,
+      s"${cols.length} cols x $bits bits exceeds a long")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * cols.length + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Append a z-value column over numeric columns. NULLs rank lowest (0).
+    *
+    * @param bits per-dimension resolution; 16 bits = 65,536 ranks per
+    *             dimension, ample for file/row-group tiling
+    */
+  def withZValue(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      zCol: String = "__z"
+  ): DataFrame = {
+    val maxRank = (1L << bits) - 1
+    val statCols = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__zmin_$c"),
+      max(col(c)).cast("double").as(s"__zmax_$c")))
+    val stats = df.agg(statCols.head, statCols.tail: _*)
+    val scaled = cols.map { c =>
+      val mn = col(s"__zmin_$c")
+      val range = greatest(col(s"__zmax_$c") - mn, lit(Double.MinPositiveValue))
+      coalesce(
+        least(
+          ((col(c).cast("double") - mn) / range * maxRank).cast("long"),
+          lit(maxRank)),
+        lit(0L))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn(zCol, interleave(scaled, bits))
+      .drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
+  }
+}

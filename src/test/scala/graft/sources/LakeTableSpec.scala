@@ -95,6 +95,49 @@ class LakeTableSpec extends SparkSpec {
       s"scan emitted $scanOutput of $total rows — row-group skipping not effective")
   }
 
+  test("z-order interleave: bit positions and scaling") {
+    import graft.sources.ZOrder
+    import spark.implicits._
+    // interleave(a=0b11, b=0b01, 2 bits) = a0<<0 | b0<<1 | a1<<2 | b1<<3
+    //                                    = 1 | 2 | 4 | 0 = 7
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(ZOrder.interleave(Seq(col("a"), col("b")), 2)).head.getLong(0)
+    assert(z === 7L)
+    // scaling maps min -> 0, max -> full rank; z is monotone in each dim
+    val df = Seq((0L, 0L), (100L, 0L), (0L, 100L), (100L, 100L)).toDF("x", "y")
+    val zs = ZOrder.withZValue(df, Seq("x", "y"), bits = 4)
+      .orderBy("x", "y").select("__z").collect().map(_.getLong(0))
+    assert(zs(0) === 0L) // (min,min)
+    assert(zs(3) === ((1L << 8) - 1), s"(max,max) must set all 8 bits: ${zs.toSeq}") // 4 bits x 2
+  }
+
+  test("z-order clusters BOTH dimensions: secondary-dim filter skips row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables(spark, sf001).lineitem
+    def scanOutputForSuppkeyBand(optimizeHow: LakeTable => Unit): (Long, Long) = {
+      val lake = LakeTable(spark, tmp()).write(li)
+      optimizeHow(lake)
+      val q = lake.read.where(col("l_suppkey") < 10)
+      val matching = q.count()
+      q.collect()
+      val emitted = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (emitted, matching)
+    }
+    // linear clustering leads with l_partkey: a filter on the SECOND
+    // column finds matching rows spread over every file -> no skipping
+    val (linear, m1) = scanOutputForSuppkeyBand(
+      _.optimize(Seq("l_partkey", "l_suppkey"), numFiles = Some(16)))
+    // morton clustering tiles 2D: the same filter touches only the tiles
+    // intersecting the suppkey band
+    val (morton, m2) = scanOutputForSuppkeyBand(
+      _.optimizeZorder(Seq("l_partkey", "l_suppkey"), numFiles = Some(16)))
+    assert(m1 === m2, "same data, same predicate")
+    assert(morton < linear / 2,
+      s"z-order should at least halve the secondary-dim scan: morton=$morton linear=$linear")
+  }
+
   test("history is empty for a fresh path") {
     assert(LakeTable(spark, tmp()).history.count() === 0)
   }
