@@ -111,13 +111,24 @@ object Trainer {
       runLog: Option[RunLog] = None
   ): SearchResult = {
     val exploreBudget = math.max(evals / 2, math.min(3, evals))
+    // every eval is a full distributed fit, so never spend one on a point
+    // already evaluated (deterministic seed -> byte-identical model):
+    // retry the proposal a few times, then fall back to uniform draws,
+    // accepting a duplicate only if the 192-point space is near-exhausted
+    def fresh(rnd: scala.util.Random, seen: Set[Params], first: => Params): Params = {
+      val p0 = first
+      if (!seen.contains(p0)) return p0
+      var i = 0
+      var p = p0
+      while (seen.contains(p) && i < 32) { p = uniformDraw(rnd); i += 1 }
+      p
+    }
     runSearch(train, test, evals, seed, runLog, (rnd, sofar, seen) => {
       if (sofar.length < exploreBudget) {
-        uniformDraw(rnd)
+        fresh(rnd, seen, uniformDraw(rnd))
       } else {
         val incumbent = sofar.maxBy(r => (r.auc, -r.params.maxDepth)).params
-        val prop = mutate(rnd, incumbent)
-        if (seen.contains(prop)) uniformDraw(rnd) else prop
+        fresh(rnd, seen, mutate(rnd, incumbent))
       }
     })
   }

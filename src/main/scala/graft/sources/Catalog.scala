@@ -11,11 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
-  /** Paths are spliced into DDL inside single quotes — double any quote
-    * so a path like `it's.parquet` can't break the statement (or smuggle
-    * extra SQL in from an untrusted location string).
+  /** Location paths pass through TWO escape-interpreting layers before
+    * reaching the filesystem, and both treat backslash specially:
+    *
+    *   1. Spark's SQL lexer: `\` escapes inside string literals, so a
+    *      path ending in `\` (or containing `\'`) would swallow the
+    *      closing quote — double `\` and `'`;
+    *   2. Hadoop's glob resolver (CREATE TABLE LOCATION is globbed): `\`
+    *      escapes the next char, so a literal backslash must arrive as
+    *      `\\` — double it once more BEFORE the SQL escaping.
+    *
+    * Net: each literal `\` becomes `\\\\` in the spliced literal; `'`
+    * becomes `''`. Other glob metachars (`*?[]`) are left alone — they
+    * are legal in legit glob locations and cannot terminate the literal.
     */
-  private def sqlQuote(path: String): String = path.replace("'", "''")
+  private def sqlQuote(path: String): String =
+    path.replace("\\", "\\\\\\\\").replace("'", "''")
 
   def createDatabase(spark: SparkSession, name: String, location: Option[String] = None): Unit = {
     val loc = location.map(l => s" LOCATION '${sqlQuote(l)}'").getOrElse("")

@@ -92,7 +92,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
   def optimizeZorder(zorderBy: Seq[String], numFiles: Option[Int] = None): LakeTable = {
     val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val zCol = "__graft_z"
-    val clustered = ZOrder.withZValue(read, zorderBy, zCol = zCol)
+    // per-dimension resolution shrinks with the column count so the
+    // interleaved value always fits a long (Delta ZORDER commonly takes
+    // 3-5 columns; 63/4 = 15 bits is still ample for file tiling)
+    val bits = math.min(16, 63 / zorderBy.length)
+    val clustered = ZOrder.withZValue(read, zorderBy, bits = bits, zCol = zCol)
       .repartitionByRange(n, col(zCol))
       .sortWithinPartitions(col(zCol))
       .drop(zCol)

@@ -226,11 +226,14 @@ object Dedup {
     * size: ~log2(n / targetBucketSize), clamped to [4, 24]. A FIXED plane
     * count caps the bucket count, so bucket population — and the O(pop²)
     * within-bucket pairing — grows linearly with the corpus; scaling planes
-    * with log(n) keeps expected bucket size ~targetBucketSize at any n. The
-    * count() here is planning-time statistics over parquet footers (a
-    * column-pruned count-star), not a mid-query data scan. For corpora
-    * where even log-scaled hyperplanes recall too little, [[Ivf]] is the
-    * coarse-quantizer alternative.
+    * with log(n) keeps expected bucket size ~targetBucketSize at any n.
+    *
+    * Deriving the count runs `df.count()` at CALL time — cheap for a bare
+    * parquet scan, but a full re-execution for a derived input plan. Pass
+    * `corpusSizeHint` (an estimate within 2x is fine — only its log2
+    * matters) or an explicit `nPlanes` to keep the call fully lazy. For
+    * corpora where even log-scaled hyperplanes recall too little, [[Ivf]]
+    * is the coarse-quantizer alternative.
     */
   /** Hyperplane count for a corpus of n vectors: 2^planes buckets sized
     * ~targetBucketSize on average. Clamped to [4, 24]: fewer than 4 planes
@@ -251,9 +254,11 @@ object Dedup {
       threshold: Double,
       nPlanes: Option[Int] = None,
       targetBucketSize: Long = 1024L,
+      corpusSizeHint: Option[Long] = None,
       seed: Long = 42L
   ): DataFrame = {
-    val planeCount = nPlanes.getOrElse(adaptivePlaneCount(df.count(), targetBucketSize))
+    val planeCount = nPlanes.getOrElse(adaptivePlaneCount(
+      corpusSizeHint.getOrElse(df.count()), targetBucketSize))
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(planeCount, dim)(rnd.nextGaussian())
     val planeCols = planes.zipWithIndex.map { case (p, i) =>

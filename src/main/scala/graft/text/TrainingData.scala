@@ -38,6 +38,10 @@ object TrainingData {
     // generation and the left_anti survivor branch — without this the
     // window-dedup subplan (scan + shuffle + sort) runs twice per job.
     // MEMORY_AND_DISK (the DF default) spills rather than OOMs at scale.
+    // Lifetime note: the entry lives until session end (Spark's cache
+    // manager dedupes by plan, so repeated calls over the same input reuse
+    // one entry); a long-lived service cycling many corpora should
+    // unpersist via spark.catalog.clearCache() between jobs.
     val exact = Dedup.exact(gated, "text", "doc_id").cache()
     val nearDupDrops = Dedup
       .ngramJaccardPairs(exact, "doc_id", "text", cfg.nearDupNgram, cfg.nearDupThreshold)

@@ -142,8 +142,12 @@ class PipelineSpec extends SparkSpec {
     // local move (distance 1 in one dimension) from an earlier incumbent
     val late = adaptive.evals.drop(4).map(_.params)
     val early = adaptive.evals.map(_.params)
+    // a local move differs from its incumbent in EXACTLY one dimension
+    // (an XOR of the three flags would also accept all-three-differ, i.e.
+    // a fresh uniform draw)
     def near(a: Trainer.Params, b: Trainer.Params): Boolean =
-      (a.maxDepth != b.maxDepth) ^ (a.maxBins != b.maxBins) ^ (a.impurity != b.impurity)
+      Seq(a.maxDepth != b.maxDepth, a.maxBins != b.maxBins,
+        a.impurity != b.impurity).count(identity) == 1
     assert(late.exists(l => early.exists(e => near(l, e))),
       s"no local move found in exploit tail: $late")
   }
