@@ -30,6 +30,14 @@ object AsOfJoin {
 
   /** @param leftTime/rightTime  comparable time columns (same type)
     * @param carryCols           right columns carried onto left rows
+    * @param forward             false (default): latest right row with
+    *                            rightTime <= leftTime; true: EARLIEST right
+    *                            row with rightTime >= leftTime — same plan,
+    *                            the union is just sorted in reverse time
+    * @param tolerance           max allowed |leftTime - rightTime| (same
+    *                            numeric units as the time columns); a match
+    *                            farther away surfaces as NULL carry, like
+    *                            pandas merge_asof(tolerance=...)
     * @note if the right side has several rows with the SAME (key, time),
     *       which of them is carried is not deterministic (rows tie in the
     *       sort) — pre-aggregate the right side to one row per (key, time)
@@ -41,7 +49,9 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      carryCols: Seq[String]
+      carryCols: Seq[String],
+      forward: Boolean = false,
+      tolerance: Option[Column] = None
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(carryCols.contains),
@@ -62,7 +72,9 @@ object AsOfJoin {
     // the latest right ROW atomically. Carrying columns individually would
     // (a) skip a legitimately-NULL field on the latest row in favor of a
     // stale older value and (b) mix fields from different right rows.
-    val carryStruct = struct(carryCols.map(col): _*)
+    // The right TIME rides in the struct too, for the tolerance check.
+    val carryStruct = struct(
+      (col(rightTime).as("__rt") +: carryCols.map(col)): _*)
     val taggedRight = matchableRight.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
@@ -74,22 +86,43 @@ object AsOfJoin {
           lit(null).cast(taggedRight.schema("__carry").dataType).as("__carry")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
+    // backward: ascending time, latest right at-or-before carries forward.
+    // forward: the SAME carry logic over time reversed — the "last right
+    // seen" is then the earliest right at-or-after. Ties (__tag) keep the
+    // right row first in both directions, making the match inclusive.
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(timeOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // tolerance: a carried right row farther than `tol` from the left time
+    // reverts to no-match (NULL carry) — checked on the struct's __rt
+    // field, after the window, so it cannot un-hide a nearer older row
+    // (there is none: the window already picked the nearest in direction)
+    val carried = last(col("__carry"), ignoreNulls = true).over(w)
+    val gated = tolerance match {
+      case Some(tol) =>
+        val dist =
+          if (forward) col("__carry.__rt") - col("__t")
+          else col("__t") - col("__carry.__rt")
+        when(dist <= tol, col("__carry"))
+      case None => col("__carry")
+    }
     val matched = taggedRight.unionByName(taggedLeft)
-      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .withColumn("__carry", carried)
       .where(col("__tag") === 1)
+      .withColumn("__carry", gated)
       .select(
         leftCols.map(col) ++
           carryCols.map(c => col(s"__carry.$c").as(c)): _*)
-    val carryTypes = taggedRight.schema("__carry").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
     val unmatched = nullKeyLeft.select(
       leftCols.map(col) ++
-        carryTypes.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        carryCols.map { c =>
+          val f = taggedRight.schema("__carry").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType](c)
+          lit(null).cast(f.dataType).as(f.name)
+        }: _*)
     matched.unionByName(unmatched)
   }
 
@@ -120,13 +153,74 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Forward variant: for each purchase, the EARLIEST view at-or-after it
+    * (the "next-touch" attribution dual).
+    */
+  def qAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).eventsRaw
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
+    asOf(
+      purchases, views,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      carryCols = Seq("view_event_id"), forward = true)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Tolerance variant: prior view only counts within 10 minutes of the
+    * purchase (`ts` is epoch nanos in the testdata).
+    */
+  def qAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).eventsRaw
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
+    asOf(
+      purchases, views,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      carryCols = Seq("view_event_id"),
+      tolerance = Some(lit(600L * 1000 * 1000 * 1000)))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
-    "q_asof_attribution" -> (qAsofAttribution _)
+    "q_asof_attribution" -> (qAsofAttribution _),
+    "q_asof_forward" -> (qAsofForward _),
+    "q_asof_tolerance" -> (qAsofTolerance _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_asof_attribution" ->
       """SELECT p.event_id, p.user_id, ifnull(v.view_event_id, -1) AS view_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS view_event_id
+        |                FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id, ifnull(v.view_event_id, -1) AS view_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS view_event_id
+        |                FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+        |  ON p.user_id = v.user_id AND p.ts <= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        | ifnull(CASE WHEN p.ts - v.ts <= INTERVAL 10 MINUTE THEN v.view_event_id END,
+        |        -1) AS view_event_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS view_event_id
         |                FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v

@@ -58,6 +58,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Set((Some("a"), Some("ra")), (None, None)), s"got $out")
   }
 
+  test("forward direction picks the earliest right row at or after the left time") {
+    val left = Seq(("a", 12L), ("a", 20L), ("a", 25L), ("b", 100L)).toDF("k", "t")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"), forward = true)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).getOrElse("-")))
+    // t=12 -> next is r2@20; t=20 matches inclusively; t=25/b@100 -> none
+    assert(out.toSeq === Seq(("a", 12L, "r2"), ("a", 20L, "r2"), ("a", 25L, "-"), ("b", 100L, "-")))
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    val left = Seq(("a", 11L), ("a", 30L)).toDF("k", "t")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"),
+      tolerance = Some(org.apache.spark.sql.functions.lit(5L)))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)).getOrElse("-")))
+    // t=11: r1@10 is 1 away -> kept; t=30: r2@20 is 10 away -> dropped
+    assert(out.toSeq === Seq((11L, "r1"), (30L, "-")))
+  }
+
   test("rejects carry column collisions") {
     val left = Seq(("a", 5L, "x")).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {
