@@ -106,8 +106,24 @@ object Projections {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Unpivot / melt (wide -> long reshape): part measures to (key,
+    * measure, value) rows via `Dataset.unpivot` — a Generate (expand)
+    * node, no shuffle, so it streams at scan speed at any scale.
+    */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).part
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_size"), col("p_retailprice")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
   def queries: Map[String, Q] = Map(
     "q_project_arith" -> (projectArith _),
+    "q_unpivot" -> (unpivotMeasures _),
     "q_rename_drop" -> (renameDrop _),
     "q_like_lower" -> (likeLower _),
     "q_not_like" -> (notLike _),
@@ -117,6 +133,12 @@ object Projections {
   )
 
   def oracles: Map[String, String] = Map(
+    // engine-agnostic melt: UNION ALL of one branch per measure
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
     "q_project_arith" ->
       """SELECT o_orderkey, round(o_totalprice * 0.95, 4) AS disc_price,
         | ifnull(o_orderpriority, 'NA') AS priority,
