@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignatureExpr, ShinglesExpr, SimHash64Expr}
+import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance, MinHashSignatureExpr, ShinglesExpr, SimHash64Expr}
 
 /** SparkSessionExtensions entry point: makes the graft custom expressions
   * available to pure-SQL users on any session built with
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("euclidean_dist"),
+      info("euclidean_dist", "euclidean_dist(a, b) - L2 distance of two float/double arrays"),
+      (es: Seq[Expression]) => EuclideanDistance(es.head, es(1))))
     e.injectFunction((
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(tokens, n) - distinct n-token shingles"),

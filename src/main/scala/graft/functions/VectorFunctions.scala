@@ -163,6 +163,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Euclidean (L2) distance; null on length mismatch or a null slot. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements() || anyNullSlot(a, b)) null
+    else {
+      val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
+      var acc = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val d = get(a, i, fa) - get(b, i, fb)
+        acc += d * d
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${getterCode(a, i, elemIsFloat(left))} -
+         |                ${getterCode(b, i, elemIsFloat(right))};
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = java.lang.Math.sqrt($acc);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
 
   /** dot product as a Column. */
@@ -181,11 +230,18 @@ object VectorFunctions {
     org.apache.spark.sql.functions.sqrt(d)
   }
 
-  /** Register cosine_sim / dot_product for SQL callers. */
+  /** Euclidean distance as a Column. */
+  def euclidean(a: Column, b: Column): Column =
+    GraftBridge.column(
+      EuclideanDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register cosine_sim / dot_product / euclidean_dist for SQL callers. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "cosine_sim",
       es => CosineSimilarity(es.head, es(1)))
     GraftBridge.registerFunction(spark, "dot_product",
       es => DotProduct(es.head, es(1)))
+    GraftBridge.registerFunction(spark, "euclidean_dist",
+      es => EuclideanDistance(es.head, es(1)))
   }
 }

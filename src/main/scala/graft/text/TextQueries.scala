@@ -105,6 +105,27 @@ object TextQueries {
         round(col("value"), 6).as("value"))
       .orderBy(col("label"), col("dim"))
 
+  /** M3 metric breadth: Euclidean top-3 neighbors for query vectors
+    * vec_id < 5 via the codegen [[graft.functions.EuclideanDistance]]
+    * (DuckDB oracle: `list_distance`). ASCENDING order — nearest first.
+    */
+  def euclideanTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sfDir).embeddings
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    q.join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.euclidean(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The SQL face of the custom Catalyst expressions: `cosine_sim` called
     * from `spark.sql` text. On sessions built by [[graft.core.GraftSession]]
     * the function arrives via the SparkSessionExtensions injection
@@ -172,7 +193,8 @@ object TextQueries {
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_embedding_neardup" -> (embeddingNearDupLsh _),
     "q_lang_quality" -> (langQualityProfile _),
-    "q_extensions_sql" -> (extensionsSql _)
+    "q_extensions_sql" -> (extensionsSql _),
+    "q_euclidean_topk" -> (euclideanTopK _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -262,6 +284,16 @@ object TextQueries {
         |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.7
         |ORDER BY a_id, b_id""".stripMargin,
     "q_lang_quality" -> langQualityOracle,
+    "q_euclidean_topk" ->
+      """SELECT q_id, rank, n_id, dist FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |   round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dist,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) ASC,
+        |              e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q_extensions_sql" ->
       """SELECT a.vec_id,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_next

@@ -93,8 +93,23 @@ class VectorFunctionsSpec extends SparkSpec {
   test("SQL registration works") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0D,0.0D), array(1.0D,0.0D)) c," +
-      " dot_product(array(2.0D,3.0D), array(4.0D,5.0D)) d").head
+      " dot_product(array(2.0D,3.0D), array(4.0D,5.0D)) d," +
+      " euclidean_dist(array(0.0D,0.0D), array(3.0D,4.0D)) e").head
     assert(math.abs(r.getDouble(0) - 1.0) < eps)
     assert(r.getDouble(1) === 23.0)
+    assert(math.abs(r.getDouble(2) - 5.0) < eps) // 3-4-5 triangle
+  }
+
+  test("euclidean: identity is zero, mismatch and null slot are NULL") {
+    val zero = Seq((Array(1.5f, -2.0f), Array(1.5f, -2.0f))).toDF("a", "b")
+      .select(VectorFunctions.euclidean(col("a"), col("b"))).head.getDouble(0)
+    assert(zero === 0.0)
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.euclidean(col("a"), col("b"))).head
+    assert(mismatch.isNullAt(0))
+    VectorFunctions.register(spark)
+    val nullSlot = spark.sql(
+      "SELECT euclidean_dist(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))").head
+    assert(nullSlot.isNullAt(0))
   }
 }
