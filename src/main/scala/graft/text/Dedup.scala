@@ -57,10 +57,15 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), TextFunctions.shinglesOf(col("toks"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val exploded0 = sh.select(col("id"), explode(col("sh")).as("g"))
-    // per-doc shingle counts derived from the exploded view so the plan
-    // reuses one exchange instead of re-computing the shingle expression
-    val sizes = exploded0.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // the per-doc shingle count RIDES ALONG the exploded rows (it is
+    // functionally dependent on id, so it adds nothing to the group
+    // cardinality below) instead of living in a separate `sizes` table:
+    // joining sizes back for each pair side re-executed the whole
+    // scan+tokenize+explode subtree per join (measured: 7 Generate nodes
+    // in the executed plan; with ride-along the b-side is a byte-identical
+    // exchange the planner reuses)
+    val exploded0 = sh.select(
+      col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
     val exploded = maxShingleDf match {
       case Some(cap) =>
         val hot = exploded0.groupBy("g").agg(count(lit(1)).as("df"))
@@ -68,18 +73,17 @@ object Dedup {
         exploded0.join(broadcast(hot), Seq("g"), "left_anti")
       case None => exploded0
     }
-    val common = exploded.as("a")
+    exploded.as("a")
       .join(exploded.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .groupBy(
+        col("a.id").as("a_id"), col("a.n_sh").as("a_sh"),
+        col("b.id").as("b_id"), col("b.n_sh").as("b_sh"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("a_id") === col("sa.id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.id"))
       .select(
         col("a_id"),
         col("b_id"),
         (col("common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("common"))).as("jaccard")
+          (col("a_sh") + col("b_sh") - col("common"))).as("jaccard")
       )
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
