@@ -30,7 +30,11 @@ object SparkEntry {
       (operators.AsOfJoin.queries, operators.AsOfJoin.oracles),
       (operators.RangeJoin.queries, operators.RangeJoin.oracles),
       (text.TrainingData.queries, text.TrainingData.oracles),
-      (text.TfIdf.queries, text.TfIdf.oracles)
+      (text.TfIdf.queries, text.TfIdf.oracles),
+      (analytics.Descriptive.queries, analytics.Descriptive.oracles),
+      (analytics.Sketches.queries, analytics.Sketches.oracles),
+      (analytics.Behavior.queries, analytics.Behavior.oracles),
+      (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

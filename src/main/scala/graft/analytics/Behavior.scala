@@ -1,0 +1,94 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Time-series and cohort behavior analytics (extension surface; the
+  * reference's dashboard trends conditions over months,
+  * 01-rwe-dashboard.r:62-77 — these are the two follow-on shapes every
+  * longitudinal dashboard needs: dense time axes and retention grids).
+  */
+object Behavior {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gap-filled daily revenue: a dense calendar from the data's own
+    * min/max date, left-joined to per-day aggregates, absent days as
+    * zeros. The calendar comes from a 1-row bounds aggregate exploded
+    * into one row per day — never a driver-side date loop — and the
+    * per-day aggregate side is partially aggregated map-side before its
+    * shuffle. The calendar side is tiny (days, not rows), so AQE
+    * broadcasts it into the join.
+    */
+  def gapFilledDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir).orders
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val daily = orders
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    val calendar = orders
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    calendar
+      .join(daily, Seq("day"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue")
+      )
+      .orderBy(col("day"))
+  }
+
+  /** Classic retention grid: customers bucketed by first-order month
+    * (cohort), counted distinct in each later month offset. Two shuffles
+    * total — the first-month aggregate shuffles on custkey and the
+    * activity join reuses that partitioning; only the final (cohort,
+    * offset) rollup re-shuffles, on a tiny key space. Month offset is
+    * plain year/month arithmetic (engine-agnostic, no interval
+    * semantics).
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val acts = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+    val firsts = acts.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    acts
+      .join(firsts, "o_custkey")
+      .select(
+        date_format(col("m0"), "yyyy-MM").as("cohort"),
+        ((year(col("m")) - year(col("m0"))) * 12 +
+          (month(col("m")) - month(col("m0")))).cast("bigint").as("offset_m"),
+        col("o_custkey")
+      )
+      .groupBy(col("cohort"), col("offset_m"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort"), col("offset_m"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_gapfill_daily" -> (gapFilledDaily _),
+    "q_retention" -> (retentionCohorts _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_gapfill_daily" ->
+      """WITH b AS (SELECT min(o_orderdate::DATE) AS d0, max(o_orderdate::DATE) AS d1 FROM orders),
+        |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |d AS (SELECT o_orderdate::DATE AS day, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1)
+        |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+        | ifnull(d.n_orders, 0) AS n_orders,
+        | ifnull(d.revenue, 0) AS revenue
+        |FROM cal LEFT JOIN d USING (day) ORDER BY day""".stripMargin,
+    "q_retention" ->
+      """WITH a AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM a GROUP BY 1)
+        |SELECT strftime(f.m0, '%Y-%m') AS cohort,
+        | (year(a.m) - year(f.m0)) * 12 + (month(a.m) - month(f.m0)) AS offset_m,
+        | count(DISTINCT a.o_custkey) AS n_active
+        |FROM a JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

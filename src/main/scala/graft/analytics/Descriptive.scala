@@ -1,0 +1,154 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Descriptive / inferential statistics beyond plain aggregates (extends
+  * SURVEY §2 E-rows; reference's dashboard computes correlations and
+  * per-cohort distribution summaries, 01-rwe-dashboard.r:62-124).
+  *
+  * Everything here is a single hash-aggregate pass: Spark's built-in
+  * moment aggregates (corr / covar / stddev / regr_*) are all
+  * DeclarativeAggregates with map-side partial merge, so the shuffle
+  * carries O(groups) fixed-width state regardless of input size — the
+  * shape that survives 100 TB.
+  */
+object Descriptive {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bivariate moments per group: Pearson correlation, sample/population
+    * covariance, sample stddev, and the least-squares fit (slope +
+    * intercept) of extendedprice on quantity. All are one-pass
+    * DeclarativeAggregates — no window, no second scan.
+    */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_p"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Fixed-width histogram of order totals: bin = floor(price / width).
+    * Binning by arithmetic keeps the aggregate a single shuffle on the
+    * bin id; no driver-side bucketing, no sort. min/max per bin double as
+    * a bounds check on the binning itself.
+    */
+  def histogram(spark: SparkSession, sfDir: String, width: Double = 25000.0): DataFrame =
+    Tables(spark, sfDir).orders
+      .select(floor(col("o_totalprice") / lit(width)).as("bin"), col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi")
+      )
+      .orderBy(col("bin"))
+
+  /** Ordered conversion funnel over the event stream: view -> click ->
+    * purchase, where each stage must happen strictly AFTER the user's
+    * previous stage time (not just co-occur).
+    *
+    * Plan shape: ONE shuffle. All three stage times are windows over the
+    * same `PARTITION BY user_id`, so Catalyst plans a single Exchange and
+    * chains three Window operators over it; the per-user reduce then
+    * reuses that same hash partitioning (no further Exchange). The naive
+    * formulation — three filtered aggregates joined on user_id — costs
+    * three shuffles; the DuckDB oracle uses that join form to stay
+    * engine-independent while this plan stays single-pass.
+    *
+    * Timestamps stay in raw epoch-nano bigints end-to-end (comparisons
+    * only — no conversion needed, and integer compare is codegen-friendly).
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables(spark, sfDir).eventsRaw
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn(
+        "tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"), col("ts"))).over(w))
+      .withColumn(
+        "tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"), col("ts"))).over(w))
+    staged
+      .groupBy(col("user_id"))
+      .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"), min(col("tp")).as("tp"))
+      .agg(
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click"),
+        count(col("tp")).as("n_purchase")
+      )
+  }
+
+  /** Fuzzy string match: distinct part-name pairs within Levenshtein
+    * distance 3 ("cold rod" ~ "blue rod" conflation). The built-in
+    * `levenshtein` is codegen'd; the distinct shrinks the self-join input
+    * to the vocabulary (64 names here), which Spark then broadcasts —
+    * fuzzy conflation is a dim-vocabulary operation. For corpus-scale
+    * string dedup the blocking path (shingle / SimHash buckets from
+    * [[graft.text.Dedup]]) replaces the all-pairs join.
+    */
+  def fuzzyPartNames(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    val names = Tables(spark, sfDir).part.select(col("p_name")).distinct()
+    names.select(col("p_name").as("a_name"))
+      .join(broadcast(names.select(col("p_name").as("b_name"))),
+        col("a_name") < col("b_name"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("bigint"))
+      .where(col("dist") <= maxDist)
+      .orderBy(col("a_name"), col("b_name"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_stats_moments" -> (statsMoments _),
+    "q_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
+    "q_funnel" -> (funnel _),
+    "q_fuzzy_levenshtein" -> ((s: SparkSession, d: String) => fuzzyPartNames(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_stats_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+        | round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+        | round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q_fuzzy_levenshtein" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        | levenshtein(a.p_name, b.p_name) AS dist
+        |FROM d a JOIN d b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a_name, b_name""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Sketch-based distinct counting (Apache DataSketches HLL via Spark's
+  * built-in `hll_sketch_agg` family) — the 100 TB path for COUNT DISTINCT.
+  *
+  * Exact distinct shuffles every distinct key; an HLL sketch shuffles a
+  * fixed ~2^lgK-byte state per group regardless of cardinality, and —
+  * unlike `approx_count_distinct`'s opaque internal state — the sketch is
+  * a first-class binary value: partial sketches persist to a lake table
+  * and MERGE across days/partitions without re-scanning history
+  * (`hll_union_agg`). Mergeability is pinned in SketchesSpec; the
+  * declared query pins the estimate's error bound as an oracle-matched
+  * boolean (the estimate itself is engine-specific by design).
+  */
+object Sketches {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-status distinct customers: exact count next to the HLL estimate,
+    * with the relative error folded into a deterministic boolean so the
+    * whole row is oracle-comparable. lgConfigK=14 (16 KiB state) gives
+    * ~0.8% RSD — 2% is a conservative pin.
+    */
+  def hllDistinctCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))).as("approx")
+      )
+      .select(
+        col("o_orderstatus"),
+        col("n_exact"),
+        (abs(col("approx") - col("n_exact")) <= col("n_exact") * lit(0.02))
+          .as("within_2pct")
+      )
+      .orderBy(col("o_orderstatus"))
+
+  /** Partial sketches per group, merged to a global estimate — the
+    * incremental-rollup shape: day-level sketches union into month totals
+    * without touching the raw data again.
+    */
+  def hllUnionEstimate(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(keyCol), lit(14)).as("sketch"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("approx_total"))
+
+  def queries: Map[String, Q] = Map(
+    "q_hll_distinct" -> (hllDistinctCustomers _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+        | true AS within_2pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Distributed connected components by iterative min-label propagation —
+  * the clustering step a dedup pipeline needs AFTER pair generation:
+  * near-dup pairs (A,B), (B,C) must collapse into ONE surviving document,
+  * which requires the transitive closure, not just the pairs. Reference's
+  * dedup surface stops at pair lists (SURVEY §2 M2); this completes it.
+  *
+  * Algorithm: every node starts labeled with itself; each round, every
+  * node takes the min of its own label and its neighbors' labels; stop
+  * when the label sum stops changing. Rounds = graph diameter, and each
+  * round is one shuffled join + one aggregate. Near-dup graphs are piles
+  * of tiny cliques (diameter ~2-3), so this converges in a handful of
+  * rounds at any corpus size; for adversarial long-path graphs the
+  * alternating large-star/small-star contraction (Kiveris et al., "CC in
+  * MapReduce and Beyond") halves the diameter per round — the same loop
+  * below with a two-sided propagate — documented as the escalation path.
+  *
+  * Scale notes: `localCheckpoint(eager)` after every round truncates the
+  * lineage (an iterative plan otherwise re-derives all prior rounds each
+  * action, exploding at round ~10); the convergence probe aggregates to
+  * ONE decimal row per round (no overflow on bigint ids, no collect of
+  * labels). The symmetrized edge set is checkpointed once and reused by
+  * every round's join.
+  */
+object ConnectedComponents {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Components of an undirected graph given as an edge list.
+    *
+    * @param edges DataFrame with two long columns `src`, `dst`
+    * @return (node, component) — component = min node id reachable
+    */
+  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def labelSum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val propagated = sym
+        .join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("label"))
+      val next = propagated.union(labels.select(col("node"), col("label")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Declared query: transitive near-dup clusters over the exact 3-gram
+    * Jaccard >= 0.8 pair graph on `documents` (the same deterministic
+    * pair generation as q_ngram_jaccard), one row per clustered doc with
+    * its component id (min doc_id in the cluster) and the cluster size.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.text.Dedup.ngramJaccardPairs(
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.8)
+    val comp = components(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    comp
+      .join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> (dedupClusters _)
+  )
+
+  /** DuckDB mirrors the transitive closure with a recursive CTE over the
+    * same pair SQL as the q_ngram_jaccard oracle (min reachable id).
+    */
+  def oracles: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM p
+        |  JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |  JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |  WHERE common * 1.0 / (la.n + lb.n - common) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+        |SELECT c.node AS doc_id, c.component, s2.cluster_size
+        |FROM comp c
+        |JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component) s2
+        |  USING (component)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

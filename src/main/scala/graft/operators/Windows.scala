@@ -75,10 +75,32 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Ranking-family breadth in one window pass: dense_rank, percent_rank,
+    * cume_dist, ntile — all share a single `PARTITION BY status ORDER BY
+    * (price, key)` sort, so Catalyst plans ONE Exchange + ONE sort for all
+    * four. The orderkey tiebreak makes ntile deterministic (ntile depends
+    * on row order, not just rank).
+    */
+  def rankFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables(spark, sfDir).orders
+      .select(
+        col("o_orderstatus"),
+        col("o_orderkey"),
+        dense_rank().over(w).cast("bigint").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).cast("bigint").as("quartile")
+      )
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_window_trailing" -> (trailingSpend _),
     "q_window_topk_group" -> (top3OrdersPerCustomer _),
-    "q_window_lag_gap" -> (orderGaps _)
+    "q_window_lag_gap" -> (orderGaps _),
+    "q_window_rank_funcs" -> (rankFunctions _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -103,6 +125,15 @@ object Windows {
         |   lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
         |                             ORDER BY o_orderdate, o_orderkey),
         |   o_orderdate), -1) AS gap_days
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_rank_funcs" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | dense_rank() OVER w AS drank,
+        | round(percent_rank() OVER w, 6) AS prank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
   )
 }

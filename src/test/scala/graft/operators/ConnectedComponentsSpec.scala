@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .components(edges.toDF("src", "dst"), maxIter)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("cliques and chains collapse to min-id components") {
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path needs diameter rounds and still converges") {
+    // path 9-8-7-...-1: min label travels one hop per round
+    val path = (1L to 8L).map(i => (i, i + 1))
+    val labels = cc(path)
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 9L).toSet)
+  }
+
+  test("maxIter too small fails loudly instead of returning wrong labels") {
+    val path = (1L to 8L).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException](cc(path, maxIter = 3))
+  }
+
+  test("dedup clusters over planted near-dups are transitive") {
+    val out = ConnectedComponents.dedupClusters(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // every member's component is the min doc_id of its cluster
+    val byComp = out.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, rows) =>
+      assert(rows.map(_.getLong(0)).min == comp)
+      assert(rows.forall(_.getLong(2) == rows.length))
+      assert(rows.length >= 2) // only clustered docs appear
+    }
+  }
+
+  test("component ids are stable across the declared query and raw pairs") {
+    val pairs = graft.text.Dedup.ngramJaccardPairs(
+      graft.core.Tables(spark, sf0001).documents, "doc_id", "text", n = 3, threshold = 0.8)
+    val nodes = pairs.select(col("a_id")).union(pairs.select(col("b_id")))
+      .distinct().count()
+    assert(ConnectedComponents.dedupClusters(spark, sf0001).count() == nodes)
+  }
+}
