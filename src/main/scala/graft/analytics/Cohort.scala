@@ -98,7 +98,13 @@ object Cohort {
     * the ROUNDED statistic so the result is reproducible across engines.
     */
   def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // cells is O(levels²) tiny, but EVERY downstream branch (level
+    // distincts, row/col/grand totals, the cross join) re-derives it —
+    // without a cut that re-runs the full input scan+agg ~6 times
+    // (column pruning defeats ReuseExchange across the branches, same
+    // effect as in TfIdf.bm25). Checkpoint the handful of rows once.
     val cells = df.groupBy(a.as("a"), b.as("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // observed level sets are tiny (categorical) — broadcast cross product
     val full = cells.select(col("a")).distinct()
       .crossJoin(broadcast(cells.select(col("b")).distinct()))

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+    // optimizer rule: length-band guard for levenshtein thresholds
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 

@@ -44,6 +44,55 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * restored after, preserving history like Delta does.
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): LakeTable = {
+    preservingLog(mode) {
+      df.write.mode(mode).parquet(path)
+    }
+    commit(if (mode == SaveMode.Append) "WRITE APPEND" else "WRITE OVERWRITE",
+      Map("mode" -> mode.toString))
+    this
+  }
+
+  /** Hive-style partitioned write: one directory per partition value, so
+    * partition-key predicates prune DIRECTORIES at planning time
+    * (`PartitionFilters` in the scan) — at 100 TB the difference between
+    * listing one day and listing the table. Partition by low-cardinality
+    * operational keys (date, status, source); cluster WITHIN partitions
+    * via [[optimize]]/[[optimizeZorder]] for the high-cardinality rest.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): LakeTable = {
+    preservingLog(mode) {
+      df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+    }
+    commit("WRITE PARTITIONED",
+      Map("mode" -> mode.toString, "partitionBy" -> partitionCols.mkString(",")))
+    this
+  }
+
+  /** Dynamic partition overwrite: replaces ONLY the partitions present in
+    * `df`, leaving sibling partitions (and the commit log) untouched —
+    * the idempotent daily-backfill primitive. Plain Overwrite would drop
+    * the whole table.
+    */
+  def overwritePartitions(df: DataFrame, partitionCols: Seq[String]): LakeTable = {
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    commit("OVERWRITE PARTITIONS",
+      Map("mode" -> "dynamic", "partitionBy" -> partitionCols.mkString(",")))
+    this
+  }
+
+  /** Run a data write (which on Overwrite deletes the table dir, commit
+    * log included) with the tiny log buffered in memory across it and
+    * restored after — callers `commit()` AFTER this returns, so version
+    * numbering stays monotonic over the reinstated log.
+    */
+  private def preservingLog(mode: SaveMode)(dataWrite: => Unit): Unit = {
     val saved: Seq[(String, Array[Byte])] =
       if (mode == SaveMode.Overwrite && fs.exists(logDir)) {
         fs.listStatus(logDir).toSeq.map { st =>
@@ -52,7 +101,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
           finally in.close()
         }
       } else Seq.empty
-    df.write.mode(mode).parquet(path)
+    dataWrite
     if (saved.nonEmpty) {
       val f = fs
       if (!f.exists(logDir)) f.mkdirs(logDir)
@@ -62,9 +111,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
         finally out.close()
       }
     }
-    commit(if (mode == SaveMode.Append) "WRITE APPEND" else "WRITE OVERWRITE",
-      Map("mode" -> mode.toString))
-    this
   }
 
   /** Compaction + multi-column clustering — the ZORDER substitute.

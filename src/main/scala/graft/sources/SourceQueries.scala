@@ -102,6 +102,30 @@ object SourceQueries {
          |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
   }
 
+  /** A2/A3 (partitioned layout): Hive-style partitioned write + dynamic
+    * single-partition overwrite, read back through a partition-pruned
+    * scan. The aggregate proves (a) the partitioned round-trip is
+    * lossless and (b) the dynamic overwrite touched ONLY its partition —
+    * any leakage into sibling partitions changes the counts.
+    */
+  def lakePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_part"))
+    lake.writePartitioned(t.orders, Seq("o_orderstatus"))
+    // idempotent re-write of one partition with identical content
+    lake.overwritePartitions(
+      t.orders.where(col("o_orderstatus") === "F"), Seq("o_orderstatus"))
+    lake.read
+      .where(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        // decimal sum: the partitioned layout reorders rows (see
+        // lakeZorder note on float summation order)
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -117,6 +141,7 @@ object SourceQueries {
     "q_lake_roundtrip" -> (lakeRoundtrip _),
     "q_lake_optimize_cluster" -> (lakeOptimizeCluster _),
     "q_lake_zorder" -> (lakeZorder _),
+    "q_lake_partitioned" -> (lakePartitioned _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
@@ -133,6 +158,11 @@ object SourceQueries {
         | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         | CAST(sum(p_size) AS BIGINT) AS total_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_lake_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations

@@ -14,6 +14,28 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("levenshtein thresholds grow a length-band guard, exactly once") {
+    val df = graft.analytics.Descriptive.fuzzyPartNames(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("levenshtein"), opt)
+    // idempotent under the fixed-point optimizer batch: ONE guard, not one
+    // per iteration
+    assert("abs\\(".r.findAllIn(opt).size == 1, opt)
+    assert(opt.contains("length"), opt)
+  }
+
+  test("band guard preserves levenshtein-filter results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val pairs = Seq(("kitten", "sitting"), ("abc", "abd"), ("a", "abcdef"))
+      .toDF("a", "b")
+    val got = pairs.where(levenshtein(col("a"), col("b")) <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // kitten->sitting = 3 edits (in); a->abcdef = 5 inserts, and the length
+    // band alone (|1-6| > 3) must exclude it, not change its answer
+    assert(got == Set(("kitten", "sitting"), ("abc", "abd")))
+  }
+
   test("same expressions reachable in SQL via imperative registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(

@@ -50,6 +50,38 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  /** AQE plans print Final + Initial sections after an action; keep only
+    * the final section so operator counts aren't doubled.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("funnel computes all three ordered stages over ONE user_id shuffle") {
+    val p = plan(graft.analytics.Descriptive.funnel(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 3, p)
+  }
+
+  test("rank family (dense/percent/cume/ntile) shares one Window and one shuffle") {
+    val p = plan(Windows.rankFunctions(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("gap-fill joins the dense calendar by broadcast, never shuffling the fact side") {
+    val p = finalPlan(graft.analytics.Behavior.gapFilledDaily(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("retention joins the first-month dim back by broadcast") {
+    val p = finalPlan(graft.analytics.Behavior.retentionCohorts(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the agg pipeline") {
     val df = Relational.q1PricingSummary(spark, sf0001)
     df.collect() // finalize the AQE plan; codegen stages only appear then

@@ -141,4 +141,44 @@ class LakeTableSpec extends SparkSpec {
   test("history is empty for a fresh path") {
     assert(LakeTable(spark, tmp()).history.count() === 0)
   }
+
+  test("partitioned write prunes directories at planning time (PartitionFilters)") {
+    val o = Tables(spark, sf0001).orders
+    val lake = LakeTable(spark, tmp()).writePartitioned(o, Seq("o_orderstatus"))
+    // one directory per status value
+    val dirs = new java.io.File(lake.path).listFiles()
+      .filter(_.getName.startsWith("o_orderstatus=")).map(_.getName).sorted
+    assert(dirs.length >= 2, dirs.toSeq)
+    val q = lake.read.where(col("o_orderstatus") === "F")
+    assert(q.count() === o.where(col("o_orderstatus") === "F").count())
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*\\(o_orderstatus#\\d+ = F\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    // pruning is planning-time: the scan reads ONLY the matching directory
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    q.collect()
+    val filesRead = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+    val filesF = new java.io.File(lake.path + "/o_orderstatus=F").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesRead === filesF, s"read $filesRead files, partition holds $filesF")
+  }
+
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val o = Tables(spark, sf0001).orders
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val lake = LakeTable(spark, tmp()).writePartitioned(o, Seq("o_orderstatus"))
+    val beforeOther = lake.read.where(col("o_orderstatus") =!= "F").count()
+    // rewrite partition F with a single sentinel row
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L, 0.0, "F")),
+      o.schema)
+    lake.overwritePartitions(sentinel, Seq("o_orderstatus"))
+    assert(lake.read.where(col("o_orderstatus") === "F").count() === 1)
+    assert(lake.read.where(col("o_orderstatus") =!= "F").count() === beforeOther)
+    // log survived (dynamic overwrite never deletes the table dir)
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.contains("WRITE PARTITIONED") && ops.contains("OVERWRITE PARTITIONS"))
+  }
 }
