@@ -34,7 +34,8 @@ object SparkEntry {
       (analytics.Descriptive.queries, analytics.Descriptive.oracles),
       (analytics.Sketches.queries, analytics.Sketches.oracles),
       (analytics.Behavior.queries, analytics.Behavior.oracles),
-      (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles)
+      (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles),
+      (operators.TypedOps.queries, operators.TypedOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -121,7 +121,45 @@ object Projections {
         valueColumnName = "value")
       .orderBy(col("p_partkey"), col("measure"))
 
+  /** String-function breadth in one codegen'd projection (B-row
+    * extension): case, padding, token extraction (split_part /
+    * regexp_extract), reverse, multi-column concat, replace — all
+    * built-ins (no UDFs), all evaluated inside one WholeStageCodegen
+    * span over the scan.
+    */
+  def stringFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).part
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lpad(col("p_brand"), 10, "#").as("padded"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        reverse(col("p_type")).as("rtype"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+        regexp_replace(col("p_name"), " ", "_").as("snake")
+      )
+      .orderBy(col("p_partkey"))
+
+  /** Collection aggregation (array surface): per-order sorted line-number
+    * list and distinct-flag count. The list is emitted as a joined string
+    * — engine-agnostic (array hashing differs across engines) and
+    * deterministic via sort_array. collect_list here is bounded by
+    * lines-per-order (~7), not data size — safe at any scale; unbounded
+    * collect_list aggregations are the anti-pattern.
+    */
+  def arrayAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+        size(collect_set(col("l_returnflag"))).cast("bigint").as("n_flags")
+      )
+      .orderBy(col("l_orderkey"))
+
   def queries: Map[String, Q] = Map(
+    "q_string_funcs" -> (stringFunctions _),
+    "q_array_agg" -> (arrayAgg _),
     "q_project_arith" -> (projectArith _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_rename_drop" -> (renameDrop _),
@@ -133,6 +171,21 @@ object Projections {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS uname,
+        | lpad(p_brand, 10, '#') AS padded,
+        | split_part(p_name, ' ', 1) AS first_word,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | reverse(p_type) AS rtype,
+        | concat_ws('|', p_brand, p_type) AS tag,
+        | regexp_replace(p_name, ' ', '_', 'g') AS snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_array_agg" ->
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        | count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     // engine-agnostic melt: UNION ALL of one branch per measure
     "q_unpivot" ->
       """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
