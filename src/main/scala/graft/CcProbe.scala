@@ -42,6 +42,24 @@ object CcProbe {
         f""""components":$nComponents,"expected":$expected,"sec":$sec%.2f}""")
     assert(nComponents == expected,
       s"component count $nComponents != expected $expected")
+
+    // deep-chain variant: diameter far beyond any sane propagation round
+    // budget — only the large/small-star contraction (log rounds) can
+    // finish. 100k nodes in chains of 1000: propagation would need 1000
+    // rounds; star needs ~log2.
+    val deepNodes = 100000L
+    val deepBlock = 1000
+    val deepEdges = spark.range(deepNodes - 1)
+      .where((col("id") % deepBlock) =!= (deepBlock - 1))
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val t1 = System.nanoTime()
+    val deepComp = ConnectedComponents.componentsStar(deepEdges, maxIter = 20)
+      .select(col("component")).distinct().count()
+    val deepSec = (System.nanoTime() - t1) / 1e9
+    println(
+      f"""{"metric":"cc_star_probe","nodes":$deepNodes,"block":$deepBlock,""" +
+        f""""components":$deepComp,"expected":${deepNodes / deepBlock},"sec":$deepSec%.2f}""")
+    assert(deepComp == deepNodes / deepBlock)
     spark.stop()
   }
 }

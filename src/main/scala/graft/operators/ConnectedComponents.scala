@@ -71,6 +71,80 @@ object ConnectedComponents {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Components by alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the escalation path for graphs whose diameter makes
+    * plain propagation too slow: each large+small round roughly halves
+    * path lengths, so rounds grow with log(diameter) instead of
+    * diameter. Each half-round is one aggregate + one join, same
+    * per-round cost shape as [[components]].
+    *
+    *   - large-star(u): every neighbor v > u re-points to m(u), the
+    *     minimum of u's neighborhood (including u itself);
+    *   - small-star(u), over edges oriented high->low: every smaller
+    *     neighbor (and u) re-points to the minimum smaller neighbor.
+    *
+    * Both transforms preserve connectivity and strictly shrink a
+    * monotone potential, converging to canonical stars (node -> root).
+    */
+  def componentsStar(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("src") =!= col("dst"))
+        .select(
+          greatest(col("src"), col("dst")).as("hi"),
+          least(col("src"), col("dst")).as("lo"))
+        .distinct()
+
+    // one round = large-star then small-star, both on high->low edges
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val joined = e.join(mins, "hi")
+      joined.select(col("lo").as("src"), col("m").as("dst"))
+        .union(joined.select(col("hi").as("src"), col("m").as("dst")))
+    }
+
+    var cur = canon(edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        sum((col("hi") * lit(31L) + col("lo")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = signature(cur)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(true)
+      val s = signature(next)
+      converged = s._1 == prev._1 &&
+        ((s._2 == null && prev._2 == null) ||
+          (s._2 != null && prev._2 != null && s._2.compareTo(prev._2) == 0))
+      prev = s
+      cur = next
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    // cur is now canonical: every edge points node -> component root
+    val nodes = cur.select(col("hi").as("node"), col("lo").as("component"))
+    val roots = cur.select(col("lo").as("node")).distinct()
+      .withColumn("component", col("node"))
+    nodes.unionByName(roots).distinct()
+  }
+
   /** Declared query: transitive near-dup clusters over the exact 3-gram
     * Jaccard >= 0.8 pair graph on `documents` (the same deterministic
     * pair generation as q_ngram_jaccard), one row per clustered doc with

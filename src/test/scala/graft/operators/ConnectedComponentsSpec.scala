@@ -34,6 +34,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](cc(path, maxIter = 3))
   }
 
+  private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .componentsStar(edges.toDF("src", "dst"), maxIter)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("star contraction matches plain propagation on cliques and chains") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+    assert(ccStar(edges) == cc(edges))
+  }
+
+  test("star contraction matches propagation on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccStar(edges) == cc(edges, maxIter = 80))
+  }
+
+  test("star contraction handles a 256-node path in logarithmic rounds") {
+    // plain propagation would need 256 rounds; star needs ~log2(256)
+    val path = (1L to 255L).map(i => (i, i + 1))
+    val labels = ccStar(path, maxIter = 15)
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 256L).toSet)
+  }
+
   test("dedup clusters over planted near-dups are transitive") {
     val out = ConnectedComponents.dedupClusters(spark, sf0001).collect()
     assert(out.nonEmpty)
