@@ -157,7 +157,28 @@ object Projections {
       )
       .orderBy(col("l_orderkey"))
 
+  /** Temporal-function breadth (B13/B15 extension): calendar decomposition,
+    * month-end snapping, day shifting — all codegen'd built-ins on the
+    * scan, no shuffle until the final aggregate-free projection. dayofweek
+    * is emitted 0-based (Sunday=0) to share semantics across engines.
+    */
+  def dateFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).cast("string").as("d"),
+        year(col("o_orderdate")).cast("bigint").as("y"),
+        quarter(col("o_orderdate")).cast("bigint").as("q"),
+        month(col("o_orderdate")).cast("bigint").as("m"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        date_add(to_date(col("o_orderdate")), 30).cast("string").as("due")
+      )
+      .orderBy(col("o_orderkey"))
+
   def queries: Map[String, Q] = Map(
+    "q_date_funcs" -> (dateFunctions _),
     "q_string_funcs" -> (stringFunctions _),
     "q_array_agg" -> (arrayAgg _),
     "q_project_arith" -> (projectArith _),
@@ -171,6 +192,17 @@ object Projections {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate::DATE, '%Y-%m-%d') AS d,
+        | year(o_orderdate) AS y,
+        | quarter(o_orderdate) AS q,
+        | month(o_orderdate) AS m,
+        | dayofmonth(o_orderdate) AS dom,
+        | dayofweek(o_orderdate) AS dow,
+        | strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+        | strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS due
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         | upper(p_name) AS uname,
