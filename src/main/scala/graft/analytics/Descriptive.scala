@@ -100,7 +100,11 @@ object Descriptive {
     * [[graft.text.Dedup]]) replaces the all-pairs join.
     */
   def fuzzyPartNames(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    // materialize the tiny vocabulary once: the self-join replans the
+    // scan+distinct per side otherwise (BroadcastExchange blocks
+    // ReuseExchange)
     val names = Tables(spark, sfDir).part.select(col("p_name")).distinct()
+      .localCheckpoint(true)
     names.select(col("p_name").as("a_name"))
       .join(broadcast(names.select(col("p_name").as("b_name"))),
         col("a_name") < col("b_name"))

@@ -44,8 +44,12 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    def labelSum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // sum over zero rows is SQL NULL — normalize so the empty graph
+    // converges immediately instead of NPE-ing on compareTo
+    def labelSum(labels: DataFrame): java.math.BigDecimal = {
+      val s = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -113,14 +117,25 @@ object ConnectedComponents {
         .union(joined.select(col("hi").as("src"), col("m").as("dst")))
     }
 
-    var cur = canon(edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val typed = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // canon() drops self-loops, so remember every mentioned node — a node
+    // whose only edge is (n, n) must still come back as its own component
+    // (matching [[components]])
+    val allNodes = typed.select(col("src").as("node"))
+      .union(typed.select(col("dst").as("node")))
+      .distinct()
       .localCheckpoint(true)
+    var cur = canon(typed).localCheckpoint(true)
 
+    // decimal arithmetic BEFORE the multiply: hi*31 in long would wrap
+    // for ids above ~3e17 (e.g. 64-bit fingerprint ids) and break the
+    // monotone-potential argument the convergence test relies on
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(
         count(lit(1)),
-        sum((col("hi") * lit(31L) + col("lo")).cast("decimal(38,0)"))).head()
+        sum(col("hi").cast("decimal(38,0)") * lit(31) + col("lo").cast("decimal(38,0)"))
+      ).head()
       (r.getLong(0), r.getDecimal(1))
     }
 
@@ -138,11 +153,12 @@ object ConnectedComponents {
       i += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
-    // cur is now canonical: every edge points node -> component root
-    val nodes = cur.select(col("hi").as("node"), col("lo").as("component"))
-    val roots = cur.select(col("lo").as("node")).distinct()
-      .withColumn("component", col("node"))
-    nodes.unionByName(roots).distinct()
+    // cur is now canonical: every edge points node -> component root;
+    // nodes canon() dropped (self-loop-only) fall back to themselves
+    val mapped = cur.select(col("hi").as("node"), col("lo").as("component"))
+    allNodes
+      .join(mapped, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Declared query: transitive near-dup clusters over the exact 3-gram

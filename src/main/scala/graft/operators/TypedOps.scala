@@ -42,31 +42,50 @@ object TypedOps {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** [[GeoMean]] adapted to Line input so it composes with other typed
+    * aggregates over the same groupByKey (Aggregator has no contramap).
+    */
+  object GeoMeanPrice extends Aggregator[Line, (Double, Long), Double] {
+    override def zero: (Double, Long) = GeoMean.zero
+    override def reduce(b: (Double, Long), l: Line): (Double, Long) =
+      GeoMean.reduce(b, l.l_extendedprice)
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      GeoMean.merge(a, b)
+    override def finish(b: (Double, Long)): Double = GeoMean.finish(b)
+    override def bufferEncoder: Encoder[(Double, Long)] = GeoMean.bufferEncoder
+    override def outputEncoder: Encoder[Double] = GeoMean.outputEncoder
+  }
+
+  /** Typed quantity sum — the Aggregator shape of a reduceGroups fold,
+    * composable with other typed aggregates in ONE groupByKey pass.
+    */
+  object SumQty extends Aggregator[Line, Double, Double] {
+    override def zero: Double = 0.0
+    override def reduce(b: Double, l: Line): Double = b + l.l_quantity
+    override def merge(a: Double, b: Double): Double = a + b
+    override def finish(b: Double): Double = b
+    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Typed pipeline: Column filter at the scan (pushdown preserved),
-    * case-class Dataset after, `reduceGroups` for the per-flag quantity
-    * total (partial merge before shuffle), custom Aggregator for the
-    * geometric price mean.
+    * case-class Dataset after, BOTH typed aggregates in one
+    * groupByKey.agg — one scan, one shuffle (two groupByKey passes +
+    * a join would double the scan for no semantic gain; `reduceGroups`
+    * is the same partial-merge machinery, pinned in TypedOpsSpec).
     */
   def typedFlagProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val s = spark
     import s.implicits._
-    val lines = Tables(spark, sfDir).lineitem
+    Tables(spark, sfDir).lineitem
       .where(col("l_quantity") > 30) // Column filter -> parquet pushdown
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .as[Line]
-    val reduced = lines
-      .map(l => (l.l_returnflag, l.l_quantity))
-      .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, a._2 + b._2))
-      .map { case (flag, (_, qty)) => (flag, qty) }
-      .toDF("l_returnflag", "sum_qty")
-    val geo = lines
       .groupByKey(_.l_returnflag)
-      .mapValues(_.l_extendedprice)
-      .agg(GeoMean.toColumn.name("geo"))
-      .toDF("l_returnflag", "geo_price")
-    reduced
-      .join(geo, "l_returnflag")
+      .agg(
+        SumQty.toColumn.name("sum_qty"),
+        GeoMeanPrice.toColumn.name("geo"))
+      .toDF("l_returnflag", "sum_qty", "geo_price")
       .select(
         col("l_returnflag"),
         round(col("sum_qty"), 2).as("sum_qty"),

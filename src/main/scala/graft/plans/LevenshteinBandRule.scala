@@ -66,7 +66,11 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
   }
 
   private def band(cond: Expression): Expression = cond.transformUp {
-    case t @ LevThreshold(a, b, k) if k >= 0 && !cond.exists(isGuardFor(_, a, b)) =>
+    // k above Int range can't band (toInt would wrap negative and turn
+    // the guard into `false`, changing results) — and such a threshold
+    // never prunes anyway
+    case t @ LevThreshold(a, b, k)
+        if k >= 0 && k <= Int.MaxValue && !cond.exists(isGuardFor(_, a, b)) =>
       And(guard(a, b, k), t)
   }
 

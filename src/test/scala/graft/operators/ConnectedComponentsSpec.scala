@@ -48,6 +48,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ccStar(edges) == cc(edges))
   }
 
+  test("self-loop-only nodes and empty graphs behave identically in both algorithms") {
+    val withLoop = Seq((5L, 5L), (2L, 3L))
+    assert(ccStar(withLoop) == Map(5L -> 5L, 2L -> 2L, 3L -> 2L))
+    assert(cc(withLoop) == Map(5L -> 5L, 2L -> 2L, 3L -> 2L))
+    assert(ccStar(Seq.empty[(Long, Long)]).isEmpty)
+    assert(cc(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
   test("star contraction matches propagation on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

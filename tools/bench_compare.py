@@ -24,6 +24,8 @@ def load(path):
             return wrapper
         if isinstance(wrapper, dict) and "tail" in wrapper:
             m = re.search(r'\{"metric".*', wrapper["tail"])
+            if m is None:
+                sys.exit(f"no bench metric line found in {path}")
             raw = m.group(0).split("\n")[0]
     except json.JSONDecodeError:
         pass
