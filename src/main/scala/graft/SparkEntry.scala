@@ -34,6 +34,7 @@ object SparkEntry {
       (analytics.Descriptive.queries, analytics.Descriptive.oracles),
       (analytics.Sketches.queries, analytics.Sketches.oracles),
       (analytics.Behavior.queries, analytics.Behavior.oracles),
+      (analytics.Quality.queries, analytics.Quality.oracles),
       (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles),
       (operators.TypedOps.queries, operators.TypedOps.oracles)
     )

@@ -96,11 +96,33 @@ object Windows {
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
   }
 
+  /** Value-function family: first/last/nth over an explicit whole-partition
+    * frame (the default ORDER BY frame stops at the current row, which
+    * makes last_value a footgun — pin the frame, share one sort). Values
+    * pass through untouched (no arithmetic), so no rounding is needed for
+    * engine parity.
+    */
+  def valueFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, sfDir).orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price")
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_window_trailing" -> (trailingSpend _),
     "q_window_topk_group" -> (top3OrdersPerCustomer _),
     "q_window_lag_gap" -> (orderGaps _),
-    "q_window_rank_funcs" -> (rankFunctions _)
+    "q_window_rank_funcs" -> (rankFunctions _),
+    "q_window_value_funcs" -> (valueFunctions _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -134,6 +156,15 @@ object Windows {
         | ntile(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q_window_value_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -165,6 +165,21 @@ class LakeTableSpec extends SparkSpec {
     assert(filesRead === filesF, s"read $filesRead files, partition holds $filesF")
   }
 
+  test("schema evolution: appended batch with a new column merges on read") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(path)
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "v"))
+    // old rows surface the evolved column as null
+    assert(merged.where(col("score").isNull).count() === 2)
+    assert(merged.where(col("score") === 9.5).select("id").head().getLong(0) === 3L)
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
