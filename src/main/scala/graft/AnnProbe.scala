@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
+import graft.text.{Ivf, Similarity}
+
+/** ANN scale probe (not part of the driver contract): replicates the
+  * embeddings table REP times with a seeded deterministic perturbation —
+  * replicas are near-neighbors of their original, mimicking a corpus with
+  * natural cluster structure — then measures exact brute-force cosine
+  * top-k against IVF and hyperplane-LSH on wall time and recall@k.
+  *
+  * Recall = |approx ∩ exact| / |exact| over all query-neighbor pairs.
+  * Results recorded in BASELINE.md.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.AnnProbe [rep]
+  */
+object AnnProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = args.headOption.map(_.toInt).getOrElse(10)
+    val k = 10
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    // replica r of vector v: every component nudged by a deterministic
+    // per-(id, r, dim) pseudo-random epsilon — near-dup of the original
+    val corpus = base
+      .crossJoin(spark.range(rep).select(col("id").as("r")))
+      .select(
+        (col("vec_id") * rep + col("r")).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) =>
+            x + when(col("r") === 0, lit(0.0f)).otherwise(
+              (pmod(xxhash64(col("vec_id"), col("r"), i), lit(1000)).cast("float")
+                / lit(10000.0f)) - lit(0.05f))
+        ).as("embedding"))
+      .localCheckpoint(true)
+    val n = corpus.count()
+    // ~100 original vectors as queries regardless of rep
+    val queries = corpus.where(col("vec_id") % (20L * rep) === 0)
+    val nq = queries.count()
+    println(s"corpus: $n vectors, $nq queries, k=$k")
+
+    def time(label: String)(body: => DataFrame): (Double, Set[(Long, Long)]) = {
+      val t0 = System.nanoTime()
+      val pairs = body.select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","sec":$sec%.2f,"pairs":${pairs.size}}""")
+      (sec, pairs)
+    }
+
+    val (bruteSec, exact) = time("brute") {
+      Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", k)
+    }
+    val (ivfSec, ivfPairs) = time("ivf_c64_p8") {
+      Ivf.ivfTopK(corpus, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 8)
+    }
+    val (lshSec, lshPairs) = time("lsh_6x8") {
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        dim = 64, k = k, nPlanes = 6, nTables = 8)
+    }
+    def recall(p: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0 else p.intersect(exact).size.toDouble / exact.size
+    println(
+      f"""{"metric":"ann_scale_probe","vectors":$n,"queries":$nq,"k":$k,""" +
+        f""""brute_sec":$bruteSec%.2f,""" +
+        f""""ivf_sec":$ivfSec%.2f,"ivf_recall":${recall(ivfPairs)}%.4f,""" +
+        f""""lsh_sec":$lshSec%.2f,"lsh_recall":${recall(lshPairs)}%.4f}""")
+    spark.stop()
+  }
+}
