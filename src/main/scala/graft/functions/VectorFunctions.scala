@@ -212,7 +212,82 @@ case class EuclideanDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All hyperplane-LSH bucket hashes of a vector in ONE expression:
+  * out(t) = Σ_p [dot(vec, planes(t)(p)) >= 0] << p, returned as
+  * array<long>, one element per table.
+  *
+  * Why fused: composing this from `when(dot(vec, typedlit(plane)) >= 0)`
+  * columns puts tables × planes inlined dot loops into one generated
+  * method; at 8×6 the method blows past the JIT/codegen method limits and
+  * the whole projection drops to interpreted eval — measured 58 s for the
+  * LSH candidate join on 100k vectors vs ~1 s fused (AnnProbe). Here the
+  * loop is plain JIT-compiled Scala over a primitive matrix
+  * (CodegenFallback costs one boxed call per row, irrelevant next to the
+  * tables×planes×dim arithmetic it hosts).
+  */
+case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<float|double>, got $other")
+    }
+
+  @transient private lazy val mat: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null // null slot -> null result, like dot
+      x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](mat.length)
+    var t = 0
+    while (t < mat.length) {
+      val ps = mat(t)
+      var h = 0L
+      var p = 0
+      while (p < ps.length) {
+        val w = ps(p)
+        var dot = 0.0
+        var j = 0
+        val m = math.min(n, w.length)
+        while (j < m) { dot += x(j) * w(j); j += 1 }
+        if (dot >= 0) h |= (1L << p)
+        p += 1
+      }
+      out(t) = h
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorFunctions {
+
+  /** Per-table hyperplane bucket hashes as a Column (array<long>). */
+  def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(
+      HyperplaneBuckets(GraftBridge.expression(vec), planes))
 
   /** dot product as a Column. */
   def dot(a: Column, b: Column): Column =

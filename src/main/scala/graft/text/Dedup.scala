@@ -265,13 +265,12 @@ object Dedup {
       corpusSizeHint.getOrElse(df.count()), targetBucketSize))
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(planeCount, dim)(rnd.nextGaussian())
-    val planeCols = planes.zipWithIndex.map { case (p, i) =>
-      val lit_p = array(p.map(x => lit(x)): _*)
-      when(VectorFunctions.dot(col(vecCol), lit_p) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
+    // single-table fused bucket hash (see graft.functions.HyperplaneBuckets
+    // — per-plane composed columns drop out of codegen as planes grow)
     val bucketed = df.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      planeCols.reduce(_ + _).as("bucket"))
+      VectorFunctions.hyperplaneBuckets(
+        col(vecCol), Seq(planes.map(_.toSeq).toSeq)).getItem(0).as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -67,26 +67,30 @@ object Similarity {
     // one plane set, shared verbatim by both sides
     val tables: Seq[Array[Array[Double]]] =
       Seq.fill(nTables)(Array.fill(nPlanes, dim)(rnd.nextGaussian()))
-    def buckets(d: DataFrame, id: String, vec: String) = {
-      val tableCols = tables.zipWithIndex.map { case (planes, t) =>
-        val bits = planes.zipWithIndex.map { case (p, i) =>
-          when(VectorFunctions.dot(col(vec), array(p.map(lit).toIndexedSeq: _*)) >= 0,
-            lit(1L << i)).otherwise(lit(0L))
-        }
-        struct(lit(t).as("t"), bits.reduce(_ + _).as("h"))
-      }
-      d.select(col(id), col(vec), explode(array(tableCols: _*)).as("bk"))
-        .select(col(id), col(vec), col("bk.t").as("t"), col("bk.h").as("h"))
-    }
+    // ONE fused expression computes every table's bucket hash (see
+    // [[graft.functions.HyperplaneBuckets]] — the composed per-plane
+    // column version fell out of codegen at 8x6 planes and ran ~50x
+    // slower, measured by AnnProbe)
+    val planeSeq: Seq[Seq[Seq[Double]]] = tables.map(_.map(_.toSeq).toSeq)
+    def buckets(d: DataFrame, id: String, vec: String) =
+      d.select(col(id), col(vec),
+          posexplode(VectorFunctions.hyperplaneBuckets(col(vec), planeSeq))
+            .as(Seq("t", "h")))
     val cb = buckets(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
     val qb = buckets(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
-    val cand = cb.join(broadcast(qb), Seq("t", "h"))
+    // score BEFORE deduping: a pair matching in several tables is scored
+    // up to nTables times (64-dim cosine is cheap), but the dedup then
+    // shuffles only the narrow (q_id, n_id, cos) tuple. Deduping first —
+    // distinct over rows still carrying both vectors — shuffles ~600
+    // bytes/row of vector payload and was the measured bottleneck of the
+    // whole LSH path (AnnProbe, 100k vectors: 76s -> see BASELINE.md).
+    val scored = cb.join(broadcast(qb), Seq("t", "h"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-      .distinct()
-    val scored = cand.select(
-      col("q_id"), col("n_id"),
-      VectorFunctions.cosineSim(col("q_vec"), col("n_vec")).as("cos"))
+      .select(
+        col("q_id"), col("n_id"),
+        VectorFunctions.cosineSim(col("q_vec"), col("n_vec")).as("cos"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("bigint"))
