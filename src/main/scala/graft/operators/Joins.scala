@@ -120,7 +120,30 @@ object Joins {
       .orderBy(col("n_name"))
   }
 
+  /** Correlated-subquery surface (C4 extension): EXISTS, NOT EXISTS and a
+    * correlated scalar count in one statement. Catalyst decorrelates
+    * these into left-semi / left-anti / aggregate-join plans — the same
+    * physical shapes as the explicit joins above, which is exactly why
+    * the SQL face is safe at scale.
+    */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    t.nation.createOrReplaceTempView("graft_nation_ex")
+    t.supplier.createOrReplaceTempView("graft_supplier_ex")
+    spark.sql(
+      """SELECT n_name,
+        | (SELECT count(*) FROM graft_supplier_ex s
+        |  WHERE s.s_nationkey = n.n_nationkey) AS n_sup
+        |FROM graft_nation_ex n
+        |WHERE EXISTS (SELECT 1 FROM graft_supplier_ex s
+        |              WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_supplier_ex s
+        |                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < -800)
+        |ORDER BY n_name""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_exists_subquery" -> (existsSubquery _),
     "q_join_star_revenue" -> (revenueBySegment _),
     "q_join_supplier_region" -> (supplierByRegion _),
     "q_join_left_outer" -> (ordersPerCustomer _),
@@ -131,6 +154,16 @@ object Joins {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_exists_subquery" ->
+      """SELECT n_name,
+        | (SELECT count(*) FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey) AS n_sup
+        |FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM supplier s
+        |              WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier s
+        |                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < -800)
+        |ORDER BY n_name""".stripMargin,
     "q_join_star_revenue" ->
       """SELECT c_mktsegment,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -87,6 +87,27 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Upsert (Delta `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    * INSERT` with whole-row semantics): rows in `updates` replace
+    * current rows sharing the key; everything else is kept. One
+    * left_anti join (current minus touched keys) + a union, staged to a
+    * sibling dir and swapped — the table is never read and overwritten
+    * in the same job. At scale the anti join is the cost: updates
+    * broadcast when small (AQE), else a key shuffle; with a partitioned
+    * layout prefer [[overwritePartitions]] to rewrite only touched
+    * partitions.
+    */
+  def upsert(updates: DataFrame, keys: Seq[String]): LakeTable = {
+    val cur = read
+    require(keys.nonEmpty && keys.forall(cur.columns.contains),
+      s"merge keys $keys must exist in the table")
+    val aligned = updates.select(cur.columns.map(col).toIndexedSeq: _*)
+    val untouched = cur.join(
+      aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    rewrite(aligned.unionByName(untouched),
+      "MERGE", Map("keys" -> keys.mkString(",")))
+  }
+
   /** Run a data write (which on Overwrite deletes the table dir, commit
     * log included) with the tiny log buffered in memory across it and
     * restored after — callers `commit()` AFTER this returns, so version

@@ -126,6 +126,32 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A3 extension (Delta MERGE INTO analogue): seed a lake table with
+    * orders, upsert a deterministic update set (every custkey%10==0 order
+    * repriced x2) plus an insert set (shifted orderkeys), then aggregate
+    * the merged table. The oracle reconstructs the same merge in SQL, so
+    * matched-update, unmatched-insert AND untouched-keep paths are all
+    * content-checked.
+    */
+  def lakeMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_merge"))
+    lake.write(t.orders)
+    val repriced = t.orders
+      .where(col("o_custkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = t.orders
+      .where(col("o_custkey") % 97 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    lake.upsert(repriced.unionByName(inserts), Seq("o_orderkey"))
+    lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -142,6 +168,7 @@ object SourceQueries {
     "q_lake_optimize_cluster" -> (lakeOptimizeCluster _),
     "q_lake_zorder" -> (lakeZorder _),
     "q_lake_partitioned" -> (lakePartitioned _),
+    "q_lake_merge" -> (lakeMerge _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
@@ -163,6 +190,23 @@ object SourceQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_merge" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 97 = 3),
+        |merged AS (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT * FROM orders o
+        |  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations

@@ -180,6 +180,24 @@ class LakeTableSpec extends SparkSpec {
     assert(merged.where(col("score") === 9.5).select("id").head().getLong(0) === 3L)
   }
 
+  test("upsert: matched rows replaced, unmatched inserted, rest untouched") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path)
+      .write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x"))
+    lake.upsert(
+      Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("id", "v", "x"), Seq("id"))
+    val got = lake.read.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      1L -> ("a", 10.0),   // untouched
+      2L -> ("B2", 99.0),  // updated
+      3L -> ("c", 30.0),   // untouched
+      9L -> ("new", 1.0))) // inserted
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.contains("MERGE") && ops.contains("WRITE OVERWRITE"))
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
