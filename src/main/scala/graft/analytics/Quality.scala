@@ -25,7 +25,10 @@ object Quality {
     val agg = df.agg(
       count(lit(1)).as("__total"),
       rules.map { case (name, rule) =>
-        sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+        // coalesce the SUM too: over zero rows it is NULL, which would
+        // surface as violations=NULL / passed=NULL on an empty input
+        coalesce(sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)), lit(0L))
+          .as(s"__v_$name")
       }: _*)
     // unpivot the single aggregate row to (rule, violations, total) rows —
     // Generate expand, no extra pass

@@ -251,6 +251,9 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // dimension mismatch -> NULL, same contract as DotProduct on
+    // different-length vectors (truncating would silently degrade recall)
+    if (mat.nonEmpty && mat(0).nonEmpty && n != mat(0)(0).length) return null
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -268,8 +271,7 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
         val w = ps(p)
         var dot = 0.0
         var j = 0
-        val m = math.min(n, w.length)
-        while (j < m) { dot += x(j) * w(j); j += 1 }
+        while (j < n) { dot += x(j) * w(j); j += 1 }
         if (dot >= 0) h |= (1L << p)
         p += 1
       }

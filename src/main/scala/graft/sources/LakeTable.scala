@@ -101,9 +101,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val cur = read
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
+    // materialize once: the plan feeds BOTH the anti-join key side and
+    // the union, and a derived updates source would otherwise run twice
     val aligned = updates.select(cur.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    // Delta MERGE rejects multiple source rows per key; writing them
+    // would silently break the table's key invariant
+    val dup = aligned.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+    require(dup == 0, s"updates contain duplicate merge keys $keys")
     val untouched = cur.join(
-      aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      aligned.select(keys.map(col): _*), keys, "left_anti")
     rewrite(aligned.unionByName(untouched),
       "MERGE", Map("keys" -> keys.mkString(",")))
   }

@@ -32,6 +32,18 @@ class QualitySpec extends SparkSpec {
     assert(rep("tag_ok") === 2) // "bad" fails, null tag is a violation too
   }
 
+  test("empty input reports zero violations, not NULLs") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "tag")
+    val rows = Quality.report(empty, Seq("id_not_null" -> col("id").isNotNull))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 0L) // violations
+    assert(rows.head.getLong(2) === 0L) // total
+    assert(rows.head.getBoolean(3))     // passed
+  }
+
   test("enforce passes clean data through and fails dirty data loudly") {
     val orders = Tables(spark, sf0001).orders
     val out = Quality.enforce(orders, Seq("pk" -> col("o_orderkey").isNotNull))

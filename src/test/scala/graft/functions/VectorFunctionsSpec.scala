@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class VectorFunctionsSpec extends SparkSpec {
+
+  test("hyperplane buckets: dimension mismatch yields NULL like dot, not truncation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val planes: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(1.0, 1.0))) // dim 2
+    val df = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.functions.VectorFunctions.hyperplaneBuckets(col("v"), planes).as("b"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) === Seq(1L)) // dot = 2 >= 0 -> bit 0
+    assert(rows(1).isNullAt(1), "3-dim vector vs 2-dim planes must be NULL")
+  }
   import spark.implicits._
 
   private val eps = 1e-12

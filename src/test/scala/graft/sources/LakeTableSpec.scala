@@ -198,6 +198,18 @@ class LakeTableSpec extends SparkSpec {
     assert(ops.contains("MERGE") && ops.contains("WRITE OVERWRITE"))
   }
 
+  test("upsert rejects duplicate merge keys instead of writing both rows") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a")).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      lake.upsert(Seq((2L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate merge keys"))
+    assert(lake.read.count() === 1) // table untouched
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
