@@ -138,7 +138,7 @@ object Joins {
         |WHERE EXISTS (SELECT 1 FROM graft_supplier_ex s
         |              WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000)
         |  AND NOT EXISTS (SELECT 1 FROM graft_supplier_ex s
-        |                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < -800)
+        |                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < 1000)
         |ORDER BY n_name""".stripMargin)
   }
 
@@ -162,7 +162,7 @@ object Joins {
         |WHERE EXISTS (SELECT 1 FROM supplier s
         |              WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000)
         |  AND NOT EXISTS (SELECT 1 FROM supplier s
-        |                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < -800)
+        |                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < 1000)
         |ORDER BY n_name""".stripMargin,
     "q_join_star_revenue" ->
       """SELECT c_mktsegment,

@@ -187,7 +187,22 @@ object EventsAnalytics {
         unix_micros(max(col("ts_ts"))).as("last_seen_us"))
       .orderBy(col("user_id"))
 
+  /** Batch dual of the L4 streaming dedup: a doubled event feed (every
+    * event delivered twice — the at-least-once delivery the streaming
+    * `dropDuplicatesWithinWatermark` exists for) deduped by event_id back
+    * to exact tumbling counts. The oracle aggregates the CLEAN feed, so
+    * the row would mismatch if dedup under- or over-dropped. Duplicate
+    * rows are byte-identical, so the nondeterministic dropDuplicates
+    * survivor is still deterministic content.
+    */
+  def qStreamDedupDual(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    tumblingHourly(ev.unionByName(ev).dropDuplicates("event_id"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_dedup_dual" -> (qStreamDedupDual _),
     "q_events_tumbling" -> (qTumbling _),
     "q_events_sliding" -> (qSliding _),
     "q_events_sessions" -> (qSessions _),
@@ -195,6 +210,10 @@ object EventsAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stream_dedup_dual" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value

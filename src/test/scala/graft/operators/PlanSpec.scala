@@ -82,6 +82,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins, never a cartesian") {
+    val p = finalPlan(Joins.existsSubquery(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the agg pipeline") {
     val df = Relational.q1PricingSummary(spark, sf0001)
     df.collect() // finalize the AQE plan; codegen stages only appear then
