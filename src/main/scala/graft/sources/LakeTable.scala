@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Parquet-backed lake table with a minimal JSON commit log.
   *
@@ -29,13 +30,20 @@ import org.apache.spark.sql.functions._
 final class LakeTable(spark: SparkSession, val path: String) {
 
   private val logDir = new Path(path, LakeTable.LogDirName)
+  private val schemaFile = new Path(logDir, LakeTable.SchemaFileName)
 
   private def fs: FileSystem =
     logDir.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Read the current table data. */
-  def read: DataFrame =
-    spark.read.parquet(path)
+  /** Read the current table data. The log-recorded schema (when present)
+    * is authoritative — like Delta, the reader never depends on which
+    * parquet footer file-listing order happens to surface first, and
+    * columns added by evolution read as null from pre-evolution files.
+    */
+  def read: DataFrame = storedSchema match {
+    case Some(s) => spark.read.schema(s).parquet(path)
+    case None    => spark.read.parquet(path)
+  }
 
   /** Write (overwrite or append) and record a commit.
     *
@@ -43,10 +51,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * log — so the (tiny) log is held in memory across the write and
     * restored after, preserving history like Delta does.
     */
-  def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): LakeTable = {
+  def write(
+      df: DataFrame,
+      mode: SaveMode = SaveMode.Overwrite,
+      mergeSchema: Boolean = false): LakeTable = {
+    val (aligned, schema) =
+      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema)
     preservingLog(mode) {
-      df.write.mode(mode).parquet(path)
+      aligned.write.mode(mode).parquet(path)
     }
+    saveSchema(schema)
     commit(if (mode == SaveMode.Append) "WRITE APPEND" else "WRITE OVERWRITE",
       Map("mode" -> mode.toString))
     this
@@ -62,10 +76,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
   def writePartitioned(
       df: DataFrame,
       partitionCols: Seq[String],
-      mode: SaveMode = SaveMode.Overwrite): LakeTable = {
+      mode: SaveMode = SaveMode.Overwrite,
+      mergeSchema: Boolean = false): LakeTable = {
+    val (aligned, schema) =
+      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema)
     preservingLog(mode) {
-      df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+      aligned.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
     }
+    saveSchema(schema)
     commit("WRITE PARTITIONED",
       Map("mode" -> mode.toString, "partitionBy" -> partitionCols.mkString(",")))
     this
@@ -77,11 +95,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * the whole table.
     */
   def overwritePartitions(df: DataFrame, partitionCols: Seq[String]): LakeTable = {
-    df.write
+    // dynamic overwrite leaves sibling partitions in place, so like Append
+    // it must match the standing table schema exactly — a drifted schema
+    // here would fracture the table across partition directories
+    val (aligned, schema) =
+      enforceSchema(df, appendLike = true, mergeSchema = false)
+    aligned.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    saveSchema(schema)
     commit("OVERWRITE PARTITIONS",
       Map("mode" -> "dynamic", "partitionBy" -> partitionCols.mkString(",")))
     this
