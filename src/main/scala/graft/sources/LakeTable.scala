@@ -140,6 +140,80 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "MERGE", Map("keys" -> keys.mkString(",")))
   }
 
+  /** Schema-on-write enforcement (Delta parity — the reference leans on
+    * Delta's implicit check on every write, 00-etl-rwd.py:94-141).
+    *
+    * Overwrite replaces the table, so the incoming schema simply becomes
+    * the new table schema. Append-like writes (Append, dynamic partition
+    * overwrite) must match the standing schema:
+    *   - type drift on a shared column is ALWAYS rejected;
+    *   - new columns are rejected unless `mergeSchema = true`, which
+    *     evolves the table by appending them as nullable (pre-evolution
+    *     files read them as null via the stored-schema read path);
+    *   - absent columns are filled with typed nulls (Delta allows
+    *     subset-column appends);
+    *   - columns are aligned to the table's order, so positional parquet
+    *     readers can never mis-bind a reordered DataFrame.
+    * Name matching is case-insensitive, matching Spark's default
+    * resolution. Returns the aligned frame and the (possibly evolved)
+    * schema to persist.
+    */
+  private def enforceSchema(
+      df: DataFrame,
+      appendLike: Boolean,
+      mergeSchema: Boolean): (DataFrame, StructType) = {
+    val stored = if (appendLike) storedSchema else None
+    stored match {
+      case None => (df, df.schema)
+      case Some(table) =>
+        def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+        val inByName = df.schema.fields.map(f => key(f.name) -> f).toMap
+        val tableNames = table.fields.map(f => key(f.name)).toSet
+        val drifted = table.fields.flatMap { tf =>
+          inByName.get(key(tf.name)).filter(_.dataType != tf.dataType).map { inf =>
+            s"${tf.name}: table ${tf.dataType.simpleString} vs incoming ${inf.dataType.simpleString}"
+          }
+        }
+        require(drifted.isEmpty,
+          s"schema mismatch appending to $path — type drift on: ${drifted.mkString("; ")}")
+        val added = df.schema.fields.filterNot(f => tableNames.contains(key(f.name)))
+        require(mergeSchema || added.isEmpty,
+          s"schema mismatch appending to $path — incoming columns not in table: " +
+            s"${added.map(_.name).mkString(", ")} (pass mergeSchema = true to evolve)")
+        val evolved = StructType(table.fields ++ added.map(_.copy(nullable = true)))
+        val alignedCols = evolved.fields.map { f =>
+          if (inByName.contains(key(f.name))) col(f.name).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        (df.select(alignedCols.toIndexedSeq: _*), evolved)
+    }
+  }
+
+  /** The authoritative table schema persisted beside the commit log, if
+    * one has been recorded. Named WITHOUT a `.json` suffix so
+    * [[CommitLog.history]]'s `*.json` glob and `currentCount`'s filter
+    * never mistake it for a commit record.
+    */
+  private[sources] def storedSchema: Option[StructType] = {
+    val f = fs
+    if (!f.exists(schemaFile)) None
+    else {
+      val in = f.open(schemaFile)
+      val json =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      Some(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+  }
+
+  private def saveSchema(schema: StructType): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val out = f.create(schemaFile, true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Run a data write (which on Overwrite deletes the table dir, commit
     * log included) with the tiny log buffered in memory across it and
     * restored after — callers `commit()` AFTER this returns, so version
@@ -236,6 +310,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
 object LakeTable {
   val LogDirName = "_graft_log"
   val StageSuffix = "__staging"
+  // no .json suffix: CommitLog treats only *.json under the log dir as commits
+  val SchemaFileName = "_schema"
 
   def apply(spark: SparkSession, path: String): LakeTable =
     new LakeTable(spark, path)
