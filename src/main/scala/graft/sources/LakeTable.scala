@@ -54,9 +54,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
   def write(
       df: DataFrame,
       mode: SaveMode = SaveMode.Overwrite,
-      mergeSchema: Boolean = false): LakeTable = {
+      mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false): LakeTable = {
+    // Ignore on an existing table is a no-op for the data files, so it
+    // must be a no-op for the log too — replacing the authoritative
+    // schema while leaving the old files behind would corrupt reads
+    if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val (aligned, schema) =
-      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema)
+      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
     preservingLog(mode) {
       aligned.write.mode(mode).parquet(path)
     }
@@ -77,9 +82,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       df: DataFrame,
       partitionCols: Seq[String],
       mode: SaveMode = SaveMode.Overwrite,
-      mergeSchema: Boolean = false): LakeTable = {
+      mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false): LakeTable = {
     val (aligned, schema) =
-      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema)
+      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
     preservingLog(mode) {
       aligned.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
     }
@@ -99,7 +105,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // it must match the standing table schema exactly — a drifted schema
     // here would fracture the table across partition directories
     val (aligned, schema) =
-      enforceSchema(df, appendLike = true, mergeSchema = false)
+      enforceSchema(df, appendLike = true, mergeSchema = false, overwriteSchema = false)
     aligned.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -126,8 +132,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     // materialize once: the plan feeds BOTH the anti-join key side and
-    // the union, and a derived updates source would otherwise run twice
-    val aligned = updates.select(cur.columns.map(col).toIndexedSeq: _*)
+    // the union, and a derived updates source would otherwise run twice.
+    // Cast to the table's column types (Delta MERGE casts source to
+    // target) so the later union can't silently widen the table schema
+    val aligned = updates.select(cur.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .localCheckpoint(true)
     // Delta MERGE rejects multiple source rows per key; writing them
     // would silently break the table's key invariant
@@ -153,20 +162,42 @@ final class LakeTable(spark: SparkSession, val path: String) {
     *   - absent columns are filled with typed nulls (Delta allows
     *     subset-column appends);
     *   - columns are aligned to the table's order, so positional parquet
-    *     readers can never mis-bind a reordered DataFrame.
+    *     readers can never mis-bind a reordered DataFrame;
+    *   - nullability widens with the data: a nullable (or absent → null
+    *     fill) incoming column makes the persisted field nullable, so the
+    *     stored schema never claims non-null over files that hold nulls.
+    * Overwrite with a standing schema is checked too (Delta parity): a
+    * changed column set or drifted type is rejected unless
+    * `overwriteSchema = true` explicitly replaces the table schema.
     * Name matching is case-insensitive, matching Spark's default
-    * resolution. Returns the aligned frame and the (possibly evolved)
-    * schema to persist.
+    * resolution, but alignment selects by the INCOMING field's own name
+    * so it also resolves under spark.sql.caseSensitive=true. Returns the
+    * aligned frame and the (possibly evolved) schema to persist.
     */
   private def enforceSchema(
       df: DataFrame,
       appendLike: Boolean,
-      mergeSchema: Boolean): (DataFrame, StructType) = {
-    val stored = if (appendLike) storedSchema else None
-    stored match {
+      mergeSchema: Boolean,
+      overwriteSchema: Boolean = false): (DataFrame, StructType) = {
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val stored = storedSchema
+    if (!appendLike) {
+      // Overwrite: the incoming schema becomes the table schema, but a
+      // SILENT retype of a standing table is rejected like Delta does —
+      // names+types are compared order-insensitively, nullability ignored
+      stored.foreach { table =>
+        val same = table.fields.length == df.schema.fields.length && {
+          val inTypes = df.schema.fields.map(f => key(f.name) -> f.dataType).toMap
+          table.fields.forall(tf => inTypes.get(key(tf.name)).contains(tf.dataType))
+        }
+        require(same || overwriteSchema,
+          s"schema mismatch overwriting $path — table ${table.simpleString} vs " +
+            s"incoming ${df.schema.simpleString} (pass overwriteSchema = true to replace)")
+      }
+      (df, df.schema)
+    } else stored match {
       case None => (df, df.schema)
       case Some(table) =>
-        def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
         val inByName = df.schema.fields.map(f => key(f.name) -> f).toMap
         val tableNames = table.fields.map(f => key(f.name)).toSet
         val drifted = table.fields.flatMap { tf =>
@@ -180,10 +211,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
         require(mergeSchema || added.isEmpty,
           s"schema mismatch appending to $path — incoming columns not in table: " +
             s"${added.map(_.name).mkString(", ")} (pass mergeSchema = true to evolve)")
-        val evolved = StructType(table.fields ++ added.map(_.copy(nullable = true)))
+        val evolved = StructType(table.fields.map { tf =>
+          // widen, never narrow: once any file may hold nulls the stored
+          // schema must say nullable, or stored-schema reads misbehave
+          val nowNullable = inByName.get(key(tf.name)).forall(_.nullable)
+          if (nowNullable && !tf.nullable) tf.copy(nullable = true) else tf
+        } ++ added.map(_.copy(nullable = true)))
         val alignedCols = evolved.fields.map { f =>
-          if (inByName.contains(key(f.name))) col(f.name).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          inByName.get(key(f.name)) match {
+            case Some(inf) => col(inf.name).as(f.name)
+            case None      => lit(null).cast(f.dataType).as(f.name)
+          }
         }
         (df.select(alignedCols.toIndexedSeq: _*), evolved)
     }
@@ -290,6 +328,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
     f.delete(p, true)
     f.rename(s, p)
+    // the rewritten frame IS the table now — keep the authoritative
+    // schema in lockstep so stored-schema reads match the new files
+    // (upsert casts to the table types, so this is a no-op for MERGE;
+    // for optimize it refreshes nullability after the clustered rewrite)
+    saveSchema(clustered.schema)
     commit(op, params)
     this
   }

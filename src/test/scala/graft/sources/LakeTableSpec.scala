@@ -210,6 +210,113 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.read.count() === 1) // table untouched
   }
 
+  test("append rejects type drift; mergeSchema=true evolves with a new nullable column") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // drift: id arrives as int, table says bigint
+    val drift = intercept[IllegalArgumentException] {
+      lake.write(Seq((3, "c")).toDF("id", "v"), SaveMode.Append)
+    }
+    assert(drift.getMessage.contains("type drift"))
+    // new column without opt-in is rejected
+    val extra = intercept[IllegalArgumentException] {
+      lake.write(Seq((3L, "c", 1.5)).toDF("id", "v", "score"), SaveMode.Append)
+    }
+    assert(extra.getMessage.contains("mergeSchema"))
+    // opt-in evolves: old rows read the new column as null
+    lake.write(Seq((3L, "c", 1.5)).toDF("id", "v", "score"),
+      SaveMode.Append, mergeSchema = true)
+    val out = lake.read
+    assert(out.columns.toSeq === Seq("id", "v", "score"))
+    assert(out.where(col("score").isNull).count() === 2)
+    assert(out.count() === 3)
+  }
+
+  test("SaveMode.Ignore on an existing table touches neither data nor schema nor log") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a")).toDF("id", "v"))
+    val histBefore = lake.history.count()
+    // an Ignore write with a DIFFERENT schema must be a full no-op —
+    // previously it silently replaced the authoritative stored schema
+    lake.write(Seq((9.9, true)).toDF("x", "y"), SaveMode.Ignore)
+    assert(lake.read.columns.toSeq === Seq("id", "v"))
+    assert(lake.read.count() === 1)
+    assert(lake.history.count() === histBefore)
+  }
+
+  test("overwrite with a changed schema requires overwriteSchema=true (Delta default)") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a")).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      lake.write(Seq((1L, 2.0)).toDF("id", "score"))
+    }
+    assert(ex.getMessage.contains("overwriteSchema"))
+    // same shape (modulo order/nullability) overwrites freely
+    lake.write(Seq(("z", 7L)).toDF("v", "id"))
+    assert(lake.read.count() === 1)
+    // explicit opt-in replaces the schema
+    lake.write(Seq((1L, 2.0)).toDF("id", "score"), overwriteSchema = true)
+    assert(lake.read.columns.toSeq === Seq("id", "score"))
+  }
+
+  test("append widens stored nullability instead of lying about non-null columns") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    // seed a table whose stored schema says v is non-nullable
+    val strict = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val lake = LakeTable(spark, path).write(strict)
+    // append rows where v may be (and is) null
+    lake.write(Seq((2L, Option.empty[String])).toDF("id", "v"), SaveMode.Append)
+    val schema = lake.read.schema
+    assert(schema("v").nullable, "stored schema must widen to nullable")
+    assert(lake.read.where(col("v").isNull).count() === 1)
+  }
+
+  test("upsert keeps the table's column types when updates arrive wider") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1, 10.0f), (2, 20.0f)).toDF("id", "x")) // int, float
+    // updates come in as bigint/double — union coercion would widen the
+    // table; the cast-to-target keeps the stored schema authoritative
+    lake.upsert(Seq((2L, 99.0), (3L, 5.0)).toDF("id", "x"), Seq("id"))
+    val schema = lake.read.schema
+    assert(schema("id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(schema("x").dataType === org.apache.spark.sql.types.FloatType)
+    val got = lake.read.collect().map(r => r.getInt(0) -> r.getFloat(1)).toMap
+    assert(got === Map(1 -> 10.0f, 2 -> 99.0f, 3 -> 5.0f))
+  }
+
+  test("schema alignment resolves under spark.sql.caseSensitive=true") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a")).toDF("Id", "V"))
+    val prev = spark.conf.getOption("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try lake.write(Seq((2L, "b")).toDF("id", "v"), SaveMode.Append)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.caseSensitive", v)
+      case None    => spark.conf.unset("spark.sql.caseSensitive")
+    }
+    // table-cased names win; both rows present
+    assert(lake.read.columns.toSeq === Seq("Id", "V"))
+    assert(lake.read.count() === 2)
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
