@@ -68,16 +68,27 @@ object Cohort {
     * number without it labeled 0 (02-patient-trajectory.py:68-82 —
     * including the reference's deliberate `limit(caseCount)` on controls,
     * made deterministic with an orderBy).
+    *
+    * The control cap is fully distributed: the case count rides as a
+    * 1-row broadcast aggregate and the cap is a `row_number() <= n`
+    * window predicate. The old `orderBy().limit(count.toInt)` planned as
+    * TakeOrderedAndProject, which materializes ALL kept rows on the
+    * driver — a driver OOM once cohorts reach millions — and `.toInt`
+    * silently truncated past 2^31. The window sorts once (externally,
+    * spillable) and the output stays on executors.
     */
   def caseControl(df: DataFrame, entityCol: String, categoryCol: String,
       pattern: String): DataFrame = {
     val cases = entitiesWith(df, entityCol, categoryCol, pattern)
       .withColumn("label", lit(1))
-    val caseCount = cases.count()
+    val caseCount = cases.agg(count(lit(1)).as("__case_count"))
     val controls = df.select(col(entityCol)).distinct()
       .join(cases.select(entityCol), Seq(entityCol), "left_anti")
-      .orderBy(col(entityCol)) // determinism: reference used bare limit
-      .limit(caseCount.toInt)
+      .withColumn("__rn", // determinism: reference used bare limit
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(entityCol))))
+      .crossJoin(broadcast(caseCount))
+      .where(col("__rn") <= col("__case_count"))
+      .select(col(entityCol))
       .withColumn("label", lit(0))
     cases.union(controls)
   }

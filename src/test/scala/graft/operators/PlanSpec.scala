@@ -89,6 +89,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("caseControl caps controls with a distributed window, not a driver-side limit") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.core.Tables(spark, sf0001).orders
+    val df = graft.analytics.Cohort.caseControl(
+      orders, "o_custkey", "o_orderpriority", "urgent")
+    // semantics: controls = min(caseCount, available non-case entities),
+    // the same cap the reference's limit(caseCount) applied
+    val byLabel = df.groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nonCases = orders.select(col("o_custkey")).distinct().count() - byLabel(1)
+    assert(byLabel(1) > 0)
+    assert(byLabel(0) === math.min(byLabel(1), nonCases), byLabel)
+    assert(df.groupBy(col("o_custkey")).count()
+      .where(col("count") > 1).count() === 0, "an entity appeared as case AND control")
+    // plan: the controls cap is a WindowExec row_number — the old
+    // orderBy+limit planned TakeOrderedAndProject, which materializes
+    // caseCount rows on the driver (OOM at cohort scale)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CollectLimit"), p)
+  }
+
   test("whole-stage codegen covers the agg pipeline") {
     val df = Relational.q1PricingSummary(spark, sf0001)
     df.collect() // finalize the AQE plan; codegen stages only appear then
