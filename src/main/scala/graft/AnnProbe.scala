@@ -62,6 +62,10 @@ object AnnProbe {
     val (ivfSec, ivfPairs) = time("ivf_c64_p8") {
       Ivf.ivfTopK(corpus, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 8)
     }
+    val (ivfSampSec, ivfSampPairs) = time("ivf_c64_p8_sample5pct") {
+      Ivf.ivfTopK(corpus, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 8,
+        buildSampleFraction = 0.05)
+    }
     val (lshSec, lshPairs) = time("lsh_6x8") {
       Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
         dim = 64, k = k, nPlanes = 6, nTables = 8)
@@ -72,6 +76,7 @@ object AnnProbe {
       f"""{"metric":"ann_scale_probe","vectors":$n,"queries":$nq,"k":$k,""" +
         f""""brute_sec":$bruteSec%.2f,""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_recall":${recall(ivfPairs)}%.4f,""" +
+        f""""ivf_sampled_sec":$ivfSampSec%.2f,"ivf_sampled_recall":${recall(ivfSampPairs)}%.4f,""" +
         f""""lsh_sec":$lshSec%.2f,"lsh_recall":${recall(lshPairs)}%.4f}""")
     spark.stop()
   }

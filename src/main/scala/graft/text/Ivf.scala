@@ -2,25 +2,105 @@ package graft.text
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.sources.LakeTable
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
   * scale path for M3 (complements the hyperplane-LSH variant in
   * [[Similarity.lshTopK]]).
   *
-  * Index: seeded k-means over the corpus; every vector is assigned to its
+  * Index: seeded k-means centroids; every vector is assigned to its
   * nearest centroid cell (one narrow int column — at 100 TB this is the
   * cheap, write-once part). Query: score only vectors in the `nProbe`
   * cells whose centroids are closest to the query — cost drops from
   * |corpus| to ~|corpus| * nProbe / nCells per query, at recall measured
-  * in SimilaritySpec.
+  * in SimilaritySpec and AnnProbe.
+  *
+  * Scale design:
+  *   - the k-means fit accepts `sampleFraction`: each fit iteration scans
+  *     its input, so a full-corpus fit at 100 TB is the index-build
+  *     bottleneck. Centroid quality converges long before a percent of
+  *     the corpus is seen, so the quantizer is fit on a seeded sample and
+  *     only the single-pass cell ASSIGNMENT touches every vector.
+  *   - centroids are a standing index: [[saveIndex]]/[[loadIndex]] persist
+  *     the tiny (cell, center) table via [[LakeTable]], so repeat queries
+  *     skip the build entirely and reuse one quantizer across jobs.
+  *   - assignment is a broadcast cross-join + argmin over nCells
+  *     distances — embarrassingly parallel, no shuffle of the corpus.
   */
 object Ivf {
 
+  /** Fit the coarse quantizer (euclidean k-means, the standard IVF
+    * metric) and return the tiny (cell, center) centroid table.
+    */
+  def fitCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nCells: Int = 16,
+      seed: Long = 42L,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base =
+      if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
+    val feats = base.select(array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(feats)
+    model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "center")
+  }
+
+  /** Persist the centroid table as a standing index (a lake table of its
+    * own — versioned, with commit history like any other table).
+    */
+  def saveIndex(centers: DataFrame, path: String): Unit =
+    LakeTable(centers.sparkSession, path).write(centers)
+
+  /** Load a standing index written by [[saveIndex]]. */
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    LakeTable(spark, path).read
+
+  /** Assign every vector its nearest-centroid cell (euclidean argmin —
+    * the k-means assignment rule). The tiny centroid table is collapsed
+    * into ONE projection expression (`array_min` over per-cell
+    * (distance, cell) structs), so assignment is map-only: no join, no
+    * shuffle, stays inside whole-stage codegen. A cross-join + window
+    * argmin would shuffle |corpus| × nCells rows — the wrong shape for a
+    * single narrow derived column at 100 TB.
+    */
+  def assignCells(df: DataFrame, centers: DataFrame, vecCol: String): DataFrame = {
+    // nCells is small by construction (a coarse quantizer) — collecting
+    // the centroid matrix is a few KB. The argmin runs as ONE fused
+    // expression over a primitive matrix: nCells composed
+    // euclidean(typedlit) columns would repeat the HyperplaneBuckets
+    // codegen blowup (measured 6x slower at 64 cells × 64 dims).
+    val local = centers.select(col("cell"), col("center")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    val pos = VectorFunctions.nearestCentroid(
+      col(vecCol), local.map(_._2.toIndexedSeq).toIndexedSeq)
+    // argmin yields a POSITION in the sorted matrix; translate to the
+    // cell id so externally-built indexes with gaps still work
+    df.withColumn("cell",
+      element_at(typedlit(local.map(_._1).toIndexedSeq), pos + 1))
+  }
+
+  /** Top-k cosine neighbors per query via IVF probing.
+    *
+    * @param centers a standing index from [[fitCentroids]]/[[loadIndex]];
+    *                when absent the quantizer is fit in-line on
+    *                `buildSampleFraction` of the corpus
+    */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -29,27 +109,19 @@ object Ivf {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L
+      seed: Long = 42L,
+      buildSampleFraction: Double = 1.0,
+      centers: Option[DataFrame] = None
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("features", array_to_vector(col("n_vec")))
-    val km = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(c)
-    val assigned = model.transform(c).select(col("n_id"), col("n_vec"), col("cell"))
-
-    // centroids as a tiny DF of (cell, center) — broadcast to score queries
-    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "center")
+    val idx = centers.getOrElse(
+      fitCentroids(c, "n_vec", nCells, seed, buildSampleFraction))
+    val assigned = assignCells(c, idx, "n_vec")
 
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centers))
+    val probes = q.crossJoin(broadcast(idx))
       .withColumn("cdist", -VectorFunctions.cosineSim(col("q_vec"), col("center")))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nProbe)

@@ -44,6 +44,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("ivfTopK with a sampled quantizer build keeps recall close to the full fit") {
+    val e = Tables(spark, sf001).embeddings
+    val q = e.where(col("vec_id") < 20)
+    def pairs(frac: Double) =
+      Ivf.ivfTopK(e, q, "vec_id", "embedding", 3, nCells = 8, nProbe = 4,
+        buildSampleFraction = frac)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRecall = brute.intersect(pairs(1.0)).size.toDouble / brute.size
+    val sampledRecall = brute.intersect(pairs(0.5)).size.toDouble / brute.size
+    // the quantizer only partitions the space — a sample-fit quantizer
+    // costs at most a sliver of recall vs fitting on the whole corpus.
+    // (The tolerance is loose because sf0.01 is a tiny corpus; the tight
+    // ±0.01 claim is measured by AnnProbe at 100k+ vectors.)
+    assert(sampledRecall >= fullRecall - 0.1,
+      s"sampled-build recall $sampledRecall vs full $fullRecall")
+    assert(sampledRecall >= 0.5, s"sampled recall $sampledRecall too low")
+  }
+
+  test("standing IVF index: save/load round-trips and reproduces the in-line build") {
+    val e = Tables(spark, sf0001).embeddings
+    val q = e.where(col("vec_id") < 10)
+    val centers = Ivf.fitCentroids(
+      e.select(col("embedding")), "embedding", nCells = 8, sampleFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").resolve("idx").toString
+    Ivf.saveIndex(centers, path)
+    val loaded = Ivf.loadIndex(spark, path)
+    assert(loaded.count() === 8)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Ivf.ivfTopK(e, q, "vec_id", "embedding", 3, nCells = 8, nProbe = 4,
+        centers = Some(idx)).collect().map(_.toSeq).toSeq
+    assert(run(loaded) === run(centers),
+      "persisted index must reproduce the in-memory index exactly")
+  }
+
   test("lshTopK is deterministic given the seed") {
     val e = Tables(spark, sf0001).embeddings
     val q = e.where(col("vec_id") < 3)
