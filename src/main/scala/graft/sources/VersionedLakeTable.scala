@@ -59,6 +59,37 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     spark.read.parquet(versionDir(v))
   }
 
+  /** Resolve the data version that was current at `ts` — the latest
+    * commit carrying a `dataVersion` whose timestamp is <= ts (Delta
+    * `TIMESTAMP AS OF` semantics, resolved from the same history that
+    * DESCRIBE HISTORY surfaces). The log is O(commits) tiny, so the
+    * resolution is a driver-side scan of a few KB of JSON.
+    */
+  def versionAsOf(ts: java.time.Instant): Long = {
+    val rows = history
+      .where(col("operationParameters.dataVersion").isNotNull)
+      .select(col("timestamp"),
+        col("operationParameters.dataVersion").cast("long").as("dv"))
+      .collect()
+    require(rows.nonEmpty, s"no committed versions at $path")
+    val eligible = rows.filter(r =>
+      java.time.Instant.parse(r.getString(0)).compareTo(ts) <= 0)
+    require(eligible.nonEmpty, {
+      val first = rows.map(_.getString(0)).min
+      s"timestamp $ts predates the first commit ($first) at $path"
+    })
+    eligible.map(_.getLong(1)).max
+  }
+
+  /** Time travel by timestamp: the snapshot current at `ts`. A vacuumed
+    * snapshot resolves but fails in [[readVersion]] with a clear error —
+    * same contract as Delta after VACUUM.
+    */
+  def readAsOf(ts: java.time.Instant): DataFrame = readVersion(versionAsOf(ts))
+
+  /** ISO-8601 convenience overload (`2026-08-12T17:00:00Z`). */
+  def readAsOf(ts: String): DataFrame = readAsOf(java.time.Instant.parse(ts))
+
   /** Cluster into a NEW version (old snapshots remain readable). */
   def optimize(zorderBy: Seq[String], numFiles: Option[Int] = None): VersionedLakeTable = {
     val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)

@@ -59,6 +59,44 @@ class VersionedLakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](lake.vacuum(0))
   }
 
+  test("TIMESTAMP AS OF: before-first rejects, between-commits picks the earlier, after-last picks latest") {
+    val t = Tables(spark, sf0001)
+    val lake = VersionedLakeTable(spark, tmp())
+    lake.write(t.nation)                                  // v0: 25 rows
+    lake.write(t.nation.where(col("n_regionkey") === 0))  // v1: 5 rows
+    // pull the actual commit instants from the log — wall-clock guesses
+    // would make the test racy
+    val byVersion = lake.history
+      .select(col("operationParameters.dataVersion").cast("long"), col("timestamp"))
+      .collect().map(r => r.getLong(0) -> java.time.Instant.parse(r.getString(1))).toMap
+    val (t0, t1) = (byVersion(0L), byVersion(1L))
+    // before the first commit
+    val early = intercept[IllegalArgumentException] {
+      lake.readAsOf(t0.minusSeconds(60))
+    }
+    assert(early.getMessage.contains("predates"))
+    // exactly at v0, and in the gap before v1 (commit instants are
+    // microsecond-resolution; at-or-after t0 but before t1 resolves v0)
+    assert(lake.readAsOf(t0).count() === 25)
+    if (t1.isAfter(t0)) {
+      assert(lake.versionAsOf(t1.minusNanos(1000)) === 0L)
+    }
+    // at v1 and any time after: the latest snapshot
+    assert(lake.readAsOf(t1).count() === 5)
+    assert(lake.readAsOf(t1.plusSeconds(3600)).count() === 5)
+    // the string overload parses ISO-8601
+    assert(lake.readAsOf(t1.plusSeconds(3600).toString).count() === 5)
+  }
+
+  test("TIMESTAMP AS OF resolves through non-data commits (vacuum) to a data version") {
+    val t = Tables(spark, sf0001)
+    val lake = VersionedLakeTable(spark, tmp())
+    lake.write(t.region); lake.write(t.region)
+    lake.vacuum(keepLast = 1) // appends a commit with NO dataVersion
+    // "now" is after the vacuum commit; it must resolve to v1, not fail
+    assert(lake.readAsOf(java.time.Instant.now().plusSeconds(60)).count() === 5)
+  }
+
   test("readVersion on a missing version fails with a clear error") {
     val lake = VersionedLakeTable(spark, tmp())
     val e = intercept[IllegalArgumentException](lake.readVersion(7))
