@@ -3,9 +3,28 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta-style MERGE clause forms (`WHEN MATCHED [AND cond] THEN ...`).
+  * Conditions and SET expressions reference the target row as `t.<col>`
+  * and the source row as `s.<col>`; merge-key columns are unqualified
+  * (they are equal on matched rows by definition). Clauses are evaluated
+  * in order and the FIRST whose condition holds wins — Delta's rule.
+  */
+sealed trait MergeClause
+object MergeClause {
+
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...` —
+    * columns absent from `set` keep their target value.
+    */
+  final case class UpdateWhen(
+      set: Map[String, Column], cond: Option[Column] = None) extends MergeClause
+
+  /** `WHEN MATCHED [AND cond] THEN DELETE` */
+  final case class DeleteWhen(cond: Option[Column] = None) extends MergeClause
+}
 
 /** Parquet-backed lake table with a minimal JSON commit log.
   *
@@ -147,6 +166,86 @@ final class LakeTable(spark: SparkSession, val path: String) {
       aligned.select(keys.map(col): _*), keys, "left_anti")
     rewrite(aligned.unionByName(untouched),
       "MERGE", Map("keys" -> keys.mkString(",")))
+  }
+
+  /** Conditional MERGE (the general Delta `MERGE INTO` shape —
+    * [[upsert]] is the whole-row special case): matched rows walk the
+    * `whenMatched` clauses in order and the first condition that holds
+    * decides UPDATE SET / DELETE; rows matching no clause are kept
+    * unchanged; unmatched source rows are inserted (`WHEN NOT MATCHED
+    * [AND insertCond] THEN INSERT *`).
+    *
+    * Compiled to the same join shapes as [[upsert]]: one inner key-join
+    * (matched rows — source broadcasts when small via AQE), one
+    * left_anti (untouched target rows), one left_anti (inserts), a
+    * union, and a staged rewrite. Clause conditions and SET expressions
+    * become `CASE WHEN` projections over the matched join — no per-clause
+    * pass over the table, however many clauses there are.
+    *
+    * @param insertCond   optional predicate over the (unqualified) source
+    *                     columns gating WHEN NOT MATCHED inserts
+    */
+  def merge(
+      source: DataFrame,
+      keys: Seq[String],
+      whenMatched: Seq[MergeClause],
+      insertUnmatched: Boolean = true,
+      insertCond: Option[Column] = None): LakeTable = {
+    val cur = read
+    require(keys.nonEmpty && keys.forall(cur.columns.contains),
+      s"merge keys $keys must exist in the table")
+    whenMatched.foreach {
+      case MergeClause.UpdateWhen(set, _) =>
+        val bad = set.keys.filterNot(cur.columns.contains)
+        require(bad.isEmpty, s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
+        require(!set.keys.exists(keys.contains),
+          "UPDATE SET must not touch merge keys (it would change row identity)")
+      case _ =>
+    }
+    val fields = cur.schema.fields
+    // cast to target types up front (same contract as upsert) and
+    // materialize once — the source feeds three join branches
+    val src = source.select(fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    val dup = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+    require(dup == 0, s"source contains duplicate merge keys $keys")
+
+    // first-matching-clause-wins, as one CASE over the matched join
+    val action: Column = whenMatched.map {
+      case MergeClause.UpdateWhen(_, c) => c.getOrElse(lit(true))
+      case MergeClause.DeleteWhen(c)    => c.getOrElse(lit(true))
+    }.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((c, i), els) => when(c, lit(i)).otherwise(els)
+    }
+    val deleteIdx = whenMatched.zipWithIndex.collect {
+      case (MergeClause.DeleteWhen(_), i) => i
+    }
+    val matched = cur.alias("t").join(src.alias("s"), keys.toIndexedSeq, "inner")
+      .withColumn("__action", action)
+    val surviving =
+      if (deleteIdx.isEmpty) matched
+      else matched.where(!col("__action").isInCollection(deleteIdx))
+    val matchedOut = surviving.select(fields.map { f =>
+      if (keys.contains(f.name)) col(f.name)
+      else whenMatched.zipWithIndex.foldRight(col("t." + f.name)) {
+        case ((MergeClause.UpdateWhen(set, _), i), els) if set.contains(f.name) =>
+          when(col("__action") === i, set(f.name).cast(f.dataType)).otherwise(els)
+        case (_, els) => els
+      }.as(f.name)
+    }.toIndexedSeq: _*)
+
+    val untouched = cur.join(src.select(keys.map(col): _*), keys, "left_anti")
+    val base = matchedOut.unionByName(untouched)
+    val result =
+      if (!insertUnmatched) base
+      else {
+        val unmatched = src.join(cur.select(keys.map(col): _*), keys, "left_anti")
+        base.unionByName(insertCond.map(unmatched.where).getOrElse(unmatched))
+      }
+    rewrite(result, "MERGE",
+      Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString))
   }
 
   /** Schema-on-write enforcement (Delta parity — the reference leans on

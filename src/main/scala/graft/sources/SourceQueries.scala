@@ -152,6 +152,37 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A3 extension (conditional MERGE): same update/insert feed as
+    * [[lakeMerge]], but matched rows whose repriced total exceeds 300k
+    * are DELETED (`WHEN MATCHED AND s.o_totalprice > 300000 THEN
+    * DELETE`) and the rest repriced (`WHEN MATCHED THEN UPDATE SET
+    * o_totalprice = s.o_totalprice`); unmatched source rows insert. The
+    * oracle reconstructs all three paths, so clause ORDER (delete
+    * before update) is content-checked too.
+    */
+  def lakeMergeConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_merge_cond"))
+    lake.write(t.orders)
+    val repriced = t.orders
+      .where(col("o_custkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = t.orders
+      .where(col("o_custkey") % 97 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    lake.merge(
+      repriced.unionByName(inserts), Seq("o_orderkey"),
+      whenMatched = Seq(
+        MergeClause.DeleteWhen(Some(col("s.o_totalprice") > 300000)),
+        MergeClause.UpdateWhen(Map("o_totalprice" -> col("s.o_totalprice")))))
+    lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -169,6 +200,7 @@ object SourceQueries {
     "q_lake_zorder" -> (lakeZorder _),
     "q_lake_partitioned" -> (lakePartitioned _),
     "q_lake_merge" -> (lakeMerge _),
+    "q_lake_merge_conditional" -> (lakeMergeConditional _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
@@ -204,6 +236,29 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT * FROM orders o
         |  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_merge_conditional" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 97 = 3),
+        |kept AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+        |              ELSE o.o_totalprice END AS o_totalprice,
+        |         o.o_orderdate, o.o_orderpriority
+        |  FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+        |  WHERE u.o_orderkey IS NULL OR u.o_totalprice <= 300000),
+        |ins AS (
+        |  SELECT * FROM updates u
+        |  WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -317,6 +317,42 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.read.count() === 2)
   }
 
+  test("conditional merge: first matching clause wins across delete/update/keep/insert") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "v", "x"))
+    val source = Seq(
+      (1L, "A", 100.0), // x>50 -> DELETE
+      (2L, "B", 45.0),  // x>40 -> UPDATE v only (clause 2)
+      (3L, "C", 5.0),   // matches no clause -> kept unchanged
+      (9L, "Z", 1.0),   // unmatched -> INSERT (passes insertCond)
+      (8L, "Y", -1.0)   // unmatched but insertCond fails -> dropped
+    ).toDF("id", "v", "x")
+    lake.merge(source, Seq("id"),
+      whenMatched = Seq(
+        MergeClause.DeleteWhen(Some(col("s.x") > 50)),
+        MergeClause.UpdateWhen(Map("v" -> col("s.v")), Some(col("s.x") > 40))),
+      insertCond = Some(col("x") > 0))
+    val got = lake.read.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      2L -> ("B", 20.0), // updated v, x untouched (not in SET)
+      3L -> ("c", 30.0), // matched, no clause fired
+      4L -> ("d", 40.0), // untouched
+      9L -> ("Z", 1.0))) // inserted; 1 deleted, 8 gated out
+    // guard rails
+    intercept[IllegalArgumentException] {
+      lake.merge(Seq((2L, "x", 0.0)).toDF("id", "v", "x"), Seq("id"),
+        Seq(MergeClause.UpdateWhen(Map("nope" -> lit(1)))))
+    }
+    intercept[IllegalArgumentException] {
+      lake.merge(Seq((2L, "x", 0.0)).toDF("id", "v", "x"), Seq("id"),
+        Seq(MergeClause.UpdateWhen(Map("id" -> lit(1L)))))
+    }
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
