@@ -32,17 +32,38 @@ object ConnectedComponents {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Lineage cut per round. `localCheckpoint` keeps blocks on executors —
+    * fast, right for interactive jobs, but an executor loss mid-iteration
+    * kills the whole run. For multi-hour 100 TB jobs pass `checkpointDir`
+    * (HDFS/S3): rounds then persist via reliable `checkpoint()`, so the
+    * job replays from the last round, not from zero, after a lost
+    * executor.
+    */
+  private def cutter(spark: SparkSession, checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(true)
+    }
+
   /** Components of an undirected graph given as an edge list.
     *
     * @param edges DataFrame with two long columns `src`, `dst`
+    * @param checkpointDir reliable checkpoint location for long jobs
+    *                      (see [[cutter]]); executor-local when absent
     * @return (node, component) — component = min node id reachable
     */
-  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges
+  def components(
+      edges: DataFrame,
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut = cutter(edges.sparkSession, checkpointDir)
+    val sym = cut(edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // sum over zero rows is SQL NULL — normalize so the empty graph
     // converges immediately instead of NPE-ing on compareTo
@@ -51,9 +72,8 @@ object ConnectedComponents {
       if (s == null) java.math.BigDecimal.ZERO else s
     }
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = cut(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -61,10 +81,9 @@ object ConnectedComponents {
       val propagated = sym
         .join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("label"))
-      val next = propagated.union(labels.select(col("node"), col("label")))
+      val next = cut(propagated.union(labels.select(col("node"), col("label")))
         .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .agg(min(col("label")).as("label")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -91,7 +110,11 @@ object ConnectedComponents {
     * Both transforms preserve connectivity and strictly shrink a
     * monotone potential, converging to canonical stars (node -> root).
     */
-  def componentsStar(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def componentsStar(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut = cutter(edges.sparkSession, checkpointDir)
     def canon(e: DataFrame): DataFrame =
       e.where(col("src") =!= col("dst"))
         .select(
@@ -122,11 +145,10 @@ object ConnectedComponents {
     // canon() drops self-loops, so remember every mentioned node — a node
     // whose only edge is (n, n) must still come back as its own component
     // (matching [[components]])
-    val allNodes = typed.select(col("src").as("node"))
+    val allNodes = cut(typed.select(col("src").as("node"))
       .union(typed.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    var cur = canon(typed).localCheckpoint(true)
+      .distinct())
+    var cur = cut(canon(typed))
 
     // decimal arithmetic BEFORE the multiply: hi*31 in long would wrap
     // for ids above ~3e17 (e.g. 64-bit fingerprint ids) and break the
@@ -143,7 +165,7 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(true)
+      val next = cut(canon(smallStar(canon(largeStar(cur)))))
       val s = signature(next)
       converged = s._1 == prev._1 &&
         ((s._2 == null && prev._2 == null) ||

@@ -56,6 +56,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("reliable checkpointDir produces identical components and leaves RDD checkpoints behind") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val reliable = ConnectedComponents
+      .components(edges.toDF("src", "dst"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == cc(edges))
+    val star = ConnectedComponents
+      .componentsStar(edges.toDF("src", "dst"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == reliable)
+    // the cut really went through the reliable path: checkpoint data on disk
+    def files(f: java.io.File): Int =
+      if (f.isFile) 1 else Option(f.listFiles()).map(_.map(files).sum).getOrElse(0)
+    assert(files(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
+  }
+
   test("star contraction matches propagation on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
