@@ -126,6 +126,26 @@ object TextQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** M3 ground truth: EXACT all-pairs cosine >= 0.4 (a_id < b_id). Small
+    * at test scale (59 pairs at sf0.01) and fully DuckDB-expressible, so
+    * the ground truth the ANN paths (LSH/IVF/simhash buckets) are
+    * recall-pinned against in SimilaritySpec is ITSELF an oracled row —
+    * the approximate queries are rows-only by design, but their yardstick
+    * no longer is. (All-pairs is the test-scale oracle only; the scale
+    * paths are the bucketed ones.)
+    */
+  def embeddingPairsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .where(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The SQL face of the custom Catalyst expressions: `cosine_sim` called
     * from `spark.sql` text. On sessions built by [[graft.core.GraftSession]]
     * the function arrives via the SparkSessionExtensions injection
@@ -194,7 +214,8 @@ object TextQueries {
     "q_embedding_neardup" -> (embeddingNearDupLsh _),
     "q_lang_quality" -> (langQualityProfile _),
     "q_extensions_sql" -> (extensionsSql _),
-    "q_euclidean_topk" -> (euclideanTopK _)
+    "q_euclidean_topk" -> (euclideanTopK _),
+    "q_embedding_pairs_exact" -> (embeddingPairsExact _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -316,6 +337,12 @@ object TextQueries {
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_embedding_pairs_exact" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

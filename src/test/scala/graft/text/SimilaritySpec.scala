@@ -81,6 +81,28 @@ class SimilaritySpec extends SparkSpec {
       "persisted index must reproduce the in-memory index exactly")
   }
 
+  test("embedding LSH near-dup pins precision 1.0 and candidate recall vs the ORACLED exact pairs") {
+    // ground truth = q_embedding_pairs_exact, which the DuckDB oracle
+    // hash-checks — so this recall pin chains back to an oracle row
+    // instead of trusting a test-local recomputation
+    val exact = TextQueries.embeddingPairsExact(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size === 59, s"exact ground truth drifted: ${exact.size} pairs")
+    val lsh = TextQueries.embeddingNearDupLsh(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0 with identical cosines: LSH post-verifies candidates
+    // against the same exact cosine, so every emitted pair must appear in
+    // the exact set with the same (rounded) value
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"false/drifted pair $pair -> $cos")
+    }
+    // recall floor for ONE 4-plane hash table at the permissive tau=0.4
+    // operating point (a candidate pruner, not a complete search — the
+    // multi-table path lshTopK measures recall 1.0 in AnnProbe)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.10, s"LSH candidate recall $recall collapsed")
+  }
+
   test("lshTopK is deterministic given the seed") {
     val e = Tables(spark, sf0001).embeddings
     val q = e.where(col("vec_id") < 3)
