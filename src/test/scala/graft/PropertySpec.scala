@@ -42,6 +42,40 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  private def lakeContent(lake: graft.sources.LakeTable): Map[(Long, String), Long] =
+    lake.read.groupBy(col("id"), col("v")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("upsert is idempotent: applying the same updates twice equals once") {
+    samples(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 5L), word)), 6).foreach { rows =>
+      val updates = rows.distinctBy(_._1) // merge requires unique keys
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_prop_upsert").resolve("t").toString
+      val lake = graft.sources.LakeTable(spark, path)
+        .write((0L to 9L).map(i => (i, s"base$i")).toDF("id", "v"))
+      lake.upsert(updates.toDF("id", "v"), Seq("id"))
+      val once = lakeContent(lake)
+      lake.upsert(updates.toDF("id", "v"), Seq("id"))
+      assert(lakeContent(lake) === once, s"upsert not idempotent for $updates")
+      // key invariant: ids unique, updated keys carry the update value
+      assert(once.keys.map(_._1).toSeq.distinct.size === once.size)
+      updates.foreach { case (id, v) => assert(once.contains((id, v))) }
+    }
+  }
+
+  test("optimize and zorder rewrites preserve table content exactly") {
+    val rows = samples(Gen.zip(Gen.choose(0L, 1000L), word), 400)
+      .zipWithIndex.map { case ((k, w), i) => (i.toLong, s"$w$k") }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_prop_opt").resolve("t").toString
+    val lake = graft.sources.LakeTable(spark, path).write(rows.toDF("id", "v"))
+    val before = lakeContent(lake)
+    lake.optimize(Seq("v"), numFiles = Some(3))
+    assert(lakeContent(lake) === before, "optimize changed content")
+    lake.optimizeZorder(Seq("id"), numFiles = Some(2))
+    assert(lakeContent(lake) === before, "zorder rewrite changed content")
+  }
+
   test("shingle count algebra: 1 <= |shingles| <= tokens - n + 1") {
     samples(Gen.listOfN(5, text), 6).filter(_.nonEmpty).foreach { texts =>
       val rows = texts.toDF("text")
