@@ -103,6 +103,22 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Delta-style RESTORE: make snapshot `v` current again by writing it
+    * as a NEW version (history is append-only — a restore never erases
+    * the versions after `v`, so a bad restore is itself restorable).
+    */
+  def restore(v: Long): VersionedLakeTable = {
+    val snapshot = readVersion(v) // validates existence
+    val next = latestVersion + 1
+    snapshot.write.mode("overwrite").parquet(versionDir(next))
+    commit("RESTORE",
+      Map("dataVersion" -> next.toString, "restoredVersion" -> v.toString))
+    this
+  }
+
+  /** RESTORE to the snapshot current at `ts` (TIMESTAMP AS OF form). */
+  def restoreAsOf(ts: java.time.Instant): VersionedLakeTable = restore(versionAsOf(ts))
+
   /** Drop all but the newest `keepLast` snapshots (keepLast >= 1: the
     * latest snapshot is never vacuumable — a zero/negative keepLast would
     * silently delete the whole table).

@@ -97,6 +97,22 @@ class VersionedLakeTableSpec extends SparkSpec {
     assert(lake.readAsOf(java.time.Instant.now().plusSeconds(60)).count() === 5)
   }
 
+  test("restore makes an old snapshot current as a NEW version; later versions survive") {
+    val t = Tables(spark, sf0001)
+    val lake = VersionedLakeTable(spark, tmp())
+    lake.write(t.nation)                                  // v0: 25
+    lake.write(t.nation.where(col("n_regionkey") === 0))  // v1: 5
+    lake.restore(0)                                       // v2 := v0 content
+    assert(lake.latestVersion === 2L)
+    assert(lake.read.count() === 25)
+    assert(lake.readVersion(1).count() === 5, "restore must not erase intermediate versions")
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "RESTORE") === 1)
+    // restoring the restore (undo the undo) works the same way
+    lake.restore(1)
+    assert(lake.read.count() === 5)
+  }
+
   test("readVersion on a missing version fails with a clear error") {
     val lake = VersionedLakeTable(spark, tmp())
     val e = intercept[IllegalArgumentException](lake.readVersion(7))
