@@ -50,14 +50,42 @@ object Sketches {
       .agg(hll_sketch_agg(col(keyCol), lit(14)).as("sketch"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("approx_total"))
 
+  /** Heavy-hitter tokens via the custom Misra–Gries aggregate
+    * ([[graft.functions.FrequentItems]]): the sketch carries at most k=64
+    * counters through the shuffle however many distinct tokens exist.
+    * The oracle-comparable part is the GUARANTEE, not the estimates:
+    * every token with true frequency > N/65 must be in the summary, and
+    * the exact top-10 all clear that bar at every test SF — so
+    * `found` is deterministically true however the input is partitioned,
+    * while the (order-dependent) estimated counts stay out of the row.
+    */
+  def heavyHitterTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir).documents
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.FrequentItems(col("tok"), 64).as("hh"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(10)
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"), col("n"),
+        array_contains(col("hh.item"), col("tok")).as("found"))
+      .orderBy(col("n").desc, col("tok").asc)
+  }
+
   def queries: Map[String, Q] = Map(
-    "q_hll_distinct" -> (hllDistinctCustomers _)
+    "q_hll_distinct" -> (hllDistinctCustomers _),
+    "q_heavy_hitters" -> (heavyHitterTokens _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_hll_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
         | true AS within_2pct
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT tok, count(*) AS n, true AS found
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin
   )
 }
