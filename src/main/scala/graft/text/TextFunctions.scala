@@ -45,6 +45,22 @@ object TextFunctions {
   /** Convenience single-expression form over raw text. */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  /** PII redaction for training corpora: emails, dotted-quad IPs, then
+    * phone-shaped digit runs replaced by typed placeholders (in that
+    * order — emails contain digits and IPs would otherwise be eaten by
+    * the phone pattern). Pure chained `regexp_replace` (codegen'd,
+    * replaces ALL occurrences), with patterns restricted to syntax Java
+    * regex and RE2 interpret identically so the DuckDB oracle can apply
+    * the literal same expressions.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]")
+    regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "[PHONE]")
+  }
+
   // Tiny per-language stopword profiles. Enough to separate real prose in
   // the five testdata languages; scored by distinct-stopword overlap.
   // private[text] so TextQueries can derive the DuckDB oracle SQL from the

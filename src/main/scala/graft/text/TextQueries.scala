@@ -146,6 +146,42 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Training-data hygiene: PII scrubbing over text with planted
+    * email/phone/IP payloads (the synthetic corpus has none, so each doc
+    * gets a deterministic contact tail appended before redaction — both
+    * engines build and scrub the identical string).
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1 (555) 010-99 from 10.0.0."),
+      (col("doc_id") % 256).cast("string"))
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), TextFunctions.redactPii(planted).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination (the step before any training run): flag
+    * candidate docs sharing >= 1 distinct 8-token gram with the benchmark
+    * set (here: doc_id % 50 == 0), reporting how many grams leaked.
+    * Inverted-index shape — candidates semi-join the benchmark gram set
+    * on the gram key, so the work is |matching grams|, never |docs|²;
+    * at 100 TB the (small) benchmark gram side broadcasts.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val benchGrams = d.where(col("doc_id") % 50 === 0)
+      .select(explode(TextFunctions.shingles(col("text"), 8)).as("g"))
+      .distinct()
+    d.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 8)).as("g"))
+      .distinct()
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The SQL face of the custom Catalyst expressions: `cosine_sim` called
     * from `spark.sql` text. On sessions built by [[graft.core.GraftSession]]
     * the function arrives via the SparkSessionExtensions injection
@@ -215,7 +251,9 @@ object TextQueries {
     "q_lang_quality" -> (langQualityProfile _),
     "q_extensions_sql" -> (extensionsSql _),
     "q_euclidean_topk" -> (euclideanTopK _),
-    "q_embedding_pairs_exact" -> (embeddingPairsExact _)
+    "q_embedding_pairs_exact" -> (embeddingPairsExact _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_contamination" -> (contamination _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -343,6 +381,26 @@ object TextQueries {
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(
+        |       text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 010-99 from 10.0.0.' || (doc_id % 256),
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |   '\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                                    for i in range(1, len(ts)-6)]) AS sh
+        |      FROM t WHERE len(ts) >= 8),
+        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+        |cg AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 50 != 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM cg WHERE g IN (SELECT g FROM bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
