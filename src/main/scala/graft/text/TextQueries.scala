@@ -182,6 +182,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (concat-and-chunk): assign every doc its byte-exact
+    * position in the packed training stream — exclusive running token
+    * count per language stream, then seq_id = start / window and
+    * seq_offset = start % window (window = 512 tokens). This is the
+    * bookkeeping LLM loaders use when documents are concatenated and
+    * split at fixed token boundaries. One window aggregate per stream:
+    * the sort is per-partition-key, so streams pack independently and in
+    * parallel — no global single-partition window.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      .withColumn("token_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("token_start") / 512).cast("bigint").as("seq_id"),
+        (col("token_start") % 512).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The SQL face of the custom Catalyst expressions: `cosine_sim` called
     * from `spark.sql` text. On sessions built by [[graft.core.GraftSession]]
     * the function arrives via the SparkSessionExtensions injection
@@ -253,7 +276,8 @@ object TextQueries {
     "q_euclidean_topk" -> (euclideanTopK _),
     "q_embedding_pairs_exact" -> (embeddingPairsExact _),
     "q_pii_redact" -> (piiRedact _),
-    "q_contamination" -> (contamination _)
+    "q_contamination" -> (contamination _),
+    "q_pack_sequences" -> (packSequences _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -401,6 +425,20 @@ object TextQueries {
         |cg AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 50 != 0)
         |SELECT doc_id, count(*) AS n_shared
         |FROM cg WHERE g IN (SELECT g FROM bg)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  token_start // 512 AS seq_id,
+        |  token_start % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }
