@@ -69,25 +69,47 @@ object Cohort {
     * including the reference's deliberate `limit(caseCount)` on controls,
     * made deterministic with an orderBy).
     *
-    * The control cap is fully distributed: the case count rides as a
-    * 1-row broadcast aggregate and the cap is a `row_number() <= n`
-    * window predicate. The old `orderBy().limit(count.toInt)` planned as
-    * TakeOrderedAndProject, which materializes ALL kept rows on the
-    * driver — a driver OOM once cohorts reach millions — and `.toInt`
-    * silently truncated past 2^31. The window sorts once (externally,
-    * spillable) and the output stays on executors.
+    * The control cap is fully distributed, two-level: a local
+    * `row_number` ranks candidates WITHIN each shuffle partition (many
+    * independent window groups — no single-partition global sort), a
+    * tiny per-partition count table yields running offsets, and rows
+    * keep iff `offset + local_rank <= caseCount`, with the case count
+    * riding as a 1-row broadcast aggregate. The old
+    * `orderBy().limit(count.toInt)` planned as TakeOrderedAndProject —
+    * every kept control materialized on the driver (OOM at millions)
+    * and `.toInt` silently truncating past 2^31 — and the obvious
+    * single `row_number().over(orderBy(...))` fix just moves the
+    * bottleneck to one executor. Selection order is (partition id,
+    * entity): deterministic for a fixed shuffle-partition count, which
+    * is the same determinism-of-arbitrary-subset the reference's bare
+    * `limit(caseCount)` was given via orderBy.
     */
   def caseControl(df: DataFrame, entityCol: String, categoryCol: String,
       pattern: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cases = entitiesWith(df, entityCol, categoryCol, pattern)
       .withColumn("label", lit(1))
     val caseCount = cases.agg(count(lit(1)).as("__case_count"))
-    val controls = df.select(col(entityCol)).distinct()
+    // materialized ONCE: ranked and offsets both consume the pid-stamped
+    // rows, and separate re-evaluations could be re-planned differently
+    // (AQE coalescing), de-syncing spark_partition_id between branches
+    val candidates = df.select(col(entityCol)).distinct()
       .join(cases.select(entityCol), Seq(entityCol), "left_anti")
-      .withColumn("__rn", // determinism: reference used bare limit
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(entityCol))))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val ranked = candidates.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(col(entityCol))))
+    // per-partition counts: one row per shuffle partition — the global
+    // running-sum window below is over that tiny table, not the data
+    val offsets = candidates.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val controls = ranked
+      .join(broadcast(offsets), "__pid")
       .crossJoin(broadcast(caseCount))
-      .where(col("__rn") <= col("__case_count"))
+      .where(col("__off") + col("__lr") <= col("__case_count"))
       .select(col(entityCol))
       .withColumn("label", lit(0))
     cases.union(controls)

@@ -37,15 +37,29 @@ object ConnectedComponents {
     * kills the whole run. For multi-hour 100 TB jobs pass `checkpointDir`
     * (HDFS/S3): rounds then persist via reliable `checkpoint()`, so the
     * job replays from the last round, not from zero, after a lost
-    * executor.
+    * executor. Each run writes under its own `cc-<uuid>` subdirectory —
+    * delete it once the RESULT has been consumed (the final labels still
+    * read from it); intermediate rounds also live there rather than
+    * leaking into a shared dir. The SparkContext checkpoint-dir setting
+    * is session-global, so [[withCheckpointScope]] restores any previous
+    * value once the (eager) iteration finishes.
     */
   private def cutter(spark: SparkSession, checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
+      case Some(_) => df => df.checkpoint(eager = true)
+      case None    => df => df.localCheckpoint(true)
+    }
+
+  private def withCheckpointScope[T](
+      spark: SparkSession, checkpointDir: Option[String])(body: => T): T =
+    checkpointDir match {
+      case None => body
       case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None =>
-        df => df.localCheckpoint(true)
+        val sc = spark.sparkContext
+        val prev = sc.getCheckpointDir
+        sc.setCheckpointDir(s"$dir/cc-${java.util.UUID.randomUUID()}")
+        try body
+        finally prev.foreach(sc.setCheckpointDir)
     }
 
   /** Components of an undirected graph given as an edge list.
@@ -58,7 +72,8 @@ object ConnectedComponents {
   def components(
       edges: DataFrame,
       maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+      withCheckpointScope(edges.sparkSession, checkpointDir) {
     val cut = cutter(edges.sparkSession, checkpointDir)
     val sym = cut(edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -113,7 +128,8 @@ object ConnectedComponents {
   def componentsStar(
       edges: DataFrame,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+      withCheckpointScope(edges.sparkSession, checkpointDir) {
     val cut = cutter(edges.sparkSession, checkpointDir)
     def canon(e: DataFrame): DataFrame =
       e.where(col("src") =!= col("dst"))

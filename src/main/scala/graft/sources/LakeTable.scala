@@ -85,9 +85,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
       aligned.write.mode(mode).parquet(path)
     }
     saveSchema(schema)
-    commit(if (mode == SaveMode.Append) "WRITE APPEND" else "WRITE OVERWRITE",
-      Map("mode" -> mode.toString))
+    commit(writeOp(mode), Map("mode" -> mode.toString))
     this
+  }
+
+  /** History label by actual effect: Ignore/ErrorIfExists only reach the
+    * commit when they CREATED a fresh table — labeling them OVERWRITE
+    * would invent a replacement that never happened for history readers.
+    */
+  private def writeOp(mode: SaveMode): String = mode match {
+    case SaveMode.Append    => "WRITE APPEND"
+    case SaveMode.Overwrite => "WRITE OVERWRITE"
+    case _                  => "WRITE CREATE"
   }
 
   /** Hive-style partitioned write: one directory per partition value, so
@@ -103,6 +112,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       mode: SaveMode = SaveMode.Overwrite,
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false): LakeTable = {
+    // same no-op contract as write(): Ignore must not touch log or schema
+    if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val (aligned, schema) =
       enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
     preservingLog(mode) {
@@ -157,11 +168,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val aligned = updates.select(cur.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .localCheckpoint(true)
-    // Delta MERGE rejects multiple source rows per key; writing them
-    // would silently break the table's key invariant
-    val dup = aligned.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
-    require(dup == 0, s"updates contain duplicate merge keys $keys")
+    requireUniqueKeys(aligned, keys, "updates")
     val untouched = cur.join(
       aligned.select(keys.map(col): _*), keys, "left_anti")
     rewrite(aligned.unionByName(untouched),
@@ -208,11 +215,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val src = source.select(fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .localCheckpoint(true)
-    val dup = src.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
-    require(dup == 0, s"source contains duplicate merge keys $keys")
+    requireUniqueKeys(src, keys, "source")
 
-    // first-matching-clause-wins, as one CASE over the matched join
+    // ONE left_outer scan of the target covers matched AND untouched rows
+    // (a separate inner + left_anti pair would read the full table twice);
+    // the insert branch adds only a keys-only (column-pruned) second pass
+    val marked = src.withColumn("__graft_m", lit(true))
+    val joined = cur.alias("t").join(marked.alias("s"), keys.toIndexedSeq, "left_outer")
+    // first-matching-clause-wins, as one CASE; unmatched target rows
+    // (no source row: __m null) take action -1 = keep as-is
     val action: Column = whenMatched.map {
       case MergeClause.UpdateWhen(_, c) => c.getOrElse(lit(true))
       case MergeClause.DeleteWhen(c)    => c.getOrElse(lit(true))
@@ -222,30 +233,37 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val deleteIdx = whenMatched.zipWithIndex.collect {
       case (MergeClause.DeleteWhen(_), i) => i
     }
-    val matched = cur.alias("t").join(src.alias("s"), keys.toIndexedSeq, "inner")
-      .withColumn("__action", action)
+    val acted = joined.withColumn("__graft_action",
+      when(col("__graft_m").isNull, lit(-1)).otherwise(action))
     val surviving =
-      if (deleteIdx.isEmpty) matched
-      else matched.where(!col("__action").isInCollection(deleteIdx))
-    val matchedOut = surviving.select(fields.map { f =>
+      if (deleteIdx.isEmpty) acted
+      else acted.where(!col("__graft_action").isInCollection(deleteIdx))
+    val keptOut = surviving.select(fields.map { f =>
       if (keys.contains(f.name)) col(f.name)
       else whenMatched.zipWithIndex.foldRight(col("t." + f.name)) {
         case ((MergeClause.UpdateWhen(set, _), i), els) if set.contains(f.name) =>
-          when(col("__action") === i, set(f.name).cast(f.dataType)).otherwise(els)
+          when(col("__graft_action") === i, set(f.name).cast(f.dataType)).otherwise(els)
         case (_, els) => els
       }.as(f.name)
     }.toIndexedSeq: _*)
 
-    val untouched = cur.join(src.select(keys.map(col): _*), keys, "left_anti")
-    val base = matchedOut.unionByName(untouched)
     val result =
-      if (!insertUnmatched) base
+      if (!insertUnmatched) keptOut
       else {
         val unmatched = src.join(cur.select(keys.map(col): _*), keys, "left_anti")
-        base.unionByName(insertCond.map(unmatched.where).getOrElse(unmatched))
+        keptOut.unionByName(insertCond.map(unmatched.where).getOrElse(unmatched))
       }
     rewrite(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString))
+  }
+
+  /** Delta MERGE rejects multiple source rows per key; writing them would
+    * silently break the table's key invariant.
+    */
+  private def requireUniqueKeys(df: DataFrame, keys: Seq[String], what: String): Unit = {
+    val dup = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+    require(dup == 0, s"$what contains duplicate merge keys $keys")
   }
 
   /** Schema-on-write enforcement (Delta parity — the reference leans on

@@ -75,7 +75,9 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     val eligible = rows.filter(r =>
       java.time.Instant.parse(r.getString(0)).compareTo(ts) <= 0)
     require(eligible.nonEmpty, {
-      val first = rows.map(_.getString(0)).min
+      // parse before min: ISO-8601 instants have variable fractional
+      // precision, so lexicographic min can name the wrong commit
+      val first = rows.map(r => java.time.Instant.parse(r.getString(0))).min
       s"timestamp $ts predates the first commit ($first) at $path"
     })
     eligible.map(_.getLong(1)).max

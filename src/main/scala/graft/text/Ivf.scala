@@ -87,6 +87,17 @@ object Ivf {
     val local = centers.select(col("cell"), col("center")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
+    require(local.nonEmpty, "empty centroid index")
+    // fail LOUDLY on an index/corpus dimension mismatch (e.g. a standing
+    // index built for different embeddings): NearestCentroid nulls the
+    // cell per malformed ROW, which is right for stray bad vectors but
+    // would silently empty every downstream join if the whole corpus
+    // disagrees with the index. One take(1) probe is a tiny job.
+    val centDim = local.head._2.length
+    df.select(size(col(vecCol)).as("d")).na.drop().limit(1).collect().foreach { r =>
+      require(r.getInt(0) == centDim,
+        s"corpus vectors are ${r.getInt(0)}-dim but the centroid index is $centDim-dim")
+    }
     val pos = VectorFunctions.nearestCentroid(
       col(vecCol), local.map(_._2.toIndexedSeq).toIndexedSeq)
     // argmin yields a POSITION in the sorted matrix; translate to the

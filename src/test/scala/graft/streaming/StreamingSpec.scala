@@ -193,7 +193,9 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      // returns false on timeout WITHOUT stopping the query — asserting
+      // keeps a slow run from racing a second query on the same checkpoint
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
     }
     val t0 = 1700000000000000000L
     mk(Seq(
