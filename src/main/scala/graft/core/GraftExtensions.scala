@@ -55,5 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es.head,
         es(1).eval().asInstanceOf[Int],
         if (es.length > 2) es(2).eval().asInstanceOf[Int] else 42)))
+    e.injectFunction((
+      FunctionIdentifier("frequent_items"),
+      info("frequent_items",
+        "frequent_items(col, k) - Misra-Gries heavy hitters: array<struct<item,est>>"),
+      (es: Seq[Expression]) => graft.functions.FrequentItems(
+        es.head, es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
   }
 }

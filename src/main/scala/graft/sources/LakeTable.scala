@@ -411,6 +411,33 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
   }
 
+  /** Size-targeted compaction: pick the output file count from the
+    * table's CURRENT on-disk bytes so files land near `targetFileBytes`
+    * (default 128 MiB — one HDFS/scan-split per file). This is the
+    * small-files fix: a streaming sink or many tiny appends leave
+    * thousands of KB-files whose per-file open/footer cost dominates a
+    * scan; compaction to split-sized files restores full scan throughput.
+    * Sizing reads only filesystem METADATA (O(files) driver-side listing,
+    * no data read) before the one distributed rewrite.
+    */
+  def compact(
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): LakeTable = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val f = fs
+    val bytes = f.listStatus(new Path(path)).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (zorderBy.nonEmpty) optimize(zorderBy, Some(n))
+    else {
+      // no cluster keys: plain coalesce-style rewrite, no shuffle order
+      // requirements — repartition for even file sizes
+      rewrite(read.repartition(n), "COMPACT",
+        Map("targetFileBytes" -> targetFileBytes.toString, "numFiles" -> n.toString))
+    }
+  }
+
   /** True Morton-curve clustering (numeric columns): rows are tiled by
     * interleaved bit rank ([[ZOrder.withZValue]]), so min/max skipping
     * works on EVERY clustered dimension — linear [[optimize]] clustering

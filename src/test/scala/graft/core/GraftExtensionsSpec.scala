@@ -6,7 +6,24 @@ import graft.SparkSpec
 
 class GraftExtensionsSpec extends SparkSpec {
 
-  test("extension class injects all five functions without error") {
+  test("frequent_items is callable from pure SQL (aggregate via extension injection)") {
+    import spark.implicits._
+    if (!spark.catalog.functionExists("frequent_items")) {
+      // foreign session fallback — GraftSession sessions get it injected
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, "frequent_items",
+        es => graft.functions.FrequentItems(
+          es.head, es(1).eval().asInstanceOf[Int]).toAggregateExpression())
+    }
+    (Seq.fill(50)("hot") ++ (0 until 10).map(i => s"rare$i"))
+      .toDF("item").createOrReplaceTempView("fi_items")
+    val top = spark.sql(
+      "SELECT frequent_items(item, 4) AS hh FROM fi_items")
+      .selectExpr("hh[0].item", "hh[0].est").head
+    assert(top.getString(0) === "hot")
+    assert(top.getLong(1) >= 50 - 60 / 5) // MG lower bound: N/(k+1)
+  }
+
+  test("extension class injects all functions without error") {
     // A fresh SparkSession with spark.sql.extensions would exercise this at
     // session build; here we apply directly (the shared test session already
     // exists) and rely on VectorFunctionsSpec for SQL-level behavior via the

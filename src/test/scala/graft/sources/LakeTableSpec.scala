@@ -317,6 +317,26 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.read.count() === 2)
   }
 
+  test("compact sizes output files from on-disk bytes and preserves content") {
+    val c = Tables(spark, sf0001).customer
+    val lake = LakeTable(spark, tmp()).write(c.repartition(40)) // small-files mess
+    def files() = new java.io.File(lake.path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before.length === 40)
+    val bytes = before.map(_.length).sum
+    val target = bytes / 4 // expect ceil(4ish) output files
+    val sum0 = lake.read.agg(round(sum("c_acctbal"), 2)).head.getDouble(0)
+    lake.compact(targetFileBytes = target)
+    val after = files()
+    val expected = math.ceil(bytes.toDouble / target).toInt
+    assert(after.length === expected, s"got ${after.length}, want $expected")
+    assert(lake.read.count() === c.count())
+    assert(lake.read.agg(round(sum("c_acctbal"), 2)).head.getDouble(0) === sum0)
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.contains("COMPACT"))
+  }
+
   test("conditional merge: first matching clause wins across delete/update/keep/insert") {
     val s = spark
     import s.implicits._

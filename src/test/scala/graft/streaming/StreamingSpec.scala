@@ -214,6 +214,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming CDC apply: foreachBatch upserts micro-batches into a lake table") {
+    val ev = Tables(spark, sf0001).events.drop("ts_ts")
+    val lakeDir = Files.createTempDirectory("graft_cdc").resolve("t").toString
+    val lake = graft.sources.LakeTable(spark, lakeDir)
+    // seed with STALE rows for half the events (value zeroed) — the
+    // stream must overwrite them and insert the rest
+    lake.write(ev.where(col("user_id") < 75).withColumn("value", lit(0.0)))
+    val stale = lake.read.where(col("value") =!= 0.0).count()
+    assert(stale === 0)
+    val q = EventsAnalytics.readStream(spark, eventsDir).drop("ts_ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        lake.upsert(batch, Seq("event_id")): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    // converged to the batch truth: same rows, stale values gone
+    assert(lake.read.count() === ev.count())
+    val got = lake.read.agg(round(sum("value"), 4)).head.getDouble(0)
+    val want = ev.agg(round(sum("value"), 4)).head.getDouble(0)
+    assert(got === want)
+  }
+
   test("transformWithState running totals match batch groupBy (RocksDB store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
