@@ -157,10 +157,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * layout prefer [[overwritePartitions]] to rewrite only touched
     * partitions.
     */
-  def upsert(updates: DataFrame, keys: Seq[String]): LakeTable = {
+  def upsert(
+      updates: DataFrame, keys: Seq[String], changeFeed: Boolean = false): LakeTable = {
     val cur = read
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
+    if (changeFeed) {
+      // whole-row upsert == UPDATE SET every non-key column; routing via
+      // merge() keeps the change-feed derivation in one place
+      val set = cur.columns.filterNot(keys.contains)
+        .map(c => c -> col("s." + c)).toMap
+      return merge(updates, keys, Seq(MergeClause.UpdateWhen(set)),
+        changeFeed = true)
+    }
     // materialize once: the plan feeds BOTH the anti-join key side and
     // the union, and a derived updates source would otherwise run twice.
     // Cast to the table's column types (Delta MERGE casts source to
@@ -191,13 +200,22 @@ final class LakeTable(spark: SparkSession, val path: String) {
     *
     * @param insertCond   optional predicate over the (unqualified) source
     *                     columns gating WHEN NOT MATCHED inserts
+    * @param changeFeed   also record the row-level change set (Delta
+    *                     Change Data Feed analogue) readable via
+    *                     [[readChanges]]: `_change_type` in
+    *                     insert / update_preimage / update_postimage /
+    *                     delete, stored per commit version. The change
+    *                     set is materialized BEFORE the table swap (it
+    *                     reads the pre-merge table), costing extra scans
+    *                     of the join — that is why it is opt-in.
     */
   def merge(
       source: DataFrame,
       keys: Seq[String],
       whenMatched: Seq[MergeClause],
       insertUnmatched: Boolean = true,
-      insertCond: Option[Column] = None): LakeTable = {
+      insertCond: Option[Column] = None,
+      changeFeed: Boolean = false): LakeTable = {
     val cur = read
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
@@ -247,14 +265,79 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }.as(f.name)
     }.toIndexedSeq: _*)
 
-    val result =
-      if (!insertUnmatched) keptOut
+    val inserts =
+      if (!insertUnmatched) None
       else {
         val unmatched = src.join(cur.select(keys.map(col): _*), keys, "left_anti")
-        keptOut.unionByName(insertCond.map(unmatched.where).getOrElse(unmatched))
+        Some(insertCond.map(unmatched.where).getOrElse(unmatched))
       }
+    val result = inserts.fold(keptOut)(keptOut.unionByName(_))
+
+    if (changeFeed) {
+      val updateIdx = whenMatched.zipWithIndex.collect {
+        case (MergeClause.UpdateWhen(_, _), i) => i
+      }
+      val pre = fields.map { f =>
+        if (keys.contains(f.name)) col(f.name) else col("t." + f.name).as(f.name)
+      }.toIndexedSeq
+      val post = fields.map { f =>
+        if (keys.contains(f.name)) col(f.name)
+        else whenMatched.zipWithIndex.foldRight(col("t." + f.name)) {
+          case ((MergeClause.UpdateWhen(set, _), i), els) if set.contains(f.name) =>
+            when(col("__graft_action") === i, set(f.name).cast(f.dataType)).otherwise(els)
+          case (_, els) => els
+        }.as(f.name)
+      }.toIndexedSeq
+      def typed(df: DataFrame, cols: IndexedSeq[Column], t: String) =
+        df.select(cols: _*).withColumn("_change_type", lit(t))
+      val updated = acted.where(col("__graft_action").isInCollection(updateIdx))
+      val deleted = acted.where(col("__graft_action").isInCollection(deleteIdx))
+      val changes = Seq(
+        Some(typed(updated, pre, "update_preimage")),
+        Some(typed(updated, post, "update_postimage")),
+        Some(typed(deleted, pre, "delete")),
+        inserts.map(i => i.withColumn("_change_type", lit("insert")))
+      ).flatten.reduce(_ unionByName _)
+      writeChanges(changes)
+    }
     rewrite(result, "MERGE",
-      Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString))
+      Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
+        "changeFeed" -> changeFeed.toString))
+  }
+
+  /** Materialize a change set under `_graft_changes/v<N>` where N is the
+    * version the ABOUT-TO-HAPPEN commit will get — must run before the
+    * table swap, while the plans still read the pre-merge table.
+    */
+  private def writeChanges(changes: DataFrame): Unit = {
+    val v = CommitLog.currentCount(fs, logDir)
+    changes.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/${LakeTable.ChangesDirName}/v$v")
+  }
+
+  /** Delta `table_changes` analogue: every change row recorded by
+    * change-feed-enabled commits in `[fromVersion, toVersion]`, with
+    * `_change_type` and `_commit_version`. Versions without a recorded
+    * change set simply contribute nothing (like Delta tables that had
+    * CDF off for part of their history).
+    */
+  def readChanges(fromVersion: Long = 0L, toVersion: Long = Long.MaxValue): DataFrame = {
+    val dir = new Path(path, LakeTable.ChangesDirName)
+    val f = fs
+    val versions =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+        .map(_.stripPrefix("v").toLong)
+        .filter(v => v >= fromVersion && v <= toVersion)
+        .sorted
+    require(versions.nonEmpty,
+      s"no change feed recorded in versions [$fromVersion, $toVersion] at $path")
+    versions.map { v =>
+      spark.read.parquet(s"$path/${LakeTable.ChangesDirName}/v$v")
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** Delta MERGE rejects multiple source rows per key; writing them would
@@ -377,12 +460,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def preservingLog(mode: SaveMode)(dataWrite: => Unit): Unit = {
     val saved: Seq[(String, Array[Byte])] =
       if (mode == SaveMode.Overwrite && fs.exists(logDir)) {
-        fs.listStatus(logDir).toSeq.map { st =>
+        fs.listStatus(logDir).toSeq.filter(_.isFile).map { st =>
           val in = fs.open(st.getPath)
           try st.getPath.getName -> org.apache.commons.io.IOUtils.toByteArray(in)
           finally in.close()
         }
       } else Seq.empty
+    // the change feed can be big — move it aside (metadata rename) rather
+    // than buffering; old versions' changes survive an overwrite like
+    // Delta's CDF history does
+    val changesDir = new Path(path, LakeTable.ChangesDirName)
+    val changesTmp = new Path(s"$path${LakeTable.ChangesTmpSuffix}")
+    val movedChanges =
+      mode == SaveMode.Overwrite && fs.exists(changesDir) &&
+        fs.rename(changesDir, changesTmp)
     dataWrite
     if (saved.nonEmpty) {
       val f = fs
@@ -393,6 +484,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         finally out.close()
       }
     }
+    if (movedChanges) fs.rename(changesTmp, changesDir)
   }
 
   /** Compaction + multi-column clustering — the ZORDER substitute.
@@ -470,6 +562,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val f = fs
     // keep the log: move it into the staged dir before the swap
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
+    val changesDir = new Path(p, LakeTable.ChangesDirName)
+    if (f.exists(changesDir)) // change history survives rewrites, like the log
+      f.rename(changesDir, new Path(s, LakeTable.ChangesDirName))
     f.delete(p, true)
     f.rename(s, p)
     // the rewritten frame IS the table now — keep the authoritative
@@ -496,7 +591,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
 object LakeTable {
   val LogDirName = "_graft_log"
+  val ChangesDirName = "_graft_changes"
   val StageSuffix = "__staging"
+  val ChangesTmpSuffix = "__changes_tmp"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
 

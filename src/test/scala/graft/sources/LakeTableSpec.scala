@@ -373,6 +373,39 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("change data feed: merge records pre/post images, deletes, inserts; survives overwrite") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x"))
+    lake.merge(
+      Seq((1L, 99.0), (2L, 0.0), (9L, 1.0)).toDF("id", "x"), Seq("id"),
+      whenMatched = Seq(
+        MergeClause.DeleteWhen(Some(col("s.x") === 0.0)),
+        MergeClause.UpdateWhen(Map("x" -> col("s.x")))),
+      changeFeed = true)
+    val changes = lake.readChanges()
+      .collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+    assert(changes === Set(
+      ("update_preimage", 1L, 10.0),
+      ("update_postimage", 1L, 99.0),
+      ("delete", 2L, 20.0),
+      ("insert", 9L, 1.0)))
+    val commitV = lake.readChanges().select("_commit_version").head.getLong(0)
+    // whole-row upsert with the feed on routes through merge
+    lake.upsert(Seq((3L, 33.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    val v2 = lake.readChanges(fromVersion = commitV + 1)
+      .select("_change_type", "id", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(v2 === Set(("update_preimage", 3L, 30.0), ("update_postimage", 3L, 33.0)))
+    // an overwrite must not erase recorded change history
+    lake.write(Seq((7L, 7.0)).toDF("id", "x"))
+    assert(lake.readChanges(toVersion = commitV).count() === 4)
+    // no feed recorded in a range -> clear error
+    intercept[IllegalArgumentException](lake.readChanges(fromVersion = 999))
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
