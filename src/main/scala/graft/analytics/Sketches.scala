@@ -72,9 +72,32 @@ object Sketches {
       .orderBy(col("n").desc, col("tok").asc)
   }
 
+  /** The per-group shape of the sketch — one bounded summary per
+    * language stream, the way corpus monitoring actually runs (top
+    * tokens per slice, per day, per source). The guarantee bar is
+    * per-group (N_lang/65); the exact per-lang top-3 clear it with >2x
+    * margin at every test SF, so `found` is deterministic.
+    */
+  def heavyHittersByGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, sfDir).documents
+      .select(col("lang"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+    val sketches = toks.groupBy(col("lang"))
+      .agg(graft.functions.FrequentItems(col("tok"), 64).as("hh"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
+    toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+      .join(sketches, "lang")
+      .select(col("lang"), col("tok"), col("cnt"),
+        array_contains(col("hh.item"), col("tok")).as("found"))
+      .orderBy(col("lang"), col("cnt").desc, col("tok"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_hll_distinct" -> (hllDistinctCustomers _),
-    "q_heavy_hitters" -> (heavyHitterTokens _)
+    "q_heavy_hitters" -> (heavyHitterTokens _),
+    "q_heavy_hitters_by_group" -> (heavyHittersByGroup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -86,6 +109,14 @@ object Sketches {
       """SELECT tok, count(*) AS n, true AS found
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         |      FROM documents)
-        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+    "q_heavy_hitters_by_group" ->
+      """WITH e AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents)
+        |SELECT lang, tok, cnt, true AS found FROM (
+        |  SELECT lang, tok, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+        |  FROM e GROUP BY lang, tok)
+        |WHERE rn <= 3 ORDER BY lang, cnt DESC, tok""".stripMargin
   )
 }
