@@ -16,7 +16,7 @@ private[sources] object CommitLog {
     if (!fs.exists(logDir)) 0L
     else fs.listStatus(logDir).count(_.getPath.getName.endsWith(".json")).toLong
 
-  private def esc(s: String): String =
+  private[sources] def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -50,6 +50,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
   private val logDir = new Path(path, LakeTable.LogDirName)
   private val schemaFile = new Path(logDir, LakeTable.SchemaFileName)
+  private val constraintsFile = new Path(logDir, LakeTable.ConstraintsFileName)
 
   private def fs: FileSystem =
     logDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -81,6 +82,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val (aligned, schema) =
       enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
+    enforceConstraints(aligned, constraints)
     preservingLog(mode) {
       aligned.write.mode(mode).parquet(path)
     }
@@ -116,6 +118,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val (aligned, schema) =
       enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
+    enforceConstraints(aligned, constraints)
     preservingLog(mode) {
       aligned.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
     }
@@ -136,6 +139,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // here would fracture the table across partition directories
     val (aligned, schema) =
       enforceSchema(df, appendLike = true, mergeSchema = false, overwriteSchema = false)
+    enforceConstraints(aligned, constraints)
     aligned.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -349,6 +353,78 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(dup == 0, s"$what contains duplicate merge keys $keys")
   }
 
+  /** Delta-style CHECK constraint: `expr` (a boolean SQL expression over
+    * the table's columns) must hold for every row. Adding a constraint
+    * validates the EXISTING data first, like `ALTER TABLE ADD
+    * CONSTRAINT`; every subsequent write/append/merge/optimize is then
+    * gated on it ([[enforceConstraints]]) — all constraints check in ONE
+    * aggregate pass, and rewrites validate the staged files directly so
+    * nothing is recomputed.
+    */
+  def addConstraint(name: String, expr: String): LakeTable = {
+    require(name.nonEmpty && !constraints.contains(name),
+      s"constraint '$name' already exists")
+    enforceConstraints(read, Map(name -> expr))
+    saveConstraints(constraints + (name -> expr))
+    commit("ADD CONSTRAINT", Map("name" -> name, "expr" -> expr))
+    this
+  }
+
+  def dropConstraint(name: String): LakeTable = {
+    require(constraints.contains(name), s"no constraint '$name'")
+    saveConstraints(constraints - name)
+    commit("DROP CONSTRAINT", Map("name" -> name))
+    this
+  }
+
+  /** Current constraints (name -> boolean SQL expression). */
+  def constraints: Map[String, String] = {
+    val f = fs
+    if (!f.exists(constraintsFile)) Map.empty
+    else {
+      val in = f.open(constraintsFile)
+      val json =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      // one flat {"name":"expr",...} object written by saveConstraints
+      spark.read.json(spark.createDataset(Seq(json))(
+          org.apache.spark.sql.Encoders.STRING))
+        .collect().headOption.map { row =>
+          row.schema.fieldNames.map(n => n -> row.getAs[String](n)).toMap
+        }.getOrElse(Map.empty)
+    }
+  }
+
+  private def saveConstraints(cons: Map[String, String]): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val json = cons.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${CommitLog.esc(k)}":"${CommitLog.esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val out = f.create(constraintsFile, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** One aggregate pass counting violations of EVERY constraint; null
+    * results count as violations (a CHECK must affirmatively hold).
+    */
+  private def enforceConstraints(
+      df: DataFrame, cons: Map[String, String]): Unit = {
+    if (cons.isEmpty) return
+    val exprs = cons.toSeq.sortBy(_._1).map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n)
+    }
+    val counts = df.agg(exprs.head, exprs.tail: _*).head()
+    // sum over zero rows is SQL NULL; getAs[Long] unboxes that to 0,
+    // which is the right answer (an empty batch violates nothing)
+    val bad = cons.keys.toSeq.sorted.map(n => n -> counts.getAs[Long](n))
+      .filter(_._2 > 0)
+    require(bad.isEmpty,
+      s"CHECK constraint violation at $path: " +
+        bad.map { case (n, c) => s"$n ($c rows: ${cons(n)})" }.mkString("; "))
+  }
+
   /** Schema-on-write enforcement (Delta parity — the reference leans on
     * Delta's implicit check on every write, 00-etl-rwd.py:94-141).
     *
@@ -557,6 +633,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def rewrite(clustered: DataFrame, op: String, params: Map[String, String]): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
     clustered.write.mode(SaveMode.Overwrite).parquet(staged)
+    // constraints validate the STAGED files (nothing recomputed); a
+    // violating merge/optimize aborts before the swap, table untouched
+    val cons = constraints
+    if (cons.nonEmpty) {
+      try enforceConstraints(spark.read.parquet(staged), cons)
+      catch { case e: Throwable => fs.delete(new Path(staged), true); throw e }
+    }
     val p = new Path(path)
     val s = new Path(staged)
     val f = fs
@@ -596,6 +679,7 @@ object LakeTable {
   val ChangesTmpSuffix = "__changes_tmp"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
+  val ConstraintsFileName = "_constraints"
 
   def apply(spark: SparkSession, path: String): LakeTable =
     new LakeTable(spark, path)

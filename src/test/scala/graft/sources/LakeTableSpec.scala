@@ -373,6 +373,44 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints gate writes, appends, merges; nulls violate; history survives overwrite") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+      .addConstraint("x_positive", "x > 0")
+    // adding a constraint the data already violates is rejected
+    val exAdd = intercept[IllegalArgumentException](lake.addConstraint("impossible", "x > 15"))
+    assert(exAdd.getMessage.contains("impossible"))
+    // violating append rejected, table untouched
+    val exApp = intercept[IllegalArgumentException] {
+      lake.write(Seq((3L, -1.0)).toDF("id", "x"), SaveMode.Append)
+    }
+    assert(exApp.getMessage.contains("x_positive"))
+    assert(lake.read.count() === 2)
+    // NULL does not satisfy a CHECK
+    intercept[IllegalArgumentException] {
+      lake.write(Seq((4L, Option.empty[Double])).toDF("id", "x"), SaveMode.Append)
+    }
+    // violating merge aborts on the staged files, before the swap
+    intercept[IllegalArgumentException] {
+      lake.upsert(Seq((2L, -5.0)).toDF("id", "x"), Seq("id"))
+    }
+    assert(lake.read.where(col("id") === 2).head.getDouble(1) === 20.0)
+    // valid writes proceed; constraint survives a full overwrite
+    lake.write(Seq((9L, 1.0)).toDF("id", "x"))
+    assert(lake.constraints.keySet === Set("x_positive"))
+    intercept[IllegalArgumentException] {
+      lake.write(Seq((10L, -2.0)).toDF("id", "x"), SaveMode.Append)
+    }
+    // dropped constraint stops gating
+    lake.dropConstraint("x_positive")
+    lake.write(Seq((10L, -2.0)).toDF("id", "x"), SaveMode.Append)
+    assert(lake.read.count() === 2)
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
+  }
+
   test("change data feed: merge records pre/post images, deletes, inserts; survives overwrite") {
     val s = spark
     import s.implicits._
