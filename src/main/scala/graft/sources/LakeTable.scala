@@ -344,6 +344,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** The change feed as a STREAMING source: each change-feed-enabled
+    * commit drops new files under `_graft_changes/v<N>/`, which a file
+    * stream discovers incrementally — so downstream CDC consumers tail
+    * `readChangesStream` with a checkpoint and see every change exactly
+    * once across restarts (StreamingSpec drives this). Requires at least
+    * one recorded change set (the schema comes from the existing files).
+    */
+  def readChangesStream: DataFrame = {
+    val dir = s"$path/${LakeTable.ChangesDirName}"
+    require(fs.exists(new Path(dir)),
+      s"no change feed at $path — run a merge/upsert with changeFeed = true first")
+    // glob the version dirs: the underscore-prefixed changes root itself
+    // is hidden from Spark's listing even when named explicitly
+    val schema = spark.read.parquet(s"$dir/v*").schema
+    spark.readStream.schema(schema).parquet(s"$dir/v*")
+      .withColumn("_commit_version",
+        regexp_extract(input_file_name(), "/v(\\d+)/", 1).cast("long"))
+  }
+
   /** Delta MERGE rejects multiple source rows per key; writing them would
     * silently break the table's key invariant.
     */
