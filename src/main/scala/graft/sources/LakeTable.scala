@@ -82,9 +82,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val (aligned, schema) =
       enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
-    enforceConstraints(aligned, constraints)
+    val toWrite = constrainedBatch(aligned)
     preservingLog(mode) {
-      aligned.write.mode(mode).parquet(path)
+      toWrite.write.mode(mode).parquet(path)
     }
     saveSchema(schema)
     commit(writeOp(mode), Map("mode" -> mode.toString))
@@ -118,9 +118,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val (aligned, schema) =
       enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
-    enforceConstraints(aligned, constraints)
+    val toWrite = constrainedBatch(aligned)
     preservingLog(mode) {
-      aligned.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+      toWrite.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
     }
     saveSchema(schema)
     commit("WRITE PARTITIONED",
@@ -139,8 +139,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // here would fracture the table across partition directories
     val (aligned, schema) =
       enforceSchema(df, appendLike = true, mergeSchema = false, overwriteSchema = false)
-    enforceConstraints(aligned, constraints)
-    aligned.write
+    val toWrite = constrainedBatch(aligned)
+    toWrite.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
@@ -260,14 +260,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val surviving =
       if (deleteIdx.isEmpty) acted
       else acted.where(!col("__graft_action").isInCollection(deleteIdx))
-    val keptOut = surviving.select(fields.map { f =>
+    // post-update value of a field under the winning clause — shared by
+    // the rows written to the table AND the update_postimage change rows,
+    // so clause evaluation can never diverge between the two
+    def updatedValue(f: org.apache.spark.sql.types.StructField): Column =
       if (keys.contains(f.name)) col(f.name)
       else whenMatched.zipWithIndex.foldRight(col("t." + f.name)) {
         case ((MergeClause.UpdateWhen(set, _), i), els) if set.contains(f.name) =>
           when(col("__graft_action") === i, set(f.name).cast(f.dataType)).otherwise(els)
         case (_, els) => els
       }.as(f.name)
-    }.toIndexedSeq: _*)
+    val keptOut = surviving.select(fields.map(updatedValue).toIndexedSeq: _*)
 
     val inserts =
       if (!insertUnmatched) None
@@ -277,46 +280,51 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     val result = inserts.fold(keptOut)(keptOut.unionByName(_))
 
-    if (changeFeed) {
-      val updateIdx = whenMatched.zipWithIndex.collect {
-        case (MergeClause.UpdateWhen(_, _), i) => i
+    val changeVersion: Option[Long] =
+      if (!changeFeed) None
+      else {
+        val updateIdx = whenMatched.zipWithIndex.collect {
+          case (MergeClause.UpdateWhen(_, _), i) => i
+        }
+        val pre = fields.map { f =>
+          if (keys.contains(f.name)) col(f.name) else col("t." + f.name).as(f.name)
+        }.toIndexedSeq
+        val post = fields.map(updatedValue).toIndexedSeq
+        def typed(df: DataFrame, cols: IndexedSeq[Column], t: String) =
+          df.select(cols: _*).withColumn("_change_type", lit(t))
+        val updated = acted.where(col("__graft_action").isInCollection(updateIdx))
+        val deleted = acted.where(col("__graft_action").isInCollection(deleteIdx))
+        val changes = Seq(
+          Some(typed(updated, pre, "update_preimage")),
+          Some(typed(updated, post, "update_postimage")),
+          Some(typed(deleted, pre, "delete")),
+          inserts.map(i => i.withColumn("_change_type", lit("insert")))
+        ).flatten.reduce(_ unionByName _)
+        Some(writeChanges(changes))
       }
-      val pre = fields.map { f =>
-        if (keys.contains(f.name)) col(f.name) else col("t." + f.name).as(f.name)
-      }.toIndexedSeq
-      val post = fields.map { f =>
-        if (keys.contains(f.name)) col(f.name)
-        else whenMatched.zipWithIndex.foldRight(col("t." + f.name)) {
-          case ((MergeClause.UpdateWhen(set, _), i), els) if set.contains(f.name) =>
-            when(col("__graft_action") === i, set(f.name).cast(f.dataType)).otherwise(els)
-          case (_, els) => els
-        }.as(f.name)
-      }.toIndexedSeq
-      def typed(df: DataFrame, cols: IndexedSeq[Column], t: String) =
-        df.select(cols: _*).withColumn("_change_type", lit(t))
-      val updated = acted.where(col("__graft_action").isInCollection(updateIdx))
-      val deleted = acted.where(col("__graft_action").isInCollection(deleteIdx))
-      val changes = Seq(
-        Some(typed(updated, pre, "update_preimage")),
-        Some(typed(updated, post, "update_postimage")),
-        Some(typed(deleted, pre, "delete")),
-        inserts.map(i => i.withColumn("_change_type", lit("insert")))
-      ).flatten.reduce(_ unionByName _)
-      writeChanges(changes)
-    }
-    rewrite(result, "MERGE",
+    try rewrite(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
         "changeFeed" -> changeFeed.toString))
+    catch {
+      case e: Throwable =>
+        // an aborted merge must not leave a phantom change set behind:
+        // the feed was materialized before the swap, but the swap never
+        // happened — readers would see changes for a commit that isn't
+        changeVersion.foreach(v =>
+          fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true))
+        throw e
+    }
   }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the
     * version the ABOUT-TO-HAPPEN commit will get — must run before the
     * table swap, while the plans still read the pre-merge table.
     */
-  private def writeChanges(changes: DataFrame): Unit = {
+  private def writeChanges(changes: DataFrame): Long = {
     val v = CommitLog.currentCount(fs, logDir)
     changes.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/${LakeTable.ChangesDirName}/v$v")
+    v
   }
 
   /** Delta `table_changes` analogue: every change row recorded by
@@ -360,7 +368,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val schema = spark.read.parquet(s"$dir/v*").schema
     spark.readStream.schema(schema).parquet(s"$dir/v*")
       .withColumn("_commit_version",
-        regexp_extract(input_file_name(), "/v(\\d+)/", 1).cast("long"))
+        // anchored to the feed dir: a table path like /data/v2/events
+        // contains its own /v<digits>/ segment and must not match
+        regexp_extract(input_file_name(),
+          s"/${LakeTable.ChangesDirName}/v(\\d+)/", 1).cast("long"))
   }
 
   /** Delta MERGE rejects multiple source rows per key; writing them would
@@ -396,33 +407,62 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
-  /** Current constraints (name -> boolean SQL expression). */
-  def constraints: Map[String, String] = {
+  // parsed once per instance — constraints gate EVERY write, so the hot
+  // path must not re-open (let alone re-parse) the file per operation;
+  // saveConstraints invalidates. Single-writer model, like the log.
+  @volatile private var consCache: Option[Map[String, String]] = None
+
+  /** Current constraints (name -> boolean SQL expression). Stored as
+    * URL-encoded `name\texpr` lines — parsed driver-side in microseconds
+    * (a JSON-reader Spark job for a one-line file was measured on every
+    * gated write before this).
+    */
+  def constraints: Map[String, String] = consCache.getOrElse {
     val f = fs
-    if (!f.exists(constraintsFile)) Map.empty
-    else {
-      val in = f.open(constraintsFile)
-      val json =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        finally in.close()
-      // one flat {"name":"expr",...} object written by saveConstraints
-      spark.read.json(spark.createDataset(Seq(json))(
-          org.apache.spark.sql.Encoders.STRING))
-        .collect().headOption.map { row =>
-          row.schema.fieldNames.map(n => n -> row.getAs[String](n)).toMap
-        }.getOrElse(Map.empty)
-    }
+    val parsed =
+      if (!f.exists(constraintsFile)) Map.empty[String, String]
+      else {
+        val in = f.open(constraintsFile)
+        val text =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(k, v) = line.split("\t", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      }
+    consCache = Some(parsed)
+    parsed
   }
 
   private def saveConstraints(cons: Map[String, String]): Unit = {
     val f = fs
     if (!f.exists(logDir)) f.mkdirs(logDir)
-    val json = cons.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${CommitLog.esc(k)}":"${CommitLog.esc(v)}"""" }
-      .mkString("{", ",", "}")
+    val text = cons.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("\n")
     val out = f.create(constraintsFile, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    consCache = Some(cons)
+  }
+
+  /** Gate an incoming batch on the table's constraints. The batch is
+    * materialized first: checking the raw plan would run the caller's
+    * whole upstream pipeline twice (once for the check, once for the
+    * write), and a non-deterministic input could even pass the check yet
+    * write violating rows on the second evaluation.
+    */
+  private def constrainedBatch(aligned: DataFrame): DataFrame = {
+    val cons = constraints
+    if (cons.isEmpty) aligned
+    else {
+      val pinned = aligned.localCheckpoint(true)
+      enforceConstraints(pinned, cons)
+      pinned
+    }
   }
 
   /** One aggregate pass counting violations of EVERY constraint; null
@@ -569,7 +609,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val movedChanges =
       mode == SaveMode.Overwrite && fs.exists(changesDir) &&
         fs.rename(changesDir, changesTmp)
-    dataWrite
+    // restore even when the data write throws: a failed overwrite must
+    // not strand the feed at the __changes_tmp sibling forever
+    try dataWrite
+    finally if (movedChanges) fs.rename(changesTmp, changesDir)
     if (saved.nonEmpty) {
       val f = fs
       if (!f.exists(logDir)) f.mkdirs(logDir)
@@ -579,7 +622,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
         finally out.close()
       }
     }
-    if (movedChanges) fs.rename(changesTmp, changesDir)
   }
 
   /** Compaction + multi-column clustering — the ZORDER substitute.
@@ -612,9 +654,22 @@ final class LakeTable(spark: SparkSession, val path: String) {
       zorderBy: Seq[String] = Seq.empty): LakeTable = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val f = fs
-    val bytes = f.listStatus(new Path(path)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // compact's rewrite flattens the directory layout — refuse on a
+    // Hive-partitioned table instead of silently collapsing it; those
+    // compact per-partition via overwritePartitions/optimize
+    val partitioned = f.listStatus(new Path(path))
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path has a Hive-partitioned layout; compact per partition " +
+        "(overwritePartitions) instead of flattening the table")
+    val it = f.listFiles(new Path(path), true) // recursive
+    var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.toString.contains(LakeTable.ChangesDirName))
+        bytes += st.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     if (zorderBy.nonEmpty) optimize(zorderBy, Some(n))
     else {

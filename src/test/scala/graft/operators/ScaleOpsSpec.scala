@@ -63,8 +63,14 @@ class ScaleOpsSpec extends SparkSpec {
       val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
       assert(plan.contains("bloomfilter") || plan.contains("might_contain"),
         s"no runtime bloom filter injected:\n$plan")
-      assert(joined.count() ===
-        t.lineitem.join(sel, col("l_partkey") === col("p_partkey")).count())
+      val withBloom = joined.count()
+      // baseline MUST come from a bloom-free plan, or a lossy filter
+      // would agree with itself and the assertion proves nothing
+      val baseline = withConf(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        t.lineitem.join(sel, col("l_partkey") === col("p_partkey")).count()
+      }
+      assert(withBloom === baseline)
     }
   }
 

@@ -411,6 +411,25 @@ class LakeTableSpec extends SparkSpec {
     assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
   }
 
+  test("an aborted change-feed merge leaves no phantom change set behind") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, 10.0)).toDF("id", "x"))
+      .addConstraint("x_positive", "x > 0")
+    // the feed is materialized before the swap; the constraint check on
+    // the staged files then aborts the merge — the recorded changes for
+    // the never-committed version must be rolled back too
+    intercept[IllegalArgumentException] {
+      lake.upsert(Seq((1L, -1.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    }
+    assert(lake.read.head.getDouble(1) === 10.0)
+    intercept[IllegalArgumentException](lake.readChanges())
+    // and a later SUCCESSFUL feed commit starts clean
+    lake.upsert(Seq((1L, 11.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    assert(lake.readChanges().count() === 2) // pre + post
+  }
+
   test("change data feed: merge records pre/post images, deletes, inserts; survives overwrite") {
     val s = spark
     import s.implicits._
