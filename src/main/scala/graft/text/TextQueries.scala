@@ -182,6 +182,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style pretraining quality filters (Rae et al. 2021, the
+    * rule set most corpus pipelines start from): per-doc word count,
+    * mean word length, symbol ratio, and 3-gram repetition, each with
+    * its pass bound, plus the conjunction. Repetition uses the identity
+    * `1 - |distinct 3-shingles| / (n_words - 2)` so it rides the
+    * single-pass [[TextFunctions.shinglesOf]] expression — no
+    * non-distinct shingle materialization (the lambda pipeline that
+    * motivated ShinglesExpr). All metrics round to 6dp on both engines.
+    */
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nWords = size(toks).cast("bigint")
+    val meanWl = round(
+      length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        greatest(nWords, lit(1L)), 6)
+    val symbol = TextFunctions.punctRatio(col("text"))
+    val rep3 = round(
+      when(nWords >= 3,
+        lit(1.0) - size(TextFunctions.shinglesOf(toks, 3)).cast("double") /
+          (nWords - 2)).otherwise(0.0), 6)
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_word_len"),
+        symbol.as("symbol_ratio"), rep3.as("rep3"))
+      .withColumn("pass_all",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3, 10) &&
+          col("symbol_ratio") < 0.1 &&
+          col("rep3") < 0.3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing (concat-and-chunk): assign every doc its byte-exact
     * position in the packed training stream — exclusive running token
     * count per language stream, then seq_id = start / window and
@@ -277,7 +308,8 @@ object TextQueries {
     "q_embedding_pairs_exact" -> (embeddingPairsExact _),
     "q_pii_redact" -> (piiRedact _),
     "q_contamination" -> (contamination _),
-    "q_pack_sequences" -> (packSequences _)
+    "q_pack_sequences" -> (packSequences _),
+    "q_gopher_quality" -> (gopherQuality _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -426,6 +458,28 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_shared
         |FROM cg WHERE g IN (SELECT g FROM bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |          / greatest(len(ts), 1), 6) AS mean_word_len,
+        |    round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        |          / greatest(length(text), 1), 6) AS symbol_ratio,
+        |    round(CASE WHEN len(ts) >= 3 THEN
+        |      1.0 - len(list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                               for i in range(1, len(ts)-1)])) * 1.0
+        |            / (len(ts) - 2)
+        |      ELSE 0.0 END, 6) AS rep3
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, rep3,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND symbol_ratio < 0.1 AND rep3 < 0.3) AS pass_all
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
