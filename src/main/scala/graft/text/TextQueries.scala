@@ -213,6 +213,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based corpus mixing (the multinomial-sampling step of
+    * multilingual pretraining, per mBERT/XLM-R: p_g ∝ c_g^α with α=0.5
+    * flattening the language distribution toward rare languages). Rates
+    * come from a 5-row broadcast aggregate; selection is a deterministic
+    * per-row Bernoulli via an md5-derived uniform — the SAME hash both
+    * engines compute, so even the sampled row SET is oracle-exact, not
+    * just the rates. At 100 TB this is one broadcast join + a stateless
+    * filter: no shuffle of the corpus.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 200.0
+    val d = Tables(spark, sfDir).documents
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(least(lit(1.0),
+          lit(budget) * sqrt(col("n_docs")) / col("z") / col("n_docs")), 6).as("rate"))
+    // uniform in [0,1) from the first 8 md5 hex digits of the doc id —
+    // deterministic, partition-independent, and reproducible in SQL
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / lit(4294967296.0)
+    val sel = d.join(broadcast(rates), "lang")
+      .where(u < col("rate"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_selected"))
+    rates.join(sel, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("rate"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+      .orderBy(col("lang"))
+  }
+
   /** Sequence packing (concat-and-chunk): assign every doc its byte-exact
     * position in the packed training stream — exclusive running token
     * count per language stream, then seq_id = start / window and
@@ -309,7 +340,8 @@ object TextQueries {
     "q_pii_redact" -> (piiRedact _),
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),
-    "q_gopher_quality" -> (gopherQuality _)
+    "q_gopher_quality" -> (gopherQuality _),
+    "q_temperature_mix" -> (temperatureMix _)
   )
 
   /** DuckDB `s_<lang>` score columns derived from the SAME stopword lists
@@ -458,6 +490,21 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_shared
         |FROM cg WHERE g IN (SELECT g FROM bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |z AS (SELECT sum(sqrt(n_docs)) AS z FROM c),
+        |r AS (SELECT lang, n_docs,
+        |        round(least(1.0, 200.0 * sqrt(n_docs) / z.z / n_docs), 6) AS rate
+        |      FROM c CROSS JOIN z),
+        |sel AS (
+        |  SELECT d.lang, count(*) AS n_selected
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+        |         / 4294967296.0) < r.rate
+        |  GROUP BY d.lang)
+        |SELECT lang, n_docs, rate,
+        |  CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected
+        |FROM r LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin,
     "q_gopher_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,
