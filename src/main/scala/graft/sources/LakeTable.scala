@@ -302,18 +302,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
         ).flatten.reduce(_ unionByName _)
         Some(writeChanges(changes))
       }
-    try rewrite(result, "MERGE",
+    // phantom-change-set guard: if the rewrite aborts BEFORE the swap
+    // (staged write or constraint failure), the materialized feed
+    // describes a commit that never happened and must go; a failure
+    // AFTER the swap means the data IS the table, so the feed stays —
+    // deleting it there would hide a real commit from CDC consumers
+    rewrite(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
-        "changeFeed" -> changeFeed.toString))
-    catch {
-      case e: Throwable =>
-        // an aborted merge must not leave a phantom change set behind:
-        // the feed was materialized before the swap, but the swap never
-        // happened — readers would see changes for a commit that isn't
-        changeVersion.foreach(v =>
-          fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true))
-        throw e
-    }
+        "changeFeed" -> changeFeed.toString),
+      onAbort = () => changeVersion.foreach(v =>
+        fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true)))
   }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the
@@ -322,8 +320,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private def writeChanges(changes: DataFrame): Long = {
     val v = CommitLog.currentCount(fs, logDir)
-    changes.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/${LakeTable.ChangesDirName}/v$v")
+    val dir = s"$path/${LakeTable.ChangesDirName}/v$v"
+    try changes.write.mode(SaveMode.Overwrite).parquet(dir)
+    catch {
+      case e: Throwable =>
+        // a half-written change dir would pollute readChanges once a
+        // later commit reaches this version number
+        fs.delete(new Path(dir), true)
+        throw e
+    }
     v
   }
 
@@ -407,33 +412,35 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
-  // parsed once per instance — constraints gate EVERY write, so the hot
-  // path must not re-open (let alone re-parse) the file per operation;
-  // saveConstraints invalidates. Single-writer model, like the log.
-  @volatile private var consCache: Option[Map[String, String]] = None
-
   /** Current constraints (name -> boolean SQL expression). Stored as
     * URL-encoded `name\texpr` lines — parsed driver-side in microseconds
     * (a JSON-reader Spark job for a one-line file was measured on every
-    * gated write before this).
+    * gated write before this). Re-read per call, NOT cached: two live
+    * instances of the same path must see each other's addConstraint, or
+    * one of them writes unenforced — the file is a few bytes, and the FS
+    * open is noise next to the write it gates. Lines without a tab are
+    * rejected loudly instead of pattern-match-crashing.
     */
-  def constraints: Map[String, String] = consCache.getOrElse {
+  def constraints: Map[String, String] = {
     val f = fs
-    val parsed =
-      if (!f.exists(constraintsFile)) Map.empty[String, String]
-      else {
-        val in = f.open(constraintsFile)
-        val text =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-          finally in.close()
-        text.linesIterator.filter(_.nonEmpty).map { line =>
-          val Array(k, v) = line.split("\t", 2)
-          java.net.URLDecoder.decode(k, "UTF-8") ->
-            java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
-      }
-    consCache = Some(parsed)
-    parsed
+    if (!f.exists(constraintsFile)) Map.empty
+    else {
+      val in = f.open(constraintsFile)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", 2) match {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          case _ =>
+            throw new IllegalStateException(
+              s"unreadable constraints file at $constraintsFile " +
+                s"(line: ${line.take(80)}) — re-add constraints via addConstraint")
+        }
+      }.toMap
+    }
   }
 
   private def saveConstraints(cons: Map[String, String]): Unit = {
@@ -446,7 +453,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val out = f.create(constraintsFile, true)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    consCache = Some(cons)
   }
 
   /** Gate an incoming batch on the table's constraints. The batch is
@@ -609,19 +615,39 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val movedChanges =
       mode == SaveMode.Overwrite && fs.exists(changesDir) &&
         fs.rename(changesDir, changesTmp)
-    // restore even when the data write throws: a failed overwrite must
-    // not strand the feed at the __changes_tmp sibling forever
-    try dataWrite
-    finally if (movedChanges) fs.rename(changesTmp, changesDir)
-    if (saved.nonEmpty) {
+    // restore on BOTH paths: a FAILED overwrite has already deleted the
+    // table dir (log included) before its tasks ran, so the buffered log
+    // and the moved-aside feed must come back even on exception —
+    // otherwise history/schema/constraints are silently gone and later
+    // writes run unenforced. A restore failure during exception handling
+    // is suppressed onto the original error, never masking it.
+    def restore(): Unit = {
       val f = fs
-      if (!f.exists(logDir)) f.mkdirs(logDir)
-      saved.foreach { case (name, bytes) =>
-        val out = f.create(new Path(logDir, name), true)
-        try out.write(bytes)
-        finally out.close()
+      if (movedChanges) {
+        // the failed job may have deleted $path without recreating it;
+        // rename needs the parent to exist
+        if (!f.exists(new Path(path))) f.mkdirs(new Path(path))
+        if (!f.rename(changesTmp, changesDir))
+          throw new java.io.IOException(
+            s"could not restore change feed from $changesTmp to $changesDir")
+      }
+      if (saved.nonEmpty) {
+        if (!f.exists(logDir)) f.mkdirs(logDir)
+        saved.foreach { case (name, bytes) =>
+          val out = f.create(new Path(logDir, name), true)
+          try out.write(bytes)
+          finally out.close()
+        }
       }
     }
+    try dataWrite
+    catch {
+      case e: Throwable =>
+        try restore()
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
+    restore()
   }
 
   /** Compaction + multi-column clustering — the ZORDER substitute.
@@ -704,15 +730,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
   /** Stage the clustered rewrite to a sibling dir, then swap — avoids
     * reading+overwriting the same location in one job.
     */
-  private def rewrite(clustered: DataFrame, op: String, params: Map[String, String]): LakeTable = {
+  private def rewrite(
+      clustered: DataFrame, op: String, params: Map[String, String],
+      onAbort: () => Unit = () => ()): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
-    clustered.write.mode(SaveMode.Overwrite).parquet(staged)
-    // constraints validate the STAGED files (nothing recomputed); a
-    // violating merge/optimize aborts before the swap, table untouched
-    val cons = constraints
-    if (cons.nonEmpty) {
-      try enforceConstraints(spark.read.parquet(staged), cons)
-      catch { case e: Throwable => fs.delete(new Path(staged), true); throw e }
+    // onAbort fires ONLY for pre-swap failures (table untouched); once
+    // the swap has happened the caller's side effects must stand
+    try {
+      clustered.write.mode(SaveMode.Overwrite).parquet(staged)
+      // constraints validate the STAGED files (nothing recomputed); a
+      // violating merge/optimize aborts before the swap, table untouched
+      val cons = constraints
+      if (cons.nonEmpty) {
+        try enforceConstraints(spark.read.parquet(staged), cons)
+        catch { case e: Throwable => fs.delete(new Path(staged), true); throw e }
+      }
+    } catch {
+      case e: Throwable =>
+        try onAbort()
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
     }
     val p = new Path(path)
     val s = new Path(staged)

@@ -227,10 +227,14 @@ object TextQueries {
     val d = Tables(spark, sfDir).documents
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+    // materialized once: rates feed the selection join AND the final
+    // report join — left lazy, each occurrence would re-run the corpus
+    // counts and z aggregations (5 full scans instead of 2)
     val rates = counts.crossJoin(broadcast(z))
       .select(col("lang"), col("n_docs"),
         round(least(lit(1.0),
           lit(budget) * sqrt(col("n_docs")) / col("z") / col("n_docs")), 6).as("rate"))
+      .localCheckpoint(true)
     // uniform in [0,1) from the first 8 md5 hex digits of the doc id —
     // deterministic, partition-independent, and reproducible in SQL
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
