@@ -18,8 +18,39 @@ import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance, MinHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.AnalysisException
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+    // the k/n/seed arguments are consumed at plan-build time, so they
+    // must be foldable integers; anything else (a column, a string
+    // literal) would otherwise surface as a raw ClassCastException/NPE
+    // from eval() — raise the standard analyzer error instead
+    def literalInt(fn: String, argName: String, arg: Expression): Int = {
+      def fail(): Nothing = throw new AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr"   -> s""""$fn"""",
+          "inputName" -> s"`$argName`",
+          "inputType" -> "\"INT\"",
+          "inputExpr" -> s""""${scala.util.Try(arg.sql).getOrElse(arg.toString)}""""))
+      if (!arg.foldable) fail()
+      arg.dataType match {
+        case ByteType | ShortType | IntegerType =>
+          arg.eval() match {
+            case null      => fail()
+            case v: Number => v.intValue()
+          }
+        case LongType =>
+          arg.eval() match {
+            case null => fail()
+            case v: java.lang.Long =>
+              if (v < Int.MinValue || v > Int.MaxValue) fail() else v.toInt
+          }
+        case _ => fail()
+      }
+    }
 
     // optimizer rule: length-band guard for levenshtein thresholds
     e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
@@ -43,7 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(tokens, n) - distinct n-token shingles"),
       (es: Seq[Expression]) =>
-        ShinglesExpr(es.head, es(1).eval().asInstanceOf[Int])))
+        ShinglesExpr(es.head, literalInt("shingles", "n", es(1)))))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash signature"),
@@ -53,13 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature", "minhash_signature(arr, k[, seed]) - k min-hashes"),
       (es: Seq[Expression]) => MinHashSignatureExpr(
         es.head,
-        es(1).eval().asInstanceOf[Int],
-        if (es.length > 2) es(2).eval().asInstanceOf[Int] else 42)))
+        literalInt("minhash_signature", "k", es(1)),
+        if (es.length > 2) literalInt("minhash_signature", "seed", es(2)) else 42)))
     e.injectFunction((
       FunctionIdentifier("frequent_items"),
       info("frequent_items",
         "frequent_items(col, k) - Misra-Gries heavy hitters: array<struct<item,est>>"),
       (es: Seq[Expression]) => graft.functions.FrequentItems(
-        es.head, es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+        es.head, literalInt("frequent_items", "k", es(1))).toAggregateExpression()))
   }
 }

@@ -58,8 +58,13 @@ object ConnectedComponents {
         val sc = spark.sparkContext
         val prev = sc.getCheckpointDir
         sc.setCheckpointDir(s"$dir/cc-${java.util.UUID.randomUUID()}")
+        // restore BOTH cases: when the session had no checkpoint dir,
+        // explicitly unset it (setCheckpointDir(null) → None) — leaving
+        // it pointed at this run's cc-<uuid> subdir would make later
+        // unrelated rdd.checkpoint() calls write into (and depend on)
+        // this run's directory
         try body
-        finally prev.foreach(sc.setCheckpointDir)
+        finally sc.setCheckpointDir(prev.orNull)
     }
 
   /** Components of an undirected graph given as an edge list.

@@ -354,7 +354,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     versions.map { v =>
       spark.read.parquet(s"$path/${LakeTable.ChangesDirName}/v$v")
         .withColumn("_commit_version", lit(v))
-    }.reduce(_ unionByName _)
+    // allowMissingColumns: change sets recorded before a schema evolution
+    // lack the added columns — they read as null, like Delta's CDF
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The change feed as a STREAMING source: each change-feed-enabled
@@ -362,7 +364,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * stream discovers incrementally — so downstream CDC consumers tail
     * `readChangesStream` with a checkpoint and see every change exactly
     * once across restarts (StreamingSpec drives this). Requires at least
-    * one recorded change set (the schema comes from the existing files).
+    * one recorded change set. The stream schema is the mergeSchema UNION
+    * of every change set present at start (so a feed whose table evolved
+    * mid-history exposes all columns, null-filled where a version lacks
+    * them) — but it is then FIXED for the stream's lifetime: columns
+    * added by commits after the stream starts require a restart with a
+    * fresh checkpoint to appear.
     */
   def readChangesStream: DataFrame = {
     val dir = s"$path/${LakeTable.ChangesDirName}"
@@ -370,7 +377,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       s"no change feed at $path — run a merge/upsert with changeFeed = true first")
     // glob the version dirs: the underscore-prefixed changes root itself
     // is hidden from Spark's listing even when named explicitly
-    val schema = spark.read.parquet(s"$dir/v*").schema
+    val schema = spark.read.option("mergeSchema", "true").parquet(s"$dir/v*").schema
     spark.readStream.schema(schema).parquet(s"$dir/v*")
       .withColumn("_commit_version",
         // anchored to the feed dir: a table path like /data/v2/events
@@ -613,8 +620,40 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val changesDir = new Path(path, LakeTable.ChangesDirName)
     val changesTmp = new Path(s"$path${LakeTable.ChangesTmpSuffix}")
     val movedChanges =
-      mode == SaveMode.Overwrite && fs.exists(changesDir) &&
-        fs.rename(changesDir, changesTmp)
+      if (mode != SaveMode.Overwrite) false
+      else {
+        // a tmp dir already present means a prior run crashed between
+        // move and restore — recover its version dirs FIRST, or this
+        // rename would nest the live feed inside the stale tmp (the
+        // HDFS rename-into-existing-dir semantics) and the stale
+        // change sets would shadow every later overwrite
+        if (fs.exists(changesTmp)) {
+          if (!fs.exists(changesDir)) {
+            if (!fs.rename(changesTmp, changesDir))
+              throw new java.io.IOException(
+                s"could not recover stale change feed $changesTmp to $changesDir")
+          } else {
+            // both exist: the crash happened after a fresh feed dir was
+            // recreated — fold the orphaned (older) version dirs back,
+            // keeping the live dir's copy on collision
+            fs.listStatus(changesTmp).foreach { st =>
+              val dest = new Path(changesDir, st.getPath.getName)
+              if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
+                throw new java.io.IOException(
+                  s"could not recover orphaned change set ${st.getPath} into $dest")
+            }
+            fs.delete(changesTmp, true)
+          }
+        }
+        if (fs.exists(changesDir)) {
+          // a silent rename failure here would let the Overwrite below
+          // delete the entire feed with no error — fail loudly instead
+          if (!fs.rename(changesDir, changesTmp))
+            throw new java.io.IOException(
+              s"could not move change feed $changesDir aside to $changesTmp before overwrite")
+          true
+        } else false
+      }
     // restore on BOTH paths: a FAILED overwrite has already deleted the
     // table dir (log included) before its tasks ran, so the buffered log
     // and the moved-aside feed must come back even on exception —

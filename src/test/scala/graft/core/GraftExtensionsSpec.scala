@@ -23,6 +23,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(top.getLong(1) >= 50 - 60 / 5) // MG lower bound: N/(k+1)
   }
 
+  test("literal-int arguments are guarded: clear analysis error, not a ClassCastException") {
+    import spark.implicits._
+    import org.apache.spark.sql.AnalysisException
+    // the shared session is built with spark.sql.extensions=GraftExtensions,
+    // so these resolve through the guarded injection builders
+    assume(spark.catalog.functionExists("frequent_items"))
+    Seq("alpha beta", "gamma delta").toDF("item").createOrReplaceTempView("fi_guard")
+    // non-foldable k (a column expression)
+    val e1 = intercept[AnalysisException](
+      spark.sql("SELECT frequent_items(item, length(item)) FROM fi_guard").collect())
+    assert(e1.getMessage.contains("frequent_items") && e1.getMessage.contains("foldable"), e1.getMessage)
+    // foldable but not an integer type
+    val e2 = intercept[AnalysisException](
+      spark.sql("SELECT frequent_items(item, '4') FROM fi_guard").collect())
+    assert(e2.getMessage.contains("INT"), e2.getMessage)
+    // same guard on the other literal-int injections
+    val e3 = intercept[AnalysisException](
+      spark.sql("SELECT shingles(split(item, ' '), item) FROM fi_guard").collect())
+    assert(e3.getMessage.contains("shingles"), e3.getMessage)
+    val e4 = intercept[AnalysisException](
+      spark.sql("SELECT minhash_signature(split(item, ' '), 8, item) FROM fi_guard").collect())
+    assert(e4.getMessage.contains("minhash_signature"), e4.getMessage)
+    // a long literal within Int range still works
+    val ok = spark.sql("SELECT frequent_items(item, 4L) AS hh FROM fi_guard").head
+    assert(ok.getSeq[Any](0).nonEmpty)
+  }
+
   test("extension class injects all functions without error") {
     // A fresh SparkSession with spark.sql.extensions would exercise this at
     // session build; here we apply directly (the shared test session already

@@ -74,6 +74,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(files(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
   }
 
+  test("checkpoint scope restores the session's prior checkpoint dir — including None") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_scope").toString
+    try {
+      // session with NO checkpoint dir: the run must not leak its
+      // cc-<uuid> subdir into the session-global setting
+      sc.setCheckpointDir(null)
+      ConnectedComponents.components(edges, checkpointDir = Some(dir)).collect()
+      assert(sc.getCheckpointDir.isEmpty,
+        s"leaked checkpoint dir ${sc.getCheckpointDir}")
+      // session WITH a prior dir: restored under the same tree (Spark's
+      // setCheckpointDir nests a fresh UUID subdir on every call, so
+      // byte-identical restore is impossible via the public API — the
+      // guarantee is that later checkpoints land under the USER'S dir,
+      // not under this run's cc-<uuid>)
+      val kept = java.nio.file.Files.createTempDirectory("graft_cc_prior").toString
+      sc.setCheckpointDir(kept)
+      val before = sc.getCheckpointDir.get
+      ConnectedComponents.components(edges, checkpointDir = Some(dir)).collect()
+      assert(sc.getCheckpointDir.exists(_.startsWith(before)),
+        s"expected a dir under $before, got ${sc.getCheckpointDir}")
+    } finally sc.setCheckpointDir(prior.orNull)
+  }
+
   test("star contraction matches propagation on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

@@ -463,6 +463,36 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](lake.readChanges(fromVersion = 999))
   }
 
+  test("a stale __changes_tmp from a crashed overwrite is recovered, never shadowed") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path)
+      .write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    lake.upsert(Seq((1L, 11.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    val recorded = lake.readChanges().count()
+    assert(recorded > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val changesDir = new org.apache.hadoop.fs.Path(path, LakeTable.ChangesDirName)
+    val changesTmp = new org.apache.hadoop.fs.Path(s"$path${LakeTable.ChangesTmpSuffix}")
+    // simulate a crash between move-aside and restore: feed stranded in tmp
+    assert(fs.rename(changesDir, changesTmp))
+    lake.write(Seq((3L, 30.0)).toDF("id", "x")) // overwrite triggers recovery
+    assert(!fs.exists(changesTmp), "stale tmp dir must be cleaned up")
+    assert(lake.readChanges().count() === recorded, "recovered feed readable")
+    // crash variant where a FRESH feed dir was recreated before recovery:
+    // orphaned older version dirs fold back in beside the new ones
+    lake.upsert(Seq((3L, 33.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    val total = lake.readChanges().count()
+    assert(fs.rename(changesDir, changesTmp))
+    lake.upsert(Seq((3L, 34.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    lake.write(Seq((4L, 40.0)).toDF("id", "x"))
+    assert(!fs.exists(changesTmp))
+    assert(lake.readChanges().count() === total + 2,
+      "older versions recovered alongside the post-crash change set")
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
