@@ -36,7 +36,8 @@ object SparkEntry {
       (analytics.Behavior.queries, analytics.Behavior.oracles),
       (analytics.Quality.queries, analytics.Quality.oracles),
       (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles),
-      (operators.TypedOps.queries, operators.TypedOps.oracles)
+      (operators.TypedOps.queries, operators.TypedOps.oracles),
+      (operators.ScaleSurface.queries, operators.ScaleSurface.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

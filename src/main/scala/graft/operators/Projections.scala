@@ -177,7 +177,27 @@ object Projections {
       )
       .orderBy(col("o_orderkey"))
 
+  /** Higher-order array functions — transform / filter / aggregate /
+    * zip_with lambdas over the embedding vectors. These stay inside
+    * Catalyst (LambdaFunction expressions, no UDF serialization), so the
+    * whole projection is codegen'd; `reverse` + `zip_with` gives an
+    * order-reversed dot product without ever exploding the array.
+    */
+  def arrayHof(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    Tables(spark, sfDir).embeddings
+      .select(
+        col("vec_id"),
+        round(aggregate(transform(emb, x => least(x, lit(0.1))),
+          lit(0.0), (acc, x) => acc + x), 6).as("clipped_sum"),
+        size(filter(emb, x => x > lit(0.2))).cast("bigint").as("n_big"),
+        round(aggregate(zip_with(emb, reverse(emb), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("rev_dot"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_array_hof" -> (arrayHof _),
     "q_date_funcs" -> (dateFunctions _),
     "q_string_funcs" -> (stringFunctions _),
     "q_array_agg" -> (arrayAgg _),
@@ -192,6 +212,14 @@ object Projections {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_array_hof" ->
+      """SELECT vec_id,
+        | round(list_sum(list_transform(embedding::DOUBLE[], x -> least(x, 0.1))), 6)
+        |   AS clipped_sum,
+        | len(list_filter(embedding::DOUBLE[], x -> x > 0.2)) AS n_big,
+        | round(list_dot_product(embedding::DOUBLE[], list_reverse(embedding::DOUBLE[])), 6)
+        |   AS rev_dot
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate::DATE, '%Y-%m-%d') AS d,

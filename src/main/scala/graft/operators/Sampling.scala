@@ -18,6 +18,32 @@ object Sampling {
   ): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic, ORACLE-EXACT stratified sample. `sampleBy` is seeded
+    * but partition-order-dependent (each task advances its own RNG), so
+    * two runs over differently-partitioned input keep different rows.
+    * Here the keep decision is a pure function of the ROW — uniform in
+    * [0,1) from the first 8 md5 hex digits of its id — so the sample is
+    * identical across partitionings, engines, and reruns (the property
+    * the temperature mixer already relies on, generalized to an
+    * arbitrary per-stratum rate map). Rates ride a broadcast join: no
+    * driver-side loop, no shuffle of the big side.
+    */
+  def deterministicStratified(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Map[String, Double]
+  ): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val fr = fractions.toSeq.toDF("__stratum", "__frac")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / lit(4294967296.0)
+    df.join(broadcast(fr), col(stratumCol) === col("__stratum"))
+      .where(u < col("__frac"))
+      .drop("__stratum", "__frac")
+  }
+
   /** Downsample every stratum to (at most) the size of the smallest one —
     * class balancing without driver-side loops: compute per-stratum counts
     * (tiny), derive fractions, one sampleBy pass.

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The 100 TB scale utilities exposed as ORACLED queries — each one runs
+  * a scale technique (skew salting, bucketed co-location, deterministic
+  * sampling) end-to-end and hash-matches a plain-SQL reconstruction, so
+  * the techniques are verified to be RESULT-PRESERVING, not just fast.
+  * Plan-shape guarantees (no exchange on the bucketed join, salt spread)
+  * stay pinned in ScaleOpsSpec/SkewSpec; this surface pins the values.
+  */
+object ScaleSurface {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Skew-salted fact×dim join, then revenue rollup. The salt spreads
+    * every hot l_partkey over 8 reducers (dim replicated 8×, fact salted
+    * deterministically); the aggregate collapses the salt away, so the
+    * result must equal the unsalted join — which is exactly what the
+    * DuckDB oracle computes.
+    */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    Skew.saltedJoin(t.lineitem, t.part, "l_partkey", "p_partkey", saltFactor = 8)
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("p_type"))
+  }
+
+  /** Join two bucket-co-located tables on their bucket key. Writing both
+    * sides bucketed by the join key (`bucketBy` + `sortBy`, the batch
+    * analogue of a co-partitioned 100 TB layout) lets the sort-merge join
+    * run with NO shuffle exchange on either side (ScaleOpsSpec pins the
+    * exchange-free plan); here the joined values themselves are oracled.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    t.orders.select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Deterministic stratified corpus sample ([[Sampling.deterministicStratified]]):
+    * per-language keep rates, row-pure md5 uniform — the exact selected
+    * rows (not just counts) hash-match the oracle, proving the sampler is
+    * partition-independent.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.deterministicStratified(
+      Tables(spark, sfDir).documents,
+      stratumCol = "lang", idCol = "doc_id",
+      fractions = Map("en" -> 0.25, "de" -> 0.6, "es" -> 0.5, "fr" -> 1.0, "zh" -> 0.1))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, Q] = Map(
+    "q_skew_salted_join" -> (skewSaltedJoin _),
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_stratified_sample" -> (stratifiedSample _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """SELECT p_type, count(*) AS n,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents d
+        |JOIN (VALUES ('en', 0.25), ('de', 0.6), ('es', 0.5), ('fr', 1.0), ('zh', 0.1))
+        |  f(s, frac) ON d.lang = f.s
+        |WHERE (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+        |       / 4294967296.0) < f.frac
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -117,7 +117,32 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Time-typed RANGE frame: a trailing-30-day spend window ordered by
+    * the raw TIMESTAMP with an INTERVAL bound — no day-index
+    * pre-projection needed (the calendar arithmetic happens inside the
+    * frame evaluation). RANGE includes order-date peers in the frame, so
+    * the result is deterministic under ties without a tiebreaker column.
+    * Expressed through the SQL surface: the DataFrame `rangeBetween`
+    * API takes only long offsets, while SQL accepts interval literals —
+    * the engine supports both frame dialects on one Window machinery.
+    */
+  def intervalRange(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir).orders.createOrReplaceTempView("graft_win_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW), 2)
+        |   AS spend_30d,
+        | count(*) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+        |   AS orders_30d
+        |FROM graft_win_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_window_range_interval" -> (intervalRange _),
     "q_window_trailing" -> (trailingSpend _),
     "q_window_topk_group" -> (top3OrdersPerCustomer _),
     "q_window_lag_gap" -> (orderGaps _),
@@ -126,6 +151,14 @@ object Windows {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_window_range_interval" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+        | count(*) OVER w AS orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_trailing" ->
       """SELECT o_orderkey, o_custkey,
         | round(ifnull(sum(o_totalprice) OVER w, 0), 2) AS trailing_spend,

@@ -26,6 +26,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got - expected) / expected < 0.25, s"got $got vs ~$expected")
   }
 
+  test("deterministic stratified sample is partition-independent, row-exact") {
+    val docs = Tables(spark, sf001).documents
+    val fr = Map("en" -> 0.3, "de" -> 0.7)
+    def ids(part: Int) = Sampling.deterministicStratified(
+      docs.repartition(part), "lang", "doc_id", fr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sampleBy would keep DIFFERENT rows under a different partitioning;
+    // the md5 sampler keeps the identical set
+    val one = ids(1)
+    assert(one === ids(13))
+    assert(one.nonEmpty)
+    // rates approximately honored per stratum
+    val kept = Sampling.deterministicStratified(docs, "lang", "doc_id", fr)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, f) <- fr) {
+      val got = kept.getOrElse(l, 0L).toDouble / base(l)
+      assert(math.abs(got - f) < 0.2, s"$l: got rate $got want ~$f")
+    }
+    // strata not in the rate map are excluded entirely
+    assert(!kept.contains("zh"))
+  }
+
   test("balanced downsampling equalizes strata within tolerance") {
     val docs = Tables(spark, sf001).documents
     val out = Sampling.balanced(docs, "lang", seed = 7L)
