@@ -71,6 +71,13 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // the full line above is ~2.5 KB and the capture window keeps only
+    // the LAST ~2 KB, clipping its head (and with it "metric"/"value").
+    // Emit a compact summary LAST so whatever tail survives always ends
+    // with one complete, parseable JSON object; per-query numbers live
+    // in the full line and in BENCH_local.json.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"queries_file":"BENCH_local.json"}""")
     spark.stop()
   }
 }

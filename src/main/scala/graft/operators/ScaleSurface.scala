@@ -43,6 +43,15 @@ object ScaleSurface {
     val t = Tables(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS; clear the stale locations explicitly
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
+    }
     t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_bkt_lineitem")

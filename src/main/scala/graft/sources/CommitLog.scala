@@ -16,6 +16,21 @@ private[sources] object CommitLog {
     if (!fs.exists(logDir)) 0L
     else fs.listStatus(logDir).count(_.getPath.getName.endsWith(".json")).toLong
 
+  private def parseVersion(name: String): Option[Long] =
+    if (name.endsWith(".json"))
+      scala.util.Try(name.stripSuffix(".json").toLong).toOption
+    else None
+
+  /** The version the NEXT commit will claim: max committed + 1. Derived
+    * from the max, not the file count, so a log with gaps (manual
+    * cleanup, failed half-commits) still moves forward monotonically.
+    */
+  def nextVersion(fs: FileSystem, logDir: Path): Long =
+    if (!fs.exists(logDir)) 0L
+    else fs.listStatus(logDir)
+      .flatMap(st => parseVersion(st.getPath.getName))
+      .foldLeft(-1L)(math.max) + 1
+
   private[sources] def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -27,19 +42,60 @@ private[sources] object CommitLog {
       case c => c.toString
     }
 
-  /** Append one commit record; version = running commit count. */
-  def append(fs: FileSystem, logDir: Path, op: String, params: Map[String, String]): Unit = {
+  /** Append one commit record ATOMICALLY and return its version.
+    *
+    * Optimistic concurrency in the style of Delta's commit protocol
+    * (Delta Lake, VLDB'20 §3.2): every writer races to put-if-absent the
+    * next version file (`create(..., overwrite = false)`); exactly one
+    * wins, the loser observes `FileAlreadyExistsException`, recomputes
+    * the next version, and retries. No commit is ever silently
+    * overwritten — the previous `overwrite = true` create meant two
+    * concurrent writers could agree on a version and one record was
+    * LOST. Atomic create-if-absent holds on HDFS and local filesystems;
+    * S3-style object stores need a conditional-put or coordination
+    * service for the same guarantee — exactly Delta's constraint.
+    */
+  /** Per-log JVM lock: Hadoop's local `create(overwrite = false)` checks
+    * existence THEN opens the stream (a TOCTOU window), so two threads of
+    * the SAME driver could both "win" a version and one record would be
+    * lost. Writers in one JVM serialize here; writers in different JVMs
+    * rely on the filesystem's atomic create-if-absent (HDFS guarantees
+    * it; object stores need conditional-put — Delta's constraint too).
+    */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def append(fs: FileSystem, logDir: Path, op: String, params: Map[String, String]): Long =
+    commitLocks.computeIfAbsent(logDir.toString, _ => new Object).synchronized {
+      appendRacing(fs, logDir, op, params)
+    }
+
+  private def appendRacing(
+      fs: FileSystem, logDir: Path, op: String, params: Map[String, String]): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
-    val v = currentCount(fs, logDir)
     val paramJson = params.toSeq.sortBy(_._1)
       .map { case (k, w) => s""""${esc(k)}":"${esc(w)}"""" }
       .mkString("{", ",", "}")
-    val ts = java.time.Instant.now().toString
-    val json =
-      s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
-    val out = fs.create(new Path(logDir, f"$v%020d.json"), true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val maxAttempts = 100
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val v = nextVersion(fs, logDir)
+      val ts = java.time.Instant.now().toString
+      val json =
+        s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
+      try {
+        val out = fs.create(new Path(logDir, f"$v%020d.json"), false)
+        try out.write(json.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        committed = v
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < maxAttempts,
+            s"commit contention: lost $maxAttempts consecutive version races under $logDir")
+      }
+    }
+    committed
   }
 
   /** History DataFrame; stable empty shape for fresh tables (see

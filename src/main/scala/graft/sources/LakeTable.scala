@@ -311,7 +311,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
         "changeFeed" -> changeFeed.toString),
       onAbort = () => changeVersion.foreach(v =>
-        fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true)))
+        fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true)),
+      // the feed dir was named with the PREDICTED version; if a
+      // concurrent commit slipped in between prediction and the atomic
+      // append, realign the dir to the version actually won so
+      // readChanges' _commit_version stays truthful
+      onCommit = actual => changeVersion.foreach { predicted =>
+        if (predicted != actual) {
+          val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
+          if (fs.exists(from))
+            fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual"))
+        }
+      })
   }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the
@@ -319,7 +330,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * table swap, while the plans still read the pre-merge table.
     */
   private def writeChanges(changes: DataFrame): Long = {
-    val v = CommitLog.currentCount(fs, logDir)
+    val v = CommitLog.nextVersion(fs, logDir)
     val dir = s"$path/${LakeTable.ChangesDirName}/v$v"
     try changes.write.mode(SaveMode.Overwrite).parquet(dir)
     catch {
@@ -771,7 +782,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private def rewrite(
       clustered: DataFrame, op: String, params: Map[String, String],
-      onAbort: () => Unit = () => ()): LakeTable = {
+      onAbort: () => Unit = () => (),
+      onCommit: Long => Unit = _ => ()): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
     // onAbort fires ONLY for pre-swap failures (table untouched); once
     // the swap has happened the caller's side effects must stand
@@ -805,7 +817,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // (upsert casts to the table types, so this is a no-op for MERGE;
     // for optimize it refreshes nullability after the clustered rewrite)
     saveSchema(clustered.schema)
-    commit(op, params)
+    onCommit(commit(op, params))
     this
   }
 
@@ -818,7 +830,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def history: DataFrame = CommitLog.history(spark, fs, path, logDir)
 
-  private def commit(op: String, params: Map[String, String]): Unit =
+  /** Atomic commit (see [[CommitLog.append]]); returns the version won. */
+  private def commit(op: String, params: Map[String, String]): Long =
     CommitLog.append(fs, logDir, op, params)
 }
 

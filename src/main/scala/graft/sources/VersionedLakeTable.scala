@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: snapshots share nothing (no copy-on-write dedup) — that is
   * the storage trade-off vs Delta's file-level reuse; `vacuum` bounds it.
+  *
+  * Concurrency: commit-log appends are atomic ([[CommitLog.append]]
+  * races put-if-absent version files), so history records are never
+  * lost. Two writers racing `latestVersion + 1` can still collide on
+  * the same `_v{N}` SNAPSHOT directory, however — multi-writer snapshot
+  * production needs external coordination, the same constraint Delta
+  * has on object stores without a coordinating LogStore. One writer per
+  * table is the supported mode; concurrent READERS are always safe
+  * (snapshots are immutable).
   */
 final class VersionedLakeTable(spark: SparkSession, val path: String) {
 
