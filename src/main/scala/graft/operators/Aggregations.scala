@@ -151,7 +151,32 @@ object Aggregations {
       )
       .orderBy(col("o_orderstatus"))
 
+  /** Approximate quantiles at scale: `approx_percentile` keeps a
+    * mergeable bounded sketch per group (partial-aggregated map-side like
+    * any builtin — the 100 TB path when exact `percentile`'s
+    * collect-all-values-per-group buffer won't fit). Approx algorithms
+    * differ across engines by design, so the ORACLE contract is the HLL
+    * row's: ship the exact values plus a boolean asserting the sketch
+    * estimate landed within the advertised error (rank error 1/accuracy,
+    * checked here as <=1% relative on the value scale).
+    */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("__a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("__a90"))
+      .select(
+        col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
+        (abs(col("__a50") - col("p50_exact")) / col("p50_exact") <= 0.01 &&
+          abs(col("__a90") - col("p90_exact")) / col("p90_exact") <= 0.01)
+          .as("within_1pct"))
+      .orderBy(col("o_orderstatus"))
+
   def queries: Map[String, Q] = Map(
+    "q_approx_quantile" -> (approxQuantiles _),
     "q_percentiles" -> (pricePercentiles _),
     "q_group_multikey" -> (multiKeyBreakdown _),
     "q_agg_extrema" -> (priceExtrema _),
@@ -165,6 +190,12 @@ object Aggregations {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_approx_quantile" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+        | true AS within_1pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -101,6 +101,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deterministic stratified sampling is monotone: lower rate is a subset of higher") {
+    val docs = graft.core.Tables(spark, sf001).documents
+    def sel(f: Double) = graft.operators.Sampling
+      .deterministicStratified(docs, "lang", "doc_id", Map("en" -> f, "fr" -> f))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = sel(0.2)
+    val hi = sel(0.6)
+    // threshold samplers nest: raising the rate only ADDS rows — the
+    // reproducibility property that lets a pipeline re-run at a higher
+    // sampling rate without invalidating the earlier sample
+    assert(lo.subsetOf(hi), s"${(lo -- hi).take(5)} selected at 0.2 but not 0.6")
+    assert(lo.nonEmpty && hi.size > lo.size)
+  }
+
+  test("salted join result is invariant to the salt factor") {
+    val t = graft.core.Tables(spark, sf0001)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val p = t.part.select(col("p_partkey"), col("p_type"))
+    def agg(k: Int) = graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", k)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg(4) === agg(16))
+  }
+
   test("union count algebra: |a union b| = |a| + |b| (bag semantics)") {
     samples(Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)), 8).foreach {
       case (n, m) =>
