@@ -196,7 +196,21 @@ object Projections {
       .orderBy(col("vec_id"))
   }
 
+  /** Generator surface: `posexplode` flattens each document's token
+    * array WITH its position — the lateral-join shape loaders use to
+    * turn corpus rows into (doc, offset, token) training triples. The
+    * generator runs inside the projection (GenerateExec), no join.
+    */
+  def posExplodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
   def queries: Map[String, Q] = Map(
+    "q_posexplode" -> (posExplodeTokens _),
     "q_array_hof" -> (arrayHof _),
     "q_date_funcs" -> (dateFunctions _),
     "q_string_funcs" -> (stringFunctions _),
@@ -212,6 +226,14 @@ object Projections {
   )
 
   def oracles: Map[String, String] = Map(
+    // generate_subscripts + unnest expand in lockstep (the Postgres
+    // idiom); DuckDB's range() table function rejects lateral column refs
+    "q_posexplode" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
     "q_array_hof" ->
       """SELECT vec_id,
         | round(list_sum(list_transform(embedding::DOUBLE[], x -> least(x, 0.1))), 6)

@@ -611,6 +611,48 @@ final class LakeTable(spark: SparkSession, val path: String) {
     finally out.close()
   }
 
+  /** Recover a `__changes_tmp` dir left by a crash between
+    * [[preservingLog]]'s move-aside and restore: rename it back when no
+    * live feed dir exists; otherwise fold its (older) version dirs into
+    * the live feed, keeping the live copy on collision. Safe whenever no
+    * writer is active on the table.
+    */
+  private def recoverStaleChangesTmp(): Unit = {
+    val changesDir = new Path(path, LakeTable.ChangesDirName)
+    val changesTmp = new Path(s"$path${LakeTable.ChangesTmpSuffix}")
+    if (fs.exists(changesTmp)) {
+      if (!fs.exists(changesDir)) {
+        if (!fs.rename(changesTmp, changesDir))
+          throw new java.io.IOException(
+            s"could not recover stale change feed $changesTmp to $changesDir")
+      } else {
+        fs.listStatus(changesTmp).foreach { st =>
+          val dest = new Path(changesDir, st.getPath.getName)
+          if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"could not recover orphaned change set ${st.getPath} into $dest")
+        }
+        fs.delete(changesTmp, true)
+      }
+    }
+  }
+
+  /** Crash-debris GC (`VACUUM`-adjacent): recover any stranded
+    * change-feed tmp dir and delete an orphaned staged-rewrite dir — a
+    * hard crash mid-rewrite leaves `<path>__stage` holding a full table
+    * copy of dead bytes (a completed rewrite always renames or removes
+    * it). Run when no writer is active on the table; readers are
+    * unaffected either way because neither dir is part of the live
+    * table path.
+    */
+  def vacuumDebris(): LakeTable = {
+    recoverStaleChangesTmp()
+    val staged = new Path(s"$path${LakeTable.StageSuffix}")
+    val removedStage = fs.exists(staged) && fs.delete(staged, true)
+    commit("VACUUM DEBRIS", Map("removedStage" -> removedStage.toString))
+    this
+  }
+
   /** Run a data write (which on Overwrite deletes the table dir, commit
     * log included) with the tiny log buffered in memory across it and
     * restored after — callers `commit()` AFTER this returns, so version
@@ -638,24 +680,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         // rename would nest the live feed inside the stale tmp (the
         // HDFS rename-into-existing-dir semantics) and the stale
         // change sets would shadow every later overwrite
-        if (fs.exists(changesTmp)) {
-          if (!fs.exists(changesDir)) {
-            if (!fs.rename(changesTmp, changesDir))
-              throw new java.io.IOException(
-                s"could not recover stale change feed $changesTmp to $changesDir")
-          } else {
-            // both exist: the crash happened after a fresh feed dir was
-            // recreated — fold the orphaned (older) version dirs back,
-            // keeping the live dir's copy on collision
-            fs.listStatus(changesTmp).foreach { st =>
-              val dest = new Path(changesDir, st.getPath.getName)
-              if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
-                throw new java.io.IOException(
-                  s"could not recover orphaned change set ${st.getPath} into $dest")
-            }
-            fs.delete(changesTmp, true)
-          }
-        }
+        recoverStaleChangesTmp()
         if (fs.exists(changesDir)) {
           // a silent rename failure here would let the Overwrite below
           // delete the entire feed with no error — fail loudly instead

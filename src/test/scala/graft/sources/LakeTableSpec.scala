@@ -493,6 +493,29 @@ class LakeTableSpec extends SparkSpec {
       "older versions recovered alongside the post-crash change set")
   }
 
+  test("vacuumDebris removes an orphaned staged rewrite and recovers a stranded feed") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path).write(Seq((1L, 1.0)).toDF("id", "x"))
+    lake.upsert(Seq((1L, 2.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    val recorded = lake.readChanges().count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash debris: a staged table copy and a feed stranded mid-move
+    val staged = new org.apache.hadoop.fs.Path(s"$path${LakeTable.StageSuffix}")
+    fs.mkdirs(staged)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(path, LakeTable.ChangesDirName),
+      new org.apache.hadoop.fs.Path(s"$path${LakeTable.ChangesTmpSuffix}")))
+    lake.vacuumDebris()
+    assert(!fs.exists(staged))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path${LakeTable.ChangesTmpSuffix}")))
+    assert(lake.readChanges().count() === recorded)
+    assert(lake.history.select("operation").collect()
+      .map(_.getString(0)).contains("VACUUM DEBRIS"))
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
