@@ -302,20 +302,92 @@ final class LakeTable(spark: SparkSession, val path: String) {
         ).flatten.reduce(_ unionByName _)
         Some(writeChanges(changes))
       }
-    // phantom-change-set guard: if the rewrite aborts BEFORE the swap
-    // (staged write or constraint failure), the materialized feed
-    // describes a commit that never happened and must go; a failure
-    // AFTER the swap means the data IS the table, so the feed stays —
-    // deleting it there would hide a real commit from CDC consumers
-    rewrite(result, "MERGE",
+    rewriteWithFeed(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
         "changeFeed" -> changeFeed.toString),
+      changeVersion)
+  }
+
+  /** Delta `DELETE FROM table WHERE cond`: removes rows where `cond`
+    * evaluates TRUE; rows where it is false OR NULL are kept (SQL
+    * three-valued semantics, same as Delta). Compiled to one staged
+    * rewrite of the survivors — the predicate reaches the parquet scan,
+    * so files whose min/max stats exclude it are never read, but the
+    * SURVIVORS are all rewritten; on a partitioned layout prefer
+    * partition-aligned predicates + [[overwritePartitions]] so only
+    * touched partitions rewrite.
+    *
+    * @param changeFeed record the deleted rows (`_change_type = delete`)
+    *                   under this commit's version, like merge's CDF
+    */
+  def delete(cond: Column, changeFeed: Boolean = false): LakeTable = {
+    val cur = read
+    val hit = coalesce(cond, lit(false))
+    val changeVersion =
+      if (!changeFeed) None
+      else Some(writeChanges(
+        cur.where(hit).withColumn("_change_type", lit("delete"))))
+    rewriteWithFeed(cur.where(!hit), "DELETE",
+      Map("predicate" -> cond.toString, "changeFeed" -> changeFeed.toString),
+      changeVersion)
+  }
+
+  /** Delta `UPDATE table SET col = expr, ... WHERE cond`: rows where
+    * `cond` is TRUE get every SET column replaced (expressions evaluate
+    * against the PRE-update row — `SET a = b, b = a` swaps); false/NULL
+    * rows are untouched. One staged rewrite, one projection — no join,
+    * no shuffle beyond the write itself.
+    */
+  def update(
+      set: Map[String, Column], cond: Column, changeFeed: Boolean = false): LakeTable = {
+    val cur = read
+    val bad = set.keys.filterNot(cur.columns.contains)
+    require(set.nonEmpty && bad.isEmpty,
+      s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
+    val fields = cur.schema.fields
+    val hit = coalesce(cond, lit(false))
+    // post-update value, cast to the table's type (Delta casts SET
+    // expressions to the target column type rather than retyping)
+    def post(f: org.apache.spark.sql.types.StructField): Column =
+      set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+    val result = cur.select(fields.map { f =>
+      if (set.contains(f.name)) when(hit, post(f)).otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+    val changeVersion =
+      if (!changeFeed) None
+      else {
+        val touched = cur.where(hit)
+        val pre = touched.withColumn("_change_type", lit("update_preimage"))
+        val after = touched.select(fields.map(post).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        Some(writeChanges(pre.unionByName(after)))
+      }
+    rewriteWithFeed(result, "UPDATE",
+      Map("predicate" -> cond.toString,
+        "set" -> set.keys.toSeq.sorted.mkString(","),
+        "changeFeed" -> changeFeed.toString),
+      changeVersion)
+  }
+
+  /** Shared commit path for operations that may have materialized a
+    * change set under a PREDICTED version before their rewrite.
+    *
+    * Phantom-change-set guard: if the rewrite aborts BEFORE the swap
+    * (staged write or constraint failure), the materialized feed
+    * describes a commit that never happened and must go; a failure
+    * AFTER the swap means the data IS the table, so the feed stays —
+    * deleting it there would hide a real commit from CDC consumers.
+    * And if a concurrent commit slipped in between version prediction
+    * and the atomic append, the feed dir is realigned to the version
+    * actually won so readChanges' `_commit_version` stays truthful.
+    */
+  private def rewriteWithFeed(
+      result: DataFrame, op: String, params: Map[String, String],
+      changeVersion: Option[Long]): LakeTable =
+    rewrite(result, op, params,
       onAbort = () => changeVersion.foreach(v =>
         fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true)),
-      // the feed dir was named with the PREDICTED version; if a
-      // concurrent commit slipped in between prediction and the atomic
-      // append, realign the dir to the version actually won so
-      // readChanges' _commit_version stays truthful
       onCommit = actual => changeVersion.foreach { predicted =>
         if (predicted != actual) {
           val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
@@ -323,7 +395,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
             fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual"))
         }
       })
-  }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the
     * version the ABOUT-TO-HAPPEN commit will get — must run before the
@@ -846,6 +917,96 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Record per-file min/max/null-count stats for `cols` under
+    * `_graft_stats` — the Delta data-skipping analogue ([[readWhere]]
+    * consumes them). One column-pruned pass over the table, grouped by
+    * `input_file_name()`: the shuffle carries one tiny row per file, and
+    * only the statted columns are read from disk.
+    *
+    * Staleness is handled structurally, not by invalidation bookkeeping:
+    * stats are keyed by file path and parquet files are immutable, so a
+    * stats row is valid exactly as long as its file exists. Overwrites
+    * and rewrites replace the table directory (stats dir included — it
+    * is not preserved, BY DESIGN: the files it described are gone);
+    * appended files simply have no stats row and are never pruned until
+    * the next collectStats.
+    */
+  def collectStats(cols: Seq[String]): LakeTable = {
+    val data = read
+    val missing = cols.filterNot(data.columns.contains)
+    require(cols.nonEmpty && missing.isEmpty,
+      s"collectStats columns not in table: ${missing.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).as(FileStats.minCol(c)),
+        max(col(c)).as(FileStats.maxCol(c)),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(FileStats.nullsCol(c)))
+    } :+ count(lit(1)).as(FileStats.RowsCol)
+    val stats = data
+      .groupBy(input_file_name().as(FileStats.FileCol))
+      .agg(aggs.head, aggs.tail: _*)
+    // one parquet file: stats are O(files) rows — list-scale, not data-scale
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir)
+    commit("COLLECT STATS", Map("columns" -> cols.mkString(",")))
+    this
+  }
+
+  /** Read with file-level data skipping: plan the scan over ONLY the
+    * files whose recorded stats admit a `cond` match (see
+    * [[FileStats.canMatch]]), keeping files with no stats row (e.g.
+    * appended after the last [[collectStats]]) unpruned. The predicate
+    * is re-applied row-level, so the result ALWAYS equals
+    * `read.where(cond)` — stats only shrink the file list. Falls back
+    * to a plain filtered read when no stats exist.
+    */
+  def readWhere(cond: Column): DataFrame = {
+    val files = prunedFiles(cond)
+    if (files.isEmpty) read.where(cond).where(lit(false))
+    else {
+      val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
+      // basePath keeps Hive-partition columns derivable from the dirs
+      // even though the scan names leaf files explicitly
+      reader.option("basePath", path).parquet(files: _*).where(cond)
+    }
+  }
+
+  /** The file list [[readWhere]] would scan — exposed so tests and
+    * probes can measure skipping directly.
+    */
+  def prunedFiles(cond: Column): Seq[String] = {
+    val f = fs
+    def leafPath(p: Path) = p.toUri.getPath // scheme-insensitive identity
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = f.listFiles(new Path(path), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = leafPath(p)
+      val inSide = rel.contains("/" + LakeTable.LogDirName + "/") ||
+        rel.contains("/" + LakeTable.ChangesDirName + "/") ||
+        rel.contains("/" + LakeTable.StatsDirName + "/")
+      if (!inSide && p.getName.endsWith(".parquet"))
+        all += ((rel, p.toString))
+    }
+    if (!f.exists(new Path(statsDir))) return all.map(_._2).toSeq
+    FileStats.resolvedPredicate(read, cond) match {
+      case None => all.map(_._2).toSeq // filter dissolved: nothing to prune on
+      case Some(resolved) =>
+        val stats = spark.read.parquet(s"$statsDir/part*")
+        val statted = stats.columns.toSeq
+          .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
+        val decided = stats
+          .withColumn("__graft_keep", FileStats.canMatch(resolved, statted))
+          .select(col(FileStats.FileCol), coalesce(col("__graft_keep"), lit(false)))
+          .collect()
+          .map(r => leafPath(new Path(r.getString(0))) -> r.getBoolean(1))
+          .toMap
+        all.collect { case (rel, full) if decided.getOrElse(rel, true) => full }.toSeq
+    }
+  }
+
+  private def statsDir: String = s"$path/${LakeTable.StatsDirName}"
+
   /** Commit history as a DataFrame (DESCRIBE HISTORY substitute).
     *
     * Stable columns: version (long), operation (string), timestamp
@@ -863,6 +1024,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
 object LakeTable {
   val LogDirName = "_graft_log"
   val ChangesDirName = "_graft_changes"
+  val StatsDirName = "_graft_stats"
   val StageSuffix = "__staging"
   val ChangesTmpSuffix = "__changes_tmp"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits

@@ -183,6 +183,103 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A3 extension (Delta `DELETE FROM ... WHERE`): seed orders, delete
+    * every F-status order above 150k (with the change feed on, so the
+    * deleted rows are recorded), aggregate the survivors. The oracle
+    * applies the complementary filter, so predicate semantics AND the
+    * rewrite's content fidelity are both checked.
+    */
+  def lakeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_delete"))
+    lake.write(t.orders)
+    lake.delete(
+      col("o_orderstatus") === "F" && col("o_totalprice") > 150000,
+      changeFeed = true)
+    lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A3 extension (Delta `UPDATE ... SET ... WHERE`): double urgent
+    * orders' price in place (change feed records pre+postimages), then
+    * aggregate. The oracle recomputes the CASE projection, checking
+    * both the hit and untouched paths survive the rewrite byte-exact.
+    */
+  def lakeUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_update"))
+    lake.write(t.orders)
+    lake.update(
+      Map("o_totalprice" -> col("o_totalprice") * 2),
+      col("o_orderpriority").like("1-%"),
+      changeFeed = true)
+    lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A7 extension (file-level data skipping): cluster lineitem by
+    * partkey, record per-file min/max stats, then answer a range query
+    * through [[LakeTable.readWhere]] — the scan plans over only the
+    * stats-surviving files. The oracle runs the same filter over the
+    * full table, so the PRUNED plan is content-checked against the
+    * unpruned answer (any wrongly-skipped file changes the sums).
+    */
+  def lakeSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "lineitem_skip"))
+    lake.write(t.lineitem)
+    lake.optimize(Seq("l_partkey"), numFiles = Some(8))
+    lake.collectStats(Seq("l_partkey", "l_shipdate"))
+    lake.readWhere(col("l_partkey") >= 50 && col("l_partkey") < 120)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A3/A8 extension (incremental view maintenance): materialize a
+    * per-status count+sum aggregate of orders, run a DELETE and an
+    * UPDATE through the change feed, then refresh the view
+    * INCREMENTALLY — the refresh reads only the recorded change rows,
+    * never the base table. The oracle recomputes the final aggregate
+    * from scratch in SQL, so the signed-delta math (insert/postimage
+    * minus delete/preimage) is content-checked against a full
+    * recompute. Decimal sums keep the comparison exact (float sums
+    * would drift by summation order).
+    */
+  def lakeIncrementalMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val base = LakeTable(spark, scratch(sfDir, "orders_mv_base"))
+    base.write(t.orders)
+    val mv = MaterializedAgg(spark, base, scratch(sfDir, "orders_mv_view"),
+      keys = Seq("o_orderstatus"),
+      sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)")))
+    mv.initialize()
+    base.delete(
+      col("o_orderstatus") === "F" && col("o_totalprice") > 150000,
+      changeFeed = true)
+    base.update(
+      Map("o_totalprice" -> col("o_totalprice") * 2),
+      col("o_orderpriority").like("1-%"),
+      changeFeed = true)
+    mv.refresh()
+    mv.read
+      .select(
+        col("o_orderstatus"),
+        col("n_rows").as("n"),
+        col("total").cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -201,6 +298,10 @@ object SourceQueries {
     "q_lake_partitioned" -> (lakePartitioned _),
     "q_lake_merge" -> (lakeMerge _),
     "q_lake_merge_conditional" -> (lakeMergeConditional _),
+    "q_lake_delete" -> (lakeDelete _),
+    "q_lake_update" -> (lakeUpdate _),
+    "q_lake_skipping" -> (lakeSkipping _),
+    "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
@@ -262,6 +363,34 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_update" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderpriority LIKE '1-%'
+        |                    THEN o_totalprice * 2
+        |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem WHERE l_partkey >= 50 AND l_partkey < 120
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_lake_incremental_mv" ->
+      """WITH after_delete AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
+        |after_update AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS p
+        |  FROM after_delete)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM after_update GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations

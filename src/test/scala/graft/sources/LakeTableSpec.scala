@@ -516,6 +516,49 @@ class LakeTableSpec extends SparkSpec {
       .map(_.getString(0)).contains("VACUUM DEBRIS"))
   }
 
+  test("delete removes only TRUE-predicate rows (null keeps, SQL semantics) and feeds CDC") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0))).toDF("id", "x"))
+    lake.delete(col("x") > 2.0, changeFeed = true)
+    // row 2 has x = null -> predicate NULL -> KEPT, like Delta/SQL DELETE
+    assert(lake.read.select("id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    val changes = lake.readChanges()
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(changes === Set(("delete", 1L)))
+    val ops = lake.history.select("operation").collect().map(_.getString(0))
+    assert(ops.contains("DELETE"))
+  }
+
+  test("update evaluates SET against the pre-update row, casts to table types, feeds CDC") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)).toDF("id", "a", "b"))
+    // swap semantics: both SET expressions see the ORIGINAL row
+    lake.update(Map("a" -> col("b"), "b" -> col("a")), col("id") === 1L,
+      changeFeed = true)
+    val rows = lake.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 100.0, 10.0), (2L, 20.0, 200.0)))
+    val changes = lake.readChanges()
+      .select("_change_type", "id", "a", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(changes === Set(
+      ("update_preimage", 1L, 10.0, 100.0),
+      ("update_postimage", 1L, 100.0, 10.0)))
+    // an int-typed SET expression lands as the column's double type
+    lake.update(Map("a" -> lit(7)), col("id") === 2L)
+    assert(lake.read.schema("a").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(lake.read.where(col("id") === 2L).head.getDouble(1) === 7.0)
+    // unknown SET column rejects before touching the table
+    intercept[IllegalArgumentException](
+      lake.update(Map("nope" -> lit(1)), lit(true)))
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val o = Tables(spark, sf0001).orders
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))

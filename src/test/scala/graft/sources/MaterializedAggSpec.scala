@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MaterializedAggSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_mv").resolve(name).toString
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.orderBy("k").collect().map(_.toString).toSeq
+
+  test("refresh after insert/update/delete equals a from-scratch recompute") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("base")).write(
+      Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv"),
+      keys = Seq("k"), sums = Map("total" -> col("v")))
+    mv.initialize()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+
+    // one commit of each change type, all feeding the CDF
+    base.merge(
+      Seq(("a", 100L), ("d", 1L)).toDF("k2", "v").withColumnRenamed("k2", "k"),
+      Seq("k"),
+      whenMatched = Seq(MergeClause.UpdateWhen(Map("v" -> col("s.v")))),
+      changeFeed = true)
+    // merge updates only ONE of a's two rows? No — merge is keyed; 'a'
+    // has two rows sharing the key, which merge forbids on the SOURCE
+    // side only. Both target rows matched and both were updated, and
+    // the feed recorded both pre/post images — refresh must agree.
+    base.delete(col("k") === "b", changeFeed = true)
+    base.update(Map("v" -> (col("v") + 1L)), col("k") === "c", changeFeed = true)
+
+    mv.refresh()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+    // groups: a (2 rows now both 100), c (8), d (1); b deleted entirely
+    assert(mv.read.where(col("k") === "b").count() === 0)
+    assert(mv.read.where(col("k") === "d").head.getLong(1) === 1L)
+  }
+
+  test("refresh is idempotent and no-ops without new changes") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("base2")).write(
+      Seq(("x", 1L), ("y", 2L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv2"),
+      keys = Seq("k"), sums = Map("total" -> col("v"))).initialize()
+    val before = sorted(mv.read)
+    mv.refresh().refresh()
+    assert(sorted(mv.read) === before)
+    base.delete(col("k") === "x", changeFeed = true)
+    mv.refresh()
+    val after = sorted(mv.read)
+    assert(after === sorted(mv.aggregate(base.read)))
+    // a second refresh with the watermark advanced applies nothing
+    mv.refresh()
+    assert(sorted(mv.read) === after)
+  }
+
+  test("commits without change sets advance the watermark without breaking refresh") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("base3")).write(
+      Seq(("p", 3L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv3"),
+      keys = Seq("k"), sums = Map("total" -> col("v"))).initialize()
+    base.collectStats(Seq("v")) // a commit with no recorded change set
+    mv.refresh()
+    base.update(Map("v" -> lit(9L)), col("k") === "p", changeFeed = true)
+    mv.refresh()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+  }
+
+  test("null measures contribute zero identically in full and incremental paths") {
+    val s = spark
+    import s.implicits._
+    // g holds a NULL measure from the start: initialize must count it
+    // as 0, and the deletes flowing through the feed must subtract 0
+    // for it — or the group's total drifts from the recompute
+    val base = LakeTable(spark, tmp("base4")).write(
+      Seq(("g", Some(4L)), ("g", None)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv4"),
+      keys = Seq("k"), sums = Map("total" -> col("v"))).initialize()
+    assert(mv.read.where(col("k") === "g").head.getLong(2) === 4L)
+    // delete every g row (one of them null-valued); insert a null h
+    base.merge(
+      Seq(("g", 10L)).toDF("k", "v"), Seq("k"),
+      whenMatched = Seq(MergeClause.DeleteWhen(None)),
+      insertUnmatched = false, changeFeed = true)
+    base.merge(
+      Seq(("h", None: Option[Long])).toDF("k", "v"), Seq("k"),
+      whenMatched = Seq(MergeClause.UpdateWhen(Map("v" -> col("s.v")))),
+      changeFeed = true)
+    mv.refresh()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+    assert(mv.read.where(col("k") === "g").count() === 0)
+    val h = mv.read.where(col("k") === "h").head
+    assert(h.getLong(1) === 1L && h.getLong(2) === 0L)
+  }
+}
