@@ -55,6 +55,37 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/test split: a near-duplicate of a training
+    * document sitting in the test set leaks memorized content into
+    * evaluation, so the unit of assignment must be the near-dup
+    * CLUSTER, never the document. Pairs come from the same exact
+    * n-gram Jaccard generation the dedup pipeline uses; connected
+    * components collapse transitive chains ((A,B),(B,C) => one
+    * cluster); singletons are their own cluster. The side is a pure
+    * function of the cluster id — uniform in [0,1) from the first 8
+    * md5 hex digits — so the split is deterministic across reruns,
+    * partitionings, and engines, and BY CONSTRUCTION no cluster
+    * straddles the boundary.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      testFrac: Double,
+      ngram: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(testFrac > 0 && testFrac < 1, "testFrac must be in (0, 1)")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", ngram, threshold)
+    val comp = graft.operators.ConnectedComponents.components(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val withComp = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val u = conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / lit(4294967296.0)
+    withComp.withColumn("split",
+      when(u < lit(testFrac), lit("test")).otherwise(lit("train")))
+  }
+
   // ---------- declared query ----------
 
   type Q = (SparkSession, String) => DataFrame
@@ -62,8 +93,13 @@ object TrainingData {
   def qTrainingCorpus(spark: SparkSession, sfDir: String): DataFrame =
     prepare(Tables(spark, sfDir).documents, Config())
 
+  def qLeakageSplit(spark: SparkSession, sfDir: String): DataFrame =
+    leakageSafeSplit(Tables(spark, sfDir).documents, testFrac = 0.2)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, Q] = Map(
-    "q_training_corpus" -> (qTrainingCorpus _)
+    "q_training_corpus" -> (qTrainingCorpus _),
+    "q_leakage_split" -> (qLeakageSplit _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -103,6 +139,36 @@ object TrainingData {
         |    , 6) AS quality
         |  FROM surv)
         |SELECT doc_id, lang, n_chars, quality FROM scored
-        |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin
+        |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    // same recursive-CTE clustering as the q_dedup_clusters oracle,
+    // extended with singleton components and the md5 side assignment
+    "q_leakage_split" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM p
+        |  JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |  JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |  WHERE common * 1.0 / (la.n + lb.n - common) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, component,
+        |  CASE WHEN (('0x' || substring(md5(component::VARCHAR), 1, 8))::UBIGINT
+        |             / 4294967296.0) < 0.2
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM allc ORDER BY doc_id""".stripMargin
   )
 }

@@ -36,4 +36,27 @@ class TrainingDataSpec extends SparkSpec {
       assert(r.getDouble(0) >= 0.5 && r.getDouble(0) <= 1.0)
     }
   }
+
+  test("leakage-safe split: no near-dup pair straddles train/test; covers all docs") {
+    val docs = Tables(spark, sf0001).documents
+    val split = TrainingData.leakageSafeSplit(docs, testFrac = 0.3)
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byDoc.size === docs.count()) // every doc assigned exactly once
+    val sides = byDoc.values.toSet
+    assert(sides === Set("train", "test")) // both sides populated at 30%
+    // THE invariant: near-duplicates (and their transitive closure —
+    // same component implies same side by construction, so checking
+    // direct pairs suffices for the generation used) never straddle
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"near-dup pair ($a,$b) split apart")
+    }
+    // deterministic across reruns
+    val again = TrainingData.leakageSafeSplit(docs, testFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again === byDoc)
+  }
 }
