@@ -44,7 +44,14 @@ object Bench {
           .orderBy(col("r_name")))
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for targeted
+    // re-measurement of a few queries without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }

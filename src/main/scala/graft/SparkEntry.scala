@@ -37,7 +37,8 @@ object SparkEntry {
       (analytics.Quality.queries, analytics.Quality.oracles),
       (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles),
       (operators.TypedOps.queries, operators.TypedOps.oracles),
-      (operators.ScaleSurface.queries, operators.ScaleSurface.oracles)
+      (operators.ScaleSurface.queries, operators.ScaleSurface.oracles),
+      (text.CorpusOps.queries, text.CorpusOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

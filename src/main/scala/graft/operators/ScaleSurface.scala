@@ -41,25 +41,35 @@ object ScaleSurface {
     */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    // table names are unique PER JVM: the driver's Verify (sf0.01) and
+    // Bench (sf0.1) runs can overlap in time from the same cwd, and two
+    // JVMs sharing a warehouse location race each other's delete/create
+    // on the bucket dirs (observed: one -1 bench failure that never
+    // reproduces in isolation). The in-memory catalog is per-JVM already;
+    // the suffix makes the warehouse DIRECTORIES per-JVM too.
+    val tag = java.lang.ProcessHandle.current().pid()
+    val liTbl = s"graft_bkt_lineitem_$tag"
+    val ordTbl = s"graft_bkt_orders_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $liTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $ordTbl")
     // the in-memory catalog forgets tables across JVMs but their
     // warehouse directories persist — saveAsTable then fails with
     // LOCATION_ALREADY_EXISTS; clear the stale locations explicitly
+    // (a recycled pid could still collide with debris from a dead JVM)
     val wh = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.warehousePath)
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { n =>
+    Seq(liTbl, ordTbl).foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
     }
     t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
+      .saveAsTable(liTbl)
     t.orders.select("o_orderkey", "o_orderpriority")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
-    spark.table("graft_bkt_lineitem")
-      .join(spark.table("graft_bkt_orders"),
+      .saveAsTable(ordTbl)
+    spark.table(liTbl)
+      .join(spark.table(ordTbl),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(

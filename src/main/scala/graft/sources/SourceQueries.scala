@@ -87,6 +87,20 @@ object SourceQueries {
     CsvIngest.ingest(spark, csvDir).orderBy(col("n_nationkey"))
   }
 
+  /** A1 (format breadth): JSONL landing-zone round-trip — write nation as
+    * line-delimited JSON, read it back with the EXPLICIT table schema
+    * (schema-on-write; inference on JSON costs an extra full pass and
+    * widens every int to bigint). Content equality against the parquet
+    * source proves type-faithful ingest.
+    */
+  def jsonIngestNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val jsonDir = scratch(sfDir, "nation_json")
+    t.nation.coalesce(1).write.mode("overwrite").json(jsonDir)
+    spark.read.schema(t.nation.schema).json(jsonDir)
+      .orderBy(col("n_nationkey"))
+  }
+
   /** A4+A5+A6: database DDL + external-table DDL + SQL select through the
     * session catalog. Reference: rwd_hls DDL at 00-etl-rwd.py:151-200 and
     * `SELECT * FROM rwd_hls.patient_encounters` at 00:204.
@@ -303,6 +317,7 @@ object SourceQueries {
     "q_lake_skipping" -> (lakeSkipping _),
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
+    "q_json_ingest" -> (jsonIngestNation _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
   )
@@ -392,6 +407,7 @@ object SourceQueries {
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM after_update GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_json_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -185,6 +185,74 @@ object Dedup {
     * re-evaluate tokenization per bit — measured 14s -> sub-second on
     * sf0.1 docs).
     */
+  /** Standing MinHash index over a corpus: (id, band, key, sig), one row
+    * per (doc, band). New batches are deduped against this WITHOUT
+    * rescanning the corpus text — the index carries everything needed for
+    * both the band probe and the signature-based Jaccard estimate. Persist
+    * it via [[graft.sources.LakeTable]] like any table; at 100 TB the
+    * index is ~1 KB/doc (k longs × bands) vs re-shingling the whole lake
+    * per incoming batch.
+    */
+  def buildMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Int = 42): DataFrame = {
+    val k = bands * rowsPerBand
+    df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFunctions.shinglesOf(col("toks"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.TextExpressions.minhashSignature(col("sh"), k, seed).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"), col("sig"))
+  }
+
+  /** Near-duplicates of an INCOMING batch against a standing index built
+    * by [[buildMinhashIndex]] (same n/bands/rowsPerBand/seed — the hash
+    * family must match). Candidates come from band-key collisions;
+    * similarity is the signature agreement fraction, the standard
+    * unbiased MinHash estimate of Jaccard — no corpus text touched.
+    *
+    * Scale shape: the incoming batch is small relative to the lake, so
+    * its banded keys broadcast; the index side is a key-partitioned scan.
+    * Returns (new_id, corpus_id, est_jaccard >= threshold).
+    */
+  def incrementalNearDup(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Int = 42): DataFrame = {
+    val k = bands * rowsPerBand
+    val probe = buildMinhashIndex(newDocs, idCol, textCol, n, bands, rowsPerBand, seed)
+    val agree = aggregate(
+      zip_with(col("n_sig"), col("c_sig"), (a, b) => (a === b).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    broadcast(probe.as("p")
+      .select(col("p.id").as("new_id"), col("p.band").as("band"),
+        col("p.key").as("key"), col("p.sig").as("n_sig")))
+      .join(index.select(col("id").as("corpus_id"), col("band"), col("key"),
+        col("sig").as("c_sig")), Seq("band", "key"))
+      .dropDuplicates("new_id", "corpus_id")
+      .withColumn("est_jaccard", round(agree.cast("double") / k, 6))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   def simhash64Of(ts: Column): Column =
     graft.functions.TextExpressions.simhash64(ts)
 

@@ -146,6 +146,32 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** M3 compression path: top-5 neighbors over PRODUCT-QUANTIZED codes
+    * (32x smaller than raw vectors) via ADC — approximate scores, so
+    * rows-only here; recall is pinned against the brute-force oracle
+    * chain in PqSpec.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Pq.pqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      buildSampleFraction = 0.5, shortlist = 50)
+  }
+
+  /** M2 incremental path: near-dups of an incoming batch (odd doc_ids)
+    * against a standing MinHash index over the lake (even doc_ids) —
+    * signature-estimate similarity, no corpus text rescanned. Rows-only
+    * (the seeded hash family isn't DuckDB-expressible); recall vs the
+    * exact cross-half pairs is pinned in IncrementalDedupSpec.
+    */
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir).documents
+    val index = Dedup.buildMinhashIndex(
+      d.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+    Dedup.incrementalNearDup(
+      d.where(col("doc_id") % 2 === 1), index, "doc_id", "text",
+      n = 3, threshold = 0.5)
+  }
+
   /** Training-data hygiene: PII scrubbing over text with planted
     * email/phone/IP payloads (the synthetic corpus has none, so each doc
     * gets a deterministic contact tail appended before redaction — both
@@ -341,6 +367,8 @@ object TextQueries {
     "q_extensions_sql" -> (extensionsSql _),
     "q_euclidean_topk" -> (euclideanTopK _),
     "q_embedding_pairs_exact" -> (embeddingPairsExact _),
+    "q_pq_topk" -> (pqTopK _),
+    "q_incremental_neardup" -> (incrementalNearDup _),
     "q_pii_redact" -> (piiRedact _),
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),
