@@ -55,6 +55,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def fs: FileSystem =
     logDir.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Whether the table directory exists yet (no data has to). */
+  def exists: Boolean = fs.exists(new Path(path))
+
   /** Read the current table data. The log-recorded schema (when present)
     * is authoritative — like Delta, the reader never depends on which
     * parquet footer file-listing order happens to surface first, and

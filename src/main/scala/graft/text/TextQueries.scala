@@ -172,6 +172,14 @@ object TextQueries {
       n = 3, threshold = 0.5)
   }
 
+  /** Tokenizer learning: the first 10 BPE merge rules of the corpus —
+    * iterative (rows-only by design; BpeSpec pins exact equality with the
+    * single-machine reference algorithm). Each round's pair counts stay
+    * distributed; only the ONE winning rule row reaches the driver.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    Bpe.mergesDF(Tables(spark, sfDir).documents, "text", numMerges = 10)
+
   /** Training-data hygiene: PII scrubbing over text with planted
     * email/phone/IP payloads (the synthetic corpus has none, so each doc
     * gets a deterministic contact tail appended before redaction — both
@@ -369,6 +377,7 @@ object TextQueries {
     "q_embedding_pairs_exact" -> (embeddingPairsExact _),
     "q_pq_topk" -> (pqTopK _),
     "q_incremental_neardup" -> (incrementalNearDup _),
+    "q_bpe_merges" -> (bpeMerges _),
     "q_pii_redact" -> (piiRedact _),
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),
