@@ -330,9 +330,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       if (!changeFeed) None
       else Some(writeChanges(
         cur.where(hit).withColumn("_change_type", lit("delete"))))
-    rewriteWithFeed(cur.where(!hit), "DELETE",
-      Map("predicate" -> cond.toString, "changeFeed" -> changeFeed.toString),
-      changeVersion)
+    val params = Map("predicate" -> cond.toString, "changeFeed" -> changeFeed.toString)
+    rewriteSelective(cond, a => a.where(!coalesce(cond, lit(false))),
+        "DELETE", params, changeVersion)
+      .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion))
   }
 
   /** Delta `UPDATE table SET col = expr, ... WHERE cond`: rows where
@@ -366,11 +367,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
           .withColumn("_change_type", lit("update_postimage"))
         Some(writeChanges(pre.unionByName(after)))
       }
-    rewriteWithFeed(result, "UPDATE",
-      Map("predicate" -> cond.toString,
-        "set" -> set.keys.toSeq.sorted.mkString(","),
-        "changeFeed" -> changeFeed.toString),
-      changeVersion)
+    val params = Map("predicate" -> cond.toString,
+      "set" -> set.keys.toSeq.sorted.mkString(","),
+      "changeFeed" -> changeFeed.toString)
+    rewriteSelective(cond, a => {
+        val h = coalesce(cond, lit(false))
+        a.select(fields.map { f =>
+          if (set.contains(f.name)) when(h, post(f)).otherwise(col(f.name)).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+      }, "UPDATE", params, changeVersion)
+      .getOrElse(rewriteWithFeed(result, "UPDATE", params, changeVersion))
   }
 
   /** Shared commit path for operations that may have materialized a
@@ -398,6 +405,83 @@ final class LakeTable(spark: SparkSession, val path: String) {
             fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual"))
         }
       })
+
+  /** Selective DELETE/UPDATE rewrite — the Delta-style file-level path:
+    * rewrite ONLY the files whose recorded min/max stats admit a `cond`
+    * match; every other file is MOVED through the staged swap untouched
+    * (a metadata rename, zero data I/O). At 100 TB with a clustered
+    * predicate column this turns a full-table rewrite into a rewrite of
+    * the handful of files actually holding matching rows.
+    *
+    * Returns None (caller falls back to the full staged rewrite) when:
+    * no stats are recorded; the layout is Hive-partitioned (new files
+    * land at the table root, which would break partition-column
+    * discovery — use partition-aligned predicates + overwritePartitions
+    * there); or pruning keeps nothing (every file may match).
+    *
+    * Durability: the swap reuses the manifest protocol — after the
+    * manifest lands in the stage, a crash is COMPLETED by
+    * [[vacuumDebris]], never discarded, so moved untouched files can't
+    * be lost. Recorded stats die with the swap (they describe replaced
+    * paths); rerun [[collectStats]] to restore skipping.
+    */
+  private def rewriteSelective(
+      cond: Column,
+      transformAffected: DataFrame => DataFrame,
+      op: String, params: Map[String, String],
+      changeVersion: Option[Long]): Option[LakeTable] = {
+    if (!fs.exists(new Path(statsDir))) return None
+    val all = listDataFiles()
+    if (all.exists(_._1.contains("/"))) return None // partitioned layout
+    val mightMatch = prunedFiles(cond).toSet
+    val affected = all.filter(t => mightMatch.contains(t._3))
+    val untouched = all.filterNot(t => mightMatch.contains(t._3))
+    if (untouched.isEmpty) return None // nothing saved: full rewrite is equal
+    val staged = new Path(s"$path${LakeTable.StageSuffix}")
+    try {
+      if (affected.nonEmpty) {
+        val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
+        transformAffected(reader.parquet(affected.map(_._3): _*))
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      } else {
+        // a DELETE whose predicate matches nothing still commits; the
+        // stage is just an empty dir the untouched files move through
+        fs.mkdirs(staged): Unit
+      }
+      val cons = constraints
+      if (cons.nonEmpty && affected.nonEmpty) {
+        // untouched files were already validated when written
+        try enforceConstraints(spark.read.parquet(staged.toString), cons)
+        catch { case e: Throwable => fs.delete(staged, true); throw e }
+      }
+    } catch {
+      case e: Throwable =>
+        try changeVersion.foreach(v => fs.delete(
+          new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
+    // Spark part-file names embed the job UUID so clashes with kept files
+    // are not expected — but a clash would silently drop a kept file in
+    // the swap, so check loudly
+    val stagedNames = fs.listStatus(staged)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val clash = untouched.map(_._1).filter(stagedNames.contains)
+    require(clash.isEmpty, s"staged rewrite produced colliding file names: $clash")
+    writeManifest(staged, untouched.map(_._1))
+    completeSwap(staged)
+    val actual = commit(op, params +
+      ("filesRewritten" -> affected.size.toString,
+        "filesKept" -> untouched.size.toString))
+    changeVersion.foreach { predicted =>
+      if (predicted != actual) {
+        val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
+        if (fs.exists(from))
+          fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual")): Unit
+      }
+    }
+    Some(this)
+  }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the
     * version the ABOUT-TO-HAPPEN commit will get — must run before the
@@ -712,19 +796,64 @@ final class LakeTable(spark: SparkSession, val path: String) {
   }
 
   /** Crash-debris GC (`VACUUM`-adjacent): recover any stranded
-    * change-feed tmp dir and delete an orphaned staged-rewrite dir — a
-    * hard crash mid-rewrite leaves `<path>__stage` holding a full table
-    * copy of dead bytes (a completed rewrite always renames or removes
-    * it). Run when no writer is active on the table; readers are
-    * unaffected either way because neither dir is part of the live
-    * table path.
+    * change-feed tmp dir, and resolve an orphaned staged-rewrite dir —
+    * COMPLETING the swap when the stage carries a swap manifest (the
+    * rewrite had passed its point of no return: new data validated, log
+    * moved aside — deleting it would lose the commit log and, for a
+    * selective rewrite, any untouched files already pulled in), or
+    * deleting it when no manifest exists (pre-swap crash: the table was
+    * never touched and the stage is dead bytes). Run when no writer is
+    * active on the table; readers are unaffected either way because
+    * neither dir is part of the live table path.
     */
   def vacuumDebris(): LakeTable = {
     recoverStaleChangesTmp()
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
-    val removedStage = fs.exists(staged) && fs.delete(staged, true)
-    commit("VACUUM DEBRIS", Map("removedStage" -> removedStage.toString))
+    val action =
+      if (!fs.exists(staged)) "none"
+      else if (fs.exists(new Path(staged, LakeTable.SwapManifestName))) {
+        completeSwap(staged); "completedSwap"
+      } else { fs.delete(staged, true); "removedStage" }
+    commit("VACUUM DEBRIS", Map("stage" -> action))
     this
+  }
+
+  /** Resume a crashed staged swap (manifest present): idempotently move
+    * the log, change feed, and every manifest-listed untouched data file
+    * that is still in the table dir into the stage, then finish the
+    * dir swap. Every step skips work a previous attempt completed, so
+    * repeated crashes during recovery converge.
+    */
+  private def completeSwap(staged: Path): Unit = {
+    val f = fs
+    def moveIn(from: Path, name: String): Unit = {
+      val dest = new Path(staged, name)
+      if (f.exists(from) && !f.exists(dest) && !f.rename(from, dest))
+        throw new java.io.IOException(s"swap recovery: could not move $from to $dest")
+    }
+    moveIn(logDir, LakeTable.LogDirName)
+    moveIn(new Path(path, LakeTable.ChangesDirName), LakeTable.ChangesDirName)
+    val manifest = new Path(staged, LakeTable.SwapManifestName)
+    readManifest(manifest).foreach(n => moveIn(new Path(path, n), n))
+    val p = new Path(path)
+    if (f.exists(p)) f.delete(p, true)
+    if (!f.rename(staged, p))
+      throw new java.io.IOException(s"swap recovery: could not rename $staged to $p")
+    f.delete(new Path(p, LakeTable.SwapManifestName), false): Unit
+  }
+
+  private def writeManifest(staged: Path, untouched: Seq[String]): Unit = {
+    val out = fs.create(new Path(staged, LakeTable.SwapManifestName), true)
+    try out.write(untouched.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(manifest: Path): Seq[String] = {
+    val in = fs.open(manifest)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Run a data write (which on Overwrite deletes the table dir, commit
@@ -904,6 +1033,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val p = new Path(path)
     val s = new Path(staged)
     val f = fs
+    // the manifest is the swap's point-of-no-return marker: once present,
+    // a crash anywhere below is COMPLETED (not discarded) by vacuumDebris
+    // — without it, a crash after the log moves would see the log deleted
+    // with the "orphaned" stage
+    writeManifest(s, Seq.empty)
     // keep the log: move it into the staged dir before the swap
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
     val changesDir = new Path(p, LakeTable.ChangesDirName)
@@ -911,6 +1045,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       f.rename(changesDir, new Path(s, LakeTable.ChangesDirName))
     f.delete(p, true)
     f.rename(s, p)
+    f.delete(new Path(p, LakeTable.SwapManifestName), false)
     // the rewritten frame IS the table now — keep the authoritative
     // schema in lockstep so stored-schema reads match the new files
     // (upsert casts to the table types, so this is a no-op for MERGE;
@@ -973,24 +1108,35 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
   }
 
+  /** Every live data file as (name relative to the table dir,
+    * scheme-less path, full path). Side dirs (log/changes/stats) and
+    * non-parquet files are excluded.
+    */
+  private def listDataFiles(): Seq[(String, String, String)] = {
+    val f = fs
+    val rootUri = new Path(path).toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val it = f.listFiles(new Path(path), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = p.toUri.getPath
+      val inSide = rel.contains("/" + LakeTable.LogDirName + "/") ||
+        rel.contains("/" + LakeTable.ChangesDirName + "/") ||
+        rel.contains("/" + LakeTable.StatsDirName + "/")
+      if (!inSide && p.getName.endsWith(".parquet"))
+        out += ((rel.stripPrefix(rootUri).stripPrefix("/"), rel, p.toString))
+    }
+    out.toSeq
+  }
+
   /** The file list [[readWhere]] would scan — exposed so tests and
     * probes can measure skipping directly.
     */
   def prunedFiles(cond: Column): Seq[String] = {
     val f = fs
     def leafPath(p: Path) = p.toUri.getPath // scheme-insensitive identity
-    val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val it = f.listFiles(new Path(path), true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      val rel = leafPath(p)
-      val inSide = rel.contains("/" + LakeTable.LogDirName + "/") ||
-        rel.contains("/" + LakeTable.ChangesDirName + "/") ||
-        rel.contains("/" + LakeTable.StatsDirName + "/")
-      if (!inSide && p.getName.endsWith(".parquet"))
-        all += ((rel, p.toString))
-    }
+    val all = listDataFiles().map(t => (t._2, t._3))
     if (!f.exists(new Path(statsDir))) return all.map(_._2).toSeq
     FileStats.resolvedPredicate(read, cond) match {
       case None => all.map(_._2).toSeq // filter dissolved: nothing to prune on
@@ -1030,6 +1176,9 @@ object LakeTable {
   val StatsDirName = "_graft_stats"
   val StageSuffix = "__staging"
   val ChangesTmpSuffix = "__changes_tmp"
+  // swap point-of-no-return marker inside a staged dir; lists the
+  // untouched data files a selective rewrite pulls through the swap
+  val SwapManifestName = "__graft_swap_manifest"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"

@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SelectiveRewriteSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_selrw").resolve("t").toString
+
+  private def hfs(path: String) =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Four single-file appends with disjoint id ranges + stats. */
+  private def clusteredTable(path: String): LakeTable = {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, path)
+    (0 until 4).foreach { b =>
+      val rows = (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"v$i"))
+      lake.write(rows.toDF("id", "v").coalesce(1), SaveMode.Append)
+    }
+    lake.collectStats(Seq("id"))
+  }
+
+  private def dataFileNames(path: String): Set[String] = {
+    val f = hfs(path)
+    val it = f.listFiles(new HPath(path), true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val rel = p.toUri.getPath
+      if (p.getName.endsWith(".parquet") &&
+        !rel.contains("/" + LakeTable.LogDirName + "/") &&
+        !rel.contains("/" + LakeTable.ChangesDirName + "/") &&
+        !rel.contains("/" + LakeTable.StatsDirName + "/"))
+        out += p.getName
+    }
+    out.toSet
+  }
+
+  test("selective delete rewrites only the files the predicate can touch") {
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val before = dataFileNames(path)
+    assert(before.size === 4)
+    lake.delete(col("id") >= 100 && col("id") < 200)
+    val after = dataFileNames(path)
+    // three untouched files moved through the swap with their NAMES (and
+    // bytes) intact; the hit file was replaced by a filtered rewrite
+    assert(before.intersect(after).size === 3)
+    val rows = lake.read.select("id").collect().map(_.getLong(0)).toSet
+    assert(rows === ((0 until 100) ++ (200 until 400)).map(_.toLong).toSet)
+    val params = lake.history.where(col("operation") === "DELETE")
+      .select("operationParameters.filesRewritten", "operationParameters.filesKept")
+      .collect().head
+    assert(params.getString(0) === "1")
+    assert(params.getString(1) === "3")
+  }
+
+  test("selective update touches one file and applies SET only to matching rows") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val before = dataFileNames(path)
+    lake.update(Map("v" -> lit("CHANGED")), col("id") === 250L)
+    assert(before.intersect(dataFileNames(path)).size === 3)
+    val changed = lake.read.where(col("v") === "CHANGED")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(changed === Seq(250L))
+    assert(lake.read.count() === 400)
+  }
+
+  test("selective delete with change feed records the deleted rows") {
+    val path = tmp()
+    val lake = clusteredTable(path)
+    lake.delete(col("id") < 100, changeFeed = true)
+    val changes = lake.readChanges()
+    assert(changes.where(col("_change_type") === "delete").count() === 100)
+    assert(lake.read.count() === 300)
+  }
+
+  test("predicate matching nothing keeps every file in place") {
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val before = dataFileNames(path)
+    lake.delete(col("id") === 99999L)
+    assert(dataFileNames(path) === before)
+    assert(lake.read.count() === 400)
+  }
+
+  test("without stats the full rewrite path still runs (fallback)") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path)
+    (0 until 2).foreach { b =>
+      val rows = (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"v$i"))
+      lake.write(rows.toDF("id", "v").coalesce(1), SaveMode.Append)
+    }
+    lake.delete(col("id") < 10)
+    assert(lake.read.select("id").collect().map(_.getLong(0)).toSet ===
+      (10 until 20).map(_.toLong).toSet)
+  }
+
+  test("a crashed selective swap is COMPLETED by vacuumDebris, not discarded") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val expected = lake.read.where(!(col("id") >= 100 && col("id") < 200))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val historyBefore = lake.history.count()
+    val f = hfs(path)
+
+    // hand-build the post-crash state the real swap would leave right
+    // after its point of no return: staged dir holds the rewritten
+    // affected file + the manifest + the moved log; the table dir still
+    // has ALL original data files and no log
+    val staged = s"$path${LakeTable.StageSuffix}"
+    // the affected file's replacement: the 100..199 block deleted means
+    // the staged rewrite of that file is EMPTY — stage an empty frame
+    // with the table schema (write of 0 rows still creates the dir)
+    lake.read.where(lit(false)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    // manifest lists every original file EXCEPT the affected one (its
+    // replacement is already staged) — here: files NOT covering 100..199
+    val manifestNames = dataFileNames(path).toSeq.filter { n =>
+      val mn = spark.read.parquet(s"$path/$n").agg(min("id"))
+        .collect().head.getLong(0)
+      !(mn >= 100 && mn < 200)
+    }
+    assert(manifestNames.size === 3, s"fixture wrong: $manifestNames")
+    val manifestFile = f.create(
+      new HPath(staged, LakeTable.SwapManifestName), true)
+    manifestFile.write(manifestNames.mkString("\n").getBytes("UTF-8"))
+    manifestFile.close()
+    assert(f.rename(new HPath(path, LakeTable.LogDirName),
+      new HPath(staged, LakeTable.LogDirName)))
+
+    lake.vacuumDebris()
+
+    assert(!f.exists(new HPath(staged)), "stage should be gone")
+    assert(lake.read.select("id").collect().map(_.getLong(0)).toSet === expected)
+    assert(lake.history.count() === historyBefore + 1, "history lost in recovery")
+  }
+}
