@@ -70,6 +70,33 @@ object AnnProbe {
       Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
         dim = 64, k = k, nPlanes = 6, nTables = 8)
     }
+    // PQ measured in its two real phases: BUILD (codebook fit + encode —
+    // write-once, a standing index like IVF's saveIndex) and QUERY (ADC
+    // over codes + exact re-rank of the shortlist — the recurring cost;
+    // codes are 16x smaller than raw vectors in serving memory)
+    val pqBuildT0 = System.nanoTime()
+    val pqBooks = graft.text.Pq.fitCodebooks(corpus, "embedding",
+      m = 16, k = 16, sampleFraction = 0.05)
+    val pqCodes = graft.text.Pq.encode(corpus, pqBooks, "embedding")
+      .select(col("vec_id"), col("codes")).localCheckpoint(true)
+    val pqBuildSec = (System.nanoTime() - pqBuildT0) / 1e9
+    println(f"""{"probe":"pq_build_m16_k16","sec":$pqBuildSec%.2f}""")
+    val (pqSec, pqPairs) = time("pq_query_refine") {
+      val shortlist = math.max(50, (n / 20).toInt)
+      val cands = graft.text.Pq.adcTopK(pqCodes, queries, pqBooks,
+        "vec_id", "embedding", shortlist).select(col("q_id"), col("n_id"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        .join(broadcast(cands), Seq("n_id"))
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec"))), Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          graft.functions.VectorFunctions.cosineSim(col("q_vec"), col("n_vec")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
     def recall(p: Set[(Long, Long)]): Double =
       if (exact.isEmpty) 1.0 else p.intersect(exact).size.toDouble / exact.size
     println(
@@ -77,7 +104,9 @@ object AnnProbe {
         f""""brute_sec":$bruteSec%.2f,""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_recall":${recall(ivfPairs)}%.4f,""" +
         f""""ivf_sampled_sec":$ivfSampSec%.2f,"ivf_sampled_recall":${recall(ivfSampPairs)}%.4f,""" +
-        f""""lsh_sec":$lshSec%.2f,"lsh_recall":${recall(lshPairs)}%.4f}""")
+        f""""lsh_sec":$lshSec%.2f,"lsh_recall":${recall(lshPairs)}%.4f,""" +
+        f""""pq_build_sec":$pqBuildSec%.2f,"pq_query_sec":$pqSec%.2f,""" +
+        f""""pq_recall":${recall(pqPairs)}%.4f}""")
     spark.stop()
   }
 }

@@ -92,5 +92,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "frequent_items(col, k) - Misra-Gries heavy hitters: array<struct<item,est>>"),
       (es: Seq[Expression]) => graft.functions.FrequentItems(
         es.head, literalInt("frequent_items", "k", es(1))).toAggregateExpression()))
+
+    def literalString(fn: String, argName: String, arg: Expression): String = {
+      def fail(): Nothing = throw new AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr"   -> s""""$fn"""",
+          "inputName" -> s"`$argName`",
+          "inputType" -> "\"STRING\"",
+          "inputExpr" -> s""""${scala.util.Try(arg.sql).getOrElse(arg.toString)}""""))
+      if (!arg.foldable ||
+        arg.dataType != org.apache.spark.sql.types.StringType) fail()
+      arg.eval() match {
+        case null => fail()
+        case v    => v.toString
+      }
+    }
+
+    // SQL surface for the lake: FROM graft_lake('/path') reads a table,
+    // graft_lake('/path', 3) is Delta's VERSION AS OF, and
+    // graft_lake('/path', '2026-01-01T00:00:00Z') is TIMESTAMP AS OF —
+    // a table-valued function resolved at analysis time to the table's
+    // (already-analyzed) scan plan, so pushdown/pruning work as if the
+    // DataFrame were used directly.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_lake"),
+      info("graft_lake",
+        "graft_lake(path[, version|timestamp]) - read a graft lake table, optionally time-traveled"),
+      (es: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = literalString("graft_lake", "path", es.head)
+        val df =
+          if (es.length < 2) graft.sources.LakeTable(spark, path).read
+          else es(1).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              graft.sources.VersionedLakeTable(spark, path)
+                .readAsOf(literalString("graft_lake", "timestamp", es(1)))
+            case _ =>
+              graft.sources.VersionedLakeTable(spark, path)
+                .readVersion(literalInt("graft_lake", "version", es(1)).toLong)
+          }
+        df.queryExecution.analyzed
+      }))
   }
 }

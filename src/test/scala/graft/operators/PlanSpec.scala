@@ -119,4 +119,18 @@ class PlanSpec extends SparkSpec {
     // codegen stages render as "*(n)" prefixes in the tree string
     assert(p.contains("*(1)"), p)
   }
+
+  test("unigram-LM scoring joins the model by BROADCAST — the corpus never shuffles for it") {
+    val df = graft.text.CorpusOps.unigramLogprob(spark, sf0001)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocab-size model table must broadcast, not sort-merge:\n$p")
+  }
+
+  test("reproducible corpus shuffle plans no Window (no global row-number serialization)") {
+    val p = plan(graft.text.CorpusOps.corpusShuffle(spark, sf0001))
+    assert(!p.contains("Window"), s"global window would serialize the shuffle:\n$p")
+  }
 }

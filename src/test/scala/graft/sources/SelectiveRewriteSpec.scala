@@ -75,6 +75,19 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(lake.read.count() === 400)
   }
 
+  test("stats survive a selective rewrite: untouched files still prune") {
+    val path = tmp()
+    val lake = clusteredTable(path)
+    lake.delete(col("id") >= 100 && col("id") < 200)
+    // files 0-99, 200-299, 300-399 kept their paths AND their stats rows:
+    // a predicate inside a kept range prunes to 2 files — the statted
+    // match plus the stats-less REPLACEMENT file (conservatively kept
+    // until the next collectStats), never the other statted ranges
+    val pruned = lake.prunedFiles(col("id") === 250L)
+    assert(pruned.size === 2, s"skipping lost after selective rewrite: $pruned")
+    assert(lake.readWhere(col("id") === 250L).count() === 1)
+  }
+
   test("selective delete with change feed records the deleted rows") {
     val path = tmp()
     val lake = clusteredTable(path)

@@ -53,6 +53,18 @@ class PqSpec extends SparkSpec {
       s"refine made recall worse: $refRecall < $rawRecall")
   }
 
+  test("codebooks round-trip through a lake table and encode identically") {
+    val e = Tables(spark, sf0001).embeddings
+    val books = Pq.fitCodebooks(e, "embedding", m = 16, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Pq.saveCodebooks(books, s"$dir/idx")
+    val loaded = Pq.loadCodebooks(spark, s"$dir/idx")
+    def codesOf(b: org.apache.spark.sql.DataFrame) =
+      Pq.encode(e, b, "embedding").select("vec_id", "codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesOf(loaded) === codesOf(books))
+  }
+
   test("sampled codebook fit keeps recall close to full fit") {
     val e = Tables(spark, sf0001).embeddings
     val q = e.where(col("vec_id") < 20)
