@@ -134,4 +134,74 @@ class PropertySpec extends SparkSpec {
         assert(a.union(b).count() === (n + m).toLong)
     }
   }
+
+  test("selective delete equals the full-rewrite delete for random predicates") {
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft_seleq")
+    def freshPair(tag: String): (graft.sources.LakeTable, graft.sources.LakeTable) = {
+      val mk = (name: String, stats: Boolean) => {
+        val t = graft.sources.LakeTable(spark, s"$base/$tag-$name")
+        (0 until 4).foreach { b =>
+          val rows = (b * 50 until (b + 1) * 50).map(i => (i.toLong, i % 7))
+          t.write(rows.toDF("id", "g").coalesce(1), SaveMode.Append)
+        }
+        if (stats) t.collectStats(Seq("id")) else t
+      }
+      (mk("sel", true), mk("full", false))
+    }
+    samples(Gen.zip(Gen.chooseNum(0L, 199L), Gen.chooseNum(1L, 80L)), 5)
+      .zipWithIndex.foreach { case ((lo, len), i) =>
+        val (sel, full) = freshPair(s"p$i")
+        val cond = col("id") >= lo && col("id") < lo + len
+        sel.delete(cond)
+        full.delete(cond)
+        def rows(t: graft.sources.LakeTable) =
+          t.read.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(rows(sel) === rows(full), s"predicate [$lo, ${lo + len}) diverged")
+      }
+  }
+
+  test("reproducible corpus shuffle is the md5 permutation, row-pure and engine-checkable") {
+    val docs = graft.core.Tables(spark, sf0001).documents
+    val got = graft.text.CorpusOps.corpusShuffle(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._2).toSet === ids, "shuffle lost or invented documents")
+    assert(got.map(_._1) === got.map(_._1).sorted, "not emitted in key order")
+    // the permutation is exactly what an INDEPENDENT md5 implementation
+    // derives — row-pure, so any engine/partitioning reproduces it
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(id: Long): String = md.digest(
+      s"graft-shuffle-42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = ids.toSeq.map(id => (ref(id), id)).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)) === expected)
+  }
+
+  test("intra-doc token dedup is idempotent: deduping deduped text changes nothing") {
+    import spark.implicits._
+    val texts = samples(text, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    def dedupOf(in: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] = {
+      val toks = org.apache.spark.sql.functions.split(col("text"), " ")
+      in.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(org.apache.spark.sql.functions.min(col("pos")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("t"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(1))).toMap
+    }
+    val once = dedupOf(df)
+    val twice = dedupOf(once.toSeq.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text"))
+    assert(twice === once)
+  }
+
+  test("BPE merges are invariant to input partitioning") {
+    val docs = graft.core.Tables(spark, sf0001).documents.where(col("doc_id") < 60)
+    val a = graft.text.Bpe.learnMerges(docs.repartition(1), "text", numMerges = 5)
+    val b = graft.text.Bpe.learnMerges(docs.repartition(13), "text", numMerges = 5)
+    assert(a === b)
+  }
 }
