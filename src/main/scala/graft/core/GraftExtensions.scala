@@ -134,5 +134,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         df.queryExecution.analyzed
       }))
+
+    // DESCRIBE HISTORY as a query: FROM graft_history('/path') — the
+    // commit log (version, operation, timestamp, operationParameters)
+    // joins/filters like any table
+    e.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      info("graft_history", "graft_history(path) - commit history of a graft lake table"),
+      (es: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.LakeTable(spark,
+          literalString("graft_history", "path", es.head))
+          .history.queryExecution.analyzed
+      }))
+
+    // Delta table_changes in SQL: graft_changes('/path'[, from[, to]])
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(path[, fromVersion[, toVersion]]) - recorded change feed rows"),
+      (es: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = literalString("graft_changes", "path", es.head)
+        val from =
+          if (es.length > 1) literalInt("graft_changes", "fromVersion", es(1)).toLong
+          else 0L
+        val to =
+          if (es.length > 2) literalInt("graft_changes", "toVersion", es(2)).toLong
+          else Long.MaxValue
+        graft.sources.LakeTable(spark, path).readChanges(from, to)
+          .queryExecution.analyzed
+      }))
   }
 }

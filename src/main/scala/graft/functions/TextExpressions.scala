@@ -142,9 +142,39 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** First occurrence of each token, original order preserved — the C4-style
+  * in-document repetition drop as ONE pass per row (LinkedHashSet), so the
+  * whole transform is map-only: no (doc, token) shuffle, no per-group
+  * collect. Null tokens are dropped (they can't round-trip through the
+  * rebuilt text).
+  */
+case class FirstOccurrenceTokensExpr(child: Expression) extends TokensUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    val m = toks.numElements()
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      // clone: the returned array outlives this eval, and getUTF8String
+      // may point into a reused row buffer
+      if (t != null) seen.add(t.clone())
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExpressions {
   def shingles(tokens: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), n))
+
+  def firstOccurrenceTokens(tokens: Column): Column =
+    GraftBridge.column(FirstOccurrenceTokensExpr(GraftBridge.expression(tokens)))
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))

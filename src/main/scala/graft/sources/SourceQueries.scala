@@ -101,6 +101,23 @@ object SourceQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** SQL-native lake access through the `graft_lake` TABLE FUNCTION
+    * (injected via SparkSessionExtensions): the query never touches the
+    * DataFrame API — the TVF splices the lake table's analyzed scan into
+    * the SQL plan. Oracled against the same aggregate on the source
+    * parquet, proving the TVF read path is content-identical.
+    */
+  def tvfLakeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val dir = scratch(sfDir, "tvf_nation")
+    LakeTable(spark, dir).write(t.nation)
+    spark.sql(
+      s"""SELECT n_regionkey, count(*) AS n,
+         | min(n_name) AS first_name
+         |FROM graft_lake('$dir')
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   /** A4+A5+A6: database DDL + external-table DDL + SQL select through the
     * session catalog. Reference: rwd_hls DDL at 00-etl-rwd.py:151-200 and
     * `SELECT * FROM rwd_hls.patient_encounters` at 00:204.
@@ -318,6 +335,7 @@ object SourceQueries {
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_json_ingest" -> (jsonIngestNation _),
+    "q_tvf_lake_sql" -> (tvfLakeSql _),
     "q_catalog_sql" -> (catalogSql _),
     "q_deid_sha1" -> (deidSha1 _)
   )
@@ -408,6 +426,9 @@ object SourceQueries {
         |FROM after_update GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_json_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_tvf_lake_sql" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -56,24 +56,24 @@ object CorpusOps {
     * before/after token counts and the md5 of the rebuilt text so the
     * transform itself (not just its size) is oracle-checked.
     *
-    * Scale shape: grouping key is (doc_id, token) then doc_id — both
-    * partition-friendly; per-doc state is bounded by document length
-    * (the `collect_list` is per-group, same bound as `q_array_agg`).
-    * No global structure, no driver exchange.
+    * Scale shape: MAP-ONLY. The dedup is one pass per row
+    * ([[graft.functions.FirstOccurrenceTokensExpr]] — a LinkedHashSet in
+    * plain JVM code), so no (doc, token) shuffle and no per-group
+    * collect exist at all; the only exchange is the output ordering. The
+    * DuckDB oracle reconstructs the identical values relationally
+    * (unnest + min(pos) + ordered string_agg).
     */
-  def docTokenDedup(spark: SparkSession, sfDir: String): DataFrame =
+  def docTokenDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val dedup = graft.functions.TextExpressions.firstOccurrenceTokens(t)
     Tables(spark, sfDir).documents
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(min(col("pos")).as("p"), count(lit(1)).as("reps"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("reps")).as("n_tokens"),
-        count(lit(1)).as("n_uniq"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("p"), col("tok")))),
-            s => s.getField("tok")), " ")).as("dedup_hash"))
+      .select(
+        col("doc_id"),
+        size(t).cast("bigint").as("n_tokens"),
+        size(dedup).cast("bigint").as("n_uniq"),
+        md5(array_join(dedup, " ")).as("dedup_hash"))
       .orderBy(col("doc_id"))
+  }
 
   /** Reproducible global shuffle for training-example ordering: a seeded
     * md5 shuffle key gives every run (and every engine) the SAME

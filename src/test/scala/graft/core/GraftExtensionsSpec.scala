@@ -115,4 +115,25 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_lake(rand()::STRING)").collect())
     assert(e.getMessage.contains("graft_lake"), e.getMessage)
   }
+
+  test("graft_history and graft_changes TVFs expose log and CDC rows in SQL") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf2").toString
+    val path = s"$base/t"
+    val lake = graft.sources.LakeTable(spark, path)
+    lake.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    lake.upsert(Seq((2L, 25.0), (3L, 30.0)).toDF("id", "x"), Seq("id"),
+      changeFeed = true)
+    val ops = spark.sql(
+      s"SELECT operation FROM graft_history('$path') ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.head.startsWith("WRITE"), ops)
+    assert(ops.exists(_.contains("MERGE")), ops)
+    val byType = spark.sql(
+      s"""SELECT _change_type, count(*) AS n FROM graft_changes('$path')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.get("insert").contains(1L), byType)
+    assert(byType.get("update_postimage").contains(1L), byType)
+  }
 }
