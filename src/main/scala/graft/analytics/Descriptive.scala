@@ -113,11 +113,88 @@ object Descriptive {
       .orderBy(col("a_name"), col("b_name"))
   }
 
+  /** ANALYZE-style column profile: count / nulls / exact distinct /
+    * min / max for a column set, ONE aggregate pass over the table (the
+    * multi count-distinct plans one Expand — still a single scan), then
+    * unpivoted to a row per column. The dataset-card shape a training
+    * pipeline records per snapshot.
+    */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_discount", "l_linestatus", "l_returnflag")
+    val li = Tables(spark, sfDir).lineitem
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__ndv").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+  }
+
+  /** Linear interpolation over a gappy daily series: days where
+    * dayofmonth % 3 == 0 are deterministically "missing"; each gap is
+    * filled by the straight line between its known neighbors (edges
+    * carry the nearest known value). The carry-forward/backward pairs
+    * are IGNORE NULLS window functions over the dense calendar.
+    *
+    * Scale note: the window is over a CALENDAR (one row per day), which
+    * is list-scale no matter how big the fact table is — the heavy
+    * aggregation into `daily` happened on the grouped shuffle before the
+    * window ever runs.
+    */
+  def interpolateDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir).orders
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val known = daily.where(dayofmonth(col("day")) % 3 =!= 0)
+    val calendar = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val joined = calendar.join(known, Seq("day"), "left")
+    val wb = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownDay = when(col("revenue").isNotNull, col("day"))
+    val out = joined
+      .withColumn("pv", last(col("revenue"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(knownDay, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("revenue"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(knownDay, ignoreNulls = true).over(wf))
+    out.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("revenue").isNotNull.as("known"),
+      round(
+        when(col("revenue").isNotNull, col("revenue"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd")).cast("double")), 4)
+        .as("revenue_interp"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stats_moments" -> (statsMoments _),
     "q_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
     "q_funnel" -> (funnel _),
-    "q_fuzzy_levenshtein" -> ((s: SparkSession, d: String) => fuzzyPartNames(s, d))
+    "q_fuzzy_levenshtein" -> ((s: SparkSession, d: String) => fuzzyPartNames(s, d)),
+    "q_profile_columns" -> (profileColumns _),
+    "q_interpolate_daily" -> (interpolateDaily _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -153,6 +230,59 @@ object Descriptive {
         | levenshtein(a.p_name, b.p_name) AS dist
         |FROM d a JOIN d b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY a_name, b_name""".stripMargin
+        |ORDER BY a_name, b_name""".stripMargin,
+    "q_profile_columns" ->
+      """SELECT 'l_quantity' AS "column", count(*) AS n,
+        |  count(*) - count(l_quantity) AS n_null,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  min(l_quantity)::VARCHAR AS min_val, max(l_quantity)::VARCHAR AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*),
+        |  count(*) - count(l_discount),
+        |  count(DISTINCT l_discount),
+        |  min(l_discount)::VARCHAR, max(l_discount)::VARCHAR
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*),
+        |  count(*) - count(l_linestatus),
+        |  count(DISTINCT l_linestatus),
+        |  min(l_linestatus), max(l_linestatus)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*),
+        |  count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag)
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+    "q_interpolate_daily" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1),
+        |known AS (SELECT * FROM daily WHERE date_part('day', day) % 3 <> 0),
+        |cal AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT min(day) AS mn, max(day) AS mx FROM daily)),
+        |j AS (SELECT c.day, k.revenue FROM cal c LEFT JOIN known k USING (day)),
+        |w AS (SELECT day, revenue,
+        |  last_value(revenue IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(revenue IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  (revenue IS NOT NULL) AS known,
+        |  round(CASE WHEN revenue IS NOT NULL THEN revenue
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (date_diff('day', pd, day)::DOUBLE
+        |                           / date_diff('day', pd, nd)::DOUBLE)
+        |  END, 4) AS revenue_interp
+        |FROM w ORDER BY day""".stripMargin
   )
 }

@@ -97,10 +97,65 @@ object CorpusOps {
         (conv(substring(col("skey"), 1, 2), 16, 10).cast("int") % 8).cast("int"))
       .orderBy(col("skey"))
 
+  /** Cross-document duplicated-SPAN removal (the exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, at n-gram granularity): every occurrence of an
+    * 8-token gram that already appeared earlier in the corpus (global
+    * (doc_id, pos) order) marks its 8 token positions as duplicated; the
+    * cleaned text drops those positions, and the FIRST occurrence
+    * corpus-wide survives. Emits per-doc token counts, duplicated-position
+    * counts, and the md5 of the cleaned text — the transform itself is
+    * oracle-checked.
+    *
+    * Scale shape: the gram table is the inverted-index shuffle (key =
+    * gram) every near-dup path here uses; the first-occurrence rank is a
+    * window per gram, position expansion is a bounded explode (n per
+    * duplicate), and the rebuild joins positions per doc — no all-pairs
+    * product anywhere.
+    */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 8
+    val docs = Tables(spark, sfDir).documents
+    val withToks = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+    // (doc, 1-based pos, gram text) for every n-window
+    val grams = withToks
+      .where(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("ts"), i, lit(n)), " ").as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.gram"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("gram"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    val dupOccurrences = grams
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") > 1)
+    val covered = dupOccurrences
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val positions = withToks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("p"), col("tok"))
+    positions
+      .join(covered.withColumn("dup", lit(true)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("dup")).as("n_dup_positions"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(!coalesce(col("dup"), lit(false)),
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok")), " ")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_doc_token_dedup" -> (docTokenDedup _),
-    "q_corpus_shuffle" -> (corpusShuffle _)
+    "q_corpus_shuffle" -> (corpusShuffle _),
+    "q_span_dedup" -> (spanDedup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -129,6 +184,31 @@ object CorpusOps {
     "q_corpus_shuffle" ->
       """SELECT md5('graft-shuffle-42:' || doc_id::VARCHAR) AS skey, doc_id,
         |  (('0x' || substring(md5('graft-shuffle-42:' || doc_id::VARCHAR), 1, 2))::INT % 8)::INT AS shard
-        |FROM documents ORDER BY skey""".stripMargin
+        |FROM documents ORDER BY skey""".stripMargin,
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p FROM t),
+        |grams AS (
+        |  SELECT doc_id, unnest(gs) AS pos,
+        |    unnest(list_transform(gs, i -> array_to_string(ts[i:i+7], ' '))) AS gram
+        |  FROM (SELECT doc_id, ts, generate_series(1, len(ts) - 7) AS gs
+        |        FROM t WHERE len(ts) >= 8)),
+        |dups AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |    FROM grams) WHERE rk > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM dups))
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |  count(c.p) AS n_dup_positions,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN c.p IS NULL THEN tk.tok END, ' ' ORDER BY tk.p),
+        |    '')) AS clean_hash
+        |FROM toks tk LEFT JOIN covered c
+        |  ON tk.doc_id = c.doc_id AND tk.p = c.p
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
   )
 }
