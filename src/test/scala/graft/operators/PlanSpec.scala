@@ -133,4 +133,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.text.CorpusOps.corpusShuffle(spark, sf0001))
     assert(!p.contains("Window"), s"global window would serialize the shuffle:\n$p")
   }
+
+  test("column profiler plans no Expand (the multi-count-distinct shuffle multiplier)") {
+    val df = graft.analytics.Descriptive.profileColumns(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Expand"),
+      s"profiler fell back to the Expand-multiplied distinct plan:\n$p")
+  }
+
+  test("intra-doc token dedup is map-only: no aggregate, no hash-partition exchange") {
+    val df = graft.text.CorpusOps.docTokenDedup(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("HashAggregate"),
+      s"dedup should be a per-row expression, not an aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no grouping shuffle should exist:\n$p")
+  }
 }
