@@ -66,11 +66,32 @@ object ScaleProbe {
     val (bandedSec, bandedPairs) = time("minhash_banded") {
       Dedup.minhashBandedPairs(replicated, "doc_id", "text", 3, 0.8).count()
     }
+    // span-level exact-substring dedup over the replicated corpus: the
+    // 8-gram inverted index meets real duplication here (replicas share
+    // almost every gram with their original), so this measures the
+    // worst-ish case: nearly all positions of every replica are covered
+    val (spanSec, spanDups) = time("span_dedup_8gram") {
+      val withToks = replicated.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val grams = withToks.where(size(col("ts")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - 7),
+          i => struct(i.as("pos"),
+            array_join(slice(col("ts"), i, lit(8)), " ").as("gram")))).as("g"))
+        .select(col("doc_id"), col("g.pos"), col("g.gram"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
+      grams.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rk") > 1)
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))
+        .distinct()
+        .count()
+    }
     println(
       f"""{"metric":"neardup_scale_probe","rep":$rep,"docs":$n,""" +
         f""""uncapped_sec":$uncappedSec%.2f,"uncapped_pairs":$uncappedPairs,""" +
         f""""capped_sec":$cappedSec%.2f,"capped_pairs":$cappedPairs,""" +
-        f""""banded_sec":$bandedSec%.2f,"banded_pairs":$bandedPairs}""")
+        f""""banded_sec":$bandedSec%.2f,"banded_pairs":$bandedPairs,""" +
+        f""""span_sec":$spanSec%.2f,"span_dup_positions":$spanDups}""")
     spark.stop()
   }
 }
