@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.ml.classification.DecisionTreeClassificationModel
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ml.Trainer
+
+/** Model-based document quality filtering — the fastText-classifier step
+  * of CCNet/LLaMA-style pipelines, built entirely from in-engine pieces:
+  * cheap per-doc statistics are the features, the (expensive, heuristic)
+  * Gopher rule verdict is the WEAK LABEL, and a seeded decision tree
+  * learns to reproduce it. The trained model then scores documents from
+  * the cheap features alone — at 100 TB the rules that needed shingling
+  * and regex passes collapse into one map-only model.transform.
+  *
+  * Every step is seeded: same corpus → same tree → same scores.
+  */
+object QualityClassifier {
+
+  /** Cheap, map-only per-doc features (no shingling, no joins). */
+  def featurize(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nWords = size(toks).cast("double")
+    docs.select(
+      col("doc_id"),
+      array(
+        nWords,
+        length(col("text")).cast("double"),
+        // mean word length
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          greatest(nWords, lit(1.0)),
+        TextFunctions.punctRatio(col("text")),
+        // distinct-token ratio (cheap repetition signal)
+        size(array_distinct(toks)).cast("double") / greatest(nWords, lit(1.0))
+      ).as("raw_features"))
+  }
+
+  /** Weak label from the Gopher rule verdict (pass_all as 0/1). */
+  def weakLabels(spark: SparkSession, sfDir: String): DataFrame =
+    TextQueries.gopherQuality(spark, sfDir)
+      .select(col("doc_id"), col("pass_all").cast("double").as("label"))
+
+  final case class Trained(
+      model: DecisionTreeClassificationModel,
+      trainAuc: Double)
+
+  /** Fit the classifier on the weak labels (seeded, fixed params — the
+    * point is distillation, not search).
+    */
+  def train(spark: SparkSession, sfDir: String, seed: Long = 42L): Trained = {
+    val docs = Tables(spark, sfDir).documents
+    val data = featurize(docs)
+      .join(weakLabels(spark, sfDir), Seq("doc_id"))
+      .select(array_to_vector(col("raw_features")).as("features"), col("label"))
+      .cache()
+    try {
+      val model = Trainer.fitOne(data,
+        Trainer.Params(maxDepth = 5, maxBins = 32, impurity = "gini"), seed)
+      Trained(model, Trainer.auc(model, data))
+    } finally { data.unpersist(); () }
+  }
+
+  /** Score documents with a trained model: map-only (featurize +
+    * transform), returns (doc_id, quality_prob).
+    */
+  def score(docs: DataFrame, trained: Trained): DataFrame = {
+    val feats = featurize(docs)
+      .select(col("doc_id"), array_to_vector(col("raw_features")).as("features"))
+    trained.model.transform(feats)
+      .select(col("doc_id"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("quality_prob"))
+  }
+}

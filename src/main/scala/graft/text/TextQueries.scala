@@ -180,6 +180,20 @@ object TextQueries {
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     Bpe.mergesDF(Tables(spark, sfDir).documents, "text", numMerges = 10)
 
+  /** Model-based quality filter: distill the Gopher rule verdict into a
+    * seeded decision tree over cheap map-only features, then score the
+    * corpus (the fastText-classifier step of CCNet-style pipelines).
+    * Rows-only (model outputs aren't SQL-expressible); distillation AUC,
+    * determinism, and score/label consistency are pinned in
+    * QualityClassifierSpec.
+    */
+  def qualityModelScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val trained = QualityClassifier.train(spark, sfDir)
+    QualityClassifier.score(Tables(spark, sfDir).documents, trained)
+      .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-data hygiene: PII scrubbing over text with planted
     * email/phone/IP payloads (the synthetic corpus has none, so each doc
     * gets a deterministic contact tail appended before redaction — both
@@ -378,6 +392,7 @@ object TextQueries {
     "q_pq_topk" -> (pqTopK _),
     "q_incremental_neardup" -> (incrementalNearDup _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_quality_model_scores" -> (qualityModelScores _),
     "q_pii_redact" -> (piiRedact _),
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),

@@ -1,0 +1,35 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class QualityClassifierSpec extends SparkSpec {
+
+  test("distilled classifier reproduces the Gopher verdict well (AUC) and is deterministic") {
+    val a = QualityClassifier.train(spark, sf0001)
+    // the weak rules are simple threshold logic over correlated features,
+    // so a depth-5 tree should distill them nearly perfectly
+    assert(a.trainAuc >= 0.9, s"train AUC ${a.trainAuc} too low to be a distillation")
+    val b = QualityClassifier.train(spark, sf0001)
+    assert(a.trainAuc === b.trainAuc, "seeded training diverged")
+    val docs = Tables(spark, sf0001).documents
+    def scores(t: QualityClassifier.Trained) =
+      QualityClassifier.score(docs, t)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(a) === scores(b), "seeded scoring diverged")
+  }
+
+  test("scores order documents consistently with the weak labels") {
+    val trained = QualityClassifier.train(spark, sf0001)
+    val docs = Tables(spark, sf0001).documents
+    val joined = QualityClassifier.score(docs, trained)
+      .join(QualityClassifier.weakLabels(spark, sf0001), Seq("doc_id"))
+      .select(avg(when(col("label") === 1.0, col("quality_prob"))).as("pos"),
+        avg(when(col("label") === 0.0, col("quality_prob"))).as("neg"))
+      .collect().head
+    assert(joined.getDouble(0) > joined.getDouble(1),
+      s"passing docs should score higher: pos=${joined.getDouble(0)} neg=${joined.getDouble(1)}")
+  }
+}
