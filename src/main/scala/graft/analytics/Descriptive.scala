@@ -174,7 +174,7 @@ object Descriptive {
     val daily = Tables(spark, sfDir).orders
       .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
       .groupBy(col("day"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
     val known = daily.where(dayofmonth(col("day")) % 3 =!= 0)
     val calendar = daily
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -193,13 +193,18 @@ object Descriptive {
     out.select(
       date_format(col("day"), "yyyy-MM-dd").as("day"),
       col("revenue").isNotNull.as("known"),
-      round(
+      // floor-to-4-decimals, NOT round: the gap midpoints of 2-decimal
+      // inputs tie at exactly .5 of the 4th decimal, where Spark
+      // (HALF_UP) and DuckDB disagree; the doubles themselves are
+      // bit-identical across engines (decimal-exact inputs + identical
+      // association), so floor is engine-stable where round is not
+      (floor(
         when(col("revenue").isNotNull, col("revenue"))
           .when(col("pv").isNull, col("nv"))
           .when(col("nv").isNull, col("pv"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
             datediff(col("day"), col("pd")).cast("double") /
-            datediff(col("nd"), col("pd")).cast("double")), 4)
+            datediff(col("nd"), col("pd")).cast("double")) * 10000) / 10000)
         .as("revenue_interp"))
       .orderBy(col("day"))
   }
@@ -274,7 +279,8 @@ object Descriptive {
         |ORDER BY "column"""".stripMargin,
     "q_interpolate_daily" ->
       """WITH daily AS (
-        |  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS revenue
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
         |  FROM orders GROUP BY 1),
         |known AS (SELECT * FROM daily WHERE date_part('day', day) % 3 <> 0),
         |cal AS (
@@ -293,12 +299,12 @@ object Descriptive {
         |  FROM j)
         |SELECT strftime(day, '%Y-%m-%d') AS day,
         |  (revenue IS NOT NULL) AS known,
-        |  round(CASE WHEN revenue IS NOT NULL THEN revenue
+        |  floor((CASE WHEN revenue IS NOT NULL THEN revenue
         |    WHEN pv IS NULL THEN nv
         |    WHEN nv IS NULL THEN pv
-        |    ELSE pv + (nv - pv) * (date_diff('day', pd, day)::DOUBLE
-        |                           / date_diff('day', pd, nd)::DOUBLE)
-        |  END, 4) AS revenue_interp
+        |    ELSE pv + (nv - pv) * date_diff('day', pd, day)::DOUBLE
+        |              / date_diff('day', pd, nd)::DOUBLE
+        |  END) * 10000) / 10000 AS revenue_interp
         |FROM w ORDER BY day""".stripMargin
   )
 }
