@@ -42,6 +42,29 @@ private[sources] object CommitLog {
       case c => c.toString
     }
 
+  /** Inverse of [[esc]] (used by the pending-op swap record, which reuses
+    * esc so multi-line predicates survive a line-oriented file format).
+    */
+  private[sources] def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case _ => sb += s(i); i += 1
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Append one commit record ATOMICALLY and return its version.
     *
     * Optimistic concurrency in the style of Delta's commit protocol

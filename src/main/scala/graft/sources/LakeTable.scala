@@ -78,7 +78,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       df: DataFrame,
       mode: SaveMode = SaveMode.Overwrite,
       mergeSchema: Boolean = false,
-      overwriteSchema: Boolean = false): LakeTable = {
+      overwriteSchema: Boolean = false,
+      extraParams: Map[String, String] = Map.empty): LakeTable = {
     // Ignore on an existing table is a no-op for the data files, so it
     // must be a no-op for the log too — replacing the authoritative
     // schema while leaving the old files behind would corrupt reads
@@ -90,8 +91,28 @@ final class LakeTable(spark: SparkSession, val path: String) {
       toWrite.write.mode(mode).parquet(path)
     }
     saveSchema(schema)
-    commit(writeOp(mode), Map("mode" -> mode.toString))
+    commit(writeOp(mode), Map("mode" -> mode.toString) ++ extraParams)
     this
+  }
+
+  /** True iff some commit recorded `key -> value` in its
+    * operationParameters — the idempotent-writer probe (Delta's
+    * txnAppId/txnVersion analogue): a replaying at-least-once sink tags
+    * each batch write via `extraParams` and checks here before
+    * re-applying it. Driver-side scan of the (tiny) log; no Spark job.
+    */
+  def hasCommitParam(key: String, value: String): Boolean = {
+    if (!fs.exists(logDir)) return false
+    // params serialize as "k":"v" with CommitLog.esc, so matching the
+    // fully-quoted pair is exact — no substring false positives
+    val needle = s""""${CommitLog.esc(key)}":"${CommitLog.esc(value)}""""
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json")).exists { st =>
+      val in = fs.open(st.getPath)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      text.contains(needle)
+    }
   }
 
   /** History label by actual effect: Ignore/ErrorIfExists only reach the
@@ -475,8 +496,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // become harmless orphans — lookups are keyed by files that exist;
     // the replacement files simply have no stats until collectStats).
     // A FULL rewrite deliberately does not do this: every file changes.
-    writeManifest(staged, untouched.map(_._1) :+ LakeTable.StatsDirName)
-    completeSwap(staged)
+    writeManifest(staged, untouched.map(_._1) :+ LakeTable.StatsDirName, op, params)
+    completeSwap(staged): Unit // same-process completion: commit inline below
     val actual = commit(op, params +
       ("filesRewritten" -> affected.size.toString,
         "filesKept" -> untouched.size.toString))
@@ -819,7 +840,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val action =
       if (!fs.exists(staged)) "none"
       else if (fs.exists(new Path(staged, LakeTable.SwapManifestName))) {
-        completeSwap(staged); "completedSwap"
+        // commit the interrupted operation UNDER ITS OWN NAME first: it is
+        // what changed the data, and a change-feed dir materialized at the
+        // predicted version now lines up with this commit (the crashed op
+        // never claimed a version, so next-version == predicted unless
+        // other writers intervened — then rewriteWithFeed-style rename
+        // already can't help and history still names the right op)
+        val pending = completeSwap(staged)
+        pending.foreach { case (op, params) =>
+          commit(s"RECOVERED $op", params): Unit
+        }
+        "completedSwap"
       } else { fs.delete(staged, true); "removedStage" }
     commit("VACUUM DEBRIS", Map("stage" -> action))
     this
@@ -831,13 +862,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * dir swap. Every step skips work a previous attempt completed, so
     * repeated crashes during recovery converge.
     */
-  private def completeSwap(staged: Path): Unit = {
+  private def completeSwap(staged: Path): Option[(String, Map[String, String])] = {
     val f = fs
     def moveIn(from: Path, name: String): Unit = {
       val dest = new Path(staged, name)
       if (f.exists(from) && !f.exists(dest) && !f.rename(from, dest))
         throw new java.io.IOException(s"swap recovery: could not move $from to $dest")
     }
+    val pending = readPendingOp(staged)
     moveIn(logDir, LakeTable.LogDirName)
     moveIn(new Path(path, LakeTable.ChangesDirName), LakeTable.ChangesDirName)
     val manifest = new Path(staged, LakeTable.SwapManifestName)
@@ -846,13 +878,49 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (f.exists(p)) f.delete(p, true)
     if (!f.rename(staged, p))
       throw new java.io.IOException(s"swap recovery: could not rename $staged to $p")
-    f.delete(new Path(p, LakeTable.SwapManifestName), false): Unit
+    f.delete(new Path(p, LakeTable.SwapManifestName), false)
+    f.delete(new Path(p, LakeTable.PendingOpFileName), false)
+    pending
   }
 
-  private def writeManifest(staged: Path, untouched: Seq[String]): Unit = {
+  private def writeManifest(
+      staged: Path, untouched: Seq[String],
+      op: String, params: Map[String, String]): Unit = {
+    // pending-op record FIRST: once the manifest (the point-of-no-return
+    // marker) exists, recovery must be able to attribute the data change
+    // to the operation that staged it, not to the vacuum that finishes it
+    val pend = fs.create(new Path(staged, LakeTable.PendingOpFileName), true)
+    val lines = CommitLog.esc(op) +:
+      params.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${CommitLog.esc(k)}\t${CommitLog.esc(v)}"
+      }
+    try pend.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally pend.close()
     val out = fs.create(new Path(staged, LakeTable.SwapManifestName), true)
     try out.write(untouched.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The (op, params) recorded by [[writeManifest]], if the stage carries
+    * one (pre-pending-record stages recover as before, unattributed).
+    */
+  private def readPendingOp(staged: Path): Option[(String, Map[String, String])] = {
+    val f = new Path(staged, LakeTable.PendingOpFileName)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.split("\n", -1).toSeq
+      val params = lines.drop(1).filter(_.nonEmpty).flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(k, v) => Some(CommitLog.unesc(k) -> CommitLog.unesc(v))
+          case _           => None
+        }
+      }.toMap
+      lines.headOption.filter(_.nonEmpty).map(h => (CommitLog.unesc(h), params))
+    }
   }
 
   private def readManifest(manifest: Path): Seq[String] = {
@@ -1044,7 +1112,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // a crash anywhere below is COMPLETED (not discarded) by vacuumDebris
     // — without it, a crash after the log moves would see the log deleted
     // with the "orphaned" stage
-    writeManifest(s, Seq.empty)
+    writeManifest(s, Seq.empty, op, params)
     // keep the log: move it into the staged dir before the swap
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
     val changesDir = new Path(p, LakeTable.ChangesDirName)
@@ -1053,6 +1121,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     f.delete(p, true)
     f.rename(s, p)
     f.delete(new Path(p, LakeTable.SwapManifestName), false)
+    f.delete(new Path(p, LakeTable.PendingOpFileName), false)
     // the rewritten frame IS the table now — keep the authoritative
     // schema in lockstep so stored-schema reads match the new files
     // (upsert casts to the table types, so this is a no-op for MERGE;
@@ -1186,6 +1255,10 @@ object LakeTable {
   // swap point-of-no-return marker inside a staged dir; lists the
   // untouched data files a selective rewrite pulls through the swap
   val SwapManifestName = "__graft_swap_manifest"
+  // op name + params of the rewrite that staged the swap, so crash
+  // recovery can commit "RECOVERED <op>" instead of attributing the
+  // data change to the vacuum that merely finished it
+  val PendingOpFileName = "__graft_pending_op"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"

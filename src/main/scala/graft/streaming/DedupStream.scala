@@ -42,9 +42,10 @@ object DedupStream {
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          processBatch(batch.toDF(), indexPath, outPath, idCol, textCol, n, threshold)
+          processBatch(batch.toDF(), indexPath, outPath, idCol, textCol, n, threshold,
+            batchId = Some(batchId))
         }
       }
       .trigger(trigger)
@@ -53,6 +54,15 @@ object DedupStream {
   /** One micro-batch: probe, collapse within-batch dups, append survivors
     * + their signatures. Factored out so batch jobs can run the identical
     * logic (the batch/stream dual discipline used across this engine).
+    *
+    * foreachBatch replays micro-batches at-least-once, so with a
+    * `batchId` the two appends are made IDEMPOTENT the way Delta's
+    * txnAppId/txnVersion sinks are: each append tags its commit with the
+    * batch id, and a replay checks [[LakeTable.hasCommitParam]] before
+    * re-applying — a crash between the output append and the index append
+    * replays into "skip output, redo index" instead of double-admitting
+    * the batch. (The replayed `novel` set is identical because the index
+    * it probes is in the same pre-append state.)
     */
   def processBatch(
       batch: DataFrame,
@@ -61,10 +71,15 @@ object DedupStream {
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): Unit = {
+      threshold: Double,
+      batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val indexLake = LakeTable(spark, indexPath)
     val outLake = LakeTable(spark, outPath)
+    val bid = batchId.map(_.toString)
+    def applied(lake: LakeTable): Boolean =
+      bid.exists(b => lake.exists && lake.hasCommitParam("streamBatchId", b))
+    if (applied(outLake) && applied(indexLake)) return // full replay: no-op
 
     // 1. suppress docs near-duplicating the ADMITTED corpus
     val vsCorpus =
@@ -81,9 +96,13 @@ object DedupStream {
     val novel = vsCorpus.join(intra, Seq(idCol), "left_anti")
 
     if (!novel.isEmpty) {
-      outLake.write(novel, SaveMode.Append)
-      indexLake.write(
-        Dedup.buildMinhashIndex(novel, idCol, textCol, n), SaveMode.Append): Unit
+      val tag = bid.map(b => Map("streamBatchId" -> b)).getOrElse(Map.empty)
+      if (!applied(outLake))
+        outLake.write(novel, SaveMode.Append, extraParams = tag): Unit
+      if (!applied(indexLake))
+        indexLake.write(
+          Dedup.buildMinhashIndex(novel, idCol, textCol, n),
+          SaveMode.Append, extraParams = tag): Unit
     }
   }
 }

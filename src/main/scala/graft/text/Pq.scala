@@ -87,7 +87,14 @@ object Pq {
           r.getSeq[Float](1).map(_.toDouble).toArray))
       var mat: Array[Array[Array[Double]]] =
         Array.tabulate(m)(j => init.filter(_._1 == j).sortBy(_._2).map(_._3))
-      require(mat.forall(_.nonEmpty), "a subspace received no init centroids")
+      // every subspace must seed EXACTLY k cells: adcTopK flattens the
+      // lookup table as idx = j*k + code, so a short subspace would make
+      // codes from full subspaces silently read a neighboring subspace's
+      // slot — wrong scores, not an error
+      require(mat.forall(_.length == k),
+        s"k=$k distinct subvectors required per subspace but got counts " +
+          s"${mat.map(_.length).mkString("[", ",", "]")} — " +
+          "increase sampleFraction or lower k")
 
       def assignExpr(): Column = {
         var acc: Column = null
@@ -124,9 +131,15 @@ object Pq {
     } finally { points.unpersist(); () }
   }
 
+  /** L2-normalize; an all-zero vector maps to the zero vector — its dot
+    * products are 0 and its ranking deterministic — instead of 0/0 NaN
+    * subvectors poisoning codebook means and ADC top-k ordering.
+    * ([[VectorFunctions.cosineSim]] nulls zero-norm pairs; codes have no
+    * null slot, so zero is the quantization-side analogue.)
+    */
   private def normalized(v: Column): Column = {
     val n = VectorFunctions.l2Norm(v)
-    transform(v, x => (x / n).cast("float"))
+    transform(v, x => when(n > 0, x / n).otherwise(lit(0.0)).cast("float"))
   }
 
   /** Encode every corpus vector as `m` centroid codes (array<int>) — one

@@ -57,6 +57,15 @@ object QualityClassifier {
       .select(array_to_vector(col("raw_features")).as("features"), col("label"))
       .cache()
     try {
+      // a single-class weak label trains a tree with numClasses=1 whose
+      // probability vector has length 1, so score()'s element_at(.., 2)
+      // would come back silently NULL for every document — fail loudly
+      val classes = data.select(col("label")).distinct()
+        .collect().map(_.getDouble(0)).sorted
+      require(classes.sameElements(Array(0.0, 1.0)),
+        s"distillation needs both label classes; Gopher verdict is " +
+          s"single-class (${classes.mkString(",")}) on this corpus — " +
+          "relax the rules or use a corpus with both outcomes")
       val model = Trainer.fitOne(data,
         Trainer.Params(maxDepth = 5, maxBins = 32, impurity = "gini"), seed)
       Trained(model, Trainer.auc(model, data))

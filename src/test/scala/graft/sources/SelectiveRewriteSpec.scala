@@ -161,4 +161,62 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(lake.read.select("id").collect().map(_.getLong(0)).toSet === expected)
     assert(lake.history.count() === historyBefore + 1, "history lost in recovery")
   }
+
+  test("recovery commits the interrupted op under its own name (CDC attribution)") {
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val f = hfs(path)
+
+    // same post-crash fixture as above, but the stage also carries the
+    // pending-op record the real writeManifest now leaves: a DELETE with
+    // its predicate param, interrupted after the point of no return
+    val staged = s"$path${LakeTable.StageSuffix}"
+    lake.read.where(lit(false)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val manifestNames = dataFileNames(path).toSeq.filter { n =>
+      val mn = spark.read.parquet(s"$path/$n").agg(min("id"))
+        .collect().head.getLong(0)
+      !(mn >= 100 && mn < 200)
+    }
+    val pendFile = f.create(new HPath(staged, LakeTable.PendingOpFileName), true)
+    pendFile.write(Seq(
+      CommitLog.esc("DELETE"),
+      s"${CommitLog.esc("predicate")}\t${CommitLog.esc("(id >= 100)\nAND (id < 200)")}"
+    ).mkString("\n").getBytes("UTF-8"))
+    pendFile.close()
+    val manifestFile = f.create(new HPath(staged, LakeTable.SwapManifestName), true)
+    manifestFile.write(manifestNames.mkString("\n").getBytes("UTF-8"))
+    manifestFile.close()
+    assert(f.rename(new HPath(path, LakeTable.LogDirName),
+      new HPath(staged, LakeTable.LogDirName)))
+
+    lake.vacuumDebris()
+
+    val hist = lake.history.orderBy(col("version"))
+      .select("operation", "operationParameters.predicate").collect()
+    val recovered = hist.filter(_.getString(0) == "RECOVERED DELETE")
+    assert(recovered.length === 1, s"expected one RECOVERED DELETE commit, " +
+      s"got ops ${hist.map(_.getString(0)).mkString(",")}")
+    // the multi-line predicate round-trips through esc/unesc
+    assert(recovered.head.getString(1) === "(id >= 100)\nAND (id < 200)")
+    // the RECOVERED commit precedes VACUUM DEBRIS so a change-feed dir at
+    // the predicted (= recovered) version attributes to the op, not the vacuum
+    val ops = hist.map(_.getString(0)).toSeq
+    assert(ops.indexOf("RECOVERED DELETE") < ops.indexOf("VACUUM DEBRIS"))
+    // no pending-op debris left in the live table dir
+    assert(!f.exists(new HPath(path, LakeTable.PendingOpFileName)))
+  }
+
+  test("a completed (non-crashed) rewrite leaves no pending-op or manifest debris") {
+    val path = tmp()
+    val lake = clusteredTable(path)
+    lake.delete(col("id") >= 100 && col("id") < 200) // selective path
+    val f = hfs(path)
+    assert(!f.exists(new HPath(path, LakeTable.PendingOpFileName)))
+    assert(!f.exists(new HPath(path, LakeTable.SwapManifestName)))
+    lake.optimize(Seq("id")) // full-rewrite path
+    assert(!f.exists(new HPath(path, LakeTable.PendingOpFileName)))
+    assert(!f.exists(new HPath(path, LakeTable.SwapManifestName)))
+    assert(lake.history.where(col("operation").startsWith("RECOVERED")).count() === 0)
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -81,5 +82,37 @@ class DedupStreamSpec extends SparkSpec {
     val admitted = LakeTable(spark, s"$dir/out").read
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted === Set(1L, 2L, 11L), s"got $admitted")
+  }
+
+  test("replayed micro-batch is idempotent (batchId-keyed appends)") {
+    val dir = Files.createTempDirectory("graft_dedup_replay")
+    val b = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+
+    // simulate foreachBatch's at-least-once crash window: batch 0's
+    // OUTPUT append committed (tagged with its batch id) but the process
+    // died before the INDEX append
+    LakeTable(spark, s"$dir/out").write(b, SaveMode.Append,
+      extraParams = Map("streamBatchId" -> "0"))
+
+    // replay of batch 0: must skip the output append, redo the index one
+    DedupStream.processBatch(b, s"$dir/idx", s"$dir/out", "doc_id", "text",
+      n = 3, threshold = 0.5, batchId = Some(0L))
+    val out = LakeTable(spark, s"$dir/out")
+    assert(out.read.count() === 2, "replay double-appended the output")
+    val idx = LakeTable(spark, s"$dir/idx")
+    assert(idx.exists && idx.read.count() > 0, "replay skipped the index append")
+    val idxRows = idx.read.count()
+
+    // replay of a FULLY applied batch: both appends are no-ops
+    DedupStream.processBatch(b, s"$dir/idx", s"$dir/out", "doc_id", "text",
+      n = 3, threshold = 0.5, batchId = Some(0L))
+    assert(out.read.count() === 2)
+    assert(idx.read.count() === idxRows)
+
+    // a LATER batch with a near-dup of doc 1 still dedups normally
+    val b1 = Seq((10L, base.replace("lazy dog", "lazy cat"))).toDF("doc_id", "text")
+    DedupStream.processBatch(b1, s"$dir/idx", s"$dir/out", "doc_id", "text",
+      n = 3, threshold = 0.5, batchId = Some(1L))
+    assert(out.read.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 }

@@ -79,4 +79,42 @@ class PqSpec extends SparkSpec {
     assert(sampled >= full - 0.15,
       s"sampled-fit recall $sampled fell too far below full-fit $full")
   }
+
+  test("a subspace with fewer than k distinct subvectors fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    // 4 near-identical vectors can seed at most 4 cells per subspace —
+    // far short of k=16; the old nonEmpty check let this through and
+    // adcTopK's flattened j*k+code lookup then read the wrong slots
+    val tiny = (0 until 4).map(i =>
+      (i.toLong, Array.fill(8)(if (i == 0) 1.0f else i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.fitCodebooks(tiny, "embedding", m = 2, k = 16)
+    }
+    assert(e.getMessage.contains("increase sampleFraction"), e.getMessage)
+  }
+
+  test("all-zero vectors don't NaN-poison the fit or the ADC ranking") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      val v = if (i == 0L) Array.fill(8)(0.0f)
+      else Array.fill(8)(rng.nextFloat() - 0.5f)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pq.pqTopK(df, df.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, m = 2, nCells = 8).collect()
+    assert(out.length === 9)
+    out.foreach { r =>
+      val score = r.getDouble(3)
+      assert(!score.isNaN, s"NaN approx score leaked: $r")
+    }
+    // query 0 IS the zero vector: its table is all zeros, ranking falls
+    // back to the deterministic n_id tie-break instead of NaN ordering
+    val q0 = out.filter(_.getLong(0) === 0L).sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(q0.toSeq === q0.sorted.toSeq, s"zero-query ranking not deterministic: ${q0.toSeq}")
+  }
 }

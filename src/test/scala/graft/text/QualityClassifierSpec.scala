@@ -32,4 +32,20 @@ class QualityClassifierSpec extends SparkSpec {
     assert(joined.getDouble(0) > joined.getDouble(1),
       s"passing docs should score higher: pos=${joined.getDouble(0)} neg=${joined.getDouble(1)}")
   }
+
+  test("single-class weak labels fail loudly instead of emitting null scores") {
+    val s = spark
+    import s.implicits._
+    // every doc fails Gopher's 50-word minimum → labels are all 0.0; a
+    // tree trained on that has a length-1 probability vector and score()
+    // would silently return NULL for every document
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_degenerate").toString
+    (0L until 20L).map(i => (i, s"short doc $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(spark, dir)
+    }
+    assert(e.getMessage.contains("single-class"), e.getMessage)
+  }
 }
