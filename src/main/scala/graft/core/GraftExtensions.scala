@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: length-band guard for levenshtein thresholds
     e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
 
+    // SQL DML on lake tables: DELETE FROM / UPDATE / MERGE INTO targeting
+    // graft_lake('<path>') translate to LakeTable.delete/update/merge;
+    // everything else falls through to Spark's parser untouched
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 

@@ -1,0 +1,442 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{LakeTable, MergeClause}
+
+/** SQL DML statements over lake tables — the Delta-SQL surface a SQL-first
+  * user reaches for (the reference drives its whole ETL through SQL strings,
+  * 00-etl-rwd.py:151-204):
+  *
+  * {{{
+  * DELETE FROM graft_lake('/p') WHERE c > 3
+  * UPDATE graft_lake('/p') SET v = v + 1, s = 'x' WHERE k = 2
+  * MERGE INTO graft_lake('/p') t USING src s ON t.id = s.id
+  *   WHEN MATCHED AND s.del THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET v = s.v
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Injected via `SparkSessionExtensions.injectParser`: statements whose
+  * target is the `graft_lake('<path>')` table function are translated to
+  * the existing [[LakeTable]].delete/update/merge calls (same staged-swap
+  * durability, change feed, constraint checks); everything else — including
+  * DML against non-lake tables — falls through verbatim to Spark's parser,
+  * so native behavior and native errors are untouched.
+  *
+  * The statement STRUCTURE (keywords, clause boundaries, assignments) is
+  * recognized by a small quote/paren-aware tokenizer; every embedded
+  * expression and the MERGE source relation are handed back to Spark's own
+  * parser, so full expression syntax works inside conditions and SET.
+  * MERGE `WHEN NOT MATCHED ... INSERT` supports the whole-row `INSERT *`
+  * form (the common Delta idiom); column-list INSERT raises a clear error.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakeSqlDml.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+}
+
+/** `DELETE FROM graft_lake(path) [alias] [WHERE cond]`. */
+final case class LakeDeleteCommand(path: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable(spark, path).delete(cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft_lake(path) [alias] SET ... [WHERE cond]`. */
+final case class LakeUpdateCommand(path: String, set: Seq[(String, Column)], cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable(spark, path).update(set.toMap, cond)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft_lake(path) t USING <relation> s ON ... WHEN ...`;
+  * `relationSql` re-parses in run() as `SELECT * FROM <relationSql>`, so
+  * table names, subqueries, and table functions all work as the source.
+  */
+final case class LakeMergeCommand(
+    path: String,
+    relationSql: String,
+    keys: Seq[String],
+    whenMatched: Seq[MergeClause],
+    insertUnmatched: Boolean,
+    insertCond: Option[Column]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source = spark.sql(s"SELECT * FROM $relationSql")
+    LakeTable(spark, path).merge(source, keys, whenMatched, insertUnmatched, insertCond)
+    Seq.empty
+  }
+}
+
+object LakeSqlDml {
+
+  /** Returns Some(command) iff `sqlText` is one of the three DML statements
+    * AND its target is `graft_lake('<path>')`; None otherwise (delegate).
+    */
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    val p = new P(sqlText, delegate)
+    if (!p.more || p.peek.kind != Word) return None
+    p.peek.text.toUpperCase(java.util.Locale.ROOT) match {
+      case "DELETE" => p.advance(); parseDelete(p)
+      case "UPDATE" => p.advance(); parseUpdate(p)
+      case "MERGE"  => p.advance(); parseMerge(p)
+      case _        => None
+    }
+  }
+
+  private def parseDelete(p: P): Option[LogicalPlan] = {
+    if (!p.eat("FROM")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    val alias = p.targetAlias(stop = Set("WHERE"))
+    val cond =
+      if (p.eat("WHERE")) stripQualifier(p.expr(p.sliceToEnd("WHERE condition")), alias)
+      else org.apache.spark.sql.functions.lit(true)
+    p.done("DELETE")
+    Some(LakeDeleteCommand(path, cond))
+  }
+
+  private def parseUpdate(p: P): Option[LogicalPlan] = {
+    val path = p.lakeTarget().getOrElse(return None)
+    val alias = p.targetAlias(stop = Set("SET"))
+    p.expect("SET", "in UPDATE")
+    val set = parseAssignments(p, stops = Set("WHERE")).map { case (lhs, rhsSql) =>
+      unqualify(lhs, alias, "UPDATE SET") -> stripQualifier(p.expr(rhsSql), alias)
+    }
+    val cond =
+      if (p.eat("WHERE")) stripQualifier(p.expr(p.sliceToEnd("WHERE condition")), alias)
+      else org.apache.spark.sql.functions.lit(true)
+    p.done("UPDATE")
+    Some(LakeUpdateCommand(path, set, cond))
+  }
+
+  private def parseMerge(p: P): Option[LogicalPlan] = {
+    if (!p.eat("INTO")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    val tAlias = p.targetAlias(stop = Set("USING"))
+    p.expect("USING", "in MERGE")
+    val (relationSql, sAlias) = p.sourceRelation()
+    p.expect("ON", "in MERGE (after the source relation)")
+    val keys = mergeKeys(p.expr(p.slice(Set("WHEN"), "ON condition")), tAlias, sAlias)
+
+    val matched = Seq.newBuilder[MergeClause]
+    var insert: Option[Option[Column]] = None // Some(cond?) once an INSERT clause seen
+    var sawClause = false
+    while (p.eat("WHEN")) {
+      sawClause = true
+      val not = p.eat("NOT")
+      p.expect("MATCHED", "after WHEN" + (if (not) " NOT" else ""))
+      val condSql = if (p.eat("AND")) Some(p.slice(Set("THEN"), "clause condition")) else None
+      p.expect("THEN", "in WHEN clause")
+      if (!not) {
+        val cond = condSql.map(c => realias(p.expr(c), tAlias, sAlias))
+        if (p.eat("UPDATE")) {
+          p.expect("SET", "in WHEN MATCHED THEN UPDATE")
+          val set = parseAssignments(p, stops = Set("WHEN")).map { case (lhs, rhsSql) =>
+            unqualify(lhs, tAlias, "MERGE UPDATE SET") -> realias(p.expr(rhsSql), tAlias, sAlias)
+          }
+          matched += MergeClause.UpdateWhen(set.toMap, cond)
+        } else if (p.eat("DELETE")) {
+          matched += MergeClause.DeleteWhen(cond)
+        } else p.fail("expected UPDATE SET or DELETE after WHEN MATCHED THEN")
+      } else {
+        p.expect("INSERT", "after WHEN NOT MATCHED THEN")
+        if (!p.eatPunct("*"))
+          p.fail("only `WHEN NOT MATCHED [AND cond] THEN INSERT *` is supported — " +
+            "the lake merge inserts whole source rows; project the source relation instead")
+        require(insert.isEmpty, "at most one WHEN NOT MATCHED clause is supported")
+        // the insert condition evaluates over the UNQUALIFIED source row
+        insert = Some(condSql.map { c =>
+          val e = p.expr(c)
+          e.foreach {
+            case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+              tAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+              p.fail(s"WHEN NOT MATCHED condition cannot reference the target " +
+                s"(`${a.name}`): no target row exists for an unmatched source row")
+            case _ =>
+          }
+          stripQualifier(e, sAlias)
+        })
+      }
+    }
+    if (!sawClause) p.fail("MERGE needs at least one WHEN clause")
+    p.done("MERGE")
+    Some(LakeMergeCommand(path, relationSql, keys,
+      matched.result(), insertUnmatched = insert.isDefined, insertCond = insert.flatten))
+  }
+
+  /** `lhs = expr {, lhs = expr}` up to a top-level stop keyword or EOF. */
+  private def parseAssignments(p: P, stops: Set[String]): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var continue = true
+    while (continue) {
+      val lhs = p.identifier("assignment target")
+      if (!p.eatPunct("=")) p.fail(s"expected `=` after `${lhs.mkString(".")}`")
+      val rhs = p.slice(stops, "assignment value", stopPunct = Set(","))
+      out += ((lhs.mkString("."), rhs))
+      continue = p.eatPunct(",")
+    }
+    out.result()
+  }
+
+  /** ON must be a conjunction of target.key = source.key equalities over the
+    * SAME column name — the equi-key join shape [[LakeTable.merge]] executes
+    * (and the shape that shuffles/broadcasts cleanly at scale).
+    */
+  private def mergeKeys(
+      on: Expression, tAlias: Option[String], sAlias: Option[String]): Seq[String] = {
+    def qualifier(a: UnresolvedAttribute): Option[String] =
+      if (a.nameParts.length > 1) Some(a.nameParts.head) else None
+    def keyOf(e: Expression): Seq[String] = e match {
+      case And(l, r) => keyOf(l) ++ keyOf(r)
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val (an, bn) = (a.nameParts.last, b.nameParts.last)
+        require(an.equalsIgnoreCase(bn),
+          s"ON equality must join the same column name on both sides, got ${a.name} = ${b.name}")
+        val quals = Seq(a, b).flatMap(qualifier)
+        require(quals.forall(q =>
+          tAlias.exists(_.equalsIgnoreCase(q)) || sAlias.exists(_.equalsIgnoreCase(q))),
+          s"ON qualifiers must be the target/source aliases, got ${a.name} = ${b.name}")
+        Seq(an)
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON must be a conjunction of t.key = s.key equalities; " +
+          s"cannot translate `${other.sql}` to an equi-key merge")
+    }
+    val keys = keyOf(on)
+    require(keys.distinct.size == keys.size, s"duplicate ON keys: $keys")
+    keys
+  }
+
+  /** Rewrite user aliases to the `t`/`s` aliases [[LakeTable.merge]] binds. */
+  private def realias(
+      e: Expression, tAlias: Option[String], sAlias: Option[String]): Column =
+    GraftBridge.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        tAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute("t" +: a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        sAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute("s" +: a.nameParts.tail)
+    })
+
+  /** Drop a single-table alias qualifier (`u.v` -> `v`) so the expression
+    * resolves against the unaliased table [[LakeTable.delete]]/update read.
+    */
+  private def stripQualifier(e: Expression, alias: Option[String]): Column =
+    GraftBridge.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        alias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    })
+
+  private def unqualify(lhs: String, alias: Option[String], ctx: String): String = {
+    val parts = lhs.split('.')
+    if (parts.length == 1) stripTicks(parts(0))
+    else if (parts.length == 2 && alias.exists(_.equalsIgnoreCase(parts(0))))
+      stripTicks(parts(1))
+    else throw new IllegalArgumentException(
+      s"$ctx target `$lhs` must be a column of the lake table " +
+        alias.fold("(unqualified)")(a => s"(optionally qualified as `$a`)"))
+  }
+
+  private def stripTicks(s: String): String = s.stripPrefix("`").stripSuffix("`")
+
+  // ---------------------------------------------------------------- lexer
+
+  private sealed trait Kind
+  private case object Word extends Kind
+  private case object Str extends Kind
+  private case object Num extends Kind
+  private case object Punct extends Kind
+
+  private final case class Tok(text: String, start: Int, end: Int, kind: Kind)
+
+  private val MultiOps = Seq("<=>", "==", "<=", ">=", "!=", "<>", "&&", "||", "->", "=>")
+
+  private def tokenize(sql: String): IndexedSeq[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        while (i < n && sql(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2); i = if (e < 0) n else e + 2
+      } else if (c == '\'' || c == '"') {
+        val start = i; i += 1
+        var open = true
+        while (i < n && open) {
+          if (sql(i) == '\\' && i + 1 < n) i += 2
+          else if (sql(i) == c) {
+            if (c == '\'' && i + 1 < n && sql(i + 1) == '\'') i += 2 // '' escape
+            else { open = false; i += 1 }
+          } else i += 1
+        }
+        out += Tok(sql.substring(start, i), start, i, Str)
+      } else if (c == '`') {
+        val start = i; i += 1
+        while (i < n && sql(i) != '`') i += 1
+        i = math.min(i + 1, n)
+        out += Tok(sql.substring(start, i), start, i, Word)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+        out += Tok(sql.substring(start, i), start, i, Word)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '.')) i += 1
+        out += Tok(sql.substring(start, i), start, i, Num)
+      } else MultiOps.find(op => sql.startsWith(op, i)) match {
+        case Some(op) => out += Tok(op, i, i + op.length, Punct); i += op.length
+        case None     => out += Tok(c.toString, i, i + 1, Punct); i += 1
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- cursor
+
+  private final class P(val sql: String, delegate: ParserInterface) {
+    private val toks = tokenize(sql)
+    private var i = 0
+
+    def more: Boolean = i < toks.length && !(toks(i).kind == Punct && toks(i).text == ";")
+    def peek: Tok = toks(i)
+    def advance(): Unit = i += 1
+    def kind: Kind = toks(i).kind
+
+    def wordIs(w: String): Boolean =
+      more && toks(i).kind == Word && toks(i).text.equalsIgnoreCase(w)
+    def eat(w: String): Boolean = { val ok = wordIs(w); if (ok) i += 1; ok }
+    def expect(w: String, ctx: String): Unit =
+      if (!eat(w)) fail(s"expected $w $ctx" +
+        (if (more) s", found `${toks(i).text}`" else ", found end of statement"))
+    def eatPunct(pt: String): Boolean = {
+      val ok = more && toks(i).kind == Punct && toks(i).text == pt
+      if (ok) i += 1
+      ok
+    }
+
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"graft lake DML: $msg in: $sql")
+
+    def expr(sqlFragment: String): Expression = {
+      if (sqlFragment.trim.isEmpty) fail("empty expression")
+      delegate.parseExpression(sqlFragment)
+    }
+
+    /** `graft_lake ( '<path>' )` at the cursor, or None (→ delegate). */
+    def lakeTarget(): Option[String] = {
+      if (!wordIs("graft_lake")) return None
+      val save = i
+      i += 1
+      if (!eatPunct("(")) { i = save; return None }
+      if (!more || toks(i).kind != Str || toks(i).text.head != '\'') { i = save; return None }
+      val raw = toks(i).text; i += 1
+      if (!eatPunct(")")) { i = save; return None }
+      Some(raw.substring(1, raw.length - 1).replace("''", "'").replace("\\'", "'"))
+    }
+
+    /** Optional `[AS] alias` after the target (alias may not be a keyword
+      * that starts the next clause).
+      */
+    def targetAlias(stop: Set[String]): Option[String] = {
+      val as = eat("AS")
+      if (more && toks(i).kind == Word && !stop.exists(toks(i).text.equalsIgnoreCase)) {
+        val a = stripTicks(toks(i).text); i += 1; Some(a)
+      } else if (as) fail("expected alias after AS")
+      else None
+    }
+
+    /** Source relation of MERGE USING: raw text up to top-level ON, with a
+      * trailing `[AS] alias` split off (a bare trailing word not preceded
+      * by `.` is the alias; `db.tbl`, `fn(...)`, `(subquery)` are not).
+      */
+    def sourceRelation(): (String, Option[String]) = {
+      val from = i
+      slice(Set("ON"), "source relation"): Unit
+      val range = toks.slice(from, i)
+      if (range.isEmpty) fail("missing source relation after USING")
+      val hasAlias = range.length >= 2 && range.last.kind == Word &&
+        range(range.length - 2).text != "."
+      if (hasAlias) {
+        val asDropped =
+          if (range.length >= 3 && range(range.length - 2).kind == Word &&
+            range(range.length - 2).text.equalsIgnoreCase("AS")) range.dropRight(2)
+          else range.dropRight(1)
+        if (asDropped.isEmpty) fail("missing source relation before alias")
+        (sql.substring(asDropped.head.start, asDropped.last.end),
+          Some(stripTicks(range.last.text)))
+      } else (sql.substring(range.head.start, range.last.end), None)
+    }
+
+    /** Possibly-dotted identifier, returned as its parts joined by `.`. */
+    def identifier(ctx: String): Seq[String] = {
+      if (!more || toks(i).kind != Word) fail(s"expected identifier for $ctx")
+      val parts = Seq.newBuilder[String]
+      parts += toks(i).text; i += 1
+      while (eatPunct(".")) {
+        if (!more || toks(i).kind != Word) fail(s"dangling `.` in $ctx")
+        parts += toks(i).text; i += 1
+      }
+      parts.result()
+    }
+
+    /** Consume to the next TOP-LEVEL stop keyword/punct (or EOF) and return
+      * the raw text slice — the unit handed back to Spark's expression
+      * parser. Paren depth and string literals are already token-aware.
+      */
+    def slice(stops: Set[String], what: String, stopPunct: Set[String] = Set.empty): String = {
+      val from = if (more) toks(i).start else sql.length
+      var end = from
+      var depth = 0
+      var open = true
+      while (more && open) {
+        val t = toks(i)
+        val stopHere = depth == 0 &&
+          ((t.kind == Word && stops.exists(t.text.equalsIgnoreCase)) ||
+            (t.kind == Punct && stopPunct.contains(t.text)))
+        if (stopHere) open = false
+        else {
+          if (t.kind == Punct && t.text == "(") depth += 1
+          else if (t.kind == Punct && t.text == ")") depth -= 1
+          end = t.end
+          i += 1
+        }
+      }
+      val s = sql.substring(from, end).trim
+      if (s.isEmpty) fail(s"empty $what")
+      s
+    }
+
+    def sliceToEnd(what: String): String = slice(Set.empty, what)
+
+    /** All tokens must be consumed (trailing `;` tolerated). */
+    def done(stmt: String): Unit =
+      if (more) fail(s"unexpected `${toks(i).text}` after complete $stmt statement")
+  }
+}

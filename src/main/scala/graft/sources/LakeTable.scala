@@ -256,10 +256,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
       case _ =>
     }
     val fields = cur.schema.fields
-    // cast to target types up front (same contract as upsert) and
-    // materialize once — the source feeds three join branches
-    val src = source.select(fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // cast the target-schema columns to target types (same contract as
+    // upsert) but KEEP extra source columns: clause conditions and SET
+    // expressions may reference them (Delta allows e.g. a source-only
+    // `s.is_deleted` flag driving WHEN MATCHED ... DELETE); they are
+    // projected away before anything reaches the table. Materialize once —
+    // the source feeds three join branches
+    val fieldByName = fields.map(f => f.name -> f).toMap
+    val src = source.select(source.columns.map { c =>
+        fieldByName.get(c).fold(col(c))(f => col(c).cast(f.dataType).as(c))
+      }.toIndexedSeq: _*)
       .localCheckpoint(true)
     requireUniqueKeys(src, keys, "source")
 
@@ -300,7 +306,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       if (!insertUnmatched) None
       else {
         val unmatched = src.join(cur.select(keys.map(col): _*), keys, "left_anti")
-        Some(insertCond.map(unmatched.where).getOrElse(unmatched))
+        // insert condition sees the FULL source row (extras included);
+        // the row written is the target-schema projection (INSERT *)
+        Some(insertCond.map(unmatched.where).getOrElse(unmatched)
+          .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
       }
     val result = inserts.fold(keptOut)(keptOut.unionByName(_))
 

@@ -256,6 +256,51 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A6+A3 extension (SQL DML statements): the Delta-SQL DML surface —
+    * DELETE FROM, UPDATE ... SET, and MERGE INTO with conditional
+    * clauses, both-side SET arithmetic, and a gated INSERT * — driven
+    * ENTIRELY through `spark.sql` strings against the `graft_lake` table
+    * function (parser extension [[graft.plans.GraftSqlParser]]); the
+    * final aggregate reads through the same SQL surface. The reference
+    * drives its whole ETL through SQL strings (00-etl-rwd.py:151-204);
+    * this is that statement surface over the lake. The oracle replays
+    * all three statements relationally, so statement TRANSLATION and
+    * execution are both content-checked.
+    */
+  def lakeSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val path = scratch(sfDir, "orders_sqldml")
+    LakeTable(spark, path).write(t.orders)
+    t.orders.createOrReplaceTempView("sqldml_orders")
+    spark.sql(
+      s"DELETE FROM graft_lake('$path') " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 150000")
+    spark.sql(
+      s"UPDATE graft_lake('$path') SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderpriority LIKE '1-%'")
+    spark.sql(
+      s"""MERGE INTO graft_lake('$path') t
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM sqldml_orders WHERE o_custkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice, o_orderdate, o_orderpriority
+         |  FROM sqldml_orders WHERE o_custkey % 89 = 5
+         |) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice > 200000 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + t.o_totalprice
+         |WHEN NOT MATCHED AND s.o_custkey % 2 = 1 THEN INSERT *
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_lake('$path')
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** A7 extension (file-level data skipping): cluster lineitem by
     * partkey, record per-file min/max stats, then answer a range query
     * through [[LakeTable.readWhere]] — the scan plans over only the
@@ -331,6 +376,7 @@ object SourceQueries {
     "q_lake_merge_conditional" -> (lakeMergeConditional _),
     "q_lake_delete" -> (lakeDelete _),
     "q_lake_update" -> (lakeUpdate _),
+    "q_lake_sql_dml" -> (lakeSqlDml _),
     "q_lake_skipping" -> (lakeSkipping _),
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
@@ -407,6 +453,40 @@ object SourceQueries {
         |                    THEN o_totalprice * 2
         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_sql_dml" ->
+      """WITH d AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM d),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 89 = 5),
+        |kept AS (
+        |  SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NOT NULL
+        |              THEN s.o_totalprice + u.o_totalprice
+        |              ELSE u.o_totalprice END AS o_totalprice,
+        |         u.o_orderdate, u.o_orderpriority
+        |  FROM u LEFT JOIN src s ON u.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.o_totalprice <= 200000),
+        |ins AS (
+        |  SELECT * FROM src
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |    AND o_custkey % 2 = 1),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_lake_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.LakeTable
+
+class LakeSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_sqldml").resolve("t").toString
+
+  private def seed(path: String): LakeTable =
+    LakeTable(spark, path).write(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("id", "name", "v"), SaveMode.Overwrite)
+
+  test("DELETE FROM graft_lake with WHERE") {
+    val path = tmp(); seed(path)
+    spark.sql(s"DELETE FROM graft_lake('$path') WHERE v > 25.0")
+    assert(LakeTable(spark, path).read.select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(LakeTable(spark, path).history
+      .where(col("operation") === "DELETE").count() === 1)
+  }
+
+  test("DELETE with a target alias and qualified predicate; no WHERE deletes all") {
+    val path = tmp(); seed(path)
+    spark.sql(s"DELETE FROM graft_lake('$path') AS u WHERE u.name = 'a'")
+    assert(LakeTable(spark, path).read.count() === 3)
+    spark.sql(s"DELETE FROM graft_lake('$path')")
+    assert(LakeTable(spark, path).read.count() === 0)
+  }
+
+  test("UPDATE SET evaluates against the pre-update row (multi-assignment)") {
+    val path = tmp(); seed(path)
+    spark.sql(
+      s"UPDATE graft_lake('$path') SET v = v * 2, name = concat(name, '!') WHERE id <= 2")
+    val rows = LakeTable(spark, path).read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (1L, "a!", 20.0), (2L, "b!", 40.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("UPDATE without WHERE touches every row; alias-qualified SET works") {
+    val path = tmp(); seed(path)
+    spark.sql(s"UPDATE graft_lake('$path') u SET u.v = u.v + 1")
+    assert(LakeTable(spark, path).read.agg(sum("v")).collect().head.getDouble(0) === 104.0)
+  }
+
+  test("MERGE INTO: update + delete clauses in order, INSERT * with condition") {
+    val path = tmp(); seed(path)
+    Seq((2L, "B", 200.0, false), (3L, "C", 300.0, true),
+      (5L, "e", 50.0, false), (6L, "f", 60.0, true))
+      .toDF("id", "name", "v", "drop").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake('$path') t
+         |USING (SELECT id, name, v, `drop` FROM merge_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.`drop` THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v + t.v
+         |WHEN NOT MATCHED AND NOT s.`drop` THEN INSERT *
+         |""".stripMargin)
+    val rows = LakeTable(spark, path).read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // 1 untouched, 2 updated (v = 200+20), 3 deleted, 4 untouched, 5 inserted, 6 gated out
+    assert(rows.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "B", 220.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("MERGE with a plain table-name source and no NOT MATCHED clause") {
+    val path = tmp(); seed(path)
+    Seq((1L, "z", 0.0), (9L, "q", 9.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO graft_lake('$path') t USING merge_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    val byId = LakeTable(spark, path).read
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId === Map(1L -> "z", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "unmatched source row 9 must NOT be inserted without a NOT MATCHED clause")
+  }
+
+  test("keywords inside string literals don't confuse clause detection") {
+    val path = tmp(); seed(path)
+    spark.sql(s"UPDATE graft_lake('$path') SET name = 'WHEN MATCHED THEN , WHERE' WHERE id = 1")
+    assert(LakeTable(spark, path).read.where(col("id") === 1)
+      .collect().head.getString(1) === "WHEN MATCHED THEN , WHERE")
+    spark.sql(s"DELETE FROM graft_lake('$path') WHERE name = 'WHEN MATCHED THEN , WHERE'")
+    assert(LakeTable(spark, path).read.count() === 3)
+  }
+
+  test("DML against non-lake targets falls through to Spark's native handling") {
+    seed(tmp()) // unrelated
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
+    // a temp view supports none of the row-level commands: Spark itself
+    // must produce its native error, proving we did not intercept
+    val e = intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }
+    assert(!e.getMessage.contains("graft lake DML"), e.getMessage)
+    // and plain SELECTs over graft_lake still parse through the delegate path
+    val path = tmp(); seed(path)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_lake('$path')")
+      .collect().head.getLong(0) === 4L)
+  }
+
+  test("clear errors: column-list INSERT, non-equi ON, trailing garbage") {
+    val path = tmp(); seed(path)
+    Seq((1L, "x", 1.0)).toDF("id", "name", "v").createOrReplaceTempView("merge_src3")
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO graft_lake('$path') t USING merge_src3 s ON t.id = s.id
+                   |WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, s.name, s.v)
+                   |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("INSERT *"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO graft_lake('$path') t USING merge_src3 s ON t.id < s.id
+                   |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("equi-key"), e2.getMessage)
+    // LIMIT parses into the condition slice and fails expression parsing —
+    // the statement is rejected (ParseException), not half-applied
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_lake('$path') WHERE id = 1 LIMIT 1")
+    }
+    assert(LakeTable(spark, path).read.count() === 4)
+  }
+}
