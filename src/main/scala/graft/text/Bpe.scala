@@ -66,13 +66,28 @@ object Bpe {
   /** Learn `numMerges` merge rules from the corpus. Returns them in rank
     * order; the driver holds only the rules (numMerges rows), never the
     * vocabulary.
+    *
+    * `sampleFraction < 1` learns on a seeded document sample — the same
+    * knob as [[Pq.fitCodebooks]]/[[Ivf.fitCentroids]], and the 100 TB
+    * shape: each of the `numMerges` rounds scans the word-count table, so
+    * learning must run on a sample (pair RANKS converge long before the
+    * corpus is seen — Zipf again) while [[encode]] stays map-only over
+    * everything. Seeded, so the sampled tokenizer is reproducible.
     */
   def learnMerges(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      checkpointEvery: Int = 4): Seq[Merge] = {
-    var words = wordCounts(docs, textCol)
+      checkpointEvery: Int = 4,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): Seq[Merge] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base =
+      if (sampleFraction < 1.0)
+        docs.sample(withReplacement = false, sampleFraction, seed)
+      else docs
+    var words = wordCounts(base, textCol)
       .select(chars(col("word")).as("syms"), col("n"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -101,10 +116,13 @@ object Bpe {
   }
 
   /** Learned rules as a DataFrame (rank, left, right, freq). */
-  def mergesDF(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def mergesDF(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnMerges(docs, textCol, numMerges).toDF()
+    learnMerges(docs, textCol, numMerges, sampleFraction = sampleFraction, seed = seed)
+      .toDF()
       .select(col("rank"), col("left"), col("right"), col("freq"))
       .orderBy(col("rank"))
   }

@@ -71,6 +71,31 @@ class BpeSpec extends SparkSpec {
     assert(a.head.freq === a.map(_.freq).max)
   }
 
+  test("sample-based learning tracks full-corpus merges (ranks agree)") {
+    val docs = Tables(spark, sf0001).documents
+    val full = Bpe.learnMerges(docs, "text", numMerges = 20)
+    val sampled = Bpe.learnMerges(docs, "text", numMerges = 20, sampleFraction = 0.5)
+    assert(sampled.size === 20)
+    // determinism of the seeded sample
+    val again = Bpe.learnMerges(docs, "text", numMerges = 20, sampleFraction = 0.5)
+    assert(sampled === again, "seeded sampled learning diverged")
+
+    val fullRank = full.map(m => (m.left, m.right) -> m.rank).toMap
+    val sampRank = sampled.map(m => (m.left, m.right) -> m.rank).toMap
+    val shared = fullRank.keySet.intersect(sampRank.keySet).toSeq
+    assert(shared.size >= 16, // >= 80% of rules survive halving the corpus
+      s"only ${shared.size}/20 rules shared between full and sampled learning")
+    // Spearman rank correlation over the shared rules >= 0.95: sample
+    // noise may swap near-tied neighbors but must not reorder the list
+    def ranks(m: Map[(String, String), Int]) =
+      shared.sortBy(m).zipWithIndex.map { case (p, i) => p -> i.toDouble }.toMap
+    val (ra, rb) = (ranks(fullRank), ranks(sampRank))
+    val n = shared.size.toDouble
+    val spearman =
+      1.0 - 6.0 * shared.map(p => math.pow(ra(p) - rb(p), 2)).sum / (n * (n * n - 1))
+    assert(spearman >= 0.95, f"sampled merge ranks drifted: spearman=$spearman%.3f")
+  }
+
   test("encode applies rules in rank order and shrinks the token stream") {
     val corpus = Seq("banana bandana banana", "ban bananas")
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
