@@ -97,6 +97,26 @@ object AnnProbe {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
     }
+    // IVF-PQ composition: both quantizers fit on 5% samples and the
+    // (id, cell, codes) serving set materialized — all build-time; the
+    // query phase probes cells, ADC-scores only those rows, and
+    // exact-re-ranks the shortlist
+    val ivfpqBuildT0 = System.nanoTime()
+    val ivfpqCenters = Ivf.fitCentroids(
+      corpus.select(col("embedding")), "embedding",
+      nCells = 64, sampleFraction = 0.05)
+    val ivfpqIndex = Ivf.ivfPqIndex(corpus, "vec_id", "embedding",
+      ivfpqCenters, pqBooks).localCheckpoint(true)
+    val ivfpqBuildSec = (System.nanoTime() - ivfpqBuildT0) / 1e9
+    println(f"""{"probe":"ivfpq_build_c64_m16","sec":$ivfpqBuildSec%.2f}""")
+    val (ivfpqSec, ivfpqPairs) = time("ivfpq_query_c64_p8_refine") {
+      val shortlist = math.max(50, (n / 20).toInt)
+      Ivf.ivfPqTopK(corpus, queries, "vec_id", "embedding", k,
+        nCells = 64, nProbe = 8, m = 16, pqCells = 16, shortlist = shortlist,
+        centers = Some(ivfpqCenters), codebooks = Some(pqBooks),
+        index = Some(ivfpqIndex))
+    }
+
     def recall(p: Set[(Long, Long)]): Double =
       if (exact.isEmpty) 1.0 else p.intersect(exact).size.toDouble / exact.size
     println(
@@ -106,7 +126,9 @@ object AnnProbe {
         f""""ivf_sampled_sec":$ivfSampSec%.2f,"ivf_sampled_recall":${recall(ivfSampPairs)}%.4f,""" +
         f""""lsh_sec":$lshSec%.2f,"lsh_recall":${recall(lshPairs)}%.4f,""" +
         f""""pq_build_sec":$pqBuildSec%.2f,"pq_query_sec":$pqSec%.2f,""" +
-        f""""pq_recall":${recall(pqPairs)}%.4f}""")
+        f""""pq_recall":${recall(pqPairs)}%.4f,""" +
+        f""""ivfpq_build_sec":$ivfpqBuildSec%.2f,"ivfpq_query_sec":$ivfpqSec%.2f,""" +
+        f""""ivfpq_recall":${recall(ivfpqPairs)}%.4f}""")
     spark.stop()
   }
 }

@@ -149,4 +149,92 @@ object Ivf {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** IVF-PQ composition — the standard large-scale ANN serving shape
+    * (FAISS `IndexIVFPQ` + refine; Jégou et al. TPAMI'11 §V): coarse IVF
+    * cells PRUNE the candidate set, ADC over PQ codes scores only rows in
+    * the `nProbe` probed cells (compressed math, no full-width floats),
+    * and exact cosine re-ranks only the per-query `shortlist`. Pure IVF
+    * pays full-width float math on every probed row; pure PQ scans every
+    * code row; the composition does neither.
+    *
+    * Scale shape: the resident serving set is (id, cell, codes) — a few
+    * bytes per vector; raw vectors are touched only by the shortlist
+    * fetch (a broadcast semi-join probe of |queries| x shortlist rows).
+    * Both quantizers fit on seeded samples and persist as standing
+    * indexes ([[saveIndex]], [[Pq.saveCodebooks]]).
+    */
+  /** The IVF-PQ serving set: (n_id, cell, codes) — one int + m small
+    * codes per vector, both derived MAP-ONLY from standing quantizers.
+    * Materialize once (a lake table in practice); every query then
+    * touches only this narrow table plus a shortlist-sized probe of the
+    * raw vectors.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: DataFrame,
+      codebooks: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    Pq.encode(assignCells(c, centers, "n_vec"), codebooks, "n_vec")
+      .select(col("n_id"), col("cell"), col("codes"))
+  }
+
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 64,
+      nProbe: Int = 8,
+      m: Int = 16,
+      pqCells: Int = 16,
+      shortlist: Int = 100,
+      seed: Long = 42L,
+      buildSampleFraction: Double = 1.0,
+      centers: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None,
+      index: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val idx = centers.getOrElse(
+      fitCentroids(c, "n_vec", nCells, seed, buildSampleFraction))
+    val books = codebooks.getOrElse(
+      Pq.fitCodebooks(c, "n_vec", m, pqCells, seed, buildSampleFraction))
+    val indexed = index.getOrElse(ivfPqIndex(corpus, idCol, vecCol, idx, books))
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(idx))
+      .withColumn("cdist", -VectorFunctions.cosineSim(col("q_vec"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"))
+
+    val (tables, nPqCells) = Pq.adcTables(queries, books, idCol, vecCol)
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id").asc)
+    val cands = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(tables), Seq("q_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorFunctions.adcScore(col("tbl"), col("codes"), nPqCells).as("adc"))
+      .withColumn("r", row_number().over(wShort))
+      .where(col("r") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    c.join(broadcast(cands), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorFunctions.cosineSim(col("q_vec"), col("n_vec")).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

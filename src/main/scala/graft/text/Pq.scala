@@ -183,21 +183,21 @@ object Pq {
     * @param codes  corpus with a `codes` column from [[encode]] plus the id
     * @param queries raw query vectors (kept exact — the asymmetric side)
     */
-  def adcTopK(
-      codes: DataFrame,
+  /** Per-query ADC lookup tables: dot(query-subvector, centroid) for
+    * every (subspace, cell) — m*k entries, flattened so entry (j, c)
+    * sits at j*nCells + c. Queries are few; the codebook side is a
+    * broadcast. Returns ((q_id, tbl), nCells) — shared by the full-scan
+    * [[adcTopK]] and the cell-pruned [[Ivf.ivfPqTopK]] composition.
+    */
+  private[text] def adcTables(
       queries: DataFrame,
       codebooks: DataFrame,
       idCol: String,
-      vecCol: String,
-      k: Int): DataFrame = {
+      vecCol: String): (DataFrame, Int) = {
     val local = collectBooks(codebooks)
     val m = local.length
     val nCells = local.head.length
     val dsub = local.head.head.length
-
-    // per-query ADC table: dot(query-subvector, centroid) for every
-    // (subspace, cell) — m*k entries, flattened so entry (j, c) sits at
-    // j*nCells + c. Queries are few; the codebook side is a broadcast.
     val books = codebooks.sparkSession.createDataFrame(
       for { j <- 0 until m; c <- 0 until nCells }
         yield (j, c, local(j)(c).map(_.toFloat))
@@ -212,6 +212,17 @@ object Pq {
       .agg(transform(
         sort_array(collect_list(struct(col("subspace"), col("cell"), col("dp")))),
         s => s.getField("dp")).as("tbl"))
+    (tables, nCells)
+  }
+
+  def adcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codebooks: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val (tables, nCells) = adcTables(queries, codebooks, idCol, vecCol)
 
     // score: sum of m table lookups per (query, code-row) — one fused
     // loop ([[graft.functions.AdcScore]]); the equivalent zip_with +

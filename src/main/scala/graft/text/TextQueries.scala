@@ -157,6 +157,20 @@ object TextQueries {
       buildSampleFraction = 0.5, shortlist = 50)
   }
 
+  /** M3 composition path (FAISS IndexIVFPQ + refine shape): coarse IVF
+    * cells prune, ADC over PQ codes scores only probed cells, exact
+    * cosine re-ranks the shortlist. Approximate candidate generation, so
+    * rows-only; the recall bound vs pure IVF and the standing-index
+    * equivalence are pinned in SimilaritySpec, and AnnProbe measures the
+    * latency-below-both-parents claim at 100k vectors (BASELINE.md).
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+    Ivf.ivfPqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      nCells = 8, nProbe = 4, m = 16, pqCells = 16, shortlist = 50,
+      buildSampleFraction = 0.5)
+  }
+
   /** M2 incremental path: near-dups of an incoming batch (odd doc_ids)
     * against a standing MinHash index over the lake (even doc_ids) —
     * signature-estimate similarity, no corpus text rescanned. Rows-only
@@ -390,6 +404,7 @@ object TextQueries {
     "q_euclidean_topk" -> (euclideanTopK _),
     "q_embedding_pairs_exact" -> (embeddingPairsExact _),
     "q_pq_topk" -> (pqTopK _),
+    "q_ivfpq_topk" -> (ivfPqTopK _),
     "q_incremental_neardup" -> (incrementalNearDup _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_quality_model_scores" -> (qualityModelScores _),

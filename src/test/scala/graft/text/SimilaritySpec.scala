@@ -64,6 +64,42 @@ class SimilaritySpec extends SparkSpec {
     assert(sampledRecall >= 0.5, s"sampled recall $sampledRecall too low")
   }
 
+  test("ivfPqTopK recall tracks pure IVF (pruning bound) at test scale") {
+    val e = Tables(spark, sf0001).embeddings
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(e, q, "vec_id", "embedding", 3, nCells = 8, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Ivf.ivfPqTopK(e, q, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 4, m = 16, pqCells = 16, shortlist = 60)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = brute.intersect(ivf).size.toDouble / brute.size
+    val ivfpqRecall = brute.intersect(ivfpq).size.toDouble / brute.size
+    // cell pruning bounds the composition's recall by pure IVF's; the
+    // ADC shortlist + exact re-rank must recover nearly all of that bound
+    assert(ivfpqRecall >= ivfRecall - 0.1,
+      s"IVF-PQ recall $ivfpqRecall fell below its IVF pruning bound $ivfRecall")
+    assert(ivfpqRecall >= 0.5, s"IVF-PQ recall $ivfpqRecall too low")
+  }
+
+  test("ivfPqTopK with standing quantizers + serving set reproduces the inline build") {
+    val e = Tables(spark, sf0001).embeddings
+    val q = e.where(col("vec_id") < 10)
+    val centers = Ivf.fitCentroids(
+      e.select(col("embedding")), "embedding", nCells = 8, sampleFraction = 0.5)
+    val books = Pq.fitCodebooks(e, "embedding", m = 16, k = 16, sampleFraction = 0.5)
+    val index = Ivf.ivfPqIndex(e, "vec_id", "embedding", centers, books)
+    def run(idx: Option[org.apache.spark.sql.DataFrame]) =
+      Ivf.ivfPqTopK(e, q, "vec_id", "embedding", 3,
+        nCells = 8, nProbe = 4, m = 16, pqCells = 16, shortlist = 50,
+        seed = 42L, buildSampleFraction = 0.5,
+        centers = Some(centers), codebooks = Some(books), index = idx)
+        .collect().map(_.toSeq).toSeq
+    assert(run(Some(index)) === run(None),
+      "materialized serving set must reproduce the inline map-only derivation")
+  }
+
   test("standing IVF index: save/load round-trips and reproduces the in-line build") {
     val e = Tables(spark, sf0001).embeddings
     val q = e.where(col("vec_id") < 10)
