@@ -144,4 +144,70 @@ object Trainer {
       runLog: Option[RunLog] = None
   ): SearchResult =
     runSearch(train, test, evals, seed, runLog, (rnd, _, _) => uniformDraw(rnd))
+
+  /** CONCURRENT seeded uniform search — the reference gestures at exactly
+    * this (`SparkTrials`, 02-patient-trajectory.py:248): independent
+    * trials are embarrassingly parallel, so N fits run as concurrent jobs
+    * on the shared session via a fixed thread pool (each tagged into a
+    * `graft-trials` scheduler pool — isolating under FAIR mode, plain
+    * interleaving under FIFO). Determinism is preserved exactly:
+    *   - the PROPOSAL stream is the same seeded draw as [[searchRandom]]
+    *     (uniform proposals don't depend on earlier results, so
+    *     parallelizing changes nothing about what gets evaluated);
+    *   - every fit is seeded, so each trial's model/AUC is
+    *     completion-order-independent;
+    *   - results are collected in PROPOSAL order and the argmax runs over
+    *     that ordered list — the winner ties break on proposal position,
+    *     never on which thread finished first.
+    * PipelineSpec pins best == searchRandom's best; the wall-time ratio
+    * is printed by the spec for the record.
+    */
+  def searchParallel(
+      train: DataFrame,
+      test: DataFrame,
+      evals: Int = 20,
+      seed: Long = 42L,
+      parallelism: Int = 4,
+      runLog: Option[RunLog] = None
+  ): SearchResult = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val rnd = new scala.util.Random(seed)
+    val proposals = Vector.fill(evals)(uniformDraw(rnd)) // == searchRandom's stream
+    val cachedTrain = train.cache()
+    val cachedTest = test.cache()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      // materialize the caches ONCE before fanning out, so concurrent
+      // trials don't race to compute the same cached partitions
+      cachedTrain.count(): Unit
+      cachedTest.count(): Unit
+      val sc = train.sparkSession.sparkContext
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = proposals.map { p =>
+        scala.concurrent.Future {
+          sc.setLocalProperty("spark.scheduler.pool", "graft-trials")
+          val m = fitOne(cachedTrain, p, seed)
+          Eval(p, auc(m, cachedTest))
+        }
+      }
+      val results = futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      // log in proposal order — the run log is deterministic too
+      results.foreach { e =>
+        runLog.foreach(_.log(
+          params = Map(
+            "maxDepth" -> e.params.maxDepth.toString,
+            "maxBins" -> e.params.maxBins.toString,
+            "impurity" -> e.params.impurity),
+          metrics = Map("area_under_ROC" -> e.auc)))
+      }
+      val best = results.maxBy(r => (r.auc, -r.params.maxDepth))
+      SearchResult(best, results, fitOne(cachedTrain, best.params, seed))
+    } finally {
+      pool.shutdown()
+      cachedTrain.unpersist()
+      cachedTest.unpersist(): Unit
+    }
+  }
 }

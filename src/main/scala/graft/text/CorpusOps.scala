@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -114,36 +115,77 @@ object CorpusOps {
     * product anywhere.
     */
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = 8
     val docs = Tables(spark, sfDir).documents
-    val withToks = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+    val covered = coveredPositions(docs, "doc_id", "text", n = 8)
+    rebuildWithout(docs, covered, "n_dup_positions")
+  }
+
+  /** Token positions (1-based) covered by a duplicated n-gram occurrence —
+    * the position-granularity core shared by [[spanDedup]] and
+    * [[duplicatedSpans]]. The corpus-wide FIRST occurrence of each gram
+    * (global (doc, pos) order) is never covered.
+    */
+  def coveredPositions(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("ts"))
     // (doc, 1-based pos, gram text) for every n-window
     val grams = withToks
       .where(size(col("ts")) >= n)
-      .select(col("doc_id"), explode(transform(
+      .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("ts")) - (n - 1)),
         i => struct(i.as("pos"),
           array_join(slice(col("ts"), i, lit(n)), " ").as("gram")))).as("g"))
-      .select(col("doc_id"), col("g.pos"), col("g.gram"))
-    import org.apache.spark.sql.expressions.Window
+      .select(col(idCol), col("g.pos"), col("g.gram"))
     val w = Window.partitionBy(col("gram"))
-      .orderBy(col("doc_id").asc, col("pos").asc)
-    val dupOccurrences = grams
+      .orderBy(col(idCol).asc, col("pos").asc)
+    grams
       .withColumn("rk", row_number().over(w))
       .where(col("rk") > 1)
-    val covered = dupOccurrences
-      .select(col("doc_id"),
+      .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()
-    val positions = withToks
+  }
+
+  /** MAXIMAL duplicated spans, the ACL'22 excision unit: adjacent covered
+    * positions merge gaps-and-islands style (p - row_number() is constant
+    * within a contiguous run) and only spans of at least `minLength`
+    * tokens survive — short incidental n-gram repeats (idiom, named
+    * entities) are NOT excised, matching the paper's length-thresholded
+    * recipe (Lee et al. use 50 BPE tokens). Returns
+    * (idCol, span_start, span_end, span_len).
+    *
+    * Scale shape: one window per doc over COVERED positions only (a small
+    * fraction of the corpus), after the inverted-index gram shuffle.
+    */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minLength: Int): DataFrame = {
+    val covered = coveredPositions(docs, idCol, textCol, n)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("p").asc)
+    covered
+      .withColumn("grp", col("p") - row_number().over(wDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("p")).as("span_start"), max(col("p")).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+      .where(col("span_len") >= minLength)
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  /** Rebuild each doc without the given (doc, p) positions; emits token
+    * counts, removed-position count (as `removedCol`), and the md5 of the
+    * rebuilt text so the transform content is oracle-checkable.
+    */
+  private def rebuildWithout(
+      docs: DataFrame, remove: DataFrame, removedCol: String): DataFrame = {
+    val positions = docs.select(col("doc_id"), toks(col("text")).as("ts"))
       .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("p"), col("tok"))
     positions
-      .join(covered.withColumn("dup", lit(true)), Seq("doc_id", "p"), "left")
+      .join(remove.withColumn("dup", lit(true)), Seq("doc_id", "p"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        count(col("dup")).as("n_dup_positions"),
+        count(col("dup")).as(removedCol),
         md5(array_join(transform(
           sort_array(collect_list(when(!coalesce(col("dup"), lit(false)),
             struct(col("p"), col("tok"))))),
@@ -151,11 +193,31 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-thresholded span excision as a declared query: 8-gram
+    * duplicate detection, spans merged and cut only at >= 16 tokens —
+    * [[spanDedup]]'s paper-faithful sibling (it cuts every covered
+    * position; this one cuts only long spans and reports how many).
+    */
+  def spanDedupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir).documents
+    val spans = duplicatedSpans(docs, "doc_id", "text", n = 8, minLength = 16)
+    val spanCount = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val cut = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    rebuildWithout(docs, cut, "n_cut_positions")
+      .join(spanCount, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_cut_positions"), col("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_doc_token_dedup" -> (docTokenDedup _),
     "q_corpus_shuffle" -> (corpusShuffle _),
-    "q_span_dedup" -> (spanDedup _)
+    "q_span_dedup" -> (spanDedup _),
+    "q_span_dedup_spans" -> (spanDedupSpans _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -209,6 +271,48 @@ object CorpusOps {
         |    '')) AS clean_hash
         |FROM toks tk LEFT JOIN covered c
         |  ON tk.doc_id = c.doc_id AND tk.p = c.p
-        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    "q_span_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p FROM t),
+        |grams AS (
+        |  SELECT doc_id, unnest(gs) AS pos,
+        |    unnest(list_transform(gs, i -> array_to_string(ts[i:i+7], ' '))) AS gram
+        |  FROM (SELECT doc_id, ts, generate_series(1, len(ts) - 7) AS gs
+        |        FROM t WHERE len(ts) >= 8)),
+        |dups AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |    FROM grams) WHERE rk > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM dups)),
+        |islands AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM covered),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) AS e
+        |  FROM islands GROUP BY doc_id, grp),
+        |long_spans AS (SELECT * FROM spans WHERE e - s + 1 >= 16),
+        |span_counts AS (
+        |  SELECT doc_id, count(*) AS n_spans FROM long_spans GROUP BY doc_id),
+        |cutpos AS (
+        |  SELECT doc_id, unnest(generate_series(s, e)) AS p FROM long_spans),
+        |rebuilt AS (
+        |  SELECT tk.doc_id, count(*) AS n_tokens,
+        |    count(c.p) AS n_cut_positions,
+        |    md5(coalesce(
+        |      string_agg(CASE WHEN c.p IS NULL THEN tk.tok END, ' ' ORDER BY tk.p),
+        |      '')) AS clean_hash
+        |  FROM toks tk LEFT JOIN cutpos c
+        |    ON tk.doc_id = c.doc_id AND tk.p = c.p
+        |  GROUP BY tk.doc_id)
+        |SELECT r.doc_id, r.n_tokens, coalesce(sc.n_spans, 0) AS n_spans,
+        |  r.n_cut_positions, r.clean_hash
+        |FROM rebuilt r LEFT JOIN span_counts sc ON r.doc_id = sc.doc_id
+        |ORDER BY r.doc_id""".stripMargin
   )
 }

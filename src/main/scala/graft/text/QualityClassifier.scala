@@ -75,10 +75,17 @@ object QualityClassifier {
   /** Score documents with a trained model: map-only (featurize +
     * transform), returns (doc_id, quality_prob).
     */
-  def score(docs: DataFrame, trained: Trained): DataFrame = {
+  def score(docs: DataFrame, trained: Trained): DataFrame =
+    score(docs, trained.model)
+
+  /** Score with a bare model — the STANDING-model path: at scale the
+    * tree is promoted once ([[graft.ml.ModelRegistry.promote]]) and every scoring
+    * job is load + this map-only transform, no re-distillation.
+    */
+  def score(docs: DataFrame, model: DecisionTreeClassificationModel): DataFrame = {
     val feats = featurize(docs)
       .select(col("doc_id"), array_to_vector(col("raw_features")).as("features"))
-    trained.model.transform(feats)
+    model.transform(feats)
       .select(col("doc_id"),
         element_at(org.apache.spark.ml.functions.vector_to_array(
           col("probability")), 2).as("quality_prob"))

@@ -208,6 +208,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** K5/K7 + M4 composition — the STANDING-model scoring shape: the
+    * distilled tree is trained and PROMOTED once per corpus (RunLog
+    * registry, like the reference's model-registry scoring,
+    * 03-work with ML models.py), and the declared query is load + score
+    * ONLY — a map-only plan with no training stage, which is what every
+    * recurring 100 TB scoring job runs. Rows-only; save/load score
+    * identity and the exchange-free plan are pinned in
+    * QualityClassifierSpec.
+    */
+  def qualityModelScoresStanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val runDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_models", sf)
+    java.nio.file.Files.createDirectories(runDir)
+    val log = new graft.ml.ModelRegistry(runDir.toString)
+    if (log.currentVersion("quality_tree", "production") == 0L)
+      log.promote(QualityClassifier.train(spark, sfDir).model,
+        "quality_tree", "production"): Unit
+    val model = log.loadDecisionTree("quality_tree", "production")
+    QualityClassifier.score(Tables(spark, sfDir).documents, model)
+      .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-data hygiene: PII scrubbing over text with planted
     * email/phone/IP payloads (the synthetic corpus has none, so each doc
     * gets a deterministic contact tail appended before redaction — both
@@ -408,6 +432,7 @@ object TextQueries {
     "q_incremental_neardup" -> (incrementalNearDup _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_quality_model_scores" -> (qualityModelScores _),
+    "q_quality_model_scores_standing" -> (qualityModelScoresStanding _),
     "q_pii_redact" -> (piiRedact _),
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),

@@ -152,6 +152,34 @@ class PipelineSpec extends SparkSpec {
       s"no local move found in exploit tail: $late")
   }
 
+  test("parallel trials reproduce the sequential search exactly, faster") {
+    val pe = etl.patientEncounters
+    val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)
+    val fz = Featurizer.assemble(feats, Seq("GENDER"), Seq("recent_encounters", "age"))
+    val Array(tr, te) = fz.data.randomSplit(Array(0.7, 0.3), seed = 42L)
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (seq, seqSec) = timed(Trainer.searchRandom(tr, te, evals = 8, seed = 11L))
+    val (par, parSec) = timed(Trainer.searchParallel(tr, te, evals = 8, seed = 11L,
+      parallelism = 4))
+    // identical proposal stream, identical per-trial results, identical
+    // winner — completion order must not leak into ANY of it
+    assert(par.evals.map(_.params) === seq.evals.map(_.params),
+      "parallel proposals diverged from the seeded sequential stream")
+    assert(par.evals.map(_.auc) === seq.evals.map(_.auc),
+      "per-trial AUCs differ between parallel and sequential evaluation")
+    assert(par.best.params === seq.best.params)
+    assert(par.best.auc === seq.best.auc)
+    // determinism across parallel runs (thread scheduling varies)
+    val again = Trainer.searchParallel(tr, te, evals = 8, seed = 11L, parallelism = 3)
+    assert(again.best.params === par.best.params)
+    assert(again.evals.map(_.auc) === par.evals.map(_.auc))
+    // wall-time note for the record (4 threads on local[4]; not asserted
+    // strictly — tiny fits have fixed scheduling overhead)
+    info(f"sequential $seqSec%.1fs vs parallel $parSec%.1fs (x${seqSec / parSec}%.2f)")
+  }
+
   test("search is deterministic given the seed") {
     val pe = etl.patientEncounters
     val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)

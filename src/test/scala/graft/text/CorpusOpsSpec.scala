@@ -14,29 +14,37 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, s"seven eight nine ten $span eleven twelve"), // copies doc 1's span
       (3L, "totally fresh words with no overlap at all here")
     ).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("spanfix_docs")
 
-    // re-derive via the same operators CorpusOps.spanDedup composes, but
-    // against the fixture instead of the documents table
-    val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val grams = withToks.where(size(col("ts")) >= 8)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ts")) - 7),
-        i => struct(i.as("pos"),
-          array_join(slice(col("ts"), i, lit(8)), " ").as("gram")))).as("g"))
-      .select(col("doc_id"), col("g.pos"), col("g.gram"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
-    val covered = grams.withColumn("rk", row_number().over(w))
-      .where(col("rk") > 1)
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))
-      .distinct()
+    val covered = CorpusOps.coveredPositions(docs, "doc_id", "text", n = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
 
     // only doc 2's copy is covered: its span occupies 1-based positions 5..12
     assert(covered.forall(_._1 == 2L),
       s"only the later copy should be excised: $covered")
     assert(covered.map(_._2) === (5 to 12).toSet, s"wrong span positions: $covered")
+  }
+
+  test("adjacent covered positions merge into MAXIMAL spans; only long spans are cut") {
+    val long = (1 to 20).map(i => s"w$i").mkString(" ") // 20-token span
+    val short = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"one two $long three four"),
+      (2L, s"five six seven $long eight"), // copy → covered positions 4..23
+      (3L, s"nine ten $short eleven"),
+      (4L, s"twelve $short thirteen fourteen") // copy, but only 8 < 16 tokens
+    ).toDF("doc_id", "text")
+
+    val spans = CorpusOps.duplicatedSpans(docs, "doc_id", "text", n = 8, minLength = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // exactly ONE span survives the length threshold: doc 2's 20-token
+    // copy, merged into a single maximal [4, 23] run — not ten 8-gram
+    // fragments; doc 4's short copy is below minLength and kept
+    assert(spans.toSeq === Seq((2L, 4, 23, 20)), s"wrong spans: ${spans.toSeq}")
+
+    // and with the threshold at 8, doc 4's copy appears too (positions 2..9)
+    val all = CorpusOps.duplicatedSpans(docs, "doc_id", "text", n = 8, minLength = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(all === Set((2L, 4, 23, 20), (4L, 2, 9, 8)), s"wrong spans: $all")
   }
 
   test("unigram logprob ranks common-token docs as lower perplexity") {

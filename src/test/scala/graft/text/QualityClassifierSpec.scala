@@ -33,6 +33,25 @@ class QualityClassifierSpec extends SparkSpec {
       s"passing docs should score higher: pos=${joined.getDouble(0)} neg=${joined.getDouble(1)}")
   }
 
+  test("promoted standing model scores identically after save/load, map-only plan") {
+    val trained = QualityClassifier.train(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_registry").toString
+    val log = new graft.ml.ModelRegistry(dir)
+    log.promote(trained.model, "quality_tree", "production")
+    val loaded = log.loadDecisionTree("quality_tree", "production")
+    val docs = Tables(spark, sf0001).documents
+    val direct = QualityClassifier.score(docs, trained)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val standing = QualityClassifier.score(docs, loaded)
+    val viaRegistry = standing
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRegistry === direct, "save/load changed scores")
+    // the standing path is the recurring cost at scale: featurize +
+    // transform only — no shuffle anywhere in the plan
+    val plan = standing.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"standing scoring plan shuffles:\n$plan")
+  }
+
   test("single-class weak labels fail loudly instead of emitting null scores") {
     val s = spark
     import s.implicits._
