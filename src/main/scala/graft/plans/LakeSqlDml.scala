@@ -22,6 +22,7 @@ import graft.sources.{LakeTable, MergeClause}
   *   WHEN MATCHED AND s.del THEN DELETE
   *   WHEN MATCHED THEN UPDATE SET v = s.v
   *   WHEN NOT MATCHED THEN INSERT *
+  *   WHEN NOT MATCHED BY SOURCE THEN DELETE
   * }}}
   *
   * Injected via `SparkSessionExtensions.injectParser`: statements whose
@@ -73,6 +74,22 @@ final case class LakeUpdateCommand(path: String, set: Seq[(String, Column)], con
   }
 }
 
+/** `RESTORE graft_lake(path) TO VERSION AS OF <v>` /
+  * `TO TIMESTAMP AS OF '<iso>'` — over a [[graft.sources.VersionedLakeTable]]
+  * (append-only snapshots, so a bad restore is itself restorable).
+  */
+final case class LakeRestoreCommand(path: String, target: Either[Long, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = graft.sources.VersionedLakeTable(spark, path)
+    target match {
+      case Left(v)   => t.restore(v)
+      case Right(ts) => t.restoreAsOf(java.time.Instant.parse(ts))
+    }
+    Seq.empty
+  }
+}
+
 /** `MERGE INTO graft_lake(path) t USING <relation> s ON ... WHEN ...`;
   * `relationSql` re-parses in run() as `SELECT * FROM <relationSql>`, so
   * table names, subqueries, and table functions all work as the source.
@@ -83,10 +100,12 @@ final case class LakeMergeCommand(
     keys: Seq[String],
     whenMatched: Seq[MergeClause],
     insertUnmatched: Boolean,
-    insertCond: Option[Column]) extends LeafRunnableCommand {
+    insertCond: Option[Column],
+    whenNotMatchedBySource: Seq[MergeClause]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val source = spark.sql(s"SELECT * FROM $relationSql")
-    LakeTable(spark, path).merge(source, keys, whenMatched, insertUnmatched, insertCond)
+    LakeTable(spark, path).merge(source, keys, whenMatched, insertUnmatched, insertCond,
+      whenNotMatchedBySource = whenNotMatchedBySource)
     Seq.empty
   }
 }
@@ -100,11 +119,28 @@ object LakeSqlDml {
     val p = new P(sqlText, delegate)
     if (!p.more || p.peek.kind != Word) return None
     p.peek.text.toUpperCase(java.util.Locale.ROOT) match {
-      case "DELETE" => p.advance(); parseDelete(p)
-      case "UPDATE" => p.advance(); parseUpdate(p)
-      case "MERGE"  => p.advance(); parseMerge(p)
-      case _        => None
+      case "DELETE"  => p.advance(); parseDelete(p)
+      case "UPDATE"  => p.advance(); parseUpdate(p)
+      case "MERGE"   => p.advance(); parseMerge(p)
+      case "RESTORE" => p.advance(); parseRestore(p)
+      case _         => None
     }
+  }
+
+  private def parseRestore(p: P): Option[LogicalPlan] = {
+    p.eat("TABLE"): Unit // Delta writes RESTORE TABLE; both accepted
+    val path = p.lakeTarget().getOrElse(return None)
+    p.expect("TO", "in RESTORE")
+    val target =
+      if (p.eat("VERSION")) {
+        p.expect("AS", "in VERSION AS OF"); p.expect("OF", "in VERSION AS OF")
+        Left(p.intLiteral("restore version"))
+      } else if (p.eat("TIMESTAMP")) {
+        p.expect("AS", "in TIMESTAMP AS OF"); p.expect("OF", "in TIMESTAMP AS OF")
+        Right(p.stringLiteral("restore timestamp"))
+      } else p.fail("expected VERSION AS OF or TIMESTAMP AS OF")
+    p.done("RESTORE")
+    Some(LakeRestoreCommand(path, target))
   }
 
   private def parseDelete(p: P): Option[LogicalPlan] = {
@@ -142,25 +178,42 @@ object LakeSqlDml {
     val keys = mergeKeys(p.expr(p.slice(Set("WHEN"), "ON condition")), tAlias, sAlias)
 
     val matched = Seq.newBuilder[MergeClause]
+    val bySource = Seq.newBuilder[MergeClause]
     var insert: Option[Option[Column]] = None // Some(cond?) once an INSERT clause seen
     var sawClause = false
     while (p.eat("WHEN")) {
       sawClause = true
       val not = p.eat("NOT")
       p.expect("MATCHED", "after WHEN" + (if (not) " NOT" else ""))
+      val bySrc = not && p.eat("BY")
+      if (bySrc) p.expect("SOURCE", "after WHEN NOT MATCHED BY")
       val condSql = if (p.eat("AND")) Some(p.slice(Set("THEN"), "clause condition")) else None
       p.expect("THEN", "in WHEN clause")
-      if (!not) {
-        val cond = condSql.map(c => realias(p.expr(c), tAlias, sAlias))
-        if (p.eat("UPDATE")) {
-          p.expect("SET", "in WHEN MATCHED THEN UPDATE")
-          val set = parseAssignments(p, stops = Set("WHEN")).map { case (lhs, rhsSql) =>
-            unqualify(lhs, tAlias, "MERGE UPDATE SET") -> realias(p.expr(rhsSql), tAlias, sAlias)
+      if (!not || bySrc) {
+        // target-only clauses (BY SOURCE) must not touch source columns —
+        // there is no source row on those target rows
+        def checked(c: Column): Column = {
+          if (bySrc) GraftBridge.expression(c).foreach {
+            case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+              a.nameParts.head.equalsIgnoreCase("s") =>
+              p.fail("WHEN NOT MATCHED BY SOURCE cannot reference the source " +
+                s"(`${a.name}`): no source row exists for an unmatched target row")
+            case _ =>
           }
-          matched += MergeClause.UpdateWhen(set.toMap, cond)
+          c
+        }
+        val out = if (bySrc) bySource else matched
+        val cond = condSql.map(c => checked(realias(p.expr(c), tAlias, sAlias)))
+        if (p.eat("UPDATE")) {
+          p.expect("SET", s"in WHEN${if (bySrc) " NOT MATCHED BY SOURCE" else " MATCHED"} THEN UPDATE")
+          val set = parseAssignments(p, stops = Set("WHEN")).map { case (lhs, rhsSql) =>
+            unqualify(lhs, tAlias, "MERGE UPDATE SET") ->
+              checked(realias(p.expr(rhsSql), tAlias, sAlias))
+          }
+          out += MergeClause.UpdateWhen(set.toMap, cond)
         } else if (p.eat("DELETE")) {
-          matched += MergeClause.DeleteWhen(cond)
-        } else p.fail("expected UPDATE SET or DELETE after WHEN MATCHED THEN")
+          out += MergeClause.DeleteWhen(cond)
+        } else p.fail("expected UPDATE SET or DELETE in this WHEN clause")
       } else {
         p.expect("INSERT", "after WHEN NOT MATCHED THEN")
         if (!p.eatPunct("*"))
@@ -184,7 +237,8 @@ object LakeSqlDml {
     if (!sawClause) p.fail("MERGE needs at least one WHEN clause")
     p.done("MERGE")
     Some(LakeMergeCommand(path, relationSql, keys,
-      matched.result(), insertUnmatched = insert.isDefined, insertCond = insert.flatten))
+      matched.result(), insertUnmatched = insert.isDefined, insertCond = insert.flatten,
+      whenNotMatchedBySource = bySource.result()))
   }
 
   /** `lhs = expr {, lhs = expr}` up to a top-level stop keyword or EOF. */
@@ -394,6 +448,21 @@ object LakeSqlDml {
       } else (sql.substring(range.head.start, range.last.end), None)
     }
 
+    def intLiteral(what: String): Long = {
+      if (!more || toks(i).kind != Num) fail(s"expected an integer $what")
+      val t = toks(i).text
+      i += 1
+      try t.toLong catch { case _: NumberFormatException => fail(s"bad integer $what: $t") }
+    }
+
+    def stringLiteral(what: String): String = {
+      if (!more || toks(i).kind != Str || toks(i).text.head != '\'')
+        fail(s"expected a quoted string $what")
+      val raw = toks(i).text
+      i += 1
+      raw.substring(1, raw.length - 1).replace("''", "'").replace("\\'", "'")
+    }
+
     /** Possibly-dotted identifier, returned as its parts joined by `.`. */
     def identifier(ctx: String): Seq[String] = {
       if (!more || toks(i).kind != Word) fail(s"expected identifier for $ctx")
@@ -408,22 +477,29 @@ object LakeSqlDml {
 
     /** Consume to the next TOP-LEVEL stop keyword/punct (or EOF) and return
       * the raw text slice — the unit handed back to Spark's expression
-      * parser. Paren depth and string literals are already token-aware.
+      * parser. Paren depth and string literals are token-aware, and a
+      * `CASE … END` span shields its internal WHEN/THEN/ELSE from clause
+      * keyword detection (SET v = CASE WHEN … THEN … END must not end the
+      * assignment at the CASE's own keywords).
       */
     def slice(stops: Set[String], what: String, stopPunct: Set[String] = Set.empty): String = {
       val from = if (more) toks(i).start else sql.length
       var end = from
       var depth = 0
+      var caseDepth = 0
       var open = true
       while (more && open) {
         val t = toks(i)
-        val stopHere = depth == 0 &&
+        val stopHere = depth == 0 && caseDepth == 0 &&
           ((t.kind == Word && stops.exists(t.text.equalsIgnoreCase)) ||
             (t.kind == Punct && stopPunct.contains(t.text)))
         if (stopHere) open = false
         else {
           if (t.kind == Punct && t.text == "(") depth += 1
           else if (t.kind == Punct && t.text == ")") depth -= 1
+          else if (t.kind == Word && t.text.equalsIgnoreCase("CASE")) caseDepth += 1
+          else if (t.kind == Word && t.text.equalsIgnoreCase("END") && caseDepth > 0)
+            caseDepth -= 1
           end = t.end
           i += 1
         }

@@ -228,6 +228,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     *
     * @param insertCond   optional predicate over the (unqualified) source
     *                     columns gating WHEN NOT MATCHED inserts
+    * @param whenNotMatchedBySource Delta's target-only arm (`WHEN NOT
+    *                     MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`):
+    *                     clauses walked in order over target rows WITHOUT a
+    *                     source match; conditions and SET expressions must
+    *                     reference only target columns (s.* is null there)
     * @param changeFeed   also record the row-level change set (Delta
     *                     Change Data Feed analogue) readable via
     *                     [[readChanges]]: `_change_type` in
@@ -243,11 +248,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
       whenMatched: Seq[MergeClause],
       insertUnmatched: Boolean = true,
       insertCond: Option[Column] = None,
-      changeFeed: Boolean = false): LakeTable = {
+      changeFeed: Boolean = false,
+      whenNotMatchedBySource: Seq[MergeClause] = Seq.empty): LakeTable = {
     val cur = read
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
-    whenMatched.foreach {
+    (whenMatched ++ whenNotMatchedBySource).foreach {
       case MergeClause.UpdateWhen(set, _) =>
         val bad = set.keys.filterNot(cur.columns.contains)
         require(bad.isEmpty, s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
@@ -274,28 +280,35 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // the insert branch adds only a keys-only (column-pruned) second pass
     val marked = src.withColumn("__graft_m", lit(true))
     val joined = cur.alias("t").join(marked.alias("s"), keys.toIndexedSeq, "left_outer")
-    // first-matching-clause-wins, as one CASE; unmatched target rows
-    // (no source row: __m null) take action -1 = keep as-is
-    val action: Column = whenMatched.map {
-      case MergeClause.UpdateWhen(_, c) => c.getOrElse(lit(true))
-      case MergeClause.DeleteWhen(c)    => c.getOrElse(lit(true))
-    }.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((c, i), els) => when(c, lit(i)).otherwise(els)
-    }
-    val deleteIdx = whenMatched.zipWithIndex.collect {
+    // first-matching-clause-wins, as one CASE, over a SINGLE clause index
+    // space: matched clauses take 0..m-1, NOT-MATCHED-BY-SOURCE clauses
+    // (Delta's target-only arm: no source row joined, __m null) take
+    // m..m+b-1; rows matching no applicable clause keep as-is (-1)
+    def firstMatch(clauses: Seq[MergeClause], offset: Int): Column =
+      clauses.map {
+        case MergeClause.UpdateWhen(_, c) => c.getOrElse(lit(true))
+        case MergeClause.DeleteWhen(c)    => c.getOrElse(lit(true))
+      }.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((c, i), els) => when(c, lit(offset + i)).otherwise(els)
+      }
+    val allClauses = whenMatched ++ whenNotMatchedBySource
+    val deleteIdx = allClauses.zipWithIndex.collect {
       case (MergeClause.DeleteWhen(_), i) => i
     }
     val acted = joined.withColumn("__graft_action",
-      when(col("__graft_m").isNull, lit(-1)).otherwise(action))
+      when(col("__graft_m").isNull,
+        firstMatch(whenNotMatchedBySource, whenMatched.length))
+        .otherwise(firstMatch(whenMatched, 0)))
     val surviving =
       if (deleteIdx.isEmpty) acted
       else acted.where(!col("__graft_action").isInCollection(deleteIdx))
     // post-update value of a field under the winning clause — shared by
     // the rows written to the table AND the update_postimage change rows,
-    // so clause evaluation can never diverge between the two
+    // so clause evaluation can never diverge between the two. BY SOURCE
+    // update sets see only target values (s.* is null on those rows).
     def updatedValue(f: org.apache.spark.sql.types.StructField): Column =
       if (keys.contains(f.name)) col(f.name)
-      else whenMatched.zipWithIndex.foldRight(col("t." + f.name)) {
+      else allClauses.zipWithIndex.foldRight(col("t." + f.name)) {
         case ((MergeClause.UpdateWhen(set, _), i), els) if set.contains(f.name) =>
           when(col("__graft_action") === i, set(f.name).cast(f.dataType)).otherwise(els)
         case (_, els) => els
@@ -316,7 +329,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val changeVersion: Option[Long] =
       if (!changeFeed) None
       else {
-        val updateIdx = whenMatched.zipWithIndex.collect {
+        val updateIdx = allClauses.zipWithIndex.collect {
           case (MergeClause.UpdateWhen(_, _), i) => i
         }
         val pre = fields.map { f =>

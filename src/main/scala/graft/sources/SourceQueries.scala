@@ -294,6 +294,14 @@ object SourceQueries {
          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + t.o_totalprice
          |WHEN NOT MATCHED AND s.o_custkey % 2 = 1 THEN INSERT *
          |""".stripMargin)
+    // Delta's target-only arm: rows the (key-subset) source does NOT
+    // cover are pruned when they carry status 'P'
+    spark.sql(
+      s"""MERGE INTO graft_lake('$path') t
+         |USING (SELECT o_orderkey FROM sqldml_orders WHERE o_custkey % 5 = 0) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P' THEN DELETE
+         |""".stripMargin)
     spark.sql(
       s"""SELECT o_orderstatus, count(*) AS n,
          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -483,10 +491,14 @@ object SourceQueries {
         |  SELECT * FROM src
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
         |    AND o_custkey % 2 = 1),
-        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+        |final AS (
+        |  SELECT * FROM merged
+        |  WHERE NOT (o_orderstatus = 'P' AND o_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders WHERE o_custkey % 5 = 0)))
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_lake_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -168,7 +168,7 @@ object TextQueries {
     val e = Tables(spark, sfDir).embeddings
     Ivf.ivfPqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       nCells = 8, nProbe = 4, m = 16, pqCells = 16, shortlist = 50,
-      buildSampleFraction = 0.5)
+      buildSampleFraction = 0.2)
   }
 
   /** M2 incremental path: near-dups of an incoming batch (odd doc_ids)

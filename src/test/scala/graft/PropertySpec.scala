@@ -204,4 +204,66 @@ class PropertySpec extends SparkSpec {
     val b = graft.text.Bpe.learnMerges(docs.repartition(13), "text", numMerges = 5)
     assert(a === b)
   }
+
+  test("BPE encode is idempotent: re-encoding the encoded stream is a no-op") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sf0001).documents.where(col("doc_id") < 60)
+    val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 12)
+    def tokensOf(in: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      graft.text.Bpe.encode(in, "text", merges)
+        .select(col("doc_id"), col("bpe_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val once = tokensOf(docs)
+    // a produced token re-derives itself: no merge rule ever crossed what
+    // became a token boundary (it would have fused the tokens), so the
+    // rank-ordered fold inside each token replays its own derivation
+    val twice = tokensOf(
+      once.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"))
+    assert(twice === once, "re-encoding the encoded output changed tokens")
+  }
+
+  test("PQ encode is invariant to input partitioning") {
+    val e = graft.core.Tables(spark, sf0001).embeddings
+    val books = graft.text.Pq.fitCodebooks(e, "embedding", m = 16, k = 16)
+    def codesOf(in: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      graft.text.Pq.encode(in, books, "embedding")
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // encoding is a pure per-row argmin against a FIXED codebook, so the
+    // code assignment must be byte-identical however the input is split
+    assert(codesOf(e.repartition(1)) === codesOf(e.repartition(11)))
+  }
+
+  test("incremental MV refresh equals recompute under random delete/update sequences") {
+    import spark.implicits._
+    final case class Op(isDelete: Boolean, mod: Long, rem: Long, delta: Long)
+    val opGen = for {
+      d <- Gen.oneOf(true, false)
+      m <- Gen.choose(2L, 5L)
+      r <- Gen.choose(0L, 4L)
+      delta <- Gen.choose(-10L, 10L)
+    } yield Op(d, m, r % m, delta)
+
+    samples(Gen.listOfN(4, opGen), 3).foreach { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_mv")
+      val base = graft.sources.LakeTable(spark, dir.resolve("base").toString)
+      base.write((0L until 30L).map(i =>
+        (i, Seq("a", "b", "c")((i % 3).toInt), i * 7 % 13)).toDF("id", "k", "x"))
+      val mv = graft.sources.MaterializedAgg(spark, base,
+        dir.resolve("view").toString, Seq("k"), Map("sx" -> col("x"))).initialize()
+      def viewRows =
+        mv.read.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def recomputed =
+        mv.aggregate(base.read).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      ops.foreach { op =>
+        if (op.isDelete) base.delete(col("id") % op.mod === op.rem, changeFeed = true)
+        else base.update(Map("x" -> (col("x") + op.delta)),
+          col("id") % op.mod === op.rem, changeFeed = true)
+        mv.refresh()
+        assert(viewRows === recomputed,
+          s"refresh diverged from recompute after $op in sequence $ops")
+      }
+    }
+  }
 }

@@ -83,6 +83,31 @@ class LakeSqlDmlSpec extends SparkSpec {
       "unmatched source row 9 must NOT be inserted without a NOT MATCHED clause")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: target-only update and delete arms") {
+    val path = tmp(); seed(path)
+    Seq((1L, "A", 100.0), (9L, "q", 9.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("bysource_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake('$path') t USING bysource_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name
+         |WHEN NOT MATCHED BY SOURCE AND t.v >= 30.0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = concat(t.name, '?')
+         |""".stripMargin)
+    val rows = LakeTable(spark, path).read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // 1 matched (renamed A); 2 unmatched-by-source v<30 (marked ?);
+    // 3, 4 unmatched-by-source v>=30 (deleted); 9 NOT inserted (no clause)
+    assert(rows.toSeq === Seq((1L, "A", 10.0), (2L, "b?", 20.0)))
+
+    // source references inside a BY SOURCE arm are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft_lake('$path') t USING bysource_src s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("cannot reference the source"), e.getMessage)
+  }
+
   test("keywords inside string literals don't confuse clause detection") {
     val path = tmp(); seed(path)
     spark.sql(s"UPDATE graft_lake('$path') SET name = 'WHEN MATCHED THEN , WHERE' WHERE id = 1")
@@ -90,6 +115,39 @@ class LakeSqlDmlSpec extends SparkSpec {
       .collect().head.getString(1) === "WHEN MATCHED THEN , WHERE")
     spark.sql(s"DELETE FROM graft_lake('$path') WHERE name = 'WHEN MATCHED THEN , WHERE'")
     assert(LakeTable(spark, path).read.count() === 3)
+  }
+
+  test("RESTORE TO VERSION AS OF rolls a versioned table back, append-only") {
+    import graft.sources.VersionedLakeTable
+    val path = tmp()
+    val t = VersionedLakeTable(spark, path)
+    t.write(Seq((1L, "v0")).toDF("id", "s"))
+    t.write(Seq((1L, "v1"), (2L, "v1")).toDF("id", "s"))
+    spark.sql(s"RESTORE TABLE graft_lake('$path') TO VERSION AS OF 0")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "v0")))
+    // append-only history: the pre-restore snapshot is still readable,
+    // and the restore itself is restorable
+    assert(t.readVersion(1).count() === 2)
+    assert(t.history.where(col("operation") === "RESTORE").count() === 1)
+    spark.sql(s"RESTORE graft_lake('$path') TO VERSION AS OF 1")
+    assert(t.read.count() === 2)
+  }
+
+  test("CASE WHEN expressions survive inside MERGE clause conditions and SET") {
+    val path = tmp(); seed(path)
+    Seq((1L, "A", 100.0), (2L, "B", -5.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("case_src")
+    // the CASE's own WHEN/THEN/END keywords must not terminate the
+    // condition or assignment slices
+    spark.sql(
+      s"""MERGE INTO graft_lake('$path') t USING case_src s ON t.id = s.id
+         |WHEN MATCHED AND CASE WHEN s.v < 0 THEN true ELSE false END THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 50 THEN s.v ELSE t.v END
+         |""".stripMargin)
+    val rows = LakeTable(spark, path).read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // 2 deleted (s.v<0); 1 updated to 100; 3, 4 untouched
+    assert(rows.toSeq === Seq((1L, 100.0), (3L, 30.0), (4L, 40.0)))
   }
 
   test("DML against non-lake targets falls through to Spark's native handling") {

@@ -373,6 +373,37 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("merge NOT MATCHED BY SOURCE arms act on target-only rows, with change feed") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "v", "x"))
+    val source = Seq((1L, "A", 100.0), (9L, "Z", 1.0)).toDF("id", "v", "x")
+    lake.merge(source, Seq("id"),
+      whenMatched = Seq(MergeClause.UpdateWhen(Map("v" -> col("s.v")))),
+      insertUnmatched = true,
+      changeFeed = true,
+      whenNotMatchedBySource = Seq(
+        MergeClause.DeleteWhen(Some(col("t.x") >= 40)),
+        MergeClause.UpdateWhen(Map("v" -> concat(col("t.v"), lit("!"))))))
+    val got = lake.read.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      1L -> ("A", 10.0),  // matched update
+      2L -> ("b!", 20.0), // by-source update (second clause)
+      3L -> ("c!", 30.0), // by-source update
+      9L -> ("Z", 1.0)))  // inserted; 4 deleted by the first by-source clause
+    // change feed records the by-source actions under this commit
+    val changes = lake.readChanges()
+    val byType = changes.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("delete") === 1L)   // id 4
+    assert(byType("insert") === 1L)   // id 9
+    assert(byType("update_preimage") === 3L)  // ids 1, 2, 3
+    assert(byType("update_postimage") === 3L)
+  }
+
   test("CHECK constraints gate writes, appends, merges; nulls violate; history survives overwrite") {
     val s = spark
     import s.implicits._
