@@ -71,21 +71,20 @@ object ScaleProbe {
     // almost every gram with their original), so this measures the
     // worst-ish case: nearly all positions of every replica are covered
     val (spanSec, spanDups) = time("span_dedup_8gram") {
-      val withToks = replicated.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val grams = withToks.where(size(col("ts")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ts")) - 7),
-          i => struct(i.as("pos"),
-            array_join(slice(col("ts"), i, lit(8)), " ").as("gram")))).as("g"))
-        .select(col("doc_id"), col("g.pos"), col("g.gram"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
-      grams.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
-        .where(col("rk") > 1)
-        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))
-        .distinct()
-        .count()
+      graft.text.CorpusOps.coveredPositions(replicated, "doc_id", "text", 8).count()
     }
+    // hot-gram routing in its target scenario: the corpus's PLANTED
+    // boilerplate prefix (5% of originals, df=2500 grams after x10
+    // replication — the license-header shape whose single window
+    // partition can't be split at scale); cap = 1000 routes exactly
+    // those grams through the closed-form broadcast branch while
+    // everything else keeps the window. Same answer, skew-immune plan.
+    val (spanRoutedSec, spanRoutedDups) = time("span_dedup_routed_df1000") {
+      graft.text.CorpusOps.coveredPositions(replicated, "doc_id", "text", 8,
+        hotGramDf = Some(1000)).count()
+    }
+    require(spanRoutedDups == spanDups,
+      s"routing changed the answer: $spanRoutedDups != $spanDups")
     println(
       f"""{"metric":"neardup_scale_probe","rep":$rep,"docs":$n,""" +
         f""""uncapped_sec":$uncappedSec%.2f,"uncapped_pairs":$uncappedPairs,""" +

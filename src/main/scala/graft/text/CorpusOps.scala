@@ -124,9 +124,23 @@ object CorpusOps {
     * the position-granularity core shared by [[spanDedup]] and
     * [[duplicatedSpans]]. The corpus-wide FIRST occurrence of each gram
     * (global (doc, pos) order) is never covered.
+    *
+    * Skew: the default path ranks occurrences with a per-gram window —
+    * MEASURED fastest skew-free (7.1 s vs 11.9 s for the agg+join shape
+    * at the 10x probe), but a window partition cannot be split, so a
+    * boilerplate gram occurring a billion times (license headers,
+    * navigation chrome) pins one straggler task at 100 TB. `hotGramDf`
+    * routes around that, in the same spirit as
+    * [[Dedup.ngramJaccardPairs]]'s `maxShingleDf`: one partial-combined
+    * stats pass finds grams with df above the cap (a tiny, broadcastable
+    * set by construction) AND their global first occurrence; hot grams
+    * take the closed form "every occurrence except the minimum" via a
+    * broadcast join (skew-immune, no window), cold grams take the window
+    * as usual. Output is IDENTICAL for any cap — only the plan changes.
     */
   def coveredPositions(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      hotGramDf: Option[Int] = None): DataFrame = {
     val withToks = docs.select(col(idCol), toks(col(textCol)).as("ts"))
     // (doc, 1-based pos, gram text) for every n-window
     val grams = withToks
@@ -138,12 +152,34 @@ object CorpusOps {
       .select(col(idCol), col("g.pos"), col("g.gram"))
     val w = Window.partitionBy(col("gram"))
       .orderBy(col(idCol).asc, col("pos").asc)
-    grams
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") > 1)
+    def expand(dups: DataFrame): DataFrame = dups
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()
+    hotGramDf match {
+      case None =>
+        expand(grams.withColumn("rk", row_number().over(w)).where(col("rk") > 1))
+      case Some(cap) =>
+        // the gram table feeds three branches (stats, cold window, hot
+        // join) — materialize it once instead of re-deriving the explode
+        // per branch (remeasured: 26.8 s -> see BASELINE.md)
+        val mat = grams.localCheckpoint(true)
+        // min(struct) ordering is lexicographic (doc, then pos) — the
+        // same order the window ranks by
+        val hot = mat.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"),
+            min(struct(col(idCol), col("pos"))).as("first"))
+          .where(col("df") > cap)
+          .localCheckpoint(true)
+        val coldDups = mat
+          .join(broadcast(hot.select(col("gram"))), Seq("gram"), "left_anti")
+          .withColumn("rk", row_number().over(w)).where(col("rk") > 1)
+        val hotDups = mat
+          .join(broadcast(hot), Seq("gram"))
+          .where(col(idCol) =!= col("first")(idCol) || col("pos") =!= col("first.pos"))
+        expand(coldDups.select(col(idCol), col("pos"))
+          .unionByName(hotDups.select(col(idCol), col("pos"))))
+    }
   }
 
   /** MAXIMAL duplicated spans, the ACL'22 excision unit: adjacent covered

@@ -47,6 +47,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all === Set((2L, 4, 23, 20), (4L, 2, 9, 8)), s"wrong spans: $all")
   }
 
+  test("hot-gram routing yields identical covered positions for any cap") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    // doc 0 holds the first occurrence; 30 later docs each copy the span
+    // (a "boilerplate" gram with df=31), plus a pair sharing a rarer span
+    val docs = ((0L to 30L).map(i => (i, s"intro$i words$i here$i $span tail$i")) ++
+      Seq((40L, "rare one two three four five six seven eight nine"),
+        (41L, "other rare one two three four five six seven eight")))
+      .toDF("doc_id", "text")
+    def positions(cap: Option[Int]) =
+      CorpusOps.coveredPositions(docs, "doc_id", "text", n = 8, hotGramDf = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = positions(None)
+    // caps that make the span gram hot (df 31 > 5), everything hot (> 0
+    // routes every duplicated gram), and nothing hot (> 1000) must all
+    // produce the SAME covered set — routing changes the plan, not the answer
+    assert(positions(Some(5)) === plain)
+    assert(positions(Some(0)) === plain)
+    assert(positions(Some(1000)) === plain)
+    assert(plain.nonEmpty && plain.forall(_._1 > 0L),
+      s"doc 0's first occurrence must survive: $plain")
+  }
+
   test("unigram logprob ranks common-token docs as lower perplexity") {
     // common tokens repeated => high probability => low ppl; rare soup => high ppl
     val docs = Seq(
