@@ -10,10 +10,11 @@ import graft.sources.LakeTable
   * ingest produces the same history/optimize/read surface as batch writes
   * — the "stream into the lake, query as a table" pattern.
   *
-  * foreachBatch gives at-least-once batch delivery on restart without a
-  * checkpointed exactly-once file sink; for the exactly-once path Spark's
-  * built-in parquet `writeStream.format("parquet")` + checkpoint works on
-  * the same directory (the commit log is additive metadata either way).
+  * foreachBatch delivers batches at-least-once on restart; the append is
+  * made IDEMPOTENT the way Delta's txnAppId/txnVersion sinks are: every
+  * batch's commit is tagged with its batch id and a replayed batch that
+  * already committed is skipped ([[LakeTable.hasCommitParam]]) instead of
+  * double-appending — same discipline as [[DedupStream.processBatch]].
   */
 object LakeSink {
 
@@ -25,10 +26,18 @@ object LakeSink {
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          lake.write(batch.toDF(), SaveMode.Append): Unit
-        }
+        writeBatch(lake, batch.toDF(), batchId)
       }
       .trigger(trigger)
       .start()
+
+  /** One micro-batch append, batchId-keyed for replay idempotence.
+    * Factored out so the replay contract is directly testable.
+    */
+  def writeBatch(lake: LakeTable, batch: DataFrame, batchId: Long): Unit = {
+    val tag = "streamBatchId" -> batchId.toString
+    if (!batch.isEmpty && !lake.hasCommitParam(tag._1, tag._2)) {
+      lake.write(batch, SaveMode.Append, extraParams = Map(tag)): Unit
+    }
+  }
 }

@@ -171,6 +171,21 @@ class StreamingSpec extends SparkSpec {
     assert(lake.read.groupBy("event_type").count().count() === 5)
   }
 
+  test("LakeSink replayed micro-batch is skipped, not double-appended") {
+    import spark.implicits._
+    val lakeDir = Files.createTempDirectory("graft_lake_sink_replay").resolve("t").toString
+    val lake = graft.sources.LakeTable(spark, lakeDir)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    LakeSink.writeBatch(lake, b0, batchId = 0L)
+    assert(lake.read.count() === 2)
+    // at-least-once replay of the SAME batch id: no second append
+    LakeSink.writeBatch(lake, b0, batchId = 0L)
+    assert(lake.read.count() === 2, "replayed batch double-appended")
+    // a genuinely new batch still lands
+    LakeSink.writeBatch(lake, Seq((3L, "c")).toDF("id", "v"), batchId = 1L)
+    assert(lake.read.count() === 3)
+  }
+
   test("checkpointed query restarts with no duplicates and no loss (exactly-once recovery)") {
     import spark.implicits._
     // LakeSink's doc claims exactly-once across restarts via the
