@@ -56,20 +56,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
 }
 
-/** `DELETE FROM graft_lake(path) [alias] [WHERE cond]`. */
+/** `DELETE FROM graft_lake(path) [alias] [WHERE cond]` — routed by
+  * layout: a versioned table gets a history-preserving new snapshot, a
+  * plain table the staged rewrite.
+  */
 final case class LakeDeleteCommand(path: String, cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeTable(spark, path).delete(cond)
+    if (graft.sources.VersionedLakeTable.isVersioned(spark, path))
+      graft.sources.VersionedLakeTable(spark, path).delete(cond)
+    else LakeTable(spark, path).delete(cond)
     Seq.empty
   }
 }
 
-/** `UPDATE graft_lake(path) [alias] SET ... [WHERE cond]`. */
+/** `UPDATE graft_lake(path) [alias] SET ... [WHERE cond]` — layout-routed
+  * like [[LakeDeleteCommand]].
+  */
 final case class LakeUpdateCommand(path: String, set: Seq[(String, Column)], cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeTable(spark, path).update(set.toMap, cond)
+    if (graft.sources.VersionedLakeTable.isVersioned(spark, path))
+      graft.sources.VersionedLakeTable(spark, path).update(set.toMap, cond)
+    else LakeTable(spark, path).update(set.toMap, cond)
     Seq.empty
   }
 }
@@ -103,6 +112,10 @@ final case class LakeMergeCommand(
     insertCond: Option[Column],
     whenNotMatchedBySource: Seq[MergeClause]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    require(!graft.sources.VersionedLakeTable.isVersioned(spark, path),
+      s"MERGE INTO is not supported on the versioned snapshot layout at $path — " +
+        "merge into a plain lake table, or apply the equivalent " +
+        "delete/update/write as new versions")
     val source = spark.sql(s"SELECT * FROM $relationSql")
     LakeTable(spark, path).merge(source, keys, whenMatched, insertUnmatched, insertCond,
       whenNotMatchedBySource = whenNotMatchedBySource)

@@ -116,6 +116,25 @@ final class MaterializedAgg(
     this
   }
 
+  /** CONTINUOUS maintenance: a streaming query tailing the base table's
+    * change feed that calls [[refresh]] once per discovered micro-batch —
+    * the view tracks base-table commits without polling or manual
+    * refresh calls. The batch content itself is ignored: refresh derives
+    * everything from the watermark and the change-feed versions, and is
+    * a no-op when already current — which also makes the stream
+    * RESTART-SAFE for free (an at-least-once replayed trigger re-runs a
+    * refresh that sees nothing new). Requires at least one recorded
+    * change set (the change-feed streaming-source precondition).
+    */
+  def startStream(
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    base.readChangesStream.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(): Unit }
+      .trigger(trigger)
+      .start()
+
   /** The from-scratch aggregate — initialize uses it, and tests compare
     * refresh output against it directly.
     */

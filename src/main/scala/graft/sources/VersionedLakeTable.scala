@@ -114,6 +114,47 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** DELETE as a NEW version: survivors of `cond` (TRUE deletes; false
+    * or NULL keeps — SQL three-valued semantics, same as
+    * [[LakeTable.delete]]) become snapshot N+1, while snapshot N stays
+    * readable and restorable — the history-preserving DML this layout
+    * buys over the plain table's staged rewrite.
+    */
+  def delete(cond: org.apache.spark.sql.Column): VersionedLakeTable = {
+    val next = latestVersion + 1
+    read.where(!coalesce(cond, lit(false)))
+      .write.mode("overwrite").parquet(versionDir(next))
+    commit("DELETE",
+      Map("dataVersion" -> next.toString, "predicate" -> cond.toString))
+    this
+  }
+
+  /** UPDATE as a NEW version: rows where `cond` is TRUE get every SET
+    * column replaced (expressions see the pre-update row; values cast to
+    * the existing column type, like [[LakeTable.update]]).
+    */
+  def update(
+      set: Map[String, org.apache.spark.sql.Column],
+      cond: org.apache.spark.sql.Column): VersionedLakeTable = {
+    val cur = read
+    val bad = set.keys.filterNot(cur.columns.contains)
+    require(set.nonEmpty && bad.isEmpty,
+      s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
+    val hit = coalesce(cond, lit(false))
+    val next = latestVersion + 1
+    cur.select(cur.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None    => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(versionDir(next))
+    commit("UPDATE",
+      Map("dataVersion" -> next.toString, "predicate" -> cond.toString,
+        "set" -> set.keys.toSeq.sorted.mkString(",")))
+    this
+  }
+
   /** Delta-style RESTORE: make snapshot `v` current again by writing it
     * as a NEW version (history is append-only — a restore never erases
     * the versions after `v`, so a bad restore is itself restorable).
@@ -152,6 +193,17 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
 }
 
 object VersionedLakeTable {
+
+  /** Whether `path` holds the versioned `_v{N}` snapshot layout (vs the
+    * plain [[LakeTable]] flat layout) — the SQL DML commands route on
+    * this so one statement surface serves both table kinds.
+    */
+  def isVersioned(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.matches("_v\\d+"))
+  }
+
   def apply(spark: SparkSession, path: String): VersionedLakeTable =
     new VersionedLakeTable(spark, path)
 }

@@ -45,6 +45,34 @@ class MaterializedAggSpec extends SparkSpec {
     assert(mv.read.where(col("k") === "d").head.getLong(1) === 1L)
   }
 
+  test("startStream keeps the view current as the base table commits") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("sbase")).write(
+      Seq(("a", 10L), ("b", 5L), ("c", 7L), ("c", 3L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("smv"),
+      keys = Seq("k"), sums = Map("total" -> col("v")))
+    mv.initialize()
+    // seed the change feed so the streaming source has a schema to read
+    base.delete(col("v") === 5L, changeFeed = true)
+    val q = mv.startStream(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(sorted(mv.read) === sorted(mv.aggregate(base.read)),
+        "view stale after the delete commit")
+      base.update(Map("v" -> (col("v") * 10L)), col("k") === "c", changeFeed = true)
+      q.processAllAvailable()
+      assert(sorted(mv.read) === sorted(mv.aggregate(base.read)),
+        "view stale after the update commit")
+      base.upsert(Seq(("d", 42L), ("a", 1L)).toDF("k", "v"), Seq("k"),
+        changeFeed = true)
+      q.processAllAvailable()
+      assert(sorted(mv.read) === sorted(mv.aggregate(base.read)),
+        "view stale after the upsert commit")
+    } finally q.stop()
+  }
+
   test("refresh is idempotent and no-ops without new changes") {
     val s = spark
     import s.implicits._

@@ -113,6 +113,43 @@ class VersionedLakeTableSpec extends SparkSpec {
     assert(lake.read.count() === 5)
   }
 
+  test("delete/update produce new snapshots; old versions stay readable; SQL routes by layout") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = VersionedLakeTable(spark, path)
+    lake.write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x"))
+
+    lake.delete(col("x") > 25.0) // v1
+    assert(lake.read.count() === 2)
+    assert(lake.readVersion(0).count() === 3, "pre-delete snapshot must survive")
+
+    lake.update(Map("v" -> concat(col("v"), lit("!"))), col("id") === 1L) // v2
+    assert(lake.read.where(col("id") === 1L).collect().head.getString(1) === "a!")
+    assert(lake.readVersion(1).where(col("id") === 1L)
+      .collect().head.getString(1) === "a", "pre-update snapshot must survive")
+
+    // the SAME SQL statements route to the versioned layout
+    assert(VersionedLakeTable.isVersioned(spark, path))
+    spark.sql(s"DELETE FROM graft_lake('$path') WHERE id = 2")
+    assert(lake.latestVersion === 3L)
+    assert(lake.read.count() === 1)
+    spark.sql(s"UPDATE graft_lake('$path') SET x = x + 1 WHERE id = 1")
+    assert(lake.read.collect().head.getDouble(2) === 11.0)
+    assert(lake.readVersion(2).count() === 2, "SQL DML must not rewrite history")
+    val hist = lake.history.select("operation").collect().map(_.getString(0))
+    assert(hist.count(_ == "DELETE") === 2 && hist.count(_ == "UPDATE") === 2, hist.toSeq)
+
+    // MERGE on a versioned layout is rejected loudly, table untouched
+    Seq((1L, "z", 0.0)).toDF("id", "v", "x").createOrReplaceTempView("vmerge_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO graft_lake('$path') t USING vmerge_src s ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(e.getMessage.contains("versioned snapshot layout"), e.getMessage)
+    assert(lake.latestVersion === 4L)
+  }
+
   test("readVersion on a missing version fails with a clear error") {
     val lake = VersionedLakeTable(spark, tmp())
     val e = intercept[IllegalArgumentException](lake.readVersion(7))
