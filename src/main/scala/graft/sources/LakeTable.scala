@@ -578,6 +578,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** The table DATA as a STREAMING source for APPEND-ONLY pipelines: each
+    * appended batch's files land atomically at job commit and the file
+    * stream discovers them incrementally, so a downstream consumer with a
+    * checkpoint sees every appended row exactly once across restarts —
+    * the "stream out of the lake" half of the [[graft.streaming.LakeSink]]
+    * pattern. The stored schema is authoritative, like [[read]].
+    *
+    * CONTRACT: append-only. Rewriting operations (delete/update/merge/
+    * optimize/overwrite) REPLACE data files, and a file-based stream
+    * would re-deliver their rows as if new — consume
+    * [[readChangesStream]] (the CDC feed) for tables that rewrite.
+    */
+  def readStream: DataFrame = {
+    val s = storedSchema.getOrElse(read.schema)
+    spark.readStream.schema(s).parquet(path)
+  }
+
   /** The change feed as a STREAMING source: each change-feed-enabled
     * commit drops new files under `_graft_changes/v<N>/`, which a file
     * stream discovers incrementally — so downstream CDC consumers tail

@@ -171,6 +171,28 @@ class StreamingSpec extends SparkSpec {
     assert(lake.read.groupBy("event_type").count().count() === 5)
   }
 
+  test("LakeTable.readStream: appends flow to a checkpointed consumer exactly once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lake_src")
+    val lake = graft.sources.LakeTable(spark, s"$root/t")
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = {
+      val q = lake.readStream.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 2)
+    lake.write(Seq((3L, "c")).toDF("id", "v"), org.apache.spark.sql.SaveMode.Append)
+    drain() // restart from the checkpoint: only the new append delivers
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("LakeSink replayed micro-batch is skipped, not double-appended") {
     import spark.implicits._
     val lakeDir = Files.createTempDirectory("graft_lake_sink_replay").resolve("t").toString
