@@ -99,6 +99,32 @@ final case class LakeRestoreCommand(path: String, target: Either[Long, String])
   }
 }
 
+/** `ALTER TABLE graft_lake(path) ADD COLUMNS (…)` (metadata-only schema
+  * evolution), `ADD CONSTRAINT n CHECK (…)` (validates existing data,
+  * then gates every write), `DROP CONSTRAINT n`.
+  */
+final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!graft.sources.VersionedLakeTable.isVersioned(spark, path),
+      s"ALTER TABLE targets a plain lake table; $path is a versioned snapshot layout")
+    val lake = LakeTable(spark, path)
+    action match {
+      case LakeAlterCommand.AddColumns(schema)      => lake.addColumns(schema)
+      case LakeAlterCommand.AddConstraint(n, expr)  => lake.addConstraint(n, expr)
+      case LakeAlterCommand.DropConstraint(n)       => lake.dropConstraint(n)
+    }
+    Seq.empty
+  }
+}
+
+object LakeAlterCommand {
+  sealed trait Action
+  final case class AddColumns(schema: StructType) extends Action
+  final case class AddConstraint(name: String, exprSql: String) extends Action
+  final case class DropConstraint(name: String) extends Action
+}
+
 /** `MERGE INTO graft_lake(path) t USING <relation> s ON ... WHEN ...`;
   * `relationSql` re-parses in run() as `SELECT * FROM <relationSql>`, so
   * table names, subqueries, and table functions all work as the source.
@@ -136,8 +162,29 @@ object LakeSqlDml {
       case "UPDATE"  => p.advance(); parseUpdate(p)
       case "MERGE"   => p.advance(); parseMerge(p)
       case "RESTORE" => p.advance(); parseRestore(p)
+      case "ALTER"   => p.advance(); parseAlter(p)
       case _         => None
     }
+  }
+
+  private def parseAlter(p: P): Option[LogicalPlan] = {
+    if (!p.eat("TABLE")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    val action =
+      if (p.eat("ADD")) {
+        if (p.eat("COLUMNS") || p.eat("COLUMN")) {
+          LakeAlterCommand.AddColumns(p.parseSchema(p.parenGroup("column list")))
+        } else if (p.eat("CONSTRAINT")) {
+          val name = p.identifier("constraint name").mkString(".")
+          p.expect("CHECK", "in ADD CONSTRAINT")
+          LakeAlterCommand.AddConstraint(name, p.parenGroup("CHECK expression"))
+        } else p.fail("expected COLUMNS or CONSTRAINT after ALTER TABLE … ADD")
+      } else if (p.eat("DROP")) {
+        p.expect("CONSTRAINT", "after ALTER TABLE … DROP")
+        LakeAlterCommand.DropConstraint(p.identifier("constraint name").mkString("."))
+      } else p.fail("expected ADD or DROP after the ALTER TABLE target")
+    p.done("ALTER TABLE")
+    Some(LakeAlterCommand(path, action))
   }
 
   private def parseRestore(p: P): Option[LogicalPlan] = {
@@ -460,6 +507,16 @@ object LakeSqlDml {
           Some(stripTicks(range.last.text)))
       } else (sql.substring(range.head.start, range.last.end), None)
     }
+
+    /** Raw text of a `( … )` group at the cursor (nested parens fine). */
+    def parenGroup(what: String): String = {
+      if (!eatPunct("(")) fail(s"expected ( before $what")
+      val inner = slice(Set.empty, what, stopPunct = Set(")"))
+      if (!eatPunct(")")) fail(s"unclosed ( around $what")
+      inner
+    }
+
+    def parseSchema(ddl: String): StructType = delegate.parseTableSchema(ddl)
 
     def intLiteral(what: String): Long = {
       if (!more || toks(i).kind != Num) fail(s"expected an integer $what")

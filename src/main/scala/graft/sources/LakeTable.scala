@@ -631,6 +631,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(dup == 0, s"$what contains duplicate merge keys $keys")
   }
 
+  /** Metadata-only ADD COLUMNS (Delta's `ALTER TABLE … ADD COLUMNS`):
+    * appends nullable columns to the authoritative stored schema and
+    * commits — NO data rewrite. Existing files simply lack the columns
+    * and read as null (the same mechanism schema-merge appends use);
+    * later writes may populate them. Columns are forced nullable:
+    * a non-null column with no values in existing files is a
+    * contradiction.
+    */
+  def addColumns(cols: StructType): LakeTable = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val cur = storedSchema.getOrElse(read.schema)
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val clash = cols.fieldNames.filter(n => cur.fieldNames.exists(e => key(e) == key(n)))
+    require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
+    saveSchema(StructType(cur.fields ++ cols.fields.map(_.copy(nullable = true))))
+    commit("ADD COLUMNS", Map("columns" ->
+      cols.fields.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")))
+    this
+  }
+
   /** Delta-style CHECK constraint: `expr` (a boolean SQL expression over
     * the table's columns) must hold for every row. Adding a constraint
     * validates the EXISTING data first, like `ALTER TABLE ADD

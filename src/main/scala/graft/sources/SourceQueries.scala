@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -309,6 +309,33 @@ object SourceQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A3/A6 extension (schema evolution through SQL DDL): metadata-only
+    * `ALTER TABLE … ADD COLUMNS` on a seeded lake table, then an append
+    * that populates the new column — pre-evolution rows read it as null,
+    * no data file is rewritten. The oracle rebuilds the same union
+    * relationally, so null-fill semantics and the evolved aggregate are
+    * content-checked.
+    */
+  def lakeSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val t = Tables(spark, sfDir)
+    val path = scratch(sfDir, "nation_evolve")
+    // overwriteSchema: a rerun's seed REPLACES the previously-evolved
+    // schema (overwrite otherwise refuses to narrow it)
+    LakeTable(spark, path).write(t.nation, overwriteSchema = true)
+    spark.sql(s"ALTER TABLE graft_lake('$path') ADD COLUMNS (bonus DOUBLE)")
+    LakeTable(spark, path).write(
+      Seq((100, "AAA", 0, 1.5), (101, "BBB", 1, 2.5))
+        .toDF("n_nationkey", "n_name", "n_regionkey", "bonus"),
+      SaveMode.Append)
+    spark.sql(
+      s"""SELECT n_regionkey, count(*) AS n,
+         | round(sum(coalesce(bonus, 0)), 2) AS total_bonus
+         |FROM graft_lake('$path')
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   /** A7 extension (file-level data skipping): cluster lineitem by
     * partkey, record per-file min/max stats, then answer a range query
     * through [[LakeTable.readWhere]] — the scan plans over only the
@@ -385,6 +412,7 @@ object SourceQueries {
     "q_lake_delete" -> (lakeDelete _),
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
+    "q_lake_schema_evolution" -> (lakeSchemaEvolution _),
     "q_lake_skipping" -> (lakeSkipping _),
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
@@ -499,6 +527,15 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_schema_evolution" ->
+      """WITH appended AS (
+        |  SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS bonus
+        |  FROM nation
+        |  UNION ALL SELECT 100, 'AAA', 0, 1.5
+        |  UNION ALL SELECT 101, 'BBB', 1, 2.5)
+        |SELECT n_regionkey, count(*) AS n,
+        | round(sum(coalesce(bonus, 0)), 2) AS total_bonus
+        |FROM appended GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_lake_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -112,6 +112,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CollectLimit"), p)
   }
 
+  test("ivfPqTopK never shuffles the corpus through a join (broadcast-only)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sf0001).embeddings
+    val df = graft.text.Ivf.ivfPqTopK(e, e.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nCells = 8, nProbe = 4,
+      m = 16, pqCells = 16, shortlist = 30, buildSampleFraction = 0.5)
+    val p = finalPlan(df)
+    // probes, ADC tables, shortlist ids, and query vectors all broadcast
+    // against the corpus scans; the only exchanges are the per-query
+    // rank windows over the pruned candidate set
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join leaked into IVF-PQ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the agg pipeline") {
     val df = Relational.q1PricingSummary(spark, sf0001)
     df.collect() // finalize the AQE plan; codegen stages only appear then

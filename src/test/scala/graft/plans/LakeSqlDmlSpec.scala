@@ -117,6 +117,42 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(LakeTable(spark, path).read.count() === 3)
   }
 
+  test("ALTER TABLE: metadata-only ADD COLUMNS, CHECK constraints gate writes via SQL") {
+    val path = tmp(); seed(path)
+    val filesBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    spark.sql(s"ALTER TABLE graft_lake('$path') ADD COLUMNS (score DOUBLE, tag STRING)")
+    val lake = LakeTable(spark, path)
+    // existing rows read the new columns as null; NO data files rewritten
+    val r = lake.read
+    assert(r.columns.toSeq === Seq("id", "name", "v", "score", "tag"))
+    assert(r.where(col("score").isNull && col("tag").isNull).count() === 4)
+    val filesAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(filesAfter === filesBefore, "ADD COLUMNS must not rewrite data")
+    // duplicate name rejected
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_lake('$path') ADD COLUMNS (NAME STRING)")
+    }
+
+    spark.sql(s"ALTER TABLE graft_lake('$path') ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // a violating append is rejected by the SQL-added constraint
+    intercept[Exception] {
+      lake.write(Seq((9L, "x", -1.0, null.asInstanceOf[java.lang.Double], null.asInstanceOf[String]))
+        .toDF("id", "name", "v", "score", "tag"), SaveMode.Append)
+    }
+    assert(lake.read.count() === 4)
+    // adding a constraint the EXISTING data violates is rejected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_lake('$path') ADD CONSTRAINT v_big CHECK (v > 100)")
+    }
+    spark.sql(s"ALTER TABLE graft_lake('$path') DROP CONSTRAINT v_pos")
+    lake.write(Seq((9L, "x", -1.0, null.asInstanceOf[java.lang.Double], null.asInstanceOf[String]))
+      .toDF("id", "name", "v", "score", "tag"), SaveMode.Append)
+    assert(lake.read.count() === 5)
+  }
+
   test("RESTORE TO VERSION AS OF rolls a versioned table back, append-only") {
     import graft.sources.VersionedLakeTable
     val path = tmp()
