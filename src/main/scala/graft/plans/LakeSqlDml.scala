@@ -18,11 +18,16 @@ import graft.sources.{LakeTable, MergeClause}
   * {{{
   * DELETE FROM graft_lake('/p') WHERE c > 3
   * UPDATE graft_lake('/p') SET v = v + 1, s = 'x' WHERE k = 2
+  * INSERT INTO graft_lake('/p') (id, v) VALUES (1, 2.5), (2, 3.5)
+  * INSERT OVERWRITE graft_lake('/p') SELECT * FROM src
   * MERGE INTO graft_lake('/p') t USING src s ON t.id = s.id
   *   WHEN MATCHED AND s.del THEN DELETE
   *   WHEN MATCHED THEN UPDATE SET v = s.v
   *   WHEN NOT MATCHED THEN INSERT *
   *   WHEN NOT MATCHED BY SOURCE THEN DELETE
+  * ALTER TABLE graft_lake('/p') ADD COLUMNS (score DOUBLE)
+  * ALTER TABLE graft_lake('/p') ADD CONSTRAINT pos CHECK (v > 0)
+  * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
   * }}}
   *
   * Injected via `SparkSessionExtensions.injectParser`: statements whose
@@ -99,6 +104,65 @@ final case class LakeRestoreCommand(path: String, target: Either[Long, String])
   }
 }
 
+/** `INSERT INTO | OVERWRITE graft_lake(path) [(cols)] VALUES …|SELECT …`.
+  * Source values cast to the table's column types (Delta casts on
+  * insert, so `VALUES (1.5)` into a DOUBLE column just works); an
+  * explicit column list maps positionally and null-fills the rest. On a
+  * versioned layout, INTO unions into a new snapshot and OVERWRITE
+  * writes one — history-preserving either way.
+  */
+final case class LakeInsertCommand(
+    path: String,
+    overwrite: Boolean,
+    columns: Seq[String],
+    querySql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val raw = spark.sql(
+      if (querySql.trim.startsWith("(")) s"SELECT * FROM $querySql" else querySql)
+    val named =
+      if (columns.isEmpty) raw
+      else {
+        require(columns.length == raw.columns.length,
+          s"INSERT column list has ${columns.length} names but the source " +
+            s"produces ${raw.columns.length} columns")
+        raw.toDF(columns: _*)
+      }
+    import org.apache.spark.sql.functions.{col, lit}
+    def aligned(schema: org.apache.spark.sql.types.StructType) = {
+      val base =
+        if (columns.isEmpty) {
+          // SQL semantics: a list-less INSERT maps POSITIONALLY over the
+          // full table schema (source column names are irrelevant)
+          require(named.columns.length == schema.fields.length,
+            s"INSERT without a column list must cover every table column: " +
+              s"table has ${schema.fields.length}, source produces ${named.columns.length}")
+          named.toDF(schema.fieldNames.toIndexedSeq: _*)
+        } else {
+          // explicit list: positional to the listed names, rest null-fill
+          val have = named.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          val missing = schema.fields.filterNot(f =>
+            have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+          missing.foldLeft(named)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        }
+      base.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    }
+    if (graft.sources.VersionedLakeTable.isVersioned(spark, path)) {
+      val t = graft.sources.VersionedLakeTable(spark, path)
+      val data = aligned(t.read.schema)
+      t.write(if (overwrite) data else t.read.unionByName(data))
+    } else {
+      val lake = LakeTable(spark, path)
+      val data = lake.tableSchema.map(aligned).getOrElse(named)
+      lake.write(data,
+        if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+    }
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE graft_lake(path) ADD COLUMNS (…)` (metadata-only schema
   * evolution), `ADD CONSTRAINT n CHECK (…)` (validates existing data,
   * then gates every write), `DROP CONSTRAINT n`.
@@ -163,8 +227,28 @@ object LakeSqlDml {
       case "MERGE"   => p.advance(); parseMerge(p)
       case "RESTORE" => p.advance(); parseRestore(p)
       case "ALTER"   => p.advance(); parseAlter(p)
+      case "INSERT"  => p.advance(); parseInsert(p)
       case _         => None
     }
+  }
+
+  private def parseInsert(p: P): Option[LogicalPlan] = {
+    val overwrite = p.eat("OVERWRITE")
+    if (!overwrite && !p.eat("INTO")) return None
+    if (overwrite) p.eat("TABLE"): Unit
+    val path = p.lakeTarget().getOrElse(return None)
+    // an optional (col, …) list — but `(SELECT …)` is a source, not a list
+    val cols =
+      if (p.peekIsColumnList) {
+        p.eatPunct("("): Unit
+        val names = Seq.newBuilder[String]
+        names += p.identifier("insert column").mkString(".")
+        while (p.eatPunct(",")) names += p.identifier("insert column").mkString(".")
+        if (!p.eatPunct(")")) p.fail("unclosed INSERT column list")
+        names.result()
+      } else Seq.empty
+    val source = p.sliceToEnd("insert source")
+    Some(LakeInsertCommand(path, overwrite, cols, source))
   }
 
   private def parseAlter(p: P): Option[LogicalPlan] = {
@@ -506,6 +590,18 @@ object LakeSqlDml {
         (sql.substring(asDropped.head.start, asDropped.last.end),
           Some(stripTicks(range.last.text)))
       } else (sql.substring(range.head.start, range.last.end), None)
+    }
+
+    /** At an INSERT target: does `( …` open a COLUMN LIST (bare word then
+      * `,` or `)`) rather than a `(SELECT …)` source?
+      */
+    def peekIsColumnList: Boolean = {
+      if (!more || toks(i).kind != Punct || toks(i).text != "(") return false
+      if (i + 1 >= toks.length || toks(i + 1).kind != Word) return false
+      if (toks(i + 1).text.equalsIgnoreCase("SELECT") ||
+        toks(i + 1).text.equalsIgnoreCase("VALUES")) return false
+      i + 2 < toks.length && toks(i + 2).kind == Punct &&
+        (toks(i + 2).text == "," || toks(i + 2).text == ")" || toks(i + 2).text == ".")
     }
 
     /** Raw text of a `( … )` group at the cursor (nested parens fine). */

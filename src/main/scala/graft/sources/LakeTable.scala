@@ -631,6 +631,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(dup == 0, s"$what contains duplicate merge keys $keys")
   }
 
+  /** The authoritative table schema when the table exists: the stored
+    * (log-recorded) schema when present, else derived from the files.
+    */
+  def tableSchema: Option[StructType] =
+    if (!exists) None else Some(storedSchema.getOrElse(read.schema))
+
   /** Metadata-only ADD COLUMNS (Delta's `ALTER TABLE … ADD COLUMNS`):
     * appends nullable columns to the authoritative stored schema and
     * commits — NO data rewrite. Existing files simply lack the columns

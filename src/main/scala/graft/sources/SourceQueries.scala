@@ -325,10 +325,11 @@ object SourceQueries {
     // schema (overwrite otherwise refuses to narrow it)
     LakeTable(spark, path).write(t.nation, overwriteSchema = true)
     spark.sql(s"ALTER TABLE graft_lake('$path') ADD COLUMNS (bonus DOUBLE)")
-    LakeTable(spark, path).write(
-      Seq((100, "AAA", 0, 1.5), (101, "BBB", 1, 2.5))
-        .toDF("n_nationkey", "n_name", "n_regionkey", "bonus"),
-      SaveMode.Append)
+    // the append goes through SQL INSERT too — literal types (int,
+    // decimal) cast to the table's columns, Delta-style
+    spark.sql(
+      s"""INSERT INTO graft_lake('$path') (n_nationkey, n_name, n_regionkey, bonus)
+         |VALUES (100, 'AAA', 0, 1.5), (101, 'BBB', 1, 2.5)""".stripMargin)
     spark.sql(
       s"""SELECT n_regionkey, count(*) AS n,
          | round(sum(coalesce(bonus, 0)), 2) AS total_bonus

@@ -117,6 +117,37 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(LakeTable(spark, path).read.count() === 3)
   }
 
+  test("INSERT INTO/OVERWRITE: VALUES, SELECT sources, column lists, cast-on-insert") {
+    val path = tmp(); seed(path)
+    // full-row VALUES: int/decimal literals cast to bigint/double
+    spark.sql(s"INSERT INTO graft_lake('$path') VALUES (5, 'e', 50.5), (6, 'f', 60)")
+    assert(LakeTable(spark, path).read.count() === 6)
+    // column list: unnamed column null-fills; positional mapping
+    spark.sql(s"INSERT INTO graft_lake('$path') (id, v) VALUES (7, 70.0)")
+    val r7 = LakeTable(spark, path).read.where(col("id") === 7).collect().head
+    assert(r7.isNullAt(1) && r7.getDouble(2) === 70.0)
+    // SELECT source
+    Seq((8L, "h", 80.0)).toDF("id", "name", "v").createOrReplaceTempView("ins_src")
+    spark.sql(s"INSERT INTO graft_lake('$path') SELECT * FROM ins_src")
+    assert(LakeTable(spark, path).read.count() === 8)
+    // missing columns WITHOUT a column list is rejected (arity check)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_lake('$path') SELECT id, name FROM ins_src")
+    }
+    assert(e.getMessage.contains("cover every table column"), e.getMessage)
+    // OVERWRITE replaces the content
+    spark.sql(s"INSERT OVERWRITE graft_lake('$path') SELECT * FROM ins_src")
+    assert(LakeTable(spark, path).read.collect().map(_.getLong(0)).toSeq === Seq(8L))
+
+    // versioned layout: INTO unions into a new snapshot, history preserved
+    val vpath = tmp()
+    val vt = graft.sources.VersionedLakeTable(spark, vpath)
+    vt.write(Seq((1L, "a")).toDF("id", "s"))
+    spark.sql(s"INSERT INTO graft_lake('$vpath') VALUES (2, 'b')")
+    assert(vt.read.count() === 2)
+    assert(vt.readVersion(0).count() === 1)
+  }
+
   test("ALTER TABLE: metadata-only ADD COLUMNS, CHECK constraints gate writes via SQL") {
     val path = tmp(); seed(path)
     val filesBefore = new java.io.File(path).listFiles()
