@@ -153,6 +153,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .history.queryExecution.analyzed
       }))
 
+    // DESCRIBE DETAIL in SQL: graft_detail('/path') — one metadata row
+    // (layout kind, file/byte counts, commit count, schema, constraints);
+    // a driver-side listing, no data read
+    e.injectTableFunction((
+      FunctionIdentifier("graft_detail"),
+      info("graft_detail", "graft_detail(path) - table metadata: layout, files, bytes, commits, schema, constraints"),
+      (es: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = literalString("graft_detail", "path", es.head)
+        graft.sources.TableDetail.describe(spark, path).queryExecution.analyzed
+      }))
+
     // Delta table_changes in SQL: graft_changes('/path'[, from[, to]])
     e.injectTableFunction((
       FunctionIdentifier("graft_changes"),

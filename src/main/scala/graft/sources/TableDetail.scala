@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `DESCRIBE DETAIL` analogue (Delta's one-row table-metadata query,
+  * reference surface: the notebooks' table-inspection cells): a single
+  * row of layout kind, data-file/byte counts, commit count, the
+  * authoritative schema, and the active constraints. Pure driver-side
+  * filesystem METADATA — no data files are opened, so it costs O(files)
+  * listing however large the table is.
+  */
+object TableDetail {
+
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val versioned = VersionedLakeTable.isVersioned(spark, path)
+    var files = 0L
+    var bytes = 0L
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+        if (st.getPath.getName.endsWith(".parquet") &&
+          !rel.contains("/" + LakeTable.LogDirName + "/") &&
+          !rel.contains("/" + LakeTable.ChangesDirName + "/") &&
+          !rel.contains("/" + LakeTable.StatsDirName + "/")) {
+          files += 1
+          bytes += st.getLen
+        }
+      }
+    }
+    val commits = CommitLog.currentCount(fs, new Path(p, LakeTable.LogDirName))
+    val (schemaJson, cons) =
+      if (versioned) {
+        val t = VersionedLakeTable(spark, path)
+        (if (t.latestVersion >= 0) t.read.schema.json else null, Map.empty[String, String])
+      } else {
+        val t = LakeTable(spark, path)
+        (t.tableSchema.map(_.json).orNull, t.constraints)
+      }
+    Seq((
+      path,
+      if (versioned) "versioned" else "lake",
+      files, bytes, commits,
+      schemaJson,
+      cons.toSeq.sorted.map { case (k, v) => s"$k CHECK ($v)" }.mkString("; ")
+    )).toDF("path", "layout", "num_files", "size_bytes", "num_commits",
+      "schema_json", "constraints")
+  }
+}

@@ -217,6 +217,24 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 100.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("graft_detail reports layout, counts, schema, constraints in one row") {
+    val path = tmp(); seed(path)
+    spark.sql(s"ALTER TABLE graft_lake('$path') ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val row = spark.sql(s"SELECT * FROM graft_detail('$path')").collect().head
+    assert(row.getString(1) === "lake")
+    assert(row.getLong(2) > 0 && row.getLong(3) > 0, "file/byte counts empty")
+    assert(row.getLong(4) >= 2, "expected write + constraint commits")
+    assert(row.getString(5).contains("\"name\""), "schema json missing columns")
+    assert(row.getString(6) === "v_pos CHECK (v > 0)")
+    // versioned layout reports its kind
+    val vpath = tmp()
+    import spark.implicits._
+    graft.sources.VersionedLakeTable(spark, vpath)
+      .write(Seq((1L, "a")).toDF("id", "s"))
+    assert(spark.sql(s"SELECT layout FROM graft_detail('$vpath')")
+      .collect().head.getString(0) === "versioned")
+  }
+
   test("DML against non-lake targets falls through to Spark's native handling") {
     seed(tmp()) // unrelated
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
