@@ -64,6 +64,22 @@ object BpeProbe {
     val headShared = head.filter(sampRank.contains)
     val headOrdered = headShared.sortBy(sampRank) == headShared
     println(f"""{"probe":"bpe_agreement","overlap":$overlap%.3f,"spearman":$spearman%.3f,"shared":${shared.size},"head10_found":${headShared.size},"head10_in_order":$headOrdered}""")
+
+    // encode-path comparison at this rule count: the per-rank fold
+    // expression tree vs the single rank-map expression
+    def encTime(label: String,
+        f: (org.apache.spark.sql.DataFrame, String, Seq[Bpe.Merge]) =>
+          org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val checksum = f(corpus, "text", full)
+        .agg(sum(size(col("bpe_tokens")))).collect().head.getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$label","sec":$sec%.2f,"total_tokens":$checksum}""")
+      checksum
+    }
+    val a = encTime("bpe_encode_folds", Bpe.encode)
+    val b = encTime("bpe_encode_scalable", Bpe.encodeScalable)
+    require(a == b, s"encode paths disagree: $a != $b")
     spark.stop()
   }
 }

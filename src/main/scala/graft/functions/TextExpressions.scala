@@ -148,6 +148,70 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Int)
   * collect. Null tokens are dropped (they can't round-trip through the
   * rebuilt text).
   */
+/** BPE tokenization of a word (token) array against a trained rank map —
+  * the production-vocabulary path behind [[graft.text.Bpe.encodeScalable]]:
+  * the plan holds ONE expression however many merge rules exist (the
+  * per-rule fold composition in `Bpe.encode` grows the expression tree —
+  * and Catalyst analysis with it — linearly in rules). Per word, the
+  * HuggingFace-style loop fuses the LOWEST-RANK adjacent pair present,
+  * all occurrences left to right, until no rule applies; for rules
+  * learned by `Bpe.learnMerges` (each rule's sides created by lower
+  * ranks) this reproduces the per-rank folds exactly (PropertySpec).
+  *
+  * The rank map rides the serialized expression (~25 B/rule); at 32k
+  * rules that is ~1 MB per plan — fine for a per-job tokenizer.
+  */
+case class BpeEncodeExpr(child: Expression, ranks: Map[(String, String), Int])
+    extends TokensUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var w = 0
+    val n = words.numElements()
+    while (w < n) {
+      val word = words.getUTF8String(w)
+      if (word != null && word.numChars() > 0) {
+        var syms = word.toString.map(_.toString).toArray
+        var done = syms.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 &&
+                ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best) {
+                merged += syms(j) + syms(j + 1)
+                j += 2
+              } else {
+                merged += syms(j)
+                j += 1
+              }
+            }
+            syms = merged.toArray
+            done = syms.length < 2
+          }
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
 case class FirstOccurrenceTokensExpr(child: Expression) extends TokensUnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -175,6 +239,9 @@ object TextExpressions {
 
   def firstOccurrenceTokens(tokens: Column): Column =
     GraftBridge.column(FirstOccurrenceTokensExpr(GraftBridge.expression(tokens)))
+
+  def bpeEncode(tokens: Column, ranks: Map[(String, String), Int]): Column =
+    GraftBridge.column(BpeEncodeExpr(GraftBridge.expression(tokens), ranks))
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))

@@ -129,7 +129,10 @@ object Bpe {
 
   /** Tokenize text with learned rules: per word, the rank-ordered merge
     * folds compose into one (deep but bounded) projection — map-only,
-    * no shuffle, no per-row rule joins.
+    * no shuffle, no per-row rule joins. Right for SMALL rule sets (the
+    * expression tree grows linearly in rules and Catalyst
+    * analysis/codegen with it); a production 32k-merge vocabulary needs
+    * [[encodeScalable]].
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     def tokenizeWord(w: Column): Column =
@@ -139,4 +142,24 @@ object Bpe {
     df.withColumn("bpe_tokens",
       flatten(transform(TextFunctions.tokens(col(textCol)), tokenizeWord(_))))
   }
+
+  /** [[encode]] for production-sized rule sets: the whole rank table
+    * rides ONE custom expression ([[graft.functions.BpeEncodeExpr]])
+    * that tokenizes each word imperatively — the HuggingFace-style loop
+    * fusing the LOWEST-RANK adjacent pair present until no rule applies.
+    * Still map-only and shuffle-free, but the plan size is constant in
+    * the rule count, and per-word cost is proportional to merges that
+    * actually FIRE instead of a full pass per learned rule.
+    *
+    * Produces the SAME tokens as [[encode]] for rules learned by
+    * [[learnMerges]]: a training-derived rule's sides always exist
+    * before its rank (training applied lower ranks first), so
+    * "lowest-rank pair present" fires rules in exactly the rank order
+    * the per-rank folds replay (PropertySpec pins the equality).
+    */
+  def encodeScalable(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    df.withColumn("bpe_tokens",
+      graft.functions.TextExpressions.bpeEncode(
+        TextFunctions.tokens(col(textCol)),
+        merges.map(m => (m.left, m.right) -> m.rank).toMap))
 }

@@ -222,6 +222,19 @@ class PropertySpec extends SparkSpec {
     assert(twice === once, "re-encoding the encoded output changed tokens")
   }
 
+  test("scalable BPE encode equals the per-rank fold encode on learned rules") {
+    val docs = graft.core.Tables(spark, sf0001).documents.where(col("doc_id") < 80)
+    val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 15)
+    def toks(f: (org.apache.spark.sql.DataFrame, String, Seq[graft.text.Bpe.Merge]) =>
+        org.apache.spark.sql.DataFrame) =
+      f(docs, "text", merges).select(col("doc_id"), col("bpe_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val folded = toks(graft.text.Bpe.encode)
+    val looped = toks(graft.text.Bpe.encodeScalable)
+    assert(looped === folded,
+      "lowest-rank-present loop diverged from the per-rank folds")
+  }
+
   test("PQ encode is invariant to input partitioning") {
     val e = graft.core.Tables(spark, sf0001).embeddings
     val books = graft.text.Pq.fitCodebooks(e, "embedding", m = 16, k = 16)
