@@ -119,19 +119,39 @@ final class MaterializedAgg(
   /** CONTINUOUS maintenance: a streaming query tailing the base table's
     * change feed that calls [[refresh]] once per discovered micro-batch —
     * the view tracks base-table commits without polling or manual
-    * refresh calls. The batch content itself is ignored: refresh derives
-    * everything from the watermark and the change-feed versions, and is
-    * a no-op when already current — which also makes the stream
-    * RESTART-SAFE for free (an at-least-once replayed trigger re-runs a
-    * refresh that sees nothing new). Requires at least one recorded
-    * change set (the change-feed streaming-source precondition).
+    * refresh calls. Refresh derives everything from the watermark and
+    * the change-feed versions and is a no-op when already current, which
+    * makes the stream RESTART-SAFE for free (an at-least-once replayed
+    * trigger re-runs a refresh that sees nothing new). Requires at least
+    * one recorded change set (the change-feed streaming-source
+    * precondition).
+    *
+    * One ordering hazard is handled explicitly: a change set's files
+    * land BEFORE the commit record that names their version (writeChanges
+    * runs pre-swap). The file stream can therefore deliver a batch in
+    * that window; since each file is delivered exactly once, a refresh
+    * that ran before the commit landed would leave the view stale until
+    * some LATER commit. So the batch's max `_commit_version` is awaited
+    * in the (tiny) commit log before refreshing — bounded wait, the
+    * writer is past its point of no return once the change dir exists.
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
-      .foreachBatch { (_: DataFrame, _: Long) => refresh(): Unit }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val head = batch.agg(max(col("_commit_version"))).collect().head
+        if (!head.isNullAt(0)) {
+          val target = head.getLong(0)
+          var waited = 0
+          while (latestBaseVersion() < target && waited < 600) {
+            Thread.sleep(100)
+            waited += 1
+          }
+        }
+        refresh(): Unit
+      }
       .trigger(trigger)
       .start()
 
