@@ -27,6 +27,8 @@ import graft.sources.{LakeTable, MergeClause}
   *   WHEN NOT MATCHED BY SOURCE THEN DELETE
   * ALTER TABLE graft_lake('/p') ADD COLUMNS (score DOUBLE)
   * ALTER TABLE graft_lake('/p') ADD CONSTRAINT pos CHECK (v > 0)
+  * OPTIMIZE graft_lake('/p') ZORDER BY (id, day)
+  * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
   * }}}
   *
@@ -86,6 +88,49 @@ final case class LakeUpdateCommand(path: String, set: Seq[(String, Column)], con
     else LakeTable(spark, path).update(set.toMap, cond)
     Seq.empty
   }
+}
+
+/** `OPTIMIZE graft_lake(path) [ZORDER BY (c1, c2, …)]` — linear range
+  * clustering without ZORDER BY (Delta's compaction), Morton
+  * bit-interleave clustering with it; versioned tables cluster into a
+  * new snapshot. `VACUUM graft_lake(path) [RETAIN <n> VERSIONS]` —
+  * crash-debris GC on plain tables, snapshot retention on versioned.
+  */
+final case class LakeMaintenanceCommand(
+    path: String,
+    op: LakeMaintenanceCommand.Op) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val versioned = graft.sources.VersionedLakeTable.isVersioned(spark, path)
+    op match {
+      case LakeMaintenanceCommand.Optimize(Seq()) if versioned =>
+        throw new IllegalArgumentException(
+          "OPTIMIZE on a versioned table needs ZORDER BY columns (its optimize " +
+            "clusters by the given keys into a new snapshot)")
+      case LakeMaintenanceCommand.Optimize(cols) if versioned =>
+        graft.sources.VersionedLakeTable(spark, path).optimize(cols)
+      case LakeMaintenanceCommand.Optimize(Seq()) =>
+        LakeTable(spark, path).compact()
+      case LakeMaintenanceCommand.Optimize(cols) =>
+        LakeTable(spark, path).optimizeZorder(cols)
+      case LakeMaintenanceCommand.Vacuum(None) if versioned =>
+        throw new IllegalArgumentException(
+          "VACUUM on a versioned table needs RETAIN <n> VERSIONS")
+      case LakeMaintenanceCommand.Vacuum(Some(keep)) if versioned =>
+        graft.sources.VersionedLakeTable(spark, path).vacuum(keep)
+      case LakeMaintenanceCommand.Vacuum(keep) =>
+        require(keep.isEmpty,
+          "RETAIN <n> VERSIONS applies to versioned tables; plain-table VACUUM " +
+            "collects crash debris only")
+        LakeTable(spark, path).vacuumDebris()
+    }
+    Seq.empty
+  }
+}
+
+object LakeMaintenanceCommand {
+  sealed trait Op
+  final case class Optimize(zorderBy: Seq[String]) extends Op
+  final case class Vacuum(retainVersions: Option[Int]) extends Op
 }
 
 /** `RESTORE graft_lake(path) TO VERSION AS OF <v>` /
@@ -228,8 +273,38 @@ object LakeSqlDml {
       case "RESTORE" => p.advance(); parseRestore(p)
       case "ALTER"   => p.advance(); parseAlter(p)
       case "INSERT"  => p.advance(); parseInsert(p)
+      case "OPTIMIZE" => p.advance(); parseOptimize(p)
+      case "VACUUM"  => p.advance(); parseVacuum(p)
       case _         => None
     }
+  }
+
+  private def parseOptimize(p: P): Option[LogicalPlan] = {
+    val path = p.lakeTarget().getOrElse(return None)
+    val cols =
+      if (p.eat("ZORDER")) {
+        p.expect("BY", "in OPTIMIZE … ZORDER")
+        if (!p.eatPunct("(")) p.fail("expected ( after ZORDER BY")
+        val names = Seq.newBuilder[String]
+        names += p.identifier("zorder column").mkString(".")
+        while (p.eatPunct(",")) names += p.identifier("zorder column").mkString(".")
+        if (!p.eatPunct(")")) p.fail("unclosed ZORDER BY column list")
+        names.result()
+      } else Seq.empty
+    p.done("OPTIMIZE")
+    Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Optimize(cols)))
+  }
+
+  private def parseVacuum(p: P): Option[LogicalPlan] = {
+    val path = p.lakeTarget().getOrElse(return None)
+    val retain =
+      if (p.eat("RETAIN")) {
+        val n = p.intLiteral("RETAIN version count")
+        p.expect("VERSIONS", "after RETAIN <n>")
+        Some(n.toInt)
+      } else None
+    p.done("VACUUM")
+    Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Vacuum(retain)))
   }
 
   private def parseInsert(p: P): Option[LogicalPlan] = {

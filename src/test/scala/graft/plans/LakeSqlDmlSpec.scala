@@ -217,6 +217,38 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 100.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("OPTIMIZE and VACUUM statements: compaction, zorder clustering, retention") {
+    val path = tmp(); seed(path)
+    val before = LakeTable(spark, path).read.orderBy("id").collect().map(_.toSeq).toSeq
+    spark.sql(s"OPTIMIZE graft_lake('$path')") // plain compaction
+    assert(LakeTable(spark, path).read.orderBy("id").collect().map(_.toSeq).toSeq === before)
+    spark.sql(s"OPTIMIZE graft_lake('$path') ZORDER BY (id, v)")
+    assert(LakeTable(spark, path).read.orderBy("id").collect().map(_.toSeq).toSeq === before)
+    val ops = LakeTable(spark, path).history.select("operation")
+      .collect().map(_.getString(0))
+    assert(ops.exists(_.startsWith("OPTIMIZE")), ops.toSeq)
+    spark.sql(s"VACUUM graft_lake('$path')") // debris GC, content untouched
+    assert(LakeTable(spark, path).read.count() === 4)
+
+    // versioned: cluster into a new snapshot, then retention-vacuum
+    val vpath = tmp()
+    val vt = graft.sources.VersionedLakeTable(spark, vpath)
+    vt.write(Seq((2L, "b"), (1L, "a")).toDF("id", "s"))
+    vt.write(Seq((2L, "b"), (1L, "a"), (3L, "c")).toDF("id", "s"))
+    spark.sql(s"OPTIMIZE graft_lake('$vpath') ZORDER BY (id)")
+    assert(vt.latestVersion === 2L)
+    spark.sql(s"VACUUM graft_lake('$vpath') RETAIN 1 VERSIONS")
+    assert(vt.read.count() === 3)
+    intercept[Exception] { vt.readVersion(0) } // vacuumed away
+    // guard rails
+    intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM graft_lake('$vpath')")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM graft_lake('$path') RETAIN 2 VERSIONS")
+    }
+  }
+
   test("graft_detail reports layout, counts, schema, constraints in one row") {
     val path = tmp(); seed(path)
     spark.sql(s"ALTER TABLE graft_lake('$path') ADD CONSTRAINT v_pos CHECK (v > 0)")
