@@ -173,7 +173,20 @@ case class BpeEncodeExpr(child: Expression, ranks: Map[(String, String), Int])
     while (w < n) {
       val word = words.getUTF8String(w)
       if (word != null && word.numChars() > 0) {
-        var syms = word.toString.map(_.toString).toArray
+        // CODE-POINT split, not code units: a surrogate pair (emoji,
+        // supplementary CJK) must stay one symbol, matching the
+        // code-point-aware split("") the fold path starts from
+        var syms = {
+          val s = word.toString
+          val cps = scala.collection.mutable.ArrayBuffer.empty[String]
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            cps += new String(Character.toChars(cp))
+            ci += Character.charCount(cp)
+          }
+          cps.toArray
+        }
         var done = syms.length < 2
         while (!done) {
           var best = Int.MaxValue

@@ -235,6 +235,38 @@ class PropertySpec extends SparkSpec {
       "lowest-rank-present loop diverged from the per-rank folds")
   }
 
+  test("scalable BPE encode handles supplementary code points like the fold path") {
+    import spark.implicits._
+    // surrogate-pair characters must stay single symbols in both paths
+    val docs = Seq(
+      (1L, "a😀b a😀b hello hello"),
+      (2L, "🍕🍕 plain words here")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 6)
+    def toks(f: (org.apache.spark.sql.DataFrame, String, Seq[graft.text.Bpe.Merge]) =>
+        org.apache.spark.sql.DataFrame) =
+      f(docs, "text", merges).select(col("doc_id"), col("bpe_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val folded = toks(graft.text.Bpe.encode)
+    val looped = toks(graft.text.Bpe.encodeScalable)
+    assert(looped === folded, s"non-BMP divergence: $looped vs $folded")
+    // and the rebuilt text round-trips (no broken surrogate halves)
+    looped.foreach { case (id, ts) =>
+      assert(!ts.exists(t => t.exists(Character.isSurrogate) &&
+        t.codePoints().count() != t.length - 1 && {
+          // a token containing an UNPAIRED surrogate is corrupt
+          var i = 0; var bad = false
+          while (i < t.length) {
+            if (Character.isHighSurrogate(t(i)) &&
+              (i + 1 >= t.length || !Character.isLowSurrogate(t(i + 1)))) bad = true
+            if (Character.isLowSurrogate(t(i)) &&
+              (i == 0 || !Character.isHighSurrogate(t(i - 1)))) bad = true
+            i += 1
+          }
+          bad
+        }), s"doc $id produced a broken surrogate: $ts")
+    }
+  }
+
   test("PQ encode is invariant to input partitioning") {
     val e = graft.core.Tables(spark, sf0001).embeddings
     val books = graft.text.Pq.fitCodebooks(e, "embedding", m = 16, k = 16)
