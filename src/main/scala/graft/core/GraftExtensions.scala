@@ -114,22 +114,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
 
-    // SQL surface for the lake: FROM graft_lake('/path') reads a table,
+    // every lake TVF accepts a PATH or a REGISTERED NAME ('db.t' via
+    // graft.sources.LakeNames) in its first argument — names keep the SQL
+    // surface consistent with the reference's named-table idiom
+    def lakePath(fn: String, arg: Expression): String = {
+      val s = literalString(fn, "path", arg)
+      graft.sources.LakeNames.resolveString(
+        org.apache.spark.sql.SparkSession.active, s).getOrElse(s)
+    }
+
+    // inject into the session AND the static builtin registry: the lake
+    // TVFs must count as BUILTIN functions so a persistent view can
+    // reference them — CreateViewCommand rejects views over session-temp
+    // functions, and graft.sources.LakeNames registers `db.name` as a
+    // persistent view whose body is `SELECT * FROM graft_lake('<path>')`.
+    // Idempotent: re-registration on each session build just replaces the
+    // same builder.
+    def injectLakeTvf(
+        ident: FunctionIdentifier,
+        inf: ExpressionInfo,
+        builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+      e.injectTableFunction((ident, inf, builder))
+      org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.builtin
+        .registerFunction(ident, inf, builder)
+    }
+
+    // SQL surface for the lake: FROM graft_lake('/path') reads a table
+    // (either layout — a versioned path reads its latest snapshot),
     // graft_lake('/path', 3) is Delta's VERSION AS OF, and
     // graft_lake('/path', '2026-01-01T00:00:00Z') is TIMESTAMP AS OF —
     // a table-valued function resolved at analysis time to the table's
     // (already-analyzed) scan plan, so pushdown/pruning work as if the
     // DataFrame were used directly.
-    e.injectTableFunction((
+    injectLakeTvf(
       FunctionIdentifier("graft_lake"),
       info("graft_lake",
-        "graft_lake(path[, version|timestamp]) - read a graft lake table, optionally time-traveled"),
+        "graft_lake(path|name[, version|timestamp]) - read a graft lake table, optionally time-traveled"),
       (es: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = literalString("graft_lake", "path", es.head)
+        val path = lakePath("graft_lake", es.head)
         val df =
-          if (es.length < 2) graft.sources.LakeTable(spark, path).read
-          else es(1).dataType match {
+          if (es.length < 2) {
+            if (graft.sources.VersionedLakeTable.isVersioned(spark, path))
+              graft.sources.VersionedLakeTable(spark, path).read
+            else graft.sources.LakeTable(spark, path).read
+          } else es(1).dataType match {
             case org.apache.spark.sql.types.StringType =>
               graft.sources.VersionedLakeTable(spark, path)
                 .readAsOf(literalString("graft_lake", "timestamp", es(1)))
@@ -138,41 +167,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 .readVersion(literalInt("graft_lake", "version", es(1)).toLong)
           }
         df.queryExecution.analyzed
-      }))
+      })
 
     // DESCRIBE HISTORY as a query: FROM graft_history('/path') — the
     // commit log (version, operation, timestamp, operationParameters)
     // joins/filters like any table
-    e.injectTableFunction((
+    injectLakeTvf(
       FunctionIdentifier("graft_history"),
       info("graft_history", "graft_history(path) - commit history of a graft lake table"),
       (es: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        graft.sources.LakeTable(spark,
-          literalString("graft_history", "path", es.head))
+        graft.sources.LakeTable(spark, lakePath("graft_history", es.head))
           .history.queryExecution.analyzed
-      }))
+      })
 
     // DESCRIBE DETAIL in SQL: graft_detail('/path') — one metadata row
     // (layout kind, file/byte counts, commit count, schema, constraints);
     // a driver-side listing, no data read
-    e.injectTableFunction((
+    injectLakeTvf(
       FunctionIdentifier("graft_detail"),
       info("graft_detail", "graft_detail(path) - table metadata: layout, files, bytes, commits, schema, constraints"),
       (es: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = literalString("graft_detail", "path", es.head)
+        val path = lakePath("graft_detail", es.head)
         graft.sources.TableDetail.describe(spark, path).queryExecution.analyzed
-      }))
+      })
 
     // Delta table_changes in SQL: graft_changes('/path'[, from[, to]])
-    e.injectTableFunction((
+    injectLakeTvf(
       FunctionIdentifier("graft_changes"),
       info("graft_changes",
         "graft_changes(path[, fromVersion[, toVersion]]) - recorded change feed rows"),
       (es: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        val path = literalString("graft_changes", "path", es.head)
+        val path = lakePath("graft_changes", es.head)
         val from =
           if (es.length > 1) literalInt("graft_changes", "fromVersion", es(1)).toLong
           else 0L
@@ -181,6 +209,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else Long.MaxValue
         graft.sources.LakeTable(spark, path).readChanges(from, to)
           .queryExecution.analyzed
-      }))
+      })
   }
 }

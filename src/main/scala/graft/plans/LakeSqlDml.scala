@@ -622,16 +622,37 @@ object LakeSqlDml {
       delegate.parseExpression(sqlFragment)
     }
 
-    /** `graft_lake ( '<path>' )` at the cursor, or None (→ delegate). */
-    def lakeTarget(): Option[String] = {
-      if (!wordIs("graft_lake")) return None
+    /** The lake path of the statement target at the cursor, or None
+      * (→ delegate): either the `graft_lake ( '<path>' )` TVF form, or a
+      * (possibly dotted) table name registered via
+      * [[graft.sources.LakeNames]]. A name that exists but is NOT a
+      * registered lake table rewinds and delegates, so native DML
+      * behavior and native errors on ordinary tables are untouched.
+      */
+    def lakeTarget(): Option[String] =
+      if (wordIs("graft_lake")) {
+        val save = i
+        i += 1
+        if (!eatPunct("(")) { i = save; return None }
+        if (!more || toks(i).kind != Str || toks(i).text.head != '\'') { i = save; return None }
+        val raw = toks(i).text; i += 1
+        if (!eatPunct(")")) { i = save; return None }
+        Some(raw.substring(1, raw.length - 1).replace("''", "'").replace("\\'", "'"))
+      } else namedLakeTarget()
+
+    private def namedLakeTarget(): Option[String] = {
+      if (!more || toks(i).kind != Word) return None
       val save = i
-      i += 1
-      if (!eatPunct("(")) { i = save; return None }
-      if (!more || toks(i).kind != Str || toks(i).text.head != '\'') { i = save; return None }
-      val raw = toks(i).text; i += 1
-      if (!eatPunct(")")) { i = save; return None }
-      Some(raw.substring(1, raw.length - 1).replace("''", "'").replace("\\'", "'"))
+      val parts = Seq.newBuilder[String]
+      parts += toks(i).text; i += 1
+      while (eatPunct(".")) {
+        if (!more || toks(i).kind != Word) { i = save; return None }
+        parts += toks(i).text; i += 1
+      }
+      val resolved = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => graft.sources.LakeNames.resolve(s, parts.result()))
+      if (resolved.isEmpty) i = save
+      resolved
     }
 
     /** Optional `[AS] alias` after the target (alias may not be a keyword

@@ -392,6 +392,65 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A4-A6 depth (NAMED lake tables — the reference's primary idiom,
+    * `CREATE TABLE rwd_hls.patient_encounters … LOCATION` then every
+    * query by name, 00-etl-rwd.py:158-200): register `db.name -> lake
+    * path` via [[LakeNames]], then drive DELETE / UPDATE / MERGE
+    * entirely BY NAME, read the current state by name, and time-travel a
+    * named VERSIONED table (`graft_lake('db.t', 0)`). The oracle replays
+    * every statement relationally, so name resolution, DML routing, the
+    * schema-tracking view read, and versioned time travel are all
+    * content-checked in one result.
+    */
+  def lakeNamedDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val db = "graft_named_" + Paths.get(sfDir).getFileName.toString.replace(".", "_")
+    val path = scratch(sfDir, "orders_named")
+    LakeTable(spark, path).write(t.orders)
+    LakeNames.register(spark, db, "orders_lake", path)
+    t.orders.createOrReplaceTempView("named_orders_src")
+    spark.sql(
+      s"DELETE FROM `$db`.orders_lake " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 150000")
+    spark.sql(
+      s"UPDATE `$db`.orders_lake SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderpriority LIKE '1-%'")
+    spark.sql(
+      s"""MERGE INTO `$db`.orders_lake t
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+         |  FROM named_orders_src WHERE o_custkey % 83 = 11
+         |  UNION ALL
+         |  SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice, o_orderdate, o_orderpriority
+         |  FROM named_orders_src WHERE o_custkey % 91 = 7
+         |) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    // versioned layout by name: snapshot 0 stays readable through the
+    // name + version TVF form while the name reads the latest snapshot
+    val vpath = scratch(sfDir, "nation_named_v")
+    val vt = VersionedLakeTable(spark, vpath)
+    vt.write(t.nation)
+    vt.delete(col("n_regionkey") === 0)
+    LakeNames.register(spark, db, "nation_v", vpath)
+    spark.sql(
+      s"""SELECT grp, n, total FROM (
+         |  SELECT o_orderstatus AS grp, count(*) AS n,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM `$db`.orders_lake GROUP BY o_orderstatus
+         |  UNION ALL
+         |  SELECT concat('v0_region_', n_regionkey), count(*), CAST(count(*) AS DOUBLE)
+         |  FROM graft_lake('$db.nation_v', 0) GROUP BY n_regionkey
+         |  UNION ALL
+         |  SELECT concat('cur_region_', n_regionkey), count(*), CAST(count(*) AS DOUBLE)
+         |  FROM `$db`.nation_v GROUP BY n_regionkey
+         |) ORDER BY grp""".stripMargin)
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -413,6 +472,7 @@ object SourceQueries {
     "q_lake_delete" -> (lakeDelete _),
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
+    "q_lake_named_dml" -> (lakeNamedDml _),
     "q_lake_schema_evolution" -> (lakeSchemaEvolution _),
     "q_lake_skipping" -> (lakeSkipping _),
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
@@ -528,6 +588,45 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_named_dml" ->
+      """WITH d AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM d),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 83 = 11
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey % 91 = 7),
+        |kept AS (
+        |  SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |              ELSE u.o_totalprice END AS o_totalprice,
+        |         u.o_orderdate, u.o_orderpriority
+        |  FROM u LEFT JOIN src s ON u.o_orderkey = s.o_orderkey),
+        |ins AS (
+        |  SELECT * FROM src
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT grp, n, total FROM (
+        |  SELECT o_orderstatus AS grp, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM merged GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT concat('v0_region_', n_regionkey), count(*), CAST(count(*) AS DOUBLE)
+        |  FROM nation GROUP BY n_regionkey
+        |  UNION ALL
+        |  SELECT concat('cur_region_', n_regionkey), count(*), CAST(count(*) AS DOUBLE)
+        |  FROM nation WHERE n_regionkey <> 0 GROUP BY n_regionkey
+        |) ORDER BY grp""".stripMargin,
     "q_lake_schema_evolution" ->
       """WITH appended AS (
         |  SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS bonus

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{AnalysisException, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LakeNamesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_named").resolve("t").toString
+
+  private def seed(path: String): LakeTable =
+    LakeTable(spark, path).write(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("id", "name", "v"), SaveMode.Overwrite)
+
+  test("register + read by name, DML routed by name matches path-form state") {
+    val path = tmp(); seed(path)
+    LakeNames.register(spark, "named_db", "t1", path)
+    assert(spark.sql("SELECT * FROM named_db.t1").count() === 4)
+
+    spark.sql("DELETE FROM named_db.t1 WHERE v > 35.0")
+    spark.sql("UPDATE named_db.t1 SET v = v * 10 WHERE id = 1")
+    Seq((2L, "B", 999.0), (9L, "i", 90.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("named_src")
+    spark.sql(
+      """MERGE INTO named_db.t1 t USING named_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val byName = spark.sql("SELECT id, v FROM named_db.t1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(byName === Seq((1L, 100.0), (2L, 999.0), (3L, 30.0), (9L, 90.0)))
+    // same rows through the path API — the name is pure indirection
+    val byPath = LakeTable(spark, path).read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(byPath === byName)
+  }
+
+  test("INSERT INTO by name; history/detail/changes TVFs accept the name") {
+    val path = tmp(); seed(path)
+    LakeNames.register(spark, "named_db", "t2", path)
+    spark.sql("INSERT INTO named_db.t2 VALUES (5, 'e', 50.0)")
+    assert(spark.sql("SELECT * FROM named_db.t2").count() === 5)
+    assert(spark.sql("SELECT * FROM graft_history('named_db.t2')")
+      .where(col("operation") === "WRITE APPEND").count() === 1)
+    assert(spark.sql("SELECT * FROM graft_detail('named_db.t2')").count() === 1)
+    spark.sql("DELETE FROM graft_lake('" + path + "') WHERE id = 5") // path still works
+    assert(spark.sql("SELECT * FROM named_db.t2").count() === 4)
+  }
+
+  test("ALTER TABLE ADD COLUMNS by name: the view tracks the evolved schema") {
+    val path = tmp(); seed(path)
+    LakeNames.register(spark, "named_db", "t3", path)
+    spark.sql("ALTER TABLE named_db.t3 ADD COLUMNS (score DOUBLE)")
+    spark.sql("INSERT INTO named_db.t3 (id, name, v, score) VALUES (5, 'e', 50.0, 1.5)")
+    val rows = spark.sql(
+      "SELECT id, score FROM named_db.t3 WHERE score IS NOT NULL").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((5L, 1.5)))
+    // pre-evolution rows read the added column as null, by name
+    assert(spark.sql("SELECT * FROM named_db.t3 WHERE score IS NULL").count() === 4)
+  }
+
+  test("versioned layout by name: latest read, time travel, OPTIMIZE/RESTORE") {
+    val path = tmp()
+    val vt = VersionedLakeTable(spark, path)
+    vt.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+    vt.delete(col("id") === 2L)
+    LakeNames.register(spark, "named_db", "vt1", path)
+    assert(spark.sql("SELECT * FROM named_db.vt1").count() === 2)
+    assert(spark.sql("SELECT * FROM graft_lake('named_db.vt1', 0)").count() === 3)
+    spark.sql("RESTORE named_db.vt1 TO VERSION AS OF 0")
+    assert(spark.sql("SELECT * FROM named_db.vt1").count() === 3)
+    spark.sql("DELETE FROM named_db.vt1 WHERE id = 1")
+    assert(spark.sql("SELECT id FROM named_db.vt1").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("non-lake names fall through to native Spark errors, state untouched") {
+    val path = tmp(); seed(path)
+    // a plain parquet catalog table (no lake property) keeps native behavior
+    Catalog.createDatabase(spark, "named_db")
+    Catalog.registerTable(spark, "named_db", "plain_t", path)
+    val e1 = intercept[AnalysisException] {
+      spark.sql("DELETE FROM named_db.plain_t WHERE v > 0")
+    }
+    assert(e1.getMessage.toLowerCase.contains("delete"))
+    assert(spark.table("named_db.plain_t").count() === 4) // untouched
+    // a name that does not exist surfaces Spark's native resolution error
+    val e2 = intercept[AnalysisException] {
+      spark.sql("DELETE FROM named_db.no_such_table WHERE v > 0")
+    }
+    assert(e2.getMessage.contains("no_such_table"))
+  }
+
+  test("re-register repoints the name; unregister drops it") {
+    val p1 = tmp(); seed(p1)
+    val p2 = tmp()
+    LakeTable(spark, p2).write(Seq((100L, "z", 1.0)).toDF("id", "name", "v"))
+    LakeNames.register(spark, "named_db", "t4", p1)
+    assert(spark.sql("SELECT * FROM named_db.t4").count() === 4)
+    LakeNames.register(spark, "named_db", "t4", p2)
+    assert(spark.sql("SELECT * FROM named_db.t4").count() === 1)
+    assert(LakeNames.resolve(spark, Seq("named_db", "t4")) === Some(p2))
+    LakeNames.unregister(spark, "named_db", "t4")
+    assert(LakeNames.resolve(spark, Seq("named_db", "t4")) === None)
+  }
+}
