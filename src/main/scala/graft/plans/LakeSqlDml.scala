@@ -183,7 +183,17 @@ final case class LakeInsertCommand(
               s"table has ${schema.fields.length}, source produces ${named.columns.length}")
           named.toDF(schema.fieldNames.toIndexedSeq: _*)
         } else {
-          // explicit list: positional to the listed names, rest null-fill
+          // explicit list: every listed name must resolve to a table
+          // column (Delta/Spark raise an analysis error here) — silently
+          // dropping a typo'd name would discard its inserted values AND
+          // null-fill the real column with no sign anything went wrong
+          val schemaKeys = schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT)).toSet
+          val unknown = columns.filterNot(c =>
+            schemaKeys.contains(c.toLowerCase(java.util.Locale.ROOT)))
+          require(unknown.isEmpty,
+            s"INSERT column list names columns not in the table: " +
+              s"${unknown.mkString(", ")} (table columns: ${schema.fieldNames.mkString(", ")})")
+          // positional to the listed names, rest null-fill
           val have = named.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
           val missing = schema.fields.filterNot(f =>
             have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))

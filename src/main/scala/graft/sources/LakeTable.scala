@@ -99,20 +99,54 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * operationParameters — the idempotent-writer probe (Delta's
     * txnAppId/txnVersion analogue): a replaying at-least-once sink tags
     * each batch write via `extraParams` and checks here before
-    * re-applying it. Driver-side scan of the (tiny) log; no Spark job.
+    * re-applying it. Driver-side scan of the (tiny) log, NEWEST commit
+    * first with early exit — a replayed batch is almost always the most
+    * recent commit, so the common hit costs one file read instead of a
+    * whole-log scan (misses still read every commit; long-running sinks
+    * should track their high-water mark via [[maxCommitParamLong]]
+    * instead of probing per batch).
     */
   def hasCommitParam(key: String, value: String): Boolean = {
     if (!fs.exists(logDir)) return false
     // params serialize as "k":"v" with CommitLog.esc, so matching the
     // fully-quoted pair is exact — no substring false positives
     val needle = s""""${CommitLog.esc(key)}":"${CommitLog.esc(value)}""""
-    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json")).exists { st =>
-      val in = fs.open(st.getPath)
-      val text =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        finally in.close()
-      text.contains(needle)
-    }
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+      .exists(st => readLogFile(st.getPath).contains(needle))
+  }
+
+  /** The MAX long value any commit recorded under `key` in its
+    * operationParameters, -1 if none — the Delta txnAppId/txnVersion
+    * contract for streaming sinks: tag each batch commit with
+    * `key = <per-app id>, value = <batch id>` and skip batches at or
+    * below the max recorded version. One O(commits) driver-side scan;
+    * callers cache the result and track it in memory afterwards.
+    */
+  def maxCommitParamLong(key: String): Long = {
+    if (!fs.exists(logDir)) return -1L
+    val prefix = s""""${CommitLog.esc(key)}":""""
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .foldLeft(-1L) { (acc, st) =>
+        val text = readLogFile(st.getPath)
+        val i = text.indexOf(prefix)
+        if (i < 0) acc
+        else {
+          val start = i + prefix.length
+          val end = text.indexOf('"', start)
+          val v =
+            if (end < 0) -1L
+            else try text.substring(start, end).toLong
+            catch { case _: NumberFormatException => -1L }
+          math.max(acc, v)
+        }
+      }
+  }
+
+  private def readLogFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** History label by actual effect: Ignore/ErrorIfExists only reach the
@@ -260,6 +294,29 @@ final class LakeTable(spark: SparkSession, val path: String) {
         require(!set.keys.exists(keys.contains),
           "UPDATE SET must not touch merge keys (it would change row identity)")
       case _ =>
+    }
+    // BY SOURCE clauses evaluate over target rows with NO source match —
+    // s.* is null there. Resolving their expressions against the TARGET
+    // SCHEMA (not just rejecting the `s.` qualifier) matters because an
+    // UNQUALIFIED source-only column would otherwise resolve through the
+    // join and silently evaluate three-valued to null instead of erroring
+    // the way Delta does.
+    whenNotMatchedBySource.foreach { clause =>
+      val exprs = clause match {
+        case MergeClause.UpdateWhen(set, c) => set.values.toSeq ++ c.toSeq
+        case MergeClause.DeleteWhen(c)      => c.toSeq
+      }
+      exprs.foreach(c => org.apache.spark.sql.GraftBridge.expression(c).foreach {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val targetQualified = a.nameParts.length == 1 ||
+            (a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase("t"))
+          require(targetQualified &&
+            cur.columns.exists(_.equalsIgnoreCase(a.nameParts.last)),
+            s"WHEN NOT MATCHED BY SOURCE references `${a.name}`, which is not a " +
+              "column of the target table — no source row exists for an " +
+              "unmatched target row")
+        case _ =>
+      })
     }
     val fields = cur.schema.fields
     // cast the target-schema columns to target types (same contract as

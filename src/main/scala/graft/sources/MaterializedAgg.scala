@@ -64,15 +64,23 @@ final class MaterializedAgg(
     this
   }
 
-  /** Apply every change-feed version in `(watermark, latest]`. No-op
-    * when nothing new was recorded. Returns this for chaining.
+  /** Apply every change-feed version in `(watermark, latest]` where
+    * `latest` is the base table's latest COMMITTED version. The upper
+    * bound is load-bearing: change-set files land BEFORE the commit
+    * record that names their version (writeChanges runs pre-swap), so an
+    * unbounded read could apply a not-yet-committed change set and then
+    * re-apply it after its commit landed (the watermark, saved as
+    * `latest`, would still be below it). Bounding to the committed
+    * version defers the in-flight change set to the next refresh —
+    * exactly-once with no waiting. No-op when nothing new was recorded.
+    * Returns this for chaining.
     */
   def refresh(): MaterializedAgg = {
     val wm = watermark()
     val latest = latestBaseVersion()
     if (latest <= wm) return this
     val changes =
-      try base.readChanges(fromVersion = wm + 1)
+      try base.readChanges(fromVersion = wm + 1, toVersion = latest)
       catch {
         // commits happened but none recorded a change set (e.g. stats
         // collection, constraint DDL) — nothing to apply
@@ -126,30 +134,22 @@ final class MaterializedAgg(
     * one recorded change set (the change-feed streaming-source
     * precondition).
     *
-    * One ordering hazard is handled explicitly: a change set's files
-    * land BEFORE the commit record that names their version (writeChanges
-    * runs pre-swap). The file stream can therefore deliver a batch in
-    * that window; since each file is delivered exactly once, a refresh
-    * that ran before the commit landed would leave the view stale until
-    * some LATER commit. So the batch's max `_commit_version` is awaited
-    * in the (tiny) commit log before refreshing — bounded wait, the
-    * writer is past its point of no return once the change dir exists.
+    * The change-file-before-commit ordering hazard (files land pre-swap,
+    * the commit record after) needs no waiting here: the batch content
+    * is only a NOTIFICATION — [[refresh]] derives its work from the
+    * watermark and the change-feed dirs, bounded to the latest COMMITTED
+    * version. A change file delivered in the pre-commit window is simply
+    * not applied yet; the next trigger (or a manual refresh after the
+    * writer finishes) picks it up. With `Trigger.AvailableNow`, commits
+    * that complete before the final trigger are always reflected — the
+    * natural "writer done, then drain" usage.
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val head = batch.agg(max(col("_commit_version"))).collect().head
-        if (!head.isNullAt(0)) {
-          val target = head.getLong(0)
-          var waited = 0
-          while (latestBaseVersion() < target && waited < 600) {
-            Thread.sleep(100)
-            waited += 1
-          }
-        }
+      .foreachBatch { (_: DataFrame, _: Long) =>
         refresh(): Unit
       }
       .trigger(trigger)

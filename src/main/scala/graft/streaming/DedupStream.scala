@@ -39,13 +39,14 @@ object DedupStream {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      appId: String = "graft-dedup"
   ): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(batch.toDF(), indexPath, outPath, idCol, textCol, n, threshold,
-            batchId = Some(batchId))
+            batchId = Some(batchId), appId = appId)
         }
       }
       .trigger(trigger)
@@ -57,12 +58,16 @@ object DedupStream {
     *
     * foreachBatch replays micro-batches at-least-once, so with a
     * `batchId` the two appends are made IDEMPOTENT the way Delta's
-    * txnAppId/txnVersion sinks are: each append tags its commit with the
-    * batch id, and a replay checks [[LakeTable.hasCommitParam]] before
+    * txnAppId/txnVersion sinks are: each append tags its commit
+    * `streamTxn:<appId> -> <batchId>` ([[LakeSink.TxnKeyPrefix]]) and a
+    * replay checks the max recorded version for that appId before
     * re-applying — a crash between the output append and the index append
     * replays into "skip output, redo index" instead of double-admitting
     * the batch. (The replayed `novel` set is identical because the index
-    * it probes is in the same pre-append state.)
+    * it probes is in the same pre-append state.) The appId scopes the
+    * check to THIS query's checkpoint lineage, so a second stream feeding
+    * the same tables (its own batch ids from 0) is never suppressed by
+    * this one's tags; a fresh checkpoint needs a fresh appId.
     */
   def processBatch(
       batch: DataFrame,
@@ -72,13 +77,14 @@ object DedupStream {
       textCol: String,
       n: Int,
       threshold: Double,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      appId: String = "graft-dedup"): Unit = {
     val spark = batch.sparkSession
     val indexLake = LakeTable(spark, indexPath)
     val outLake = LakeTable(spark, outPath)
-    val bid = batchId.map(_.toString)
+    val key = LakeSink.TxnKeyPrefix + appId
     def applied(lake: LakeTable): Boolean =
-      bid.exists(b => lake.exists && lake.hasCommitParam("streamBatchId", b))
+      batchId.exists(b => lake.exists && lake.maxCommitParamLong(key) >= b)
     if (applied(outLake) && applied(indexLake)) return // full replay: no-op
 
     // 1. suppress docs near-duplicating the ADMITTED corpus
@@ -96,7 +102,7 @@ object DedupStream {
     val novel = vsCorpus.join(intra, Seq(idCol), "left_anti")
 
     if (!novel.isEmpty) {
-      val tag = bid.map(b => Map("streamBatchId" -> b)).getOrElse(Map.empty)
+      val tag = batchId.map(b => Map(key -> b.toString)).getOrElse(Map.empty)
       if (!applied(outLake))
         outLake.write(novel, SaveMode.Append, extraParams = tag): Unit
       if (!applied(indexLake))

@@ -12,32 +12,73 @@ import graft.sources.LakeTable
   *
   * foreachBatch delivers batches at-least-once on restart; the append is
   * made IDEMPOTENT the way Delta's txnAppId/txnVersion sinks are: every
-  * batch's commit is tagged with its batch id and a replayed batch that
-  * already committed is skipped ([[LakeTable.hasCommitParam]]) instead of
-  * double-appending — same discipline as [[DedupStream.processBatch]].
+  * batch's commit is tagged `streamTxn:<appId> -> <batchId>` and a batch
+  * at or below the max recorded version for THAT appId is skipped instead
+  * of double-appended. The appId scoping matters for correctness, not
+  * just hygiene: with an unscoped tag, a SECOND streaming query appending
+  * to the same table (its own checkpoint, so its batch ids restart at 0)
+  * would match the first query's tags and silently drop its batches.
+  *
+  * The appId names a CHECKPOINT LINEAGE (Delta's txnAppId contract):
+  * restarting from the same checkpoint must reuse the appId (batch ids
+  * continue, replays are skipped); starting over with a FRESH checkpoint
+  * must use a new appId (batch ids reset to 0, and the old high-water
+  * mark would otherwise suppress every new batch).
+  *
+  * Known crash window, same as Delta on non-transactional stores: the
+  * parquet data files land at job commit, the tagged log record after —
+  * a crash between the two replays the batch with no tag found and
+  * duplicates its rows. The window is one driver-side file create wide.
   */
 object LakeSink {
 
-  /** Start appending the stream to the lake table. */
+  /** Prefix of the commit-param key carrying a sink's batch version. */
+  val TxnKeyPrefix = "streamTxn:"
+
+  /** Last applied batch id per (table path, appId), seeded by one
+    * O(commits) log scan and tracked in memory after — a long-running
+    * stream commits per batch, and re-scanning the whole log every batch
+    * would cost O(n^2) cumulative driver I/O over the stream's life.
+    * Safe under the lake layer's single-writer-per-table assumption.
+    */
+  private val seen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Start appending the stream to the lake table.
+    *
+    * @param appId stable identifier of this query's checkpoint lineage;
+    *              distinct queries appending to the same table MUST pass
+    *              distinct appIds
+    */
   def streamTo(
       stream: DataFrame,
       lake: LakeTable,
+      appId: String = "graft-lake-sink",
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeBatch(lake, batch.toDF(), batchId)
+        writeBatch(lake, batch.toDF(), batchId, appId)
       }
       .trigger(trigger)
       .start()
 
-  /** One micro-batch append, batchId-keyed for replay idempotence.
-    * Factored out so the replay contract is directly testable.
+  /** One micro-batch append, (appId, batchId)-keyed for replay
+    * idempotence. Factored out so the replay contract is directly
+    * testable.
     */
-  def writeBatch(lake: LakeTable, batch: DataFrame, batchId: Long): Unit = {
-    val tag = "streamBatchId" -> batchId.toString
-    if (!batch.isEmpty && !lake.hasCommitParam(tag._1, tag._2)) {
-      lake.write(batch, SaveMode.Append, extraParams = Map(tag)): Unit
+  def writeBatch(
+      lake: LakeTable, batch: DataFrame, batchId: Long,
+      appId: String = "graft-lake-sink"): Unit = {
+    val key = TxnKeyPrefix + appId
+    val cacheKey = lake.path + "\u0000" + appId
+    val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
+    if (batchId <= last) return
+    if (!batch.isEmpty) {
+      lake.write(batch, SaveMode.Append, extraParams = Map(key -> batchId.toString)): Unit
+      // only COMMITTED versions advance the mark: an empty batch leaves
+      // no commit, so a replay of it must still fall through to the
+      // (no-op) write rather than claim the id was applied
+      seen.merge(cacheKey, batchId, (a, b) => math.max(a, b)): Unit
     }
   }
 }

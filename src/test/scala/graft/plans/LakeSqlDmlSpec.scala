@@ -106,6 +106,17 @@ class LakeSqlDmlSpec extends SparkSpec {
            |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin)
     }
     assert(e.getMessage.contains("cannot reference the source"), e.getMessage)
+
+    // an UNQUALIFIED source-only column must error too — it would
+    // otherwise resolve through the join and evaluate to null on every
+    // unmatched-by-source row (silent three-valued no-op)
+    Seq((1L, true)).toDF("id", "extra_flag").createOrReplaceTempView("bysource_extra")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft_lake('$path') t USING bysource_extra s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE AND extra_flag THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("not a column of the target table"), e2.getMessage)
   }
 
   test("keywords inside string literals don't confuse clause detection") {
@@ -135,6 +146,13 @@ class LakeSqlDmlSpec extends SparkSpec {
       spark.sql(s"INSERT INTO graft_lake('$path') SELECT id, name FROM ins_src")
     }
     assert(e.getMessage.contains("cover every table column"), e.getMessage)
+    // a typo'd name in the column list errors instead of silently
+    // discarding the inserted values and null-filling the real column
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_lake('$path') (id, vv) VALUES (9, 90.0)")
+    }
+    assert(e2.getMessage.contains("not in the table"), e2.getMessage)
+    assert(LakeTable(spark, path).read.where(col("id") === 9).count() === 0)
     // OVERWRITE replaces the content
     spark.sql(s"INSERT OVERWRITE graft_lake('$path') SELECT * FROM ins_src")
     assert(LakeTable(spark, path).read.collect().map(_.getLong(0)).toSeq === Seq(8L))

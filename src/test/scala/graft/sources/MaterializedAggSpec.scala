@@ -106,6 +106,28 @@ class MaterializedAggSpec extends SparkSpec {
     assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
   }
 
+  test("refresh defers change sets whose commit has not landed (pre-commit window)") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("base5")).write(
+      Seq(("a", 10L), ("b", 5L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv5"),
+      keys = Seq("k"), sums = Map("total" -> col("v"))).initialize()
+    base.delete(col("k") === "b", changeFeed = true)
+    mv.refresh()
+    val settled = sorted(mv.read)
+    // simulate the writer mid-flight: a change-set dir lands for a
+    // version with NO commit record yet (writeChanges runs pre-swap)
+    Seq(("a", 10L)).toDF("k", "v")
+      .withColumn("_change_type", lit("delete"))
+      .write.parquet(s"${base.path}/${LakeTable.ChangesDirName}/v999")
+    mv.refresh()
+    assert(sorted(mv.read) === settled,
+      "refresh must not apply a change set beyond the latest committed version")
+    mv.refresh() // and never double-applies once ignored
+    assert(sorted(mv.read) === settled)
+  }
+
   test("null measures contribute zero identically in full and incremental paths") {
     val s = spark
     import s.implicits._

@@ -92,7 +92,7 @@ class DedupStreamSpec extends SparkSpec {
     // OUTPUT append committed (tagged with its batch id) but the process
     // died before the INDEX append
     LakeTable(spark, s"$dir/out").write(b, SaveMode.Append,
-      extraParams = Map("streamBatchId" -> "0"))
+      extraParams = Map(LakeSink.TxnKeyPrefix + "graft-dedup" -> "0"))
 
     // replay of batch 0: must skip the output append, redo the index one
     DedupStream.processBatch(b, s"$dir/idx", s"$dir/out", "doc_id", "text",

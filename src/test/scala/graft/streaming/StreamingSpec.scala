@@ -208,6 +208,26 @@ class StreamingSpec extends SparkSpec {
     assert(lake.read.count() === 3)
   }
 
+  test("LakeSink: batch ids are scoped per appId — a second query is never suppressed") {
+    import spark.implicits._
+    val lakeDir = Files.createTempDirectory("graft_lake_sink_apps").resolve("t").toString
+    val lake = graft.sources.LakeTable(spark, lakeDir)
+    LakeSink.writeBatch(lake, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      batchId = 0L, appId = "app-a")
+    assert(lake.read.count() === 2)
+    // a SECOND query (fresh checkpoint, batch ids from 0) appending to the
+    // same table: an unscoped tag would match app-a's batch 0 and drop this
+    LakeSink.writeBatch(lake, Seq((3L, "c")).toDF("id", "v"),
+      batchId = 0L, appId = "app-b")
+    assert(lake.read.count() === 3, "second query's batch 0 was wrongly suppressed")
+    // replay within each lineage still skips
+    LakeSink.writeBatch(lake, Seq((3L, "c")).toDF("id", "v"),
+      batchId = 0L, appId = "app-b")
+    LakeSink.writeBatch(lake, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      batchId = 0L, appId = "app-a")
+    assert(lake.read.count() === 3, "replayed batch double-appended")
+  }
+
   test("checkpointed query restarts with no duplicates and no loss (exactly-once recovery)") {
     import spark.implicits._
     // LakeSink's doc claims exactly-once across restarts via the
