@@ -132,6 +132,16 @@ object FileStats {
     }
   }
 
+  /** Scheme-less path of a file-URI string column — the relational twin
+    * of `new Path(s).toUri.getPath` for the `scheme://authority/path`
+    * and `scheme:/path` shapes `input_file_name()` produces. Percent
+    * escapes are NOT decoded (toUri.getPath decodes them); a path whose
+    * two spellings disagree joins to nothing and its file is KEPT, so
+    * the discrepancy can only cost skipping, never correctness.
+    */
+  def schemelessFile(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
   /** Smallest string greater than every string with prefix `p`:
     * increment the last incrementable char and truncate the rest
     * (`"abc"` -> `"abd"`, `"ab￿"` -> `"ac"`). None when every char

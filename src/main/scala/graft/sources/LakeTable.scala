@@ -1330,25 +1330,50 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
   /** The file list [[readWhere]] would scan — exposed so tests and
     * probes can measure skipping directly.
+    *
+    * Two collection strategies, same result: below
+    * [[LakeTable.PruneDriverThresholdKey]] files the stats verdicts are
+    * collected into one driver map (cheapest at dashboard scale); above
+    * it the file list JOINS the stats table and only the SURVIVING
+    * paths come back to the driver — at millions of files with a
+    * selective predicate, the driver materializes thousands of rows,
+    * not millions. (The initial FS listing is still driver-side — the
+    * same log-replay ceiling Delta has — but the per-file prune verdict
+    * no longer is.) A stats row whose path fails to join (exotic
+    * URI encoding) is simply never pruned — wrong answers are
+    * impossible, only missed skipping.
     */
   def prunedFiles(cond: Column): Seq[String] = {
     val f = fs
-    def leafPath(p: Path) = p.toUri.getPath // scheme-insensitive identity
     val all = listDataFiles().map(t => (t._2, t._3))
     if (!f.exists(new Path(statsDir))) return all.map(_._2).toSeq
     FileStats.resolvedPredicate(read, cond) match {
       case None => all.map(_._2).toSeq // filter dissolved: nothing to prune on
       case Some(resolved) =>
-        val stats = spark.read.parquet(s"$statsDir/part*")
+        // the dir, not a part* glob: parquet skips _-prefixed files
+        // itself, and the glob makes FileStreamSink's metadata probe
+        // log a spurious FileNotFoundException warn per read
+        val stats = spark.read.parquet(statsDir)
         val statted = stats.columns.toSeq
           .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
-        val decided = stats
-          .withColumn("__graft_keep", FileStats.canMatch(resolved, statted))
-          .select(col(FileStats.FileCol), coalesce(col("__graft_keep"), lit(false)))
-          .collect()
-          .map(r => leafPath(new Path(r.getString(0))) -> r.getBoolean(1))
-          .toMap
-        all.collect { case (rel, full) if decided.getOrElse(rel, true) => full }.toSeq
+        // verdict per STATTED file; files with no stats row are kept by
+        // both strategies (missing map key / missing join partner)
+        val keep = stats.select(
+          FileStats.schemelessFile(col(FileStats.FileCol)).as("__graft_rel"),
+          coalesce(FileStats.canMatch(resolved, statted), lit(false)).as("__graft_keep"))
+        val threshold = spark.conf
+          .get(LakeTable.PruneDriverThresholdKey, LakeTable.PruneDriverThresholdDefault)
+          .toInt
+        if (all.size <= threshold) {
+          val decided = keep.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+          all.collect { case (rel, full) if decided.getOrElse(rel, true) => full }.toSeq
+        } else {
+          val filesDf = spark.createDataFrame(all).toDF("__graft_rel", "__graft_full")
+          filesDf.join(keep, Seq("__graft_rel"), "left")
+            .where(coalesce(col("__graft_keep"), lit(true)))
+            .select("__graft_full")
+            .collect().map(_.getString(0)).toSeq
+        }
     }
   }
 
@@ -1384,6 +1409,13 @@ object LakeTable {
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"
+
+  /** Above this many data files, [[LakeTable.prunedFiles]] switches from
+    * collecting every stats verdict to a join that returns only the
+    * surviving paths. Session conf so tests and giant tables can move it.
+    */
+  val PruneDriverThresholdKey = "spark.graft.lake.pruneDriverThreshold"
+  val PruneDriverThresholdDefault = "1000"
 
   def apply(spark: SparkSession, path: String): LakeTable =
     new LakeTable(spark, path)

@@ -65,6 +65,28 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("relational prune (above driver threshold) returns the same survivors") {
+    val li = Tables(spark, sf0001).lineitem
+    val lake = LakeTable(spark, tmp()).write(li)
+    lake.optimize(Seq("l_partkey"), numFiles = Some(8))
+    lake.collectStats(Seq("l_partkey"))
+    val cond = col("l_partkey") === 7L
+    val driverFiles = lake.prunedFiles(cond).toSet
+    assert(driverFiles.size < 8, "point predicate on the cluster key must prune")
+    val expected = lake.read.where(cond).count()
+    // threshold 0 forces the join-based path on the same table
+    spark.conf.set(LakeTable.PruneDriverThresholdKey, "0")
+    try {
+      assert(lake.prunedFiles(cond).toSet === driverFiles)
+      assert(lake.readWhere(cond).count() === expected)
+      // a file appended after collectStats has no stats row — both
+      // strategies must keep it (missing join partner = keep)
+      lake.write(li.where(col("l_partkey") === 7L).limit(5), SaveMode.Append)
+      assert(lake.readWhere(cond).count() === expected + 5)
+      assert(lake.prunedFiles(cond).size === driverFiles.size + 1)
+    } finally spark.conf.unset(LakeTable.PruneDriverThresholdKey)
+  }
+
   test("history survives an overwrite (Delta-like)") {
     val n = Tables(spark, sf0001).nation
     val lake = LakeTable(spark, tmp()).write(n)
