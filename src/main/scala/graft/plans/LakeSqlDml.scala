@@ -255,7 +255,8 @@ final case class LakeMergeCommand(
     whenMatched: Seq[MergeClause],
     insertUnmatched: Boolean,
     insertCond: Option[Column],
-    whenNotMatchedBySource: Seq[MergeClause]) extends LeafRunnableCommand {
+    whenNotMatchedBySource: Seq[MergeClause],
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     require(!graft.sources.VersionedLakeTable.isVersioned(spark, path),
       s"MERGE INTO is not supported on the versioned snapshot layout at $path — " +
@@ -263,7 +264,7 @@ final case class LakeMergeCommand(
         "delete/update/write as new versions")
     val source = spark.sql(s"SELECT * FROM $relationSql")
     LakeTable(spark, path).merge(source, keys, whenMatched, insertUnmatched, insertCond,
-      whenNotMatchedBySource = whenNotMatchedBySource)
+      whenNotMatchedBySource = whenNotMatchedBySource, schemaEvolution = schemaEvolution)
     Seq.empty
   }
 }
@@ -398,6 +399,12 @@ object LakeSqlDml {
   }
 
   private def parseMerge(p: P): Option[LogicalPlan] = {
+    // Delta's `MERGE WITH SCHEMA EVOLUTION INTO …` placement
+    val schemaEvolution = p.eat("WITH") && {
+      p.expect("SCHEMA", "after MERGE WITH")
+      p.expect("EVOLUTION", "after MERGE WITH SCHEMA")
+      true
+    }
     if (!p.eat("INTO")) return None
     val path = p.lakeTarget().getOrElse(return None)
     val tAlias = p.targetAlias(stop = Set("USING"))
@@ -467,7 +474,7 @@ object LakeSqlDml {
     p.done("MERGE")
     Some(LakeMergeCommand(path, relationSql, keys,
       matched.result(), insertUnmatched = insert.isDefined, insertCond = insert.flatten,
-      whenNotMatchedBySource = bySource.result()))
+      whenNotMatchedBySource = bySource.result(), schemaEvolution = schemaEvolution))
   }
 
   /** `lhs = expr {, lhs = expr}` up to a top-level stop keyword or EOF. */

@@ -209,6 +209,24 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** The merge target under optional schema evolution (Delta's `MERGE
+    * WITH SCHEMA EVOLUTION` / autoMerge): source-only columns join the
+    * target schema null-filled, so existing rows read NULL for them and
+    * UPDATE SET / INSERT can reference them; the staged rewrite then
+    * persists the widened schema. Column identity is case-insensitive,
+    * matching [[enforceSchema]]'s append contract. With the flag off the
+    * target is returned untouched and source-only columns stay an error.
+    */
+  private def evolveTarget(
+      cur: DataFrame, source: DataFrame, enabled: Boolean): DataFrame = {
+    if (!enabled) return cur
+    val sourceOnly = source.schema.fields.filterNot(f =>
+      cur.columns.exists(_.equalsIgnoreCase(f.name)))
+    if (sourceOnly.isEmpty) cur
+    else cur.select((cur.columns.map(col).toSeq ++
+      sourceOnly.map(f => lit(null).cast(f.dataType).as(f.name))).toIndexedSeq: _*)
+  }
+
   /** Upsert (Delta `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
     * INSERT` with whole-row semantics): rows in `updates` replace
     * current rows sharing the key; everything else is kept. One
@@ -220,8 +238,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * partitions.
     */
   def upsert(
-      updates: DataFrame, keys: Seq[String], changeFeed: Boolean = false): LakeTable = {
-    val cur = read
+      updates: DataFrame, keys: Seq[String], changeFeed: Boolean = false,
+      schemaEvolution: Boolean = false): LakeTable = {
+    val cur = evolveTarget(read, updates, schemaEvolution)
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     if (changeFeed) {
@@ -230,7 +249,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val set = cur.columns.filterNot(keys.contains)
         .map(c => c -> col("s." + c)).toMap
       return merge(updates, keys, Seq(MergeClause.UpdateWhen(set)),
-        changeFeed = true)
+        changeFeed = true, schemaEvolution = schemaEvolution)
     }
     // materialize once: the plan feeds BOTH the anti-join key side and
     // the union, and a derived updates source would otherwise run twice.
@@ -275,6 +294,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     *                     set is materialized BEFORE the table swap (it
     *                     reads the pre-merge table), costing extra scans
     *                     of the join — that is why it is opt-in.
+    * @param schemaEvolution Delta `MERGE WITH SCHEMA EVOLUTION`: source
+    *                     columns absent from the target are added to the
+    *                     table schema (existing rows null-filled) rather
+    *                     than rejected, and INSERT * null-fills target
+    *                     columns the source lacks. Explicitly opt-in —
+    *                     the default keeps schema drift an error.
     */
   def merge(
       source: DataFrame,
@@ -283,8 +308,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       insertUnmatched: Boolean = true,
       insertCond: Option[Column] = None,
       changeFeed: Boolean = false,
-      whenNotMatchedBySource: Seq[MergeClause] = Seq.empty): LakeTable = {
-    val cur = read
+      whenNotMatchedBySource: Seq[MergeClause] = Seq.empty,
+      schemaEvolution: Boolean = false): LakeTable = {
+    val cur = evolveTarget(read, source, schemaEvolution)
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     (whenMatched ++ whenNotMatchedBySource).foreach {
@@ -377,9 +403,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
       else {
         val unmatched = src.join(cur.select(keys.map(col): _*), keys, "left_anti")
         // insert condition sees the FULL source row (extras included);
-        // the row written is the target-schema projection (INSERT *)
+        // the row written is the target-schema projection (INSERT *).
+        // Under schema evolution, target columns the source lacks
+        // null-fill (Delta's documented INSERT * behavior with
+        // autoMerge); without it a missing column stays an error
+        val srcHas = src.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         Some(insertCond.map(unmatched.where).getOrElse(unmatched)
-          .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+          .select(fields.map { f =>
+            if (!schemaEvolution || srcHas(f.name.toLowerCase(java.util.Locale.ROOT)))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*))
       }
     val result = inserts.fold(keptOut)(keptOut.unionByName(_))
 

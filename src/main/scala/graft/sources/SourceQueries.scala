@@ -309,12 +309,15 @@ object SourceQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  /** A3/A6 extension (schema evolution through SQL DDL): metadata-only
-    * `ALTER TABLE … ADD COLUMNS` on a seeded lake table, then an append
-    * that populates the new column — pre-evolution rows read it as null,
-    * no data file is rewritten. The oracle rebuilds the same union
-    * relationally, so null-fill semantics and the evolved aggregate are
-    * content-checked.
+  /** A3/A6 extension (schema evolution through SQL DDL + DML):
+    * metadata-only `ALTER TABLE … ADD COLUMNS` on a seeded lake table,
+    * an append that populates the new column (pre-evolution rows read
+    * it as null, no data file is rewritten), then a `MERGE WITH SCHEMA
+    * EVOLUTION` whose source carries ANOTHER brand-new column — the
+    * Delta autoMerge ingest-upsert pattern: the merge widens the schema
+    * itself, null-filling history and absent-source columns. The oracle
+    * rebuilds the same union + case relationally, so null-fill
+    * semantics and the evolved aggregate are content-checked.
     */
   def lakeSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     val s = spark
@@ -330,9 +333,21 @@ object SourceQueries {
     spark.sql(
       s"""INSERT INTO graft_lake('$path') (n_nationkey, n_name, n_regionkey, bonus)
          |VALUES (100, 'AAA', 0, 1.5), (101, 'BBB', 1, 2.5)""".stripMargin)
+    // source-only `tier` column: WITH SCHEMA EVOLUTION adds it to the
+    // table (history null-filled); columns the source lacks (n_name,
+    // n_comment) null-fill on the INSERT * row
+    Seq((100L, 0L, 5.0, "gold"), (102L, 1L, 3.0, "silver"))
+      .toDF("n_nationkey", "n_regionkey", "bonus", "tier")
+      .createOrReplaceTempView("evo_merge_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft_lake('$path') t
+         |USING evo_merge_src s ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED THEN UPDATE SET bonus = s.bonus, tier = s.tier
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     spark.sql(
       s"""SELECT n_regionkey, count(*) AS n,
-         | round(sum(coalesce(bonus, 0)), 2) AS total_bonus
+         | round(sum(coalesce(bonus, 0)), 2) AS total_bonus,
+         | count(tier) AS n_tier
          |FROM graft_lake('$path')
          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
@@ -629,13 +644,21 @@ object SourceQueries {
         |) ORDER BY grp""".stripMargin,
     "q_lake_schema_evolution" ->
       """WITH appended AS (
-        |  SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS bonus
+        |  SELECT n_nationkey, n_regionkey, CAST(NULL AS DOUBLE) AS bonus,
+        |         CAST(NULL AS VARCHAR) AS tier
         |  FROM nation
-        |  UNION ALL SELECT 100, 'AAA', 0, 1.5
-        |  UNION ALL SELECT 101, 'BBB', 1, 2.5)
+        |  UNION ALL SELECT 100, 0, 1.5, NULL
+        |  UNION ALL SELECT 101, 1, 2.5, NULL),
+        |merged AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |         CASE WHEN n_nationkey = 100 THEN 5.0 ELSE bonus END AS bonus,
+        |         CASE WHEN n_nationkey = 100 THEN 'gold' ELSE tier END AS tier
+        |  FROM appended
+        |  UNION ALL SELECT 102, 1, 3.0, 'silver')
         |SELECT n_regionkey, count(*) AS n,
-        | round(sum(coalesce(bonus, 0)), 2) AS total_bonus
-        |FROM appended GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+        | round(sum(coalesce(bonus, 0)), 2) AS total_bonus,
+        | count(tier) AS n_tier
+        |FROM merged GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_lake_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -119,6 +119,31 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a column of the target table"), e2.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; plain MERGE rejects them") {
+    val path = tmp(); seed(path)
+    Seq((2L, "B", 200.0, 7L), (9L, "Z", 900.0, 9L))
+      .toDF("id", "name", "v", "score").createOrReplaceTempView("evo_src")
+    // without the clause, drift stays an error
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft_lake('$path') t USING evo_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET score = s.score""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown columns"), e.getMessage)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft_lake('$path') t
+         |USING evo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = LakeTable(spark, path).read
+    assert(t.schema.fieldNames.toSeq === Seq("id", "name", "v", "score"))
+    val got = t.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq === Seq(
+      (1L, "a", None), (2L, "B", Some(7L)), (3L, "c", None), (4L, "d", None),
+      (9L, "Z", Some(9L))))
+  }
+
   test("keywords inside string literals don't confuse clause detection") {
     val path = tmp(); seed(path)
     spark.sql(s"UPDATE graft_lake('$path') SET name = 'WHEN MATCHED THEN , WHERE' WHERE id = 1")

@@ -426,6 +426,36 @@ class LakeTableSpec extends SparkSpec {
     assert(byType("update_postimage") === 3L)
   }
 
+  test("merge schema evolution widens the target; default still rejects drift") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val source = Seq((2L, "B", 7L), (3L, "C", 9L)).toDF("id", "v", "score")
+    // default: SET targeting a source-only column stays an error
+    intercept[IllegalArgumentException] {
+      lake.merge(source, Seq("id"),
+        Seq(MergeClause.UpdateWhen(Map("score" -> col("s.score")))))
+    }
+    lake.merge(source, Seq("id"),
+      Seq(MergeClause.UpdateWhen(Map("v" -> col("s.v"), "score" -> col("s.score")))),
+      schemaEvolution = true)
+    val got = lake.read.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ("a", None),     // untouched row: new column null-filled
+      2L -> ("B", Some(7L)), // matched update writes the new column
+      3L -> ("C", Some(9L)))) // insert carries it
+    // the widened schema persists (stored schema followed the rewrite)
+    assert(lake.read.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    // whole-row upsert evolves the same way
+    lake.upsert(Seq((4L, "d", 1L, true)).toDF("id", "v", "score", "flag"),
+      Seq("id"), schemaEvolution = true)
+    val r4 = lake.read.where(col("id") === 4L).collect().head
+    assert(r4.getBoolean(3) === true)
+    assert(lake.read.where(col("id") === 1L).collect().head.isNullAt(3))
+  }
+
   test("CHECK constraints gate writes, appends, merges; nulls violate; history survives overwrite") {
     val s = spark
     import s.implicits._
