@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding merge learning — the tokenizer-training
@@ -126,6 +126,29 @@ object Bpe {
       .select(col("rank"), col("left"), col("right"), col("freq"))
       .orderBy(col("rank"))
   }
+
+  /** Persist learned rules as a standing lake table — the tokenizer as
+    * a standing artifact, the same discipline as [[Pq.saveCodebooks]] /
+    * [[Ivf.saveIndex]]: merges are learned ONCE (sampled) where the
+    * corpus lives, and every tokenize job afterwards loads the tiny
+    * rule table instead of re-running the per-rank corpus scans.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    graft.sources.LakeTable(spark, path)
+      .write(merges.toDF().select(col("rank"), col("left"), col("right"), col("freq"))): Unit
+  }
+
+  /** Load a standing rule table written by [[saveMerges]], rank-ordered.
+    * The collect is bounded by the rule count — a production 32k-merge
+    * vocabulary is 32k tiny rows, driver-safe by construction.
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    graft.sources.LakeTable(spark, path).read
+      .select(col("rank"), col("left"), col("right"), col("freq"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toIndexedSeq
 
   /** Tokenize text with learned rules: per word, the rank-ordered merge
     * folds compose into one (deep but bounded) projection — map-only,

@@ -232,6 +232,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** M4 standing-tokenizer shape (the BPE twin of
+    * [[qualityModelScoresStanding]]): merge rules are learned and saved
+    * ONCE per corpus as a lake artifact ([[Bpe.saveMerges]]), and the
+    * declared query is load + [[Bpe.encodeScalable]] ONLY — a map-only
+    * plan whose size is constant in the rule count, which is what every
+    * recurring 100 TB tokenize job runs. Rows-only; token identity
+    * across save/load and the Exchange-free serving plan are pinned in
+    * BpeSpec.
+    */
+  def bpeEncodeStanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_models", sf, "bpe_merges").toString
+    if (!graft.sources.LakeTable(spark, path).exists)
+      Bpe.saveMerges(spark,
+        Bpe.learnMerges(Tables(spark, sfDir).documents, "text",
+          numMerges = 40, sampleFraction = 0.5), path)
+    val rules = Bpe.loadMerges(spark, path)
+    Bpe.encodeScalable(Tables(spark, sfDir).documents, "text", rules)
+      .select(col("doc_id"), size(col("bpe_tokens")).as("n_tokens"),
+        slice(col("bpe_tokens"), 1, 8).as("head_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-data hygiene: PII scrubbing over text with planted
     * email/phone/IP payloads (the synthetic corpus has none, so each doc
     * gets a deterministic contact tail appended before redaction — both
@@ -431,6 +455,7 @@ object TextQueries {
     "q_ivfpq_topk" -> (ivfPqTopK _),
     "q_incremental_neardup" -> (incrementalNearDup _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_encode_standing" -> (bpeEncodeStanding _),
     "q_quality_model_scores" -> (qualityModelScores _),
     "q_quality_model_scores_standing" -> (qualityModelScoresStanding _),
     "q_pii_redact" -> (piiRedact _),

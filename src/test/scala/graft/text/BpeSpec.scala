@@ -96,6 +96,28 @@ class BpeSpec extends SparkSpec {
     assert(spearman >= 0.95, f"sampled merge ranks drifted: spearman=$spearman%.3f")
   }
 
+  test("standing merges: save/load round-trip, identical tokens, Exchange-free serving") {
+    val docs = Tables(spark, sf0001).documents.limit(200)
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 12)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_standing").resolve("merges").toString
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded === merges, "save/load changed the rule table")
+    val direct = Bpe.encodeScalable(docs, "text", merges)
+      .select(col("doc_id"), col("bpe_tokens"))
+    val standing = Bpe.encodeScalable(docs, "text", loaded)
+      .select(col("doc_id"), col("bpe_tokens"))
+    assert(
+      standing.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap ===
+        direct.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap,
+      "standing rules tokenize differently")
+    // the standing path is the recurring cost at scale: encode is
+    // map-only — no shuffle anywhere in the serving plan
+    val plan = standing.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"standing encode plan shuffles:\n$plan")
+  }
+
   test("encode applies rules in rank order and shrinks the token stream") {
     val corpus = Seq("banana bandana banana", "ban bananas")
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
