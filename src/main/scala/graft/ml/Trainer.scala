@@ -173,41 +173,122 @@ object Trainer {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val rnd = new scala.util.Random(seed)
     val proposals = Vector.fill(evals)(uniformDraw(rnd)) // == searchRandom's stream
+    withTrialPool(train, test, parallelism, seed) { (evalBatch, cachedTrain) =>
+      val results = evalBatch(proposals)
+      finish(results, cachedTrain, seed, runLog)
+    }
+  }
+
+  /** The adaptive [[search]] strategy at [[searchParallel]]'s
+    * throughput. The explore half's uniform draws are independent of
+    * each other, so they run as ONE concurrent wave; the exploit tail
+    * runs in GENERATIONS of `parallelism`: each generation proposes that
+    * many distinct seeded local moves around the CURRENT incumbent,
+    * evaluates them concurrently, and folds the results in proposal
+    * order before the next generation re-reads the incumbent.
+    *
+    * Determinism is the [[searchParallel]] contract: the proposal stream
+    * is a pure function of (seed, prior results), every fit is seeded,
+    * and collection is proposal-ordered per wave — thread completion
+    * order can't leak into proposals, AUCs, or the winner. The trade vs
+    * the sequential [[search]] is incumbent freshness (a generation's
+    * moves share one incumbent instead of updating after every eval)
+    * for an ~parallelism× shorter critical path — the same trade
+    * hyperopt's SparkTrials makes. PipelineSpec pins fixture quality
+    * against the sequential search.
+    */
+  def searchAdaptiveParallel(
+      train: DataFrame,
+      test: DataFrame,
+      evals: Int = 20,
+      seed: Long = 42L,
+      parallelism: Int = 4,
+      runLog: Option[RunLog] = None
+  ): SearchResult = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val rnd = new scala.util.Random(seed)
+    val exploreBudget = math.max(evals / 2, math.min(3, evals))
+    // n distinct unseen proposals (same retry-then-uniform fallback as
+    // [[search]]: duplicates only when the 192-point space is nearly out)
+    def freshBatch(n: Int, seen: Set[Params], first: () => Params): Vector[Params] = {
+      var out = Vector.empty[Params]
+      var s = seen
+      while (out.length < n) {
+        var p = first()
+        var i = 0
+        while (s.contains(p) && i < 32) { p = uniformDraw(rnd); i += 1 }
+        out :+= p
+        s += p
+      }
+      out
+    }
+    withTrialPool(train, test, parallelism, seed) { (evalBatch, cachedTrain) =>
+      val explore = freshBatch(math.min(exploreBudget, evals), Set.empty,
+        () => uniformDraw(rnd))
+      var seen = explore.toSet
+      var results = evalBatch(explore).toVector
+      while (results.length < evals) {
+        val incumbent = results.maxBy(r => (r.auc, -r.params.maxDepth)).params
+        val gen = freshBatch(math.min(parallelism, evals - results.length), seen,
+          () => mutate(rnd, incumbent))
+        seen ++= gen
+        results ++= evalBatch(gen)
+      }
+      finish(results, cachedTrain, seed, runLog)
+    }
+  }
+
+  /** Shared fan-out plumbing: cache + materialize the split ONCE (so
+    * concurrent trials don't race to compute the same cached
+    * partitions), hand the body a proposal-ordered concurrent batch
+    * evaluator running in the `graft-trials` scheduler pool, and tear
+    * everything down after.
+    */
+  private def withTrialPool(
+      train: DataFrame, test: DataFrame, parallelism: Int, seed: Long)(
+      body: (Seq[Params] => Seq[Eval], DataFrame) => SearchResult): SearchResult = {
     val cachedTrain = train.cache()
     val cachedTest = test.cache()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
-      // materialize the caches ONCE before fanning out, so concurrent
-      // trials don't race to compute the same cached partitions
       cachedTrain.count(): Unit
       cachedTest.count(): Unit
       val sc = train.sparkSession.sparkContext
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futures = proposals.map { p =>
-        scala.concurrent.Future {
-          sc.setLocalProperty("spark.scheduler.pool", "graft-trials")
-          val m = fitOne(cachedTrain, p, seed)
-          Eval(p, auc(m, cachedTest))
+      def evalBatch(ps: Seq[Params]): Seq[Eval] = {
+        val futures = ps.map { p =>
+          scala.concurrent.Future {
+            sc.setLocalProperty("spark.scheduler.pool", "graft-trials")
+            val m = fitOne(cachedTrain, p, seed)
+            Eval(p, auc(m, cachedTest))
+          }
         }
+        // collect in PROPOSAL order — completion order never leaks
+        futures.map(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       }
-      val results = futures.map(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      // log in proposal order — the run log is deterministic too
-      results.foreach { e =>
-        runLog.foreach(_.log(
-          params = Map(
-            "maxDepth" -> e.params.maxDepth.toString,
-            "maxBins" -> e.params.maxBins.toString,
-            "impurity" -> e.params.impurity),
-          metrics = Map("area_under_ROC" -> e.auc)))
-      }
-      val best = results.maxBy(r => (r.auc, -r.params.maxDepth))
-      SearchResult(best, results, fitOne(cachedTrain, best.params, seed))
+      body(evalBatch, cachedTrain)
     } finally {
       pool.shutdown()
       cachedTrain.unpersist()
       cachedTest.unpersist(): Unit
     }
+  }
+
+  /** Proposal-ordered run-log writes, argmax, and the winning refit. */
+  private def finish(
+      results: Seq[Eval], cachedTrain: DataFrame, seed: Long,
+      runLog: Option[RunLog]): SearchResult = {
+    results.foreach { e =>
+      runLog.foreach(_.log(
+        params = Map(
+          "maxDepth" -> e.params.maxDepth.toString,
+          "maxBins" -> e.params.maxBins.toString,
+          "impurity" -> e.params.impurity),
+        metrics = Map("area_under_ROC" -> e.auc)))
+    }
+    val best = results.maxBy(r => (r.auc, -r.params.maxDepth))
+    SearchResult(best, results.toVector, fitOne(cachedTrain, best.params, seed))
   }
 }

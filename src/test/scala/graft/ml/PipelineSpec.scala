@@ -152,6 +152,37 @@ class PipelineSpec extends SparkSpec {
       s"no local move found in exploit tail: $late")
   }
 
+  test("parallel adaptive search: generations exploit, quality matches sequential, deterministic") {
+    val pe = etl.patientEncounters
+    val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)
+    val fz = Featurizer.assemble(feats, Seq("GENDER"), Seq("recent_encounters", "age"))
+    val Array(tr, te) = fz.data.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val seq = Trainer.search(tr, te, evals = 8, seed = 11L)
+    val par = Trainer.searchAdaptiveParallel(tr, te, evals = 8, seed = 11L,
+      parallelism = 4)
+    assert(par.evals.length === 8)
+    // batching the exploit generations must not cost quality on the
+    // seeded fixture
+    assert(par.best.auc >= seq.best.auc,
+      s"parallel adaptive ${par.best.auc} < sequential ${seq.best.auc}")
+    // the exploit generations actually concentrate: a late eval is a
+    // local move (exactly one dimension changed) from an earlier point
+    def near(a: Trainer.Params, b: Trainer.Params): Boolean =
+      Seq(a.maxDepth != b.maxDepth, a.maxBins != b.maxBins,
+        a.impurity != b.impurity).count(identity) == 1
+    val late = par.evals.drop(4).map(_.params)
+    val early = par.evals.map(_.params)
+    assert(late.exists(l => early.exists(e => near(l, e))),
+      s"no local move found in exploit generations: $late")
+    // deterministic across runs despite thread scheduling (same
+    // parallelism: the generation size shapes the proposal stream, so
+    // only equal-parallelism runs are bit-identical)
+    val again = Trainer.searchAdaptiveParallel(tr, te, evals = 8, seed = 11L,
+      parallelism = 4)
+    assert(again.evals.map(_.params) === par.evals.map(_.params))
+    assert(again.best.auc === par.best.auc)
+  }
+
   test("parallel trials reproduce the sequential search exactly, faster") {
     val pe = etl.patientEncounters
     val feats = Featurizer.encounterFeatures(pe, Seq("diabetes"), 90)
