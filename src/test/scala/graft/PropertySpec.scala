@@ -161,6 +161,73 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("fuzzed SQL DELETE/UPDATE routes equal the API calls (tokenizer equivalence)") {
+    import org.apache.spark.sql.functions.expr
+    // atoms carry the tokenizer's hazards: clause keywords inside string
+    // literals, escaped quotes, IN-lists, CASE…END spans
+    val strLit = Gen.oneOf(
+      "'a'", "'x WHEN y THEN z'", "'DELETE FROM t WHERE'", "'it''s'",
+      "'SET v = 1, w = 2'")
+    val atom = Gen.oneOf(
+      Gen.const("v > 15.0"), Gen.const("id <= 2"),
+      strLit.map(s => s"name = $s"),
+      strLit.map(s => s"name LIKE $s"),
+      Gen.const("id IN (1, 3)"),
+      Gen.const("CASE WHEN v >= 20.0 THEN id > 1 ELSE id < 99 END"))
+    def pred(depth: Int): Gen[String] =
+      if (depth <= 0) atom
+      else Gen.frequency(
+        3 -> atom,
+        2 -> Gen.zip(pred(depth - 1), pred(depth - 1)).map { case (a, b) => s"($a AND $b)" },
+        2 -> Gen.zip(pred(depth - 1), pred(depth - 1)).map { case (a, b) => s"($a OR $b)" },
+        1 -> pred(depth - 1).map(p => s"NOT ($p)"))
+    val base = java.nio.file.Files.createTempDirectory("graft_dmlfuzz")
+    def seed(path: String) = graft.sources.LakeTable(spark, path).write(Seq(
+      (1L, "a", 10.0), (2L, "x WHEN y THEN z", 20.0), (3L, "it's", 30.0),
+      (4L, "DELETE FROM t WHERE", 40.0)).toDF("id", "name", "v"))
+    def rows(path: String) = graft.sources.LakeTable(spark, path).read
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val setSql = "v = CASE WHEN id > 2 THEN v * 2 ELSE v END, name = concat(name, ' WHEN')"
+    val setApi = Map(
+      "v" -> expr("CASE WHEN id > 2 THEN v * 2 ELSE v END"),
+      "name" -> expr("concat(name, ' WHEN')"))
+    samples(Gen.zip(pred(2), Gen.oneOf(true, false)), 6)
+      .zipWithIndex.foreach { case ((p, alias), i) =>
+        val sqlPath = s"$base/sql$i"; val apiPath = s"$base/api$i"
+        seed(sqlPath); seed(apiPath)
+        val aliasSql = if (alias) " AS u" else ""
+        spark.sql(s"DELETE FROM graft_lake('$sqlPath')$aliasSql WHERE $p")
+        graft.sources.LakeTable(spark, apiPath).delete(expr(p))
+        assert(rows(sqlPath) === rows(apiPath), s"DELETE diverged for: $p")
+        spark.sql(s"UPDATE graft_lake('$sqlPath')$aliasSql SET $setSql WHERE $p")
+        graft.sources.LakeTable(spark, apiPath).update(setApi, expr(p))
+        assert(rows(sqlPath) === rows(apiPath), s"UPDATE diverged for: $p")
+      }
+  }
+
+  test("fuzzed statements with non-lake targets always fall through to Spark's parser") {
+    val name = Gen.oneOf("plain_tbl", "db9.t", "a.b.c9", "`quoted id`.t")
+    val stmts = name.flatMap(n => Gen.oneOf(
+      s"DELETE FROM $n WHERE x > 1",
+      s"UPDATE $n SET a = 1 WHERE b = 2",
+      s"MERGE INTO $n t USING src s ON t.id = s.id WHEN MATCHED THEN DELETE",
+      s"MERGE WITH SCHEMA EVOLUTION INTO $n t USING src s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE",
+      s"INSERT INTO $n VALUES (1)",
+      s"INSERT OVERWRITE $n SELECT 1",
+      s"OPTIMIZE $n",
+      s"VACUUM $n RETAIN 3 VERSIONS",
+      s"RESTORE $n TO VERSION AS OF 1",
+      s"ALTER TABLE $n ADD COLUMNS (x INT)",
+      // a garbled tail must not matter: the target decides routing first
+      s"DELETE FROM $n WHERE ??? garbled ((("))
+    val delegate = spark.sessionState.sqlParser
+    samples(stmts, 40).foreach { s =>
+      assert(graft.plans.LakeSqlDml.parse(s, delegate).isEmpty,
+        s"statement hijacked from Spark's parser: $s")
+    }
+  }
+
   test("reproducible corpus shuffle is the md5 permutation, row-pure and engine-checkable") {
     val docs = graft.core.Tables(spark, sf0001).documents
     val got = graft.text.CorpusOps.corpusShuffle(spark, sf0001)
