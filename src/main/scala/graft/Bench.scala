@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
   *     Spark skip computing projected columns for some plans;
   *   - one small warm-up action first so JVM/classloader/codegen-compiler
   *     startup is not billed to the first query;
-  *   - per-query wall seconds + total.
+  *   - TWO passes, alphabetical then reverse-alphabetical, and the
+  *     published per-query number is the MIN of the two. This makes
+  *     host-regime drift self-diagnosing: a query that degrades late in
+  *     a long run (GC/JIT/host regime — the r6/r7 false-alarm pattern)
+  *     is slow in one pass's tail but fast in the other's head, so the
+  *     min stays honest and only a REAL regression — slow in both
+  *     orders — moves the headline number. Both raw passes ride along
+  *     as queries_fwd/queries_rev for adjudication.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,24 +58,30 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains))
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // failures are marked -1 in the JSON (not a plausible timing), so a
-      // partially-failed run is distinguishable from an all-pass run even
-      // though stderr is typically dropped by the grep pipeline
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      order.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // failures are marked -1 in the JSON (not a plausible timing), so a
+        // partially-failed run is distinguishable from an all-pass run even
+        // though stderr is typically dropped by the grep pipeline
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val fwd = runPass(selected)
+    val rev = runPass(selected.reverse).reverse // emit in name order
+    // min of the passes; a failure (-1) in either pass dominates
+    val results = fwd.zip(rev).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(results)},""" +
+        f""""queries_fwd":${js(fwd)},"queries_rev":${js(rev)},"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the line: the driver's stdout tail-capture has twice
     // clipped the JSON before the "total" field (BENCH_r02/r04 both
