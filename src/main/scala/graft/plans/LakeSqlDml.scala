@@ -30,7 +30,13 @@ import graft.sources.{LakeTable, MergeClause}
   * OPTIMIZE graft_lake('/p') ZORDER BY (id, day)
   * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
+  * CREATE TABLE db.t USING graft_lake LOCATION '/p'   -- register a NAME
   * }}}
+  *
+  * Every statement's target may also be a NAME registered by `CREATE
+  * TABLE … USING graft_lake` / [[graft.sources.LakeNames.register]]
+  * (`DELETE FROM db.t WHERE …`); MERGE takes Delta's `WITH SCHEMA
+  * EVOLUTION` modifier.
   *
   * Injected via `SparkSessionExtensions.injectParser`: statements whose
   * target is the `graft_lake('<path>')` table function are translated to
@@ -131,6 +137,35 @@ object LakeMaintenanceCommand {
   sealed trait Op
   final case class Optimize(zorderBy: Seq[String]) extends Op
   final case class Vacuum(retainVersions: Option[Int]) extends Op
+}
+
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t USING graft_lake
+  * LOCATION '<path>'` — the reference's named-table registration idiom
+  * (`CREATE TABLE rwd_hls.patient_encounters … LOCATION`,
+  * /root/reference/00-etl-rwd.py:158-200) routed to
+  * [[graft.sources.LakeNames.register]]. The location must already hold
+  * a lake table (the registration view analyzes it); a single-part name
+  * registers into the current database.
+  */
+final case class LakeCreateNamedCommand(
+    nameParts: Seq[String], path: String,
+    orReplace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, table) = nameParts match {
+      case Seq(t)    => (spark.catalog.currentDatabase, t)
+      case Seq(d, t) => (d, t)
+      case _ => throw new IllegalArgumentException(
+        "CREATE TABLE … USING graft_lake expects `table` or `db.table`, got " +
+          nameParts.mkString("."))
+    }
+    val exists = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+    if (exists && ifNotExists) return Seq.empty
+    require(orReplace || !exists,
+      s"table $db.$table already exists (use OR REPLACE or IF NOT EXISTS)")
+    graft.sources.LakeNames.register(spark, db, table, path)
+    Seq.empty
+  }
 }
 
 /** `RESTORE graft_lake(path) TO VERSION AS OF <v>` /
@@ -286,8 +321,42 @@ object LakeSqlDml {
       case "INSERT"  => p.advance(); parseInsert(p)
       case "OPTIMIZE" => p.advance(); parseOptimize(p)
       case "VACUUM"  => p.advance(); parseVacuum(p)
+      case "CREATE"  => p.advance(); parseCreate(p)
       case _         => None
     }
+  }
+
+  /** Routing is decided by the PROVIDER: only `USING graft_lake` is ours,
+    * so every step before that keyword must soft-fail back to Spark's
+    * parser (views, databases, column-list CREATEs, other providers all
+    * delegate with their native behavior and errors intact).
+    */
+  private def parseCreate(p: P): Option[LogicalPlan] = {
+    val orReplace = p.eat("OR")
+    if (orReplace && !p.eat("REPLACE")) return None
+    if (!p.eat("TABLE")) return None
+    var ifNotExists = false
+    if (p.eat("IF")) {
+      if (!p.eat("NOT") || !p.eat("EXISTS")) return None
+      ifNotExists = true
+    }
+    if (!p.more || p.peek.kind != Word) return None
+    def bare(s: String) = s.stripPrefix("`").stripSuffix("`")
+    val name = Seq.newBuilder[String]
+    name += bare(p.peek.text); p.advance()
+    while (p.eatPunct(".")) {
+      if (!p.more || p.peek.kind != Word) return None
+      name += bare(p.peek.text); p.advance()
+    }
+    if (!p.eat("USING")) return None
+    if (!p.more || p.peek.kind != Word ||
+      !p.peek.text.equalsIgnoreCase("graft_lake")) return None
+    p.advance()
+    // from here the statement is ours — errors are OUR errors
+    p.expect("LOCATION", "in CREATE TABLE … USING graft_lake")
+    val path = p.stringLiteral("LOCATION path")
+    p.done("CREATE TABLE")
+    Some(LakeCreateNamedCommand(name.result(), path, orReplace, ifNotExists))
   }
 
   private def parseOptimize(p: P): Option[LogicalPlan] = {

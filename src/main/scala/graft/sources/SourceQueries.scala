@@ -422,7 +422,11 @@ object SourceQueries {
     val db = "graft_named_" + Paths.get(sfDir).getFileName.toString.replace(".", "_")
     val path = scratch(sfDir, "orders_named")
     LakeTable(spark, path).write(t.orders)
-    LakeNames.register(spark, db, "orders_lake", path)
+    // registration through the SQL surface — the reference's own
+    // `CREATE TABLE … LOCATION` ETL idiom (00-etl-rwd.py:158-200)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(
+      s"CREATE OR REPLACE TABLE `$db`.orders_lake USING graft_lake LOCATION '$path'")
     t.orders.createOrReplaceTempView("named_orders_src")
     spark.sql(
       s"DELETE FROM `$db`.orders_lake " +

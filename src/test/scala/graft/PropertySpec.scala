@@ -219,6 +219,9 @@ class PropertySpec extends SparkSpec {
       s"VACUUM $n RETAIN 3 VERSIONS",
       s"RESTORE $n TO VERSION AS OF 1",
       s"ALTER TABLE $n ADD COLUMNS (x INT)",
+      s"CREATE TABLE $n (x INT) USING parquet",
+      s"CREATE OR REPLACE TABLE $n USING parquet LOCATION '/tmp/x'",
+      s"CREATE TABLE IF NOT EXISTS $n USING iceberg LOCATION '/tmp/x'",
       // a garbled tail must not matter: the target decides routing first
       s"DELETE FROM $n WHERE ??? garbled ((("))
     val delegate = spark.sessionState.sqlParser

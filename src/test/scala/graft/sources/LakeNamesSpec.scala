@@ -94,6 +94,42 @@ class LakeNamesSpec extends SparkSpec {
     assert(e2.getMessage.contains("no_such_table"))
   }
 
+  test("CREATE TABLE … USING graft_lake LOCATION registers the name in SQL") {
+    val path = tmp(); seed(path)
+    spark.sql("CREATE DATABASE IF NOT EXISTS named_db")
+    spark.sql(s"CREATE TABLE named_db.ct1 USING graft_lake LOCATION '$path'")
+    assert(spark.sql("SELECT * FROM named_db.ct1").count() === 4)
+    spark.sql("DELETE FROM named_db.ct1 WHERE id = 4")
+    assert(spark.sql("SELECT * FROM named_db.ct1").count() === 3)
+    // duplicate without a flag errors; IF NOT EXISTS is a no-op
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE named_db.ct1 USING graft_lake LOCATION '$path'")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    val p2 = tmp()
+    LakeTable(spark, p2).write(Seq((100L, "z", 1.0)).toDF("id", "name", "v"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS named_db.ct1 USING graft_lake LOCATION '$p2'")
+    assert(spark.sql("SELECT * FROM named_db.ct1").count() === 3) // still path 1
+    // OR REPLACE repoints
+    spark.sql(s"CREATE OR REPLACE TABLE named_db.ct1 USING graft_lake LOCATION '$p2'")
+    assert(spark.sql("SELECT * FROM named_db.ct1").count() === 1)
+    assert(LakeNames.resolve(spark, Seq("named_db", "ct1")) === Some(p2))
+  }
+
+  test("CREATE statements with other providers or shapes fall through to Spark") {
+    // a column-list parquet CREATE stays native (would fail loudly if the
+    // injected parser hijacked it)
+    spark.sql("CREATE DATABASE IF NOT EXISTS named_db")
+    spark.sql("DROP TABLE IF EXISTS named_db.native_ct")
+    spark.sql("CREATE TABLE named_db.native_ct (x INT) USING parquet")
+    spark.sql("INSERT INTO named_db.native_ct VALUES (7)")
+    assert(spark.table("named_db.native_ct").count() === 1)
+    spark.sql("DROP TABLE named_db.native_ct")
+    // views and temp views stay native too
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW native_tv AS SELECT 1 AS one")
+    assert(spark.table("native_tv").count() === 1)
+  }
+
   test("re-register repoints the name; unregister drops it") {
     val p1 = tmp(); seed(p1)
     val p2 = tmp()
