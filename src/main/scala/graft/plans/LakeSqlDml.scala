@@ -322,8 +322,31 @@ object LakeSqlDml {
       case "OPTIMIZE" => p.advance(); parseOptimize(p)
       case "VACUUM"  => p.advance(); parseVacuum(p)
       case "CREATE"  => p.advance(); parseCreate(p)
+      case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
       case _         => None
     }
+  }
+
+  /** Delta's `DESCRIBE HISTORY t [LIMIT n]` / `DESCRIBE DETAIL t`
+    * statement spellings — sugar over the graft_history / graft_detail
+    * TVFs (same output schema; history latest-first like Delta).
+    * Targets may be paths or registered names; every other DESCRIBE
+    * (tables, functions, queries) falls through to Spark.
+    */
+  private def parseDescribe(p: P, delegate: ParserInterface): Option[LogicalPlan] = {
+    val fn =
+      if (p.eat("HISTORY")) "graft_history"
+      else if (p.eat("DETAIL")) "graft_detail"
+      else return None
+    val path = p.lakeTarget().getOrElse(return None)
+    val limit =
+      if (fn == "graft_history" && p.eat("LIMIT")) Some(p.intLiteral("LIMIT row count"))
+      else None
+    p.done("DESCRIBE")
+    val quoted = path.replace("\\", "\\\\").replace("'", "\\'")
+    val order = if (fn == "graft_history") " ORDER BY version DESC" else ""
+    Some(delegate.parsePlan(
+      s"SELECT * FROM $fn('$quoted')$order" + limit.fold("")(n => s" LIMIT $n")))
   }
 
   /** Routing is decided by the PROVIDER: only `USING graft_lake` is ours,

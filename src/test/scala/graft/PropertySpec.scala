@@ -222,6 +222,9 @@ class PropertySpec extends SparkSpec {
       s"CREATE TABLE $n (x INT) USING parquet",
       s"CREATE OR REPLACE TABLE $n USING parquet LOCATION '/tmp/x'",
       s"CREATE TABLE IF NOT EXISTS $n USING iceberg LOCATION '/tmp/x'",
+      s"DESCRIBE $n",
+      s"DESCRIBE HISTORY $n",
+      s"DESCRIBE DETAIL $n",
       // a garbled tail must not matter: the target decides routing first
       s"DELETE FROM $n WHERE ??? garbled ((("))
     val delegate = spark.sessionState.sqlParser

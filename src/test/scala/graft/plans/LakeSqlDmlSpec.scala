@@ -144,6 +144,24 @@ class LakeSqlDmlSpec extends SparkSpec {
       (9L, "Z", Some(9L))))
   }
 
+  test("DESCRIBE HISTORY / DETAIL statements are TVF sugar; plain DESCRIBE stays native") {
+    val path = tmp(); seed(path)
+    spark.sql(s"DELETE FROM graft_lake('$path') WHERE id = 4")
+    val h = spark.sql(s"DESCRIBE HISTORY graft_lake('$path')")
+    val ops = h.select("operation").collect().map(_.getString(0))
+    assert(ops.length === 2)
+    assert(ops.head === "DELETE", s"history must be latest-first: ${ops.toSeq}")
+    assert(spark.sql(s"DESCRIBE HISTORY graft_lake('$path') LIMIT 1").count() === 1)
+    val d = spark.sql(s"DESCRIBE DETAIL graft_lake('$path')")
+    assert(d.count() === 1)
+    // a registered name works as the target too
+    graft.sources.LakeNames.register(spark, "named_db", "dh1", path)
+    assert(spark.sql("DESCRIBE HISTORY named_db.dh1").count() === 2)
+    // plain DESCRIBE of a non-lake relation keeps native behavior
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("desc_tv")
+    assert(spark.sql("DESCRIBE desc_tv").count() === 2)
+  }
+
   test("keywords inside string literals don't confuse clause detection") {
     val path = tmp(); seed(path)
     spark.sql(s"UPDATE graft_lake('$path') SET name = 'WHEN MATCHED THEN , WHERE' WHERE id = 1")
