@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.{Column, GraftBridge, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
@@ -149,7 +149,9 @@ object LakeMaintenanceCommand {
   */
 final case class LakeCreateNamedCommand(
     nameParts: Seq[String], path: String,
-    orReplace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+    orReplace: Boolean, ifNotExists: Boolean,
+    ctasSql: Option[String] = None,
+    partitionBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (db, table) = nameParts match {
       case Seq(t)    => (spark.catalog.currentDatabase, t)
@@ -163,6 +165,18 @@ final case class LakeCreateNamedCommand(
     if (exists && ifNotExists) return Seq.empty
     require(orReplace || !exists,
       s"table $db.$table already exists (use OR REPLACE or IF NOT EXISTS)")
+    ctasSql.foreach { q =>
+      val lake = LakeTable(spark, path)
+      // Delta refuses CTAS into a location that already holds a table
+      // unless the statement says REPLACE — same contract here.
+      require(orReplace || !lake.exists,
+        s"location $path already holds data (use CREATE OR REPLACE to rewrite it)")
+      val df = spark.sql(q)
+      if (partitionBy.nonEmpty)
+        lake.writePartitioned(df, partitionBy, SaveMode.Overwrite,
+          overwriteSchema = true)
+      else lake.write(df, SaveMode.Overwrite, overwriteSchema = true)
+    }
     graft.sources.LakeNames.register(spark, db, table, path)
     Seq.empty
   }
@@ -376,10 +390,22 @@ object LakeSqlDml {
       !p.peek.text.equalsIgnoreCase("graft_lake")) return None
     p.advance()
     // from here the statement is ours — errors are OUR errors
+    val partitionBy =
+      if (p.eat("PARTITIONED")) {
+        p.expect("BY", "after PARTITIONED")
+        p.parenGroup("PARTITIONED BY column list")
+          .split(',').toSeq.map(c => stripTicks(c.trim))
+      } else Seq.empty
     p.expect("LOCATION", "in CREATE TABLE … USING graft_lake")
     val path = p.stringLiteral("LOCATION path")
-    p.done("CREATE TABLE")
-    Some(LakeCreateNamedCommand(name.result(), path, orReplace, ifNotExists))
+    val ctas =
+      if (p.eat("AS")) Some(p.sliceToEnd("CTAS query"))
+      else { p.done("CREATE TABLE"); None }
+    if (ctas.isEmpty && partitionBy.nonEmpty)
+      p.fail("PARTITIONED BY needs AS <query>: registering an existing lake " +
+        "table reads its on-disk layout as-is")
+    Some(LakeCreateNamedCommand(name.result(), path, orReplace, ifNotExists,
+      ctas, partitionBy))
   }
 
   private def parseOptimize(p: P): Option[LogicalPlan] = {

@@ -116,6 +116,46 @@ class LakeNamesSpec extends SparkSpec {
     assert(LakeNames.resolve(spark, Seq("named_db", "ct1")) === Some(p2))
   }
 
+  test("CTAS: CREATE TABLE … USING graft_lake LOCATION … AS SELECT writes and registers") {
+    val path = tmp(); seed(path)
+    LakeNames.register(spark, "named_db", "ctas_src", path)
+    val dest = tmp()
+    spark.sql(
+      s"""CREATE TABLE named_db.ctas1 USING graft_lake LOCATION '$dest'
+         |AS SELECT id, v * 2 AS v2 FROM named_db.ctas_src WHERE id <= 3""".stripMargin)
+    val got = spark.sql("SELECT * FROM named_db.ctas1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1L, 20.0), (2L, 40.0), (3L, 60.0)))
+    // the new table is a full lake table: DML and history work on it
+    spark.sql("DELETE FROM named_db.ctas1 WHERE id = 3")
+    assert(spark.sql("SELECT * FROM named_db.ctas1").count() === 2)
+    assert(LakeTable(spark, dest).history.count() >= 2)
+    // plain CREATE refuses a location that already holds a table
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE named_db.ctas2 USING graft_lake LOCATION '$dest'
+           |AS SELECT 1 AS one""".stripMargin)
+    }
+    assert(e.getMessage.contains("already holds data"), e.getMessage)
+    // OR REPLACE rewrites data AND schema
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE named_db.ctas1 USING graft_lake LOCATION '$dest'
+         |AS SELECT 'x' AS tag""".stripMargin)
+    assert(spark.sql("SELECT tag FROM named_db.ctas1").collect().map(_.getString(0)).toSeq
+      === Seq("x"))
+    // PARTITIONED BY lays out partition dirs and stays readable by name
+    val pdest = tmp()
+    spark.sql(
+      s"""CREATE TABLE named_db.ctas_part USING graft_lake PARTITIONED BY (name)
+         |LOCATION '$pdest' AS SELECT * FROM named_db.ctas_src""".stripMargin)
+    assert(spark.sql("SELECT * FROM named_db.ctas_part").count() === 4)
+    assert(new java.io.File(pdest).list().exists(_.startsWith("name=")))
+    // a partition-pruning filter by name reaches the scan
+    val plan = spark.sql("SELECT id FROM named_db.ctas_part WHERE name = 'a'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("name="), plan)
+  }
+
   test("CREATE statements with other providers or shapes fall through to Spark") {
     // a column-list parquet CREATE stays native (would fail loudly if the
     // injected parser hijacked it)
