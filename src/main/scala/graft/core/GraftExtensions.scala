@@ -114,6 +114,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
 
+    // TIMESTAMP AS OF arguments: a strict ISO-8601 instant string keeps
+    // its historical exact semantics; anything else (date-only or
+    // session-local timestamp strings, TIMESTAMP/DATE-typed expressions
+    // like current_date() - INTERVAL 1 DAY) resolves through Spark's own
+    // cast in the session time zone — Delta's contract.
+    def literalInstant(fn: String, arg: Expression): java.time.Instant = {
+      def fail(): Nothing = throw new AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr"   -> s""""$fn"""",
+          "inputName" -> "`timestamp`",
+          "inputType" -> "\"TIMESTAMP\"",
+          "inputExpr" -> s""""${scala.util.Try(arg.sql).getOrElse(arg.toString)}""""))
+      if (!arg.foldable) fail()
+      def viaCast(e: Expression): java.time.Instant = {
+        val tz = org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.sessionLocalTimeZone
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.TimestampType, Some(tz)).eval() match {
+          case null => fail()
+          case micros: java.lang.Long =>
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+          case _ => fail()
+        }
+      }
+      arg.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val s = literalString(fn, "timestamp", arg)
+          try java.time.Instant.parse(s)
+          catch { case _: java.time.format.DateTimeParseException => viaCast(arg) }
+        case _ => viaCast(arg)
+      }
+    }
+
     // every lake TVF accepts a PATH or a REGISTERED NAME ('db.t' via
     // graft.sources.LakeNames) in its first argument — names keep the SQL
     // surface consistent with the reference's named-table idiom
@@ -159,9 +194,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               graft.sources.VersionedLakeTable(spark, path).read
             else graft.sources.LakeTable(spark, path).read
           } else es(1).dataType match {
-            case org.apache.spark.sql.types.StringType =>
+            case org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType |
+                 org.apache.spark.sql.types.DateType =>
               graft.sources.VersionedLakeTable(spark, path)
-                .readAsOf(literalString("graft_lake", "timestamp", es(1)))
+                .readAsOf(literalInstant("graft_lake", es(1)))
             case _ =>
               graft.sources.VersionedLakeTable(spark, path)
                 .readVersion(literalInt("graft_lake", "version", es(1)).toLong)

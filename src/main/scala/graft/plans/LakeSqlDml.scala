@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftBridge, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -54,7 +54,8 @@ import graft.sources.{LakeTable, MergeClause}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    LakeSqlDml.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+    LakeSqlDml.parse(sqlText, delegate)
+      .getOrElse(LakeTimeTravel.rewrite(delegate.parsePlan(sqlText), sqlText))
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
@@ -62,11 +63,54 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseFunctionIdentifier(sqlText)
   override def parseMultipartIdentifier(sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    LakeTimeTravel.rewrite(delegate.parseQuery(sqlText), sqlText)
   override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
   override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
     delegate.parseDataType(sqlText)
   override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+}
+
+/** Delta's native time-travel spelling on registered lake names:
+  * `SELECT … FROM db.t VERSION AS OF 3` / `TIMESTAMP AS OF <expr>`.
+  *
+  * Spark parses the suffix into [[RelationTimeTravel]], but its analyzer
+  * rejects time travel on v1 session-catalog relations (our names are
+  * views) BEFORE injected resolution rules run — so the rewrite happens
+  * at parse time instead: a time-traveled relation whose name resolves
+  * via [[graft.sources.LakeNames]] becomes the `graft_lake(path, arg)`
+  * TVF, which already implements both travel forms. Unregistered names
+  * keep Spark's native behavior (and native errors) untouched.
+  */
+object LakeTimeTravel {
+  private val AsOf = java.util.regex.Pattern.compile(
+    "\\bAS\\s+OF\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def rewrite(plan: LogicalPlan, sqlText: String): LogicalPlan = {
+    if (!AsOf.matcher(sqlText).find()) return plan // fast path: no travel syntax
+    plan.transformUpWithSubqueries {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => graft.sources.LakeNames.resolve(s, u.multipartIdentifier)) match {
+          case Some(path) =>
+            val arg: Expression = (ver, ts) match {
+              case (Some(v), _) =>
+                val n = try v.toLong catch {
+                  case _: NumberFormatException => throw new IllegalArgumentException(
+                    s"VERSION AS OF on lake table ${u.multipartIdentifier.mkString(".")} " +
+                      s"needs an integer version, got `$v`")
+                }
+                org.apache.spark.sql.catalyst.expressions.Literal(n)
+              case (None, Some(e)) => e
+              case (None, None)    => return plan // grammar guarantees one; be safe
+            }
+            UnresolvedTableValuedFunction(
+              "graft_lake",
+              Seq(org.apache.spark.sql.catalyst.expressions.Literal(path), arg))
+          case None => tt
+        }
+    }
+  }
 }
 
 /** `DELETE FROM graft_lake(path) [alias] [WHERE cond]` — routed by

@@ -470,6 +470,42 @@ object SourceQueries {
          |) ORDER BY grp""".stripMargin)
   }
 
+  /** A8 as a HASH-CHECKED query (time travel was previously pinned only by
+    * specs): three versions of orders (seed, delete, update) read back
+    * through Delta's native SQL spellings on a registered name —
+    * `VERSION AS OF 0/1` and `TIMESTAMP AS OF current_timestamp()` — and
+    * aggregated per snapshot. The oracle recomputes each snapshot's state
+    * from the raw table, so version isolation (v0 must not see the
+    * delete, v1 must not see the update) is what the hash certifies.
+    *
+    * Re-runs append a fresh 3-version cycle; `VERSION AS OF 0/1` pin the
+    * first cycle and the latest-read equals every cycle's final state, so
+    * the result is run-count invariant.
+    */
+  def lakeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val db = "graft_named_" + Paths.get(sfDir).getFileName.toString.replace(".", "_")
+    val vpath = scratch(sfDir, "orders_tt")
+    val vt = VersionedLakeTable(spark, vpath)
+    vt.write(t.orders)
+    vt.delete(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+    vt.update(
+      Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderpriority").like("1-%"))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    LakeNames.register(spark, db, "orders_tt", vpath)
+    def snap(tag: String, travel: String) =
+      s"""SELECT '$tag' AS snap, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM `$db`.orders_tt $travel""".stripMargin
+    spark.sql(
+      s"""SELECT snap, n, total FROM (
+         |  ${snap("v0", "VERSION AS OF 0")}
+         |  UNION ALL ${snap("v1", "VERSION AS OF 1")}
+         |  UNION ALL ${snap("cur", "TIMESTAMP AS OF current_timestamp()")}
+         |) ORDER BY snap""".stripMargin)
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -492,6 +528,7 @@ object SourceQueries {
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
     "q_lake_named_dml" -> (lakeNamedDml _),
+    "q_lake_time_travel" -> (lakeTimeTravel _),
     "q_lake_schema_evolution" -> (lakeSchemaEvolution _),
     "q_lake_skipping" -> (lakeSkipping _),
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
@@ -558,6 +595,22 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_time_travel" ->
+      """WITH v0 AS (SELECT o_totalprice AS p FROM orders),
+        |v1 AS (SELECT o_totalprice AS p FROM orders
+        |       WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
+        |cur AS (SELECT CASE WHEN o_orderpriority LIKE '1-%'
+        |                    THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |        FROM orders
+        |        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000))
+        |SELECT snap, n, total FROM (
+        |  SELECT 'v0' AS snap, count(*) AS n,
+        |         CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total FROM v0
+        |  UNION ALL
+        |  SELECT 'v1', count(*), CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM v1
+        |  UNION ALL
+        |  SELECT 'cur', count(*), CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM cur
+        |) ORDER BY snap""".stripMargin,
     "q_lake_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -156,6 +156,52 @@ class LakeNamesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("name="), plan)
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF on a registered name (Delta's native spelling)") {
+    val path = tmp()
+    val lake = VersionedLakeTable(spark, path)
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    lake.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    LakeNames.register(spark, "named_db", "tt1", path)
+    assert(spark.sql("SELECT * FROM named_db.tt1").count() === 3)
+    assert(spark.sql("SELECT * FROM named_db.tt1 VERSION AS OF 0").count() === 2)
+    // alias + projection + filter still compose around the travel clause
+    val got = spark.sql(
+      "SELECT t.name FROM named_db.tt1 VERSION AS OF 1 t WHERE t.id = 3")
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("c"))
+    // TIMESTAMP AS OF: a timestamp after the first commit but before the
+    // second reads version 0 (history stamps are strict ISO instants)
+    val stamps = lake.history
+      .where(col("operationParameters.dataVersion").isNotNull)
+      .select("timestamp").collect().map(r => java.time.Instant.parse(r.getString(0)))
+      .sorted
+    val between = stamps.head.plusMillis(
+      math.max(1, java.time.Duration.between(stamps.head, stamps.last).toMillis / 2))
+    assert(spark.sql(
+      s"SELECT * FROM named_db.tt1 TIMESTAMP AS OF '$between'").count() === 2)
+    // a non-string timestamp expression resolves through the session cast
+    assert(spark.sql(
+      "SELECT * FROM named_db.tt1 TIMESTAMP AS OF current_timestamp()").count() === 3)
+    // subquery position works too
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM named_db.tt1 VERSION AS OF 0)")
+      .collect().head.getLong(0) === 2)
+    // unregistered relations keep Spark's native time-travel error
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("tt_native")
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM tt_native VERSION AS OF 0").collect()
+    }
+  }
+
+  test("q_lake_time_travel is run-count invariant (re-runs append cycles, result fixed)") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = SourceQueries.lakeTimeTravel(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = run()
+    assert(first.map(_._1) === Seq("cur", "v0", "v1"))
+    assert(run() === first)
+  }
+
   test("CREATE statements with other providers or shapes fall through to Spark") {
     // a column-list parquet CREATE stays native (would fail loudly if the
     // injected parser hijacked it)
