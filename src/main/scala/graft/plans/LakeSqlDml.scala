@@ -115,14 +115,22 @@ object LakeTimeTravel {
 
 /** `DELETE FROM graft_lake(path) [alias] [WHERE cond]` — routed by
   * layout: a versioned table gets a history-preserving new snapshot, a
-  * plain table the staged rewrite.
+  * plain table the staged rewrite — or, when the session conf
+  * `spark.graft.lake.delete.mode` is `merge-on-read`, a deletion-vector
+  * write ([[graft.sources.LakeTable.deleteVectored]]): the point-delete
+  * shape on a huge table records matched row positions instead of
+  * rewriting files.
   */
 final case class LakeDeleteCommand(path: String, cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (graft.sources.VersionedLakeTable.isVersioned(spark, path))
       graft.sources.VersionedLakeTable(spark, path).delete(cond)
-    else LakeTable(spark, path).delete(cond)
+    else {
+      val mode = spark.conf.get(LakeSqlDml.DeleteModeKey, "copy-on-write")
+      if (mode == "merge-on-read") LakeTable(spark, path).deleteVectored(cond)
+      else LakeTable(spark, path).delete(cond)
+    }
     Seq.empty
   }
 }
@@ -363,6 +371,12 @@ final case class LakeMergeCommand(
 }
 
 object LakeSqlDml {
+
+  /** Session conf selecting how SQL DELETE executes on plain lake tables:
+    * `copy-on-write` (default — staged file rewrite) or `merge-on-read`
+    * (deletion vectors).
+    */
+  val DeleteModeKey = "spark.graft.lake.delete.mode"
 
   /** Returns Some(command) iff `sqlText` is one of the three DML statements
     * AND its target is `graft_lake('<path>')`; None otherwise (delegate).

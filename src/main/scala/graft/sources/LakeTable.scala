@@ -62,8 +62,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * is authoritative — like Delta, the reader never depends on which
     * parquet footer file-listing order happens to surface first, and
     * columns added by evolution read as null from pre-evolution files.
+    * Rows named by live deletion vectors (see [[deleteVectored]]) are
+    * filtered out.
     */
-  def read: DataFrame = storedSchema match {
+  def read: DataFrame = applyDeletionVectors(readRaw)
+
+  /** The physical file contents, ignoring deletion vectors. Internal
+    * consumers that must see the scan directly (stats collection's
+    * `input_file_name()`, DV capture itself) read this; every
+    * user-facing path goes through [[read]].
+    */
+  private def readRaw: DataFrame = storedSchema match {
     case Some(s) => spark.read.schema(s).parquet(path)
     case None    => spark.read.parquet(path)
   }
@@ -141,6 +150,29 @@ final class LakeTable(spark: SparkSession, val path: String) {
           math.max(acc, v)
         }
       }
+  }
+
+  /** Every value any commit recorded under `key` in its
+    * operationParameters — one O(commits) driver scan of the tiny log.
+    * Deletion-vector gating ([[liveDvDirs]]) and debris cleanup
+    * ([[vacuumDebris]]) consume this to decide which `_graft_dv` dirs a
+    * commit actually claimed.
+    */
+  private def commitParamValues(key: String): Set[String] = {
+    if (!fs.exists(logDir)) return Set.empty
+    val prefix = s""""${CommitLog.esc(key)}":""""
+    val out = Set.newBuilder[String]
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
+      val text = readLogFile(st.getPath)
+      var i = text.indexOf(prefix)
+      while (i >= 0) {
+        val start = i + prefix.length // prefix ends at the value's opening quote
+        val end = text.indexOf('"', start)
+        if (end > start) out += text.substring(start, end)
+        i = text.indexOf(prefix, start)
+      }
+    }
+    out.result()
   }
 
   private def readLogFile(p: Path): String = {
@@ -470,6 +502,133 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion))
   }
 
+  private def dvRoot = new Path(path, LakeTable.DvDirName)
+
+  /** Whether any live deletion vectors exist (diagnostics / DESCRIBE
+    * DETAIL; [[compact]] or any full rewrite materializes and drops them).
+    */
+  def hasDeletionVectors: Boolean = liveDvDirs.nonEmpty
+
+  /** Deletion-vector dirs that are LIVE: present under `_graft_dv/` AND
+    * claimed by some commit's `dvDir` parameter. The claim check makes
+    * DV visibility commit-gated — a crash between the DV write and its
+    * commit leaves an unclaimed dir that no reader applies (and
+    * [[vacuumDebris]] deletes); without the gate, the phantom would
+    * silently delete live rows. Cost: one log scan when dirs are present
+    * at all (they exist only between a [[deleteVectored]] and the next
+    * full rewrite), zero FS reads otherwise.
+    */
+  private def liveDvDirs: Seq[String] = {
+    if (!fs.exists(dvRoot)) return Nil
+    val present = fs.listStatus(dvRoot).map(_.getPath)
+      .filter(_.getName.startsWith("d"))
+    if (present.isEmpty) Nil
+    else {
+      val claimed = commitParamValues(LakeTable.DvDirParam)
+      present.filter(p => claimed.contains(p.getName)).map(_.toString).toSeq
+    }
+  }
+
+  /** Anti-join `df` (a parquet file-source frame over this table's
+    * files) against the live deletion vectors. Identity is
+    * (scheme-less file path, row index) from the file source's
+    * `_metadata` struct — stable because parquet files are immutable
+    * and rewrites always produce fresh UUID-suffixed names, so an
+    * orphaned vector can never resurrect onto a new file. The DV side
+    * is a plain parquet relation Catalyst sizes like any other: small
+    * vectors broadcast automatically, pathological ones fall back to a
+    * shuffled anti-join — never a wrong answer, never a driver
+    * collect. No-op (zero plan change) when no vectors are live.
+    */
+  private[sources] def applyDeletionVectors(df: DataFrame): DataFrame = {
+    val dirs = liveDvDirs
+    if (dirs.isEmpty) df
+    else {
+      val fileCol = "__graft_dv_file"
+      val rowCol = "__graft_dv_row"
+      require(!df.columns.contains(fileCol) && !df.columns.contains(rowCol),
+        s"table columns collide with deletion-vector helper names $fileCol/$rowCol")
+      val dv = spark.read.parquet(dirs: _*)
+        .select(col(LakeTable.DvFileCol).as("__dv_f"), col(LakeTable.DvRowCol).as("__dv_r"))
+      df.withColumn(fileCol, FileStats.schemelessFile(col("_metadata.file_path")))
+        .withColumn(rowCol, col("_metadata.row_index"))
+        .join(dv, col(fileCol) === col("__dv_f") && col(rowCol) === col("__dv_r"),
+          "left_anti")
+        .drop(fileCol, rowCol)
+    }
+  }
+
+  /** Merge-on-read DELETE (Delta deletion vectors, Iceberg position
+    * deletes): instead of rewriting every file containing a matched row,
+    * record the matched (file, row-index) positions under `_graft_dv/`
+    * and let every read path anti-join them away. The write cost is
+    * proportional to the DELETED rows, not to the files they live in —
+    * the point-delete shape (`DELETE WHERE id = x` on a 100 TB table)
+    * goes from a multi-GB file rewrite to a KB-scale vector write.
+    * Reads pay a (usually broadcast) anti-join until the next full
+    * rewrite ([[compact]] / [[optimize]] / MERGE) materializes the
+    * deletes and drops the vectors.
+    *
+    * Crash safety: the vector dir is written FIRST, then the commit
+    * claims it by name (`dvDir` param). Readers apply only claimed dirs,
+    * so a crash before the commit deletes nothing ([[vacuumDebris]]
+    * removes the unclaimed debris). Already-deleted rows are excluded
+    * from the match, so re-deleting is a no-op and the change feed
+    * never reports a row twice.
+    */
+  def deleteVectored(cond: Column, changeFeed: Boolean = false): LakeTable = {
+    require(exists, s"no lake table at $path")
+    val fileCol = "__graft_dv_file"
+    val rowCol = "__graft_dv_row"
+    val raw = readRaw
+    require(!raw.columns.contains(fileCol) && !raw.columns.contains(rowCol),
+      s"table columns collide with deletion-vector helper names $fileCol/$rowCol")
+    val withId = raw
+      .withColumn(fileCol, FileStats.schemelessFile(col("_metadata.file_path")))
+      .withColumn(rowCol, col("_metadata.row_index"))
+    val live = {
+      val dirs = liveDvDirs
+      if (dirs.isEmpty) withId
+      else {
+        val dv = spark.read.parquet(dirs: _*)
+          .select(col(LakeTable.DvFileCol).as("__dv_f"), col(LakeTable.DvRowCol).as("__dv_r"))
+        withId.join(dv,
+          col(fileCol) === col("__dv_f") && col(rowCol) === col("__dv_r"), "left_anti")
+      }
+    }
+    val hit = coalesce(cond, lit(false))
+    val hits = live.where(hit)
+    val changeVersion =
+      if (!changeFeed) None
+      else Some(writeChanges(hits.drop(fileCol, rowCol)
+        .withColumn("_change_type", lit("delete"))))
+    val name = "d" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dir = new Path(dvRoot, name)
+    try
+      hits.select(col(fileCol).as(LakeTable.DvFileCol), col(rowCol).as(LakeTable.DvRowCol))
+        .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    catch {
+      case e: Throwable =>
+        try {
+          fs.delete(dir, true): Unit
+          changeVersion.foreach(v => fs.delete(
+            new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+        } catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
+    val actual = commit("DELETE", Map(
+      "predicate" -> cond.toString, "mode" -> "merge-on-read",
+      LakeTable.DvDirParam -> name, "changeFeed" -> changeFeed.toString))
+    changeVersion.foreach { predicted =>
+      if (predicted != actual) {
+        val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
+        if (fs.exists(from))
+          fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual")): Unit
+      }
+    }
+    this
+  }
+
   /** Delta `UPDATE table SET col = expr, ... WHERE cond`: rows where
     * `cond` is TRUE get every SET column replaced (expressions evaluate
     * against the PRE-update row — `SET a = b, b = a` swaps); false/NULL
@@ -576,7 +735,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     try {
       if (affected.nonEmpty) {
         val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
-        transformAffected(reader.parquet(affected.map(_._3): _*))
+        // deletion vectors must filter the affected input too, or rows a
+        // prior merge-on-read DELETE removed would resurrect in the
+        // rewritten files; untouched files keep their (still-valid)
+        // vectors via the manifest below
+        transformAffected(applyDeletionVectors(reader.parquet(affected.map(_._3): _*)))
           .write.mode(SaveMode.Overwrite).parquet(staged.toString)
       } else {
         // a DELETE whose predicate matches nothing still commits; the
@@ -609,7 +772,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // become harmless orphans — lookups are keyed by files that exist;
     // the replacement files simply have no stats until collectStats).
     // A FULL rewrite deliberately does not do this: every file changes.
-    writeManifest(staged, untouched.map(_._1) :+ LakeTable.StatsDirName, op, params)
+    // the DV dir rides the swap like the stats dir: untouched files keep
+    // their exact paths, so their vectors stay valid; vectors for the
+    // replaced files become harmless orphans (no new file can reuse a
+    // UUID-suffixed name)
+    writeManifest(staged,
+      untouched.map(_._1) :+ LakeTable.StatsDirName :+ LakeTable.DvDirName, op, params)
     completeSwap(staged): Unit // same-process completion: commit inline below
     val actual = commit(op, params +
       ("filesRewritten" -> affected.size.toString,
@@ -683,7 +851,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def readStream: DataFrame = {
     val s = storedSchema.getOrElse(read.schema)
-    spark.readStream.schema(s).parquet(path)
+    // deletion vectors live at stream START apply via a stream-static
+    // left-anti join (static right side — supported shape); vectors
+    // added AFTER the stream starts are not re-read, the same
+    // append-only contract Delta imposes on streaming reads
+    applyDeletionVectors(spark.readStream.schema(s).parquet(path))
   }
 
   /** The change feed as a STREAMING source: each change-feed-enabled
@@ -992,6 +1164,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def vacuumDebris(): LakeTable = {
     recoverStaleChangesTmp()
+    // unclaimed deletion-vector dirs are pre-commit crash debris: the
+    // commit gate means no reader ever applied them, so removal is safe
+    if (fs.exists(dvRoot)) {
+      val claimed = commitParamValues(LakeTable.DvDirParam)
+      fs.listStatus(dvRoot).map(_.getPath)
+        .filterNot(p => claimed.contains(p.getName))
+        .foreach(p => fs.delete(p, true): Unit)
+    }
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     val action =
       if (!fs.exists(staged)) "none"
@@ -1302,7 +1482,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * the next collectStats.
     */
   def collectStats(cols: Seq[String]): LakeTable = {
-    val data = read
+    // RAW rows, not the DV-filtered view: `input_file_name()` must see
+    // the scan directly (a join would blank it), and stats that include
+    // deleted rows are merely conservative — min/max can only widen, so
+    // pruning keeps a file it could have skipped, never skips one it
+    // needed. The predicate re-applies row-level either way.
+    val data = readRaw
     val missing = cols.filterNot(data.columns.contains)
     require(cols.nonEmpty && missing.isEmpty,
       s"collectStats columns not in table: ${missing.mkString(", ")}")
@@ -1336,7 +1521,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
       // basePath keeps Hive-partition columns derivable from the dirs
       // even though the scan names leaf files explicitly
-      reader.option("basePath", path).parquet(files: _*).where(cond)
+      applyDeletionVectors(
+        reader.option("basePath", path).parquet(files: _*)).where(cond)
     }
   }
 
@@ -1355,7 +1541,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val rel = p.toUri.getPath
       val inSide = rel.contains("/" + LakeTable.LogDirName + "/") ||
         rel.contains("/" + LakeTable.ChangesDirName + "/") ||
-        rel.contains("/" + LakeTable.StatsDirName + "/")
+        rel.contains("/" + LakeTable.StatsDirName + "/") ||
+        rel.contains("/" + LakeTable.DvDirName + "/")
       if (!inSide && p.getName.endsWith(".parquet"))
         out += ((rel.stripPrefix(rootUri).stripPrefix("/"), rel, p.toString))
     }
@@ -1431,6 +1618,12 @@ object LakeTable {
   val LogDirName = "_graft_log"
   val ChangesDirName = "_graft_changes"
   val StatsDirName = "_graft_stats"
+  // merge-on-read deletion vectors: one `d<uuid>` dir per DELETE, each
+  // claimed by its commit's DvDirParam — unclaimed dirs are invisible
+  val DvDirName = "_graft_dv"
+  val DvDirParam = "dvDir"
+  val DvFileCol = "_dv_file"
+  val DvRowCol = "_dv_row"
   val StageSuffix = "__staging"
   val ChangesTmpSuffix = "__changes_tmp"
   // swap point-of-no-return marker inside a staged dir; lists the

@@ -235,6 +235,44 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A3 extension (Delta deletion vectors / Iceberg position deletes):
+    * merge-on-read DELETE. Two vectored deletes — the second's predicate
+    * OVERLAPS the first's, exercising already-deleted-row exclusion —
+    * then an aggregate over the DV-filtered read, a SQL DELETE routed
+    * through the merge-on-read conf, and a COMPACT that materializes the
+    * vectors, re-aggregated. Both aggregates must equal the oracle's
+    * plain filtered GROUP BY: the vectors and their materialization are
+    * pure physical strategy, invisible to results.
+    */
+  def lakeDeleteDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_delete_dv"))
+    lake.write(t.orders)
+    lake.deleteVectored(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+    lake.deleteVectored(col("o_totalprice") > 250000) // overlaps status-F rows
+    // materialize NOW (the frame is a handful of group rows): the plan
+    // must not lazily re-list the table after the writes below
+    val mor = lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .localCheckpoint(true)
+    spark.conf.set(graft.plans.LakeSqlDml.DeleteModeKey, "merge-on-read")
+    try
+      spark.sql(s"DELETE FROM graft_lake('${lake.path}') WHERE o_orderpriority = '5-LOW' AND o_totalprice < 10000")
+    finally spark.conf.unset(graft.plans.LakeSqlDml.DeleteModeKey)
+    lake.compact()
+    val compacted = lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    mor.withColumn("phase", lit("mor"))
+      .unionByName(compacted.withColumn("phase", lit("compacted")))
+      .orderBy(col("phase"), col("o_orderstatus"))
+  }
+
   /** A3 extension (Delta `UPDATE ... SET ... WHERE`): double urgent
     * orders' price in place (change feed records pre+postimages), then
     * aggregate. The oracle recomputes the CASE projection, checking
@@ -525,6 +563,7 @@ object SourceQueries {
     "q_lake_merge" -> (lakeMerge _),
     "q_lake_merge_conditional" -> (lakeMergeConditional _),
     "q_lake_delete" -> (lakeDelete _),
+    "q_lake_delete_dv" -> (lakeDeleteDv _),
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
     "q_lake_named_dml" -> (lakeNamedDml _),
@@ -616,6 +655,23 @@ object SourceQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_delete_dv" ->
+      """WITH mor AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        |    AND NOT (o_totalprice > 250000)),
+        |compacted AS (
+        |  SELECT * FROM mor
+        |  WHERE NOT (o_orderpriority = '5-LOW' AND o_totalprice < 10000))
+        |SELECT phase, o_orderstatus, n, total FROM (
+        |  SELECT 'mor' AS phase, o_orderstatus, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM mor GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'compacted', o_orderstatus, count(*),
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM compacted GROUP BY o_orderstatus
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
     "q_lake_update" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(CASE WHEN o_orderpriority LIKE '1-%'

@@ -19,6 +19,7 @@ object TableDetail {
     val versioned = VersionedLakeTable.isVersioned(spark, path)
     var files = 0L
     var bytes = 0L
+    var dvDirs = 0L
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
@@ -27,11 +28,14 @@ object TableDetail {
         if (st.getPath.getName.endsWith(".parquet") &&
           !rel.contains("/" + LakeTable.LogDirName + "/") &&
           !rel.contains("/" + LakeTable.ChangesDirName + "/") &&
-          !rel.contains("/" + LakeTable.StatsDirName + "/")) {
+          !rel.contains("/" + LakeTable.StatsDirName + "/") &&
+          !rel.contains("/" + LakeTable.DvDirName + "/")) {
           files += 1
           bytes += st.getLen
         }
       }
+      val dvRoot = new Path(p, LakeTable.DvDirName)
+      if (fs.exists(dvRoot)) dvDirs = fs.listStatus(dvRoot).length.toLong
     }
     val commits = CommitLog.currentCount(fs, new Path(p, LakeTable.LogDirName))
     val (schemaJson, cons) =
@@ -47,8 +51,9 @@ object TableDetail {
       if (versioned) "versioned" else "lake",
       files, bytes, commits,
       schemaJson,
-      cons.toSeq.sorted.map { case (k, v) => s"$k CHECK ($v)" }.mkString("; ")
+      cons.toSeq.sorted.map { case (k, v) => s"$k CHECK ($v)" }.mkString("; "),
+      dvDirs
     )).toDF("path", "layout", "num_files", "size_bytes", "num_commits",
-      "schema_json", "constraints")
+      "schema_json", "constraints", "num_deletion_vectors")
   }
 }
