@@ -36,8 +36,35 @@ object FileStats {
   def minCol(c: String): String = c + "__graft_min"
   def maxCol(c: String): String = c + "__graft_max"
   def nullsCol(c: String): String = c + "__graft_nulls"
+  def bloomCol(c: String): String = c + "__graft_bloom"
   val FileCol = "__graft_file"
   val RowsCol = "__graft_rows"
+
+  /** Per-file bloom-filter build aggregate over `c`, reusing Spark's own
+    * runtime-filter machinery (`BloomFilterAggregate`, the aggregate
+    * behind `spark.sql.optimizer.runtime.bloomFilter.*`): values hash
+    * through `xxhash64`, partial buffers merge map-side, the result is
+    * one binary blob per file. Nulls hash to the seed and contribute one
+    * harmless bit — bloom checks only ever fire for non-null literals.
+    */
+  def bloomAgg(c: Column, numItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(c))),
+      Literal(numItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a stored per-file bloom: true/false for a
+    * non-null literal, and only consulted where a false definitively
+    * rules the file out. Pairs with [[bloomAgg]]'s xxhash64 pre-hash.
+    * Spark's own `might_contain` insists on a CONSTANT bloom (it caches
+    * one deserialized filter), so probing a per-row bloom column takes
+    * [[BloomColumnMightContain]] — deserialization per stats row is
+    * fine at stats-table scale (one row per FILE, not per data row).
+    */
+  private def bloomMightContain(a: String, l: Literal): Column =
+    GraftBridge.column(BloomColumnMightContain(
+      GraftBridge.expression(col(bloomCol(a))), new XxHash64(Seq(l))))
 
   /** The analyzed+optimized row-level predicate of `data.where(cond)`:
     * every Filter condition the optimizer kept, conjoined. None when the
@@ -64,29 +91,39 @@ object FileStats {
     * anything) while IS NULL / IS NOT NULL consult the recorded null
     * counts instead of the bounds.
     */
-  def canMatch(e: Expression, statted: Set[String]): Column = {
+  def canMatch(
+      e: Expression, statted: Set[String],
+      bloomed: Set[String] = Set.empty): Column = {
     def ok(name: String) = statted.contains(name)
     def lo(name: String) = col(minCol(name))
     def hi(name: String) = col(maxCol(name))
     def litC(l: Literal): Column = GraftBridge.column(l)
+    // equality sharpens through the bloom when one was recorded: bounds
+    // say "within range", the bloom says "a value hashing like this was
+    // actually present" — the decisive test for point lookups on
+    // high-cardinality columns where every file's range overlaps
+    def eqTest(a: String, l: Literal): Column = {
+      val bounds = lo(a) <= litC(l) && litC(l) <= hi(a)
+      if (bloomed.contains(a) && l.value != null)
+        bounds && bloomMightContain(a, l)
+      else bounds
+    }
 
     e match {
       // boolean structure maps 1:1 — AND prunes when EITHER side proves
       // impossible, OR only when BOTH do. NOT is absent on purpose:
       // canMatch(!p) is NOT !canMatch(p) (both p and !p usually have
       // possible rows in the same file), so Not falls to the default.
-      case And(l, r) => canMatch(l, statted) && canMatch(r, statted)
-      case Or(l, r)  => canMatch(l, statted) || canMatch(r, statted)
+      case And(l, r) => canMatch(l, statted, bloomed) && canMatch(r, statted, bloomed)
+      case Or(l, r)  => canMatch(l, statted, bloomed) || canMatch(r, statted, bloomed)
 
-      case EqualTo(Attr(a), l: Literal) if ok(a) =>
-        lo(a) <= litC(l) && litC(l) <= hi(a)
-      case EqualTo(l: Literal, Attr(a)) if ok(a) =>
-        lo(a) <= litC(l) && litC(l) <= hi(a)
+      case EqualTo(Attr(a), l: Literal) if ok(a) => eqTest(a, l)
+      case EqualTo(l: Literal, Attr(a)) if ok(a) => eqTest(a, l)
       case EqualNullSafe(Attr(a), l: Literal) if ok(a) =>
         // <=> NULL selects null rows (bounds can't speak) — consult the
         // null count; non-null literals bound-check like EqualTo
         if (l.value == null) col(nullsCol(a)) > 0
-        else lo(a) <= litC(l) && litC(l) <= hi(a)
+        else eqTest(a, l)
       case GreaterThan(Attr(a), l: Literal) if ok(a)        => hi(a) > litC(l)
       case GreaterThan(l: Literal, Attr(a)) if ok(a)        => lo(a) < litC(l)
       case GreaterThanOrEqual(Attr(a), l: Literal) if ok(a) => hi(a) >= litC(l)
@@ -97,15 +134,10 @@ object FileStats {
       case LessThanOrEqual(l: Literal, Attr(a)) if ok(a)    => hi(a) >= litC(l)
 
       case In(Attr(a), list) if ok(a) && list.forall(_.isInstanceOf[Literal]) =>
-        list.map { case l: Literal =>
-          lo(a) <= litC(l) && litC(l) <= hi(a)
-        }.reduce(_ || _)
+        list.map { case l: Literal => eqTest(a, l) }.reduce(_ || _)
       // the optimizer turns long IN-lists into InSet over internal values
       case InSet(att @ Attr(a), hset) if ok(a) =>
-        hset.toSeq.map { v =>
-          val l = litC(Literal(v, att.dataType))
-          lo(a) <= l && l <= hi(a)
-        }.reduce(_ || _)
+        hset.toSeq.map(v => eqTest(a, Literal(v, att.dataType))).reduce(_ || _)
 
       case IsNull(Attr(a)) if ok(a)    => col(nullsCol(a)) > 0
       case IsNotNull(Attr(a)) if ok(a) => col(nullsCol(a)) < col(RowsCol)

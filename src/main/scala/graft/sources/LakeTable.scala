@@ -1481,28 +1481,46 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * appended files simply have no stats row and are never pruned until
     * the next collectStats.
     */
-  def collectStats(cols: Seq[String]): LakeTable = {
+  /** @param bloomFor  columns additionally getting a PER-FILE bloom
+    *                   filter — Delta's bloom filter index analogue,
+    *                   decisive for point lookups on high-cardinality
+    *                   columns where range-clustering can't help and
+    *                   every file's min/max overlaps. Sized by
+    *                   `bloomNumBits` (default 2^20 bits =
+    *                   128 KB/file/column, ~1% fpp at 100k distinct
+    *                   values per file) — size to expected rows per file.
+    */
+  def collectStats(
+      cols: Seq[String],
+      bloomFor: Seq[String] = Seq.empty,
+      bloomNumItems: Long = 100000L,
+      bloomNumBits: Long = 1L << 20): LakeTable = {
     // RAW rows, not the DV-filtered view: `input_file_name()` must see
     // the scan directly (a join would blank it), and stats that include
     // deleted rows are merely conservative — min/max can only widen, so
     // pruning keeps a file it could have skipped, never skips one it
     // needed. The predicate re-applies row-level either way.
     val data = readRaw
-    val missing = cols.filterNot(data.columns.contains)
-    require(cols.nonEmpty && missing.isEmpty,
+    val all = (cols ++ bloomFor).distinct
+    val missing = all.filterNot(data.columns.contains)
+    require(all.nonEmpty && missing.isEmpty,
       s"collectStats columns not in table: ${missing.mkString(", ")}")
-    val aggs = cols.flatMap { c =>
+    val aggs = all.flatMap { c =>
       Seq(
         min(col(c)).as(FileStats.minCol(c)),
         max(col(c)).as(FileStats.maxCol(c)),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(FileStats.nullsCol(c)))
-    } :+ count(lit(1)).as(FileStats.RowsCol)
+    } ++ bloomFor.map(c =>
+      FileStats.bloomAgg(col(c), bloomNumItems, bloomNumBits).as(FileStats.bloomCol(c))
+    ) :+ count(lit(1)).as(FileStats.RowsCol)
     val stats = data
       .groupBy(input_file_name().as(FileStats.FileCol))
       .agg(aggs.head, aggs.tail: _*)
     // one parquet file: stats are O(files) rows — list-scale, not data-scale
     stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir)
-    commit("COLLECT STATS", Map("columns" -> cols.mkString(",")))
+    commit("COLLECT STATS", Map("columns" -> all.mkString(","))
+      ++ (if (bloomFor.isEmpty) Map.empty
+          else Map("bloomColumns" -> bloomFor.mkString(","))))
     this
   }
 
@@ -1577,11 +1595,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
         val stats = spark.read.parquet(statsDir)
         val statted = stats.columns.toSeq
           .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
+        val bloomed = stats.columns.toSeq
+          .filter(_.endsWith("__graft_bloom")).map(_.stripSuffix("__graft_bloom")).toSet
         // verdict per STATTED file; files with no stats row are kept by
         // both strategies (missing map key / missing join partner)
         val keep = stats.select(
           FileStats.schemelessFile(col(FileStats.FileCol)).as("__graft_rel"),
-          coalesce(FileStats.canMatch(resolved, statted), lit(false)).as("__graft_keep"))
+          coalesce(FileStats.canMatch(resolved, statted, bloomed), lit(false))
+            .as("__graft_keep"))
         val threshold = spark.conf
           .get(LakeTable.PruneDriverThresholdKey, LakeTable.PruneDriverThresholdDefault)
           .toInt

@@ -273,6 +273,24 @@ object SourceQueries {
       .orderBy(col("phase"), col("o_orderstatus"))
   }
 
+  /** A7 extension (Delta bloom filter index): per-file blooms on a
+    * high-cardinality key under a round-robin layout (min/max useless —
+    * every file spans the whole key domain), point-IN lookup through
+    * [[LakeTable.readWhere]]. The oracle re-derives the same rows with a
+    * plain IN subquery: bloom pruning must be invisible to results.
+    */
+  def lakeBloomSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_bloom"))
+    lake.write(t.orders.repartition(8))
+    lake.collectStats(Seq("o_totalprice"), bloomFor = Seq("o_orderkey"))
+    val keys = t.orders.select("o_orderkey").orderBy("o_orderkey").limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    lake.readWhere(col("o_orderkey").isin(keys: _*))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** A3 extension (Delta `UPDATE ... SET ... WHERE`): double urgent
     * orders' price in place (change feed records pre+postimages), then
     * aggregate. The oracle recomputes the CASE projection, checking
@@ -564,6 +582,7 @@ object SourceQueries {
     "q_lake_merge_conditional" -> (lakeMergeConditional _),
     "q_lake_delete" -> (lakeDelete _),
     "q_lake_delete_dv" -> (lakeDeleteDv _),
+    "q_lake_bloom_skipping" -> (lakeBloomSkipping _),
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
     "q_lake_named_dml" -> (lakeNamedDml _),
@@ -655,6 +674,12 @@ object SourceQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_bloom_skipping" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_lake_delete_dv" ->
       """WITH mor AS (
         |  SELECT * FROM orders
