@@ -1479,16 +1479,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * and rewrites replace the table directory (stats dir included — it
     * is not preserved, BY DESIGN: the files it described are gone);
     * appended files simply have no stats row and are never pruned until
-    * the next collectStats.
-    */
-  /** @param bloomFor  columns additionally getting a PER-FILE bloom
-    *                   filter — Delta's bloom filter index analogue,
-    *                   decisive for point lookups on high-cardinality
-    *                   columns where range-clustering can't help and
-    *                   every file's min/max overlaps. Sized by
-    *                   `bloomNumBits` (default 2^20 bits =
-    *                   128 KB/file/column, ~1% fpp at 100k distinct
-    *                   values per file) — size to expected rows per file.
+    * the next [[collectStats]] or (cheaper) [[refreshStats]].
+    *
+    * @param bloomFor  columns additionally getting a PER-FILE bloom
+    *                  filter — Delta's bloom filter index analogue,
+    *                  decisive for point lookups on high-cardinality
+    *                  columns where range-clustering can't help and
+    *                  every file's min/max overlaps. Sized by
+    *                  `bloomNumBits` (default 2^20 bits =
+    *                  128 KB/file/column, ~1% fpp at 100k distinct
+    *                  values per file) — size to expected rows per file.
     */
   def collectStats(
       cols: Seq[String],
@@ -1505,7 +1505,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val missing = all.filterNot(data.columns.contains)
     require(all.nonEmpty && missing.isEmpty,
       s"collectStats columns not in table: ${missing.mkString(", ")}")
-    val aggs = all.flatMap { c =>
+    val aggs = statsAggs(all, bloomFor, bloomNumItems, bloomNumBits)
+    val stats = data
+      .groupBy(input_file_name().as(FileStats.FileCol))
+      .agg(aggs.head, aggs.tail: _*)
+    // one parquet file: stats are O(files) rows — list-scale, not data-scale
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir)
+    commit("COLLECT STATS", statsParams(all, bloomFor, bloomNumItems, bloomNumBits))
+    this
+  }
+
+  private def statsAggs(
+      all: Seq[String], bloomFor: Seq[String],
+      bloomNumItems: Long, bloomNumBits: Long): Seq[Column] =
+    all.flatMap { c =>
       Seq(
         min(col(c)).as(FileStats.minCol(c)),
         max(col(c)).as(FileStats.maxCol(c)),
@@ -1513,15 +1526,95 @@ final class LakeTable(spark: SparkSession, val path: String) {
     } ++ bloomFor.map(c =>
       FileStats.bloomAgg(col(c), bloomNumItems, bloomNumBits).as(FileStats.bloomCol(c))
     ) :+ count(lit(1)).as(FileStats.RowsCol)
-    val stats = data
-      .groupBy(input_file_name().as(FileStats.FileCol))
-      .agg(aggs.head, aggs.tail: _*)
-    // one parquet file: stats are O(files) rows — list-scale, not data-scale
-    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir)
-    commit("COLLECT STATS", Map("columns" -> all.mkString(","))
-      ++ (if (bloomFor.isEmpty) Map.empty
-          else Map("bloomColumns" -> bloomFor.mkString(","))))
+
+  private def statsParams(
+      all: Seq[String], bloomFor: Seq[String],
+      bloomNumItems: Long, bloomNumBits: Long): Map[String, String] =
+    Map("columns" -> all.mkString(",")) ++
+      (if (bloomFor.isEmpty) Map.empty
+       else Map(
+         "bloomColumns" -> bloomFor.mkString(","),
+         "bloomNumItems" -> bloomNumItems.toString,
+         "bloomNumBits" -> bloomNumBits.toString))
+
+  /** Incrementally extend the stats table to files appended since the
+    * last [[collectStats]]: scan ONLY the unstatted files, reusing the
+    * last collection's column + bloom spec from its commit record, and
+    * drop orphaned rows for files a selective rewrite replaced. At
+    * 100 TB this makes stats maintenance O(new data) per ingest cycle
+    * instead of a full-table rescan — the same reason Delta computes
+    * stats at write time. No-op (no commit) when every live file
+    * already has a stats row and no orphans exist.
+    */
+  def refreshStats(): LakeTable = {
+    require(fs.exists(new Path(statsDir)),
+      s"no stats to refresh at $path — run collectStats first")
+    val spec = lastStatsSpec.getOrElse(
+      throw new IllegalStateException(s"no COLLECT STATS commit found at $path"))
+    val (all, bloomFor, items, bits) = spec
+    val live = listDataFiles()
+    val liveRel = live.map(_._2).toSet
+    val oldByRel = spark.read.parquet(statsDir).withColumn("__graft_rel",
+      FileStats.schemelessFile(col(FileStats.FileCol)))
+    // orphan cleanup joins relationally (no giant IN list at millions of
+    // files); the statted-path set collect is O(files) driver rows, the
+    // same ceiling listDataFiles already has
+    val liveDf = spark.createDataFrame(liveRel.toSeq.map(Tuple1(_))).toDF("__graft_rel")
+    val keptOld = oldByRel.join(liveDf, Seq("__graft_rel"), "left_semi")
+      .drop("__graft_rel")
+    val stattedRel = oldByRel.select("__graft_rel")
+      .collect().map(_.getString(0)).toSet
+    val newFiles = live.filterNot(t => stattedRel.contains(t._2)).map(_._3)
+    val orphans = stattedRel.count(r => !liveRel.contains(r))
+    if (newFiles.isEmpty && orphans == 0) return this
+    val merged =
+      if (newFiles.isEmpty) keptOld
+      else {
+        val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
+        val aggs = statsAggs(all, bloomFor, items, bits)
+        val fresh = reader.parquet(newFiles: _*)
+          .groupBy(input_file_name().as(FileStats.FileCol))
+          .agg(aggs.head, aggs.tail: _*)
+        keptOld.unionByName(fresh)
+      }
+    // stage-then-swap: overwriting the dir we are reading from would
+    // race the plan's own input
+    val staged = s"$statsDir${LakeTable.StageSuffix}"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    fs.delete(new Path(statsDir), true)
+    if (!fs.rename(new Path(staged), new Path(statsDir)))
+      throw new java.io.IOException(s"could not swap refreshed stats into $statsDir")
+    commit("COLLECT STATS", statsParams(all, bloomFor, items, bits) ++ Map(
+      "incremental" -> "true",
+      "filesScanned" -> newFiles.size.toString,
+      "orphansDropped" -> orphans.toString))
     this
+  }
+
+  /** The (columns, bloomColumns, bloomNumItems, bloomNumBits) of the most
+    * recent COLLECT STATS commit — the spec [[refreshStats]] re-applies.
+    */
+  private def lastStatsSpec: Option[(Seq[String], Seq[String], Long, Long)] = {
+    if (!fs.exists(logDir)) return None
+    val files = fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+    files.iterator.map(st => readLogFile(st.getPath)).collectFirst {
+      case text if text.contains(""""operation":"COLLECT STATS"""") =>
+        def param(k: String): Option[String] = {
+          val prefix = s""""$k":""""
+          val i = text.indexOf(prefix)
+          if (i < 0) None
+          else {
+            val start = i + prefix.length
+            val end = text.indexOf('"', start)
+            if (end > start) Some(text.substring(start, end)) else Some("")
+          }
+        }
+        (param("columns").toSeq.flatMap(_.split(",").filter(_.nonEmpty)),
+          param("bloomColumns").toSeq.flatMap(_.split(",").filter(_.nonEmpty)),
+          param("bloomNumItems").map(_.toLong).getOrElse(100000L),
+          param("bloomNumBits").map(_.toLong).getOrElse(1L << 20))
+    }
   }
 
   /** Read with file-level data skipping: plan the scan over ONLY the
