@@ -135,6 +135,17 @@ final case class LakeDeleteCommand(path: String, cond: Column)
   }
 }
 
+/** `COPY INTO <lake> FROM '<dir>' [FILEFORMAT = fmt]` — idempotent file
+  * ingest via [[graft.sources.LakeTable.copyInto]].
+  */
+final case class LakeCopyIntoCommand(path: String, source: String, format: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable(spark, path).copyInto(source, format)
+    Seq.empty
+  }
+}
+
 /** `UPDATE graft_lake(path) [alias] SET ... [WHERE cond]` — layout-routed
   * like [[LakeDeleteCommand]].
   */
@@ -393,6 +404,7 @@ object LakeSqlDml {
       case "INSERT"  => p.advance(); parseInsert(p)
       case "OPTIMIZE" => p.advance(); parseOptimize(p)
       case "VACUUM"  => p.advance(); parseVacuum(p)
+      case "COPY"    => p.advance(); parseCopy(p)
       case "CREATE"  => p.advance(); parseCreate(p)
       case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
       case _         => None
@@ -492,6 +504,24 @@ object LakeSqlDml {
       } else None
     p.done("VACUUM")
     Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Vacuum(retain)))
+  }
+
+  /** `COPY INTO <lake target> FROM '<source dir>' [FILEFORMAT = <fmt>]`
+    * — Databricks COPY INTO's core shape: idempotent exactly-once file
+    * ingest (re-running loads only files not yet loaded).
+    */
+  private def parseCopy(p: P): Option[LogicalPlan] = {
+    if (!p.eat("INTO")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    p.expect("FROM", "in COPY INTO")
+    val src = p.stringLiteral("COPY INTO source path")
+    val fmt =
+      if (p.eat("FILEFORMAT")) {
+        if (!p.eatPunct("=")) p.fail("expected = after FILEFORMAT")
+        p.identifier("file format").mkString(".").toLowerCase(java.util.Locale.ROOT)
+      } else "parquet"
+    p.done("COPY INTO")
+    Some(LakeCopyIntoCommand(path, src, fmt))
   }
 
   private def parseInsert(p: P): Option[LogicalPlan] = {

@@ -502,6 +502,82 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion))
   }
 
+  /** Idempotent file ingest (Databricks/Delta `COPY INTO` analogue):
+    * load every data file under `source` that has NOT already been
+    * loaded into this table, append, and remember the loaded set — so
+    * re-running the same COPY INTO (a scheduled ingest job, a retried
+    * pipeline) is a no-op instead of a duplication. Loaded-file
+    * tracking uses the same commit-gating as deletion vectors: the file
+    * list lands in a `_copied_<uuid>` ledger inside the log dir FIRST,
+    * and the append's commit claims it (`copyLedger` param) — a crash
+    * before the commit leaves an unclaimed ledger no reader consults,
+    * so those files load again on retry (at-least-once becomes
+    * exactly-once at the commit boundary). Ledger files ride the log
+    * through overwrites and rewrites like every other log file.
+    *
+    * Scale: listing is one recursive driver pass over the SOURCE dir
+    * (ingest-batch scale, not table scale); the loaded-set check reads
+    * only the tiny ledgers; the data scan reads only NEW files.
+    */
+  def copyInto(
+      source: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): LakeTable = {
+    val srcPath = new Path(source)
+    val srcFs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(srcFs.exists(srcPath), s"COPY INTO source not found: $source")
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = srcFs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) found += st.getPath.toString
+    }
+    val already = copiedFiles
+    val todo = found.filterNot(already.contains).sorted.toSeq
+    if (todo.isEmpty) return this
+    val raw = spark.read.options(options).format(format).load(todo: _*)
+    // Delta COPY INTO's implicit store-assignment cast: source columns
+    // matching a table column by name cast to ITS type (a JSON source
+    // infers bigint where the table holds int); name drift still errors
+    // in enforceSchema below
+    val df = tableSchema match {
+      case Some(s) if !mergeSchema =>
+        val types = s.fields
+          .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+        raw.select(raw.columns.map(c =>
+          types.get(c.toLowerCase(java.util.Locale.ROOT))
+            .map(t => col(c).cast(t).as(c)).getOrElse(col(c))).toIndexedSeq: _*)
+      case _ => raw
+    }
+    val ledger = "_copied_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    if (!fs.exists(logDir)) fs.mkdirs(logDir): Unit
+    val out = fs.create(new Path(logDir, ledger), false)
+    try out.write(todo.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    write(df, SaveMode.Append, mergeSchema = mergeSchema,
+      extraParams = Map(
+        LakeTable.CopyLedgerParam -> ledger,
+        "copySource" -> source,
+        "filesLoaded" -> todo.size.toString))
+    this
+  }
+
+  /** Source files already loaded by [[copyInto]]: the union of every
+    * ledger a commit claims. Unclaimed ledgers (pre-commit crash
+    * debris) are invisible here and removed by [[vacuumDebris]].
+    */
+  def copiedFiles: Set[String] = {
+    if (!fs.exists(logDir)) return Set.empty
+    val claimed = commitParamValues(LakeTable.CopyLedgerParam)
+    if (claimed.isEmpty) Set.empty
+    else fs.listStatus(logDir)
+      .filter(st => st.isFile && claimed.contains(st.getPath.getName))
+      .flatMap(st => readLogFile(st.getPath).split('\n'))
+      .filter(_.nonEmpty).toSet
+  }
+
   private def dvRoot = new Path(path, LakeTable.DvDirName)
 
   /** Whether any live deletion vectors exist (diagnostics / DESCRIBE
@@ -1172,6 +1248,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .filterNot(p => claimed.contains(p.getName))
         .foreach(p => fs.delete(p, true): Unit)
     }
+    // same for unclaimed COPY INTO ledgers: their files never counted as
+    // loaded, so the retry that re-loads them must not see stale lists
+    if (fs.exists(logDir)) {
+      val claimedLedgers = commitParamValues(LakeTable.CopyLedgerParam)
+      fs.listStatus(logDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("_copied_"))
+        .filterNot(st => claimedLedgers.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false): Unit)
+    }
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     val action =
       if (!fs.exists(staged)) "none"
@@ -1738,6 +1823,9 @@ object LakeTable {
   val DvDirParam = "dvDir"
   val DvFileCol = "_dv_file"
   val DvRowCol = "_dv_row"
+  // COPY INTO loaded-file ledgers: `_copied_<uuid>` files in the log dir,
+  // each claimed by its append-commit's CopyLedgerParam
+  val CopyLedgerParam = "copyLedger"
   val StageSuffix = "__staging"
   val ChangesTmpSuffix = "__changes_tmp"
   // swap point-of-no-return marker inside a staged dir; lists the

@@ -273,6 +273,29 @@ object SourceQueries {
       .orderBy(col("phase"), col("o_orderstatus"))
   }
 
+  /** A1+A3 extension (Databricks `COPY INTO`): idempotent file ingest.
+    * First copy loads every orders part-file; the second (via SQL) is a
+    * no-op because the loaded set is tracked in commit-claimed ledgers.
+    * The aggregate equals plain orders iff no file loaded twice.
+    */
+  def lakeCopyInto(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "orders_copy")
+    // COPY INTO appends — start from a clean target so a prior driver
+    // run's scratch can't double-count
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val lake = LakeTable(spark, dir)
+    lake.copyInto(s"$sfDir/orders.parquet")
+    spark.sql(s"COPY INTO graft_lake('$dir') FROM '$sfDir/orders.parquet'")
+    lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A7 extension (Delta bloom filter index): per-file blooms on a
     * high-cardinality key under a round-robin layout (min/max useless —
     * every file spans the whole key domain), point-IN lookup through
@@ -583,6 +606,7 @@ object SourceQueries {
     "q_lake_delete" -> (lakeDelete _),
     "q_lake_delete_dv" -> (lakeDeleteDv _),
     "q_lake_bloom_skipping" -> (lakeBloomSkipping _),
+    "q_lake_copy_into" -> (lakeCopyInto _),
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
     "q_lake_named_dml" -> (lakeNamedDml _),
@@ -674,6 +698,10 @@ object SourceQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_copy_into" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_lake_bloom_skipping" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
