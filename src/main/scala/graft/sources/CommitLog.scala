@@ -13,23 +13,99 @@ import org.apache.spark.sql.functions.col
 private[sources] object CommitLog {
 
   def currentCount(fs: FileSystem, logDir: Path): Long =
-    if (!fs.exists(logDir)) 0L
-    else fs.listStatus(logDir).count(_.getPath.getName.endsWith(".json")).toLong
+    records(fs, logDir).size.toLong
 
   private def parseVersion(name: String): Option[Long] =
     if (name.endsWith(".json"))
       scala.util.Try(name.stripSuffix(".json").toLong).toOption
     else None
 
+  private def parseCheckpointVersion(name: String): Option[Long] =
+    if (name.endsWith(".checkpoint"))
+      scala.util.Try(name.stripSuffix(".checkpoint").toLong).toOption
+    else None
+
   /** The version the NEXT commit will claim: max committed + 1. Derived
     * from the max, not the file count, so a log with gaps (manual
     * cleanup, failed half-commits) still moves forward monotonically.
+    * A checkpoint file's version counts too — after a checkpoint deletes
+    * the per-commit files it covers, it IS the record of those versions.
     */
   def nextVersion(fs: FileSystem, logDir: Path): Long =
     if (!fs.exists(logDir)) 0L
     else fs.listStatus(logDir)
-      .flatMap(st => parseVersion(st.getPath.getName))
+      .flatMap(st => parseVersion(st.getPath.getName)
+        .orElse(parseCheckpointVersion(st.getPath.getName)))
       .foldLeft(-1L)(math.max) + 1
+
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Every commit record in version order, reading the LATEST checkpoint
+    * (one file holding every folded record as a JSON line) plus only the
+    * per-commit files after it — the Delta checkpoint read path: O(1 +
+    * commits-since-checkpoint) file reads however long the table has
+    * lived, instead of O(total commits). Commit files at or below the
+    * checkpoint that a crashed cleanup left behind are ignored (their
+    * records are already in the checkpoint).
+    */
+  def records(fs: FileSystem, logDir: Path): Seq[String] = {
+    if (!fs.exists(logDir)) return Nil
+    val sts = fs.listStatus(logDir)
+    val cp = sts
+      .flatMap(st => parseCheckpointVersion(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1).lastOption
+    val cpv = cp.map(_._1).getOrElse(-1L)
+    val base = cp.toSeq.flatMap { case (_, p) =>
+      readFile(fs, p).split('\n').toSeq.filter(_.nonEmpty)
+    }
+    val tail = sts
+      .flatMap(st => parseVersion(st.getPath.getName)
+        .filter(_ > cpv).map(_ -> st.getPath))
+      .sortBy(_._1)
+      .map { case (_, p) => readFile(fs, p) }
+    base ++ tail
+  }
+
+  /** The `"version":N` of one serialized record (records are written by
+    * [[append]], so the field leads and is unquoted).
+    */
+  private def recordVersion(r: String): Long = {
+    val i = r.indexOf(':') + 1
+    val j = r.indexOf(',', i)
+    r.substring(i, j).trim.toLong
+  }
+
+  /** Fold every record `<= v` into `<v>.checkpoint` (write-temp-then-
+    * rename, so readers only ever see a complete checkpoint), then
+    * delete the per-commit files it covers. Failures are swallowed: a
+    * checkpoint is an optimization, never required for correctness —
+    * the worst outcome of a crash here is extra small files (a stale
+    * tmp, uncovered commit files), both ignored or retried by the next
+    * checkpoint.
+    */
+  private def writeCheckpoint(fs: FileSystem, logDir: Path, v: Long): Unit =
+    try {
+      val keep = records(fs, logDir).filter(r => recordVersion(r) <= v)
+      val cpPath = new Path(logDir, f"$v%020d.checkpoint")
+      if (fs.exists(cpPath)) return
+      val tmp = new Path(logDir, f"$v%020d.cptmp")
+      val out = fs.create(tmp, true)
+      try out.write(keep.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, cpPath)) {
+        fs.listStatus(logDir).foreach { st =>
+          val name = st.getPath.getName
+          if (parseVersion(name).exists(_ <= v) ||
+            parseCheckpointVersion(name).exists(_ < v))
+            fs.delete(st.getPath, false): Unit
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   private[sources] def esc(s: String): String =
     s.flatMap {
@@ -87,9 +163,18 @@ private[sources] object CommitLog {
     */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def append(fs: FileSystem, logDir: Path, op: String, params: Map[String, String]): Long =
+  /** @param checkpointEvery fold the log into a checkpoint whenever the
+    *                        committed version is a positive multiple of
+    *                        this; `<= 0` disables checkpointing.
+    */
+  def append(
+      fs: FileSystem, logDir: Path, op: String, params: Map[String, String],
+      checkpointEvery: Int = 100): Long =
     commitLocks.computeIfAbsent(logDir.toString, _ => new Object).synchronized {
-      appendRacing(fs, logDir, op, params)
+      val v = appendRacing(fs, logDir, op, params)
+      if (checkpointEvery > 0 && v > 0 && v % checkpointEvery == 0)
+        writeCheckpoint(fs, logDir, v)
+      v
     }
 
   private def appendRacing(
@@ -122,14 +207,16 @@ private[sources] object CommitLog {
   }
 
   /** History DataFrame; stable empty shape for fresh tables (see
-    * [[LakeTable.history]] for the operationParameters caveat).
+    * [[LakeTable.history]] for the operationParameters caveat). Built
+    * from [[records]], so checkpointed commits whose per-file records
+    * were compacted away still appear.
     */
-  def history(spark: SparkSession, fs: FileSystem, tablePath: String, logDir: Path): DataFrame =
-    if (!fs.exists(logDir)) {
-      import spark.implicits._
+  def history(spark: SparkSession, fs: FileSystem, tablePath: String, logDir: Path): DataFrame = {
+    import spark.implicits._
+    val recs = records(fs, logDir)
+    if (recs.isEmpty)
       Seq.empty[(Long, String, String)].toDF("version", "operation", "timestamp")
-    } else {
-      spark.read.json(s"$tablePath/${LakeTable.LogDirName}/*.json")
-        .orderBy(col("version").desc)
-    }
+    else
+      spark.read.json(recs.toDS()).orderBy(col("version").desc)
+  }
 }

@@ -108,62 +108,54 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * operationParameters — the idempotent-writer probe (Delta's
     * txnAppId/txnVersion analogue): a replaying at-least-once sink tags
     * each batch write via `extraParams` and checks here before
-    * re-applying it. Driver-side scan of the (tiny) log, NEWEST commit
-    * first with early exit — a replayed batch is almost always the most
-    * recent commit, so the common hit costs one file read instead of a
-    * whole-log scan (misses still read every commit; long-running sinks
-    * should track their high-water mark via [[maxCommitParamLong]]
-    * instead of probing per batch).
+    * re-applying it. One checkpointed-log read ([[CommitLog.records]] —
+    * O(1 + commits-since-checkpoint) files), searched newest-first
+    * since a replayed batch is almost always the most recent commit.
+    * Long-running sinks should still track their high-water mark via
+    * [[maxCommitParamLong]] instead of probing per batch.
     */
   def hasCommitParam(key: String, value: String): Boolean = {
-    if (!fs.exists(logDir)) return false
     // params serialize as "k":"v" with CommitLog.esc, so matching the
     // fully-quoted pair is exact — no substring false positives
     val needle = s""""${CommitLog.esc(key)}":"${CommitLog.esc(value)}""""
-    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
-      .sortBy(_.getPath.getName)(Ordering[String].reverse)
-      .exists(st => readLogFile(st.getPath).contains(needle))
+    CommitLog.records(fs, logDir).reverseIterator.exists(_.contains(needle))
   }
 
   /** The MAX long value any commit recorded under `key` in its
     * operationParameters, -1 if none — the Delta txnAppId/txnVersion
     * contract for streaming sinks: tag each batch commit with
     * `key = <per-app id>, value = <batch id>` and skip batches at or
-    * below the max recorded version. One O(commits) driver-side scan;
-    * callers cache the result and track it in memory afterwards.
+    * below the max recorded version. One checkpointed-log read
+    * ([[CommitLog.records]]); callers cache the result and track it in
+    * memory afterwards.
     */
   def maxCommitParamLong(key: String): Long = {
-    if (!fs.exists(logDir)) return -1L
     val prefix = s""""${CommitLog.esc(key)}":""""
-    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
-      .foldLeft(-1L) { (acc, st) =>
-        val text = readLogFile(st.getPath)
-        val i = text.indexOf(prefix)
-        if (i < 0) acc
-        else {
-          val start = i + prefix.length
-          val end = text.indexOf('"', start)
-          val v =
-            if (end < 0) -1L
-            else try text.substring(start, end).toLong
-            catch { case _: NumberFormatException => -1L }
-          math.max(acc, v)
-        }
+    CommitLog.records(fs, logDir).foldLeft(-1L) { (acc, text) =>
+      val i = text.indexOf(prefix)
+      if (i < 0) acc
+      else {
+        val start = i + prefix.length
+        val end = text.indexOf('"', start)
+        val v =
+          if (end < 0) -1L
+          else try text.substring(start, end).toLong
+          catch { case _: NumberFormatException => -1L }
+        math.max(acc, v)
       }
+    }
   }
 
   /** Every value any commit recorded under `key` in its
-    * operationParameters — one O(commits) driver scan of the tiny log.
-    * Deletion-vector gating ([[liveDvDirs]]) and debris cleanup
-    * ([[vacuumDebris]]) consume this to decide which `_graft_dv` dirs a
-    * commit actually claimed.
+    * operationParameters — one checkpointed-log read. Deletion-vector
+    * gating ([[liveDvDirs]]), COPY INTO ledger claims ([[copiedFiles]])
+    * and debris cleanup ([[vacuumDebris]]) consume this to decide which
+    * side files a commit actually claimed.
     */
   private def commitParamValues(key: String): Set[String] = {
-    if (!fs.exists(logDir)) return Set.empty
     val prefix = s""""${CommitLog.esc(key)}":""""
     val out = Set.newBuilder[String]
-    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
-      val text = readLogFile(st.getPath)
+    CommitLog.records(fs, logDir).foreach { text =>
       var i = text.indexOf(prefix)
       while (i >= 0) {
         val start = i + prefix.length // prefix ends at the value's opening quote
@@ -1680,10 +1672,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * recent COLLECT STATS commit — the spec [[refreshStats]] re-applies.
     */
   private def lastStatsSpec: Option[(Seq[String], Seq[String], Long, Long)] = {
-    if (!fs.exists(logDir)) return None
-    val files = fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
-      .sortBy(_.getPath.getName)(Ordering[String].reverse)
-    files.iterator.map(st => readLogFile(st.getPath)).collectFirst {
+    CommitLog.records(fs, logDir).reverseIterator.collectFirst {
       case text if text.contains(""""operation":"COLLECT STATS"""") =>
         def param(k: String): Option[String] = {
           val prefix = s""""$k":""""
@@ -1808,9 +1797,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def history: DataFrame = CommitLog.history(spark, fs, path, logDir)
 
-  /** Atomic commit (see [[CommitLog.append]]); returns the version won. */
+  /** Atomic commit (see [[CommitLog.append]]); returns the version won.
+    * Every `spark.graft.lake.checkpointInterval`-th commit (default 100)
+    * folds the log into one checkpoint file, so log reads stay O(1 +
+    * commits-since-checkpoint) over a table's whole life — a streaming
+    * sink committing per batch would otherwise grow every log consumer
+    * linearly and forever.
+    */
   private def commit(op: String, params: Map[String, String]): Long =
-    CommitLog.append(fs, logDir, op, params)
+    CommitLog.append(fs, logDir, op, params,
+      spark.conf.get(LakeTable.CheckpointIntervalKey,
+        LakeTable.CheckpointIntervalDefault).toInt)
 }
 
 object LakeTable {
@@ -1845,6 +1842,13 @@ object LakeTable {
     */
   val PruneDriverThresholdKey = "spark.graft.lake.pruneDriverThreshold"
   val PruneDriverThresholdDefault = "1000"
+
+  /** Fold the commit log into a checkpoint every N commits (see
+    * [[CommitLog.records]]); `<= 0` disables. Session conf so streaming
+    * tests can tighten it and exotic deployments can turn it off.
+    */
+  val CheckpointIntervalKey = "spark.graft.lake.checkpointInterval"
+  val CheckpointIntervalDefault = "100"
 
   def apply(spark: SparkSession, path: String): LakeTable =
     new LakeTable(spark, path)
