@@ -643,6 +643,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * removes the unclaimed debris). Already-deleted rows are excluded
     * from the match, so re-deleting is a no-op and the change feed
     * never reports a row twice.
+    *
+    * Two properties COW deletes lack: (1) works on PARTITIONED layouts
+    * — where the selective rewrite must bail and a COW delete pays a
+    * full-table rewrite, the vector write costs only the matched rows,
+    * and partition pruning composes with the anti-join; (2) CONCURRENT
+    * deletes compose — each writer claims its own dir and the read-side
+    * union applies both, where concurrent COW rewrites race
+    * last-swap-wins (both pinned in DeletionVectorSpec).
     */
   def deleteVectored(cond: Column, changeFeed: Boolean = false): LakeTable = {
     require(exists, s"no lake table at $path")

@@ -139,6 +139,47 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.read.parquet(lake.path).count() === o.count())
   }
 
+  test("vectored deletes work on a partitioned layout (where COW can't be selective)") {
+    val o = Tables(spark, sf0001).orders
+    val lake = LakeTable(spark, tmp())
+    lake.writePartitioned(o, Seq("o_orderstatus"))
+    lake.deleteVectored(col("o_totalprice") > 200000)
+    assert(lake.read.count() === o.where(!(col("o_totalprice") > 200000)).count())
+    // partition pruning still composes with the DV anti-join
+    assert(lake.read.where(col("o_orderstatus") === "F").count() ===
+      o.where(col("o_orderstatus") === "F" && !(col("o_totalprice") > 200000)).count())
+    // dynamic overwrite of ONE partition: its files are replaced (their
+    // vectors become harmless orphans); other partitions keep theirs
+    lake.overwritePartitions(
+      o.where(col("o_orderstatus") === "O"), Seq("o_orderstatus"))
+    assert(lake.read.where(col("o_orderstatus") === "O").count() ===
+      o.where(col("o_orderstatus") === "O").count(),
+      "rewritten partition is fully restored (vectors orphaned)")
+    assert(lake.read.where(col("o_orderstatus") === "F").count() ===
+      o.where(col("o_orderstatus") === "F" && !(col("o_totalprice") > 200000)).count(),
+      "untouched partitions keep their vectors")
+  }
+
+  test("concurrent vectored deletes both apply (each claims its own dir)") {
+    val o = Tables(spark, sf0001).orders
+    val path = tmp()
+    LakeTable(spark, path).write(o)
+    // two writers, two INDEPENDENT LakeTable handles, overlapping
+    // predicates — unlike COW rewrites (last-swap-wins), MOR deletes
+    // only ADD claimed vectors, and the anti-join unions them
+    val t1 = new Thread(() =>
+      LakeTable(spark, path).deleteVectored(col("o_totalprice") > 200000))
+    val t2 = new Thread(() =>
+      LakeTable(spark, path).deleteVectored(
+        col("o_orderstatus") === "F" && col("o_totalprice") > 150000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val lake = LakeTable(spark, path)
+    val expected = o.where(!(col("o_totalprice") > 200000 ||
+      (col("o_orderstatus") === "F" && col("o_totalprice") > 150000))).count()
+    assert(lake.read.count() === expected)
+    assert(lake.history.where(col("operation") === "DELETE").count() === 2)
+  }
+
   test("streaming read applies vectors live at stream start") {
     val o = Tables(spark, sf0001).orders
     val lake = LakeTable(spark, tmp()).write(o)
