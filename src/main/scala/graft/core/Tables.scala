@@ -27,8 +27,18 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
-  /** Raw events: `ts` is epoch-nano bigint (see [[GraftSession]]). */
-  def eventsRaw: DataFrame = load("events")
+  /** Raw events with `ts` CANONICALIZED to epoch-nano bigint.
+    *
+    * The driver has shipped the events table with two physical `ts`
+    * encodings across testdata generations: parquet NANO timestamps
+    * (which Spark surfaces as bigint nanos — it has no nanosecond
+    * timestamp type) and parquet MICRO timestamps (surfaced as
+    * TimestampType). All downstream nano arithmetic (as-of tolerances,
+    * range-join windows, funnel ordering) is written against the nano
+    * bigint; [[Tables.canonicalizeEventTs]] maps either encoding onto it
+    * losslessly, so a testdata regeneration can't break the operators.
+    */
+  def eventsRaw: DataFrame = Tables.canonicalizeEventTs(load("events"))
 
   /** Events with `ts_ts` timestamp column derived from the nano epoch.
     * Nanos -> micros via integer division, then `timestamp_micros`.
@@ -47,4 +57,22 @@ object Tables {
     */
   def nanosToTimestamp(c: Column): Column =
     timestamp_micros(floor(c.cast("decimal(38,0)") / lit(1000)).cast("long"))
+
+  /** Normalize an events frame so `ts` is epoch-nano bigint regardless of
+    * the parquet encoding: TimestampType (micro precision) widens via
+    * `unix_micros * 1000` (exact — micros fit a long with room for the
+    * 1000 factor until year 2262); TIMESTAMP_NTZ casts through
+    * TimestampType first, which is value-preserving under the session's
+    * pinned UTC timezone ([[GraftSession]]) and matches DuckDB's naive
+    * reading of the same files; bigint passes through.
+    */
+  def canonicalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case _ => df
+    }
 }

@@ -59,13 +59,18 @@ object EventsAnalytics {
         col("n_events"), col("sum_value"))
 
   /** Events stream from a parquet directory (file source), with the same
-    * ts_ts derivation as the batch table.
+    * ts_ts derivation as the batch table. The file source needs a
+    * declared schema; a one-off batch sniff of the directory picks up
+    * whichever `ts` encoding the files carry (nano bigint or micro
+    * timestamp — see [[Tables.canonicalizeEventTs]]), then the stream
+    * normalizes to the canonical nano bigint.
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    Tables.canonicalizeEventTs(
+        spark.readStream.schema(fileSchema).parquet(dir))
       .withColumn("ts_ts", Tables.nanosToTimestamp(col("ts")))
+  }
 
   /** L1+L3 streaming: watermarked tumbling aggregation (append mode emits a
     * window once the watermark passes it; late data beyond 10min dropped).
