@@ -263,7 +263,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def upsert(
       updates: DataFrame, keys: Seq[String], changeFeed: Boolean = false,
-      schemaEvolution: Boolean = false): LakeTable = {
+      schemaEvolution: Boolean = false,
+      extraParams: Map[String, String] = Map.empty): LakeTable = {
     val cur = evolveTarget(read, updates, schemaEvolution)
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
@@ -273,7 +274,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val set = cur.columns.filterNot(keys.contains)
         .map(c => c -> col("s." + c)).toMap
       return merge(updates, keys, Seq(MergeClause.UpdateWhen(set)),
-        changeFeed = true, schemaEvolution = schemaEvolution)
+        changeFeed = true, schemaEvolution = schemaEvolution,
+        extraParams = extraParams)
     }
     // materialize once: the plan feeds BOTH the anti-join key side and
     // the union, and a derived updates source would otherwise run twice.
@@ -286,7 +288,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val untouched = cur.join(
       aligned.select(keys.map(col): _*), keys, "left_anti")
     rewrite(aligned.unionByName(untouched),
-      "MERGE", Map("keys" -> keys.mkString(",")))
+      "MERGE", Map("keys" -> keys.mkString(",")) ++ extraParams)
   }
 
   /** Conditional MERGE (the general Delta `MERGE INTO` shape —
@@ -333,7 +335,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       insertCond: Option[Column] = None,
       changeFeed: Boolean = false,
       whenNotMatchedBySource: Seq[MergeClause] = Seq.empty,
-      schemaEvolution: Boolean = false): LakeTable = {
+      schemaEvolution: Boolean = false,
+      extraParams: Map[String, String] = Map.empty): LakeTable = {
     val cur = evolveTarget(read, source, schemaEvolution)
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
@@ -465,7 +468,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     rewriteWithFeed(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
-        "changeFeed" -> changeFeed.toString),
+        "changeFeed" -> changeFeed.toString) ++ extraParams,
       changeVersion)
   }
 
@@ -1504,7 +1507,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
   /** Stage the clustered rewrite to a sibling dir, then swap — avoids
     * reading+overwriting the same location in one job.
     */
-  private def rewrite(
+  private[sources] def rewrite(
       clustered: DataFrame, op: String, params: Map[String, String],
       onAbort: () => Unit = () => (),
       onCommit: Long => Unit = _ => ()): LakeTable = {

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 maintenance (SURVEY §2 A3 depth).
+  *
+  * The reference's ETL rebuilds dimension snapshots per load
+  * (/root/reference/00-etl-rwd.py:158-200 re-creates `rwd_hls` dims from
+  * the latest extract, losing prior attribute values); a warehouse at
+  * scale keeps the HISTORY instead — Kimball Type 2: each attribute
+  * change closes the open row (`valid_to` = change date) and opens a new
+  * one, so as-of joins against the dimension reconstruct any past state.
+  *
+  * [[applyType2]] is the pure batch core: one update batch against the
+  * current dimension state. The plan is two key-joins, both
+  * shuffle-partitioned on the dimension key and AQE-broadcastable when
+  * the update batch is small — the common case at scale, where a daily
+  * batch touches a tiny fraction of a billion-row dimension:
+  *
+  *   - target side: ONE left_outer join of the OPEN rows against the
+  *     updates; carried rows (no match / no tracked change) and closed
+  *     rows (a tracked change: `valid_to` stamped, flag dropped) are a
+  *     single conditional projection — never two passes over the
+  *     dimension.
+  *   - source side: one left_outer from the updates against a
+  *     keys+tracked column-pruned slice of the open rows; rows that are
+  *     brand-new keys or tracked changes become the new open versions.
+  *   - closed history passes through untouched (filter, no join).
+  *
+  * Guarantees mirrored from warehouse MERGE contracts: at most one
+  * update per key per batch (enforced — two updates for one key in one
+  * batch is ambiguous Type 2), tracked-change detection is null-safe
+  * (`<=>`), and an update identical to the open row is a no-op rather
+  * than a spurious new version.
+  */
+object Scd {
+
+  /** Apply one batch of updates to a Type-2 dimension.
+    *
+    * @param current   dimension state: key + attribute columns plus
+    *                  `validFrom`, `validTo` (null = open) and
+    *                  `currentFlag` (true = open row)
+    * @param updates   one row per changed/new key: key + attribute
+    *                  columns plus `effectiveCol` (the change date that
+    *                  stamps closed rows' `validTo` and new rows'
+    *                  `validFrom`)
+    * @param keys      dimension natural key
+    * @param tracked   attribute columns whose change opens a new version;
+    *                  non-listed attributes ride along (new versions take
+    *                  the update's values, carried rows keep the old)
+    */
+  def applyType2(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      tracked: Seq[String],
+      effectiveCol: String = "effective_date",
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      currentFlag: String = "is_current"): DataFrame = {
+    val meta = Seq(validFrom, validTo, currentFlag)
+    val attrs = current.columns.filterNot(c => keys.contains(c) || meta.contains(c)).toSeq
+    require(keys.nonEmpty && keys.forall(current.columns.contains),
+      s"keys $keys must exist in the dimension")
+    require(tracked.nonEmpty && tracked.forall(attrs.contains),
+      s"tracked columns $tracked must be non-key attribute columns")
+    require(meta.forall(current.columns.contains),
+      s"dimension must carry $meta columns")
+    require((keys ++ attrs :+ effectiveCol).forall(updates.columns.contains),
+      s"updates must carry ${keys ++ attrs :+ effectiveCol}")
+
+    // one update per key per batch: two versions opening on the same
+    // effective batch is ambiguous Type 2 — fail loudly, like MERGE's
+    // duplicate-source-key contract
+    val dupes = updates.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    require(dupes.isEmpty, s"updates contain duplicate keys on $keys")
+
+    val open = current.filter(col(currentFlag))
+    val closedHistory = current.filter(!col(currentFlag))
+
+    // explicit match markers (merge()'s __graft_m idiom): a nullable key
+    // or a legitimately-null tracked column must not be mistaken for
+    // "no join partner"
+    val sMark = "__graft_s"
+    val tMark = "__graft_t"
+
+    def changed: Column = col(sMark).isNotNull &&
+      tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
+
+    // target side: carried AND closed-out rows in ONE projection over one
+    // left_outer scan of the open rows (old attribute values stay on the
+    // closed row — only validity metadata changes)
+    val targetOut = open.alias("t")
+      .join(updates.withColumn(sMark, lit(true)).alias("s"), keys.toIndexedSeq, "left_outer")
+      .select(
+        keys.map(col) ++ attrs.map(c => col(s"t.$c").as(c)) ++ Seq(
+          col(s"t.$validFrom").as(validFrom),
+          when(changed, col(s"s.$effectiveCol")).otherwise(col(s"t.$validTo")).as(validTo),
+          (col(s"t.$currentFlag") && !changed).as(currentFlag)
+        ): _*)
+
+    // source side: new open versions for tracked changes and brand-new
+    // keys. Only keys + tracked columns of the open rows are read here —
+    // the scan is column-pruned to the comparison set
+    val openSlice = open.select((keys ++ tracked).map(col): _*).withColumn(tMark, lit(true))
+    val newOpen = updates.alias("s")
+      .join(openSlice.alias("t"), keys.toIndexedSeq, "left_outer")
+      .filter(col(tMark).isNull ||
+        tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _))
+      .select(
+        keys.map(col) ++ attrs.map(c => col(s"s.$c").as(c)) ++ Seq(
+          col(s"s.$effectiveCol").as(validFrom),
+          lit(null).cast(current.schema(validTo).dataType).as(validTo),
+          lit(true).as(currentFlag)
+        ): _*)
+
+    closedHistory.unionByName(targetOut).unionByName(newOpen)
+  }
+
+  /** [[applyType2]] against a [[LakeTable]]: reads the dimension, applies
+    * the batch, commits the new state as one `SCD2` log entry — history,
+    * time travel and the change feed come from the lake layer for free.
+    */
+  def applyToLake(
+      lake: LakeTable,
+      updates: DataFrame,
+      keys: Seq[String],
+      tracked: Seq[String],
+      effectiveCol: String = "effective_date"): LakeTable = {
+    val next = applyType2(lake.read, updates, keys, tracked, effectiveCol)
+    // staged rewrite, not write(Overwrite): the plan READS the table it
+    // replaces, so the new state must land beside the old and swap in
+    lake.rewrite(next, "SCD2", Map("keys" -> keys.mkString(",")))
+  }
+}

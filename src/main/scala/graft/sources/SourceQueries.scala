@@ -585,6 +585,35 @@ object SourceQueries {
          |) ORDER BY snap""".stripMargin)
   }
 
+  /** A3 depth (SCD Type 2): one update batch against a customer
+    * dimension — changed accounts close their open row and open a new
+    * version, identical re-sends are no-ops, brand-new keys insert. The
+    * full post-batch dimension (history + open rows) is the result, so
+    * any wrong close/carry/insert decision breaks the hash. Validity
+    * dates travel as strings (dtype-stable across engines); nulls
+    * coalesce to '' for deterministic sorting.
+    */
+  def scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir).customer
+    val dimCols = Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment").map(col)
+    val current = c.select(dimCols: _*)
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .unionByName(c.filter(col("c_custkey") % 3 =!= 0 && col("c_custkey") % 7 === 2))
+      .unionByName(c.filter(col("c_custkey") % 11 === 5)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_acctbal", lit(0.0)))
+      .select(dimCols: _*)
+      .withColumn("effective_date", lit("2024-06-01"))
+    Scd.applyType2(current, updates, Seq("c_custkey"),
+        Seq("c_nationkey", "c_acctbal", "c_mktsegment"))
+      .withColumn("valid_to", coalesce(col("valid_to"), lit("")))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -618,6 +647,7 @@ object SourceQueries {
     "q_json_ingest" -> (jsonIngestNation _),
     "q_tvf_lake_sql" -> (tvfLakeSql _),
     "q_catalog_sql" -> (catalogSql _),
+    "q_scd2_apply" -> (scd2Apply _),
     "q_deid_sha1" -> (deidSha1 _)
   )
 
@@ -850,6 +880,46 @@ object SourceQueries {
     "q_catalog_sql" ->
       """SELECT r.r_name, count(*) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "q_scd2_apply" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+        |         '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |         TRUE AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal,
+        |         c_mktsegment, '2024-06-01' AS effective_date
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, '2024-06-01'
+        |  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 2
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey, CAST(0.0 AS DOUBLE),
+        |         c_mktsegment, '2024-06-01'
+        |  FROM customer WHERE c_custkey % 11 = 5),
+        |chg AS (
+        |  SELECT u.* FROM upd u JOIN cur t USING (c_custkey)
+        |  WHERE t.c_nationkey  IS DISTINCT FROM u.c_nationkey
+        |     OR t.c_acctbal    IS DISTINCT FROM u.c_acctbal
+        |     OR t.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
+        |result AS (
+        |  SELECT t.c_custkey, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+        |         t.valid_from,
+        |         CASE WHEN c.c_custkey IS NOT NULL THEN c.effective_date
+        |              ELSE t.valid_to END AS valid_to,
+        |         (c.c_custkey IS NULL) AS is_current
+        |  FROM cur t LEFT JOIN chg c USING (c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+        |         effective_date, NULL, TRUE FROM chg
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+        |         u.effective_date, NULL, TRUE
+        |  FROM upd u LEFT JOIN cur t USING (c_custkey)
+        |  WHERE t.c_custkey IS NULL)
+        |SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, valid_from,
+        |       COALESCE(valid_to, '') AS valid_to, is_current
+        |FROM result ORDER BY c_custkey, valid_from""".stripMargin
   )
 }

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim(rows: (Long, String, Double, String, String, Boolean)*) =
+    rows.toDF("id", "seg", "bal", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_to", when(col("valid_to") === "", lit(null)).otherwise(col("valid_to")))
+
+  private def upd(rows: (Long, String, Double, String)*) =
+    rows.toDF("id", "seg", "bal", "effective_date")
+
+  private val keys = Seq("id")
+  private val tracked = Seq("seg", "bal")
+
+  test("changed row closes + reopens; unchanged is a no-op; new key inserts") {
+    val cur = dim(
+      (1L, "A", 10.0, "2024-01-01", "", true),
+      (2L, "B", 20.0, "2024-01-01", "", true))
+    val batch = upd(
+      (1L, "A", 99.0, "2024-06-01"), // tracked change
+      (2L, "B", 20.0, "2024-06-01"), // identical re-send
+      (3L, "C", 30.0, "2024-06-01")) // brand-new key
+    val out = Scd.applyType2(cur, batch, keys, tracked)
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), Option(r.getString(4)).getOrElse(""), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, "A", 10.0, "2024-01-01", "2024-06-01", false), // closed, old values kept
+      (1L, "A", 99.0, "2024-06-01", "", true),            // new open version
+      (2L, "B", 20.0, "2024-01-01", "", true),            // untouched
+      (3L, "C", 30.0, "2024-06-01", "", true)))           // insert
+  }
+
+  test("closed history passes through untouched; change detection is null-safe") {
+    val cur = dim(
+      (1L, "A", 10.0, "2023-01-01", "2024-01-01", false), // already closed
+      (1L, "A", 11.0, "2024-01-01", "", true))
+    val nullSeg = upd((1L, "A", 11.0, "2024-06-01"))
+      .withColumn("seg", lit(null).cast("string"))
+    val out = Scd.applyType2(cur, nullSeg, keys, tracked)
+      .orderBy("id", "valid_from").collect()
+    // null seg vs "A" IS a change (null-safe compare), closed row untouched
+    assert(out.length === 3)
+    assert(out(0).getString(3) === "2023-01-01" && !out(0).getBoolean(5))
+    assert(out(1).getString(4) === "2024-06-01" && !out(1).getBoolean(5))
+    assert(out(2).isNullAt(1) && out(2).getBoolean(5))
+    // re-sending the SAME null-attr row is then a no-op
+    val again = Scd.applyType2(
+      Scd.applyType2(cur, nullSeg, keys, tracked), nullSeg, keys, tracked)
+    assert(again.count() === 3)
+  }
+
+  test("duplicate update keys in one batch are rejected") {
+    val cur = dim((1L, "A", 10.0, "2024-01-01", "", true))
+    val dup = upd((1L, "A", 1.0, "2024-06-01"), (1L, "A", 2.0, "2024-06-01"))
+    val e = intercept[IllegalArgumentException] {
+      Scd.applyType2(cur, dup, keys, tracked)
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("applyToLake: two sequential batches build history, commit log records SCD2") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd").resolve("d").toString
+    val lake = LakeTable(spark, path)
+    lake.write(dim((1L, "A", 10.0, "2024-01-01", "", true)), SaveMode.Overwrite)
+    Scd.applyToLake(lake, upd((1L, "A", 20.0, "2024-03-01")), keys, tracked)
+    Scd.applyToLake(lake, upd(
+      (1L, "A", 30.0, "2024-06-01"),
+      (2L, "B", 5.0, "2024-06-01")), keys, tracked)
+    val rows = lake.read.orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getDouble(2),
+        Option(r.getString(4)).getOrElse(""), r.getBoolean(5)))
+    assert(rows.toSeq === Seq(
+      (1L, 10.0, "2024-03-01", false),
+      (1L, 20.0, "2024-06-01", false),
+      (1L, 30.0, "", true),
+      (2L, 5.0, "", true)))
+    // each batch is one commit: WRITE + SCD2 + SCD2
+    val ops = lake.history.select("operation").as[String].collect()
+    assert(ops.count(_ == "SCD2") === 2)
+  }
+}
