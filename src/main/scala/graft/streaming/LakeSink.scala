@@ -81,4 +81,63 @@ object LakeSink {
       seen.merge(cacheKey, batchId, (a, b) => math.max(a, b)): Unit
     }
   }
+
+  /** Start UPSERTING the stream into the lake table — the Delta
+    * "stream-MERGE" pattern (`foreachBatch` + `MERGE INTO`): each
+    * micro-batch's rows update matching keys in place and insert the
+    * rest, so the table holds the LATEST state per key rather than the
+    * append history. The canonical CDC-apply / latest-snapshot shape.
+    *
+    * Same (appId, batchId) replay contract as [[streamTo]]: the MERGE's
+    * commit carries the txn tag, so an at-least-once redelivery after a
+    * restart is recognized and skipped instead of re-merged. A re-merge
+    * of a whole-row upsert is VALUE-idempotent anyway, but skipping also
+    * keeps the history/CDC stream exactly-once — a replayed batch must
+    * not mint a second commit version.
+    *
+    * A batch may carry several rows per key (two updates to one entity
+    * inside one trigger interval); `orderCol`, when given, keeps only
+    * the LAST version per key (max `orderCol` wins) before merging —
+    * the per-batch compaction Delta users hand-write with
+    * `row_number()` in their foreachBatch.
+    */
+  def upsertTo(
+      stream: DataFrame,
+      lake: LakeTable,
+      keys: Seq[String],
+      appId: String = "graft-lake-upsert",
+      orderCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        upsertBatch(lake, batch.toDF(), batchId, keys, appId, orderCol)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch MERGE, (appId, batchId)-keyed — see [[upsertTo]]. */
+  def upsertBatch(
+      lake: LakeTable, batch: DataFrame, batchId: Long, keys: Seq[String],
+      appId: String = "graft-lake-upsert",
+      orderCol: Option[String] = None): Unit = {
+    val key = TxnKeyPrefix + appId
+    val cacheKey = lake.path + "\u0000" + appId
+    val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
+    if (batchId <= last) return
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val compacted = orderCol.fold(batch) { oc =>
+        batch
+          .withColumn("__graft_rn", row_number().over(
+            Window.partitionBy(keys.map(col): _*).orderBy(col(oc).desc)))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_rn")
+      }
+      lake.upsert(compacted, keys,
+        extraParams = Map(key -> batchId.toString)): Unit
+      seen.merge(cacheKey, batchId, (a, b) => math.max(a, b)): Unit
+    }
+  }
 }

@@ -228,6 +228,50 @@ class StreamingSpec extends SparkSpec {
     assert(lake.read.count() === 3, "replayed batch double-appended")
   }
 
+  test("LakeSink.upsertBatch: merge applies, replay skips, orderCol compacts per key") {
+    import spark.implicits._
+    val lakeDir = Files.createTempDirectory("graft_lake_sink_upsert").resolve("t").toString
+    val lake = graft.sources.LakeTable(spark, lakeDir)
+    lake.write(Seq((1L, "stale", 0L), (2L, "stale", 0L)).toDF("id", "v", "seq"))
+
+    // batch with TWO versions of key 1 — orderCol keeps the max-seq row
+    val b0 = Seq((1L, "mid", 5L), (1L, "new", 9L), (3L, "c", 1L)).toDF("id", "v", "seq")
+    LakeSink.upsertBatch(lake, b0, batchId = 0L, keys = Seq("id"), orderCol = Some("seq"))
+    def state() = lake.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() === Seq((1L, "new"), (2L, "stale"), (3L, "c")))
+    val versions = lake.history.count()
+
+    // at-least-once replay: no new commit version, state unchanged
+    LakeSink.upsertBatch(lake, b0, batchId = 0L, keys = Seq("id"), orderCol = Some("seq"))
+    assert(lake.history.count() === versions, "replayed merge minted a commit")
+    assert(state() === Seq((1L, "new"), (2L, "stale"), (3L, "c")))
+
+    // next batch updates in place (no append growth) and inserts
+    LakeSink.upsertBatch(lake, Seq((2L, "fresh", 1L), (4L, "d", 1L)).toDF("id", "v", "seq"),
+      batchId = 1L, keys = Seq("id"), orderCol = Some("seq"))
+    assert(state() === Seq((1L, "new"), (2L, "fresh"), (3L, "c"), (4L, "d")))
+  }
+
+  test("LakeSink.upsertTo: stream converges to latest state per key") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_to")
+    val src = s"$dir/src"
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "seq")
+      .coalesce(1).write.parquet(s"$src/b1")
+    val lake = graft.sources.LakeTable(spark, s"$dir/t")
+    lake.write(Seq((1L, "zero", 0L)).toDF("id", "v", "seq"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string").add("seq", "long")
+    val q = LakeSink.upsertTo(
+      spark.readStream.schema(schema).parquet(s"$src/*"),
+      lake, keys = Seq("id"), orderCol = Some("seq"))
+    assert(q.awaitTermination(120000))
+    val got = lake.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("checkpointed query restarts with no duplicates and no loss (exactly-once recovery)") {
     import spark.implicits._
     // LakeSink's doc claims exactly-once across restarts via the
