@@ -285,10 +285,56 @@ final class LakeTable(spark: SparkSession, val path: String) {
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .localCheckpoint(true)
     requireUniqueKeys(aligned, keys, "updates")
-    val untouched = cur.join(
-      aligned.select(keys.map(col): _*), keys, "left_anti")
-    rewrite(aligned.unionByName(untouched),
-      "MERGE", Map("keys" -> keys.mkString(",")) ++ extraParams)
+    val params = Map("keys" -> keys.mkString(",")) ++ extraParams
+    // stats-pruned selective MERGE (the Delta data-skipping merge path):
+    // only files whose recorded min/max or bloom stats ADMIT a source
+    // key are rewritten; every other file moves through the swap
+    // untouched. The batch-to-table contract makes this exact, not
+    // heuristic: a file pruned by the key condition cannot contain a
+    // matching target row, so matching AND insert detection against the
+    // affected subset equals detection against the whole table. This is
+    // what keeps a point-upsert stream viable at 100 TB — each batch
+    // rewrites the handful of files holding its keys, not the table.
+    val selective = sourceKeyCondition(aligned, keys).flatMap { keyCond =>
+      rewriteSelective(keyCond,
+        affected => aligned.unionByName(
+          affected.join(aligned.select(keys.map(col): _*), keys, "left_anti")),
+        "MERGE", params + ("selective" -> "true"),
+        changeVersion = None, alwaysTransform = true)
+    }
+    selective.getOrElse {
+      val untouched = cur.join(
+        aligned.select(keys.map(col): _*), keys, "left_anti")
+      rewrite(aligned.unionByName(untouched), "MERGE", params)
+    }
+  }
+
+  /** A predicate over the TARGET key columns that every row matching a
+    * source key satisfies — the file-pruning condition for a selective
+    * MERGE. Small single-key batches produce an exact IN-list (engages
+    * bloom stats for point lookups); larger or composite-key batches
+    * produce per-key min/max ranges. None when the source is empty or a
+    * key bound is null (fall back to the full rewrite).
+    */
+  private def sourceKeyCondition(aligned: DataFrame, keys: Seq[String]): Option[Column] = {
+    val inListMax = spark.conf
+      .get(LakeTable.MergeInListThresholdKey, LakeTable.MergeInListThresholdDefault).toInt
+    val n = aligned.count()
+    if (n == 0) return None
+    if (keys.length == 1 && n <= inListMax) {
+      val vals = aligned.select(keys.head).distinct()
+        .collect().map(_.get(0)).filter(_ != null)
+      if (vals.isEmpty) None else Some(col(keys.head).isInCollection(vals.toIndexedSeq))
+    } else {
+      val aggs = keys.flatMap(k =>
+        Seq(min(col(k)).as(s"__graft_lo_$k"), max(col(k)).as(s"__graft_hi_$k")))
+      val r = aligned.agg(aggs.head, aggs.tail: _*).head()
+      val bounds = keys.zipWithIndex.map { case (k, i) => (k, r.get(2 * i), r.get(2 * i + 1)) }
+      if (bounds.exists(b => b._2 == null || b._3 == null)) None
+      else Some(bounds.map { case (k, lo, hi) =>
+        col(k) >= lit(lo) && col(k) <= lit(hi)
+      }.reduce(_ && _))
+    }
   }
 
   /** Conditional MERGE (the general Delta `MERGE INTO` shape —
@@ -802,7 +848,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       cond: Column,
       transformAffected: DataFrame => DataFrame,
       op: String, params: Map[String, String],
-      changeVersion: Option[Long]): Option[LakeTable] = {
+      changeVersion: Option[Long],
+      alwaysTransform: Boolean = false): Option[LakeTable] = {
     if (!fs.exists(new Path(statsDir))) return None
     val all = listDataFiles()
     if (all.exists(_._1.contains("/"))) return None // partitioned layout
@@ -811,22 +858,31 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val untouched = all.filterNot(t => mightMatch.contains(t._3))
     if (untouched.isEmpty) return None // nothing saved: full rewrite is equal
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
+    // a MERGE with zero affected files still has INSERTS to land
+    // (alwaysTransform feeds the transform an empty frame); a DELETE
+    // whose predicate matches nothing writes nothing
+    val transforming = affected.nonEmpty || alwaysTransform
     try {
-      if (affected.nonEmpty) {
+      if (transforming) {
         val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
         // deletion vectors must filter the affected input too, or rows a
         // prior merge-on-read DELETE removed would resurrect in the
         // rewritten files; untouched files keep their (still-valid)
         // vectors via the manifest below
-        transformAffected(applyDeletionVectors(reader.parquet(affected.map(_._3): _*)))
+        val input =
+          if (affected.nonEmpty)
+            applyDeletionVectors(reader.parquet(affected.map(_._3): _*))
+          else
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              storedSchema.getOrElse(read.schema))
+        transformAffected(input)
           .write.mode(SaveMode.Overwrite).parquet(staged.toString)
       } else {
-        // a DELETE whose predicate matches nothing still commits; the
-        // stage is just an empty dir the untouched files move through
+        // the stage is just an empty dir the untouched files move through
         fs.mkdirs(staged): Unit
       }
       val cons = constraints
-      if (cons.nonEmpty && affected.nonEmpty) {
+      if (cons.nonEmpty && transforming) {
         // untouched files were already validated when written
         try enforceConstraints(spark.read.parquet(staged.toString), cons)
         catch { case e: Throwable => fs.delete(staged, true); throw e }
@@ -1853,6 +1909,14 @@ object LakeTable {
     */
   val PruneDriverThresholdKey = "spark.graft.lake.pruneDriverThreshold"
   val PruneDriverThresholdDefault = "1000"
+
+  /** Max SINGLE-KEY source rows for which a selective MERGE prunes with
+    * an exact IN-list (bloom-filter-engaging point lookups) instead of a
+    * min/max range — the IN-list is collected to the driver, so it stays
+    * bounded. Streaming CDC batches are typically far below this.
+    */
+  val MergeInListThresholdKey = "spark.graft.lake.mergeInListThreshold"
+  val MergeInListThresholdDefault = "256"
 
   /** Fold the commit log into a checkpoint every N commits (see
     * [[CommitLog.records]]); `<= 0` disables. Session conf so streaming

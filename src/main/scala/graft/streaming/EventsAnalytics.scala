@@ -206,8 +206,30 @@ object EventsAnalytics {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** Batch dual of the L-category STREAM-STREAM interval join (pinned
+    * equal to the watermarked streaming run in StreamingSpec): purchases
+    * joined to same-user views within the 10 minutes before the
+    * purchase. An equi-join on user_id with a range post-filter — one
+    * key shuffle, no cross product; the streaming twin bounds its state
+    * with 1-hour watermarks on both sides.
+    */
+  def qStreamJoinDual(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).eventsRaw
+      .withColumn("ts_us",
+        floor(col("ts").cast("decimal(38,0)") / lit(1000)).cast("long"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_us"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("ts_us").as("v_us"))
+    p.join(v, Seq("user_id"))
+      .where(col("v_us") >= col("p_us") - lit(600000000L) && col("v_us") <= col("p_us"))
+      .select(col("p_id"), col("v_id"), (col("p_us") - col("v_us")).as("gap_us"))
+      .orderBy(col("p_id"), col("v_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_dedup_dual" -> (qStreamDedupDual _),
+    "q_stream_join_dual" -> (qStreamJoinDual _),
     "q_events_tumbling" -> (qTumbling _),
     "q_events_sliding" -> (qSliding _),
     "q_events_sessions" -> (qSessions _),
@@ -215,6 +237,15 @@ object EventsAnalytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stream_join_dual" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p_id, v_id, p_us - v_us AS gap_us
+        |FROM p JOIN v USING (user_id)
+        |WHERE v_us >= p_us - 600000000 AND v_us <= p_us
+        |ORDER BY p_id, v_id""".stripMargin,
     "q_stream_dedup_dual" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value

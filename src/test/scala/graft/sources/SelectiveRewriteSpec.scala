@@ -120,6 +120,82 @@ class SelectiveRewriteSpec extends SparkSpec {
       (10 until 20).map(_.toLong).toSet)
   }
 
+  test("selective MERGE: point-upsert rewrites only the files holding its keys") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val before = dataFileNames(path)
+    // keys 150 + 160 live in file [100,200); 450 is brand-new (no file)
+    lake.upsert(Seq((150L, "X"), (160L, "Y"), (450L, "Z")).toDF("id", "v"), Seq("id"))
+    val after = dataFileNames(path)
+    assert(before.intersect(after).size === 3,
+      "three key-disjoint files must move through the merge untouched")
+    val got = lake.read.where(col("id").isin(150L, 160L, 450L, 250L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((150L, "X"), (160L, "Y"), (450L, "Z"), (250L, "v250")))
+    assert(lake.read.count() === 401)
+    val params = lake.history.where(col("operation") === "MERGE")
+      .select("operationParameters.filesRewritten",
+        "operationParameters.filesKept", "operationParameters.selective")
+      .collect().head
+    assert(params.getString(0) === "1" && params.getString(1) === "3"
+      && params.getString(2) === "true")
+  }
+
+  test("selective MERGE: insert-only batch keeps every file, inserts still land") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val before = dataFileNames(path)
+    // keys far outside every file's range: zero affected files
+    lake.upsert(Seq((900L, "new1"), (901L, "new2")).toDF("id", "v"), Seq("id"))
+    assert(dataFileNames(path).intersect(before).size === 4,
+      "no existing file may be rewritten by an insert-only merge")
+    assert(lake.read.count() === 402)
+    assert(lake.read.where(col("id") >= 900).count() === 2)
+  }
+
+  test("selective MERGE: wide multi-row batch falls back to range pruning, stays exact") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    spark.conf.set(LakeTable.MergeInListThresholdKey, "1") // force range path
+    try {
+      lake.upsert(Seq((10L, "A"), (20L, "B")).toDF("id", "v"), Seq("id"))
+    } finally spark.conf.unset(LakeTable.MergeInListThresholdKey)
+    val got = lake.read.where(col("id").isin(10L, 20L, 30L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((10L, "A"), (20L, "B"), (30L, "v30")))
+    assert(lake.read.count() === 400)
+    // range [10,20] touches only the first file
+    val params = lake.history.where(col("operation") === "MERGE")
+      .select("operationParameters.filesRewritten", "operationParameters.filesKept")
+      .collect().head
+    assert(params.getString(0) === "1" && params.getString(1) === "3")
+  }
+
+  test("selective MERGE matches the full-rewrite result exactly (no stats vs stats)") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq((50L, "P"), (150L, "Q"), (777L, "R")).toDF("id", "v")
+    val withStats = tmp(); val noStats = tmp()
+    clusteredTable(withStats).upsert(batch, Seq("id"))
+    val plain = LakeTable(spark, noStats)
+    (0 until 4).foreach { b =>
+      val rows = (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"v$i"))
+      plain.write(rows.toDF("id", "v").coalesce(1), SaveMode.Append)
+    }
+    plain.upsert(batch, Seq("id"))
+    val a = LakeTable(spark, withStats).read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = plain.read.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a === b)
+  }
+
   test("a crashed selective swap is COMPLETED by vacuumDebris, not discarded") {
     val s = spark
     import s.implicits._
