@@ -28,6 +28,7 @@ import graft.sources.{LakeTable, MergeClause}
   * ALTER TABLE graft_lake('/p') ADD COLUMNS (score DOUBLE)
   * ALTER TABLE graft_lake('/p') ADD CONSTRAINT pos CHECK (v > 0)
   * OPTIMIZE graft_lake('/p') ZORDER BY (id, day)
+  * OPTIMIZE graft_lake('/partitioned') WHERE day = '2024-06-01'
   * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
   * CREATE TABLE db.t USING graft_lake LOCATION '/p'   -- register a NAME
@@ -181,6 +182,12 @@ final case class LakeMaintenanceCommand(
         LakeTable(spark, path).compact()
       case LakeMaintenanceCommand.Optimize(cols) =>
         LakeTable(spark, path).optimizeZorder(cols)
+      case LakeMaintenanceCommand.OptimizeWhere(_) if versioned =>
+        throw new IllegalArgumentException(
+          "OPTIMIZE … WHERE targets Hive-partitioned plain lake tables; " +
+            "versioned tables cluster whole snapshots via OPTIMIZE … ZORDER BY")
+      case LakeMaintenanceCommand.OptimizeWhere(cond) =>
+        LakeTable(spark, path).optimizeWhere(cond)
       case LakeMaintenanceCommand.Vacuum(None) if versioned =>
         throw new IllegalArgumentException(
           "VACUUM on a versioned table needs RETAIN <n> VERSIONS")
@@ -199,6 +206,7 @@ final case class LakeMaintenanceCommand(
 object LakeMaintenanceCommand {
   sealed trait Op
   final case class Optimize(zorderBy: Seq[String]) extends Op
+  final case class OptimizeWhere(partitionCond: org.apache.spark.sql.Column) extends Op
   final case class Vacuum(retainVersions: Option[Int]) extends Op
 }
 
@@ -480,6 +488,10 @@ object LakeSqlDml {
 
   private def parseOptimize(p: P): Option[LogicalPlan] = {
     val path = p.lakeTarget().getOrElse(return None)
+    val where =
+      if (p.eat("WHERE"))
+        Some(p.expr(p.slice(Set("ZORDER"), "OPTIMIZE WHERE predicate")))
+      else None
     val cols =
       if (p.eat("ZORDER")) {
         p.expect("BY", "in OPTIMIZE … ZORDER")
@@ -491,7 +503,16 @@ object LakeSqlDml {
         names.result()
       } else Seq.empty
     p.done("OPTIMIZE")
-    Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Optimize(cols)))
+    where match {
+      case Some(w) =>
+        if (cols.nonEmpty) p.fail(
+          "OPTIMIZE … WHERE compacts whole partitions and does not combine " +
+            "with ZORDER BY (cluster the partition's rows via the API instead)")
+        Some(LakeMaintenanceCommand(path,
+          LakeMaintenanceCommand.OptimizeWhere(org.apache.spark.sql.GraftBridge.column(w))))
+      case None =>
+        Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Optimize(cols)))
+    }
   }
 
   private def parseVacuum(p: P): Option[LogicalPlan] = {

@@ -215,7 +215,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * the idempotent daily-backfill primitive. Plain Overwrite would drop
     * the whole table.
     */
-  def overwritePartitions(df: DataFrame, partitionCols: Seq[String]): LakeTable = {
+  def overwritePartitions(df: DataFrame, partitionCols: Seq[String]): LakeTable =
+    overwritePartitionsOp(df, partitionCols, "OVERWRITE PARTITIONS",
+      Map("mode" -> "dynamic", "partitionBy" -> partitionCols.mkString(",")))
+
+  private def overwritePartitionsOp(
+      df: DataFrame, partitionCols: Seq[String],
+      op: String, params: Map[String, String]): LakeTable = {
     // dynamic overwrite leaves sibling partitions in place, so like Append
     // it must match the standing table schema exactly — a drifted schema
     // here would fracture the table across partition directories
@@ -228,9 +234,65 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .partitionBy(partitionCols: _*)
       .parquet(path)
     saveSchema(schema)
-    commit("OVERWRITE PARTITIONS",
-      Map("mode" -> "dynamic", "partitionBy" -> partitionCols.mkString(",")))
+    commit(op, params)
     this
+  }
+
+  /** Partition columns of a Hive-layout table, detected from the
+    * directory chain (`k=v` dirs nest in partition order). Empty for an
+    * unpartitioned layout. One driver listing per level — O(depth).
+    */
+  def partitionColumns(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = new Path(path)
+    var descend = true
+    while (descend) {
+      fs.listStatus(cur).find(st =>
+          st.isDirectory && st.getPath.getName.contains("=")) match {
+        case Some(st) =>
+          out += st.getPath.getName.split("=", 2)(0)
+          cur = st.getPath
+        case None => descend = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** Partition-scoped compaction — the Delta `OPTIMIZE t WHERE
+    * <partition predicate>` shape, and the compaction path [[compact]]
+    * refuses for partitioned layouts. Rows of the matching partitions
+    * are read (partition-pruned scan), re-clustered to one file per
+    * partition value, and swapped in via dynamic partition overwrite —
+    * sibling partitions keep their files byte-for-byte. At 100 TB this
+    * is the only sane compaction cadence: optimize yesterday's
+    * partition after the daily load, never the table.
+    *
+    * The predicate must reference ONLY partition columns (whole
+    * partitions move in or out — a row-level predicate here would
+    * silently drop the non-matching rows of a rewritten partition).
+    */
+  def optimizeWhere(partitionCond: Column): LakeTable = {
+    val partCols = partitionColumns()
+    require(partCols.nonEmpty,
+      s"$path is not Hive-partitioned; use optimize/compact for flat layouts")
+    // resolve the predicate against the table to surface its column
+    // references (the raw Column AST is lazily converted; resolution
+    // also catches misspelled columns with Spark's native error)
+    val refs = FileStats.resolvedPredicate(read, partitionCond)
+      .map(_.references.map(_.name).toSet)
+      .getOrElse(Set.empty[String])
+    require(refs.nonEmpty && refs.forall(n => partCols.exists(_.equalsIgnoreCase(n))),
+      s"OPTIMIZE WHERE predicate may reference only partition columns " +
+        s"${partCols.mkString(", ")} (got ${refs.mkString(", ")})")
+    // localCheckpoint cuts the lineage to the files being replaced (the
+    // writer refuses to overwrite a path its plan still reads); the
+    // materialized set is only the affected partitions
+    val compacted = read.where(partitionCond)
+      .repartition(partCols.map(col): _*)
+      .localCheckpoint(true)
+    overwritePartitionsOp(compacted, partCols, "OPTIMIZE WHERE",
+      Map("partitionBy" -> partCols.mkString(","),
+        "predicate" -> partitionCond.toString))
   }
 
   /** The merge target under optional schema evolution (Delta's `MERGE
