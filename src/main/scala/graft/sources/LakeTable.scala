@@ -497,7 +497,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // (a separate inner + left_anti pair would read the full table twice);
     // the insert branch adds only a keys-only (column-pruned) second pass
     val marked = src.withColumn("__graft_m", lit(true))
-    val joined = cur.alias("t").join(marked.alias("s"), keys.toIndexedSeq, "left_outer")
     // first-matching-clause-wins, as one CASE, over a SINGLE clause index
     // space: matched clauses take 0..m-1, NOT-MATCHED-BY-SOURCE clauses
     // (Delta's target-only arm: no source row joined, __m null) take
@@ -513,13 +512,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val deleteIdx = allClauses.zipWithIndex.collect {
       case (MergeClause.DeleteWhen(_), i) => i
     }
-    val acted = joined.withColumn("__graft_action",
-      when(col("__graft_m").isNull,
-        firstMatch(whenNotMatchedBySource, whenMatched.length))
-        .otherwise(firstMatch(whenMatched, 0)))
-    val surviving =
-      if (deleteIdx.isEmpty) acted
-      else acted.where(!col("__graft_action").isInCollection(deleteIdx))
     // post-update value of a field under the winning clause — shared by
     // the rows written to the table AND the update_postimage change rows,
     // so clause evaluation can never diverge between the two. BY SOURCE
@@ -531,12 +523,27 @@ final class LakeTable(spark: SparkSession, val path: String) {
           when(col("__graft_action") === i, set(f.name).cast(f.dataType)).otherwise(els)
         case (_, els) => els
       }.as(f.name)
-    val keptOut = surviving.select(fields.map(updatedValue).toIndexedSeq: _*)
-
-    val inserts =
+    // the whole merge computation as a function of the TARGET FRAME, so
+    // the selective path below can evaluate it over the affected files
+    // only — by the stats contract a pruned file holds no source key, so
+    // matching, clause evaluation, and insert detection over the subset
+    // equal the full-table evaluation
+    def actedOver(curDf: DataFrame): DataFrame = curDf.alias("t")
+      .join(marked.alias("s"), keys.toIndexedSeq, "left_outer")
+      .withColumn("__graft_action",
+        when(col("__graft_m").isNull,
+          firstMatch(whenNotMatchedBySource, whenMatched.length))
+          .otherwise(firstMatch(whenMatched, 0)))
+    def keptOver(acted: DataFrame): DataFrame = {
+      val surviving =
+        if (deleteIdx.isEmpty) acted
+        else acted.where(!col("__graft_action").isInCollection(deleteIdx))
+      surviving.select(fields.map(updatedValue).toIndexedSeq: _*)
+    }
+    def insertsOver(curDf: DataFrame): Option[DataFrame] =
       if (!insertUnmatched) None
       else {
-        val unmatched = src.join(cur.select(keys.map(col): _*), keys, "left_anti")
+        val unmatched = src.join(curDf.select(keys.map(col): _*), keys, "left_anti")
         // insert condition sees the FULL source row (extras included);
         // the row written is the target-schema projection (INSERT *).
         // Under schema evolution, target columns the source lacks
@@ -550,6 +557,33 @@ final class LakeTable(spark: SparkSession, val path: String) {
             else lit(null).cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*))
       }
+    def resultOver(curDf: DataFrame): DataFrame = {
+      val kept = keptOver(actedOver(curDf))
+      insertsOver(curDf).fold(kept)(kept.unionByName(_))
+    }
+
+    // stats-pruned selective path (see upsert): sound only when every
+    // clause's scope is keyed — BY SOURCE clauses act on target rows in
+    // PRUNED files too, and the change feed must read pre-merge plans
+    // over the whole table, so both force the full rewrite
+    if (whenNotMatchedBySource.isEmpty && !changeFeed) {
+      val mergeParams = Map("keys" -> keys.mkString(","),
+        "clauses" -> whenMatched.length.toString,
+        "changeFeed" -> "false") ++ extraParams
+      val selective = sourceKeyCondition(src, keys).flatMap { keyCond =>
+        rewriteSelective(keyCond, affected => resultOver(affected),
+          "MERGE", mergeParams + ("selective" -> "true"),
+          changeVersion = None, alwaysTransform = insertUnmatched)
+      }
+      selective match {
+        case Some(t) => return t
+        case None    => // no stats / partitioned / nothing saved: fall through
+      }
+    }
+
+    val acted = actedOver(cur)
+    val keptOut = keptOver(acted)
+    val inserts = insertsOver(cur)
     val result = inserts.fold(keptOut)(keptOut.unionByName(_))
 
     val changeVersion: Option[Long] =

@@ -177,6 +177,57 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(params.getString(0) === "1" && params.getString(1) === "3")
   }
 
+  test("selective CONDITIONAL merge: clauses + delete + gated insert, files pruned") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    val before = dataFileNames(path)
+    // 110 updates in place, 120 deleted, 900 gated-in, 901 gated-out
+    val batch = Seq(
+      (110L, "upd", false), (120L, "x", true), (900L, "in", false), (901L, "out", false)
+    ).toDF("id", "v", "del")
+    lake.merge(batch, Seq("id"),
+      whenMatched = Seq(
+        MergeClause.DeleteWhen(Some(col("s.del"))),
+        MergeClause.UpdateWhen(Map("v" -> col("s.v")))),
+      insertCond = Some(col("v") =!= "out"))
+    assert(dataFileNames(path).intersect(before).size === 3,
+      "only the [100,200) file may be rewritten")
+    val got = lake.read.where(col("id").isin(110L, 120L, 900L, 901L, 250L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((110L, "upd"), (900L, "in"), (250L, "v250")))
+    assert(lake.read.count() === 400) // -1 delete +1 insert
+    val params = lake.history.where(col("operation") === "MERGE")
+      .select("operationParameters.selective", "operationParameters.filesRewritten")
+      .collect().head
+    assert(params.getString(0) === "true" && params.getString(1) === "1")
+  }
+
+  test("BY SOURCE clauses and changeFeed force the full rewrite (pruned files hold targets)") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path)
+    // BY SOURCE touches rows in every file — selective would be WRONG
+    lake.merge(Seq((110L, "u")).toDF("id", "v"), Seq("id"),
+      whenMatched = Seq(MergeClause.UpdateWhen(Map("v" -> col("s.v")))),
+      whenNotMatchedBySource = Seq(MergeClause.DeleteWhen(Some(col("t.id") >= 350))))
+    assert(lake.read.count() === 350, "BY SOURCE delete must reach every file")
+    assert(lake.read.where(col("id") === 110).head.getString(1) === "u")
+    // no commit of this table carries a `selective` tag at all
+    assert(!lake.history.select("operationParameters.*").columns.contains("selective"),
+      "BY SOURCE merge must not take the selective path")
+
+    // changeFeed needs pre-merge plans over the whole table
+    lake.collectStats(Seq("id"))
+    lake.merge(Seq((10L, "cf")).toDF("id", "v"), Seq("id"),
+      whenMatched = Seq(MergeClause.UpdateWhen(Map("v" -> col("s.v")))),
+      changeFeed = true)
+    val changes = lake.readChanges().where(col("_change_type") === "update_postimage")
+    assert(changes.count() === 1)
+  }
+
   test("selective MERGE matches the full-rewrite result exactly (no stats vs stats)") {
     val s = spark
     import s.implicits._
