@@ -127,10 +127,11 @@ object Scd {
       updates: DataFrame,
       keys: Seq[String],
       tracked: Seq[String],
-      effectiveCol: String = "effective_date"): LakeTable = {
+      effectiveCol: String = "effective_date",
+      extraParams: Map[String, String] = Map.empty): LakeTable = {
     val next = applyType2(lake.read, updates, keys, tracked, effectiveCol)
     // staged rewrite, not write(Overwrite): the plan READS the table it
     // replaces, so the new state must land beside the old and swap in
-    lake.rewrite(next, "SCD2", Map("keys" -> keys.mkString(",")))
+    lake.rewrite(next, "SCD2", Map("keys" -> keys.mkString(",")) ++ extraParams)
   }
 }

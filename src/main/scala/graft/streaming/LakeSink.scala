@@ -116,6 +116,63 @@ object LakeSink {
       .trigger(trigger)
       .start()
 
+  /** Start applying the stream to a TYPE-2 dimension ([[graft.sources.Scd]]):
+    * each micro-batch closes changed open rows and opens new versions,
+    * building full attribute history from a CDC feed — the streaming
+    * warehouse-dimension pattern. Same (appId, batchId) replay contract
+    * as the other sinks; unlike the whole-row upsert, a replayed SCD2
+    * batch is NOT value-idempotent (it would close the row it just
+    * opened with a same-date version), so the txn skip is load-bearing
+    * for correctness here, not just for history hygiene.
+    *
+    * `orderCol` compacts multi-version batches to the latest row per key
+    * first — REQUIRED when a trigger interval can deliver two updates to
+    * one entity (Scd.applyType2 rejects duplicate keys per batch).
+    */
+  def scd2To(
+      stream: DataFrame,
+      lake: LakeTable,
+      keys: Seq[String],
+      tracked: Seq[String],
+      effectiveCol: String = "effective_date",
+      appId: String = "graft-lake-scd2",
+      orderCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        scd2Batch(lake, batch.toDF(), batchId, keys, tracked, effectiveCol, appId, orderCol)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch SCD2 apply, (appId, batchId)-keyed — see [[scd2To]]. */
+  def scd2Batch(
+      lake: LakeTable, batch: DataFrame, batchId: Long,
+      keys: Seq[String], tracked: Seq[String],
+      effectiveCol: String = "effective_date",
+      appId: String = "graft-lake-scd2",
+      orderCol: Option[String] = None): Unit = {
+    val key = TxnKeyPrefix + appId
+    val cacheKey = lake.path + " " + appId
+    val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
+    if (batchId <= last) return
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val compacted = orderCol.fold(batch) { oc =>
+        batch
+          .withColumn("__graft_rn", row_number().over(
+            Window.partitionBy(keys.map(col): _*).orderBy(col(oc).desc)))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_rn")
+      }
+      graft.sources.Scd.applyToLake(lake, compacted, keys, tracked, effectiveCol,
+        extraParams = Map(key -> batchId.toString)): Unit
+      seen.merge(cacheKey, batchId, (a, b) => math.max(a, b)): Unit
+    }
+  }
+
   /** One micro-batch MERGE, (appId, batchId)-keyed — see [[upsertTo]]. */
   def upsertBatch(
       lake: LakeTable, batch: DataFrame, batchId: Long, keys: Seq[String],

@@ -65,6 +65,53 @@ class ScdSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("scd2Batch: replay is skipped — a re-sent batch must not close the row it opened") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd_stream").resolve("d").toString
+    val lake = LakeTable(spark, path)
+    lake.write(dim((1L, "A", 10.0, "2024-01-01", "", true)),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val b0 = upd((1L, "A", 20.0, "2024-03-01"))
+    graft.streaming.LakeSink.scd2Batch(lake, b0, 0L, keys, tracked)
+    assert(lake.read.count() === 2)
+    // replay the SAME batch id with drifted content (a later effective
+    // date would open a spurious version if applied) — must be skipped
+    // on the id alone
+    val replayed = upd((1L, "A", 20.0, "2024-04-01"))
+    graft.streaming.LakeSink.scd2Batch(lake, replayed, 0L, keys, tracked)
+    assert(lake.read.count() === 2, "replayed batch id must be skipped entirely")
+    // multi-version batch: orderCol keeps only the latest row per key
+    val b1 = upd((1L, "A", 30.0, "2024-05-01"), (1L, "A", 40.0, "2024-06-01"))
+    graft.streaming.LakeSink.scd2Batch(lake, b1, 1L, keys, tracked,
+      orderCol = Some("effective_date"))
+    val open = lake.read.where(col("is_current")).collect()
+    assert(open.length === 1 && open.head.getDouble(2) === 40.0)
+    assert(lake.read.count() === 3)
+  }
+
+  test("scd2To: a CDC parquet stream builds Type-2 history exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd_to")
+    val src = s"$dir/src"
+    upd((1L, "A", 20.0, "2024-03-01"), (2L, "B", 5.0, "2024-03-01"))
+      .coalesce(1).write.parquet(s"$src/b1")
+    val lake = LakeTable(spark, s"$dir/t")
+    lake.write(dim((1L, "A", 10.0, "2024-01-01", "", true)),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("seg", "string").add("bal", "double")
+      .add("effective_date", "string")
+    val q = graft.streaming.LakeSink.scd2To(
+      spark.readStream.schema(schema).parquet(s"$src/*"),
+      lake, keys, tracked, orderCol = Some("effective_date"))
+    assert(q.awaitTermination(120000))
+    val rows = lake.read.orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getDouble(2),
+        Option(r.getString(4)).getOrElse(""), r.getBoolean(5)))
+    assert(rows.toSeq === Seq(
+      (1L, 10.0, "2024-03-01", false),
+      (1L, 20.0, "", true),
+      (2L, 5.0, "", true)))
+  }
+
   test("applyToLake: two sequential batches build history, commit log records SCD2") {
     val path = java.nio.file.Files.createTempDirectory("graft_scd").resolve("d").toString
     val lake = LakeTable(spark, path)
