@@ -357,13 +357,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // affected subset equals detection against the whole table. This is
     // what keeps a point-upsert stream viable at 100 TB — each batch
     // rewrites the handful of files holding its keys, not the table.
-    val selective = sourceKeyCondition(aligned, keys).flatMap { keyCond =>
-      rewriteSelective(keyCond,
-        affected => aligned.unionByName(
-          affected.join(aligned.select(keys.map(col): _*), keys, "left_anti")),
-        "MERGE", params + ("selective" -> "true"),
-        changeVersion = None, alwaysTransform = true)
-    }
+    // schema evolution widens `cur` beyond the on-disk files; the
+    // affected-file read would come back with the OLD schema, so the
+    // widened merge must take the full rewrite
+    val widened = storedSchema.exists(s =>
+      !s.fieldNames.sameElements(cur.schema.fieldNames))
+    val selective =
+      if (widened) None
+      else sourceKeyCondition(aligned, keys).flatMap { keyCond =>
+        rewriteSelective(keyCond,
+          affected => aligned.unionByName(
+            affected.join(aligned.select(keys.map(col): _*), keys, "left_anti")),
+          "MERGE", params + ("selective" -> "true"),
+          changeVersion = None, alwaysTransform = true)
+      }
     selective.getOrElse {
       val untouched = cur.join(
         aligned.select(keys.map(col): _*), keys, "left_anti")
@@ -565,8 +572,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // stats-pruned selective path (see upsert): sound only when every
     // clause's scope is keyed — BY SOURCE clauses act on target rows in
     // PRUNED files too, and the change feed must read pre-merge plans
-    // over the whole table, so both force the full rewrite
-    if (whenNotMatchedBySource.isEmpty && !changeFeed) {
+    // over the whole table, so both force the full rewrite. A
+    // schema-evolution-widened target also bails: the affected-file
+    // read returns the OLD on-disk schema
+    val widened = storedSchema.exists(s =>
+      !s.fieldNames.sameElements(cur.schema.fieldNames))
+    if (whenNotMatchedBySource.isEmpty && !changeFeed && !widened) {
       val mergeParams = Map("keys" -> keys.mkString(","),
         "clauses" -> whenMatched.length.toString,
         "changeFeed" -> "false") ++ extraParams

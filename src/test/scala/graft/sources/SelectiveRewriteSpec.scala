@@ -228,6 +228,22 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(changes.count() === 1)
   }
 
+  test("schema-evolving merge on a statted table takes the full rewrite and succeeds") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = clusteredTable(path) // has stats on id — selective WOULD engage
+    // source carries a new column: the affected-file read would come back
+    // with the old schema, so the widened merge must bypass selective
+    lake.upsert(Seq((150L, "X", 7L)).toDF("id", "v", "extra"),
+      Seq("id"), schemaEvolution = true)
+    val row = lake.read.where(col("id") === 150).collect().head
+    assert(row.getString(1) === "X" && row.getLong(2) === 7L)
+    assert(lake.read.where(col("id") === 250).collect().head.isNullAt(2),
+      "pre-existing rows null-fill the evolved column")
+    assert(lake.read.count() === 400)
+  }
+
   test("selective MERGE matches the full-rewrite result exactly (no stats vs stats)") {
     val s = spark
     import s.implicits._
