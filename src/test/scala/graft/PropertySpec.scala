@@ -384,4 +384,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("SCD2 invariants hold under random sequential batches") {
+    import graft.sources.Scd
+    // dimension of 6 ids; each day a random subset gets random new values
+    val ids = (1L to 6L).toSeq
+    val valueGen = Gen.choose(0, 3).map(_.toDouble)
+    val batchGen = Gen.someOf(ids).flatMap(sub =>
+      Gen.sequence[Seq[(Long, Double)], (Long, Double)](
+        sub.toSeq.map(id => valueGen.map(id -> _))))
+    var dim = ids.map(id => (id, 0.0, "d00", null.asInstanceOf[String], true))
+      .toDF("id", "bal", "valid_from", "valid_to", "is_current")
+    samples(batchGen, 6).zipWithIndex.foreach { case (batch, day) =>
+      if (batch.nonEmpty) {
+        val upd = batch.toSeq.toDF("id", "bal")
+          .withColumn("effective_date", lit(f"d${day + 1}%02d"))
+        dim = Scd.applyType2(dim, upd, Seq("id"), Seq("bal")).localCheckpoint(true)
+      }
+    }
+    val rows = dim.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getString(2), Option(r.getString(3)), r.getBoolean(4)))
+    ids.foreach { id =>
+      val hist = rows.filter(_._1 == id).sortBy(_._3)
+      // exactly one open row per key, and it is the LAST version
+      assert(hist.count(_._5) === 1)
+      assert(hist.last._5 && hist.last._4.isEmpty)
+      // closed rows chain contiguously: each valid_to is the next valid_from
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a._5 && a._4.contains(b._3),
+            s"id $id: ${a._4} must chain to ${b._3}")
+        case _ =>
+      }
+      // consecutive versions always differ in the tracked value
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2,
+          s"id $id: a no-op change must not open a version")
+        case _ =>
+      }
+    }
+  }
 }
