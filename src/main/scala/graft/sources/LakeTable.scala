@@ -964,6 +964,24 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val affected = all.filter(t => mightMatch.contains(t._3))
     val untouched = all.filterNot(t => mightMatch.contains(t._3))
     if (untouched.isEmpty) return None // nothing saved: full rewrite is equal
+    Some(swapSelective(affected, untouched, transformAffected, op, params,
+      changeVersion, alwaysTransform))
+  }
+
+  /** The staged PARTIAL swap shared by every selective rewrite: write
+    * `transformAffected(affected files)` to the stage, move the
+    * untouched files (plus the stats and DV dirs) through via the
+    * manifest, complete, commit. Callers decide WHICH files are
+    * affected — by stats pruning ([[rewriteSelective]]) or by size
+    * ([[compactSmall]]).
+    */
+  private def swapSelective(
+      affected: Seq[(String, String, String)],
+      untouched: Seq[(String, String, String)],
+      transformAffected: DataFrame => DataFrame,
+      op: String, params: Map[String, String],
+      changeVersion: Option[Long],
+      alwaysTransform: Boolean): LakeTable = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     // a MERGE with zero affected files still has INSERTS to land
     // (alwaysTransform feeds the transform an empty frame); a DELETE
@@ -1031,7 +1049,48 @@ final class LakeTable(spark: SparkSession, val path: String) {
           fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual")): Unit
       }
     }
-    Some(this)
+    this
+  }
+
+  /** Compact only the SMALL files — Delta OPTIMIZE's actual behavior
+    * (`minFileSize`/`maxFileSize`): files below `minFileBytes` are read,
+    * consolidated into ~`targetFileBytes` outputs, and swapped in; every
+    * already-well-sized file moves through untouched (a metadata rename,
+    * zero data I/O, stats and deletion vectors stay valid). This is the
+    * steady-state answer to streaming small files at 100 TB: the
+    * periodic compaction's cost tracks the RECENT small-file volume, not
+    * the table — [[compact]] rewrites everything, every time.
+    *
+    * Sizing reads only filesystem metadata. No-op (no commit) when
+    * fewer than two small files exist. Falls back to nothing on a
+    * partitioned layout — compact those per partition via
+    * [[optimizeWhere]].
+    */
+  def compactSmall(
+      minFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): LakeTable = {
+    require(minFileBytes > 0 && targetFileBytes >= minFileBytes,
+      "need 0 < minFileBytes <= targetFileBytes")
+    val all = listDataFiles()
+    require(!all.exists(_._1.contains("/")),
+      s"$path has a partitioned layout; compact per partition via optimizeWhere")
+    val f = fs
+    val sized = all.map(t => t -> f.getFileStatus(new Path(t._3)).getLen)
+    val affected = sized.collect { case (t, len) if len < minFileBytes => t }
+    if (affected.size < 2) return this // nothing to consolidate
+    val untouched = sized.collect { case (t, len) if len >= minFileBytes => t }
+    val smallBytes = sized.collect { case (_, len) if len < minFileBytes => len }.sum
+    val n = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    if (untouched.isEmpty)
+      // every file is small: the full compact is the same work and
+      // refreshes stats bookkeeping the standard way
+      compact(targetFileBytes)
+    else
+      swapSelective(affected, untouched, _.repartition(n),
+        "COMPACT SMALL",
+        Map("minFileBytes" -> minFileBytes.toString,
+          "targetFileBytes" -> targetFileBytes.toString),
+        changeVersion = None, alwaysTransform = false)
   }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the

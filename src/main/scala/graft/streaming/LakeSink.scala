@@ -49,15 +49,26 @@ object LakeSink {
     *              distinct queries appending to the same table MUST pass
     *              distinct appIds
     */
+  /** @param autoCompactEvery run [[LakeTable.compactSmall]] after every
+    *        N applied batches (Delta autoCompact analogue) — a
+    *        long-running append stream is the small-file factory, and
+    *        the selective compaction's cost tracks the recent small
+    *        files, not the table. Compaction is maintenance, not data:
+    *        a crash between append and compact loses nothing, and the
+    *        replay skip keeps batch ids unaffected.
+    */
   def streamTo(
       stream: DataFrame,
       lake: LakeTable,
       appId: String = "graft-lake-sink",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompactEvery: Option[Int] = None
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeBatch(lake, batch.toDF(), batchId, appId)
+        autoCompactEvery.foreach(n =>
+          if (n > 0 && batchId % n == n - 1) lake.compactSmall(): Unit)
       }
       .trigger(trigger)
       .start()

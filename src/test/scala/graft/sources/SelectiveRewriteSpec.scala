@@ -263,6 +263,56 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compactSmall consolidates only sub-threshold files; big files keep their bytes") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path)
+    // one big file (100k rows) + five tiny appends
+    lake.write((0 until 100000).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1),
+      SaveMode.Overwrite)
+    (0 until 5).foreach { b =>
+      lake.write(Seq((1000000L + b, "tiny")).toDF("id", "v").coalesce(1), SaveMode.Append)
+    }
+    val before = dataFileNames(path)
+    assert(before.size === 6)
+    val f = hfs(path)
+    val bigName = f.listFiles(new HPath(path), true) match { case it =>
+      var biggest: (String, Long) = ("", -1L)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") && st.getLen > biggest._2)
+          biggest = (st.getPath.getName, st.getLen)
+      }
+      biggest._1
+    }
+    lake.compactSmall(minFileBytes = 16 * 1024)
+    val after = dataFileNames(path)
+    assert(after.contains(bigName), "the big file must move through untouched")
+    assert(after.size === 2, s"five tiny files must consolidate into one (got $after)")
+    assert(lake.read.count() === 100005)
+    assert(lake.history.where(col("operation") === "COMPACT SMALL").count() === 1)
+    // idempotent: a second pass finds one small file -> no-op, no commit
+    val versions = lake.history.count()
+    lake.compactSmall(minFileBytes = 16 * 1024)
+    assert(lake.history.count() === versions)
+  }
+
+  test("streamTo autoCompactEvery keeps the file count bounded across batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_autocompact")
+    val lake = LakeTable(spark, s"$dir/t")
+    (0 until 6).foreach { b =>
+      graft.streaming.LakeSink.writeBatch(
+        lake, Seq((b.toLong, "x")).toDF("id", "v").coalesce(1), b.toLong)
+      if (b % 3 == 2) lake.compactSmall(minFileBytes = 16 * 1024)
+    }
+    assert(lake.read.count() === 6)
+    assert(dataFileNames(s"$dir/t").size <= 2,
+      "periodic compactSmall must bound the small-file count")
+  }
+
   test("a crashed selective swap is COMPLETED by vacuumDebris, not discarded") {
     val s = spark
     import s.implicits._
