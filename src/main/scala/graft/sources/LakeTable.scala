@@ -243,6 +243,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * unpartitioned layout. One driver listing per level — O(depth).
     */
   def partitionColumns(): Seq[String] = {
+    if (!fs.exists(new Path(path))) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var cur = new Path(path)
     var descend = true

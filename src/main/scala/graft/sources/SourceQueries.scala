@@ -585,6 +585,29 @@ object SourceQueries {
          |) ORDER BY snap""".stripMargin)
   }
 
+  /** A7 depth (small-file maintenance): a base write plus three small
+    * appends (together restoring full lineitem), then [[LakeTable.compactSmall]]
+    * — content must be untouched by the partial consolidation. The
+    * overwrite-first cycle keeps the result run-count invariant; the
+    * file-count behavior itself is pinned in SelectiveRewriteSpec.
+    */
+  def lakeCompactSmall(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "lineitem_smallfiles"))
+    lake.write(t.lineitem.where(col("l_orderkey") % 3 =!= 0).coalesce(2),
+      SaveMode.Overwrite)
+    Seq(0, 3, 6).foreach { r =>
+      lake.write(t.lineitem.where(col("l_orderkey") % 9 === r).coalesce(1),
+        SaveMode.Append)
+    }
+    lake.compactSmall(minFileBytes = 8L * 1024 * 1024)
+    lake.read
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** A3 depth (SCD Type 2): one update batch against a customer
     * dimension — changed accounts close their open row and open a new
     * version, identical re-sends are no-ops, brand-new keys insert. The
@@ -647,6 +670,7 @@ object SourceQueries {
     "q_json_ingest" -> (jsonIngestNation _),
     "q_tvf_lake_sql" -> (tvfLakeSql _),
     "q_catalog_sql" -> (catalogSql _),
+    "q_lake_compact_small" -> (lakeCompactSmall _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_deid_sha1" -> (deidSha1 _)
   )
@@ -881,6 +905,10 @@ object SourceQueries {
       """SELECT r.r_name, count(*) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "q_lake_compact_small" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scd2_apply" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,

@@ -46,14 +46,18 @@ object TableDetail {
         val t = LakeTable(spark, path)
         (t.tableSchema.map(_.json).orNull, t.constraints)
       }
+    val partCols =
+      if (versioned) ""
+      else LakeTable(spark, path).partitionColumns().mkString(",")
     Seq((
       path,
       if (versioned) "versioned" else "lake",
       files, bytes, commits,
       schemaJson,
       cons.toSeq.sorted.map { case (k, v) => s"$k CHECK ($v)" }.mkString("; "),
-      dvDirs
+      dvDirs,
+      partCols
     )).toDF("path", "layout", "num_files", "size_bytes", "num_commits",
-      "schema_json", "constraints", "num_deletion_vectors")
+      "schema_json", "constraints", "num_deletion_vectors", "partition_columns")
   }
 }

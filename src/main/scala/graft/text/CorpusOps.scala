@@ -51,6 +51,50 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model quality score — the next step up from
+    * [[unigramLogprob]]'s unigram filter (repetitive templated text can
+    * look fine unigram-wise but shows up in transition probabilities):
+    * mean log-probability of each document's token TRANSITIONS under the
+    * corpus's own add-one-smoothed bigram model,
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+    *
+    * Scale shape: same model-then-score pipeline as the unigram. Bigrams
+    * come from ONE projection per scan (element_at pairs over the split
+    * array — no token explode + self-join at corpus scale); the model
+    * tables collapse to vocab-sized frames broadcast into the scoring
+    * join, so the corpus never shuffles; the per-doc aggregate is the
+    * only exchange.
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir).documents
+    def bigrams(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    val bg = bigrams(docs)
+    val cnt = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val ctx = cnt.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    // vocabulary size as a 1-row broadcast, never a driver collect
+    val vocab = docs
+      .select(explode(toks(col("text"))).as("tok")).where(col("tok") =!= "")
+      .agg(count_distinct(col("tok")).cast("double").as("v"))
+    val p = log((col("c") + 1) / (col("c1") + col("v")))
+    bg
+      .join(broadcast(cnt), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(p), 4).as("mean_logprob"),
+        round(exp(-avg(p)), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** In-document repetition removal: keep each token's FIRST occurrence,
     * preserving original order — the word-granularity analogue of C4's
     * duplicate-line drop (this corpus has no line structure). Emits
@@ -250,6 +294,7 @@ object CorpusOps {
 
   def queries: Map[String, Q] = Map(
     "q_unigram_logprob" -> (unigramLogprob _),
+    "q_bigram_logprob" -> (bigramLogprob _),
     "q_doc_token_dedup" -> (docTokenDedup _),
     "q_corpus_shuffle" -> (corpusShuffle _),
     "q_span_dedup" -> (spanDedup _),
@@ -257,6 +302,23 @@ object CorpusOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t)
+        |  WHERE ts[i] <> '' AND ts[i + 1] <> ''),
+        |cnt AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(c) AS c1 FROM cnt GROUP BY w1),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok)::DOUBLE AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '')
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c + 1) / (c1 + v))), 4) AS mean_logprob,
+        |  round(exp(-avg(ln((c + 1) / (c1 + v)))), 2) AS ppl
+        |FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
