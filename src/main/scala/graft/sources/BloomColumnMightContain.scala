@@ -43,4 +43,46 @@ object BloomColumnMightContain {
   /** Static probe for both codegen and interpreted paths. */
   def probe(bloomBytes: Array[Byte], hash: Long): Boolean =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes)).mightContainLong(hash)
+
+  /** Probe MANY hashes against one blob with a single deserialization —
+    * the IN-list path: per-literal [[probe]] calls would re-read the
+    * ~bloomNumBits/8-byte filter once per (stats row x literal), which a
+    * 256-key CDC batch against thousands of statted files turns into
+    * gigabytes of buffer copying during the prune step.
+    */
+  def probeAny(bloomBytes: Array[Byte],
+      hashes: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    var i = 0
+    while (i < hashes.numElements()) {
+      if (bf.mightContainLong(hashes.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** True iff the bloom blob might contain ANY of the hashed probe values
+  * (`right` = array<long> of xxhash64 pre-hashes). One deserialization
+  * per stats row regardless of the IN-list width — see
+  * [[BloomColumnMightContain.probeAny]].
+  */
+final case class BloomColumnMightContainAny(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain_any"
+
+  override protected def nullSafeEval(bloomBytes: Any, hashes: Any): Any =
+    BloomColumnMightContain.probeAny(
+      bloomBytes.asInstanceOf[Array[Byte]],
+      hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (bloom, hashes) =>
+      s"graft.sources.BloomColumnMightContain.probeAny($bloom, $hashes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -54,6 +54,24 @@ private[sources] object CommitLog {
     * records are already in the checkpoint).
     */
   def records(fs: FileSystem, logDir: Path): Seq[String] = {
+    // the commit lock serializes WRITERS only; a concurrent checkpoint
+    // may fold-and-delete commit files between our listStatus snapshot
+    // and the reads below. The fresh listing then has a newer checkpoint
+    // covering every deleted file, so retrying is both sufficient and
+    // bounded (one retry per checkpoint racing us; 5 caps pathology)
+    var attempt = 0
+    while (true) {
+      try return recordsOnce(fs, logDir)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def recordsOnce(fs: FileSystem, logDir: Path): Seq[String] = {
     if (!fs.exists(logDir)) return Nil
     val sts = fs.listStatus(logDir)
     val cp = sts

@@ -66,6 +66,42 @@ object FileStats {
     GraftBridge.column(BloomColumnMightContain(
       GraftBridge.expression(col(bloomCol(a))), new XxHash64(Seq(l))))
 
+  private def bloomMightContainAny(a: String, ls: Seq[Literal]): Column =
+    GraftBridge.column(BloomColumnMightContainAny(
+      GraftBridge.expression(col(bloomCol(a))),
+      org.apache.spark.sql.catalyst.expressions.CreateArray(
+        ls.map(l => new XxHash64(Seq(l))))))
+
+  /** Above this many IN-list literals the bloom test collapses to ONE
+    * any-hash probe per stats row (single filter deserialization) at the
+    * cost of slightly conservative pruning: kept iff (some literal fits
+    * the bounds) AND (some literal might be in the bloom), instead of
+    * the exact per-literal conjunction. Sound — the kept set can only
+    * grow — and the wide-list case is exactly where per-literal probes
+    * are unaffordable.
+    */
+  private val ExactInListProbes = 8
+
+  private def inTest(
+      a: String, ls0: Seq[Literal],
+      statted: Set[String], bloomed: Set[String]): Column = {
+    // a null literal matches no row (x = NULL is never true)
+    val ls = ls0.filter(_.value != null)
+    if (ls.isEmpty) lit(false)
+    else if (ls.length <= ExactInListProbes || !bloomed.contains(a))
+      ls.map { l =>
+        val bounds = col(minCol(a)) <= GraftBridge.column(l) &&
+          GraftBridge.column(l) <= col(maxCol(a))
+        if (bloomed.contains(a)) bounds && bloomMightContain(a, l) else bounds
+      }.reduce(_ || _)
+    else {
+      val boundsOr = ls.map(l =>
+        col(minCol(a)) <= GraftBridge.column(l) &&
+          GraftBridge.column(l) <= col(maxCol(a))).reduce(_ || _)
+      boundsOr && bloomMightContainAny(a, ls)
+    }
+  }
+
   /** The analyzed+optimized row-level predicate of `data.where(cond)`:
     * every Filter condition the optimizer kept, conjoined. None when the
     * optimizer dissolved the filter entirely (foldable-true predicates,
@@ -134,10 +170,10 @@ object FileStats {
       case LessThanOrEqual(l: Literal, Attr(a)) if ok(a)    => hi(a) >= litC(l)
 
       case In(Attr(a), list) if ok(a) && list.forall(_.isInstanceOf[Literal]) =>
-        list.map { case l: Literal => eqTest(a, l) }.reduce(_ || _)
+        inTest(a, list.collect { case l: Literal => l }, statted, bloomed)
       // the optimizer turns long IN-lists into InSet over internal values
       case InSet(att @ Attr(a), hset) if ok(a) =>
-        hset.toSeq.map(v => eqTest(a, Literal(v, att.dataType))).reduce(_ || _)
+        inTest(a, hset.toSeq.map(v => Literal(v, att.dataType)), statted, bloomed)
 
       case IsNull(Attr(a)) if ok(a)    => col(nullsCol(a)) > 0
       case IsNotNull(Attr(a)) if ok(a) => col(nullsCol(a)) < col(RowsCol)

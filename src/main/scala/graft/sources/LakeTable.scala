@@ -673,6 +673,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
       mergeSchema: Boolean = false): LakeTable = {
+    // COPY INTO appends at the table root, which a versioned (_v{N}
+    // snapshot) layout never reads — without this guard the rows would
+    // be invisible to every read while the ledger still marks the files
+    // loaded (silent, permanent data loss)
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"$path uses the versioned snapshot layout; COPY INTO targets plain " +
+        "lake tables (write a new snapshot via VersionedLakeTable instead)")
     val srcPath = new Path(source)
     val srcFs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(srcFs.exists(srcPath), s"COPY INTO source not found: $source")
@@ -1483,6 +1490,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .filterNot(st => claimedLedgers.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false): Unit)
     }
+    // a crashed stats refresh leaves its nested stage behind; it is not
+    // data (listDataFiles skips _-prefixed dirs) but it is garbage, and
+    // the next refresh's Overwrite should not inherit it
+    val statsStage = new Path(s"$statsDir${LakeTable.StageSuffix}")
+    if (fs.exists(statsStage)) fs.delete(statsStage, true): Unit
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     val action =
       if (!fs.exists(staged)) "none"
@@ -1958,12 +1970,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val st = it.next()
       val p = st.getPath
       val rel = p.toUri.getPath
-      val inSide = rel.contains("/" + LakeTable.LogDirName + "/") ||
-        rel.contains("/" + LakeTable.ChangesDirName + "/") ||
-        rel.contains("/" + LakeTable.StatsDirName + "/") ||
-        rel.contains("/" + LakeTable.DvDirName + "/")
+      val relToTable = rel.stripPrefix(rootUri).stripPrefix("/")
+      // any underscore-prefixed segment is metadata, not data: the named
+      // side dirs, their `__staging` swap dirs (a crashed stats refresh
+      // must not leave phantom "data" files), and parquet's own _-files
+      val inSide = relToTable.split("/").exists(_.startsWith("_"))
       if (!inSide && p.getName.endsWith(".parquet"))
-        out += ((rel.stripPrefix(rootUri).stripPrefix("/"), rel, p.toString))
+        out += ((relToTable, rel, p.toString))
     }
     out.toSeq
   }

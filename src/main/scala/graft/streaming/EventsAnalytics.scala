@@ -66,7 +66,13 @@ object EventsAnalytics {
     * normalizes to the canonical nano bigint.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    // an empty / not-yet-populated source dir (the normal deploy order
+    // for file-source streams) can't be sniffed — fall back to the
+    // declared nano schema so the stream still starts and picks files
+    // up as they land
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     Tables.canonicalizeEventTs(
         spark.readStream.schema(fileSchema).parquet(dir))
       .withColumn("ts_ts", Tables.nanosToTimestamp(col("ts")))

@@ -48,8 +48,7 @@ object LakeSink {
     * @param appId stable identifier of this query's checkpoint lineage;
     *              distinct queries appending to the same table MUST pass
     *              distinct appIds
-    */
-  /** @param autoCompactEvery run [[LakeTable.compactSmall]] after every
+    * @param autoCompactEvery run [[LakeTable.compactSmall]] after every
     *        N applied batches (Delta autoCompact analogue) — a
     *        long-running append stream is the small-file factory, and
     *        the selective compaction's cost tracks the recent small
@@ -165,7 +164,7 @@ object LakeSink {
       appId: String = "graft-lake-scd2",
       orderCol: Option[String] = None): Unit = {
     val key = TxnKeyPrefix + appId
-    val cacheKey = lake.path + " " + appId
+    val cacheKey = lake.path + "\u0000" + appId
     val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
     if (batchId <= last) return
     if (!batch.isEmpty) {

@@ -94,4 +94,32 @@ class BloomSkippingSpec extends SparkSpec {
       .select("o_orderkey").orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
     assert(got === keys.tail.sorted, "DV-deleted row must not surface through the bloom path")
   }
+
+  test("wide IN-lists take the single-deserialization any-hash probe and stay exact") {
+    val (lake, o) = roundRobinLake()
+    lake.collectStats(Seq("o_orderkey"), bloomFor = Seq("o_orderkey"))
+    // 20 literals > ExactInListProbes: the conjunctive any-hash path
+    val keys = o.orderBy("o_orderkey").limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    val got = lake.readWhere(col("o_orderkey").isin(keys: _*))
+      .select("o_orderkey").orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val want = o.where(col("o_orderkey").isin(keys: _*))
+      .select("o_orderkey").orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got === want, "any-hash probe must lose no rows (no false negatives)")
+    // absent wide IN-list: every literal is an in-range hole -> bloom
+    // still prunes through the any-hash path
+    val present = o.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val holes = (present.min until present.max)
+      .filterNot(present.contains).take(20).toSeq
+    if (holes.size > BloomSkippingSpec.ExactProbesMirror) {
+      val kept = lake.prunedFiles(col("o_orderkey").isin(holes: _*)).size
+      assert(kept <= 4, s"absent wide IN-list should still bloom-prune, kept $kept")
+      assert(lake.readWhere(col("o_orderkey").isin(holes: _*)).count() === 0)
+    }
+  }
+}
+
+object BloomSkippingSpec {
+  /** Mirror of FileStats.ExactInListProbes — the test must exceed it. */
+  val ExactProbesMirror = 8
 }

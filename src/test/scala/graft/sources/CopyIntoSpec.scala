@@ -100,4 +100,17 @@ class CopyIntoSpec extends SparkSpec {
     assert(lake.read.count() === 3,
       "already-loaded files must not re-load after an overwrite")
   }
+
+  test("COPY INTO a versioned-layout table is rejected (appends would be invisible)") {
+    import spark.implicits._
+    val src = tmp("src_versioned")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(src)
+    val vt = VersionedLakeTable(spark, tmp("vt"))
+    vt.write(Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable(spark, vt.path).copyInto(src)
+    }
+    assert(e.getMessage.contains("versioned"))
+    assert(vt.read.count() === 1, "the snapshot must be untouched")
+  }
 }

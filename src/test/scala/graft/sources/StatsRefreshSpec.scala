@@ -95,4 +95,25 @@ class StatsRefreshSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { lake.refreshStats() }
     assert(e.getMessage.contains("collectStats"))
   }
+
+  test("a crashed stats-refresh stage is not data and vacuumDebris sweeps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_statstage").resolve("t").toString
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    lake.collectStats(Seq("id"))
+    // simulate a refresh crash: a stats stage full of parquet left inside
+    // the table dir — it must never surface as table data
+    val stage = s"$dir/_graft_stats__staging"
+    spark.read.parquet(s"$dir/_graft_stats").write.parquet(stage)
+    assert(lake.read.count() === 2,
+      "stats-stage parquet must not read as phantom table rows")
+    assert(lake.prunedFiles(col("id") === 1L)
+      .forall(!_.contains("_graft_stats__staging")))
+    lake.vacuumDebris()
+    val f = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(stage)),
+      "vacuumDebris must sweep the crashed stats stage")
+  }
 }
