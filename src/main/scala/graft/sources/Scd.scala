@@ -118,6 +118,38 @@ object Scd {
     closedHistory.unionByName(targetOut).unionByName(newOpen)
   }
 
+  /** The dimension AS OF an instant: the one version per key whose
+    * validity interval covers `at` (open rows cover everything from
+    * their `validFrom`). A filter, not a join — partition pruning and
+    * predicate pushdown apply as usual.
+    */
+  def asOf(
+      dim: DataFrame, at: Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame =
+    dim.where(col(validFrom) <= at &&
+      (col(validTo).isNull || at < col(validTo)))
+
+  /** Point-in-time join — the payoff operation for Type-2 history: each
+    * fact row joins the dimension version that was valid AT ITS OWN
+    * time, so historical facts carry historical attributes instead of
+    * today's. One equi-join on the dimension key with the validity
+    * interval as a post-condition; Spark plans the usual key-shuffled
+    * (or broadcast, for small dims) hash join, and each fact row matches
+    * exactly one version because Type-2 intervals partition the
+    * timeline ([[applyType2]] guarantees non-overlap).
+    */
+  def pointInTimeJoin(
+      fact: DataFrame, dim: DataFrame,
+      keys: Seq[String], factTimeCol: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val cond = keys.map(k => fact(k) === dim(k)).reduce(_ && _) &&
+      dim(validFrom) <= fact(factTimeCol) &&
+      (dim(validTo).isNull || fact(factTimeCol) < dim(validTo))
+    keys.foldLeft(fact.join(dim, cond, "inner"))((df, k) => df.drop(dim(k)))
+  }
+
   /** [[applyType2]] against a [[LakeTable]]: reads the dimension, applies
     * the batch, commits the new state as one `SCD2` log entry — history,
     * time travel and the change feed come from the lake layer for free.

@@ -637,6 +637,38 @@ object SourceQueries {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** SCD2 point-in-time join: orders join the customer-dimension VERSION
+    * valid at their own order date (account balances change 1998-01-01
+    * for a third of the customers), grouped by version era. Any wrong
+    * version selection shifts the balance sums by multiples of 100 —
+    * the hash catches a single misrouted order.
+    */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val c = t.customer
+    val current = c.select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("valid_from", to_timestamp(lit("1995-01-01")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"))
+      .withColumn("effective_date", to_timestamp(lit("1998-01-01")))
+    val dim = Scd.applyType2(current, updates, Seq("c_custkey"), Seq("c_acctbal"))
+    // orders may carry o_orderdate as TIMESTAMP_NTZ; cast to the session
+    // (UTC-pinned) timestamp type so the validity comparison is typed
+    // like the dim stamps
+    val fact = t.orders.select(
+      col("o_custkey").as("c_custkey"),
+      col("o_orderdate").cast("timestamp").as("o_orderdate"),
+      col("o_totalprice"))
+    Scd.pointInTimeJoin(fact, dim, Seq("c_custkey"), "o_orderdate")
+      .groupBy(col("is_current"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy(col("is_current"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -672,6 +704,7 @@ object SourceQueries {
     "q_catalog_sql" -> (catalogSql _),
     "q_lake_compact_small" -> (lakeCompactSmall _),
     "q_scd2_apply" -> (scd2Apply _),
+    "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_deid_sha1" -> (deidSha1 _)
   )
 
@@ -909,6 +942,28 @@ object SourceQueries {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scd2_pit_join" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_acctbal, TIMESTAMP '1995-01-01' AS vf,
+        |         CAST(NULL AS TIMESTAMP) AS vt FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal FROM customer
+        |  WHERE c_custkey % 3 = 0),
+        |dim AS (
+        |  SELECT t.c_custkey, t.c_acctbal, t.vf,
+        |         CASE WHEN c.c_custkey IS NOT NULL
+        |              THEN TIMESTAMP '1998-01-01' ELSE t.vt END AS vt,
+        |         (c.c_custkey IS NULL) AS is_current
+        |  FROM cur t LEFT JOIN chg c USING (c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, TIMESTAMP '1998-01-01', NULL, TRUE FROM chg),
+        |j AS (
+        |  SELECT d.c_acctbal, d.is_current
+        |  FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        |   AND d.vf <= o.o_orderdate AND (d.vt IS NULL OR o.o_orderdate < d.vt))
+        |SELECT is_current, count(*) AS n_orders,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM j GROUP BY is_current ORDER BY is_current""".stripMargin,
     "q_scd2_apply" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,

@@ -56,6 +56,32 @@ class ScdSpec extends SparkSpec {
     assert(again.count() === 3)
   }
 
+  test("asOf and pointInTimeJoin pick the version valid at each instant") {
+    val hist = dim(
+      (1L, "A", 10.0, "2024-01-01", "2024-04-01", false),
+      (1L, "A", 20.0, "2024-04-01", "2024-07-01", false),
+      (1L, "A", 30.0, "2024-07-01", "", true),
+      (2L, "B", 5.0, "2024-01-01", "", true))
+    // asOf mid-second-interval: version 2 of key 1, open row of key 2
+    val at = Scd.asOf(hist, lit("2024-05-15")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(at === Seq((1L, 20.0), (2L, 5.0)))
+    // boundary: an instant AT a version's start belongs to that version
+    val boundary = Scd.asOf(hist, lit("2024-04-01")).where(col("id") === 1)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(boundary === Seq(20.0))
+
+    val facts = Seq((1L, "2024-02-10"), (1L, "2024-06-30"), (1L, "2024-07-01"),
+      (2L, "2024-12-31")).toDF("id", "t")
+    val joined = Scd.pointInTimeJoin(facts, hist, Seq("id"), "t")
+      .select(col("id"), col("t"), col("bal")).orderBy("id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(joined === Seq(
+      (1L, "2024-02-10", 10.0), (1L, "2024-06-30", 20.0),
+      (1L, "2024-07-01", 30.0), (2L, "2024-12-31", 5.0)),
+      "each fact must carry the dimension attributes of ITS OWN time")
+  }
+
   test("duplicate update keys in one batch are rejected") {
     val cur = dim((1L, "A", 10.0, "2024-01-01", "", true))
     val dup = upd((1L, "A", 1.0, "2024-06-01"), (1L, "A", 2.0, "2024-06-01"))
