@@ -61,13 +61,15 @@ object LakeSink {
       lake: LakeTable,
       appId: String = "graft-lake-sink",
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompactEvery: Option[Int] = None
+      autoCompactEvery: Option[Int] = None,
+      autoRefreshStats: Boolean = false
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeBatch(lake, batch.toDF(), batchId, appId)
         autoCompactEvery.foreach(n =>
           if (n > 0 && batchId % n == n - 1) lake.compactSmall(): Unit)
+        if (autoRefreshStats) refreshStatsIfPresent(lake)
       }
       .trigger(trigger)
       .start()
@@ -111,20 +113,39 @@ object LakeSink {
     * the per-batch compaction Delta users hand-write with
     * `row_number()` in their foreachBatch.
     */
+  /** @param autoRefreshStats incrementally re-stat after each applied
+    *        batch ([[LakeTable.refreshStats]] — scans ONLY files without
+    *        a stats row). Without this, every selective merge leaves its
+    *        replacement files unstatted, so a long-running CDC stream
+    *        gradually loses the file pruning that makes its own batches
+    *        cheap; with it, the steady state holds: each batch rewrites
+    *        a few files and re-stats exactly those. No-op until
+    *        `collectStats` has run once.
+    */
   def upsertTo(
       stream: DataFrame,
       lake: LakeTable,
       keys: Seq[String],
       appId: String = "graft-lake-upsert",
       orderCol: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoRefreshStats: Boolean = false
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         upsertBatch(lake, batch.toDF(), batchId, keys, appId, orderCol)
+        if (autoRefreshStats) refreshStatsIfPresent(lake)
       }
       .trigger(trigger)
       .start()
+
+  /** Incremental [[LakeTable.refreshStats]], but only when the table has
+    * stats at all — a sink must not fail because nobody ran
+    * `collectStats` yet.
+    */
+  private def refreshStatsIfPresent(lake: LakeTable): Unit =
+    try lake.refreshStats(): Unit
+    catch { case _: IllegalArgumentException | _: IllegalStateException => }
 
   /** Start applying the stream to a TYPE-2 dimension ([[graft.sources.Scd]]):
     * each micro-batch closes changed open rows and opens new versions,

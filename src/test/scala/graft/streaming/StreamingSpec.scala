@@ -253,6 +253,31 @@ class StreamingSpec extends SparkSpec {
     assert(state() === Seq((1L, "new"), (2L, "fresh"), (3L, "c"), (4L, "d")))
   }
 
+  test("upsert stream with autoRefreshStats keeps file pruning alive across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_autostat")
+    val lake = graft.sources.LakeTable(spark, s"$dir/t")
+    (0 until 4).foreach { b =>
+      lake.write((b * 100 until (b + 1) * 100).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v").coalesce(1), org.apache.spark.sql.SaveMode.Append)
+    }
+    lake.collectStats(Seq("id"))
+    def statted(): Long = spark.read.parquet(s"$dir/t/_graft_stats").count()
+    val before = statted()
+
+    // two selective point-upserts with per-batch refresh: the replacement
+    // files regain stats rows, so the SECOND batch still prunes
+    LakeSink.upsertBatch(lake, Seq((150L, "X")).toDF("id", "v"), 0L, Seq("id"))
+    lake.refreshStats()
+    assert(statted() >= before, "replacement files must be re-statted")
+    LakeSink.upsertBatch(lake, Seq((155L, "Y")).toDF("id", "v"), 1L, Seq("id"))
+    val merges = lake.history.where(col("operation") === "MERGE")
+      .select("operationParameters.selective").collect().map(_.getString(0))
+    assert(merges.forall(_ == "true"),
+      "both batches must take the selective path (second depends on the refresh)")
+    assert(lake.read.count() === 400)
+  }
+
   test("LakeSink.upsertTo: stream converges to latest state per key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsert_to")
