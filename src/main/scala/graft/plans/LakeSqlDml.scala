@@ -198,6 +198,12 @@ final case class LakeMaintenanceCommand(
           "RETAIN <n> VERSIONS applies to versioned tables; plain-table VACUUM " +
             "collects crash debris only")
         LakeTable(spark, path).vacuumDebris()
+      case LakeMaintenanceCommand.VacuumChanges(_) if versioned =>
+        throw new IllegalArgumentException(
+          "VACUUM … CHANGES trims a plain lake table's change feed; versioned " +
+            "tables retire whole snapshots via VACUUM … RETAIN <n> VERSIONS")
+      case LakeMaintenanceCommand.VacuumChanges(keep) =>
+        LakeTable(spark, path).vacuumChanges(keep)
     }
     Seq.empty
   }
@@ -208,6 +214,7 @@ object LakeMaintenanceCommand {
   final case class Optimize(zorderBy: Seq[String]) extends Op
   final case class OptimizeWhere(partitionCond: org.apache.spark.sql.Column) extends Op
   final case class Vacuum(retainVersions: Option[Int]) extends Op
+  final case class VacuumChanges(retainVersions: Int) extends Op
 }
 
 /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t USING graft_lake
@@ -517,6 +524,7 @@ object LakeSqlDml {
 
   private def parseVacuum(p: P): Option[LogicalPlan] = {
     val path = p.lakeTarget().getOrElse(return None)
+    val changes = p.eat("CHANGES")
     val retain =
       if (p.eat("RETAIN")) {
         val n = p.intLiteral("RETAIN version count")
@@ -524,7 +532,12 @@ object LakeSqlDml {
         Some(n.toInt)
       } else None
     p.done("VACUUM")
-    Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Vacuum(retain)))
+    val op =
+      if (changes) LakeMaintenanceCommand.VacuumChanges(
+        retain.getOrElse(p.fail(
+          "VACUUM … CHANGES needs RETAIN <n> VERSIONS (how much feed to keep)")))
+      else LakeMaintenanceCommand.Vacuum(retain)
+    Some(LakeMaintenanceCommand(path, op))
   }
 
   /** `COPY INTO <lake target> FROM '<source dir>' [FILEFORMAT = <fmt>]`

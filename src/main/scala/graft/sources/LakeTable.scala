@@ -1179,19 +1179,71 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * added by commits after the stream starts require a restart with a
     * fresh checkpoint to appear.
     */
-  def readChangesStream: DataFrame = {
+  def readChangesStream: DataFrame = readChangesStream(None)
+
+  /** [[readChangesStream]] with a batch-size bound: `maxFilesPerTrigger`
+    * caps how many change files each micro-batch admits (Spark's file
+    * source option, same name Delta uses). The 100 TB concern it
+    * answers: a NEW consumer starting against a long-lived feed — or one
+    * restarting after a long outage — otherwise gets the whole backlog
+    * as ONE micro-batch, whose shuffle/state footprint the executors
+    * were never sized for. Bounded batches replay the backlog as many
+    * right-sized batches with the same exactly-once checkpoint contract.
+    */
+  def readChangesStream(maxFilesPerTrigger: Option[Int]): DataFrame = {
     val dir = s"$path/${LakeTable.ChangesDirName}"
     require(fs.exists(new Path(dir)),
       s"no change feed at $path — run a merge/upsert with changeFeed = true first")
     // glob the version dirs: the underscore-prefixed changes root itself
     // is hidden from Spark's listing even when named explicitly
     val schema = spark.read.option("mergeSchema", "true").parquet(s"$dir/v*").schema
-    spark.readStream.schema(schema).parquet(s"$dir/v*")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach { n =>
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      reader.option("maxFilesPerTrigger", n.toString): Unit
+    }
+    reader.parquet(s"$dir/v*")
       .withColumn("_commit_version",
         // anchored to the feed dir: a table path like /data/v2/events
         // contains its own /v<digits>/ segment and must not match
         regexp_extract(input_file_name(),
           s"/${LakeTable.ChangesDirName}/v(\\d+)/", 1).cast("long"))
+  }
+
+  /** Trim the change feed to its newest `retainLast` change sets
+    * (Delta's CDC+VACUUM retention, spelled in change sets like
+    * [[VersionedLakeTable.vacuum]] is spelled in snapshots). Without
+    * retention a CDC feed is the
+    * one part of the table that grows forever — every rewrite appends
+    * change files and nothing ever removes them, so at 100 TB the feed
+    * eventually dwarfs the data it describes. Checkpointed consumers that
+    * already read the removed files are unaffected (the file source's own
+    * log remembers them); a NEW stream sees only the retained window, and
+    * a consumer resuming from before the cutoff re-reads nothing that no
+    * longer exists — the same contract Delta documents for expired CDC.
+    */
+  def vacuumChanges(retainLast: Int): LakeTable = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val dir = new Path(s"$path/${LakeTable.ChangesDirName}")
+    // retain counts CHANGE SETS, not commit versions: commits without a
+    // change set (maintenance, appends with the feed off — including the
+    // VACUUM CHANGES commit below) must not erode the window, or
+    // repeated vacuums would drain the feed to nothing
+    val removed =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).map(_.getPath)
+        .flatMap { p =>
+          val n = p.getName
+          if (n.matches("v\\d+")) Some(n.drop(1).toLong -> p) else None
+        }
+        .sortBy(_._1)
+        .dropRight(retainLast)
+        .map { case (v, p) => fs.delete(p, true); v }
+        .toSeq
+    commit("VACUUM CHANGES", Map(
+      "retainLast" -> retainLast.toString,
+      "removedVersions" -> removed.mkString(","))): Unit
+    this
   }
 
   /** Delta MERGE rejects multiple source rows per key; writing them would

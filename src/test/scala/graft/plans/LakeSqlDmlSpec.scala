@@ -310,6 +310,23 @@ class LakeSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("VACUUM … CHANGES RETAIN trims the CDC feed via SQL") {
+    val path = tmp()
+    val lake = seed(path)
+    lake.upsert(Seq((1L, "a", 11.0)).toDF("id", "name", "v"), Seq("id"),
+      changeFeed = true)
+    lake.upsert(Seq((5L, "e", 50.0)).toDF("id", "name", "v"), Seq("id"),
+      changeFeed = true)
+    spark.sql(s"VACUUM graft_lake('$path') CHANGES RETAIN 1 VERSIONS")
+    assert(lake.readChanges().select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(2L))
+    assert(lake.history.where(col("operation") === "VACUUM CHANGES").count() === 1)
+    // CHANGES without RETAIN has no defined window — reject
+    intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM graft_lake('$path') CHANGES")
+    }
+  }
+
   test("graft_detail reports layout, counts, schema, constraints in one row") {
     val path = tmp(); seed(path)
     spark.sql(s"ALTER TABLE graft_lake('$path') ADD CONSTRAINT v_pos CHECK (v > 0)")

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Change-feed lifecycle at scale: retention (`vacuumChanges`) so the CDC
+  * feed doesn't grow forever, and bounded replay (`maxFilesPerTrigger`)
+  * so a new consumer doesn't get the whole backlog as one micro-batch.
+  */
+class ChangeFeedRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A lake table with three change-feed-enabled upserts (change sets at
+    * commit versions 1, 2, 3 on top of the version-0 seed write).
+    */
+  private def seeded(): (String, LakeTable) = {
+    val root = Files.createTempDirectory("graft_cdf_retention").toString
+    val lake = LakeTable(spark, s"$root/t")
+      .write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    lake.upsert(Seq((1L, 11.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    lake.upsert(Seq((3L, 30.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    lake.upsert(Seq((2L, 21.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    (root, lake)
+  }
+
+  test("vacuumChanges trims the feed to the retained window and logs it") {
+    val (_, lake) = seeded()
+    assert(lake.readChanges().select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    lake.vacuumChanges(retainLast = 1)
+    // cutoff = latest(3) - 1 = 2: v1 and v2 gone, v3 kept
+    assert(lake.readChanges().select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(3L))
+    val entry = lake.history.where(col("operation") === "VACUUM CHANGES")
+    assert(entry.count() === 1)
+    assert(entry.select("operationParameters.removedVersions")
+      .head.getString(0) === "1,2")
+    // idempotent: nothing left below the cutoff
+    lake.vacuumChanges(retainLast = 1)
+    assert(lake.readChanges().select("_commit_version")
+      .distinct().count() === 1)
+  }
+
+  test("checkpointed CDC consumer keeps exactly-once across a feed vacuum") {
+    val (root, lake) = seeded()
+    def drain(): Long = {
+      val q = lake.readChangesStream
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      spark.read.parquet(s"$root/sink").count()
+    }
+    // 3 single-row upserts: one update (pre+post), one insert, one update
+    val first = drain()
+    assert(first === 5)
+    // vacuum behind the consumer, then one more change set
+    lake.vacuumChanges(retainLast = 1)
+    lake.upsert(Seq((4L, 40.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    // the resumed consumer sees ONLY the new set — no re-delivery, no
+    // failure over the files that no longer exist (it already read them)
+    assert(drain() === first + 1)
+  }
+
+  test("maxFilesPerTrigger replays the backlog as bounded micro-batches") {
+    val (root, lake) = seeded()
+    val batches = new AtomicInteger(0)
+    val rows = new AtomicLong(0L)
+    val q = lake.readChangesStream(maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt_bounded")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          batches.incrementAndGet(): Unit
+          rows.addAndGet(b.count()): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    // one file per batch: at least one batch per change set, same total
+    assert(batches.get() >= 3)
+    assert(rows.get() === 5L)
+    intercept[IllegalArgumentException] {
+      lake.readChangesStream(maxFilesPerTrigger = Some(0))
+    }
+  }
+}
