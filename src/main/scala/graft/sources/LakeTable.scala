@@ -152,6 +152,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * and debris cleanup ([[vacuumDebris]]) consume this to decide which
     * side files a commit actually claimed.
     */
+  /** Highest change-set version ever removed by a [[vacuumChanges]]
+    * commit, or -1 if the feed was never vacuumed — the resume floor for
+    * [[readChanges]] with an explicit `fromVersion`.
+    */
+  private def changesVacuumHorizon: Long = {
+    val removed = commitParamValues(LakeTable.VacuumChangesRemovedParam)
+      .flatMap(_.split(',')).filter(_.nonEmpty).map(_.toLong)
+    if (removed.isEmpty) -1L else removed.max
+  }
+
   private def commitParamValues(key: String): Set[String] = {
     val prefix = s""""${CommitLog.esc(key)}":""""
     val out = Set.newBuilder[String]
@@ -1126,6 +1136,21 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * CDF off for part of their history).
     */
   def readChanges(fromVersion: Long = 0L, toVersion: Long = Long.MaxValue): DataFrame = {
+    // an EXPLICIT resume point at or below the vacuum horizon means the
+    // caller needs history that no longer exists — returning only the
+    // surviving sets would silently drop changes (an incremental MV
+    // would diverge without a trace). Fail loudly, like Delta's CDC
+    // beyond-retention error. IllegalSTATE, not IllegalArgument: callers
+    // treat IllegalArgument as the benign "no change sets in range"
+    // (MaterializedAgg.refresh) and must not confuse the two.
+    // fromVersion = 0 stays best-effort "whatever the feed retains".
+    if (fromVersion > 0L) {
+      val horizon = changesVacuumHorizon
+      if (fromVersion <= horizon) throw new IllegalStateException(
+        s"change feed at $path was vacuumed through version $horizon " +
+          s"(VACUUM CHANGES) — cannot resume from version $fromVersion; " +
+          "rebuild the consumer from the current table state")
+    }
     val dir = new Path(path, LakeTable.ChangesDirName)
     val f = fs
     val versions =
@@ -1242,7 +1267,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .toSeq
     commit("VACUUM CHANGES", Map(
       "retainLast" -> retainLast.toString,
-      "removedVersions" -> removed.mkString(","))): Unit
+      LakeTable.VacuumChangesRemovedParam -> removed.mkString(","))): Unit
     this
   }
 
@@ -2122,6 +2147,11 @@ object LakeTable {
   // COPY INTO loaded-file ledgers: `_copied_<uuid>` files in the log dir,
   // each claimed by its append-commit's CopyLedgerParam
   val CopyLedgerParam = "copyLedger"
+
+  /** Commit param listing the change-set versions a VACUUM CHANGES
+    * removed — [[LakeTable.readChanges]] derives its resume floor from it.
+    */
+  val VacuumChangesRemovedParam = "removedVersions"
   val StageSuffix = "__staging"
   val ChangesTmpSuffix = "__changes_tmp"
   // swap point-of-no-return marker inside a staged dir; lists the

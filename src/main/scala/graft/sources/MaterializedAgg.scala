@@ -135,22 +135,37 @@ final class MaterializedAgg(
     * precondition).
     *
     * The change-file-before-commit ordering hazard (files land pre-swap,
-    * the commit record after) needs no waiting here: the batch content
-    * is only a NOTIFICATION — [[refresh]] derives its work from the
-    * watermark and the change-feed dirs, bounded to the latest COMMITTED
-    * version. A change file delivered in the pre-commit window is simply
-    * not applied yet; the next trigger (or a manual refresh after the
-    * writer finishes) picks it up. With `Trigger.AvailableNow`, commits
-    * that complete before the final trigger are always reflected — the
-    * natural "writer done, then drain" usage.
+    * the commit record after) never threatens correctness: the batch
+    * content is only a NOTIFICATION — [[refresh]] derives its work from
+    * the watermark and the change-feed dirs, bounded to the latest
+    * COMMITTED version, so a change file delivered in the pre-commit
+    * window is simply deferred. It DOES threaten freshness: a file
+    * source fires no further trigger until NEW files arrive, so a
+    * deferred set would stay unapplied until the base's next commit.
+    * Hence `commitAwaitMs`: after refresh, if the batch delivered a set
+    * whose commit is still in flight, await that commit briefly and
+    * apply it — `processAllAvailable()` then implies current. On
+    * timeout (a writer crashed mid-window) the deferral stands and the
+    * next trigger repairs; the view is never advanced past an
+    * unconfirmed version, with or without the await.
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      commitAwaitMs: Long = 10000L
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, _: Long) =>
         refresh(): Unit
+        val maxDelivered = b.agg(max(col("_commit_version"))).head
+        if (!maxDelivered.isNullAt(0) && commitAwaitMs > 0) {
+          val target = maxDelivered.getLong(0)
+          val deadline = System.currentTimeMillis() + commitAwaitMs
+          while (watermark() < target && System.currentTimeMillis() < deadline) {
+            if (latestBaseVersion() >= target) refresh(): Unit
+            else Thread.sleep(25)
+          }
+        }
       }
       .trigger(trigger)
       .start()

@@ -46,6 +46,24 @@ class ChangeFeedRetentionSpec extends SparkSpec {
       .distinct().count() === 1)
   }
 
+  test("explicit resume below the vacuum horizon fails loudly, not partially") {
+    val (_, lake) = seeded()
+    lake.vacuumChanges(retainLast = 1) // removes sets v1, v2; horizon = 2
+    // resuming from history that no longer exists would silently drop
+    // changes (an incremental consumer would diverge) — must throw, and
+    // NOT as IllegalArgumentException, which MaterializedAgg.refresh
+    // treats as the benign "no change sets recorded in range"
+    val e = intercept[IllegalStateException] {
+      lake.readChanges(fromVersion = 2)
+    }
+    assert(e.getMessage.contains("vacuumed through version 2"))
+    // at or above the floor both bounded and open reads still work
+    assert(lake.readChanges(fromVersion = 3).select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(3L))
+    assert(lake.readChanges().select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
   test("checkpointed CDC consumer keeps exactly-once across a feed vacuum") {
     val (root, lake) = seeded()
     def drain(): Long = {

@@ -154,4 +154,25 @@ class MaterializedAggSpec extends SparkSpec {
     val h = mv.read.where(col("k") === "h").head
     assert(h.getLong(1) === 1L && h.getLong(2) === 0L)
   }
+
+  test("refresh fails loudly when the feed was vacuumed past the watermark") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("base5")).write(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv5"),
+      keys = Seq("k"), sums = Map("total" -> col("v"))).initialize()
+    // two change sets the MV never applied, then retention removes the
+    // first: the history the MV needs is gone. Applying only the
+    // surviving set would corrupt the view silently — refresh must
+    // throw instead (and must NOT mistake this for the benign
+    // "commits but no change sets" IllegalArgumentException path).
+    base.update(Map("v" -> lit(10L)), col("k") === "a", changeFeed = true)
+    base.update(Map("v" -> lit(20L)), col("k") === "b", changeFeed = true)
+    base.vacuumChanges(retainLast = 1)
+    intercept[IllegalStateException] { mv.refresh() }
+    // the view was not advanced past the gap: rebuilding recovers
+    mv.initialize()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+  }
 }
