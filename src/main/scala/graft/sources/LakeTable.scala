@@ -1183,13 +1183,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * would re-deliver their rows as if new — consume
     * [[readChangesStream]] (the CDC feed) for tables that rewrite.
     */
-  def readStream: DataFrame = {
+  def readStream: DataFrame = readStream(None)
+
+  /** [[readStream]] with a batch-size bound — same `maxFilesPerTrigger`
+    * rationale as [[readChangesStream]]: a consumer starting against an
+    * existing multi-TB table must replay the backlog as right-sized
+    * micro-batches, not one.
+    */
+  def readStream(maxFilesPerTrigger: Option[Int]): DataFrame = {
     val s = storedSchema.getOrElse(read.schema)
+    val reader = spark.readStream.schema(s)
+    maxFilesPerTrigger.foreach { n =>
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      reader.option("maxFilesPerTrigger", n.toString): Unit
+    }
     // deletion vectors live at stream START apply via a stream-static
     // left-anti join (static right side — supported shape); vectors
     // added AFTER the stream starts are not re-read, the same
     // append-only contract Delta imposes on streaming reads
-    applyDeletionVectors(spark.readStream.schema(s).parquet(path))
+    applyDeletionVectors(reader.parquet(path))
   }
 
   /** The change feed as a STREAMING source: each change-feed-enabled

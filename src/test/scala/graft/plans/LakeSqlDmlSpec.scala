@@ -321,6 +321,10 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(lake.readChanges().select("_commit_version")
       .distinct().collect().map(_.getLong(0)).toSet === Set(2L))
     assert(lake.history.where(col("operation") === "VACUUM CHANGES").count() === 1)
+    // the named-table spelling routes through the same command
+    graft.sources.LakeNames.register(spark, "named_db", "cdc_t", path)
+    spark.sql("VACUUM named_db.cdc_t CHANGES RETAIN 1 VERSIONS")
+    assert(lake.history.where(col("operation") === "VACUUM CHANGES").count() === 2)
     // CHANGES without RETAIN has no defined window — reject
     intercept[IllegalArgumentException] {
       spark.sql(s"VACUUM graft_lake('$path') CHANGES")

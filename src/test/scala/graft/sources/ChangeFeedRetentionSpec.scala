@@ -110,4 +110,25 @@ class ChangeFeedRetentionSpec extends SparkSpec {
       lake.readChangesStream(maxFilesPerTrigger = Some(0))
     }
   }
+
+  test("data readStream honors the same maxFilesPerTrigger bound") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_stream_bound").toString
+    val lake = LakeTable(spark, s"$root/t")
+      .write(Seq((1L, 1.0)).toDF("id", "x"))
+    lake.write(Seq((2L, 2.0)).toDF("id", "x"), org.apache.spark.sql.SaveMode.Append)
+    lake.write(Seq((3L, 3.0)).toDF("id", "x"), org.apache.spark.sql.SaveMode.Append)
+    val batches = new AtomicInteger(0)
+    val q = lake.readStream(maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet(): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(batches.get() >= 3)
+  }
 }
