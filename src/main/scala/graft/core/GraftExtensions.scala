@@ -231,22 +231,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.TableDetail.describe(spark, path).queryExecution.analyzed
       })
 
-    // Delta table_changes in SQL: graft_changes('/path'[, from[, to]])
+    // Delta table_changes in SQL: graft_changes('/path'[, from[, to]]).
+    // Bounds are versions (integers) or timestamps (strings /
+    // TIMESTAMP/DATE expressions), mirroring table_changes' two forms —
+    // mixed int/timestamp bounds are rejected, like Delta.
     injectLakeTvf(
       FunctionIdentifier("graft_changes"),
       info("graft_changes",
-        "graft_changes(path[, fromVersion[, toVersion]]) - recorded change feed rows"),
+        "graft_changes(path[, fromVersion|fromTimestamp[, toVersion|toTimestamp]]) - recorded change feed rows"),
       (es: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val path = lakePath("graft_changes", es.head)
-        val from =
-          if (es.length > 1) literalInt("graft_changes", "fromVersion", es(1)).toLong
-          else 0L
-        val to =
-          if (es.length > 2) literalInt("graft_changes", "toVersion", es(2)).toLong
-          else Long.MaxValue
-        graft.sources.LakeTable(spark, path).readChanges(from, to)
-          .queryExecution.analyzed
+        def isTimeArg(e: Expression): Boolean = e.dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.DateType => true
+          case _ => false
+        }
+        val t = graft.sources.LakeTable(spark, path)
+        val df =
+          if (es.length > 1 && isTimeArg(es(1))) {
+            if (es.length > 2) {
+              require(isTimeArg(es(2)),
+                "graft_changes: bounds must both be versions or both timestamps")
+              t.readChanges(literalInstant("graft_changes", es(1)),
+                literalInstant("graft_changes", es(2)))
+            } else t.readChanges(literalInstant("graft_changes", es(1)))
+          } else {
+            val from =
+              if (es.length > 1) literalInt("graft_changes", "fromVersion", es(1)).toLong
+              else 0L
+            val to =
+              if (es.length > 2) {
+                require(!isTimeArg(es(2)),
+                  "graft_changes: bounds must both be versions or both timestamps")
+                literalInt("graft_changes", "toVersion", es(2)).toLong
+              } else Long.MaxValue
+            t.readChanges(from, to)
+          }
+        df.queryExecution.analyzed
       })
   }
 }

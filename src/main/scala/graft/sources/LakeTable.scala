@@ -1171,6 +1171,59 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[readChanges]] with a TIMESTAMP resume point — Delta's
+    * `table_changes(t, start_timestamp)` form. The timestamp resolves
+    * through the commit log to the FIRST commit at or after it (commit
+    * stamps, not change-file mtimes, so the mapping survives file moves
+    * and restores), then delegates to the version form — including its
+    * vacuum-horizon guard: a resume point whose history was trimmed
+    * fails loudly instead of silently returning a partial feed.
+    * A timestamp beyond the last commit is an error, like Delta's
+    * "timestamp after latest commit" — an incremental consumer asking
+    * for the future has a clock or orchestration bug it should hear
+    * about, not an empty batch it would mistake for "caught up".
+    */
+  def readChanges(from: java.time.Instant): DataFrame =
+    readChanges(versionAtOrAfter(from), Long.MaxValue)
+
+  /** [[readChanges]] over a closed timestamp interval: changes recorded
+    * by commits in `[from, to]` (first commit at/after `from` through
+    * the last commit at/before `to`).
+    */
+  def readChanges(from: java.time.Instant, to: java.time.Instant): DataFrame = {
+    require(!to.isBefore(from), s"empty CDC interval: $from > $to")
+    val toV = commitVersionTimes.filter(!_._2.isAfter(to)).map(_._1)
+    require(toV.nonEmpty,
+      s"no commit at or before $to at $path — the interval ends before the table began")
+    readChanges(versionAtOrAfter(from), toV.max)
+  }
+
+  /** First commit version stamped at or after `ts`. */
+  private def versionAtOrAfter(ts: java.time.Instant): Long = {
+    val vs = commitVersionTimes.filter(!_._2.isBefore(ts)).map(_._1)
+    require(vs.nonEmpty,
+      s"no commit at or after $ts at $path — the timestamp is beyond the " +
+        "table's history (use a version resume point, or rebuild from current state)")
+    vs.min
+  }
+
+  /** (version, commit timestamp) for every commit — one checkpointed-log
+    * read. Min/max over a filter rather than a binary search: commit
+    * stamps come from writer clocks, so a skewed writer must not hide
+    * later commits behind an out-of-order stamp.
+    */
+  private def commitVersionTimes: Seq[(Long, java.time.Instant)] = {
+    val V = """"version":(\d+)""".r
+    val T = """"timestamp":"([^"]+)"""".r
+    CommitLog.records(fs, logDir).flatMap { r =>
+      for {
+        v <- V.findFirstMatchIn(r)
+        t <- T.findFirstMatchIn(r)
+        i <- scala.util.Try(java.time.Instant.parse(t.group(1))).toOption
+      } yield (v.group(1).toLong, i)
+    }
+  }
+
   /** The table DATA as a STREAMING source for APPEND-ONLY pipelines: each
     * appended batch's files land atomically at job commit and the file
     * stream discovers them incrementally, so a downstream consumer with a

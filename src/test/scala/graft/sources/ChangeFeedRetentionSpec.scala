@@ -64,6 +64,43 @@ class ChangeFeedRetentionSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet === Set(3L))
   }
 
+  test("timestamp resume points resolve through the commit log, Delta-style") {
+    val (_, lake) = seeded()
+    // the commit log's own stamps are the mapping's ground truth
+    val stamp = lake.history
+      .select(col("version"), col("timestamp"))
+      .collect().map(r => r.getLong(0) -> java.time.Instant.parse(r.getString(1)))
+      .toMap
+    // from v2's own stamp: sets 2 and 3
+    assert(lake.readChanges(stamp(2L)).select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // closed interval [v2, v2]: exactly set 2
+    assert(lake.readChanges(stamp(2L), stamp(2L)).select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(2L))
+    // a stamp beyond the last commit is an error, not an empty batch —
+    // a consumer asking for the future has a bug it should hear about
+    val e = intercept[IllegalArgumentException] {
+      lake.readChanges(stamp(3L).plusSeconds(3600))
+    }
+    assert(e.getMessage.contains("beyond the table's history"))
+    // the SQL TVF takes the same timestamp form
+    val viaSql = spark.sql(
+      s"SELECT DISTINCT _commit_version FROM graft_changes('${lake.path}', '${stamp(2L)}')")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql === Set(2L, 3L))
+    // mixed version/timestamp bounds are rejected, like table_changes
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('${lake.path}', 1, '${stamp(2L)}')")
+        .collect()
+    }
+    // a timestamp resume below the vacuum horizon fails like the
+    // version form does — the mapping must not bypass the guard
+    lake.vacuumChanges(retainLast = 1)
+    intercept[IllegalStateException] {
+      lake.readChanges(stamp(1L))
+    }
+  }
+
   test("checkpointed CDC consumer keeps exactly-once across a feed vacuum") {
     val (root, lake) = seeded()
     def drain(): Long = {
