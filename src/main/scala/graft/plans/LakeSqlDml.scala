@@ -32,6 +32,7 @@ import graft.sources.{LakeTable, MergeClause}
   * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
   * CREATE TABLE db.t USING graft_lake LOCATION '/p'   -- register a NAME
+  * CREATE TABLE db.t2 SHALLOW CLONE db.t LOCATION '/p2'
   * }}}
   *
   * Every statement's target may also be a NAME registered by `CREATE
@@ -260,6 +261,45 @@ final case class LakeCreateNamedCommand(
   }
 }
 
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t [SHALLOW|DEEP] CLONE
+  * <lake target> LOCATION '<dest>'` — Delta's CLONE statement. SHALLOW
+  * records a manifest of the source's current files (zero data copy —
+  * the dev/test-branch idiom at 100 TB); DEEP (also bare `CLONE`, like
+  * Databricks' default) writes a full independent copy. Either way the
+  * new table registers under the given name and starts a fresh history
+  * with one CLONE commit. LOCATION is mandatory: graft lake tables are
+  * path-backed.
+  */
+final case class LakeCloneCommand(
+    nameParts: Seq[String], sourcePath: String, destPath: String,
+    shallow: Boolean, orReplace: Boolean, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, table) = nameParts match {
+      case Seq(t)    => (spark.catalog.currentDatabase, t)
+      case Seq(d, t) => (d, t)
+      case _ => throw new IllegalArgumentException(
+        "CREATE TABLE … CLONE expects `table` or `db.table`, got " +
+          nameParts.mkString("."))
+    }
+    val exists = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+    if (exists && ifNotExists) return Seq.empty
+    require(orReplace || !exists,
+      s"table $db.$table already exists (use OR REPLACE or IF NOT EXISTS)")
+    // OR REPLACE replaces the DESTINATION too — cloneTo itself refuses a
+    // non-empty destination, so a replace must clear it first
+    if (orReplace) {
+      val fs = new org.apache.hadoop.fs.Path(destPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(destPath), true): Unit
+    }
+    LakeTable(spark, sourcePath).cloneTo(destPath, shallow)
+    graft.sources.LakeNames.register(spark, db, table, destPath)
+    Seq.empty
+  }
+}
+
 /** `RESTORE graft_lake(path) TO VERSION AS OF <v>` /
   * `TO TIMESTAMP AS OF '<iso>'` — over a [[graft.sources.VersionedLakeTable]]
   * (append-only snapshots, so a bad restore is itself restorable).
@@ -469,6 +509,22 @@ object LakeSqlDml {
     while (p.eatPunct(".")) {
       if (!p.more || p.peek.kind != Word) return None
       name += bare(p.peek.text); p.advance()
+    }
+    // Delta's CLONE statement: the target being a lake table (TVF form
+    // or registered name) is what claims it — Spark has no CLONE syntax,
+    // so a non-lake source just falls through to Spark's native error
+    val shallowClone = p.eat("SHALLOW")
+    val deepClone = !shallowClone && p.eat("DEEP")
+    if (shallowClone || deepClone || p.wordIs("CLONE")) {
+      if (!p.eat("CLONE")) return None
+      val src = p.lakeTarget().getOrElse(return None)
+      // from here the statement is ours — errors are OUR errors
+      p.expect("LOCATION",
+        "in CREATE TABLE … CLONE (graft lake tables are path-backed)")
+      val dest = p.stringLiteral("CLONE destination path")
+      p.done("CREATE TABLE CLONE")
+      return Some(LakeCloneCommand(name.result(), src, dest,
+        shallow = shallowClone, orReplace = orReplace, ifNotExists = ifNotExists))
     }
     if (!p.eat("USING")) return None
     if (!p.more || p.peek.kind != Word ||

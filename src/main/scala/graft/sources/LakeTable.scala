@@ -72,10 +72,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * `input_file_name()`, DV capture itself) read this; every
     * user-facing path goes through [[read]].
     */
-  private def readRaw: DataFrame = storedSchema match {
-    case Some(s) => spark.read.schema(s).parquet(path)
-    case None    => spark.read.parquet(path)
-  }
+  private def readRaw: DataFrame =
+    if (isShallowClone) {
+      // a shallow clone reads its manifest-referenced SOURCE files plus
+      // any files appended locally since the clone (see [[cloneTo]])
+      val s = storedSchema.getOrElse(throw new IllegalStateException(
+        s"shallow clone at $path has no recorded schema"))
+      val paths = cloneManifestFiles ++ listDataFiles().map(_._3)
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      else spark.read.schema(s).parquet(paths: _*)
+    } else storedSchema match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.parquet(path)
+    }
 
   /** Write (overwrite or append) and record a commit.
     *
@@ -208,6 +218,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       overwriteSchema: Boolean = false): LakeTable = {
     // same no-op contract as write(): Ignore must not touch log or schema
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
+    require(mode == SaveMode.Overwrite || !isShallowClone,
+      s"partitioned append to a flat-layout shallow clone would mix layouts — " +
+        "materialize() first (a full Overwrite replaces the clone and is fine)")
     val (aligned, schema) =
       enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
     val toWrite = constrainedBatch(aligned)
@@ -232,6 +245,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def overwritePartitionsOp(
       df: DataFrame, partitionCols: Seq[String],
       op: String, params: Map[String, String]): LakeTable = {
+    require(!isShallowClone,
+      s"dynamic partition overwrite on a flat-layout shallow clone would mix " +
+        "layouts — materialize() first")
     // dynamic overwrite leaves sibling partitions in place, so like Append
     // it must match the standing table schema exactly — a drifted schema
     // here would fracture the table across partition directories
@@ -976,6 +992,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       changeVersion: Option[Long],
       alwaysTransform: Boolean = false): Option[LakeTable] = {
     if (!fs.exists(new Path(statsDir))) return None
+    // a shallow clone's files live in the SOURCE dir, which the local
+    // listing can't see — fall back to the full rewrite, which reads
+    // through the manifest and detaches the clone in the same swap
+    if (isShallowClone) return None
     val all = listDataFiles()
     if (all.exists(_._1.contains("/"))) return None // partitioned layout
     val mightMatch = prunedFiles(cond).toSet
@@ -1089,6 +1109,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       targetFileBytes: Long = 128L * 1024 * 1024): LakeTable = {
     require(minFileBytes > 0 && targetFileBytes >= minFileBytes,
       "need 0 < minFileBytes <= targetFileBytes")
+    // a shallow clone's referenced files aren't locally listable — the
+    // full compact reads through the manifest and detaches the clone
+    if (isShallowClone) return compact(targetFileBytes)
     val all = listDataFiles()
     require(!all.exists(_._1.contains("/")),
       s"$path has a partitioned layout; compact per partition via optimizeWhere")
@@ -1244,6 +1267,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * micro-batches, not one.
     */
   def readStream(maxFilesPerTrigger: Option[Int]): DataFrame = {
+    require(!isShallowClone,
+      s"readStream on a shallow clone would see only locally-appended files, " +
+        "not the manifest-referenced source data — materialize() first")
     val s = storedSchema.getOrElse(read.schema)
     val reader = spark.readStream.schema(s)
     maxFilesPerTrigger.foreach { n =>
@@ -1334,6 +1360,107 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "retainLast" -> retainLast.toString,
       LakeTable.VacuumChangesRemovedParam -> removed.mkString(","))): Unit
     this
+  }
+
+  // ------------------------------------------------------------- cloning
+
+  /** True iff this table is a SHALLOW CLONE still reading its source's
+    * data files through the clone manifest (see [[cloneTo]]).
+    */
+  def isShallowClone: Boolean = fs.exists(cloneManifestPath)
+
+  private def cloneDir = new Path(path, LakeTable.CloneDirName)
+  private def cloneManifestPath = new Path(cloneDir, LakeTable.CloneManifestName)
+
+  /** Absolute source-file paths a shallow clone references. */
+  private def cloneManifestFiles: Seq[String] =
+    if (!fs.exists(cloneManifestPath)) Seq.empty
+    else {
+      val in = fs.open(cloneManifestPath)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+
+  /** Clone this table to `destPath` — Delta's `CREATE TABLE … CLONE`.
+    *
+    * SHALLOW (`shallow = true`): zero data copy. The clone records the
+    * source's current data files in a manifest (`_graft_clone/`) plus
+    * the source's schema and constraints; reads resolve the manifest,
+    * so a 100 TB table clones in milliseconds — the dev/test-branch
+    * idiom. The clone is PINNED to the files listed at clone time:
+    * source appends/updates after the clone never leak in. Appends to
+    * the clone stay zero-copy (local files read alongside the
+    * manifest); any REWRITING operation (delete/update/merge/optimize/
+    * compact) first runs [[materialize]] implicitly via the full-rewrite
+    * path, detaching the clone. Delta's documented hazard applies
+    * identically here: a REWRITE or VACUUM on the SOURCE deletes files
+    * the clone still references — materialize the clone before
+    * rewriting its source.
+    *
+    * DEEP (`shallow = false`): a full independent copy (data rewritten
+    * through the normal write path, schema + constraints carried over)
+    * — partition layout preserved.
+    *
+    * Either way the clone starts a FRESH history: one CLONE commit
+    * recording the source path and version, like Delta.
+    */
+  def cloneTo(destPath: String, shallow: Boolean = true): LakeTable = {
+    require(exists, s"cannot clone $path: table does not exist")
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"cloneTo targets plain lake tables; $path is a versioned snapshot " +
+        "layout (read a snapshot and write it where you need it)")
+    val destP = new Path(destPath)
+    require(!fs.exists(destP) || fs.listStatus(destP).isEmpty,
+      s"clone destination $destPath already exists and is not empty")
+    val dest = new LakeTable(spark, destPath)
+    val srcVersion = CommitLog.nextVersion(fs, logDir) - 1
+    val params = Map(
+      "source" -> path,
+      "sourceVersion" -> srcVersion.toString,
+      "shallow" -> shallow.toString)
+    if (shallow) {
+      require(partitionColumns().isEmpty,
+        s"shallow clone supports flat-layout tables; $path is Hive-partitioned " +
+          "(deep-clone it, or clone per partition)")
+      require(!hasDeletionVectors,
+        s"shallow clone of a table with live deletion vectors is not supported — " +
+          "compact() the source first to bake the deletes into its files")
+      // a clone OF a shallow clone references the ORIGINAL files — the
+      // middle clone's manifest is flattened, never chained
+      val files = cloneManifestFiles ++ listDataFiles().map(_._3)
+      fs.mkdirs(destP)
+      dest.saveSchema(storedSchema.getOrElse(read.schema))
+      val cons = constraints
+      if (cons.nonEmpty) dest.saveConstraints(cons)
+      fs.mkdirs(dest.cloneDir)
+      val out = fs.create(dest.cloneManifestPath, false)
+      try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      dest.commit("CLONE", params): Unit
+    } else {
+      val parts = partitionColumns()
+      if (parts.nonEmpty) dest.writePartitioned(read, parts)
+      else dest.write(read)
+      val cons = constraints
+      if (cons.nonEmpty) dest.saveConstraints(cons)
+      dest.commit("CLONE", params): Unit
+    }
+    dest
+  }
+
+  /** Detach a shallow clone from its source: rewrite the clone's full
+    * content (manifest-referenced source files plus any local appends,
+    * deletion vectors applied) into its own directory through the
+    * crash-safe staged-swap protocol, dropping the manifest with the
+    * old directory. No-op on a non-clone. After this, source rewrites
+    * and vacuums can no longer break the clone.
+    */
+  def materialize(): LakeTable = {
+    if (!isShallowClone) return this
+    rewrite(read, "MATERIALIZE",
+      Map("sourceFiles" -> cloneManifestFiles.size.toString))
   }
 
   /** Delta MERGE rejects multiple source rows per key; writing them would
@@ -1850,6 +1977,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
           !st.getPath.toString.contains(LakeTable.ChangesDirName))
         bytes += st.getLen
     }
+    // a shallow clone's bytes live in the source dir — count the
+    // manifest-referenced files so the target file count is right
+    cloneManifestFiles.foreach(m => bytes += f.getFileStatus(new Path(m)).getLen)
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     if (zorderBy.nonEmpty) optimize(zorderBy, Some(n))
     else {
@@ -1960,6 +2090,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       bloomFor: Seq[String] = Seq.empty,
       bloomNumItems: Long = 100000L,
       bloomNumBits: Long = 1L << 20): LakeTable = {
+    require(!isShallowClone,
+      s"collectStats on a shallow clone would record source-file paths the " +
+        "pruner cannot serve — materialize() first")
     // RAW rows, not the DV-filtered view: `input_file_name()` must see
     // the scan directly (a join would blank it), and stats that include
     // deleted rows are merely conservative — min/max can only widen, so
@@ -2012,6 +2145,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * already has a stats row and no orphans exist.
     */
   def refreshStats(): LakeTable = {
+    require(!isShallowClone,
+      s"refreshStats on a shallow clone would record source-file paths the " +
+        "pruner cannot serve — materialize() first")
     require(fs.exists(new Path(statsDir)),
       s"no stats to refresh at $path — run collectStats first")
     val spec = lastStatsSpec.getOrElse(
@@ -2088,6 +2224,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * to a plain filtered read when no stats exist.
     */
   def readWhere(cond: Column): DataFrame = {
+    // a shallow clone has no usable stats (see prunedFiles) — correct,
+    // just unpruned; parquet row-group min/max still applies in-scan
+    if (isShallowClone) return read.where(cond)
     val files = prunedFiles(cond)
     if (files.isEmpty) read.where(cond).where(lit(false))
     else {
@@ -2139,6 +2278,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * impossible, only missed skipping.
     */
   def prunedFiles(cond: Column): Seq[String] = {
+    require(!isShallowClone,
+      s"prunedFiles on a shallow clone cannot see the manifest-referenced " +
+        "source files — materialize() first (readWhere falls back to an " +
+        "unpruned read)")
     val f = fs
     val all = listDataFiles().map(t => (t._2, t._3))
     if (!f.exists(new Path(statsDir))) return all.map(_._2).toSeq
@@ -2217,6 +2360,11 @@ object LakeTable {
     * removed — [[LakeTable.readChanges]] derives its resume floor from it.
     */
   val VacuumChangesRemovedParam = "removedVersions"
+
+  // shallow-clone manifest: `_graft_clone/manifest` lists the absolute
+  // source data files the clone reads (see LakeTable.cloneTo)
+  val CloneDirName = "_graft_clone"
+  val CloneManifestName = "manifest"
   val StageSuffix = "__staging"
   val ChangesTmpSuffix = "__changes_tmp"
   // swap point-of-no-return marker inside a staged dir; lists the

@@ -669,6 +669,34 @@ object SourceQueries {
       .orderBy(col("is_current"))
   }
 
+  /** A3 extension (Delta CREATE TABLE … CLONE): shallow-clone a seeded
+    * orders lake (zero data copy — the 100 TB dev-branch idiom), mutate
+    * the CLONE (detaching it through the staged-swap rewrite), and
+    * aggregate BOTH sides. Any isolation failure moves a side's numbers:
+    * the source must keep every row, the clone must diverge by exactly
+    * the deleted keys while keeping pre-clone values for the rest.
+    */
+  def lakeClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val srcPath = scratch(sfDir, "clone_src")
+    val destPath = scratch(sfDir, "clone_dest")
+    val src = LakeTable(spark, srcPath)
+    src.write(t.orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    // re-runs leave a detached prior clone behind — clear the dest
+    val fs = new org.apache.hadoop.fs.Path(destPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(destPath), true): Unit
+    val clone = src.cloneTo(destPath) // shallow: manifest only
+    clone.delete(col("o_orderkey") % 3 === 0) // detaches the clone
+    def side(lake: LakeTable, name: String) =
+      lake.read.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(name).as("side"), col("n"), col("total"))
+    side(src, "source").unionAll(side(clone, "clone")).orderBy(col("side"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -705,6 +733,7 @@ object SourceQueries {
     "q_lake_compact_small" -> (lakeCompactSmall _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
+    "q_lake_clone" -> (lakeClone _),
     "q_deid_sha1" -> (deidSha1 _)
   )
 
@@ -942,6 +971,16 @@ object SourceQueries {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_lake_clone" ->
+      """SELECT * FROM (
+        |  SELECT 'clone' AS side, count(*) AS n,
+        |         round(sum(o_totalprice), 2) AS total
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'source' AS side, count(*) AS n,
+        |         round(sum(o_totalprice), 2) AS total
+        |  FROM orders)
+        |ORDER BY side""".stripMargin,
     "q_scd2_pit_join" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_acctbal, TIMESTAMP '1995-01-01' AS vf,
