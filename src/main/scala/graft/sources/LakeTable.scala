@@ -1021,6 +1021,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       changeVersion: Option[Long],
       alwaysTransform: Boolean): LakeTable = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
+    // same OCC contract as rewrite(): the affected/untouched file split
+    // and the transform's input are derived from the CURRENT version;
+    // a commit landing while we stage means the split may be stale
+    val occExpected = CommitLog.nextVersion(fs, logDir)
     // a MERGE with zero affected files still has INSERTS to land
     // (alwaysTransform feeds the transform an empty frame); a DELETE
     // whose predicate matches nothing writes nothing
@@ -1064,6 +1068,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
     val clash = untouched.map(_._1).filter(stagedNames.contains)
     require(clash.isEmpty, s"staged rewrite produced colliding file names: $clash")
+    try occCheck(occExpected, staged, op)
+    catch {
+      case e: Throwable =>
+        try changeVersion.foreach(v => fs.delete(
+          new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
     // the stats dir rides the swap too: untouched files return to their
     // exact original paths, so their stats rows stay valid and skipping
     // keeps working after a selective rewrite (rows for replaced files
@@ -2011,6 +2023,28 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "OPTIMIZE ZORDER", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
   }
 
+  /** Optimistic-concurrency check (Delta's ConcurrentModificationException
+    * contract): a staged rewrite derives its output from the version it
+    * read; if another writer committed while the stage was being built,
+    * swapping it in would silently UNDO that commit (lost update). Called
+    * immediately before the swap's point of no return — a conflict
+    * deletes the stage and fails the LATER writer, whose caller retries
+    * against the new state. The residual window between this check and
+    * the log move is metadata-only (milliseconds against a staging write
+    * that took seconds-to-minutes); Delta closes it fully with its atomic
+    * log-commit protocol, this engine documents it instead.
+    */
+  private def occCheck(expected: Long, staged: Path, op: String): Unit = {
+    val now = CommitLog.nextVersion(fs, logDir)
+    if (now != expected) {
+      fs.delete(staged, true): Unit
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $path conflicts with a concurrent commit: staged against " +
+          s"version ${expected - 1}, table is now at ${now - 1} — retry the " +
+          "operation against the current table state")
+    }
+  }
+
   /** Stage the clustered rewrite to a sibling dir, then swap — avoids
     * reading+overwriting the same location in one job.
     */
@@ -2019,6 +2053,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       onAbort: () => Unit = () => (),
       onCommit: Long => Unit = _ => ()): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
+    // optimistic concurrency (Delta's OCC contract): remember the
+    // version this rewrite is derived from; re-checked just before the
+    // swap's point of no return by occCheck below
+    val occExpected = CommitLog.nextVersion(fs, logDir)
     // onAbort fires ONLY for pre-swap failures (table untouched); once
     // the swap has happened the caller's side effects must stand
     try {
@@ -2030,6 +2068,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         try enforceConstraints(spark.read.parquet(staged), cons)
         catch { case e: Throwable => fs.delete(new Path(staged), true); throw e }
       }
+      occCheck(occExpected, new Path(staged), op)
     } catch {
       case e: Throwable =>
         try onAbort()
