@@ -318,6 +318,52 @@ object Dedup {
     math.min(math.max(raw, 4), 24)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * semantic deduplication by CLUSTER-SCOPED pairwise cosine. K-means
+    * clusters the embedding space (sampled fit, the same quantizer
+    * [[graft.text.Ivf]] uses, map-only assignment), then pairwise
+    * similarity is computed ONLY within each cluster — the paper's own
+    * scale trick, turning all-pairs O(n²) into k independent O((n/k)²)
+    * blocks that parallelize by cluster. Pairs at or above `eps` are
+    * semantic duplicates; duplicate GROUPS (connected components over
+    * the pair graph, same O(diameter) min-label propagation as
+    * [[clusters]]-style dedup) keep their min-id representative.
+    *
+    * Returns (id, cell, component, keep): every input doc, its cluster,
+    * its duplicate-group id (own id when unique), and whether it
+    * survives — callers `where(col("keep"))`.
+    *
+    * The paper's documented trade-off applies: a duplicate pair split
+    * across a cluster boundary is missed. Raise `nClusters` for
+    * throughput (smaller blocks), lower it for recall.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      eps: Double = 0.97,
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0
+  ): DataFrame = {
+    val centers = Ivf.fitCentroids(df, vecCol, nClusters, seed, fitSampleFraction)
+    val assigned = Ivf.assignCells(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      centers, "v")
+    // within-cluster pairs only: the equi-join on cell IS the blocking
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(VectorFunctions.cosineSim(col("a.v"), col("b.v")) >= eps)
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+    val comps = graft.operators.ConnectedComponents.components(pairs)
+    assigned.select(col("id"), col("cell"))
+      .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("keep", col("id") === col("component"))
+  }
+
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,

@@ -418,6 +418,21 @@ object TextQueries {
       Tables(spark, sfDir).embeddings, "vec_id", "embedding",
       dim = 64, threshold = 0.4)
 
+  /** SemDeDup over the embeddings table: cluster-scoped semantic dedup
+    * (seeded k-means fit → no SQL oracle; survivor-set recall vs the
+    * exact all-pairs ground truth is pinned in DedupSpec). Returns the
+    * per-cluster survivor/drop tallies — stable under the fixed seed.
+    */
+  def semanticDedupQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.semanticDedup(
+      Tables(spark, sfDir).embeddings, "vec_id", "embedding",
+      nClusters = 8, eps = 0.4)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("cell"))
+
   /** Language-ID + quality profile. Both heuristics are deterministic
     * closed forms (stopword-overlap argmax; length/punct/TTR blend), so
     * the query is fully oracle-matched — the DuckDB side is generated from
@@ -447,6 +462,7 @@ object TextQueries {
     "q_minhash_neardup" -> (minhashNearDup _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_embedding_neardup" -> (embeddingNearDupLsh _),
+    "q_semantic_dedup" -> (semanticDedupQ _),
     "q_lang_quality" -> (langQualityProfile _),
     "q_extensions_sql" -> (extensionsSql _),
     "q_euclidean_topk" -> (euclideanTopK _),

@@ -153,4 +153,38 @@ class DedupSpec extends SparkSpec {
     assert(rMany >= 0.5, s"12-plane recall $rMany")
     assert(rFew >= rMany, s"recall should not rise with plane count ($rFew < $rMany)")
   }
+
+  test("SemDeDup survivors match the exact all-pairs ground truth on separated clusters") {
+    // 10 well-separated semantic groups (orthogonal-ish base directions),
+    // each with 1 original + 2 near-copies (cos > 0.99) + the rest of the
+    // corpus random: ground truth keeps exactly one doc per group.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val rows = (0 until 10).flatMap { g =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 3).map { i =>
+        val v = if (i == 0) base else base.map(_ + rnd.nextGaussian() * 0.01)
+        (g.toLong * 10 + i, v)
+      }
+    } ++ (900L until 920L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nClusters = 10, eps = 0.99, seed = 3L).collect()
+    assert(out.length === rows.length) // every doc classified
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    // exact ground truth: all-pairs cosine >= eps -> min-id per group
+    val truthKept = rows.map(_._1).toSet -- (0 until 10).flatMap(g =>
+      Seq(g.toLong * 10 + 1, g.toLong * 10 + 2))
+    // planted copies sit in one k-means cluster (their mutual cosine is
+    // ~1, random docs are near-orthogonal), so survivors match exactly
+    assert(kept === truthKept)
+    // component ids: each group collapses to its min id
+    val comp = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 10).foreach { g =>
+      assert(comp(g.toLong * 10 + 1) === g.toLong * 10)
+      assert(comp(g.toLong * 10 + 2) === g.toLong * 10)
+    }
+    // random docs survive as their own singletons
+    (900L until 920L).foreach(i => assert(comp(i) === i))
+  }
 }
