@@ -261,6 +261,21 @@ final case class LakeCreateNamedCommand(
   }
 }
 
+/** `ANALYZE TABLE <lake> COMPUTE STATISTICS FOR COLUMNS …` — see
+  * [[LakeSqlDml.parseAnalyze]]: collect (or, column-less, refresh) the
+  * per-file skipping stats.
+  */
+final case class LakeAnalyzeCommand(
+    path: String, cols: Seq[String], bloomFor: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = LakeTable(spark, path)
+    if (cols.nonEmpty) lake.collectStats(cols, bloomFor)
+    else lake.refreshStats()
+    Seq.empty
+  }
+}
+
 /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t [SHALLOW|DEEP] CLONE
   * <lake target> LOCATION '<dest>'` — Delta's CLONE statement. SHALLOW
   * records a manifest of the source's current files (zero data copy —
@@ -399,6 +414,9 @@ final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
       case LakeAlterCommand.AddColumns(schema)      => lake.addColumns(schema)
       case LakeAlterCommand.AddConstraint(n, expr)  => lake.addConstraint(n, expr)
       case LakeAlterCommand.DropConstraint(n)       => lake.dropConstraint(n)
+      case LakeAlterCommand.AddGenerated(n, t, e)   =>
+        lake.addGeneratedColumn(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t), e)
     }
     Seq.empty
   }
@@ -409,6 +427,13 @@ object LakeAlterCommand {
   final case class AddColumns(schema: StructType) extends Action
   final case class AddConstraint(name: String, exprSql: String) extends Action
   final case class DropConstraint(name: String) extends Action
+
+  /** `ALTER TABLE t ADD GENERATED COLUMN name TYPE AS (expr)` — Delta's
+    * GENERATED ALWAYS AS, reachable post-creation here (existing rows
+    * backfill through one staged rewrite).
+    */
+  final case class AddGenerated(name: String, typeSql: String, exprSql: String)
+      extends Action
 }
 
 /** `MERGE INTO graft_lake(path) t USING <relation> s ON ... WHEN ...`;
@@ -458,6 +483,7 @@ object LakeSqlDml {
       case "ALTER"   => p.advance(); parseAlter(p)
       case "INSERT"  => p.advance(); parseInsert(p)
       case "OPTIMIZE" => p.advance(); parseOptimize(p)
+      case "ANALYZE" => p.advance(); parseAnalyze(p)
       case "VACUUM"  => p.advance(); parseVacuum(p)
       case "COPY"    => p.advance(); parseCopy(p)
       case "CREATE"  => p.advance(); parseCreate(p)
@@ -578,6 +604,34 @@ object LakeSqlDml {
     }
   }
 
+  /** `ANALYZE TABLE <lake> COMPUTE STATISTICS [FOR COLUMNS c1, c2, …
+    * [BLOOM c3, …]]` — Spark's ANALYZE spelling routed to the lake's
+    * file-skipping stats ([[LakeTable.collectStats]]; the column-less
+    * form re-stats only unstatted files via [[LakeTable.refreshStats]]).
+    * Non-lake targets fall through to Spark's own ANALYZE.
+    */
+  private def parseAnalyze(p: P): Option[LogicalPlan] = {
+    if (!p.eat("TABLE")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    p.expect("COMPUTE", "in ANALYZE TABLE (lake tables support COMPUTE STATISTICS)")
+    p.expect("STATISTICS", "after ANALYZE TABLE … COMPUTE")
+    def idents(what: String): Seq[String] = {
+      val names = Seq.newBuilder[String]
+      names += p.identifier(what).mkString(".")
+      while (p.eatPunct(",")) names += p.identifier(what).mkString(".")
+      names.result()
+    }
+    val (cols, bloom) =
+      if (p.eat("FOR")) {
+        p.expect("COLUMNS", "after ANALYZE … FOR")
+        val cs = idents("stats column")
+        val bs = if (p.eat("BLOOM")) idents("bloom column") else Seq.empty
+        (cs, bs)
+      } else (Seq.empty[String], Seq.empty[String])
+    p.done("ANALYZE TABLE")
+    Some(LakeAnalyzeCommand(path, cols, bloom))
+  }
+
   private def parseVacuum(p: P): Option[LogicalPlan] = {
     val path = p.lakeTarget().getOrElse(return None)
     val changes = p.eat("CHANGES")
@@ -638,7 +692,14 @@ object LakeSqlDml {
     val path = p.lakeTarget().getOrElse(return None)
     val action =
       if (p.eat("ADD")) {
-        if (p.eat("COLUMNS") || p.eat("COLUMN")) {
+        if (p.eat("GENERATED")) {
+          p.expect("COLUMN", "after ALTER TABLE … ADD GENERATED")
+          val name = p.identifier("generated column name").mkString(".")
+          val typeSql = p.slice(Set("AS"), "generated column type")
+          p.expect("AS", "in ADD GENERATED COLUMN")
+          LakeAlterCommand.AddGenerated(name, typeSql,
+            p.parenGroup("generated expression"))
+        } else if (p.eat("COLUMNS") || p.eat("COLUMN")) {
           LakeAlterCommand.AddColumns(p.parseSchema(p.parenGroup("column list")))
         } else if (p.eat("CONSTRAINT")) {
           val name = p.identifier("constraint name").mkString(".")

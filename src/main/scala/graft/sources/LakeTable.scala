@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Delta-style MERGE clause forms (`WHEN MATCHED [AND cond] THEN ...`).
   * Conditions and SET expressions reference the target row as `t.<col>`
@@ -103,9 +103,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // must be a no-op for the log too — replacing the authoritative
     // schema while leaving the old files behind would corrupt reads
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
+    val (withGen, genChecks) = applyGenerated(df)
     val (aligned, schema) =
-      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
-    val toWrite = constrainedBatch(aligned)
+      enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
+    val toWrite = constrainedBatch(aligned, genChecks)
     preservingLog(mode) {
       toWrite.write.mode(mode).parquet(path)
     }
@@ -221,9 +222,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(mode == SaveMode.Overwrite || !isShallowClone,
       s"partitioned append to a flat-layout shallow clone would mix layouts — " +
         "materialize() first (a full Overwrite replaces the clone and is fine)")
+    val (withGen, genChecks) = applyGenerated(df)
     val (aligned, schema) =
-      enforceSchema(df, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
-    val toWrite = constrainedBatch(aligned)
+      enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
+    val toWrite = constrainedBatch(aligned, genChecks)
     preservingLog(mode) {
       toWrite.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
     }
@@ -251,9 +253,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // dynamic overwrite leaves sibling partitions in place, so like Append
     // it must match the standing table schema exactly — a drifted schema
     // here would fracture the table across partition directories
+    val (withGen, genChecks) = applyGenerated(df)
     val (aligned, schema) =
-      enforceSchema(df, appendLike = true, mergeSchema = false, overwriteSchema = false)
-    val toWrite = constrainedBatch(aligned)
+      enforceSchema(withGen, appendLike = true, mergeSchema = false, overwriteSchema = false)
+    val toWrite = constrainedBatch(aligned, genChecks)
     toWrite.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -488,6 +491,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         require(bad.isEmpty, s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
         require(!set.keys.exists(keys.contains),
           "UPDATE SET must not touch merge keys (it would change row identity)")
+        requireNotGenerated(set.keys, "MERGE UPDATE SET")
       case _ =>
     }
     // BY SOURCE clauses evaluate over target rows with NO source match —
@@ -593,7 +597,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     def resultOver(curDf: DataFrame): DataFrame = {
       val kept = keptOver(actedOver(curDf))
-      insertsOver(curDf).fold(kept)(kept.unionByName(_))
+      // generated columns recompute after the clauses apply (SET on them
+      // is rejected above; dependency changes propagate here)
+      recomputeGenerated(insertsOver(curDf).fold(kept)(kept.unionByName(_)))
     }
 
     // stats-pruned selective path (see upsert): sound only when every
@@ -622,7 +628,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val acted = actedOver(cur)
     val keptOut = keptOver(acted)
     val inserts = insertsOver(cur)
-    val result = inserts.fold(keptOut)(keptOut.unionByName(_))
+    val result = recomputeGenerated(inserts.fold(keptOut)(keptOut.unionByName(_)))
 
     val changeVersion: Option[Long] =
       if (!changeFeed) None
@@ -640,9 +646,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
         val deleted = acted.where(col("__graft_action").isInCollection(deleteIdx))
         val changes = Seq(
           Some(typed(updated, pre, "update_preimage")),
-          Some(typed(updated, post, "update_postimage")),
+          // post-images carry the RECOMPUTED generated values the table
+          // will actually hold (pre-images already hold valid ones)
+          Some(recomputeGenerated(updated.select(post: _*))
+            .withColumn("_change_type", lit("update_postimage"))),
           Some(typed(deleted, pre, "delete")),
-          inserts.map(i => i.withColumn("_change_type", lit("insert")))
+          inserts.map(i => recomputeGenerated(i)
+            .withColumn("_change_type", lit("insert")))
         ).flatten.reduce(_ unionByName _)
         Some(writeChanges(changes))
       }
@@ -907,22 +917,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val bad = set.keys.filterNot(cur.columns.contains)
     require(set.nonEmpty && bad.isEmpty,
       s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
+    requireNotGenerated(set.keys, "UPDATE SET")
     val fields = cur.schema.fields
     val hit = coalesce(cond, lit(false))
     // post-update value, cast to the table's type (Delta casts SET
     // expressions to the target column type rather than retyping)
     def post(f: org.apache.spark.sql.types.StructField): Column =
       set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
-    val result = cur.select(fields.map { f =>
+    // generated columns recompute AFTER the SET applies, so dependency
+    // changes propagate (on untouched rows the recomputation is
+    // value-identical — the deterministic-expression contract)
+    val result = recomputeGenerated(cur.select(fields.map { f =>
       if (set.contains(f.name)) when(hit, post(f)).otherwise(col(f.name)).as(f.name)
       else col(f.name)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*))
     val changeVersion =
       if (!changeFeed) None
       else {
         val touched = cur.where(hit)
         val pre = touched.withColumn("_change_type", lit("update_preimage"))
-        val after = touched.select(fields.map(post).toIndexedSeq: _*)
+        val after = recomputeGenerated(touched.select(fields.map(post).toIndexedSeq: _*))
           .withColumn("_change_type", lit("update_postimage"))
         Some(writeChanges(pre.unionByName(after)))
       }
@@ -931,10 +945,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "changeFeed" -> changeFeed.toString)
     rewriteSelective(cond, a => {
         val h = coalesce(cond, lit(false))
-        a.select(fields.map { f =>
+        recomputeGenerated(a.select(fields.map { f =>
           if (set.contains(f.name)) when(h, post(f)).otherwise(col(f.name)).as(f.name)
           else col(f.name)
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*))
       }, "UPDATE", params, changeVersion)
       .getOrElse(rewriteWithFeed(result, "UPDATE", params, changeVersion))
   }
@@ -1583,14 +1597,155 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * write), and a non-deterministic input could even pass the check yet
     * write violating rows on the second evaluation.
     */
-  private def constrainedBatch(aligned: DataFrame): DataFrame = {
-    val cons = constraints
+  private def constrainedBatch(
+      aligned: DataFrame,
+      extraChecks: Map[String, String] = Map.empty): DataFrame = {
+    val cons = constraints ++ extraChecks
     if (cons.isEmpty) aligned
     else {
       val pinned = aligned.localCheckpoint(true)
       enforceConstraints(pinned, cons)
       pinned
     }
+  }
+
+  // --------------------------------------------------- generated columns
+
+  private def generatedFile = new Path(logDir, LakeTable.GeneratedFileName)
+
+  /** Generated columns (Delta `GENERATED ALWAYS AS`): name → SQL
+    * expression over the table's other columns. On the ingest surface
+    * (write/writePartitioned/overwritePartitions/copyInto) an ABSENT
+    * generated column is computed; a PROVIDED one is validated against
+    * its expression in the same fused pass as the CHECK constraints
+    * (Delta's contract — a writer may not smuggle in a divergent
+    * value). UPDATE and MERGE refuse direct SET on a generated column
+    * and RECOMPUTE every generated column after applying their clauses,
+    * so dependency changes propagate (Delta recomputes the same way).
+    */
+  def generatedColumns: Map[String, String] = {
+    val f = fs
+    if (!f.exists(generatedFile)) Map.empty
+    else {
+      val in = f.open(generatedFile)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", 2) match {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          case _ => throw new IllegalStateException(
+            s"unreadable generated-columns file at $generatedFile")
+        }
+      }.toMap
+    }
+  }
+
+  private def saveGenerated(gens: Map[String, String]): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val text = gens.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("\n")
+    val out = f.create(generatedFile, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Declare `name` as GENERATED ALWAYS AS (`exprSql`) of type
+    * `dataType`. Unlike Delta (create-time only), an existing table may
+    * add one: rows already present are BACKFILLED through one staged
+    * rewrite; an empty table just evolves its schema. The expression
+    * must reference only existing non-generated columns (no chains) and
+    * should be deterministic — it is re-evaluated on recomputation.
+    */
+  def addGeneratedColumn(
+      name: String, dataType: DataType, exprSql: String): LakeTable = {
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"generated columns target plain lake tables; $path is a versioned layout")
+    val schema = storedSchema.getOrElse(throw new IllegalArgumentException(
+      s"no schema at $path yet — write the table first, then declare " +
+        "generated columns"))
+    def k(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists at $path")
+    val gens = generatedColumns
+    require(!gens.keys.exists(_.equalsIgnoreCase(name)),
+      s"generated column $name already declared at $path")
+    // analyze against the table to fail fast on unknown references;
+    // reject references to OTHER generated columns (no chains — the
+    // recomputation pass is single-level by design)
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }
+    val genKeys = gens.keys.map(k).toSet
+    val chained = refs.filter(r => genKeys.contains(k(r)))
+    require(chained.isEmpty,
+      s"generated column $name may not reference generated columns: " +
+        chained.mkString(", "))
+    read.limit(0).select(expr(exprSql)).collect(): Unit // reference check
+    val computed = expr(exprSql).cast(dataType).as(name)
+    if (listDataFiles().nonEmpty || isShallowClone) {
+      // BACKFILL existing rows; the rewrite persists the widened schema
+      rewrite(read.withColumn(name, computed), "ADD GENERATED COLUMN",
+        Map("column" -> name, "expr" -> exprSql)): Unit
+    } else {
+      saveSchema(StructType(schema.fields :+
+        StructField(name, dataType, nullable = true)))
+      commit("ADD GENERATED COLUMN",
+        Map("column" -> name, "expr" -> exprSql)): Unit
+    }
+    saveGenerated(gens + (name -> exprSql))
+    this
+  }
+
+  /** Compute ABSENT generated columns on an incoming batch; PROVIDED
+    * ones become equality checks fused into the constraint pass.
+    */
+  private def applyGenerated(df: DataFrame): (DataFrame, Map[String, String]) = {
+    val gens = generatedColumns
+    if (gens.isEmpty) return (df, Map.empty)
+    val types = storedSchema.map(_.fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    var out = df
+    val checks = Map.newBuilder[String, String]
+    gens.toSeq.sortBy(_._1).foreach { case (n, ex) =>
+      val t = types.getOrElse(n.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalStateException(
+          s"generated column $n missing from the stored schema at $path"))
+      if (df.columns.exists(_.equalsIgnoreCase(n)))
+        checks += s"generated_$n" -> s"`$n` <=> CAST(($ex) AS ${t.sql})"
+      else out = out.withColumn(n, expr(ex).cast(t))
+    }
+    (out, checks.result())
+  }
+
+  /** Re-evaluate every generated column over `df` (table-schema-aligned
+    * frames only) — the post-UPDATE/MERGE recomputation pass.
+    */
+  private def recomputeGenerated(df: DataFrame): DataFrame = {
+    val gens = generatedColumns
+    if (gens.isEmpty) return df
+    val types = storedSchema.map(_.fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, ex)) =>
+      d.withColumn(n,
+        expr(ex).cast(types(n.toLowerCase(java.util.Locale.ROOT))))
+    }
+  }
+
+  private def requireNotGenerated(cols: Iterable[String], ctx: String): Unit = {
+    val gens = generatedColumns
+    val hit = cols.filter(c => gens.keys.exists(_.equalsIgnoreCase(c)))
+    require(hit.isEmpty,
+      s"$ctx may not assign generated column(s) ${hit.mkString(", ")} — " +
+        "they recompute from their expressions")
   }
 
   /** One aggregate pass counting violations of EVERY constraint; null
@@ -2416,6 +2571,8 @@ object LakeTable {
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"
+  // generated-column declarations (name -> SQL expr), constraints-style
+  val GeneratedFileName = "_generated"
 
   /** Above this many data files, [[LakeTable.prunedFiles]] switches from
     * collecting every stats verdict to a join that returns only the

@@ -697,6 +697,30 @@ object SourceQueries {
     side(src, "source").unionAll(side(clone, "clone")).orderBy(col("side"))
   }
 
+  /** A3 extension (Delta GENERATED ALWAYS AS): declare a generated
+    * column on a seeded lineitem lake (backfilling existing rows), then
+    * UPDATE a dependency and prove the generated values recomputed. The
+    * oracle recomputes the expression over the raw parquet, so any
+    * stale/missed recomputation shifts the decimal-exact sum.
+    * (l_quantity is integral and l_extendedprice has two decimals, so
+    * the product is exact at DECIMAL(28,6) — no float-summation drift.)
+    */
+  def lakeGenerated(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "lineitem_gen"))
+    lake.write(t.lineitem.select(
+      col("l_orderkey"), col("l_quantity"), col("l_extendedprice")))
+    // idempotent re-runs: the declaration rides the preserved log
+    if (!lake.generatedColumns.contains("net"))
+      lake.addGeneratedColumn("net",
+        org.apache.spark.sql.types.DoubleType, "l_quantity * l_extendedprice")
+    lake.update(
+      Map("l_quantity" -> (col("l_quantity") + 1)), col("l_orderkey") % 5 === 0)
+    lake.read.agg(
+      count(lit(1)).as("n"),
+      sum(col("net").cast("decimal(28,6)")).cast("double").as("net_total"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -734,6 +758,7 @@ object SourceQueries {
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
+    "q_lake_generated" -> (lakeGenerated _),
     "q_deid_sha1" -> (deidSha1 _)
   )
 
@@ -971,6 +996,11 @@ object SourceQueries {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_lake_generated" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST((l_quantity + CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+        |      * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS net_total
+        |FROM lineitem""".stripMargin,
     "q_lake_clone" ->
       """SELECT * FROM (
         |  SELECT 'clone' AS side, count(*) AS n,
