@@ -302,6 +302,11 @@ final case class LakeCloneCommand(
     if (exists && ifNotExists) return Seq.empty
     require(orReplace || !exists,
       s"table $db.$table already exists (use OR REPLACE or IF NOT EXISTS)")
+    val src = LakeTable(spark, sourcePath)
+    // validate the SOURCE before touching the destination: a typo'd
+    // source path (or an uncloneable layout) must fail the statement
+    // with the replace target's data intact
+    src.validateCloneSource(shallow)
     // OR REPLACE replaces the DESTINATION too — cloneTo itself refuses a
     // non-empty destination, so a replace must clear it first
     if (orReplace) {
@@ -309,7 +314,7 @@ final case class LakeCloneCommand(
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(destPath), true): Unit
     }
-    LakeTable(spark, sourcePath).cloneTo(destPath, shallow)
+    src.cloneTo(destPath, shallow)
     graft.sources.LakeNames.register(spark, db, table, destPath)
     Seq.empty
   }

@@ -358,25 +358,35 @@ final class LakeTable(spark: SparkSession, val path: String) {
       schemaEvolution: Boolean = false,
       extraParams: Map[String, String] = Map.empty): LakeTable = {
     val cur = evolveTarget(read, updates, schemaEvolution)
+    // OCC base after evolveTarget's (metadata-only) commit — see merge()
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
+    val gc = genCols
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     if (changeFeed) {
       // whole-row upsert == UPDATE SET every non-key column; routing via
-      // merge() keeps the change-feed derivation in one place
-      val set = cur.columns.filterNot(keys.contains)
+      // merge() keeps the change-feed derivation in one place. Generated
+      // columns are excluded from the synthesized SET — merge() rejects
+      // assigning them and recomputes them itself.
+      val set = cur.columns.filterNot(c => keys.contains(c) ||
+          gc.exprs.exists(_._1.equalsIgnoreCase(c)))
         .map(c => c -> col("s." + c)).toMap
       return merge(updates, keys, Seq(MergeClause.UpdateWhen(set)),
         changeFeed = true, schemaEvolution = schemaEvolution,
         extraParams = extraParams)
     }
+    // generated columns: compute when the source batch lacks them,
+    // validate when it provides them — same contract as write()
+    val (withGen, genChecks) = applyGenerated(updates)
     // materialize once: the plan feeds BOTH the anti-join key side and
     // the union, and a derived updates source would otherwise run twice.
     // Cast to the table's column types (Delta MERGE casts source to
     // target) so the later union can't silently widen the table schema
-    val aligned = updates.select(cur.schema.fields.map(f =>
+    val aligned = withGen.select(cur.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .localCheckpoint(true)
     requireUniqueKeys(aligned, keys, "updates")
+    if (genChecks.nonEmpty) enforceConstraints(aligned, genChecks)
     val params = Map("keys" -> keys.mkString(",")) ++ extraParams
     // stats-pruned selective MERGE (the Delta data-skipping merge path):
     // only files whose recorded min/max or bloom stats ADMIT a source
@@ -399,12 +409,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
           affected => aligned.unionByName(
             affected.join(aligned.select(keys.map(col): _*), keys, "left_anti")),
           "MERGE", params + ("selective" -> "true"),
-          changeVersion = None, alwaysTransform = true)
+          changeVersion = None, alwaysTransform = true, occBase = occBase)
       }
     selective.getOrElse {
       val untouched = cur.join(
         aligned.select(keys.map(col): _*), keys, "left_anti")
-      rewrite(aligned.unionByName(untouched), "MERGE", params)
+      rewrite(aligned.unionByName(untouched), "MERGE", params, occBase = occBase)
     }
   }
 
@@ -483,6 +493,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
       schemaEvolution: Boolean = false,
       extraParams: Map[String, String] = Map.empty): LakeTable = {
     val cur = evolveTarget(read, source, schemaEvolution)
+    // OCC base AFTER evolveTarget (its ADD COLUMNS commit is our own,
+    // metadata-only — data files are unchanged) but before every data
+    // job below derives from the snapshot
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
+    val gc = genCols
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     (whenMatched ++ whenNotMatchedBySource).foreach {
@@ -491,7 +506,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         require(bad.isEmpty, s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
         require(!set.keys.exists(keys.contains),
           "UPDATE SET must not touch merge keys (it would change row identity)")
-        requireNotGenerated(set.keys, "MERGE UPDATE SET")
+        requireNotGenerated(set.keys, "MERGE UPDATE SET", gc)
       case _ =>
     }
     // BY SOURCE clauses evaluate over target rows with NO source match —
@@ -525,7 +540,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // projected away before anything reaches the table. Materialize once —
     // the source feeds three join branches
     val fieldByName = fields.map(f => f.name -> f).toMap
-    val src = source.select(source.columns.map { c =>
+    // a source LACKING a generated column gets it computed (INSERT *
+    // needs the full table schema; the value is recomputed downstream
+    // anyway, this keeps the plan resolvable) — matching write()'s
+    // compute-when-absent contract
+    val sourceG = gc.exprs.foldLeft(source) { case (d, (n, ex)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, expr(ex).cast(gc.typeOf(path, n)))
+    }
+    val src = sourceG.select(sourceG.columns.map { c =>
         fieldByName.get(c).fold(col(c))(f => col(c).cast(f.dataType).as(c))
       }.toIndexedSeq: _*)
       .localCheckpoint(true)
@@ -599,7 +622,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val kept = keptOver(actedOver(curDf))
       // generated columns recompute after the clauses apply (SET on them
       // is rejected above; dependency changes propagate here)
-      recomputeGenerated(insertsOver(curDf).fold(kept)(kept.unionByName(_)))
+      recomputeGenerated(insertsOver(curDf).fold(kept)(kept.unionByName(_)), gc)
     }
 
     // stats-pruned selective path (see upsert): sound only when every
@@ -617,7 +640,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val selective = sourceKeyCondition(src, keys).flatMap { keyCond =>
         rewriteSelective(keyCond, affected => resultOver(affected),
           "MERGE", mergeParams + ("selective" -> "true"),
-          changeVersion = None, alwaysTransform = insertUnmatched)
+          changeVersion = None, alwaysTransform = insertUnmatched,
+          occBase = occBase)
       }
       selective match {
         case Some(t) => return t
@@ -628,7 +652,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val acted = actedOver(cur)
     val keptOut = keptOver(acted)
     val inserts = insertsOver(cur)
-    val result = recomputeGenerated(inserts.fold(keptOut)(keptOut.unionByName(_)))
+    val result = recomputeGenerated(inserts.fold(keptOut)(keptOut.unionByName(_)), gc)
 
     val changeVersion: Option[Long] =
       if (!changeFeed) None
@@ -648,10 +672,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
           Some(typed(updated, pre, "update_preimage")),
           // post-images carry the RECOMPUTED generated values the table
           // will actually hold (pre-images already hold valid ones)
-          Some(recomputeGenerated(updated.select(post: _*))
+          Some(recomputeGenerated(updated.select(post: _*), gc)
             .withColumn("_change_type", lit("update_postimage"))),
           Some(typed(deleted, pre, "delete")),
-          inserts.map(i => recomputeGenerated(i)
+          inserts.map(i => recomputeGenerated(i, gc)
             .withColumn("_change_type", lit("insert")))
         ).flatten.reduce(_ unionByName _)
         Some(writeChanges(changes))
@@ -659,7 +683,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     rewriteWithFeed(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
         "changeFeed" -> changeFeed.toString) ++ extraParams,
-      changeVersion)
+      changeVersion, occBase)
   }
 
   /** Delta `DELETE FROM table WHERE cond`: removes rows where `cond`
@@ -675,6 +699,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     *                   under this commit's version, like merge's CDF
     */
   def delete(cond: Column, changeFeed: Boolean = false): LakeTable = {
+    // OCC base before the snapshot read — see update()
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val cur = read
     val hit = coalesce(cond, lit(false))
     val changeVersion =
@@ -683,8 +709,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
         cur.where(hit).withColumn("_change_type", lit("delete"))))
     val params = Map("predicate" -> cond.toString, "changeFeed" -> changeFeed.toString)
     rewriteSelective(cond, a => a.where(!coalesce(cond, lit(false))),
-        "DELETE", params, changeVersion)
-      .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion))
+        "DELETE", params, changeVersion, occBase = occBase)
+      .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion, occBase))
   }
 
   /** Idempotent file ingest (Databricks/Delta `COPY INTO` analogue):
@@ -913,11 +939,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def update(
       set: Map[String, Column], cond: Column, changeFeed: Boolean = false): LakeTable = {
+    // OCC base captured BEFORE the snapshot read: every job below (the
+    // change-feed materialization included) derives from this version,
+    // so a commit landing during any of them must trip occCheck
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val cur = read
+    val gc = genCols
     val bad = set.keys.filterNot(cur.columns.contains)
     require(set.nonEmpty && bad.isEmpty,
       s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
-    requireNotGenerated(set.keys, "UPDATE SET")
+    requireNotGenerated(set.keys, "UPDATE SET", gc)
     val fields = cur.schema.fields
     val hit = coalesce(cond, lit(false))
     // post-update value, cast to the table's type (Delta casts SET
@@ -930,13 +961,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val result = recomputeGenerated(cur.select(fields.map { f =>
       if (set.contains(f.name)) when(hit, post(f)).otherwise(col(f.name)).as(f.name)
       else col(f.name)
-    }.toIndexedSeq: _*))
+    }.toIndexedSeq: _*), gc)
     val changeVersion =
       if (!changeFeed) None
       else {
         val touched = cur.where(hit)
         val pre = touched.withColumn("_change_type", lit("update_preimage"))
-        val after = recomputeGenerated(touched.select(fields.map(post).toIndexedSeq: _*))
+        val after = recomputeGenerated(
+            touched.select(fields.map(post).toIndexedSeq: _*), gc)
           .withColumn("_change_type", lit("update_postimage"))
         Some(writeChanges(pre.unionByName(after)))
       }
@@ -948,9 +980,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
         recomputeGenerated(a.select(fields.map { f =>
           if (set.contains(f.name)) when(h, post(f)).otherwise(col(f.name)).as(f.name)
           else col(f.name)
-        }.toIndexedSeq: _*))
-      }, "UPDATE", params, changeVersion)
-      .getOrElse(rewriteWithFeed(result, "UPDATE", params, changeVersion))
+        }.toIndexedSeq: _*), gc)
+      }, "UPDATE", params, changeVersion, occBase = occBase)
+      .getOrElse(rewriteWithFeed(result, "UPDATE", params, changeVersion, occBase))
   }
 
   /** Shared commit path for operations that may have materialized a
@@ -967,7 +999,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private def rewriteWithFeed(
       result: DataFrame, op: String, params: Map[String, String],
-      changeVersion: Option[Long]): LakeTable =
+      changeVersion: Option[Long],
+      occBase: Option[Long] = None): LakeTable =
     rewrite(result, op, params,
       onAbort = () => changeVersion.foreach(v =>
         fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true)),
@@ -977,7 +1010,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
           if (fs.exists(from))
             fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual"))
         }
-      })
+      },
+      occBase = occBase)
 
   /** Selective DELETE/UPDATE rewrite — the Delta-style file-level path:
     * rewrite ONLY the files whose recorded min/max stats admit a `cond`
@@ -1004,7 +1038,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       transformAffected: DataFrame => DataFrame,
       op: String, params: Map[String, String],
       changeVersion: Option[Long],
-      alwaysTransform: Boolean = false): Option[LakeTable] = {
+      alwaysTransform: Boolean = false,
+      occBase: Option[Long] = None): Option[LakeTable] = {
     if (!fs.exists(new Path(statsDir))) return None
     // a shallow clone's files live in the SOURCE dir, which the local
     // listing can't see — fall back to the full rewrite, which reads
@@ -1017,7 +1052,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val untouched = all.filterNot(t => mightMatch.contains(t._3))
     if (untouched.isEmpty) return None // nothing saved: full rewrite is equal
     Some(swapSelective(affected, untouched, transformAffected, op, params,
-      changeVersion, alwaysTransform))
+      changeVersion, alwaysTransform, occBase))
   }
 
   /** The staged PARTIAL swap shared by every selective rewrite: write
@@ -1033,12 +1068,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
       transformAffected: DataFrame => DataFrame,
       op: String, params: Map[String, String],
       changeVersion: Option[Long],
-      alwaysTransform: Boolean): LakeTable = {
+      alwaysTransform: Boolean,
+      occBase: Option[Long] = None): LakeTable = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     // same OCC contract as rewrite(): the affected/untouched file split
-    // and the transform's input are derived from the CURRENT version;
-    // a commit landing while we stage means the split may be stale
-    val occExpected = CommitLog.nextVersion(fs, logDir)
+    // and the transform's input derive from the caller's snapshot
+    // version (passed down when the caller read earlier; captured here
+    // for direct callers whose listing happens at call time)
+    val occExpected = occBase.getOrElse(CommitLog.nextVersion(fs, logDir))
     // a MERGE with zero affected files still has INSERTS to land
     // (alwaysTransform feeds the transform an empty frame); a DELETE
     // whose predicate matches nothing writes nothing
@@ -1232,8 +1269,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * for the future has a clock or orchestration bug it should hear
     * about, not an empty batch it would mistake for "caught up".
     */
-  def readChanges(from: java.time.Instant): DataFrame =
-    readChanges(versionAtOrAfter(from), Long.MaxValue)
+  def readChanges(from: java.time.Instant): DataFrame = {
+    val fromV = versionAtOrAfter(from, commitVersionTimes)
+    assertAboveChangesHorizon(fromV)
+    readChanges(fromV, Long.MaxValue)
+  }
 
   /** [[readChanges]] over a closed timestamp interval: changes recorded
     * by commits in `[from, to]` (first commit at/after `from` through
@@ -1241,19 +1281,42 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def readChanges(from: java.time.Instant, to: java.time.Instant): DataFrame = {
     require(!to.isBefore(from), s"empty CDC interval: $from > $to")
-    val toV = commitVersionTimes.filter(!_._2.isAfter(to)).map(_._1)
-    require(toV.nonEmpty,
+    val times = commitVersionTimes // ONE checkpointed-log read for both bounds
+    val toV = times.filter(!_._2.isAfter(to)).map(_._1)
+    if (toV.isEmpty) throw new IllegalStateException(
       s"no commit at or before $to at $path — the interval ends before the table began")
-    readChanges(versionAtOrAfter(from), toV.max)
+    val fromV = versionAtOrAfter(from, times)
+    assertAboveChangesHorizon(fromV)
+    readChanges(fromV, toV.max)
   }
 
-  /** First commit version stamped at or after `ts`. */
-  private def versionAtOrAfter(ts: java.time.Instant): Long = {
-    val vs = commitVersionTimes.filter(!_._2.isBefore(ts)).map(_._1)
-    require(vs.nonEmpty,
+  /** First commit version stamped at or after `ts`. IllegalSTATE on a
+    * beyond-history stamp — IllegalArgument is this API's documented
+    * benign "no change sets in range" signal (MaterializedAgg.refresh
+    * swallows it), and a consumer asking for the future must hear about
+    * its clock bug, not see a silent "caught up".
+    */
+  private def versionAtOrAfter(
+      ts: java.time.Instant, times: Seq[(Long, java.time.Instant)]): Long = {
+    val vs = times.filter(!_._2.isBefore(ts)).map(_._1)
+    if (vs.isEmpty) throw new IllegalStateException(
       s"no commit at or after $ts at $path — the timestamp is beyond the " +
         "table's history (use a version resume point, or rebuild from current state)")
     vs.min
+  }
+
+  /** An EXPLICIT timestamp resume point carries the same complete-feed
+    * promise as an explicit version — including one that maps to
+    * version 0 (a stamp from before the table began): the version form
+    * treats 0 as best-effort, but a timestamp caller asked for the full
+    * history SINCE that instant, which a vacuumed feed cannot serve.
+    */
+  private def assertAboveChangesHorizon(fromV: Long): Unit = {
+    val horizon = changesVacuumHorizon
+    if (fromV <= horizon) throw new IllegalStateException(
+      s"change feed at $path was vacuumed through version $horizon " +
+        s"(VACUUM CHANGES) — cannot resume from version $fromV; " +
+        "rebuild the consumer from the current table state")
   }
 
   /** (version, commit timestamp) for every commit — one checkpointed-log
@@ -1432,11 +1495,28 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * Either way the clone starts a FRESH history: one CLONE commit
     * recording the source path and version, like Delta.
     */
-  def cloneTo(destPath: String, shallow: Boolean = true): LakeTable = {
+  /** Preconditions [[cloneTo]] enforces on THIS table as a clone
+    * source. Exposed separately so SQL `CREATE OR REPLACE … CLONE` can
+    * validate the source BEFORE destroying the replace target — a typo'd
+    * source path must fail the statement with the destination intact.
+    */
+  private[graft] def validateCloneSource(shallow: Boolean): Unit = {
     require(exists, s"cannot clone $path: table does not exist")
     require(!VersionedLakeTable.isVersioned(spark, path),
       s"cloneTo targets plain lake tables; $path is a versioned snapshot " +
         "layout (read a snapshot and write it where you need it)")
+    if (shallow) {
+      require(partitionColumns().isEmpty,
+        s"shallow clone supports flat-layout tables; $path is Hive-partitioned " +
+          "(deep-clone it, or clone per partition)")
+      require(!hasDeletionVectors,
+        s"shallow clone of a table with live deletion vectors is not supported — " +
+          "compact() the source first to bake the deletes into its files")
+    }
+  }
+
+  def cloneTo(destPath: String, shallow: Boolean = true): LakeTable = {
+    validateCloneSource(shallow)
     val destP = new Path(destPath)
     require(!fs.exists(destP) || fs.listStatus(destP).isEmpty,
       s"clone destination $destPath already exists and is not empty")
@@ -1446,20 +1526,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "source" -> path,
       "sourceVersion" -> srcVersion.toString,
       "shallow" -> shallow.toString)
+    // generated columns are table metadata and ride every clone — an
+    // append to the clone must keep computing/validating them
+    val gens = generatedColumns
+    val cons = constraints
     if (shallow) {
-      require(partitionColumns().isEmpty,
-        s"shallow clone supports flat-layout tables; $path is Hive-partitioned " +
-          "(deep-clone it, or clone per partition)")
-      require(!hasDeletionVectors,
-        s"shallow clone of a table with live deletion vectors is not supported — " +
-          "compact() the source first to bake the deletes into its files")
       // a clone OF a shallow clone references the ORIGINAL files — the
       // middle clone's manifest is flattened, never chained
       val files = cloneManifestFiles ++ listDataFiles().map(_._3)
       fs.mkdirs(destP)
       dest.saveSchema(storedSchema.getOrElse(read.schema))
-      val cons = constraints
       if (cons.nonEmpty) dest.saveConstraints(cons)
+      if (gens.nonEmpty) dest.saveGenerated(gens)
       fs.mkdirs(dest.cloneDir)
       val out = fs.create(dest.cloneManifestPath, false)
       try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -1469,8 +1547,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val parts = partitionColumns()
       if (parts.nonEmpty) dest.writePartitioned(read, parts)
       else dest.write(read)
-      val cons = constraints
       if (cons.nonEmpty) dest.saveConstraints(cons)
+      if (gens.nonEmpty) dest.saveGenerated(gens)
       dest.commit("CLONE", params): Unit
     }
     dest
@@ -1703,21 +1781,38 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Generated-column context for ONE operation: declarations + target
+    * types, fetched with a single metadata read and threaded through —
+    * an UPDATE touches the recompute path three times and must not pay
+    * three filesystem reads for it.
+    */
+  private[sources] final case class GenCols(
+      exprs: Seq[(String, String)], types: Map[String, DataType]) {
+    def isEmpty: Boolean = exprs.isEmpty
+    def typeOf(path: String, n: String): DataType =
+      types.getOrElse(n.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalStateException(
+          s"generated column $n missing from the stored schema at $path"))
+  }
+
+  private def genCols: GenCols = {
+    val g = generatedColumns.toSeq.sortBy(_._1)
+    if (g.isEmpty) GenCols(Nil, Map.empty)
+    else GenCols(g, storedSchema.map(_.fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
+      .getOrElse(Map.empty))
+  }
+
   /** Compute ABSENT generated columns on an incoming batch; PROVIDED
     * ones become equality checks fused into the constraint pass.
     */
   private def applyGenerated(df: DataFrame): (DataFrame, Map[String, String]) = {
-    val gens = generatedColumns
-    if (gens.isEmpty) return (df, Map.empty)
-    val types = storedSchema.map(_.fields.map(f =>
-      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
-      .getOrElse(Map.empty)
+    val gc = genCols
+    if (gc.isEmpty) return (df, Map.empty)
     var out = df
     val checks = Map.newBuilder[String, String]
-    gens.toSeq.sortBy(_._1).foreach { case (n, ex) =>
-      val t = types.getOrElse(n.toLowerCase(java.util.Locale.ROOT),
-        throw new IllegalStateException(
-          s"generated column $n missing from the stored schema at $path"))
+    gc.exprs.foreach { case (n, ex) =>
+      val t = gc.typeOf(path, n)
       if (df.columns.exists(_.equalsIgnoreCase(n)))
         checks += s"generated_$n" -> s"`$n` <=> CAST(($ex) AS ${t.sql})"
       else out = out.withColumn(n, expr(ex).cast(t))
@@ -1728,21 +1823,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
   /** Re-evaluate every generated column over `df` (table-schema-aligned
     * frames only) — the post-UPDATE/MERGE recomputation pass.
     */
-  private def recomputeGenerated(df: DataFrame): DataFrame = {
-    val gens = generatedColumns
-    if (gens.isEmpty) return df
-    val types = storedSchema.map(_.fields.map(f =>
-      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
-      .getOrElse(Map.empty)
-    gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, ex)) =>
-      d.withColumn(n,
-        expr(ex).cast(types(n.toLowerCase(java.util.Locale.ROOT))))
+  private def recomputeGenerated(df: DataFrame, gc: GenCols): DataFrame =
+    gc.exprs.foldLeft(df) { case (d, (n, ex)) =>
+      d.withColumn(n, expr(ex).cast(gc.typeOf(path, n)))
     }
-  }
 
-  private def requireNotGenerated(cols: Iterable[String], ctx: String): Unit = {
-    val gens = generatedColumns
-    val hit = cols.filter(c => gens.keys.exists(_.equalsIgnoreCase(c)))
+  private def requireNotGenerated(
+      cols: Iterable[String], ctx: String, gc: GenCols): Unit = {
+    val hit = cols.filter(c => gc.exprs.exists(_._1.equalsIgnoreCase(c)))
     require(hit.isEmpty,
       s"$ctx may not assign generated column(s) ${hit.mkString(", ")} — " +
         "they recompute from their expressions")
@@ -2206,12 +2294,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private[sources] def rewrite(
       clustered: DataFrame, op: String, params: Map[String, String],
       onAbort: () => Unit = () => (),
-      onCommit: Long => Unit = _ => ()): LakeTable = {
+      onCommit: Long => Unit = _ => (),
+      occBase: Option[Long] = None): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
-    // optimistic concurrency (Delta's OCC contract): remember the
-    // version this rewrite is derived from; re-checked just before the
-    // swap's point of no return by occCheck below
-    val occExpected = CommitLog.nextVersion(fs, logDir)
+    // optimistic concurrency (Delta's OCC contract): the version this
+    // rewrite derives from — passed down by DML callers that captured
+    // it BEFORE their snapshot read and any change-feed job (a commit
+    // landing during those must conflict too), captured here for
+    // maintenance ops whose read happens at call time. Re-checked just
+    // before the swap's point of no return by occCheck below.
+    val occExpected = occBase.getOrElse(CommitLog.nextVersion(fs, logDir))
     // onAbort fires ONLY for pre-swap failures (table untouched); once
     // the swap has happened the caller's side effects must stand
     try {

@@ -78,8 +78,10 @@ class ChangeFeedRetentionSpec extends SparkSpec {
     assert(lake.readChanges(stamp(2L), stamp(2L)).select("_commit_version")
       .distinct().collect().map(_.getLong(0)).toSet === Set(2L))
     // a stamp beyond the last commit is an error, not an empty batch —
-    // a consumer asking for the future has a bug it should hear about
-    val e = intercept[IllegalArgumentException] {
+    // a consumer asking for the future has a bug it should hear about.
+    // IllegalSTATE: IllegalArgument is the documented benign "no change
+    // sets in range" signal that MaterializedAgg.refresh swallows
+    val e = intercept[IllegalStateException] {
       lake.readChanges(stamp(3L).plusSeconds(3600))
     }
     assert(e.getMessage.contains("beyond the table's history"))
@@ -98,6 +100,12 @@ class ChangeFeedRetentionSpec extends SparkSpec {
     lake.vacuumChanges(retainLast = 1)
     intercept[IllegalStateException] {
       lake.readChanges(stamp(1L))
+    }
+    // …including a stamp from BEFORE the table began: it maps to
+    // version 0, which the version form treats as best-effort, but an
+    // explicit timestamp promised the complete feed since that instant
+    intercept[IllegalStateException] {
+      lake.readChanges(stamp(0L).minusSeconds(3600))
     }
   }
 

@@ -163,4 +163,23 @@ class CloneSpec extends SparkSpec {
       spark.sql("DROP VIEW IF EXISTS default.clone_sql_t2")
     }
   }
+
+  test("CREATE OR REPLACE CLONE validates the source before touching the destination") {
+    val root = Files.createTempDirectory("graft_clone_replace").toString
+    LakeTable(spark, s"$root/dest")
+      .write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x"))
+    spark.sql(s"CREATE TABLE default.clone_keep_t USING graft_lake LOCATION '$root/dest'")
+    try {
+      // a typo'd source path must fail the statement with the replace
+      // target's data INTACT — not delete first and fail after
+      intercept[IllegalArgumentException] {
+        spark.sql(
+          s"CREATE OR REPLACE TABLE default.clone_keep_t " +
+            s"SHALLOW CLONE graft_lake('$root/no_such_table') LOCATION '$root/dest'")
+      }
+      assert(LakeTable(spark, s"$root/dest").read.count() === 2)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS default.clone_keep_t")
+    }
+  }
 }

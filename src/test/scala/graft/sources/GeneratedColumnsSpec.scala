@@ -76,6 +76,38 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("upsert computes, validates and recomputes like write and merge") {
+    val (_, lake) = fresh()
+    lake.addGeneratedColumn("x2", DoubleType, "x * 2")
+    // a source batch LACKING the generated column computes it
+    lake.upsert(Seq((1L, 50.0), (7L, 70.0)).toDF("id", "x"), Seq("id"))
+    val after = lake.read.orderBy("id").select("id", "x2")
+      .as[(Long, Double)].collect().toMap
+    assert(after(1L) === 100.0 && after(7L) === 140.0 && after(2L) === 40.0)
+    // a divergent provided value is rejected
+    val e = intercept[IllegalArgumentException] {
+      lake.upsert(Seq((8L, 80.0, 5.0)).toDF("id", "x", "x2"), Seq("id"))
+    }
+    assert(e.getMessage.contains("generated_x2"))
+    // the change-feed route (via merge) recomputes instead of SET-ing
+    lake.upsert(Seq((1L, 60.0)).toDF("id", "x"), Seq("id"), changeFeed = true)
+    assert(lake.read.where(col("id") === 1L).select("x2").head.getDouble(0) === 120.0)
+  }
+
+  test("clones carry the generated declarations") {
+    val (root, lake) = fresh()
+    lake.addGeneratedColumn("x2", DoubleType, "x * 2")
+    val shallow = lake.cloneTo(s"$root/cs")
+    assert(shallow.generatedColumns === Map("x2" -> "x * 2"))
+    shallow.write(Seq((9L, 90.0)).toDF("id", "x"), SaveMode.Append)
+    assert(shallow.read.where(col("id") === 9L).select("x2").head.getDouble(0) === 180.0)
+    val deep = lake.cloneTo(s"$root/cd", shallow = false)
+    assert(deep.generatedColumns === Map("x2" -> "x * 2"))
+    intercept[IllegalArgumentException] {
+      deep.write(Seq((9L, 90.0, 1.0)).toDF("id", "x", "x2"), SaveMode.Append)
+    }
+  }
+
   test("declarations reject unknown references, chains and duplicates") {
     val (_, lake) = fresh()
     lake.addGeneratedColumn("x2", DoubleType, "x * 2")

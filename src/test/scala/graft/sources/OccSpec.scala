@@ -69,6 +69,45 @@ class OccSpec extends SparkSpec {
       Seq((1L, 10.0), (2L, 20.0)))
   }
 
+  test("a commit landing during the change-feed job conflicts too") {
+    // the OCC base is captured BEFORE the snapshot read, so a commit
+    // landing while the change-feed materialization job runs (which
+    // happens before the staging write even starts) must also fail the
+    // delete — this window predates rewrite() entry
+    val root = Files.createTempDirectory("graft_occ_feed").toString
+    val lake = LakeTable(spark, s"$root/t")
+      .write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    OccGate.entered = new CountDownLatch(1)
+    OccGate.release = new CountDownLatch(1)
+    OccGate.armed.set(true)
+    val gate = udf { (id: Long) =>
+      if (OccGate.armed.getAndSet(false)) {
+        OccGate.entered.countDown()
+        OccGate.release.await(60, TimeUnit.SECONDS): Unit
+      }
+      id
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // changeFeed = true: the FIRST job evaluating the gated predicate is
+    // the change-set materialization, well before rewrite() runs
+    val deleting = Future {
+      lake.delete(gate(col("id")) === 1L, changeFeed = true)
+    }
+    assert(OccGate.entered.await(60, TimeUnit.SECONDS))
+    LakeTable(spark, s"$root/t")
+      .write(Seq((3L, 30.0)).toDF("id", "x"), SaveMode.Append)
+    OccGate.release.countDown()
+    intercept[java.util.ConcurrentModificationException] {
+      Await.result(deleting, 120.seconds)
+    }
+    // nothing deleted, append intact, and the aborted change set is gone
+    assert(lake.read.count() === 3)
+    assert(!new java.io.File(s"$root/t/${LakeTable.ChangesDirName}").exists ||
+      new java.io.File(s"$root/t/${LakeTable.ChangesDirName}").list().isEmpty)
+  }
+
   test("sequential rewrites never trip the check") {
     val root = Files.createTempDirectory("graft_occ_seq").toString
     val lake = LakeTable(spark, s"$root/t")
