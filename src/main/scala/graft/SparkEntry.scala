@@ -31,6 +31,7 @@ object SparkEntry {
       (operators.RangeJoin.queries, operators.RangeJoin.oracles),
       (text.TrainingData.queries, text.TrainingData.oracles),
       (text.TfIdf.queries, text.TfIdf.oracles),
+      (text.HybridSearch.queries, text.HybridSearch.oracles),
       (analytics.Descriptive.queries, analytics.Descriptive.oracles),
       (analytics.Sketches.queries, analytics.Sketches.oracles),
       (analytics.Behavior.queries, analytics.Behavior.oracles),
