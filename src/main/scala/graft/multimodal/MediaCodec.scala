@@ -1,0 +1,287 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL media-container header parsing over opaque `binary` columns — the
+  * part of the multimodal pillar that needs no codec library, done from the
+  * published container specs (PNG RFC 2083, JFIF/ISO 10918, RIFF/WAVE,
+  * GIF89a):
+  *
+  *   - PNG: 8-byte signature, IHDR width/height (big-endian)
+  *   - JPEG: marker walk to the first SOF0/1/2 frame header
+  *   - WAV: RIFF/WAVE chunk walk — `fmt ` (rate/channels/bits) + `data`
+  *     size, duration derived from byte rate
+  *   - GIF: GIF87a/89a logical-screen descriptor (little-endian)
+  *
+  * Exposed as a Catalyst expression ([[MediaProbe]]) whose codegen is one
+  * static call — pixel/sample DECODE (which genuinely needs a codec
+  * library) stays behind the declared stub in [[Multimodal.FakeDecoder]],
+  * but metadata extraction is production code: at 100 TB, probing headers
+  * is a map-only scan that never shuffles and reads only the leading bytes
+  * of each payload.
+  *
+  * The same object carries byte-exact WRITERS for each container (valid
+  * CRCs, real deflate streams, real PCM bodies) used by tests and the
+  * fabricated testdata table: parse(write(meta)) == meta is the pinned
+  * contract, and the DuckDB oracle recomputes the metadata arithmetic
+  * independently.
+  */
+object MediaCodec {
+
+  // ---------- parsed-metadata row layout (see MediaProbe.dataType) ----------
+
+  val probeSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  private def row(
+      format: String,
+      width: java.lang.Integer = null,
+      height: java.lang.Integer = null,
+      sampleRate: java.lang.Integer = null,
+      channels: java.lang.Integer = null,
+      bits: java.lang.Integer = null,
+      durationMs: java.lang.Long = null): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(format), width, height, sampleRate, channels, bits,
+      durationMs))
+
+  // ---------- byte helpers ----------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b.length >= i + s.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  // ---------- parsers ----------
+
+  /** Parse whatever container the payload starts with; `format = unknown`
+    * (all metadata null) when no signature matches or the header is
+    * truncated/corrupt. Never throws — malformed bytes are DATA at corpus
+    * scale, not exceptions.
+    */
+  def probeRow(payload: Array[Byte]): InternalRow = {
+    if (payload == null || payload.length < 4) return row("unknown")
+    if (payload.length >= 8 && payload.take(8).sameElements(PngSig)) parsePng(payload)
+    else if (u8(payload, 0) == 0xFF && u8(payload, 1) == 0xD8) parseJpeg(payload)
+    else if (tag(payload, 0, "RIFF") && tag(payload, 8, "WAVE")) parseWav(payload)
+    else if (tag(payload, 0, "GIF87a") || tag(payload, 0, "GIF89a")) parseGif(payload)
+    else row("unknown")
+  }
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    // signature(8) | len(4) type(4)=IHDR | width(4) height(4) depth(1) color(1)
+    if (b.length < 26 || !tag(b, 12, "IHDR")) row("unknown")
+    else {
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) row("unknown")
+      else row("png", width = w.toInt, height = h.toInt, bits = u8(b, 24))
+    }
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    // SOI, then marker segments: 0xFF <type> <len16 incl itself>; dims live
+    // in the first start-of-frame (SOF0 baseline / SOF1 / SOF2 progressive)
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return row("unknown") // lost marker sync
+      var m = u8(b, i + 1)
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone markers
+      else if (m == 0xD9) return row("unknown") // EOI before any SOF
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return row("unknown")
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
+          // precision(1) height(2) width(2) components(1)
+          if (len < 8) return row("unknown")
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          val comps = u8(b, i + 9)
+          return row("jpeg", width = w, height = h, channels = comps,
+            bits = u8(b, i + 4))
+        }
+        i += 2 + len
+      }
+    }
+    row("unknown")
+  }
+
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    // RIFF(4) size(4) WAVE(4), then chunks: id(4) size(4 LE) body — walk to
+    // collect fmt (rate/channels/bits) and data (payload size); chunk order
+    // is unspecified by the RIFF spec, so don't assume fmt-then-data
+    var i = 12
+    var rate = -1; var channels = -1; var bits = -1; var dataSize = -1L
+    while (i + 8 <= b.length && (rate < 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue) return row("unknown")
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return row("unknown")
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0) row("unknown")
+    else {
+      val byteRate = rate.toLong * channels * bits / 8
+      val dur: java.lang.Long =
+        if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate else null
+      row("wav", sampleRate = rate, channels = channels, bits = bits,
+        durationMs = dur)
+    }
+  }
+
+  private def parseGif(b: Array[Byte]): InternalRow =
+    if (b.length < 10) row("unknown")
+    else row("gif", width = le16(b, 6), height = le16(b, 8))
+
+  // ---------- writers (valid containers, used by tests + fabricated data) ----------
+
+  private def crc32(parts: Array[Byte]*): Long = {
+    val c = new CRC32
+    parts.foreach(p => c.update(p))
+    c.getValue
+  }
+
+  private def be32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def le32b(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    be32b(data.length.toLong) ++ t ++ data ++ be32b(crc32(t, data))
+  }
+
+  /** A fully valid 8-bit grayscale PNG of the given dimensions (all-zero
+    * pixels, real deflate stream, correct chunk CRCs).
+    */
+  def makePng(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "png dims must be positive")
+    val ihdr = be32b(width.toLong) ++ be32b(height.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0) // depth=8, color=grayscale, std methods
+    // raw scanlines: filter byte 0 + width zero pixels, deflated
+    val raw = new Array[Byte]((width + 1) * height)
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = d.deflate(buf)
+    d.end()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", buf.take(n)) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  /** A structurally valid JPEG header stream: SOI + JFIF APP0 + SOF0 with
+    * the given dimensions + EOI. (No entropy-coded scan — dimensions and
+    * marker syntax are real; pixel decode would need the full codec.)
+    */
+  def makeJpeg(width: Int, height: Int, channels: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF)
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val comps = (1 to channels).flatMap(c =>
+      Seq(c.toByte, 0x11.toByte, 0.toByte)).toArray
+    val sofLen = 8 + 3 * channels
+    val sof = Array[Byte](0xFF.toByte, 0xC0.toByte,
+      ((sofLen >> 8) & 0xFF).toByte, (sofLen & 0xFF).toByte, 8) ++
+      Array(((height >> 8) & 0xFF).toByte, (height & 0xFF).toByte,
+        ((width >> 8) & 0xFF).toByte, (width & 0xFF).toByte,
+        channels.toByte) ++ comps
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** A fully valid PCM WAV: RIFF/WAVE + fmt + data of silence sized to the
+    * requested duration.
+    */
+  def makeWav(
+      sampleRate: Int,
+      durationMs: Long,
+      channels: Int = 1,
+      bits: Int = 16): Array[Byte] = {
+    require(sampleRate > 0 && durationMs >= 0 && channels > 0 && bits % 8 == 0)
+    val byteRate = sampleRate.toLong * channels * bits / 8
+    val dataSize = (durationMs * byteRate / 1000L).toInt
+    val fmt = le16b(1) ++ le16b(channels) ++ le32b(sampleRate.toLong) ++
+      le32b(byteRate) ++ le16b(channels * bits / 8) ++ le16b(bits)
+    val riffSize = 4 + (8 + fmt.length) + (8 + dataSize)
+    "RIFF".getBytes("US-ASCII") ++ le32b(riffSize.toLong) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32b(fmt.length.toLong) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32b(dataSize.toLong) ++
+      new Array[Byte](dataSize)
+  }
+
+  /** A minimal valid GIF89a (logical screen only + trailer). */
+  def makeGif(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF)
+    "GIF89a".getBytes("US-ASCII") ++ le16b(width) ++ le16b(height) ++
+      Array[Byte](0, 0, 0, 0x3B.toByte)
+  }
+
+  // ---------- column surface ----------
+
+  /** `media_probe(payload)`: parsed container metadata struct. */
+  def probe(payload: Column): Column =
+    GraftBridge.column(MediaProbe(GraftBridge.expression(payload)))
+}
+
+/** Catalyst expression wrapping [[MediaCodec.probeRow]]: map-only, null-safe,
+  * codegen = one static call (the parser is branchy imperative byte work —
+  * inlining it into generated Java would bloat the method past the JIT
+  * threshold for zero gain).
+  */
+case class MediaProbe(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaCodec.probeSchema
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"media_probe needs BINARY input, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(payload: Any): Any =
+    MediaCodec.probeRow(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.multimodal.MediaCodec.probeRow($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaProbe =
+    copy(child = newChild)
+}

@@ -141,6 +141,52 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
+  case class BinaryMediaRow(media_id: Long, payload: Array[Byte])
+
+  /** Fabricate REAL container binaries (valid PNG / PCM WAV / JPEG header
+    * streams — see [[MediaCodec]]) deterministically from document fields:
+    * the test stand-in for a binary ingest whose payloads an engine can
+    * actually parse. Dimension/duration arithmetic is mirrored verbatim by
+    * the q_multimodal_probe oracle, which is what makes the PARSERS
+    * oracle-checkable: Spark recovers the metadata from the bytes, DuckDB
+    * recomputes it from the source integers, and the hashes must meet.
+    */
+  def mediaBinariesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[BinaryMediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+      val w = (id % 320 + 16).toInt
+      val h = (id % 240 + 16).toInt
+      val payload = (id % 3) match {
+        case 0 => MediaCodec.makePng(w, h)
+        case 1 => MediaCodec.makeWav(16000, (nChars % 20) * 10)
+        case _ => MediaCodec.makeJpeg(w, h)
+      }
+      BinaryMediaRow(id, payload)
+    }
+  }
+
+  /** Oracled probe query: build real binaries, PARSE their headers back
+    * with the codegen [[MediaProbe]] expression, emit per-row metadata.
+    * Map-only end to end (no shuffle: fabricate -> probe -> project);
+    * nullable metadata fields are sentinel-filled (-1) because the oracle
+    * compare pivots through pandas, where nullable-int columns lose their
+    * dtype.
+    */
+  def probeMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, sfDir).documents
+    mediaBinariesFromDocuments(spark, docs)
+      .select(col("media_id"), MediaCodec.probe(col("payload")).as("m"))
+      .select(
+        col("media_id"),
+        col("m.format").as("format"),
+        coalesce(col("m.width"), lit(-1)).as("width"),
+        coalesce(col("m.height"), lit(-1)).as("height"),
+        coalesce(col("m.sample_rate"), lit(-1)).as("sample_rate"),
+        coalesce(col("m.bits"), lit(-1)).as("bits"),
+        coalesce(col("m.duration_ms"), lit(-1L)).as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracle-matched slice of the multimodal surface: byte-length profile of
     * the binary payloads (encode/octet_length agree across engines).
     */
@@ -156,10 +202,20 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (featureProfile _),
-    "q_multimodal_bytes" -> (payloadBytesProfile _)
+    "q_multimodal_bytes" -> (payloadBytesProfile _),
+    "q_multimodal_probe" -> (probeMetadata _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_multimodal_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE doc_id % 320 + 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN -1 ELSE doc_id % 240 + 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS INT) AS bits,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN (n_chars % 20) * 10 ELSE -1 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         | count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
