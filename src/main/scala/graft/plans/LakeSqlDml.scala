@@ -422,6 +422,8 @@ final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
       case LakeAlterCommand.AddGenerated(n, t, e)   =>
         lake.addGeneratedColumn(n,
           org.apache.spark.sql.types.DataType.fromDDL(t), e)
+      case LakeAlterCommand.AddIdentity(n, s, st)   =>
+        lake.addIdentityColumn(n, s, st)
     }
     Seq.empty
   }
@@ -438,6 +440,13 @@ object LakeAlterCommand {
     * backfill through one staged rewrite).
     */
   final case class AddGenerated(name: String, typeSql: String, exprSql: String)
+      extends Action
+
+  /** `ALTER TABLE t ADD IDENTITY COLUMN name [START WITH n]
+    * [INCREMENT BY n]` — Delta's GENERATED ALWAYS AS IDENTITY, reachable
+    * post-creation (existing rows backfill dense values).
+    */
+  final case class AddIdentity(name: String, start: Long, step: Long)
       extends Action
 }
 
@@ -704,13 +713,25 @@ object LakeSqlDml {
           p.expect("AS", "in ADD GENERATED COLUMN")
           LakeAlterCommand.AddGenerated(name, typeSql,
             p.parenGroup("generated expression"))
+        } else if (p.eat("IDENTITY")) {
+          p.expect("COLUMN", "after ALTER TABLE … ADD IDENTITY")
+          val name = p.identifier("identity column name").mkString(".")
+          val start =
+            if (p.eat("START")) { p.expect("WITH", "in START WITH"); p.intLiteral("identity start") }
+            else 1L
+          val step =
+            if (p.eat("INCREMENT")) { p.expect("BY", "in INCREMENT BY"); p.intLiteral("identity step") }
+            else 1L
+          LakeAlterCommand.AddIdentity(name, start, step)
         } else if (p.eat("COLUMNS") || p.eat("COLUMN")) {
           LakeAlterCommand.AddColumns(p.parseSchema(p.parenGroup("column list")))
         } else if (p.eat("CONSTRAINT")) {
           val name = p.identifier("constraint name").mkString(".")
           p.expect("CHECK", "in ADD CONSTRAINT")
           LakeAlterCommand.AddConstraint(name, p.parenGroup("CHECK expression"))
-        } else p.fail("expected COLUMNS or CONSTRAINT after ALTER TABLE … ADD")
+        } else p.fail(
+          "expected COLUMNS, CONSTRAINT, GENERATED COLUMN or IDENTITY COLUMN " +
+            "after ALTER TABLE … ADD")
       } else if (p.eat("DROP")) {
         p.expect("CONSTRAINT", "after ALTER TABLE … DROP")
         LakeAlterCommand.DropConstraint(p.identifier("constraint name").mkString("."))

@@ -103,15 +103,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // must be a no-op for the log too — replacing the authoritative
     // schema while leaving the old files behind would corrupt reads
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
-    val (withGen, genChecks) = applyGenerated(df)
+    val ic = idCols
+    requireNoIdentityProvided(df, "write", ic)
+    val (withGen, genChecks) = applyGenerated(withNullIdentity(df, ic))
     val (aligned, schema) =
       enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
-    val toWrite = constrainedBatch(aligned, genChecks)
+    val (assigned, idParams) = applyIdentityIngest(aligned, ic)
+    val toWrite = constrainedBatch(assigned, genChecks)
     preservingLog(mode) {
       toWrite.write.mode(mode).parquet(path)
     }
     saveSchema(schema)
-    commit(writeOp(mode), Map("mode" -> mode.toString) ++ extraParams)
+    commit(writeOp(mode), Map("mode" -> mode.toString) ++ extraParams ++ idParams)
     this
   }
 
@@ -222,16 +225,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(mode == SaveMode.Overwrite || !isShallowClone,
       s"partitioned append to a flat-layout shallow clone would mix layouts — " +
         "materialize() first (a full Overwrite replaces the clone and is fine)")
-    val (withGen, genChecks) = applyGenerated(df)
+    val ic = idCols
+    requireNoIdentityProvided(df, "writePartitioned", ic)
+    val (withGen, genChecks) = applyGenerated(withNullIdentity(df, ic))
     val (aligned, schema) =
       enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
-    val toWrite = constrainedBatch(aligned, genChecks)
+    val (assigned, idParams) = applyIdentityIngest(aligned, ic)
+    val toWrite = constrainedBatch(assigned, genChecks)
     preservingLog(mode) {
       toWrite.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
     }
     saveSchema(schema)
     commit("WRITE PARTITIONED",
-      Map("mode" -> mode.toString, "partitionBy" -> partitionCols.mkString(",")))
+      Map("mode" -> mode.toString,
+        "partitionBy" -> partitionCols.mkString(",")) ++ idParams)
     this
   }
 
@@ -253,17 +260,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // dynamic overwrite leaves sibling partitions in place, so like Append
     // it must match the standing table schema exactly — a drifted schema
     // here would fracture the table across partition directories
-    val (withGen, genChecks) = applyGenerated(df)
+    val ic = idCols
+    requireNoIdentityProvided(df, "overwritePartitions", ic)
+    val (withGen, genChecks) = applyGenerated(withNullIdentity(df, ic))
     val (aligned, schema) =
       enforceSchema(withGen, appendLike = true, mergeSchema = false, overwriteSchema = false)
-    val toWrite = constrainedBatch(aligned, genChecks)
+    val (assigned, idParams) = applyIdentityIngest(aligned, ic)
+    val toWrite = constrainedBatch(assigned, genChecks)
     toWrite.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
     saveSchema(schema)
-    commit(op, params)
+    commit(op, params ++ idParams)
     this
   }
 
@@ -366,10 +376,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (changeFeed) {
       // whole-row upsert == UPDATE SET every non-key column; routing via
       // merge() keeps the change-feed derivation in one place. Generated
-      // columns are excluded from the synthesized SET — merge() rejects
-      // assigning them and recomputes them itself.
+      // and identity columns are excluded from the synthesized SET —
+      // merge() rejects assigning either (generated recompute; identity
+      // values are preserved on matched rows and assigned on inserts).
+      val idNames = identityColumns.keys.toSeq
       val set = cur.columns.filterNot(c => keys.contains(c) ||
-          gc.exprs.exists(_._1.equalsIgnoreCase(c)))
+          gc.exprs.exists(_._1.equalsIgnoreCase(c)) ||
+          idNames.exists(_.equalsIgnoreCase(c)))
         .map(c => c -> col("s." + c)).toMap
       return merge(updates, keys, Seq(MergeClause.UpdateWhen(set)),
         changeFeed = true, schemaEvolution = schemaEvolution,
@@ -377,17 +390,47 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
     // generated columns: compute when the source batch lacks them,
     // validate when it provides them — same contract as write()
-    val (withGen, genChecks) = applyGenerated(updates)
+    val ic = idCols
+    requireNoIdentityProvided(updates, "upsert", ic)
+    val (withGen, genChecks) = applyGenerated(withNullIdentity(updates, ic))
     // materialize once: the plan feeds BOTH the anti-join key side and
     // the union, and a derived updates source would otherwise run twice.
     // Cast to the table's column types (Delta MERGE casts source to
     // target) so the later union can't silently widen the table schema
-    val aligned = withGen.select(cur.schema.fields.map(f =>
+    val alignedRaw = withGen.select(cur.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .localCheckpoint(true)
+    // identity columns: a whole-row upsert replaces matched rows from the
+    // source, which never carries identity values — RESTORE them by key
+    // from the target (matched rows must keep their ids), then assign
+    // fresh values to the remaining (inserted) rows. Checkpointed: the
+    // batch-sized result feeds several join branches, and zipWithIndex
+    // assignment must not re-run against a moving plan.
+    val (aligned, idParams) =
+      if (ic.isEmpty) (alignedRaw, Map.empty[String, String])
+      else {
+        val renames = ic.names.map(n => n -> s"__graft_oldid_$n").toMap
+        val existing = renames.foldLeft(
+          cur.select((keys ++ ic.names).map(col): _*)) {
+          case (d, (from, to)) => d.withColumnRenamed(from, to)
+        }
+        val restored = alignedRaw.join(existing, keys.toIndexedSeq, "left_outer")
+          .select(cur.schema.fields.map { f =>
+            if (ic.names.exists(_.equalsIgnoreCase(f.name)))
+              col(renames(f.name)).as(f.name)
+            else col(f.name)
+          }.toIndexedSeq: _*)
+        val bases = ic.specs.map { case (nm, st, _) =>
+          nm -> nextIdentityBase(nm, st) }.toMap
+        val (assignedRaw, counts) = assignIdentityRows(restored, ic.specs, bases)
+        (assignedRaw.localCheckpoint(true), ic.specs.map { case (nm, _, step) =>
+          (LakeTable.IdentityHwmParamPrefix + nm) ->
+            (bases(nm) + step * counts(nm)).toString
+        }.toMap)
+      }
     requireUniqueKeys(aligned, keys, "updates")
     if (genChecks.nonEmpty) enforceConstraints(aligned, genChecks)
-    val params = Map("keys" -> keys.mkString(",")) ++ extraParams
+    val params = Map("keys" -> keys.mkString(",")) ++ extraParams ++ idParams
     // stats-pruned selective MERGE (the Delta data-skipping merge path):
     // only files whose recorded min/max or bloom stats ADMIT a source
     // key are rewritten; every other file moves through the swap
@@ -498,6 +541,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // job below derives from the snapshot
     val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val gc = genCols
+    val ic = idCols
+    requireNoIdentityProvided(source, "MERGE source", ic)
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     (whenMatched ++ whenNotMatchedBySource).foreach {
@@ -507,6 +552,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         require(!set.keys.exists(keys.contains),
           "UPDATE SET must not touch merge keys (it would change row identity)")
         requireNotGenerated(set.keys, "MERGE UPDATE SET", gc)
+        requireNotIdentityAssigned(set.keys, "MERGE UPDATE SET", ic)
       case _ =>
     }
     // BY SOURCE clauses evaluate over target rows with NO source match —
@@ -544,10 +590,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // needs the full table schema; the value is recomputed downstream
     // anyway, this keeps the plan resolvable) — matching write()'s
     // compute-when-absent contract
-    val sourceG = gc.exprs.foldLeft(source) { case (d, (n, ex)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(n))) d
-      else d.withColumn(n, expr(ex).cast(gc.typeOf(path, n)))
-    }
+    // identity columns ride as typed nulls on the source (INSERT * needs
+    // the full target schema to resolve); real values are assigned to the
+    // hoisted insert frame below, matched rows keep their target values
+    val sourceG = withNullIdentity(
+      gc.exprs.foldLeft(source) { case (d, (n, ex)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(n))) d
+        else d.withColumn(n, expr(ex).cast(gc.typeOf(path, n)))
+      }, ic)
     val src = sourceG.select(sourceG.columns.map { c =>
         fieldByName.get(c).fold(col(c))(f => col(c).cast(f.dataType).as(c))
       }.toIndexedSeq: _*)
@@ -618,11 +668,33 @@ final class LakeTable(spark: SparkSession, val path: String) {
             else lit(null).cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*))
       }
+    // identity assignment happens ONCE, eagerly, against the FULL target
+    // (sound for the selective path too: by the stats contract, unmatched
+    // detection against the affected subset equals detection against the
+    // whole table), and the assigned frame is checkpointed so the ids the
+    // table stores and the ids the change feed records are the same
+    // materialized values — never two runs of a nondeterministic plan
+    val (insertsFinal, idParams) =
+      if (ic.isEmpty) (None, Map.empty[String, String])
+      else insertsOver(cur) match {
+        case None => (None, Map.empty[String, String])
+        case Some(ins) =>
+          val bases = ic.specs.map { case (nm, st, _) =>
+            nm -> nextIdentityBase(nm, st) }.toMap
+          val (assignedIns, counts) = assignIdentityRows(ins, ic.specs, bases)
+          (Some(assignedIns.localCheckpoint(true)),
+            ic.specs.map { case (nm, _, step) =>
+              (LakeTable.IdentityHwmParamPrefix + nm) ->
+                (bases(nm) + step * counts(nm)).toString
+            }.toMap)
+      }
+    def insertsFor(curDf: DataFrame): Option[DataFrame] =
+      if (ic.isEmpty) insertsOver(curDf) else insertsFinal
     def resultOver(curDf: DataFrame): DataFrame = {
       val kept = keptOver(actedOver(curDf))
       // generated columns recompute after the clauses apply (SET on them
       // is rejected above; dependency changes propagate here)
-      recomputeGenerated(insertsOver(curDf).fold(kept)(kept.unionByName(_)), gc)
+      recomputeGenerated(insertsFor(curDf).fold(kept)(kept.unionByName(_)), gc)
     }
 
     // stats-pruned selective path (see upsert): sound only when every
@@ -636,7 +708,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (whenNotMatchedBySource.isEmpty && !changeFeed && !widened) {
       val mergeParams = Map("keys" -> keys.mkString(","),
         "clauses" -> whenMatched.length.toString,
-        "changeFeed" -> "false") ++ extraParams
+        "changeFeed" -> "false") ++ extraParams ++ idParams
       val selective = sourceKeyCondition(src, keys).flatMap { keyCond =>
         rewriteSelective(keyCond, affected => resultOver(affected),
           "MERGE", mergeParams + ("selective" -> "true"),
@@ -651,7 +723,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
     val acted = actedOver(cur)
     val keptOut = keptOver(acted)
-    val inserts = insertsOver(cur)
+    val inserts = insertsFor(cur)
     val result = recomputeGenerated(inserts.fold(keptOut)(keptOut.unionByName(_)), gc)
 
     val changeVersion: Option[Long] =
@@ -682,7 +754,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     rewriteWithFeed(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
-        "changeFeed" -> changeFeed.toString) ++ extraParams,
+        "changeFeed" -> changeFeed.toString) ++ extraParams ++ idParams,
       changeVersion, occBase)
   }
 
@@ -949,6 +1021,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(set.nonEmpty && bad.isEmpty,
       s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
     requireNotGenerated(set.keys, "UPDATE SET", gc)
+    requireNotIdentityAssigned(set.keys, "UPDATE SET", idCols)
     val fields = cur.schema.fields
     val hit = coalesce(cond, lit(false))
     // post-update value, cast to the table's type (Delta casts SET
@@ -1836,6 +1909,221 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "they recompute from their expressions")
   }
 
+  // ---------------- identity columns (Delta GENERATED ALWAYS AS IDENTITY) --
+
+  private def identityFile = new Path(logDir, LakeTable.IdentityFileName)
+
+  /** Identity-column declarations: name -> (start, step). Values are
+    * engine-assigned BIGINTs, unique and increasing by multiples of
+    * `step` from `start`, with GAPS permitted (Delta's documented
+    * contract — consecutive values are explicitly not promised). Callers
+    * may never supply or SET one; ingest writes assign fresh values,
+    * MERGE/upsert assign them to inserted rows and preserve them on
+    * matched rows, UPDATE rejects SET on them.
+    */
+  def identityColumns: Map[String, (Long, Long)] = {
+    val f = fs
+    if (!f.exists(identityFile)) Map.empty
+    else {
+      val in = f.open(identityFile)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", 3) match {
+          case Array(k, s, st) =>
+            java.net.URLDecoder.decode(k, "UTF-8") -> (s.toLong, st.toLong)
+          case _ => throw new IllegalStateException(
+            s"unreadable identity-columns file at $identityFile")
+        }
+      }.toMap
+    }
+  }
+
+  private def saveIdentity(specs: Map[String, (Long, Long)]): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val text = specs.toSeq.sortBy(_._1).map { case (k, (s, st)) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "\t" + s + "\t" + st
+    }.mkString("\n")
+    val out = f.create(identityFile, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Identity context for ONE operation (same single-metadata-read
+    * discipline as [[GenCols]]).
+    */
+  private[sources] final case class IdCols(specs: Seq[(String, Long, Long)]) {
+    def isEmpty: Boolean = specs.isEmpty
+    def names: Seq[String] = specs.map(_._1)
+  }
+
+  private def idCols: IdCols =
+    IdCols(identityColumns.toSeq.sortBy(_._1).map { case (n, (s, st)) => (n, s, st) })
+
+  /** Next free value for an identity column: the max committed high-water
+    * mark, or the declared start before any allocation. One
+    * checkpointed-log read; crash-safe because the mark rides in the
+    * allocating operation's own commit record.
+    */
+  private def nextIdentityBase(name: String, start: Long): Long = {
+    val hwm = maxCommitParamLong(LakeTable.IdentityHwmParamPrefix + name)
+    if (hwm < 0) start else math.max(hwm, start)
+  }
+
+  /** Declare `name` as GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * INCREMENT BY `step`). Like [[addGeneratedColumn]] (and unlike
+    * Delta's create-time-only identity), an existing table may add one:
+    * current rows BACKFILL dense values from `start` through one staged
+    * rewrite. `start >= 0` and `step >= 1` keep the committed high-water
+    * mark monotone under the max-over-commits read.
+    */
+  def addIdentityColumn(
+      name: String, start: Long = 1L, step: Long = 1L): LakeTable = {
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"identity columns target plain lake tables; $path is a versioned layout")
+    require(start >= 0 && step >= 1,
+      "identity requires start >= 0 and step >= 1 (the high-water mark is " +
+        "read as a max over commit records)")
+    val schema = storedSchema.getOrElse(throw new IllegalArgumentException(
+      s"no schema at $path yet — write the table first, then declare " +
+        "identity columns"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists at $path")
+    val specs = identityColumns
+    require(!specs.keys.exists(_.equalsIgnoreCase(name)),
+      s"identity column $name already declared at $path")
+    require(!generatedColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"$name is already a generated column at $path")
+    val longT = org.apache.spark.sql.types.LongType
+    if (listDataFiles().nonEmpty || isShallowClone) {
+      val withNull = read.withColumn(name, lit(null).cast(longT))
+      val (backfilled, counts) =
+        assignIdentityRows(withNull, Seq((name, start, step)), Map(name -> start))
+      rewrite(backfilled, "ADD IDENTITY COLUMN",
+        Map("column" -> name, "start" -> start.toString, "step" -> step.toString,
+          LakeTable.IdentityHwmParamPrefix + name ->
+            (start + step * counts(name)).toString)): Unit
+    } else {
+      saveSchema(StructType(schema.fields :+
+        StructField(name, longT, nullable = true)))
+      commit("ADD IDENTITY COLUMN",
+        Map("column" -> name, "start" -> start.toString,
+          "step" -> step.toString)): Unit
+    }
+    saveIdentity(specs + (name -> (start, step)))
+    this
+  }
+
+  /** Fill NULL identity slots with DENSE consecutive values
+    * `base, base+step, …` per column (rows carrying values keep them).
+    * The zipWithIndex shape, but counting only the rows that NEED a
+    * value: one count-per-partition job over null slots, a driver-side
+    * running-offset scan (one tiny array per partition), then a
+    * deterministic per-partition assignment pass — fully distributed, no
+    * global sort, no driver state beyond the offsets. Returns the
+    * assigned frame plus the per-column assigned counts (the caller's
+    * high-water-mark advance), so no separate `count()` job is needed.
+    * This is the one RDD round-trip in the engine; it lives at a write
+    * boundary where the frame is materialized anyway. Callers that feed
+    * the result to more than one downstream job must checkpoint it when
+    * the input plan is not order-deterministic (joins).
+    */
+  private def assignIdentityRows(
+      df: DataFrame,
+      specs: Seq[(String, Long, Long)],
+      bases: Map[String, Long]): (DataFrame, Map[String, Long]) = {
+    if (specs.isEmpty) return (df, Map.empty)
+    val schema = df.schema
+    val slots = specs.map { case (n, _, step) =>
+      (schema.fieldIndex(schema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(n)),
+        bases(n), step)
+    }.toArray
+    val rdd = df.rdd
+    val perPartition: Array[Array[Long]] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val c = new Array[Long](slots.length)
+        it.foreach { r =>
+          var si = 0
+          while (si < slots.length) {
+            if (r.isNullAt(slots(si)._1)) c(si) += 1
+            si += 1
+          }
+        }
+        Iterator((pi, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perPartition.scanLeft(new Array[Long](slots.length)) {
+      (acc, c) => acc.zip(c).map { case (a, b) => a + b }
+    } // offsets(pi)(si) = nulls before partition pi for column si
+    val assigned = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val k = offsets(pi).clone()
+      it.map { r =>
+        var needs = false
+        var si = 0
+        while (si < slots.length && !needs) {
+          needs = r.isNullAt(slots(si)._1); si += 1
+        }
+        if (!needs) r
+        else {
+          val vals = r.toSeq.toArray
+          slots.zipWithIndex.foreach { case ((fi, base, step), i) =>
+            if (r.isNullAt(fi)) { vals(fi) = base + step * k(i); k(i) += 1 }
+          }
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }
+    val totals = specs.indices.map(si =>
+      specs(si)._1 -> perPartition.map(_(si)).sum).toMap
+    (df.sparkSession.createDataFrame(assigned, schema), totals)
+  }
+
+  private def requireNotIdentityAssigned(
+      cols: Iterable[String], ctx: String, ic: IdCols): Unit = {
+    val hit = cols.filter(c => ic.names.exists(_.equalsIgnoreCase(c)))
+    require(hit.isEmpty,
+      s"$ctx may not assign identity column(s) ${hit.mkString(", ")} — " +
+        "they are GENERATED ALWAYS (engine-assigned)")
+  }
+
+  /** GENERATED ALWAYS enforcement: a caller-supplied frame may never
+    * carry an identity column (matching Delta, which rejects explicit
+    * inserts into GENERATED ALWAYS AS IDENTITY).
+    */
+  private def requireNoIdentityProvided(
+      df: DataFrame, ctx: String, ic: IdCols): Unit = {
+    val hit = df.columns.filter(c => ic.names.exists(_.equalsIgnoreCase(c)))
+    require(hit.isEmpty,
+      s"$ctx may not supply identity column(s) ${hit.mkString(", ")} — " +
+        "they are GENERATED ALWAYS (engine-assigned)")
+  }
+
+  /** Add absent identity columns as typed nulls so schema alignment and
+    * INSERT-* projections resolve; assignment happens downstream.
+    */
+  private def withNullIdentity(df: DataFrame, ic: IdCols): DataFrame =
+    ic.names.foldLeft(df)((d, n) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, lit(null).cast(org.apache.spark.sql.types.LongType)))
+
+  /** Ingest-side assignment: fresh values for every row of the aligned
+    * batch. Returns the assigned frame plus the high-water-mark commit
+    * params (base + step * batchRows per column). The extra `count()` is
+    * one scan of the INCOMING BATCH, not the table.
+    */
+  private def applyIdentityIngest(
+      aligned: DataFrame, ic: IdCols): (DataFrame, Map[String, String]) = {
+    if (ic.isEmpty) return (aligned, Map.empty)
+    val bases = ic.specs.map { case (nm, st, _) => nm -> nextIdentityBase(nm, st) }.toMap
+    val (out, counts) = assignIdentityRows(aligned, ic.specs, bases)
+    (out, ic.specs.map { case (nm, _, step) =>
+      (LakeTable.IdentityHwmParamPrefix + nm) ->
+        (bases(nm) + step * counts(nm)).toString
+    }.toMap)
+  }
+
   /** One aggregate pass counting violations of EVERY constraint; null
     * results count as violations (a CHECK must affirmatively hold).
     */
@@ -2568,39 +2856,49 @@ final class LakeTable(spark: SparkSession, val path: String) {
       s"prunedFiles on a shallow clone cannot see the manifest-referenced " +
         "source files — materialize() first (readWhere falls back to an " +
         "unpruned read)")
-    val f = fs
     val all = listDataFiles().map(t => (t._2, t._3))
-    if (!f.exists(new Path(statsDir))) return all.map(_._2).toSeq
+    if (!fs.exists(new Path(statsDir))) return all.map(_._2).toSeq
     FileStats.resolvedPredicate(read, cond) match {
       case None => all.map(_._2).toSeq // filter dissolved: nothing to prune on
-      case Some(resolved) =>
-        // the dir, not a part* glob: parquet skips _-prefixed files
-        // itself, and the glob makes FileStreamSink's metadata probe
-        // log a spurious FileNotFoundException warn per read
-        val stats = spark.read.parquet(statsDir)
-        val statted = stats.columns.toSeq
-          .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
-        val bloomed = stats.columns.toSeq
-          .filter(_.endsWith("__graft_bloom")).map(_.stripSuffix("__graft_bloom")).toSet
-        // verdict per STATTED file; files with no stats row are kept by
-        // both strategies (missing map key / missing join partner)
-        val keep = stats.select(
-          FileStats.schemelessFile(col(FileStats.FileCol)).as("__graft_rel"),
-          coalesce(FileStats.canMatch(resolved, statted, bloomed), lit(false))
-            .as("__graft_keep"))
-        val threshold = spark.conf
-          .get(LakeTable.PruneDriverThresholdKey, LakeTable.PruneDriverThresholdDefault)
-          .toInt
-        if (all.size <= threshold) {
-          val decided = keep.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-          all.collect { case (rel, full) if decided.getOrElse(rel, true) => full }.toSeq
-        } else {
-          val filesDf = spark.createDataFrame(all).toDF("__graft_rel", "__graft_full")
-          filesDf.join(keep, Seq("__graft_rel"), "left")
-            .where(coalesce(col("__graft_keep"), lit(true)))
-            .select("__graft_full")
-            .collect().map(_.getString(0)).toSeq
-        }
+      case Some(resolved) => prunedFilesResolved(resolved, all)
+    }
+  }
+
+  /** [[prunedFiles]] for an ALREADY-RESOLVED predicate — the entry point
+    * for [[graft.plans.LakeSkippingRule]], which holds the optimizer's
+    * resolved filter condition rather than a user Column.
+    */
+  private[graft] def prunedFilesResolved(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      allIn: Seq[(String, String)] = null): Seq[String] = {
+    val all = Option(allIn).getOrElse(listDataFiles().map(t => (t._2, t._3)))
+    if (!fs.exists(new Path(statsDir))) return all.map(_._2).toSeq
+    // the dir, not a part* glob: parquet skips _-prefixed files
+    // itself, and the glob makes FileStreamSink's metadata probe
+    // log a spurious FileNotFoundException warn per read
+    val stats = spark.read.parquet(statsDir)
+    val statted = stats.columns.toSeq
+      .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
+    val bloomed = stats.columns.toSeq
+      .filter(_.endsWith("__graft_bloom")).map(_.stripSuffix("__graft_bloom")).toSet
+    // verdict per STATTED file; files with no stats row are kept by
+    // both strategies (missing map key / missing join partner)
+    val keep = stats.select(
+      FileStats.schemelessFile(col(FileStats.FileCol)).as("__graft_rel"),
+      coalesce(FileStats.canMatch(resolved, statted, bloomed), lit(false))
+        .as("__graft_keep"))
+    val threshold = spark.conf
+      .get(LakeTable.PruneDriverThresholdKey, LakeTable.PruneDriverThresholdDefault)
+      .toInt
+    if (all.size <= threshold) {
+      val decided = keep.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      all.collect { case (rel, full) if decided.getOrElse(rel, true) => full }.toSeq
+    } else {
+      val filesDf = spark.createDataFrame(all).toDF("__graft_rel", "__graft_full")
+      filesDf.join(keep, Seq("__graft_rel"), "left")
+        .where(coalesce(col("__graft_keep"), lit(true)))
+        .select("__graft_full")
+        .collect().map(_.getString(0)).toSeq
     }
   }
 
@@ -2665,6 +2963,12 @@ object LakeTable {
   val ConstraintsFileName = "_constraints"
   // generated-column declarations (name -> SQL expr), constraints-style
   val GeneratedFileName = "_generated"
+  // identity-column declarations (name -> start/step), constraints-style
+  val IdentityFileName = "_identity"
+  // commit-param prefix recording each identity column's next free value
+  // after an allocating commit — the crash-safe high-water mark (an
+  // allocation is visible iff its commit landed)
+  val IdentityHwmParamPrefix = "identityHwm_"
 
   /** Above this many data files, [[LakeTable.prunedFiles]] switches from
     * collecting every stats verdict to a join that returns only the

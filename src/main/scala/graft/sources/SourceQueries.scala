@@ -721,6 +721,51 @@ object SourceQueries {
       sum(col("net").cast("decimal(28,6)")).cast("double").as("net_total"))
   }
 
+  /** A3 extension (Delta GENERATED ALWAYS AS IDENTITY): seed a lake with
+    * a customer slice, declare an identity column via SQL (existing rows
+    * BACKFILL dense values from the start), append a second slice (fresh
+    * values continue from the committed high-water mark), then upsert a
+    * batch that UPDATES matched rows (which must keep their ids) and
+    * INSERTS new keys (which get the next dense block). Identity values
+    * are engine-assigned, so the oracle checks the ARITHMETIC the
+    * contract promises — dense per-batch allocation, monotone advance
+    * across commits, preservation under update — all derivable from
+    * source-table counts in pure SQL: with nb/na/ni the three batch
+    * sizes, ids are exactly 1000 … 1000+nb+na+ni-1, and the basepred
+    * rows hold exactly the first nb of them.
+    */
+  def lakeIdentity(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val dir = scratch(sfDir, "cust_identity")
+    // identity allocation is stateful in the commit log by design — start
+    // from a clean target so a prior driver run's high-water mark can't
+    // shift this run's values
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val lake = LakeTable(spark, dir)
+    val cust = t.customer.select(col("c_custkey"), col("c_acctbal"))
+    lake.write(cust.where(col("c_custkey") % 7 < 5))
+    spark.sql(s"ALTER TABLE graft_lake('$dir') ADD IDENTITY COLUMN row_id " +
+      "START WITH 1000 INCREMENT BY 1")
+    lake.write(cust.where(col("c_custkey") % 7 === 5),
+      org.apache.spark.sql.SaveMode.Append)
+    val ups = cust
+      .where(col("c_custkey") % 7 < 5 && col("c_custkey") % 11 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .unionByName(cust.where(col("c_custkey") % 7 === 6))
+    lake.upsert(ups, Seq("c_custkey"))
+    lake.read.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("row_id")).as("n_ids"),
+      min(col("row_id")).as("min_id"),
+      max(col("row_id")).as("max_id"),
+      sum(col("row_id")).as("sum_id"),
+      sum(when(col("c_custkey") % 7 < 5, col("row_id"))).as("sum_id_base"),
+      round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double")
+        .as("bal_total"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -759,6 +804,7 @@ object SourceQueries {
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
     "q_lake_generated" -> (lakeGenerated _),
+    "q_lake_identity" -> (lakeIdentity _),
     "q_deid_sha1" -> (deidSha1 _)
   )
 
@@ -1001,6 +1047,23 @@ object SourceQueries {
         |  CAST(sum(CAST((l_quantity + CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END)
         |      * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS net_total
         |FROM lineitem""".stripMargin,
+    "q_lake_identity" ->
+      """WITH c AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE c_custkey % 7 < 5) AS nb,
+        |    count(*) FILTER (WHERE c_custkey % 7 = 5) AS na,
+        |    count(*) FILTER (WHERE c_custkey % 7 = 6) AS ni,
+        |    round(sum(CAST(c_acctbal + CASE WHEN c_custkey % 7 < 5 AND c_custkey % 11 = 0
+        |      THEN 100 ELSE 0 END AS DECIMAL(18,2))), 2) AS bal
+        |  FROM customer)
+        |SELECT CAST(nb + na + ni AS BIGINT) AS n,
+        |  CAST(nb + na + ni AS BIGINT) AS n_ids,
+        |  CAST(1000 AS BIGINT) AS min_id,
+        |  CAST(999 + nb + na + ni AS BIGINT) AS max_id,
+        |  CAST(1000 * (nb + na + ni) + (nb + na + ni) * (nb + na + ni - 1) // 2 AS BIGINT) AS sum_id,
+        |  CAST(1000 * nb + nb * (nb - 1) // 2 AS BIGINT) AS sum_id_base,
+        |  CAST(bal AS DOUBLE) AS bal_total
+        |FROM c""".stripMargin,
     "q_lake_clone" ->
       """SELECT * FROM (
         |  SELECT 'clone' AS side, count(*) AS n,
