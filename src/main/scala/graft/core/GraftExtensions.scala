@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: length-band guard for levenshtein thresholds
     e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
 
+    // pre-CBO (run-Once) rule: automatic stats-based file skipping for
+    // filtered scans over lake table dirs — pruning runs a tiny stats
+    // job, so it must not sit in the operator-optimization fixpoint
+    e.injectPreCBORule(s => graft.plans.LakeSkippingRule(s))
+
     // SQL DML on lake tables: DELETE FROM / UPDATE / MERGE INTO targeting
     // graft_lake('<path>') translate to LakeTable.delete/update/merge;
     // everything else falls through to Spark's parser untouched
