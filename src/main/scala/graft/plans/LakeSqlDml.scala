@@ -409,6 +409,16 @@ final case class LakeInsertCommand(
   * evolution), `ADD CONSTRAINT n CHECK (…)` (validates existing data,
   * then gates every write), `DROP CONSTRAINT n`.
   */
+/** `REORG TABLE graft_lake('<path>') APPLY (PURGE)`. */
+final case class LakeReorgCommand(path: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!graft.sources.VersionedLakeTable.isVersioned(spark, path),
+      s"REORG TABLE targets a plain lake table; $path is a versioned layout")
+    LakeTable(spark, path).reorgPurge()
+    Seq.empty
+  }
+}
+
 final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -424,6 +434,8 @@ final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
           org.apache.spark.sql.types.DataType.fromDDL(t), e)
       case LakeAlterCommand.AddIdentity(n, s, st)   =>
         lake.addIdentityColumn(n, s, st)
+      case LakeAlterCommand.RenameColumn(a, b)      => lake.renameColumn(a, b)
+      case LakeAlterCommand.DropColumn(n)           => lake.dropColumn(n)
     }
     Seq.empty
   }
@@ -448,6 +460,16 @@ object LakeAlterCommand {
     */
   final case class AddIdentity(name: String, start: Long, step: Long)
       extends Action
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only via the
+    * column mapping; no data files touched.
+    */
+  final case class RenameColumn(from: String, to: String) extends Action
+
+  /** `ALTER TABLE t DROP COLUMN a` — metadata-only via the column
+    * mapping; the physical name is retired.
+    */
+  final case class DropColumn(name: String) extends Action
 }
 
 /** `MERGE INTO graft_lake(path) t USING <relation> s ON ... WHEN ...`;
@@ -500,6 +522,7 @@ object LakeSqlDml {
       case "ANALYZE" => p.advance(); parseAnalyze(p)
       case "VACUUM"  => p.advance(); parseVacuum(p)
       case "COPY"    => p.advance(); parseCopy(p)
+      case "REORG"   => p.advance(); parseReorg(p)
       case "CREATE"  => p.advance(); parseCreate(p)
       case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
       case _         => None
@@ -701,6 +724,21 @@ object LakeSqlDml {
     Some(LakeInsertCommand(path, overwrite, cols, source))
   }
 
+  /** Delta `REORG TABLE t APPLY (PURGE)`: physically drop retired
+    * columns' bytes and normalize files to logical names (column-mapping
+    * debt paid explicitly).
+    */
+  private def parseReorg(p: P): Option[LogicalPlan] = {
+    if (!p.eat("TABLE")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    p.expect("APPLY", "in REORG TABLE")
+    val body = p.parenGroup("REORG APPLY clause").trim
+    require(body.equalsIgnoreCase("PURGE"),
+      s"REORG TABLE supports APPLY (PURGE), got APPLY ($body)")
+    p.done("REORG TABLE")
+    Some(LakeReorgCommand(path))
+  }
+
   private def parseAlter(p: P): Option[LogicalPlan] = {
     if (!p.eat("TABLE")) return None
     val path = p.lakeTarget().getOrElse(return None)
@@ -733,9 +771,17 @@ object LakeSqlDml {
           "expected COLUMNS, CONSTRAINT, GENERATED COLUMN or IDENTITY COLUMN " +
             "after ALTER TABLE … ADD")
       } else if (p.eat("DROP")) {
-        p.expect("CONSTRAINT", "after ALTER TABLE … DROP")
-        LakeAlterCommand.DropConstraint(p.identifier("constraint name").mkString("."))
-      } else p.fail("expected ADD or DROP after the ALTER TABLE target")
+        if (p.eat("CONSTRAINT"))
+          LakeAlterCommand.DropConstraint(p.identifier("constraint name").mkString("."))
+        else if (p.eat("COLUMN"))
+          LakeAlterCommand.DropColumn(p.identifier("column name").mkString("."))
+        else p.fail("expected CONSTRAINT or COLUMN after ALTER TABLE … DROP")
+      } else if (p.eat("RENAME")) {
+        p.expect("COLUMN", "after ALTER TABLE … RENAME")
+        val from = p.identifier("column name").mkString(".")
+        p.expect("TO", "in RENAME COLUMN")
+        LakeAlterCommand.RenameColumn(from, p.identifier("new column name").mkString("."))
+      } else p.fail("expected ADD, DROP or RENAME after the ALTER TABLE target")
     p.done("ALTER TABLE")
     Some(LakeAlterCommand(path, action))
   }

@@ -81,9 +81,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val paths = cloneManifestFiles ++ listDataFiles().map(_._3)
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      else spark.read.schema(s).parquet(paths: _*)
+      else readMapped(s, paths)
     } else storedSchema match {
-      case Some(s) => spark.read.schema(s).parquet(path)
+      case Some(s) => readMapped(s, Seq(path))
       case None    => spark.read.parquet(path)
     }
 
@@ -105,13 +105,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
     val ic = idCols
     requireNoIdentityProvided(df, "write", ic)
+    val beforeNames = storedSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
     val (withGen, genChecks) = applyGenerated(withNullIdentity(df, ic))
     val (aligned, schema) =
       enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
+    // evolution-added columns must not rebind a retired/renamed physical
+    mapNewColumns(schema.fieldNames.filterNot(beforeNames).toSeq)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
     preservingLog(mode) {
-      toWrite.write.mode(mode).parquet(path)
+      toPhysical(toWrite).write.mode(mode).parquet(path)
     }
     saveSchema(schema)
     commit(writeOp(mode), Map("mode" -> mode.toString) ++ extraParams ++ idParams)
@@ -227,13 +230,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "materialize() first (a full Overwrite replaces the clone and is fine)")
     val ic = idCols
     requireNoIdentityProvided(df, "writePartitioned", ic)
+    val beforeNames = storedSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
     val (withGen, genChecks) = applyGenerated(withNullIdentity(df, ic))
     val (aligned, schema) =
       enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
+    mapNewColumns(schema.fieldNames.filterNot(beforeNames).toSeq)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
     preservingLog(mode) {
-      toWrite.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+      toPhysical(toWrite).write.mode(mode)
+        .partitionBy(partitionCols.map(physicalOf): _*).parquet(path)
     }
     saveSchema(schema)
     commit("WRITE PARTITIONED",
@@ -267,10 +273,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       enforceSchema(withGen, appendLike = true, mergeSchema = false, overwriteSchema = false)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
-    toWrite.write
+    toPhysical(toWrite).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
+      .partitionBy(partitionCols.map(physicalOf): _*)
       .parquet(path)
     saveSchema(schema)
     commit(op, params ++ idParams)
@@ -1155,18 +1161,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val transforming = affected.nonEmpty || alwaysTransform
     try {
       if (transforming) {
-        val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
         // deletion vectors must filter the affected input too, or rows a
         // prior merge-on-read DELETE removed would resurrect in the
         // rewritten files; untouched files keep their (still-valid)
         // vectors via the manifest below
         val input =
-          if (affected.nonEmpty)
-            applyDeletionVectors(reader.parquet(affected.map(_._3): _*))
-          else
+          if (affected.nonEmpty) {
+            val schema = storedSchema.getOrElse(read.schema)
+            applyDeletionVectors(readMapped(schema, affected.map(_._3)))
+          } else
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               storedSchema.getOrElse(read.schema))
-        transformAffected(input)
+        toPhysical(transformAffected(input))
           .write.mode(SaveMode.Overwrite).parquet(staged.toString)
       } else {
         // the stage is just an empty dir the untouched files move through
@@ -1175,7 +1181,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val cons = constraints
       if (cons.nonEmpty && transforming) {
         // untouched files were already validated when written
-        try enforceConstraints(spark.read.parquet(staged.toString), cons)
+        try enforceConstraints(stagedLogical(staged.toString), cons)
         catch { case e: Throwable => fs.delete(staged, true); throw e }
       }
     } catch {
@@ -1599,10 +1605,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "source" -> path,
       "sourceVersion" -> srcVersion.toString,
       "shallow" -> shallow.toString)
-    // generated columns are table metadata and ride every clone — an
-    // append to the clone must keep computing/validating them
+    // generated/identity columns and the column mapping are table
+    // metadata and ride every clone — an append to the clone must keep
+    // computing/validating/allocating them. The identity high-water mark
+    // is stamped on the CLONE commit so the clone's allocations continue
+    // where the source's stopped instead of reusing ids from `start`.
     val gens = generatedColumns
     val cons = constraints
+    val ids = identityColumns
+    val idHwms = ids.map { case (n, (s, _)) =>
+      (LakeTable.IdentityHwmParamPrefix + n) -> nextIdentityBase(n, s).toString
+    }
     if (shallow) {
       // a clone OF a shallow clone references the ORIGINAL files — the
       // middle clone's manifest is flattened, never chained
@@ -1611,18 +1624,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
       dest.saveSchema(storedSchema.getOrElse(read.schema))
       if (cons.nonEmpty) dest.saveConstraints(cons)
       if (gens.nonEmpty) dest.saveGenerated(gens)
+      if (ids.nonEmpty) dest.saveIdentity(ids)
+      // a shallow clone reads the source's PHYSICAL files — the mapping
+      // must travel or renamed columns would read as null
+      val (cmap, retired) = columnMapping
+      if (cmap.nonEmpty || retired.nonEmpty) dest.saveColMap(cmap, retired)
       fs.mkdirs(dest.cloneDir)
       val out = fs.create(dest.cloneManifestPath, false)
       try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      dest.commit("CLONE", params): Unit
+      dest.commit("CLONE", params ++ idHwms): Unit
     } else {
+      // a deep clone's files are written fresh through the logical view,
+      // so no column mapping travels (physical == logical again)
       val parts = partitionColumns()
       if (parts.nonEmpty) dest.writePartitioned(read, parts)
       else dest.write(read)
       if (cons.nonEmpty) dest.saveConstraints(cons)
       if (gens.nonEmpty) dest.saveGenerated(gens)
-      dest.commit("CLONE", params): Unit
+      if (ids.nonEmpty) dest.saveIdentity(ids)
+      dest.commit("CLONE", params ++ idHwms): Unit
     }
     dest
   }
@@ -1670,6 +1691,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val clash = cols.fieldNames.filter(n => cur.fieldNames.exists(e => key(e) == key(n)))
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
     saveSchema(StructType(cur.fields ++ cols.fields.map(_.copy(nullable = true))))
+    mapNewColumns(cols.fieldNames.toSeq)
     commit("ADD COLUMNS", Map("columns" ->
       cols.fields.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")))
     this
@@ -2122,6 +2144,315 @@ final class LakeTable(spark: SparkSession, val path: String) {
       (LakeTable.IdentityHwmParamPrefix + nm) ->
         (bases(nm) + step * counts(nm)).toString
     }.toMap)
+  }
+
+  // ------------- column mapping (Delta name-mode: metadata-only DDL) -------
+
+  private def colMapFile = new Path(logDir, LakeTable.ColMapFileName)
+
+  /** Logical -> physical column-name mapping plus the set of RETIRED
+    * physical names (physical names of dropped/renamed-away columns,
+    * still present in old data files).
+    *
+    * The mapping is what makes [[renameColumn]] and [[dropColumn]]
+    * METADATA-ONLY at any table size — the 100 TB difference between an
+    * instant log write and a full-table rewrite. Data files keep their
+    * original (physical) column names forever; the stored schema speaks
+    * logical names; reads bridge with one projection; writes bridge in
+    * reverse. Retired names exist to close the REUSE hazard: a new
+    * column whose logical name matches a retired physical name would
+    * otherwise bind to the dropped column's bytes in old files, so such
+    * adds get a fresh unique physical name instead (Delta solves the
+    * same hazard with column ids).
+    */
+  def columnMapping: (Map[String, String], Set[String]) = {
+    val f = fs
+    if (!f.exists(colMapFile)) (Map.empty, Set.empty)
+    else {
+      val in = f.open(colMapFile)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      val m = Map.newBuilder[String, String]
+      val r = Set.newBuilder[String]
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        line.split("\t", 3) match {
+          case Array("m", l, p) =>
+            m += java.net.URLDecoder.decode(l, "UTF-8") ->
+              java.net.URLDecoder.decode(p, "UTF-8")
+          case Array("r", p) => r += java.net.URLDecoder.decode(p, "UTF-8")
+          case _ => throw new IllegalStateException(
+            s"unreadable column-mapping file at $colMapFile")
+        }
+      }
+      (m.result(), r.result())
+    }
+  }
+
+  private def saveColMap(mapping: Map[String, String], retired: Set[String]): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // trivial (logical == physical) entries carry no information
+    val lines =
+      mapping.filter { case (l, p) => l != p }.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"m\t${enc(l)}\t${enc(p)}" } ++
+        retired.toSeq.sorted.map(p => s"r\t${enc(p)}")
+    val out = f.create(colMapFile, true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Physical (on-disk) twin of a logical schema. */
+  private def physicalSchema(s: StructType, mapping: Map[String, String]): StructType =
+    StructType(s.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** Read parquet `paths` that hold PHYSICAL column names, surfacing the
+    * LOGICAL schema — one projection, pruned like any other.
+    */
+  private def readMapped(
+      schema: StructType, paths: Seq[String],
+      basePath: Option[String] = None): DataFrame = {
+    val (mapping, _) = columnMapping
+    var r = spark.read
+    basePath.foreach(b => r = r.option("basePath", b))
+    if (mapping.isEmpty) r.schema(schema).parquet(paths: _*)
+    else r.schema(physicalSchema(schema, mapping)).parquet(paths: _*)
+      .select(schema.fields.map(f =>
+        col(mapping.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Rename a LOGICAL frame's columns to their physical names for a data
+    * write. Alignment to the table schema has already happened upstream.
+    */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val (mapping, _) = columnMapping
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** Physical name of one logical column (identity when unmapped). */
+  private def physicalOf(logical: String): String =
+    columnMapping._1.getOrElse(logical, logical)
+
+  /** Read staged (physical-named) files back as the logical view, for
+    * constraint validation of a rewrite's output.
+    */
+  private def stagedLogical(staged: String): DataFrame = {
+    val df = spark.read.parquet(staged)
+    val (mapping, _) = columnMapping
+    if (mapping.isEmpty) df
+    else {
+      val inv = mapping.map(_.swap)
+      df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+  }
+
+  /** Reject DDL on a column that a CHECK constraint or generated-column
+    * expression references (Delta raises the same analysis error — the
+    * stored expression strings would silently dangle).
+    */
+  private def requireUnreferenced(name: String, op: String): Unit = {
+    def refs(exprSql: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }
+    val hits =
+      constraints.toSeq.collect {
+        case (n, e) if refs(e).exists(_.equalsIgnoreCase(name)) => s"constraint $n"
+      } ++
+        generatedColumns.toSeq.collect {
+          case (g, e) if refs(e).exists(_.equalsIgnoreCase(name)) =>
+            s"generated column $g"
+        }
+    require(hits.isEmpty,
+      s"$op $name is referenced by ${hits.mkString(", ")} — drop the " +
+        "referencing declaration first")
+  }
+
+  /** Rewrite the (tiny, O(files)-row) stats table's per-column names:
+    * `rename` maps base column names, None drops that column's stats.
+    * Without this, a re-added column with a dropped column's logical
+    * name would inherit its stale bounds and prune WRONGLY.
+    */
+  private def remapStatsColumns(rename: String => Option[Option[String]]): Unit = {
+    if (!fs.exists(new Path(statsDir))) return
+    val suffixes =
+      Seq("__graft_min", "__graft_max", "__graft_nulls", "__graft_bloom")
+    val stats = spark.read.parquet(statsDir)
+    var changed = false
+    val kept = stats.columns.flatMap { c =>
+      suffixes.find(c.endsWith) match {
+        case None => Some(col(c)) // __graft_file / __graft_rows
+        case Some(sfx) =>
+          val base = c.stripSuffix(sfx)
+          rename(base) match {
+            case None            => Some(col(c)) // untouched column
+            case Some(None)      => changed = true; None // dropped
+            case Some(Some(nb))  => changed = true; Some(col(c).as(nb + sfx))
+          }
+      }
+    }
+    if (!changed) return
+    val staged = s"$statsDir${LakeTable.StageSuffix}"
+    stats.select(kept.toIndexedSeq: _*)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+    fs.delete(new Path(statsDir), true)
+    if (!fs.rename(new Path(staged), new Path(statsDir)))
+      throw new java.io.IOException(s"could not swap remapped stats into $statsDir")
+  }
+
+  /** METADATA-ONLY column rename (Delta RENAME COLUMN under name-mode
+    * column mapping): no data file is touched at any table size. The
+    * stored schema adopts the new logical name; the mapping pins the old
+    * physical name; stats columns and the identity/generated registries
+    * follow; referencing constraints/generated expressions reject.
+    */
+  def renameColumn(oldName: String, newName: String): LakeTable = {
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"renameColumn targets plain lake tables; $path is a versioned layout")
+    require(!isShallowClone,
+      s"renameColumn on a shallow clone at $path — materialize() first")
+    require(partitionColumns.isEmpty,
+      "renameColumn is not supported on a Hive-partitioned layout (the " +
+        "directory names ARE the column)")
+    val schema = storedSchema.getOrElse(throw new IllegalArgumentException(
+      s"no schema at $path yet"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $oldName at $path"))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"column $newName already exists at $path")
+    requireUnreferenced(field.name, "RENAME COLUMN")
+    val (mapping, retired) = columnMapping
+    val phys = mapping.getOrElse(field.name, field.name)
+    val gens = generatedColumns
+    gens.keys.find(_.equalsIgnoreCase(field.name)).foreach { g =>
+      saveGenerated(gens - g + (newName -> gens(g)))
+    }
+    val ids = identityColumns
+    ids.keys.find(_.equalsIgnoreCase(field.name)).foreach { k =>
+      saveIdentity(ids - k + (newName -> ids(k)))
+    }
+    saveSchema(StructType(schema.fields.map(f =>
+      if (f.name == field.name) f.copy(name = newName) else f)))
+    saveColMap(mapping - field.name + (newName -> phys), retired)
+    remapStatsColumns(b =>
+      if (b.equalsIgnoreCase(field.name)) Some(Some(newName)) else None)
+    commit("RENAME COLUMN", Map("from" -> field.name, "to" -> newName))
+    // keep refreshStats alive: its recorded column spec must speak the
+    // new name (the stats file already does)
+    if (fs.exists(new Path(statsDir))) lastStatsSpec.foreach {
+      case (all, bloomFor, items, bits)
+          if (all ++ bloomFor).exists(_.equalsIgnoreCase(field.name)) =>
+        def ren(s: Seq[String]) =
+          s.map(c => if (c.equalsIgnoreCase(field.name)) newName else c)
+        commit("COLLECT STATS",
+          statsParams(ren(all), ren(bloomFor), items, bits) +
+            ("renamedFrom" -> field.name)): Unit
+      case _ =>
+    }
+    this
+  }
+
+  /** METADATA-ONLY column drop (Delta DROP COLUMN under column mapping):
+    * the field leaves the schema, its physical name is retired (old
+    * files keep the bytes; reads never project them), its stats are
+    * removed so a future same-named column cannot inherit them.
+    */
+  def dropColumn(name: String): LakeTable = {
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"dropColumn targets plain lake tables; $path is a versioned layout")
+    require(!isShallowClone,
+      s"dropColumn on a shallow clone at $path — materialize() first")
+    require(partitionColumns.isEmpty,
+      "dropColumn is not supported on a Hive-partitioned layout")
+    val schema = storedSchema.getOrElse(throw new IllegalArgumentException(
+      s"no schema at $path yet"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(s"no column $name at $path"))
+    require(schema.fields.length > 1, s"cannot drop the only column of $path")
+    requireUnreferenced(field.name, "DROP COLUMN")
+    val (mapping, retired) = columnMapping
+    val phys = mapping.getOrElse(field.name, field.name)
+    val gens = generatedColumns
+    gens.keys.find(_.equalsIgnoreCase(field.name)).foreach(g => saveGenerated(gens - g))
+    val ids = identityColumns
+    ids.keys.find(_.equalsIgnoreCase(field.name)).foreach(k => saveIdentity(ids - k))
+    saveSchema(StructType(schema.fields.filterNot(_.name == field.name)))
+    saveColMap(mapping - field.name, retired + phys)
+    remapStatsColumns(b =>
+      if (b.equalsIgnoreCase(field.name)) Some(None) else None)
+    commit("DROP COLUMN", Map("column" -> field.name))
+    if (fs.exists(new Path(statsDir))) lastStatsSpec.foreach {
+      case (all, bloomFor, items, bits)
+          if (all ++ bloomFor).exists(_.equalsIgnoreCase(field.name)) =>
+        val keep = all.filterNot(_.equalsIgnoreCase(field.name))
+        val keepBloom = bloomFor.filterNot(_.equalsIgnoreCase(field.name))
+        if (keep.isEmpty)
+          // no statted columns remain: the stats table is pure overhead
+          fs.delete(new Path(statsDir), true): Unit
+        else
+          commit("COLLECT STATS",
+            statsParams(keep, keepBloom, items, bits) +
+              ("droppedColumn" -> field.name)): Unit
+      case _ =>
+    }
+    this
+  }
+
+  /** Delta `REORG TABLE … APPLY (PURGE)`: one staged rewrite that
+    * physically drops retired columns' bytes and normalizes every file
+    * to the logical names, then resets the mapping — the explicit,
+    * chargeable moment column-mapping debt is paid (rename/drop
+    * themselves stay metadata-only). Also materializes deletion vectors
+    * like any rewrite. No-op when no mapping exists.
+    */
+  def reorgPurge(): LakeTable = {
+    val (mapping, retired) = columnMapping
+    if (mapping.isEmpty && retired.isEmpty) return this
+    // plainNames writes the staged files under the LOGICAL names, and
+    // the mapping reset rides the atomic swap itself (the colmap file is
+    // deleted inside the STAGED log dir after the point of no return):
+    // data files and mapping metadata flip together — a crash on either
+    // side of the swap leaves a consistent table
+    rewrite(read, "REORG PURGE",
+      Map("droppedPhysicals" -> retired.toSeq.sorted.mkString(",")),
+      plainNames = true,
+      onStagedLog = stagedLog =>
+        fs.delete(new Path(stagedLog, LakeTable.ColMapFileName), false): Unit)
+  }
+
+  /** Fresh unique physical name for a NEW logical column whose name
+    * collides with a retired physical name (see [[columnMapping]]).
+    */
+  private def freshPhysical(logical: String, retired: Set[String]): String = {
+    var i = 1
+    var cand = s"${logical}__graft_p$i"
+    while (retired.contains(cand)) { i += 1; cand = s"${logical}__graft_p$i" }
+    cand
+  }
+
+  /** Register mappings for newly added logical columns that collide with
+    * retired physical names — called by every schema-evolving path after
+    * it knows the added names.
+    */
+  private def mapNewColumns(added: Seq[String]): Unit = {
+    if (added.isEmpty) return
+    val (mapping, retired) = columnMapping
+    if (mapping.isEmpty && retired.isEmpty) return
+    // a new column collides when its default physical name is already a
+    // RETIRED physical (dropped column's bytes) or a LIVE mapped physical
+    // (a renamed column's on-disk name) — either rebind would read the
+    // wrong column's data from old files
+    val used = retired ++ mapping.values
+    val collisions = added.filter(a => !mapping.contains(a) && used.contains(a))
+    if (collisions.isEmpty) return
+    val newMapping = collisions.foldLeft(mapping)((m, a) =>
+      m + (a -> freshPhysical(a, used)))
+    saveColMap(newMapping, retired)
   }
 
   /** One aggregate pass counting violations of EVERY constraint; null
@@ -2583,7 +2914,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       clustered: DataFrame, op: String, params: Map[String, String],
       onAbort: () => Unit = () => (),
       onCommit: Long => Unit = _ => (),
-      occBase: Option[Long] = None): LakeTable = {
+      occBase: Option[Long] = None,
+      plainNames: Boolean = false,
+      onStagedLog: Path => Unit = _ => ()): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
     // optimistic concurrency (Delta's OCC contract): the version this
     // rewrite derives from — passed down by DML callers that captured
@@ -2595,12 +2928,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // onAbort fires ONLY for pre-swap failures (table untouched); once
     // the swap has happened the caller's side effects must stand
     try {
-      clustered.write.mode(SaveMode.Overwrite).parquet(staged)
+      (if (plainNames) clustered else toPhysical(clustered))
+        .write.mode(SaveMode.Overwrite).parquet(staged)
       // constraints validate the STAGED files (nothing recomputed); a
       // violating merge/optimize aborts before the swap, table untouched
       val cons = constraints
       if (cons.nonEmpty) {
-        try enforceConstraints(spark.read.parquet(staged), cons)
+        val stagedView =
+          if (plainNames) spark.read.parquet(staged) else stagedLogical(staged)
+        try enforceConstraints(stagedView, cons)
         catch { case e: Throwable => fs.delete(new Path(staged), true); throw e }
       }
       occCheck(occExpected, new Path(staged), op)
@@ -2620,6 +2956,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     writeManifest(s, Seq.empty, op, params)
     // keep the log: move it into the staged dir before the swap
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
+    // metadata mutations that must flip ATOMICALLY with the data files
+    // edit the staged log here, after the point of no return — the swap
+    // (or its crash recovery) applies both together (see reorgPurge)
+    onStagedLog(new Path(s, LakeTable.LogDirName))
     val changesDir = new Path(p, LakeTable.ChangesDirName)
     if (f.exists(changesDir)) // change history survives rewrites, like the log
       f.rename(changesDir, new Path(s, LakeTable.ChangesDirName))
@@ -2745,9 +3085,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val merged =
       if (newFiles.isEmpty) keptOld
       else {
-        val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
+        val schema = storedSchema.getOrElse(read.schema)
         val aggs = statsAggs(all, bloomFor, items, bits)
-        val fresh = reader.parquet(newFiles: _*)
+        val fresh = readMapped(schema, newFiles)
           .groupBy(input_file_name().as(FileStats.FileCol))
           .agg(aggs.head, aggs.tail: _*)
         keptOld.unionByName(fresh)
@@ -2804,11 +3144,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val files = prunedFiles(cond)
     if (files.isEmpty) read.where(cond).where(lit(false))
     else {
-      val reader = storedSchema.fold(spark.read)(s => spark.read.schema(s))
       // basePath keeps Hive-partition columns derivable from the dirs
       // even though the scan names leaf files explicitly
-      applyDeletionVectors(
-        reader.option("basePath", path).parquet(files: _*)).where(cond)
+      val scan = storedSchema match {
+        case Some(s) => readMapped(s, files, basePath = Some(path))
+        case None => spark.read.option("basePath", path).parquet(files: _*)
+      }
+      applyDeletionVectors(scan).where(cond)
     }
   }
 
@@ -2965,6 +3307,8 @@ object LakeTable {
   val GeneratedFileName = "_generated"
   // identity-column declarations (name -> start/step), constraints-style
   val IdentityFileName = "_identity"
+  // column-mapping declarations (logical -> physical + retired physicals)
+  val ColMapFileName = "_colmap"
   // commit-param prefix recording each identity column's next free value
   // after an allocating commit — the crash-safe high-water mark (an
   // allocation is visible iff its commit landed)

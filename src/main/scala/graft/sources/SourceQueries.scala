@@ -766,6 +766,40 @@ object SourceQueries {
         .as("bal_total"))
   }
 
+  /** A3/A5 extension (Delta name-mode column mapping): metadata-only
+    * RENAME COLUMN and DROP COLUMN over a seeded lake — no data rewrite;
+    * reads bridge old files' physical names to the new logical schema,
+    * and a post-rename append lands under the pinned physical name. The
+    * final aggregate reads BOTH generations of files through the mapping,
+    * so the oracle (which recomputes from the source table under the new
+    * names) checks the bridge end to end; the `cols` column pins the
+    * dropped column's absence.
+    */
+  def lakeRenameDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val dir = scratch(sfDir, "lineitem_cmap")
+    // mapping state is cumulative in the log — start clean per run
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val lake = LakeTable(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_tax"))
+    lake.write(li.where(col("l_orderkey") % 3 =!= 0))
+    spark.sql(s"ALTER TABLE graft_lake('$dir') RENAME COLUMN l_quantity TO qty")
+    spark.sql(s"ALTER TABLE graft_lake('$dir') DROP COLUMN l_tax")
+    lake.write(
+      t.lineitem.where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_quantity").as("qty")),
+      org.apache.spark.sql.SaveMode.Append)
+    lake.read
+      .groupBy((col("l_orderkey") % 5).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+      .withColumn("cols", lit(lake.read.columns.sorted.mkString(",")))
+      .orderBy(col("grp"))
+  }
+
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
     * No DuckDB oracle (DuckDB 1.0 lacks sha1) -> rows-only check here;
     * the hex/NULL semantics are pinned in DeidentifySpec.
@@ -805,6 +839,7 @@ object SourceQueries {
     "q_lake_clone" -> (lakeClone _),
     "q_lake_generated" -> (lakeGenerated _),
     "q_lake_identity" -> (lakeIdentity _),
+    "q_lake_rename_drop" -> (lakeRenameDrop _),
     "q_deid_sha1" -> (deidSha1 _)
   )
 
@@ -1064,6 +1099,11 @@ object SourceQueries {
         |  CAST(1000 * nb + nb * (nb - 1) // 2 AS BIGINT) AS sum_id_base,
         |  CAST(bal AS DOUBLE) AS bal_total
         |FROM c""".stripMargin,
+    "q_lake_rename_drop" ->
+      """SELECT l_orderkey % 5 AS grp, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_total,
+        |  'l_orderkey,qty' AS cols
+        |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin,
     "q_lake_clone" ->
       """SELECT * FROM (
         |  SELECT 'clone' AS side, count(*) AS n,
