@@ -94,13 +94,49 @@ object Sketches {
       .orderBy(col("lang"), col("cnt").desc, col("tok"))
   }
 
+  /** Mergeable t-digest quantiles ([[graft.functions.TDigest]]) next to
+    * the exact values, with the estimate folded into a RANK-band boolean:
+    * the digest's guarantee is rank error (≤ 4·q(1-q)/δ = 1% at the
+    * median for δ=100), so the check is "estimate lies between the exact
+    * values at q ± band", which is deterministic however the input is
+    * partitioned. Union-of-partials == one-big-digest is pinned in
+    * TDigestSpec; this row pins the single-pass accuracy contract.
+    */
+  def tdigestQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TDigest
+    Tables(spark, sfDir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        expr("percentile(o_totalprice, 0.46)").as("__p46"),
+        expr("percentile(o_totalprice, 0.54)").as("__p54"),
+        expr("percentile(o_totalprice, 0.984)").as("__p984"),
+        expr("percentile(o_totalprice, 0.996)").as("__p996"),
+        TDigest.agg(col("o_totalprice"), 100).as("__sk"))
+      .select(
+        col("o_orderstatus"), col("p50"), col("p99"),
+        TDigest.quantileCol(col("__sk"), 0.5)
+          .between(col("__p46"), col("__p54")).as("p50_in_band"),
+        TDigest.quantileCol(col("__sk"), 0.99)
+          .between(col("__p984"), col("__p996")).as("p99_in_band"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_hll_distinct" -> (hllDistinctCustomers _),
+    "q_tdigest_quantiles" -> (tdigestQuantiles _),
     "q_heavy_hitters" -> (heavyHitterTokens _),
     "q_heavy_hitters_by_group" -> (heavyHittersByGroup _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_tdigest_quantiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        | true AS p50_in_band, true AS p99_in_band
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_hll_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
         | true AS within_2pct
