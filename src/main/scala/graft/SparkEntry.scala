@@ -34,6 +34,7 @@ object SparkEntry {
       (text.HybridSearch.queries, text.HybridSearch.oracles),
       (analytics.Descriptive.queries, analytics.Descriptive.oracles),
       (analytics.Sketches.queries, analytics.Sketches.oracles),
+      (analytics.Graph.queries, analytics.Graph.oracles),
       (analytics.Behavior.queries, analytics.Behavior.oracles),
       (analytics.Quality.queries, analytics.Quality.oracles),
       (operators.ConnectedComponents.queries, operators.ConnectedComponents.oracles),
