@@ -123,14 +123,56 @@ object Sketches {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** KMV/theta set operations ([[graft.functions.KmvSketch]]): distinct
+    * customers per order-status segment AND their INTERSECTION, estimated
+    * from two kilobyte sketches — the query HLL cannot answer (union-only)
+    * without a distinct-join over raw history. Exact values ride along;
+    * the estimates fold into error-bound booleans (k=1024 → ~3% RSD on
+    * sizes; the intersection inherits ~1/sqrt(k·overlap), 10% is a
+    * conservative pin at every test SF).
+    */
+  def kmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val orders = Tables(spark, sfDir).orders
+    def seg(status: String) =
+      orders.where(col("o_orderstatus") === status)
+        .agg(
+          countDistinct(col("o_custkey")).as(s"n_$status"),
+          KmvSketch.agg(col("o_custkey"), 1024).as(s"sk_$status"))
+    val both = orders.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+      .intersect(orders.where(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).distinct())
+      .agg(count(lit(1)).as("n_both"))
+    seg("F").crossJoin(seg("O")).crossJoin(both)
+      .select(
+        col("n_F"), col("n_O"), col("n_both"),
+        (abs(KmvSketch.estimateCol(col("sk_F")) - col("n_F")) <=
+          col("n_F") * 0.05).as("f_within_5pct"),
+        (abs(KmvSketch.estimateCol(col("sk_O")) - col("n_O")) <=
+          col("n_O") * 0.05).as("o_within_5pct"),
+        (abs(KmvSketch.intersectCol(col("sk_F"), col("sk_O")) - col("n_both")) <=
+          col("n_both") * 0.10).as("both_within_10pct"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_hll_distinct" -> (hllDistinctCustomers _),
     "q_tdigest_quantiles" -> (tdigestQuantiles _),
+    "q_kmv_set_ops" -> (kmvSetOps _),
     "q_heavy_hitters" -> (heavyHitterTokens _),
     "q_heavy_hitters_by_group" -> (heavyHittersByGroup _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kmv_set_ops" ->
+      """SELECT
+        | (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'F') AS n_F,
+        | (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'O') AS n_O,
+        | (SELECT count(*) FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+        | true AS f_within_5pct, true AS o_within_5pct, true AS both_within_10pct""".stripMargin,
     "q_tdigest_quantiles" ->
       """SELECT o_orderstatus,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
