@@ -66,12 +66,59 @@ object Behavior {
       .orderBy(col("cohort"), col("offset_m"))
   }
 
+  /** Rolling z-score anomaly detection over the event stream (the
+    * monitoring shape: flag a user's event whose value departs >3σ from
+    * THEIR own trailing window). One shuffle keyed by user, one sort per
+    * partition, three frame aggregates sharing the same window spec (one
+    * WindowExec) — scales as a single pass however long the history. The
+    * frame EXCLUDES the current row (an anomaly must not dilute its own
+    * baseline) and warms up for 10 events so early noise doesn't flag.
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir).eventsRaw
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val scored = ev
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .where(col("n_win") >= 10 && col("sd") > 1e-9)
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+    scored.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum((abs(col("z")) > 3).cast("long")).as("n_anomalies"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_anomaly_zscore" -> (anomalyZscore _),
     "q_gapfill_daily" -> (gapFilledDaily _),
     "q_retention" -> (retentionCohorts _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      """WITH scored AS (
+        |  SELECT event_type, value,
+        |    avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd,
+        |    count(*) OVER w AS n_win
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, (value - mu) / sd AS z FROM scored
+        |  WHERE n_win >= 10 AND sd > 1e-9)
+        |SELECT event_type, count(*) AS n_scored,
+        |  sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+        |  round(max(abs(z)), 4) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_gapfill_daily" ->
       """WITH b AS (SELECT min(o_orderdate::DATE) AS d0, max(o_orderdate::DATE) AS d1 FROM orders),
         |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
