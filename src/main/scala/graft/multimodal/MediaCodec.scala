@@ -244,6 +244,83 @@ object MediaCodec {
       new Array[Byte](dataSize)
   }
 
+  /** A fully valid PCM WAV carrying a REAL sine tone (not silence) — the
+    * fixture for genuine audio feature extraction: PCM is uncompressed,
+    * so slicing and energy math need no codec library.
+    */
+  def makeWavTone(
+      sampleRate: Int,
+      durationMs: Long,
+      freqHz: Double,
+      amplitude: Double = 0.5): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= 1.0)
+    val silent = makeWav(sampleRate, durationMs, channels = 1, bits = 16)
+    // find the data chunk and overwrite its silence with the tone
+    val dataOff = {
+      var i = 12
+      while (!tag(silent, i, "data")) i += 8 + le32(silent, i + 4).toInt +
+        (le32(silent, i + 4).toInt & 1)
+      i + 8
+    }
+    val nSamples = (silent.length - dataOff) / 2
+    var s = 0
+    while (s < nSamples) {
+      val v = (amplitude * Short.MaxValue *
+        math.sin(2 * math.Pi * freqHz * s / sampleRate)).toInt
+      silent(dataOff + 2 * s) = (v & 0xFF).toByte
+      silent(dataOff + 2 * s + 1) = ((v >> 8) & 0xFF).toByte
+      s += 1
+    }
+    silent
+  }
+
+  /** Decode a mono 16-bit PCM WAV payload into samples — a REAL decode
+    * (PCM is raw samples behind the RIFF header), scoped to the one
+    * format this container parses without codec libraries. Returns null
+    * for anything else; callers treat that as an undecodable payload.
+    */
+  def wavPcm16(payload: Array[Byte]): Array[Short] = {
+    if (payload == null || payload.length < 44 ||
+      !tag(payload, 0, "RIFF") || !tag(payload, 8, "WAVE")) return null
+    var i = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+      val size = le32(payload, i + 4).toInt
+      if (size < 0) return null
+      if (tag(payload, i, "fmt ")) {
+        if (size < 16 || i + 24 > payload.length) return null
+        channels = le16(payload, i + 10)
+        rate = le32(payload, i + 12).toInt
+        bits = le16(payload, i + 22)
+      } else if (tag(payload, i, "data")) {
+        dataOff = i + 8
+        dataLen = math.min(size, payload.length - dataOff)
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (rate <= 0 || channels != 1 || bits != 16 || dataOff < 0) return null
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var s = 0
+    while (s < n) {
+      out(s) = ((payload(dataOff + 2 * s) & 0xFF) |
+        (payload(dataOff + 2 * s + 1) << 8)).toShort
+      s += 1
+    }
+    out
+  }
+
+  /** Root-mean-square energy of a PCM slice, normalized to [0, 1]. */
+  def rmsEnergy(samples: Array[Short], from: Int, until: Int): Double = {
+    val lo = math.max(0, from); val hi = math.min(samples.length, until)
+    if (hi <= lo) return 0.0
+    var acc = 0.0
+    var i = lo
+    while (i < hi) { val v = samples(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc / (hi - lo)) / Short.MaxValue
+  }
+
   /** A minimal valid GIF89a (logical screen only + trailer). */
   def makeGif(width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF)

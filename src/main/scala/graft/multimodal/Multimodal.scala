@@ -165,6 +165,69 @@ object Multimodal {
     }
   }
 
+  case class AudioFrame(
+      media_id: Long, frame_idx: Int, offset_ms: Long, n_samples: Int, rms: Double)
+
+  /** REAL audio frame sampling: slice mono 16-bit PCM WAV payloads into
+    * `windowMs` windows every `everyMs`, computing each window's RMS
+    * energy from the actual samples — no stub anywhere on this path (PCM
+    * is raw samples behind the RIFF header; [[MediaCodec.wavPcm16]] is a
+    * genuine decode). flatMap at the codec boundary (SURVEY §7.4 (d)):
+    * map-only, corpus never shuffles, frames explode ~duration/everyMs
+    * rows per clip. Undecodable payloads yield no frames.
+    */
+  def audioFrames(
+      media: Dataset[BinaryMediaRow],
+      everyMs: Long,
+      windowMs: Long): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val pcm = MediaCodec.wavPcm16(r.payload)
+      if (pcm == null) Iterator.empty
+      else {
+        // sample rate from the header drives ms -> sample-index math
+        val probe = MediaCodec.probeRow(r.payload)
+        val rate = probe.getInt(3)
+        val durMs = pcm.length.toLong * 1000 / rate
+        Iterator.range(0, math.max(0, ((durMs + everyMs - 1) / everyMs)).toInt)
+          .map { i =>
+            val offMs = i * everyMs
+            val from = (offMs * rate / 1000).toInt
+            val until = ((offMs + windowMs) * rate / 1000).toInt
+            AudioFrame(r.media_id, i, offMs,
+              math.min(until, pcm.length) - from,
+              MediaCodec.rmsEnergy(pcm, from, until))
+          }
+      }
+    }
+  }
+
+  /** Oracled audio pipeline: fabricate real sine-tone WAVs for the
+    * audio-modality documents, frame-sample the real PCM, and check every
+    * frame's measured RMS against the analytic sine RMS (amplitude/√2).
+    * Frame counts are pure arithmetic over document fields (the oracle
+    * recomputes them); the energy check collapses to a boolean with a
+    * tolerance covering partial-cycle truncation.
+    */
+  def audioFrameProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val tones = docs
+      .where(col("doc_id") % 3 === 1 && (col("n_chars") % 20) =!= 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        BinaryMediaRow(id, MediaCodec.makeWavTone(
+          16000, (nChars % 20) * 10, freqHz = 400.0 + (id % 5) * 200.0))
+      }
+    val frames = audioFrames(tones, everyMs = 50L, windowMs = 50L)
+    frames.groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min((abs(col("rms") - lit(0.5 / math.sqrt(2.0))) < 0.02))
+          .as("all_frames_tone_energy"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracled probe query: build real binaries, PARSE their headers back
     * with the codegen [[MediaProbe]] expression, emit per-row metadata.
     * Map-only end to end (no shuffle: fabricate -> probe -> project);
@@ -203,10 +266,18 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (featureProfile _),
     "q_multimodal_bytes" -> (payloadBytesProfile _),
-    "q_multimodal_probe" -> (probeMetadata _)
+    "q_multimodal_probe" -> (probeMetadata _),
+    "q_audio_frames" -> (audioFrameProfile _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_audio_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(((n_chars % 20) * 10 + 49) // 50 AS BIGINT) AS n_frames,
+        |  true AS all_frames_tone_energy
+        |FROM documents
+        |WHERE doc_id % 3 = 1 AND (n_chars % 20) != 0
+        |ORDER BY media_id""".stripMargin,
     "q_multimodal_probe" ->
       """SELECT doc_id AS media_id,
         |  CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,

@@ -91,6 +91,46 @@ class MediaCodecSpec extends SparkSpec {
     assert(nullRow.isNullAt(0)) // null payload -> null struct (null-safe expr)
   }
 
+  test("wavPcm16 is a real decode: tone samples match the analytic sine") {
+    val rate = 8000
+    val wav = MediaCodec.makeWavTone(rate, 100L, freqHz = 440.0, amplitude = 0.5)
+    val pcm = MediaCodec.wavPcm16(wav)
+    assert(pcm != null && pcm.length === rate / 10)
+    // spot-check a few samples against the generator formula
+    Seq(0, 17, 399).foreach { i =>
+      val expect = (0.5 * Short.MaxValue * math.sin(2 * math.Pi * 440 * i / rate)).toInt
+      assert(pcm(i) === expect.toShort, s"sample $i")
+    }
+    // sine RMS = amplitude / sqrt(2), within partial-cycle tolerance
+    val rms = MediaCodec.rmsEnergy(pcm, 0, pcm.length)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms $rms")
+    // silence decodes to zero energy
+    val silent = MediaCodec.wavPcm16(MediaCodec.makeWav(8000, 50L))
+    assert(MediaCodec.rmsEnergy(silent, 0, silent.length) === 0.0)
+    // stereo / non-16-bit / non-wav refuse instead of mis-decoding
+    assert(MediaCodec.wavPcm16(MediaCodec.makeWav(8000, 10L, channels = 2)) === null)
+    assert(MediaCodec.wavPcm16(MediaCodec.makePng(4, 4)) === null)
+  }
+
+  test("audio frame sampling slices real PCM at the right offsets") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // 130ms tone -> frames at 0/50/100ms; last frame holds 30ms of samples
+    val media = Seq(Multimodal.BinaryMediaRow(
+      7L, MediaCodec.makeWavTone(16000, 130L, 500.0))).toDS()
+    val frames = Multimodal.audioFrames(media, everyMs = 50L, windowMs = 50L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.offset_ms, f.n_samples)).toSeq ===
+      Seq((0, 0L, 800), (1, 50L, 800), (2, 100L, 480)))
+    frames.foreach(f =>
+      assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.02, s"frame $f"))
+    // a non-audio payload yields no frames
+    val none = Multimodal.audioFrames(
+      Seq(Multimodal.BinaryMediaRow(8L, MediaCodec.makePng(5, 5))).toDS(), 50L, 50L)
+    assert(none.count() === 0)
+  }
+
   test("interpreted and codegen paths agree") {
     val payloads = Seq(
       MediaCodec.makePng(31, 17), MediaCodec.makeWav(16000, 40L),
