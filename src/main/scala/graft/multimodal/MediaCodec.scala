@@ -184,15 +184,24 @@ object MediaCodec {
     be32b(data.length.toLong) ++ t ++ data ++ be32b(crc32(t, data))
   }
 
-  /** A fully valid 8-bit grayscale PNG of the given dimensions (all-zero
-    * pixels, real deflate stream, correct chunk CRCs).
+  /** A fully valid 8-bit grayscale PNG of the given dimensions (real
+    * deflate stream, correct chunk CRCs) carrying a deterministic
+    * horizontal gradient — pixel(x, y) = x mod 256 — so DECODED content
+    * is analytically checkable, not just the header.
     */
   def makePng(width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, "png dims must be positive")
     val ihdr = be32b(width.toLong) ++ be32b(height.toLong) ++
       Array[Byte](8, 0, 0, 0, 0) // depth=8, color=grayscale, std methods
-    // raw scanlines: filter byte 0 + width zero pixels, deflated
+    // raw scanlines: filter byte 0 + the gradient row, deflated
     val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      val base = y * (width + 1) + 1 // skip the filter byte
+      var x = 0
+      while (x < width) { raw(base + x) = (x % 256).toByte; x += 1 }
+      y += 1
+    }
     val d = new Deflater()
     d.setInput(raw); d.finish()
     val buf = new Array[Byte](raw.length + 64)

@@ -202,6 +202,93 @@ object Multimodal {
     }
   }
 
+  case class ImageFeatures(
+      media_id: Long,
+      decode_ok: Boolean,
+      width: Int,
+      height: Int,
+      mean_luma: Double,
+      thumb: Array[Float])
+
+  /** REAL image decode via the JDK's own ImageIO (PNG/GIF/BMP decoders
+    * ship with the JVM — no external codec library): pixels out, mean
+    * luminance, and a deterministic 8×8 block-mean thumbnail (a real
+    * 64-d image embedding, ANN-compatible — block means, not Graphics2D
+    * scaling, because platform scalers aren't bit-stable). mapPartitions
+    * at the codec boundary; undecodable payloads (e.g. a JPEG header
+    * stream with no scan data) surface `decode_ok = false` instead of
+    * failing the job — corrupt media is data at corpus scale.
+    */
+  def decodeImages(media: Dataset[BinaryMediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            ImageFeatures(r.media_id, decode_ok = false, -1, -1, -1.0,
+              new Array[Float](64))
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            var sum = 0.0
+            val thumb = new Array[Float](64)
+            val counts = new Array[Int](64)
+            var y = 0
+            while (y < h) {
+              val ty = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val v = raster.getSample(x, y, 0)
+                sum += v
+                val t = ty * 8 + (x * 8 / w)
+                thumb(t) += v.toFloat; counts(t) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var t = 0
+            while (t < 64) {
+              if (counts(t) > 0) thumb(t) /= counts(t)
+              t += 1
+            }
+            ImageFeatures(r.media_id, decode_ok = true, w, h,
+              sum / (w.toLong * h), thumb)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageFeatures(r.media_id, decode_ok = false, -1, -1, -1.0,
+              new Array[Float](64))
+        }
+      }
+    }
+  }
+
+  /** Oracled image pipeline: PNGs carry the analytic gradient
+    * (pixel = x mod 256), so the DECODED mean luminance is recomputable
+    * by the oracle from the dimension arithmetic alone; the JPEG rows
+    * exercise the undecodable path (header stream, no scan data). Decoded
+    * width/height — not the header's — prove pixels actually came out.
+    */
+  def imageDecodeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val media = docs
+      .where(col("doc_id") % 3 =!= 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 320 + 16).toInt
+        val h = (id % 240 + 16).toInt
+        BinaryMediaRow(id,
+          if (id % 3 == 0) MediaCodec.makePng(w, h) else MediaCodec.makeJpeg(w, h))
+      }
+    decodeImages(media)
+      .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
+        round(col("mean_luma"), 4).as("mean_luma"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracled audio pipeline: fabricate real sine-tone WAVs for the
     * audio-modality documents, frame-sample the real PCM, and check every
     * frame's measured RMS against the analytic sine RMS (amplitude/√2).
@@ -267,10 +354,26 @@ object Multimodal {
     "q_multimodal_features" -> (featureProfile _),
     "q_multimodal_bytes" -> (payloadBytesProfile _),
     "q_multimodal_probe" -> (probeMetadata _),
-    "q_audio_frames" -> (audioFrameProfile _)
+    "q_audio_frames" -> (audioFrameProfile _),
+    "q_image_decode" -> (imageDecodeProfile _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  (doc_id % 3 = 0) AS decode_ok,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 320 + 16 ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 240 + 16 ELSE -1 END AS INT) AS height,
+        |  CASE WHEN doc_id % 3 != 0 THEN -1.0
+        |    -- closed-form mean of (x % 256) over x in [0, w): one full
+        |    -- 0..255 ramp contributes 32640, the remainder is triangular
+        |    WHEN doc_id % 320 + 16 <= 256 THEN
+        |      round((doc_id % 320 + 16 - 1) / 2.0, 4)
+        |    ELSE round(
+        |      (32640 + (doc_id % 320 + 16 - 257) * (doc_id % 320 + 16 - 256) / 2.0)
+        |        / (doc_id % 320 + 16), 4)
+        |  END AS mean_luma
+        |FROM documents WHERE doc_id % 3 != 1 ORDER BY media_id""".stripMargin,
     "q_audio_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(((n_chars % 20) * 10 + 49) // 50 AS BIGINT) AS n_frames,
