@@ -360,43 +360,64 @@ final case class LakeInsertCommand(
         raw.toDF(columns: _*)
       }
     import org.apache.spark.sql.functions.{col, lit}
-    def aligned(schema: org.apache.spark.sql.types.StructType) = {
-      val base =
-        if (columns.isEmpty) {
-          // SQL semantics: a list-less INSERT maps POSITIONALLY over the
-          // full table schema (source column names are irrelevant)
-          require(named.columns.length == schema.fields.length,
-            s"INSERT without a column list must cover every table column: " +
-              s"table has ${schema.fields.length}, source produces ${named.columns.length}")
-          named.toDF(schema.fieldNames.toIndexedSeq: _*)
-        } else {
-          // explicit list: every listed name must resolve to a table
-          // column (Delta/Spark raise an analysis error here) — silently
-          // dropping a typo'd name would discard its inserted values AND
-          // null-fill the real column with no sign anything went wrong
-          val schemaKeys = schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT)).toSet
-          val unknown = columns.filterNot(c =>
-            schemaKeys.contains(c.toLowerCase(java.util.Locale.ROOT)))
-          require(unknown.isEmpty,
-            s"INSERT column list names columns not in the table: " +
-              s"${unknown.mkString(", ")} (table columns: ${schema.fieldNames.mkString(", ")})")
-          // positional to the listed names, rest null-fill
-          val have = named.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-          val missing = schema.fields.filterNot(f =>
-            have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-          missing.foldLeft(named)((d, f) =>
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    // computeIfAbsent: generated columns — a list that omits them leaves
+    // their computation to the write path instead of null-filling (a
+    // null-fill would fail their own validation, and Delta computes here)
+    def aligned(
+        schema: org.apache.spark.sql.types.StructType,
+        computeIfAbsent: Set[String]) = {
+      if (columns.isEmpty) {
+        // SQL semantics: a list-less INSERT maps POSITIONALLY over the
+        // full (writable) table schema (source column names are
+        // irrelevant; generated values are provided and validated)
+        require(named.columns.length == schema.fields.length,
+          s"INSERT without a column list must cover every table column: " +
+            s"table has ${schema.fields.length}, source produces ${named.columns.length}")
+        named.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      } else {
+        // explicit list: every listed name must resolve to a table
+        // column (Delta/Spark raise an analysis error here) — silently
+        // dropping a typo'd name would discard its inserted values AND
+        // null-fill the real column with no sign anything went wrong
+        val schemaKeys = schema.fields.map(f => key(f.name)).toSet
+        val unknown = columns.filterNot(c => schemaKeys.contains(key(c)))
+        require(unknown.isEmpty,
+          s"INSERT column list names columns not in the table: " +
+            s"${unknown.mkString(", ")} (table columns: ${schema.fieldNames.mkString(", ")})")
+        val have = columns.map(key).toSet
+        // null-fill plain absent columns; leave absent GENERATED columns
+        // out entirely so the write computes them
+        val outFields = schema.fields.filter(f =>
+          have.contains(key(f.name)) || !computeIfAbsent.contains(key(f.name)))
+        val missing = outFields.filterNot(f => have.contains(key(f.name)))
+        missing.foldLeft(named)((d, f) =>
             d.withColumn(f.name, lit(null).cast(f.dataType)))
-        }
-      base.select(schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          .select(outFields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      }
     }
     if (graft.sources.VersionedLakeTable.isVersioned(spark, path)) {
       val t = graft.sources.VersionedLakeTable(spark, path)
-      val data = aligned(t.read.schema)
+      val data = aligned(t.read.schema, Set.empty)
       t.write(if (overwrite) data else t.read.unionByName(data))
     } else {
       val lake = LakeTable(spark, path)
-      val data = lake.tableSchema.map(aligned).getOrElse(named)
+      // identity columns are GENERATED ALWAYS: never listable, never part
+      // of the positional arity — the write assigns them
+      val ids = lake.identityColumns.keys.map(key).toSet
+      val listed = columns.filter(c => ids.contains(key(c)))
+      require(listed.isEmpty,
+        s"INSERT may not supply identity column(s) ${listed.mkString(", ")} — " +
+          "they are GENERATED ALWAYS (engine-assigned)")
+      val gens = lake.generatedColumns.keys.map(key).toSet
+      val data = lake.tableSchema.map { s =>
+        val writable = org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(f => ids.contains(key(f.name))))
+        aligned(writable, gens)
+      }.getOrElse(named)
       lake.write(data,
         if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append)

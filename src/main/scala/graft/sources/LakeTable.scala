@@ -3211,10 +3211,22 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * resolved filter condition rather than a user Column.
     */
   private[graft] def prunedFilesResolved(
-      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      resolvedIn: org.apache.spark.sql.catalyst.expressions.Expression,
       allIn: Seq[(String, String)] = null): Seq[String] = {
     val all = Option(allIn).getOrElse(listDataFiles().map(t => (t._2, t._3)))
     if (!fs.exists(new Path(statsDir))) return all.map(_._2).toSeq
+    // under column mapping, predicate pushdown rewrites filters through
+    // the logical->physical alias projection, so resolved attributes
+    // carry PHYSICAL names — while the stats table speaks LOGICAL names.
+    // Map them back or every mapped column silently stops pruning.
+    val resolved = {
+      val inv = columnMapping._1.map(_.swap)
+      if (inv.isEmpty) resolvedIn
+      else resolvedIn.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if inv.contains(a.name) => a.withName(inv(a.name))
+      }
+    }
     // the dir, not a part* glob: parquet skips _-prefixed files
     // itself, and the glob makes FileStreamSink's metadata probe
     // log a spurious FileNotFoundException warn per read

@@ -200,6 +200,20 @@ class LakeSqlDmlSpec extends SparkSpec {
     spark.sql(s"INSERT OVERWRITE graft_lake('$path') SELECT * FROM ins_src")
     assert(LakeTable(spark, path).read.collect().map(_.getLong(0)).toSeq === Seq(8L))
 
+    // generated column omitted from an explicit list COMPUTES instead of
+    // null-filling into its own validation failure (Delta behavior)
+    val gpath = tmp()
+    LakeTable(spark, gpath).write(Seq((1L, 2.0)).toDF("id", "x"))
+      .addGeneratedColumn("x2", org.apache.spark.sql.types.DoubleType, "x * 2")
+    spark.sql(s"INSERT INTO graft_lake('$gpath') (id, x) VALUES (2, 5.0)")
+    assert(LakeTable(spark, gpath).read.where(col("id") === 2)
+      .select("x2").head.getDouble(0) === 10.0)
+    // ...while EXPLICITLY provided generated values still validate
+    val eg = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_lake('$gpath') (id, x, x2) VALUES (3, 5.0, 11.0)")
+    }
+    assert(eg.getMessage.contains("generated"), eg.getMessage)
+
     // versioned layout: INTO unions into a new snapshot, history preserved
     val vpath = tmp()
     val vt = graft.sources.VersionedLakeTable(spark, vpath)

@@ -87,19 +87,28 @@ class ColumnMappingSpec extends SparkSpec {
   }
 
   test("stats rename with the column; dropped stats never mislead") {
-    val lake = fresh()
+    val root = Files.createTempDirectory("graft_cmap_stats").toString
+    val lake = LakeTable(spark, s"$root/t")
+    // key-disjoint files so the point predicate can actually prune
+    lake.write((0L until 300L).map(i => (i, i * 1.0, s"t$i")).toDF("k", "amount", "tag"))
+    lake.optimize(Seq("amount"), numFiles = Some(6))
     lake.collectStats(Seq("amount", "k"))
     lake.renameColumn("amount", "price")
-    // pruning works against the NEW name with the remapped stats
+    // pruning must WORK against the NEW name (the pushed-down filter
+    // speaks the physical name; the stats speak the logical) — not just
+    // stay correct
+    val pruned = lake.prunedFiles(col("price") === 10.0)
+    assert(pruned.length < lake.read.inputFiles.length,
+      s"rename must not disable stats pruning (${pruned.length} files)")
     assert(lake.readWhere(col("price") === 10.0).count() === 1)
     val statted = spark.read.parquet(s"${lake.path}/_graft_stats").columns
     assert(statted.exists(_.startsWith("price__graft_")))
     assert(!statted.exists(_.startsWith("amount__graft_")))
     // refreshStats keeps working after an append (spec carries old name —
     // rename committed a fresh COLLECT STATS param set)
-    lake.write(Seq((6L, 60.0, "q")).toDF("k", "price", "tag"), SaveMode.Append)
+    lake.write(Seq((1000L, 5000.0, "q")).toDF("k", "price", "tag"), SaveMode.Append)
     lake.refreshStats()
-    assert(lake.readWhere(col("price") === 60.0).count() === 1)
+    assert(lake.readWhere(col("price") === 5000.0).count() === 1)
   }
 
   test("constraint or generated references block the DDL") {

@@ -118,6 +118,22 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(lake2.identityColumns === Map("rid" -> (1L, 1L)))
   }
 
+  test("SQL INSERT works on an identity table (values engine-assigned)") {
+    val lake = fresh()
+    lake.addIdentityColumn("rid")
+    // list-less insert covers only the WRITABLE columns (not rid)
+    spark.sql(s"INSERT INTO graft_lake('${lake.path}') VALUES (10, 'x')")
+    // explicit list likewise
+    spark.sql(s"INSERT INTO graft_lake('${lake.path}') (k, v) VALUES (11, 'y')")
+    val after = ids(lake)
+    assert(after(10L) === 4L && after(11L) === 5L)
+    // naming the identity column is a clear error, not a silent drop
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_lake('${lake.path}') (k, v, rid) VALUES (12, 'z', 9)")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+  }
+
   test("update may SET other columns on an identity table") {
     val lake = fresh()
     lake.addIdentityColumn("rid")
