@@ -292,7 +292,49 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-window document chunking (the RAG / context-window prep
+    * primitive): split each document into `size`-token chunks starting
+    * every `size - overlap` tokens, so consecutive chunks share
+    * `overlap` tokens and no token is lost. Pure expression work —
+    * `slice` over the token array under an exploded chunk index — so the
+    * corpus never shuffles and the explosion is bounded by
+    * ceil(tokens/stride) rows per document.
+    */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = docs.select(
+      col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    // chunks start at i*stride for i in [0, nChunks); the last chunk
+    // covers the tail (possibly shorter than `size`)
+    val n = size_(col("toks"))
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    toks
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size_(col("chunk")).cast("bigint").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"))
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
+  def qDocChunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocuments(graft.core.Tables(spark, sfDir).documents,
+      "doc_id", "text", size = 50, overlap = 10)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   def queries: Map[String, Q] = Map(
+    "q_doc_chunks" -> (qDocChunks _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_bigram_logprob" -> (bigramLogprob _),
     "q_doc_token_dedup" -> (docTokenDedup _),
@@ -302,6 +344,17 @@ object CorpusOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |           FROM documents),
+        |x AS (SELECT doc_id, ts, len(ts) AS n,
+        |        greatest(CAST(ceil((len(ts) - 10) / 40.0) AS INT), 1) AS nc FROM t),
+        |c AS (SELECT doc_id, ts, n, unnest(generate_series(0, nc - 1)) AS i FROM x)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(50, n - i * 40) AS BIGINT) AS n_tokens,
+        |  ts[i * 40 + 1] AS first_tok,
+        |  ts[least(i * 40 + 50, n)] AS last_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |bg AS (

@@ -85,4 +85,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ppl(1L) < ppl(2L),
       s"repeated common tokens must score lower perplexity: $ppl")
   }
+
+  test("chunking covers every token with the declared overlap") {
+    import spark.implicits._
+    // 95 tokens, size 50 / overlap 10 -> stride 40: chunks at 0, 40, 80
+    val text = (0 until 95).map(i => s"w$i").mkString(" ")
+    val out = CorpusOps.chunkDocuments(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 50, 10)
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, 50L, "w0", "w49"),
+      (1L, 50L, "w40", "w89"),
+      (2L, 15L, "w80", "w94")))
+    // a short doc yields exactly one whole-doc chunk
+    val one = CorpusOps.chunkDocuments(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 50, 10)
+      .collect()
+    assert(one.length === 1 && one.head.getLong(2) === 3L)
+  }
 }
