@@ -398,6 +398,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // validate when it provides them — same contract as write()
     val ic = idCols
     requireNoIdentityProvided(updates, "upsert", ic)
+    requireNotIdentityAssigned(keys, "upsert merge keys", ic)
     val (withGen, genChecks) = applyGenerated(withNullIdentity(updates, ic))
     // materialize once: the plan feeds BOTH the anti-join key side and
     // the union, and a derived updates source would otherwise run twice.
@@ -549,6 +550,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val gc = genCols
     val ic = idCols
     requireNoIdentityProvided(source, "MERGE source", ic)
+    requireNotIdentityAssigned(keys, "MERGE keys", ic)
     require(keys.nonEmpty && keys.forall(cur.columns.contains),
       s"merge keys $keys must exist in the table")
     (whenMatched ++ whenNotMatchedBySource).foreach {
@@ -2428,10 +2430,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
   /** Fresh unique physical name for a NEW logical column whose name
     * collides with a retired physical name (see [[columnMapping]]).
     */
-  private def freshPhysical(logical: String, retired: Set[String]): String = {
+  private def freshPhysical(logical: String, usedLower: Set[String]): String = {
     var i = 1
     var cand = s"${logical}__graft_p$i"
-    while (retired.contains(cand)) { i += 1; cand = s"${logical}__graft_p$i" }
+    while (usedLower.contains(cand.toLowerCase(java.util.Locale.ROOT))) {
+      i += 1; cand = s"${logical}__graft_p$i"
+    }
     cand
   }
 
@@ -2446,9 +2450,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // a new column collides when its default physical name is already a
     // RETIRED physical (dropped column's bytes) or a LIVE mapped physical
     // (a renamed column's on-disk name) — either rebind would read the
-    // wrong column's data from old files
-    val used = retired ++ mapping.values
-    val collisions = added.filter(a => !mapping.contains(a) && used.contains(a))
+    // wrong column's data from old files. Case-INSENSITIVE, matching
+    // Spark's default parquet field resolution.
+    def k(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val used = (retired ++ mapping.values).map(k)
+    val collisions = added.filter(a => !mapping.contains(a) && used.contains(k(a)))
     if (collisions.isEmpty) return
     val newMapping = collisions.foldLeft(mapping)((m, a) =>
       m + (a -> freshPhysical(a, used)))
