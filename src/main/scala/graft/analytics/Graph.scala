@@ -135,9 +135,31 @@ object Graph {
   def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame =
     triangleCount(derivedEdges(spark, sfDir, 20000))
 
+  /** Bounded-depth reachability via SQL `WITH RECURSIVE` (Spark 4's
+    * recursive CTE support, exercised as a declared surface): min-hop
+    * distances from node 0 out to 3 hops over the derived graph, the
+    * identical statement DuckDB runs. Depth-bounded UNION ALL recursion
+    * keeps both engines' semantics byte-identical (unbounded recursive
+    * dedup differs subtly across engines); the frontier is deg^2-bounded.
+    */
+  def qReachability(spark: SparkSession, sfDir: String): DataFrame = {
+    derivedEdges(spark, sfDir, 2000).distinct()
+      .createOrReplaceTempView("graft_edges_rec")
+    spark.sql(
+      """WITH RECURSIVE reach(node, hops) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN graft_edges_rec e ON e.src = r.node
+        |  WHERE r.hops < 2)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_pagerank" -> (qPageRank _),
-    "q_triangle_count" -> (qTriangleCount _))
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_recursive_reach" -> (qReachability _))
 
   /** The oracle UNROLLS the 8 iterations as chained CTEs (a recursive CTE
     * cannot both aggregate over and re-join the working table in one
@@ -166,6 +188,18 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_recursive_reach" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |      FROM lineitem),
+        |reach(node, hops) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 2)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "q_pagerank" -> pageRankOracle(8),
     "q_triangle_count" ->
       """WITH e0 AS (SELECT DISTINCT l_orderkey % 20000 AS src, l_partkey % 20000 AS dst
