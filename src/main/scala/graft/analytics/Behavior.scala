@@ -96,13 +96,81 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** Recency-weighted engagement: each event's value decays with a 30-day
+    * half-life measured from the newest event in the table (a deterministic
+    * reference point — never wall-clock, which would break reproducibility).
+    * Age is whole UTC days via exact integer division on the canonical
+    * nano-epoch (`div`, not `/` — double division of ~1.7e18 nanos loses
+    * the day boundary to the 53-bit mantissa). The reference point is a
+    * 1-row aggregate broadcast into the scan, so the plan is one map pass
+    * plus the final per-user aggregate — no corpus shuffle beyond it.
+    */
+  def decayedEngagement(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val ev = Tables(spark, sfDir).eventsRaw
+      .select(col("user_id"), expr(s"ts div $dayNs").as("d"), col("value"))
+    val ref = ev.agg(max(col("d")).as("d_max"))
+    ev.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(col("value") *
+          pow(lit(0.5), (col("d_max") - col("d")).cast("double") / 30.0)), 4)
+          .as("decayed_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** First-order Markov transition matrix over the event stream: per-user
+    * event bigrams via lag (one shuffle keyed by user, one sort), then a
+    * global (prev, next) rollup with the row-conditional probability from
+    * a tiny window over the k×k transition counts. The heavy work is the
+    * single per-user WindowExec; the probability normalization runs on at
+    * most |event_types|² rows.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir).eventsRaw
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_next",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_anomaly_zscore" -> (anomalyZscore _),
+    "q_decayed_score" -> (decayedEngagement _),
+    "q_event_transitions" -> (eventTransitions _),
     "q_gapfill_daily" -> (gapFilledDaily _),
     "q_retention" -> (retentionCohorts _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_decayed_score" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    datediff('day', DATE '1970-01-01', ts::DATE) AS d
+        |  FROM events),
+        |m AS (SELECT max(d) AS d_max FROM e)
+        |SELECT user_id,
+        | round(sum(value * power(0.5, (m.d_max - e.d) / 30.0)), 4) AS decayed_value,
+        | count(*) AS n_events
+        |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p_next
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH scored AS (
         |  SELECT event_type, value,

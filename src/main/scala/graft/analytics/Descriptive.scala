@@ -209,7 +209,37 @@ object Descriptive {
       .orderBy(col("day"))
   }
 
+  /** Trend detection over an aggregated time series: roll orders up to
+    * (priority, month) revenue, then fit revenue-vs-month per priority
+    * with the regr_* family — slope, intercept, and r² in the same
+    * one-pass aggregate. The month axis is plain integer arithmetic,
+    * CENTERED near the data (months since 1995-01) — an uncentered
+    * epoch-month axis extrapolates the intercept to year 0, amplifying
+    * the engines' last-ulp regression differences ~24000× past any
+    * rounding tolerance. Monthly revenue is summed through DECIMAL so
+    * both engines feed the regression bit-identical y values; the
+    * regression itself then reduces ~80 months per group to three
+    * doubles. Two shuffles, both on tiny key spaces.
+    */
+  def trendRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables(spark, sfDir).orders
+      .groupBy(
+        col("o_orderpriority"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")))
+          .cast("double").as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+    monthly
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        round(regr_slope(col("rev"), col("m")), 4).as("slope"),
+        round(regr_intercept(col("rev"), col("m")), 2).as("intercept"),
+        round(regr_r2(col("rev"), col("m")), 6).as("r2"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_regr_trend" -> (trendRegression _),
     "q_stats_moments" -> (statsMoments _),
     "q_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
     "q_funnel" -> (funnel _),
@@ -219,6 +249,17 @@ object Descriptive {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_regr_trend" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) AS DOUBLE) AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, count(*) AS n_months,
+        | round(regr_slope(rev, m), 4) AS slope,
+        | round(regr_intercept(rev, m), 2) AS intercept,
+        | round(regr_r2(rev, m), 6) AS r2
+        |FROM monthly GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stats_moments" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

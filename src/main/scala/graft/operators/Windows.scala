@@ -141,7 +141,35 @@ object Windows {
         |FROM graft_win_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Running COUNT(DISTINCT) over a window — a shape Spark's WindowExec
+    * rejects outright (`DISTINCT is not supported in window functions`).
+    * The classic rewrite: flag each row that is the FIRST occurrence of its
+    * (customer, priority) pair in event order (row_number = 1 over the
+    * pair), then a running sum of flags per customer gives the number of
+    * distinct priorities seen so far. Two window specs, but both partition
+    * on keys prefixed by o_custkey, so the second sort reuses the
+    * customer-hashed exchange — one shuffle total. The orderkey tiebreak
+    * plus an explicit ROWS frame makes every prefix deterministic.
+    */
+  def runningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val wFirst = Window
+      .partitionBy(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir).orders
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L).as("first_seen"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("first_seen")).over(wRun).as("n_priorities_seen"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_window_running_distinct" -> (runningDistinct _),
     "q_window_range_interval" -> (intervalRange _),
     "q_window_trailing" -> (trailingSpend _),
     "q_window_topk_group" -> (top3OrdersPerCustomer _),
@@ -151,6 +179,20 @@ object Windows {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_window_running_distinct" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(first_seen) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n_priorities_seen
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY o_custkey, o_orderpriority
+        |        ORDER BY o_orderdate, o_orderkey) = 1
+        |      THEN 1 ELSE 0 END AS first_seen
+        |  FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_range_interval" ->
       """SELECT o_orderkey, o_custkey,
         | round(sum(o_totalprice) OVER w, 2) AS spend_30d,

@@ -585,6 +585,43 @@ object SourceQueries {
          |) ORDER BY snap""".stripMargin)
   }
 
+  /** Version diff as a first-class table tool: write orders at v0, mutate
+    * (delete + update), then diff v0 against the head with a full-outer
+    * join on the key, classifying every row added / removed / changed /
+    * unchanged with the value delta. This is the audit query every lake
+    * needs after a bad job ("what exactly did version N change?"). The
+    * diff is one shuffle join keyed on the table key — no driver state,
+    * no version materialization beyond the two file scans — and the delta
+    * sums pass through DECIMAL so the report is engine-exact. (The
+    * `added` class can't occur in this fixture — no inserts — but the
+    * classifier covers it for real histories.)
+    */
+  def lakeDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val vt = VersionedLakeTable(spark, scratch(sfDir, "orders_diff"))
+    vt.write(t.orders)
+    vt.delete(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+    vt.update(
+      Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderpriority").like("1-%"))
+    val v0 = vt.readVersion(0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p0"))
+    val cur = vt.read
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p1"))
+    v0.join(cur, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("p1").isNull, "removed")
+          .when(col("p0").isNull, "added")
+          .when(col("p0") =!= col("p1"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("change"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum((coalesce(col("p1"), lit(0.0)) - coalesce(col("p0"), lit(0.0)))
+          .cast("decimal(18,2)")).cast("double")).as("delta"))
+      .orderBy(col("change"))
+  }
+
   /** A7 depth (small-file maintenance): a base write plus three small
     * appends (together restoring full lineitem), then [[LakeTable.compactSmall]]
     * — content must be untouched by the partial consolidation. The
@@ -825,6 +862,7 @@ object SourceQueries {
     "q_lake_update" -> (lakeUpdate _),
     "q_lake_sql_dml" -> (lakeSqlDml _),
     "q_lake_named_dml" -> (lakeNamedDml _),
+    "q_lake_diff" -> (lakeDiff _),
     "q_lake_time_travel" -> (lakeTimeTravel _),
     "q_lake_schema_evolution" -> (lakeSchemaEvolution _),
     "q_lake_skipping" -> (lakeSkipping _),
@@ -899,6 +937,22 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_diff" ->
+      """WITH v0 AS (SELECT o_orderkey AS k, o_totalprice AS p0 FROM orders),
+        |cur AS (SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS p1
+        |        FROM orders
+        |        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
+        |j AS (SELECT v0.k, v0.p0, cur.p1 FROM v0 LEFT JOIN cur USING (k)),
+        |c AS (SELECT CASE WHEN p1 IS NULL THEN 'removed'
+        |                  WHEN p0 != p1 THEN 'changed'
+        |                  ELSE 'unchanged' END AS change,
+        |             ifnull(p1, 0) - ifnull(p0, 0) AS d
+        |      FROM j)
+        |SELECT change, count(*) AS n,
+        | CAST(sum(CAST(d AS DECIMAL(18,2))) AS DOUBLE) AS delta
+        |FROM c GROUP BY change ORDER BY change""".stripMargin,
     "q_lake_time_travel" ->
       """WITH v0 AS (SELECT o_totalprice AS p FROM orders),
         |v1 AS (SELECT o_totalprice AS p FROM orders

@@ -50,6 +50,55 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Int] = None
   ): DataFrame = {
+    pairScores(df, idCol, textCol, n, maxShingleDf)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        (col("common").cast("double") /
+          (col("a_sh") + col("b_sh") - col("common"))).as("jaccard")
+      )
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Containment-scored near-dup pairs: |A∩B| / min(|A|,|B|) over n-gram
+    * shingle sets (Broder's containment, the right metric when one doc
+    * SUBSUMES another — e.g. a page wrapped in boilerplate, or a doc
+    * quoted whole inside a longer one — where Jaccard is diluted by the
+    * larger doc's extra shingles and misses the pair). Same inverted-index
+    * pair join as the Jaccard path: bucketed by shingle, never all-pairs.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None
+  ): DataFrame = {
+    pairScores(df, idCol, textCol, n, maxShingleDf)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        (col("common").cast("double") / least(col("a_sh"), col("b_sh")))
+          .as("containment")
+      )
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Shared inverted-index pair stage: (a_id, a_sh, b_id, b_sh, common)
+    * for every doc pair with at least one co-occurring n-gram shingle.
+    */
+  private def pairScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDf: Option[Int]
+  ): DataFrame = {
     // materialize tokens, then shingles, at projection boundaries — lambda
     // args re-evaluate per element, so inlining tokens(text) would re-run
     // the regex split per shingle (measured 4x on this pipeline)
@@ -79,15 +128,6 @@ object Dedup {
         col("a.id").as("a_id"), col("a.n_sh").as("a_sh"),
         col("b.id").as("b_id"), col("b.n_sh").as("b_sh"))
       .agg(count(lit(1)).as("common"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        (col("common").cast("double") /
-          (col("a_sh") + col("b_sh") - col("common"))).as("jaccard")
-      )
-      .where(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** MinHash-LSH near-dup candidate pairs at jaccardDistance <= 1-threshold

@@ -73,6 +73,14 @@ object TextQueries {
       Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
       maxShingleDf = Some(4))
 
+  /** Containment near-dup: pairs where the smaller doc's 3-gram shingle
+    * set is ≥90% inside the other's — catches subsumption (quote-in-doc,
+    * boilerplate-wrapped page) that Jaccard's union denominator dilutes.
+    */
+  def ngramContainmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramContainmentPairs(
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.9)
+
   /** M3: exact cosine top-5 neighbors for query vectors vec_id < 10. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
@@ -454,6 +462,7 @@ object TextQueries {
     "q_doc_profile" -> (docProfile _),
     "q_token_topk" -> (tokenTopK _),
     "q_dedup_exact" -> (dedupExactCount _),
+    "q_ngram_containment" -> (ngramContainmentPairs _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_cosine_topk" -> (cosineTopK _),
@@ -534,6 +543,21 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_ngram_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        | round(common * 1.0 / least(la.n, lb.n), 6) AS containment
+        |FROM p
+        |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |WHERE common * 1.0 / least(la.n, lb.n) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
         |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')

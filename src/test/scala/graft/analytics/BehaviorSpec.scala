@@ -37,4 +37,42 @@ class BehaviorSpec extends SparkSpec {
       .head.getDouble(0)
     assert(z > 100, s"spike z should be extreme, got $z")
   }
+
+  test("transition probabilities are a proper distribution per prev state") {
+    val rows = Behavior.eventTransitions(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (prev, grp) =>
+      val total = grp.map(_.getDouble(3)).sum
+      // rounded to 6 decimals per row, so allow k rows' worth of slack
+      assert(math.abs(total - 1.0) < 1e-5 * grp.length + 1e-6,
+        s"p_next for prev=$prev sums to $total")
+    }
+  }
+
+  test("decayed engagement is bounded by the undecayed sum and decays with age") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val decayed = Behavior.decayedEngagement(spark, sf0001)
+    val plain = graft.core.Tables(spark, sf0001).eventsRaw
+      .groupBy(col("user_id")).agg(sum(col("value")).as("total"))
+    val joined = decayed.join(plain, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val d = r.getDouble(1); val t = r.getDouble(3)
+      assert(d <= t + 1e-6, s"decayed $d exceeds raw sum $t")
+    }
+    // synthetic: same value 30 days apart -> older event carries half weight
+    val dayNs = 86400L * 1000000000L
+    val ev = Seq((1L, 60L * dayNs, 1L, "t", 100.0), (1L, 30L * dayNs, 2L, "t", 100.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val ref = ev.agg(max(expr(s"ts div $dayNs")).as("d_max"))
+    val score = ev
+      .select(col("user_id"), expr(s"ts div $dayNs").as("d"), col("value"))
+      .crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(sum(col("value") *
+        pow(lit(0.5), (col("d_max") - col("d")).cast("double") / 30.0)).as("s"))
+      .head.getDouble(1)
+    assert(math.abs(score - 150.0) < 1e-9, s"expected 100 + 100/2, got $score")
+  }
 }

@@ -187,4 +187,35 @@ class DedupSpec extends SparkSpec {
     // random docs survive as their own singletons
     (900L until 920L).foreach(i => assert(comp(i) === i))
   }
+
+  test("containment catches subsumption that Jaccard dilutes") {
+    // doc 1 is fully contained in doc 2, but doc 2 is 4x longer: every
+    // shingle of doc 1 appears in doc 2 (containment 1.0) while the union
+    // denominator drags Jaccard far below any dedup threshold
+    val core = (1 to 10).map(i => s"w$i").mkString(" ")
+    val extra = (11 to 40).map(i => s"x$i").mkString(" ")
+    val df = Seq(
+      (1L, core),
+      (2L, s"$core $extra"),
+      (3L, (50 to 70).map(i => s"z$i").mkString(" "))
+    ).toDF("id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(cont.length === 1)
+    assert(cont.head.getLong(0) === 1L && cont.head.getLong(1) === 2L)
+    assert(cont.head.getDouble(2) === 1.0)
+    val jac = Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard must miss the subsumed pair at 0.5")
+  }
+
+  test("containment equals Jaccard on equal-size shingle sets") {
+    // identical-length docs: min(|A|,|B|) = |A| = |B|, and for the
+    // identical pair common = union, so both metrics give 1.0
+    val t = "a b c d e f g h"
+    val df = Seq((1L, t), (2L, t)).toDF("id", "text")
+    val c = Dedup.ngramContainmentPairs(df, "id", "text", 3, 0.9).head
+    val j = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.9).head
+    assert(c.getDouble(2) === 1.0 && j.getDouble(2) === 1.0)
+  }
 }
