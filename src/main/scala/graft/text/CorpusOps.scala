@@ -333,7 +333,44 @@ object CorpusOps {
       "doc_id", "text", size = 50, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** PMI collocation extraction: the top token bigrams by pointwise
+    * mutual information log(p(a,b) / (p(a)·p(b))) with marginals taken
+    * over bigram first/second positions — the classic phrase-mining /
+    * tokenizer-seeding signal (multi-word expressions score high because
+    * they co-occur far above chance). A minimum support of 5 keeps the
+    * estimator out of the hapax noise floor. Scale shape: one bigram
+    * aggregate (the only corpus-sized shuffle), two vocabulary-sized
+    * marginal rollups joined back on the bigram table, and a 1-row total
+    * broadcast; the count arithmetic stays exact in doubles (products
+    * ≪ 2^53) so both engines feed log() the identical value.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir).documents
+    val bg = docs
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val left = cnt.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val right = cnt.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+    val total = cnt.agg(sum(col("n_ab")).as("n_tot"))
+    cnt.where(col("n_ab") >= 5)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(
+        col("w1"), col("w2"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_tot") /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_pmi_collocations" -> (pmiCollocations _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_bigram_logprob" -> (bigramLogprob _),
@@ -344,6 +381,20 @@ object CorpusOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t)
+        |       WHERE ts[i] <> '' AND ts[i + 1] <> ''),
+        |cnt AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(n_ab) AS n_a FROM cnt GROUP BY 1),
+        |r AS (SELECT w2, sum(n_ab) AS n_b FROM cnt GROUP BY 1),
+        |tot AS (SELECT sum(n_ab) AS n_tot FROM cnt)
+        |SELECT w1, w2, n_ab,
+        | round(ln(n_ab::DOUBLE * n_tot / (n_a::DOUBLE * n_b)), 6) AS pmi
+        |FROM cnt JOIN l USING (w1) JOIN r USING (w2), tot
+        |WHERE n_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
     "q_doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
         |           FROM documents),
