@@ -59,19 +59,24 @@ object ZorderProbe {
     // layouts — compute each column's band once, not once per run
     val bands = (two ++ three).distinct.map(c => c -> band(c)).toMap
 
-    def run(label: String, cols: Seq[String], morton: Boolean): Unit = {
+    def run(label: String, cols: Seq[String], curve: String): Unit = {
       val path = Files.createTempDirectory("graft_zprobe").resolve("t").toString
       val lake = LakeTable(spark, path).write(li)
-      if (morton) lake.optimizeZorder(cols, numFiles = Some(32))
-      else lake.optimize(cols, numFiles = Some(32))
+      curve match {
+        case "morton"  => lake.optimizeZorder(cols, numFiles = Some(32))
+        case "hilbert" => lake.optimizeHilbert(cols, numFiles = Some(32))
+        case _         => lake.optimize(cols, numFiles = Some(32))
+      }
       val perDim = cols.map(c => f""""$c":${scannedRows(lake, bands(c))}""")
       println(s"""{"probe":"$label","cols":${cols.length},"total":$total,${perDim.mkString(",")}}""")
     }
 
-    run("linear_2d", two, morton = false)
-    run("morton_2d", two, morton = true)
-    run("linear_3d", three, morton = false)
-    run("morton_3d", three, morton = true)
+    run("linear_2d", two, "linear")
+    run("morton_2d", two, "morton")
+    run("hilbert_2d", two, "hilbert")
+    run("linear_3d", three, "linear")
+    run("morton_3d", three, "morton")
+    run("hilbert_3d", three, "hilbert")
     spark.stop()
   }
 }

@@ -2891,6 +2891,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "OPTIMIZE ZORDER", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
   }
 
+  /** Hilbert-curve clustering (the liquid-clustering curve): same stats
+    * pass + range shuffle + local sort as [[optimizeZorder]], but rows
+    * are ordered by [[ZOrder.withHilbertValue]] — consecutive curve
+    * positions are grid-adjacent, so each file's span is a compact tile
+    * rather than Z-order's diagonal-jump staircase, tightening per-file
+    * min/max boxes and improving skipping on every clustered dimension.
+    */
+  def optimizeHilbert(clusterBy: Seq[String], numFiles: Option[Int] = None): LakeTable = {
+    val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val hCol = "__graft_h"
+    val bits = math.min(16, 63 / clusterBy.length)
+    val clustered = ZOrder.withHilbertValue(read, clusterBy, bits = bits, hCol = hCol)
+      .repartitionByRange(n, col(hCol))
+      .sortWithinPartitions(col(hCol))
+      .drop(hCol)
+    rewrite(clustered,
+      "OPTIMIZE HILBERT", Map("clusterBy" -> clusterBy.mkString(","), "numFiles" -> n.toString))
+  }
+
   /** Optimistic-concurrency check (Delta's ConcurrentModificationException
     * contract): a staged rewrite derives its output from the version it
     * read; if another writer committed while the stage was being built,

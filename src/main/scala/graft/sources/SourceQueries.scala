@@ -75,6 +75,27 @@ object SourceQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** A7 depth: content invariance under Hilbert-curve clustering — the
+    * [[LakeTable.optimizeHilbert]] rewrite reorders every row, so the
+    * decimal-summed per-brand rollup proves the curve reshuffle is pure
+    * layout (same discipline as q_lake_zorder; the curve itself is pinned
+    * bijective + grid-adjacent in HilbertSpec).
+    */
+  def lakeHilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "part_hilbert"))
+    lake.write(t.part)
+    lake.optimizeHilbert(Seq("p_size", "p_retailprice"), numFiles = Some(4))
+    lake.read
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+        sum(col("p_size")).as("total_size")
+      )
+      .orderBy(col("p_brand"))
+  }
+
   /** A1: CSV landing-zone ingest with header + schema inference — export
     * nation to CSV, re-ingest, prove schema+content parity with the
     * parquet original.
@@ -852,6 +873,7 @@ object SourceQueries {
     "q_lake_roundtrip" -> (lakeRoundtrip _),
     "q_lake_optimize_cluster" -> (lakeOptimizeCluster _),
     "q_lake_zorder" -> (lakeZorder _),
+    "q_lake_hilbert" -> (lakeHilbert _),
     "q_lake_partitioned" -> (lakePartitioned _),
     "q_lake_merge" -> (lakeMerge _),
     "q_lake_merge_conditional" -> (lakeMergeConditional _),
@@ -888,6 +910,11 @@ object SourceQueries {
         | round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_lake_zorder" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | CAST(sum(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_lake_hilbert" ->
       """SELECT p_brand, count(*) AS n,
         | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         | CAST(sum(p_size) AS BIGINT) AS total_size

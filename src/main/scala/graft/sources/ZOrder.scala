@@ -44,6 +44,34 @@ object ZOrder {
       cols: Seq[String],
       bits: Int = 16,
       zCol: String = "__z"
+  ): DataFrame =
+    withCurveValue(df, cols, bits, zCol, scaled => interleave(scaled, bits))
+
+  /** Append a Hilbert-curve value column over numeric columns — same
+    * min/max rank scaling as [[withZValue]], combined through
+    * [[graft.functions.Hilbert.hilbertIndex]] instead of the Morton
+    * interleave. Consecutive curve positions are grid-adjacent, so sorted
+    * file spans tile more compactly than Z-order's diagonal jumps.
+    */
+  def withHilbertValue(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      hCol: String = "__h"
+  ): DataFrame =
+    withCurveValue(df, cols, bits, hCol,
+      scaled => graft.functions.Hilbert.hilbertIndex(scaled, bits))
+
+  /** Shared scaling stage: min/max-rank each column to `bits` bits (1-row
+    * broadcast stats, no driver action), then combine ranks into a single
+    * curve value with `combine`.
+    */
+  private def withCurveValue(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      outCol: String,
+      combine: Seq[Column] => Column
   ): DataFrame = {
     val maxRank = (1L << bits) - 1
     val statCols = cols.flatMap(c => Seq(
@@ -60,7 +88,7 @@ object ZOrder {
         lit(0L))
     }
     df.crossJoin(broadcast(stats))
-      .withColumn(zCol, interleave(scaled, bits))
+      .withColumn(outCol, combine(scaled))
       .drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
   }
 }
