@@ -28,6 +28,7 @@ import graft.sources.{LakeTable, MergeClause}
   * ALTER TABLE graft_lake('/p') ADD COLUMNS (score DOUBLE)
   * ALTER TABLE graft_lake('/p') ADD CONSTRAINT pos CHECK (v > 0)
   * OPTIMIZE graft_lake('/p') ZORDER BY (id, day)
+  * OPTIMIZE graft_lake('/p') HILBERT BY (id, day)
   * OPTIMIZE graft_lake('/partitioned') WHERE day = '2024-06-01'
   * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
@@ -161,11 +162,13 @@ final case class LakeUpdateCommand(path: String, set: Seq[(String, Column)], con
   }
 }
 
-/** `OPTIMIZE graft_lake(path) [ZORDER BY (c1, c2, …)]` — linear range
-  * clustering without ZORDER BY (Delta's compaction), Morton
-  * bit-interleave clustering with it; versioned tables cluster into a
-  * new snapshot. `VACUUM graft_lake(path) [RETAIN <n> VERSIONS]` —
-  * crash-debris GC on plain tables, snapshot retention on versioned.
+/** `OPTIMIZE graft_lake(path) [ZORDER BY (c1, …) | HILBERT BY (c1, …)]`
+  * — linear range clustering without a BY clause (Delta's compaction),
+  * Morton bit-interleave clustering with ZORDER BY, Hilbert-curve
+  * clustering with HILBERT BY ([[graft.sources.LakeTable.optimizeHilbert]]);
+  * versioned tables cluster into a new snapshot. `VACUUM graft_lake(path)
+  * [RETAIN <n> VERSIONS]` — crash-debris GC on plain tables, snapshot
+  * retention on versioned.
   */
 final case class LakeMaintenanceCommand(
     path: String,
@@ -173,15 +176,21 @@ final case class LakeMaintenanceCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val versioned = graft.sources.VersionedLakeTable.isVersioned(spark, path)
     op match {
-      case LakeMaintenanceCommand.Optimize(Seq()) if versioned =>
+      case LakeMaintenanceCommand.Optimize(Seq(), _) if versioned =>
         throw new IllegalArgumentException(
           "OPTIMIZE on a versioned table needs ZORDER BY columns (its optimize " +
             "clusters by the given keys into a new snapshot)")
-      case LakeMaintenanceCommand.Optimize(cols) if versioned =>
+      case LakeMaintenanceCommand.Optimize(_, true) if versioned =>
+        throw new IllegalArgumentException(
+          "HILBERT BY clustering applies to plain lake tables; versioned " +
+            "tables cluster snapshots via OPTIMIZE … ZORDER BY")
+      case LakeMaintenanceCommand.Optimize(cols, _) if versioned =>
         graft.sources.VersionedLakeTable(spark, path).optimize(cols)
-      case LakeMaintenanceCommand.Optimize(Seq()) =>
+      case LakeMaintenanceCommand.Optimize(Seq(), _) =>
         LakeTable(spark, path).compact()
-      case LakeMaintenanceCommand.Optimize(cols) =>
+      case LakeMaintenanceCommand.Optimize(cols, true) =>
+        LakeTable(spark, path).optimizeHilbert(cols)
+      case LakeMaintenanceCommand.Optimize(cols, false) =>
         LakeTable(spark, path).optimizeZorder(cols)
       case LakeMaintenanceCommand.OptimizeWhere(_) if versioned =>
         throw new IllegalArgumentException(
@@ -212,7 +221,7 @@ final case class LakeMaintenanceCommand(
 
 object LakeMaintenanceCommand {
   sealed trait Op
-  final case class Optimize(zorderBy: Seq[String]) extends Op
+  final case class Optimize(clusterBy: Seq[String], hilbert: Boolean = false) extends Op
   final case class OptimizeWhere(partitionCond: org.apache.spark.sql.Column) extends Op
   final case class Vacuum(retainVersions: Option[Int]) extends Op
   final case class VacuumChanges(retainVersions: Int) extends Op
@@ -637,28 +646,31 @@ object LakeSqlDml {
     val path = p.lakeTarget().getOrElse(return None)
     val where =
       if (p.eat("WHERE"))
-        Some(p.expr(p.slice(Set("ZORDER"), "OPTIMIZE WHERE predicate")))
+        Some(p.expr(p.slice(Set("ZORDER", "HILBERT"), "OPTIMIZE WHERE predicate")))
       else None
-    val cols =
-      if (p.eat("ZORDER")) {
-        p.expect("BY", "in OPTIMIZE … ZORDER")
-        if (!p.eatPunct("(")) p.fail("expected ( after ZORDER BY")
-        val names = Seq.newBuilder[String]
-        names += p.identifier("zorder column").mkString(".")
-        while (p.eatPunct(",")) names += p.identifier("zorder column").mkString(".")
-        if (!p.eatPunct(")")) p.fail("unclosed ZORDER BY column list")
-        names.result()
-      } else Seq.empty
+    def colList(kw: String): Seq[String] = {
+      p.expect("BY", s"in OPTIMIZE … $kw")
+      if (!p.eatPunct("(")) p.fail(s"expected ( after $kw BY")
+      val names = Seq.newBuilder[String]
+      names += p.identifier(s"${kw.toLowerCase} column").mkString(".")
+      while (p.eatPunct(",")) names += p.identifier(s"${kw.toLowerCase} column").mkString(".")
+      if (!p.eatPunct(")")) p.fail(s"unclosed $kw BY column list")
+      names.result()
+    }
+    val (cols, hilbert) =
+      if (p.eat("ZORDER")) (colList("ZORDER"), false)
+      else if (p.eat("HILBERT")) (colList("HILBERT"), true)
+      else (Seq.empty[String], false)
     p.done("OPTIMIZE")
     where match {
       case Some(w) =>
         if (cols.nonEmpty) p.fail(
           "OPTIMIZE … WHERE compacts whole partitions and does not combine " +
-            "with ZORDER BY (cluster the partition's rows via the API instead)")
+            "with ZORDER BY / HILBERT BY (cluster the partition's rows via the API instead)")
         Some(LakeMaintenanceCommand(path,
           LakeMaintenanceCommand.OptimizeWhere(org.apache.spark.sql.GraftBridge.column(w))))
       case None =>
-        Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Optimize(cols)))
+        Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.Optimize(cols, hilbert)))
     }
   }
 

@@ -299,9 +299,12 @@ class LakeSqlDmlSpec extends SparkSpec {
     assert(LakeTable(spark, path).read.orderBy("id").collect().map(_.toSeq).toSeq === before)
     spark.sql(s"OPTIMIZE graft_lake('$path') ZORDER BY (id, v)")
     assert(LakeTable(spark, path).read.orderBy("id").collect().map(_.toSeq).toSeq === before)
+    spark.sql(s"OPTIMIZE graft_lake('$path') HILBERT BY (id, v)")
+    assert(LakeTable(spark, path).read.orderBy("id").collect().map(_.toSeq).toSeq === before)
     val ops = LakeTable(spark, path).history.select("operation")
       .collect().map(_.getString(0))
-    assert(ops.exists(_.startsWith("OPTIMIZE")), ops.toSeq)
+    assert(ops.exists(_.startsWith("OPTIMIZE ZORDER")), ops.toSeq)
+    assert(ops.exists(_.startsWith("OPTIMIZE HILBERT")), ops.toSeq)
     spark.sql(s"VACUUM graft_lake('$path')") // debris GC, content untouched
     assert(LakeTable(spark, path).read.count() === 4)
 
@@ -321,6 +324,9 @@ class LakeSqlDmlSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       spark.sql(s"VACUUM graft_lake('$path') RETAIN 2 VERSIONS")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE graft_lake('$vpath') HILBERT BY (id)")
     }
   }
 
