@@ -146,10 +146,16 @@ object Windows {
     * The classic rewrite: flag each row that is the FIRST occurrence of its
     * (customer, priority) pair in event order (row_number = 1 over the
     * pair), then a running sum of flags per customer gives the number of
-    * distinct priorities seen so far. Two window specs, but both partition
-    * on keys prefixed by o_custkey, so the second sort reuses the
-    * customer-hashed exchange — one shuffle total. The orderkey tiebreak
-    * plus an explicit ROWS frame makes every prefix deterministic.
+    * distinct priorities seen so far. The two window specs partition on
+    * DIFFERENT key sets — (custkey, priority) then (custkey) — which
+    * EnsureRequirements would naively plan as two hash exchanges, because
+    * hash(custkey, priority) does NOT satisfy clustering on custkey
+    * alone. The explicit repartition on the shared PREFIX key flips
+    * that: hash(custkey) co-locates every (custkey, priority) group too
+    * (subset-satisfies), so BOTH windows run off one exchange with only
+    * a per-partition re-sort between them (plan-asserted in PlanSpec).
+    * The orderkey tiebreak plus an explicit ROWS frame makes every
+    * prefix deterministic.
     */
   def runningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val wFirst = Window
@@ -159,6 +165,7 @@ object Windows {
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(spark, sfDir).orders
+      .repartition(col("o_custkey"))
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L).as("first_seen"))

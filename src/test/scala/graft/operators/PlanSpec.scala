@@ -70,6 +70,14 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).size == 1, p)
   }
 
+  test("running distinct-count: both window specs run off ONE hash exchange") {
+    // hash(custkey, priority) does not satisfy clustering on custkey, so
+    // without the explicit prefix repartition this plan pays two shuffles
+    val p = plan(Windows.runningDistinct(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+  }
+
   test("gap-fill joins the dense calendar by broadcast, never shuffling the fact side") {
     val p = finalPlan(graft.analytics.Behavior.gapFilledDaily(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
