@@ -78,6 +78,14 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).size == 2, p)
   }
 
+  test("decayed engagement broadcasts the 1-row reference, one data shuffle") {
+    val p = finalPlan(graft.analytics.Behavior.decayedEngagement(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchange is the per-user aggregate; the event scan
+    // itself never shuffles before the weighting map
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("gap-fill joins the dense calendar by broadcast, never shuffling the fact side") {
     val p = finalPlan(graft.analytics.Behavior.gapFilledDaily(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
