@@ -65,7 +65,8 @@ object ZorderProbe {
       curve match {
         case "morton"  => lake.optimizeZorder(cols, numFiles = Some(32))
         case "hilbert" => lake.optimizeHilbert(cols, numFiles = Some(32))
-        case _         => lake.optimize(cols, numFiles = Some(32))
+        case "linear"  => lake.optimize(cols, numFiles = Some(32))
+        case other     => sys.error(s"unknown curve: $other")
       }
       val perDim = cols.map(c => f""""$c":${scannedRows(lake, bands(c))}""")
       println(s"""{"probe":"$label","cols":${cols.length},"total":$total,${perDim.mkString(",")}}""")

@@ -98,6 +98,54 @@ private[sources] object CommitLog {
     r.substring(i, j).trim.toLong
   }
 
+  /** One parsed commit record — the driver-side view OCC conflict
+    * resolution reads to classify interloping commits (Delta VLDB'20
+    * §3.2 re-checks LOGICAL conflict after losing the version race).
+    */
+  final case class CommitRecord(
+      version: Long, operation: String, params: Map[String, String])
+
+  /** Read the quoted string whose opening `"` is at or after `from`,
+    * honoring backslash escapes; returns (unescaped value, index after
+    * the closing quote).
+    */
+  private def quoted(r: String, from: Int): (String, Int) = {
+    val start = r.indexOf('"', from) + 1
+    var i = start
+    while (r(i) != '"') { if (r(i) == '\\') i += 2 else i += 1 }
+    (unesc(r.substring(start, i)), i + 1)
+  }
+
+  /** Parse one record serialized by [[append]] — this object's exact
+    * shape (leading unquoted version, [[esc]]'d keys and values), not
+    * general JSON; the log never holds records from any other writer.
+    */
+  private[sources] def parseRecord(r: String): CommitRecord = {
+    val opAt = r.indexOf("\"operation\":")
+    val (op, afterOp) = quoted(r, opAt + "\"operation\":".length - 1)
+    var i = r.indexOf('{', r.indexOf("\"operationParameters\":", afterOp)) + 1
+    val params = Map.newBuilder[String, String]
+    var scanning = true
+    while (scanning) {
+      while (r(i) == ',' || r(i) == ' ') i += 1
+      if (r(i) == '}') scanning = false
+      else {
+        val (k, a) = quoted(r, i)
+        val (v, b) = quoted(r, a) // skips the `:` to the value's quote
+        params += k -> v
+        i = b
+      }
+    }
+    CommitRecord(recordVersion(r), op, params.result())
+  }
+
+  /** Every commit record with version >= `from`, parsed — the interloper
+    * list an OCC loser inspects before deciding rebase-or-fail. O(commits
+    * since the last checkpoint) file reads, same as any log read.
+    */
+  def recordsSince(fs: FileSystem, logDir: Path, from: Long): Seq[CommitRecord] =
+    records(fs, logDir).map(parseRecord).filter(_.version >= from)
+
   /** Fold every record `<= v` into `<v>.checkpoint` (write-temp-then-
     * rename, so readers only ever see a complete checkpoint), then
     * delete the per-commit files it covers. Failures are swallowed: a

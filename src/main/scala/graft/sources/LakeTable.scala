@@ -259,7 +259,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
   private def overwritePartitionsOp(
       df: DataFrame, partitionCols: Seq[String],
-      op: String, params: Map[String, String]): LakeTable = {
+      op: String, params: Map[String, String],
+      occBase: Option[Long] = None): LakeTable = {
     require(!isShallowClone,
       s"dynamic partition overwrite on a flat-layout shallow clone would mix " +
         "layouts — materialize() first")
@@ -273,14 +274,69 @@ final class LakeTable(spark: SparkSession, val path: String) {
       enforceSchema(withGen, appendLike = true, mergeSchema = false, overwriteSchema = false)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
+    // partition-scoped OCC: the batch's partition values ARE this op's
+    // logical write set — record them in the commit and check interlopers
+    // for overlap before anything is mutated (and again, loudly, after)
+    val occExpected = occBase.getOrElse(CommitLog.nextVersion(fs, logDir))
+    val touched = touchedPartitions(toWrite, partitionCols)
+    occCheckPartitions(occExpected, touched, op, mutated = false)
     toPhysical(toWrite).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols.map(physicalOf): _*)
       .parquet(path)
+    occCheckPartitions(occExpected, touched, op, mutated = true)
     saveSchema(schema)
-    commit(op, params ++ idParams)
+    commit(op, params ++ idParams +
+      ("occPartitions" -> touched.toSeq.sorted.mkString("\u0001")))
     this
+  }
+
+  /** Hive-style rendering of the partition values present in `df` — the
+    * logical write set of a dynamic partition overwrite, recorded in the
+    * commit (`occPartitions`) and intersected for conflict. One
+    * column-pruned distinct over the batch, bounded by the partition
+    * count (for [[optimizeWhere]] the input is already checkpointed, so
+    * this costs a metadata-sized job).
+    */
+  private def touchedPartitions(
+      df: DataFrame, partitionCols: Seq[String]): Set[String] =
+    df.select(partitionCols.map(c => col(c).cast("string")).toIndexedSeq: _*)
+      .distinct().collect()
+      .map(r => partitionCols.indices.map(i =>
+        s"${partitionCols(i)}=${if (r.isNullAt(i)) "__null__" else r.getString(i)}")
+        .mkString("/"))
+      .toSet
+
+  /** Partition-scoped OCC for the dynamic-overwrite path (Delta VLDB'20
+    * §3.2 applied per partition): an interloper that recorded a DISJOINT
+    * `occPartitions` write set is logically compatible — two
+    * `optimizeWhere` jobs on different days' partitions both land.
+    * Anything else (overlap, or an op with no recorded write set — an
+    * append, a full rewrite) conflicts. Checked BEFORE the data write
+    * (clean abort, nothing mutated) and re-checked before the commit —
+    * a conflict surfacing only then fails loudly AFTER the partitions
+    * were replaced, which still beats the silent lost update; the
+    * residual window to the commit itself is the same metadata-only
+    * window [[occCheck]] documents.
+    */
+  private def occCheckPartitions(
+      expected: Long, touched: Set[String], op: String, mutated: Boolean): Unit = {
+    val conflicting = CommitLog.recordsSince(fs, logDir, expected).filterNot { rec =>
+      rec.params.get("occPartitions").exists(ps =>
+        ps.split('\u0001').filter(_.nonEmpty).toSet.intersect(touched).isEmpty)
+    }
+    if (conflicting.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $path conflicts with concurrent commit(s) " +
+          conflicting.map(r => s"v${r.version} ${r.operation}").mkString(", ") +
+          s" on partitions of ${touched.mkString(", ")}" +
+          (if (mutated)
+            " — detected after this operation's partitions were already " +
+              "replaced; reconcile from history (the commit was NOT recorded)"
+          else
+            " — aborted before any data was written; retry against the " +
+              "current table state"))
   }
 
   /** Partition columns of a Hive-layout table, detected from the
@@ -330,6 +386,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(refs.nonEmpty && refs.forall(n => partCols.exists(_.equalsIgnoreCase(n))),
       s"OPTIMIZE WHERE predicate may reference only partition columns " +
         s"${partCols.mkString(", ")} (got ${refs.mkString(", ")})")
+    // OCC base BEFORE the snapshot read below: a commit landing during
+    // the checkpoint must be seen as an interloper by the partition check
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
     // localCheckpoint cuts the lineage to the files being replaced (the
     // writer refuses to overwrite a path its plan still reads); the
     // materialized set is only the affected partitions
@@ -338,7 +397,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .localCheckpoint(true)
     overwritePartitionsOp(compacted, partCols, "OPTIMIZE WHERE",
       Map("partitionBy" -> partCols.mkString(","),
-        "predicate" -> partitionCond.toString))
+        "predicate" -> partitionCond.toString), occBase)
   }
 
   /** The merge target under optional schema evolution (Delta's `MERGE
@@ -1150,7 +1209,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       op: String, params: Map[String, String],
       changeVersion: Option[Long],
       alwaysTransform: Boolean,
-      occBase: Option[Long] = None): LakeTable = {
+      occBase: Option[Long] = None,
+      rebaseBaseFiles: Option[Set[String]] = None): LakeTable = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     // same OCC contract as rewrite(): the affected/untouched file split
     // and the transform's input derive from the caller's snapshot
@@ -1200,14 +1260,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
     val clash = untouched.map(_._1).filter(stagedNames.contains)
     require(clash.isEmpty, s"staged rewrite produced colliding file names: $clash")
-    try occCheck(occExpected, staged, op)
-    catch {
-      case e: Throwable =>
-        try changeVersion.foreach(v => fs.delete(
-          new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
-        catch { case r: Throwable => e.addSuppressed(r) }
-        throw e
-    }
+    onStagedForTest()
+    val rebased =
+      try occResolve(occExpected, staged, op, rebaseBaseFiles)
+      catch {
+        case e: Throwable =>
+          try changeVersion.foreach(v => fs.delete(
+            new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
+    require(!rebased.exists(stagedNames.contains),
+      s"staged rewrite collides with concurrently appended files: " +
+        rebased.filter(stagedNames.contains).mkString(", "))
     // the stats dir rides the swap too: untouched files return to their
     // exact original paths, so their stats rows stay valid and skipping
     // keeps working after a selective rewrite (rows for replaced files
@@ -1219,11 +1284,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // replaced files become harmless orphans (no new file can reuse a
     // UUID-suffixed name)
     writeManifest(staged,
-      untouched.map(_._1) :+ LakeTable.StatsDirName :+ LakeTable.DvDirName, op, params)
+      (untouched.map(_._1) ++ rebased) :+ LakeTable.StatsDirName :+ LakeTable.DvDirName,
+      op, params)
     completeSwap(staged): Unit // same-process completion: commit inline below
-    val actual = commit(op, params +
-      ("filesRewritten" -> affected.size.toString,
-        "filesKept" -> untouched.size.toString))
+    val actual = commit(op, params ++
+      Map("filesRewritten" -> affected.size.toString,
+        "filesKept" -> untouched.size.toString) ++
+      (if (rebased.nonEmpty) Map("filesRebased" -> rebased.size.toString)
+       else Map.empty))
     changeVersion.foreach { predicted =>
       if (predicted != actual) {
         val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
@@ -1256,6 +1324,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // a shallow clone's referenced files aren't locally listable — the
     // full compact reads through the manifest and detaches the clone
     if (isShallowClone) return compact(targetFileBytes)
+    // base version before the listing — see maintenanceRewrite
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val all = listDataFiles()
     require(!all.exists(_._1.contains("/")),
       s"$path has a partitioned layout; compact per partition via optimizeWhere")
@@ -1275,7 +1345,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "COMPACT SMALL",
         Map("minFileBytes" -> minFileBytes.toString,
           "targetFileBytes" -> targetFileBytes.toString),
-        changeVersion = None, alwaysTransform = false)
+        changeVersion = None, alwaysTransform = false, occBase = occBase,
+        rebaseBaseFiles = Some(all.map(_._1).toSet))
   }
 
   /** Materialize a change set under `_graft_changes/v<N>` where N is the
@@ -2820,11 +2891,34 @@ final class LakeTable(spark: SparkSession, val path: String) {
   def optimize(zorderBy: Seq[String], numFiles: Option[Int] = None): LakeTable = {
     val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val cols = zorderBy.map(col)
-    val clustered = read
-      .repartitionByRange(n, cols: _*)
-      .sortWithinPartitions(cols: _*)
-    rewrite(clustered,
-      "OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
+    maintenanceRewrite(
+      "OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString),
+      _.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** Shared shape of every content-preserving reorganization (compact /
+    * the three optimize curves): pin the input to the file list captured
+    * at entry (the rewrite is a pure function of exactly those files),
+    * stage, and swap with OCC RESOLUTION — a version race lost only to
+    * pure appends rebases (the appended files ride the manifest through
+    * untouched, see [[occResolve]]) instead of failing. Shallow clones
+    * (referenced files aren't locally listable) and Hive-partitioned
+    * layouts fall back to the strict whole-table [[rewrite]].
+    */
+  private def maintenanceRewrite(
+      op: String, params: Map[String, String],
+      transform: DataFrame => DataFrame): LakeTable = {
+    if (isShallowClone || partitionColumns().nonEmpty)
+      return rewrite(transform(read), op, params)
+    // base version BEFORE the listing: a commit landing between the two
+    // shows up as an interloper AND its files as rebase candidates —
+    // never silently dropped, never double-counted (the staged input
+    // reads exactly the listed files, not a re-listing)
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
+    val base = listDataFiles()
+    swapSelective(base, Seq.empty, transform, op, params,
+      changeVersion = None, alwaysTransform = true, occBase = occBase,
+      rebaseBaseFiles = Some(base.map(_._1).toSet))
   }
 
   /** Size-targeted compaction: pick the output file count from the
@@ -2865,8 +2959,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     else {
       // no cluster keys: plain coalesce-style rewrite, no shuffle order
       // requirements — repartition for even file sizes
-      rewrite(read.repartition(n), "COMPACT",
-        Map("targetFileBytes" -> targetFileBytes.toString, "numFiles" -> n.toString))
+      maintenanceRewrite("COMPACT",
+        Map("targetFileBytes" -> targetFileBytes.toString, "numFiles" -> n.toString),
+        _.repartition(n))
     }
   }
 
@@ -2883,12 +2978,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // interleaved value always fits a long (Delta ZORDER commonly takes
     // 3-5 columns; 63/4 = 15 bits is still ample for file tiling)
     val bits = math.min(16, 63 / zorderBy.length)
-    val clustered = ZOrder.withZValue(read, zorderBy, bits = bits, zCol = zCol)
-      .repartitionByRange(n, col(zCol))
-      .sortWithinPartitions(col(zCol))
-      .drop(zCol)
-    rewrite(clustered,
-      "OPTIMIZE ZORDER", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString))
+    maintenanceRewrite(
+      "OPTIMIZE ZORDER", Map("zOrderBy" -> zorderBy.mkString(","), "numFiles" -> n.toString),
+      d => ZOrder.withZValue(d, zorderBy, bits = bits, zCol = zCol)
+        .repartitionByRange(n, col(zCol))
+        .sortWithinPartitions(col(zCol))
+        .drop(zCol))
   }
 
   /** Hilbert-curve clustering (the liquid-clustering curve): same stats
@@ -2902,12 +2997,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val hCol = "__graft_h"
     val bits = math.min(16, 63 / clusterBy.length)
-    val clustered = ZOrder.withHilbertValue(read, clusterBy, bits = bits, hCol = hCol)
-      .repartitionByRange(n, col(hCol))
-      .sortWithinPartitions(col(hCol))
-      .drop(hCol)
-    rewrite(clustered,
-      "OPTIMIZE HILBERT", Map("clusterBy" -> clusterBy.mkString(","), "numFiles" -> n.toString))
+    maintenanceRewrite(
+      "OPTIMIZE HILBERT",
+      Map("clusterBy" -> clusterBy.mkString(","), "numFiles" -> n.toString),
+      d => ZOrder.withHilbertValue(d, clusterBy, bits = bits, hCol = hCol)
+        .repartitionByRange(n, col(hCol))
+        .sortWithinPartitions(col(hCol))
+        .drop(hCol))
   }
 
   /** Optimistic-concurrency check (Delta's ConcurrentModificationException
@@ -2930,6 +3026,50 @@ final class LakeTable(spark: SparkSession, val path: String) {
           s"version ${expected - 1}, table is now at ${now - 1} — retry the " +
           "operation against the current table state")
     }
+  }
+
+  /** A commit that only ADDED files — existing files (and the rows in
+    * them) are untouched, so it cannot logically conflict with a
+    * content-preserving reorganization of the pre-existing files.
+    * Streaming-sink batches and COPY INTO both land as WRITE APPEND.
+    */
+  private def isPureAppend(rec: CommitLog.CommitRecord): Boolean =
+    rec.operation == "WRITE APPEND"
+
+  /** Test seam: runs after the stage is built, immediately before the
+    * OCC decision — OccSpec parks here to land a deterministic
+    * interloping commit. No-op in production.
+    */
+  private[sources] var onStagedForTest: () => Unit = () => ()
+
+  /** OCC with logical conflict RESOLUTION (Delta VLDB'20 §3.2): after
+    * losing the version race, re-read the interloping commits instead of
+    * failing outright. When the caller declared its staged output a
+    * content-preserving function of exactly `baseFiles` (compaction /
+    * clustering — never DML, whose read set is the whole table) and
+    * every interloper is a pure append, the commits are logically
+    * disjoint: the appended files (current listing minus base) are
+    * returned for the caller to pass through the swap manifest untouched,
+    * and both operations land. Anything else — a DML interloper, or an
+    * op that never declared its base — deletes the stage and fails the
+    * LATER writer, exactly the strict [[occCheck]] contract. At 100 TB
+    * this is what lets a compaction cadence coexist with streaming
+    * sinks instead of retry-storming against them.
+    */
+  private def occResolve(
+      expected: Long, staged: Path, op: String,
+      baseFiles: Option[Set[String]]): Seq[String] = {
+    val now = CommitLog.nextVersion(fs, logDir)
+    if (now == expected) return Nil
+    val compatible = baseFiles.isDefined && {
+      val interlopers = CommitLog.recordsSince(fs, logDir, expected)
+      interlopers.nonEmpty && interlopers.forall(isPureAppend)
+    }
+    if (!compatible) occCheck(expected, staged, op) // deletes stage + throws
+    // the rebase set: files on disk now that the stage did not derive
+    // from. Pure appends never remove files, so base - current = empty
+    // and current - base = exactly the concurrent additions.
+    listDataFiles().map(_._1).filterNot(baseFiles.get.contains).sorted
   }
 
   /** Stage the clustered rewrite to a sibling dir, then swap — avoids

@@ -613,9 +613,10 @@ object SourceQueries {
     * needs after a bad job ("what exactly did version N change?"). The
     * diff is one shuffle join keyed on the table key — no driver state,
     * no version materialization beyond the two file scans — and the delta
-    * sums pass through DECIMAL so the report is engine-exact. (The
-    * `added` class can't occur in this fixture — no inserts — but the
-    * classifier covers it for real histories.)
+    * sums pass through DECIMAL so the report is engine-exact. The fixture
+    * mutates all four ways — delete, update, AND an insert batch of
+    * brand-new keys — so every classifier branch carries rows and a
+    * swapped null-check would break the hash.
     */
   def lakeDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
@@ -625,6 +626,11 @@ object SourceQueries {
     vt.update(
       Map("o_totalprice" -> (col("o_totalprice") * 2)),
       col("o_orderpriority").like("1-%"))
+    // Insert: key-shifted clones of every 100th original order become one
+    // more version, so the head holds keys v0 never saw.
+    vt.write(vt.read.unionByName(
+      t.orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))))
     val v0 = vt.readVersion(0)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("p0"))
     val cur = vt.read
@@ -970,9 +976,13 @@ object SourceQueries {
         |         CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice * 2
         |              ELSE o_totalprice END AS p1
         |        FROM orders
-        |        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
-        |j AS (SELECT v0.k, v0.p0, cur.p1 FROM v0 LEFT JOIN cur USING (k)),
+        |        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        |        UNION ALL
+        |        SELECT o_orderkey + 10000000 AS k, o_totalprice AS p1
+        |        FROM orders WHERE o_orderkey % 100 = 0),
+        |j AS (SELECT v0.p0, cur.p1 FROM v0 FULL JOIN cur USING (k)),
         |c AS (SELECT CASE WHEN p1 IS NULL THEN 'removed'
+        |                  WHEN p0 IS NULL THEN 'added'
         |                  WHEN p0 != p1 THEN 'changed'
         |                  ELSE 'unchanged' END AS change,
         |             ifnull(p1, 0) - ifnull(p0, 0) AS d

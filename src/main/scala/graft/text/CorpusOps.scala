@@ -69,6 +69,10 @@ object CorpusOps {
     val docs = Tables(spark, sfDir).documents
     def bigrams(d: org.apache.spark.sql.DataFrame) = d
       .select(col("doc_id"), toks(col("text")).as("ts"))
+      // A 0-or-1-token doc has no transitions; without this guard
+      // sequence(1, 0) steps DOWNWARD to [1, 0] and element_at(ts, 0)
+      // throws INVALID_INDEX_OF_ZERO at runtime.
+      .where(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ts) - 1), " +
           "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("bg"))
@@ -348,6 +352,9 @@ object CorpusOps {
     val docs = Tables(spark, sfDir).documents
     val bg = docs
       .select(col("doc_id"), toks(col("text")).as("ts"))
+      // Same sequence(1, 0)-descends guard as [[bigramLogprob]]: a
+      // single-token doc would otherwise crash the whole query.
+      .where(size(col("ts")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ts) - 1), " +
           "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("bg"))

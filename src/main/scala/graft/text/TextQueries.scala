@@ -260,7 +260,9 @@ object TextQueries {
     val rules = Bpe.loadMerges(spark, path)
     Bpe.encodeScalable(Tables(spark, sfDir).documents, "text", rules)
       .select(col("doc_id"), size(col("bpe_tokens")).as("n_tokens"),
-        slice(col("bpe_tokens"), 1, 8).as("head_tokens"))
+        // Joined to a flat string (the q_array_agg convention): the
+        // driver's pandas canonicalizer cannot sort array cells.
+        concat_ws(" ", slice(col("bpe_tokens"), 1, 8)).as("head_tokens"))
       .orderBy(col("doc_id"))
   }
 

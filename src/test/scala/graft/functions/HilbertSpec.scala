@@ -68,6 +68,12 @@ class HilbertSpec extends SparkSpec {
     val df = Seq((7L, 11L, 3L)).toDF("x", "y", "z")
     val cols = Seq(col("x"), col("y"), col("z"))
     val withCodegen = df.select(Hilbert.hilbertIndex(cols, 5)).head.getLong(0)
+    // restore whatever was set BEFORE the test, not hardcoded defaults —
+    // otherwise a suite running under non-default codegen conf leaks
+    val savedWhole = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val savedMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
@@ -75,8 +81,8 @@ class HilbertSpec extends SparkSpec {
       assert(withCodegen === interpreted)
       assert(withCodegen === Hilbert.index(Array(7L, 11L, 3L), 5))
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      restore("spark.sql.codegen.wholeStage", savedWhole)
+      restore("spark.sql.codegen.factoryMode", savedMode)
     }
   }
 

@@ -108,6 +108,146 @@ class OccSpec extends SparkSpec {
       new java.io.File(s"$root/t/${LakeTable.ChangesDirName}").list().isEmpty)
   }
 
+  test("a maintenance rewrite REBASES over a concurrent append — both commits land") {
+    val root = Files.createTempDirectory("graft_occ_rebase").toString
+    val path = s"$root/t"
+    val lake = LakeTable(spark, path)
+      .write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x").repartition(2))
+    // land a pure append while the compaction's stage is already built —
+    // Delta VLDB'20 §3.2: logically disjoint, so BOTH must commit
+    lake.onStagedForTest = () => {
+      lake.onStagedForTest = () => ()
+      LakeTable(spark, path).write(Seq((3L, 3.0)).toDF("id", "x"), SaveMode.Append)
+    }
+    lake.compact()
+    assert(lake.read.orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    val ops = lake.history.select("operation").as[String].collect().toSeq
+    assert(ops.count(_ == "WRITE APPEND") === 1)
+    assert(ops.count(_ == "COMPACT") === 1)
+    // the compact commit records the rebase
+    val rebased = lake.history
+      .where(col("operation") === "COMPACT")
+      .select(col("operationParameters.filesRebased")).as[String].collect()
+    assert(rebased.toSeq.exists(_ != null), "COMPACT commit should record filesRebased")
+    assert(!new java.io.File(s"$path${LakeTable.StageSuffix}").exists)
+  }
+
+  test("a non-append interloper still fails the maintenance rewrite") {
+    val root = Files.createTempDirectory("graft_occ_strict").toString
+    val path = s"$root/t"
+    val lake = LakeTable(spark, path)
+      .write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x").repartition(2))
+    lake.onStagedForTest = () => {
+      lake.onStagedForTest = () => ()
+      LakeTable(spark, path).write(Seq((9L, 9.0)).toDF("id", "x"), SaveMode.Overwrite)
+    }
+    val e = intercept[java.util.ConcurrentModificationException] { lake.compact() }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the overwrite (the commit that won) is intact; the stage is gone
+    assert(lake.read.as[(Long, Double)].collect().toSeq === Seq((9L, 9.0)))
+    assert(!new java.io.File(s"$path${LakeTable.StageSuffix}").exists)
+  }
+
+  test("dynamic partition overwrites on DISJOINT partitions both land") {
+    val root = Files.createTempDirectory("graft_occ_part").toString
+    val path = s"$root/t"
+    val lake = LakeTable(spark, path).writePartitioned(
+      Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("p", "id", "x"), Seq("p"))
+    OccGate.entered = new CountDownLatch(1)
+    OccGate.release = new CountDownLatch(1)
+    OccGate.armed.set(true)
+    // the gate rides the PARTITION column, so writer A parks inside its
+    // touched-partitions job — after its OCC base, before its pre-check
+    val gatedP = udf { (p: String) =>
+      if (OccGate.armed.getAndSet(false)) {
+        OccGate.entered.countDown()
+        OccGate.release.await(60, TimeUnit.SECONDS): Unit
+      }
+      p
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future {
+      lake.overwritePartitions(
+        Seq(("a", 1L, 10.0)).toDF("p", "id", "x").withColumn("p", gatedP(col("p"))),
+        Seq("p"))
+    }
+    assert(OccGate.entered.await(60, TimeUnit.SECONDS), "writer A never parked")
+    // writer B replaces a DIFFERENT partition while A is parked
+    LakeTable(spark, path).overwritePartitions(
+      Seq(("b", 2L, 20.0)).toDF("p", "id", "x"), Seq("p"))
+    OccGate.release.countDown()
+    Await.result(a, 120.seconds): Unit
+    // both overwrites landed
+    assert(lake.read.select("p", "id", "x").orderBy("id")
+      .as[(String, Long, Double)].collect().toSeq ===
+      Seq(("a", 1L, 10.0), ("b", 2L, 20.0)))
+    val parts = lake.history
+      .where(col("operation") === "OVERWRITE PARTITIONS")
+      .select(col("operationParameters.occPartitions")).as[String].collect().toSeq
+    assert(parts.sorted === Seq("p=a", "p=b"))
+  }
+
+  test("dynamic partition overwrites on the SAME partition conflict before mutating") {
+    val root = Files.createTempDirectory("graft_occ_part_conflict").toString
+    val path = s"$root/t"
+    val lake = LakeTable(spark, path).writePartitioned(
+      Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("p", "id", "x"), Seq("p"))
+    OccGate.entered = new CountDownLatch(1)
+    OccGate.release = new CountDownLatch(1)
+    OccGate.armed.set(true)
+    val gatedP = udf { (p: String) =>
+      if (OccGate.armed.getAndSet(false)) {
+        OccGate.entered.countDown()
+        OccGate.release.await(60, TimeUnit.SECONDS): Unit
+      }
+      p
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future {
+      lake.overwritePartitions(
+        Seq(("a", 1L, 99.0)).toDF("p", "id", "x").withColumn("p", gatedP(col("p"))),
+        Seq("p"))
+    }
+    assert(OccGate.entered.await(60, TimeUnit.SECONDS), "writer A never parked")
+    // writer B replaces the SAME partition while A is parked
+    LakeTable(spark, path).overwritePartitions(
+      Seq(("a", 1L, 50.0)).toDF("p", "id", "x"), Seq("p"))
+    OccGate.release.countDown()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Await.result(a, 120.seconds)
+    }
+    assert(e.getMessage.contains("aborted before any data was written"), e.getMessage)
+    // B's overwrite (the winner) is intact — A mutated nothing
+    assert(lake.read.select("p", "id", "x").orderBy("id")
+      .as[(String, Long, Double)].collect().toSeq ===
+      Seq(("a", 1L, 50.0), ("b", 2L, 2.0)))
+  }
+
+  test("concurrent optimizeWhere on disjoint partitions both land") {
+    val root = Files.createTempDirectory("graft_occ_optwhere").toString
+    val path = s"$root/t"
+    val lake = LakeTable(spark, path).writePartitioned(
+      (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i * 1.0))
+        .toDF("p", "id", "x").repartition(8), Seq("p"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future { LakeTable(spark, path).optimizeWhere(col("p") === "a") }
+    val b = Future { LakeTable(spark, path).optimizeWhere(col("p") === "b") }
+    Await.result(a, 120.seconds): Unit
+    Await.result(b, 120.seconds): Unit
+    // every interleaving is compatible (disjoint write sets): both commit
+    // and no row is lost or duplicated
+    assert(lake.read.count() === 40)
+    assert(lake.read.agg(sum(col("x"))).as[Double].head() === (1L to 40L).sum.toDouble)
+    assert(lake.history.where(col("operation") === "OPTIMIZE WHERE").count() === 2)
+  }
+
   test("sequential rewrites never trip the check") {
     val root = Files.createTempDirectory("graft_occ_seq").toString
     val lake = LakeTable(spark, s"$root/t")
