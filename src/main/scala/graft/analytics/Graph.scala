@@ -67,10 +67,15 @@ object Graph {
     ranks
   }
 
-  /** Exact triangle count per graph via degree-oriented wedge join.
-    * `edges` are undirected pairs (any orientation, duplicates fine).
+  /** Degree-oriented edge set of an undirected graph: canonicalized
+    * (a < b, no self-loops, distinct), then each edge pointed from its
+    * LOW-degree endpoint to its high-degree one (ties by id) — the
+    * classic orientation that caps out-degrees near √m so the wedge
+    * intermediate of [[triangleCount]] stays near-linear on skewed
+    * graphs. Exposed for [[graft.GraphProbe]], which records that
+    * intermediate's measured size against edge count.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
     // canonical undirected edge set: a < b, no self-loops, distinct
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
@@ -82,7 +87,7 @@ object Graph {
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient low-degree -> high-degree (ties by id): out-degrees are then
     // O(sqrt(m)) and the wedge intermediate stays near-linear
-    val oriented = und
+    und
       .join(deg.withColumnsRenamed(Map("v" -> "a", "deg" -> "da")), Seq("a"))
       .join(deg.withColumnsRenamed(Map("v" -> "b", "deg" -> "db")), Seq("b"))
       .select(
@@ -93,12 +98,25 @@ object Graph {
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("hi"))
       .localCheckpoint(true)
-    // wedge (lo->x, lo->y) closed by oriented edge between x and y
-    val wedges = oriented.as("e1")
+  }
+
+  /** The wedge intermediate over an [[orientEdges]] frame — the join
+    * whose size IS the algorithm's cost at scale. Shared by the count
+    * and the probe so the measured curve is the served plan's.
+    */
+  private[graft] def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.hi").as("x"), col("e2.hi").as("y"))
-    val closed = wedges.join(
+
+  /** Exact triangle count per graph via degree-oriented wedge join.
+    * `edges` are undirected pairs (any orientation, duplicates fine).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val oriented = orientEdges(edges)
+    // wedge (lo->x, lo->y) closed by oriented edge between x and y
+    val closed = orientedWedges(oriented).join(
       oriented.select(
         least(col("lo"), col("hi")).as("ca"), greatest(col("lo"), col("hi")).as("cb")),
       (least(col("x"), col("y")) === col("ca")) &&

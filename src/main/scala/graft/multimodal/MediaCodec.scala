@@ -232,6 +232,32 @@ object MediaCodec {
       Array[Byte](0xFF.toByte, 0xD9.toByte)
   }
 
+  /** A REAL JPEG encoded by the JDK's own ImageIO writer (the JPEG codec
+    * ships with the JVM, like the PNG one [[makePng]] hand-rolls): a
+    * constant-gray image, which is DC-only after the DCT — at the
+    * default quality the DC quantization step divides the level-shifted
+    * coefficient exactly, so the decoded mean luminance stays within
+    * IDCT-rounding distance (±1) of the source constant. That is the
+    * analytic hook the decode oracle checks with tolerance; dimensions
+    * survive the lossy round-trip exactly.
+    */
+  def makeJpegReal(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray >= 0 && gray <= 255)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "no JPEG ImageIO writer available")
+    bos.toByteArray
+  }
+
   /** A fully valid PCM WAV: RIFF/WAVE + fmt + data of silence sized to the
     * requested duration.
     */

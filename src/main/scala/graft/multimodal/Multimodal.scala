@@ -265,11 +265,16 @@ object Multimodal {
     }
   }
 
-  /** Oracled image pipeline: PNGs carry the analytic gradient
-    * (pixel = x mod 256), so the DECODED mean luminance is recomputable
-    * by the oracle from the dimension arithmetic alone; the JPEG rows
-    * exercise the undecodable path (header stream, no scan data). Decoded
-    * width/height — not the header's — prove pixels actually came out.
+  /** Oracled image pipeline over all three decode classes: PNGs carry
+    * the analytic gradient (pixel = x mod 256), so the DECODED mean
+    * luminance is recomputable by the oracle from dimension arithmetic
+    * alone; two of every three JPEG rows are REAL JPEGs
+    * ([[MediaCodec.makeJpegReal]] — the JDK's own encoder) whose
+    * constant gray survives the lossy round-trip within ±1, checked as
+    * a tolerance boolean; the remaining JPEG rows keep the undecodable
+    * path hot (header stream, no scan data — corrupt media is data at
+    * corpus scale). Decoded width/height — not the header's — prove
+    * pixels actually came out.
     */
   def imageDecodeProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -281,11 +286,21 @@ object Multimodal {
         val w = (id % 320 + 16).toInt
         val h = (id % 240 + 16).toInt
         BinaryMediaRow(id,
-          if (id % 3 == 0) MediaCodec.makePng(w, h) else MediaCodec.makeJpeg(w, h))
+          if (id % 3 == 0) MediaCodec.makePng(w, h)
+          else if (id % 9 == 8) MediaCodec.makeJpeg(w, h) // header-only
+          else MediaCodec.makeJpegReal(w, h, gray = (id % 200 + 28).toInt))
       }
     decodeImages(media)
       .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
-        round(col("mean_luma"), 4).as("mean_luma"))
+        // exact only where the codec is lossless; JPEG means are checked
+        // via the tolerance boolean below
+        when(col("media_id") % 3 === 0, round(col("mean_luma"), 4))
+          .as("mean_luma"),
+        when(col("media_id") % 3 === 0 || !col("decode_ok"),
+          lit(null).cast("boolean"))
+          .otherwise(
+            abs(col("mean_luma") - (col("media_id") % 200 + 28).cast("double")) < 3.0)
+          .as("luma_ok"))
       .orderBy(col("media_id"))
   }
 
@@ -361,10 +376,12 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "q_image_decode" ->
       """SELECT doc_id AS media_id,
-        |  (doc_id % 3 = 0) AS decode_ok,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 320 + 16 ELSE -1 END AS INT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 240 + 16 ELSE -1 END AS INT) AS height,
-        |  CASE WHEN doc_id % 3 != 0 THEN -1.0
+        |  (doc_id % 3 = 0 OR doc_id % 9 IN (2, 5)) AS decode_ok,
+        |  CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 9 IN (2, 5)
+        |       THEN doc_id % 320 + 16 ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 9 IN (2, 5)
+        |       THEN doc_id % 240 + 16 ELSE -1 END AS INT) AS height,
+        |  CASE WHEN doc_id % 3 != 0 THEN NULL
         |    -- closed-form mean of (x % 256) over x in [0, w): one full
         |    -- 0..255 ramp contributes 32640, the remainder is triangular
         |    WHEN doc_id % 320 + 16 <= 256 THEN
@@ -372,7 +389,8 @@ object Multimodal {
         |    ELSE round(
         |      (32640 + (doc_id % 320 + 16 - 257) * (doc_id % 320 + 16 - 256) / 2.0)
         |        / (doc_id % 320 + 16), 4)
-        |  END AS mean_luma
+        |  END AS mean_luma,
+        |  CASE WHEN doc_id % 9 IN (2, 5) THEN true ELSE NULL END AS luma_ok
         |FROM documents WHERE doc_id % 3 != 1 ORDER BY media_id""".stripMargin,
     "q_audio_frames" ->
       """SELECT doc_id AS media_id,

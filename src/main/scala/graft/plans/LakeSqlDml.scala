@@ -200,9 +200,16 @@ final case class LakeMaintenanceCommand(
         LakeTable(spark, path).optimizeWhere(cond)
       case LakeMaintenanceCommand.Vacuum(None) if versioned =>
         throw new IllegalArgumentException(
-          "VACUUM on a versioned table needs RETAIN <n> VERSIONS")
+          "VACUUM on a versioned table needs RETAIN <n> VERSIONS (or HOURS)")
       case LakeMaintenanceCommand.Vacuum(Some(keep)) if versioned =>
         graft.sources.VersionedLakeTable(spark, path).vacuum(keep)
+      case LakeMaintenanceCommand.VacuumHours(h) if versioned =>
+        graft.sources.VersionedLakeTable(spark, path).vacuumRetainHours(h)
+      case LakeMaintenanceCommand.VacuumHours(_) =>
+        throw new IllegalArgumentException(
+          "RETAIN <n> HOURS applies to versioned tables (whose snapshots " +
+            "carry commit timestamps); plain-table VACUUM collects crash " +
+            "debris only")
       case LakeMaintenanceCommand.Vacuum(keep) =>
         require(keep.isEmpty,
           "RETAIN <n> VERSIONS applies to versioned tables; plain-table VACUUM " +
@@ -224,6 +231,7 @@ object LakeMaintenanceCommand {
   final case class Optimize(clusterBy: Seq[String], hilbert: Boolean = false) extends Op
   final case class OptimizeWhere(partitionCond: org.apache.spark.sql.Column) extends Op
   final case class Vacuum(retainVersions: Option[Int]) extends Op
+  final case class VacuumHours(retainHours: Double) extends Op
   final case class VacuumChanges(retainVersions: Int) extends Op
 }
 
@@ -266,6 +274,31 @@ final case class LakeCreateNamedCommand(
       else lake.write(df, SaveMode.Overwrite, overwriteSchema = true)
     }
     graft.sources.LakeNames.register(spark, db, table, path)
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] db.t` over a REGISTERED lake name: the name
+  * is catalog metadata only (a view over the lake TVF), so dropping it
+  * unregisters the name and leaves the data files in place — Delta's
+  * external-table DROP semantics, and the statement a SQL-only user
+  * reaches for (Spark's native DROP TABLE refuses because the name is
+  * physically a view). Completes the pure-SQL lifecycle that `CREATE
+  * TABLE … USING graft_lake LOCATION` opens (reference idiom,
+  * 00-etl-rwd.py:158-200).
+  */
+final case class LakeDropNamedCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, table) = nameParts match {
+      case Seq(t)    => (spark.catalog.currentDatabase, t)
+      case Seq(d, t) => (d, t)
+      case Seq(c, d, t) if c.equalsIgnoreCase("spark_catalog") => (d, t)
+      case _ => throw new IllegalArgumentException(
+        "DROP TABLE on a lake name expects `table` or `db.table`, got " +
+          nameParts.mkString("."))
+    }
+    graft.sources.LakeNames.unregister(spark, db, table)
     Seq.empty
   }
 }
@@ -554,6 +587,7 @@ object LakeSqlDml {
       case "COPY"    => p.advance(); parseCopy(p)
       case "REORG"   => p.advance(); parseReorg(p)
       case "CREATE"  => p.advance(); parseCreate(p)
+      case "DROP"    => p.advance(); parseDrop(p)
       case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
       case _         => None
     }
@@ -642,6 +676,30 @@ object LakeSqlDml {
       ctas, partitionBy))
   }
 
+  /** Routing is decided by RESOLUTION, not syntax: only `DROP TABLE` whose
+    * bare multipart name resolves (via the active session) to a registered
+    * lake name is ours — real tables, plain views, missing names, and any
+    * trailing clause (PURGE, …) fall through to Spark's parser with native
+    * behavior and errors intact.
+    */
+  private def parseDrop(p: P): Option[LogicalPlan] = {
+    if (!p.eat("TABLE")) return None
+    if (p.eat("IF") && !p.eat("EXISTS")) return None
+    if (!p.more || p.peek.kind != Word) return None
+    def bare(s: String) = s.stripPrefix("`").stripSuffix("`")
+    val name = Seq.newBuilder[String]
+    name += bare(p.peek.text); p.advance()
+    while (p.eatPunct(".")) {
+      if (!p.more || p.peek.kind != Word) return None
+      name += bare(p.peek.text); p.advance()
+    }
+    if (p.more) return None // PURGE etc. — Spark's statement, Spark's rules
+    val parts = name.result()
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(return None)
+    if (graft.sources.LakeNames.resolve(spark, parts).isEmpty) return None
+    Some(LakeDropNamedCommand(parts))
+  }
+
   private def parseOptimize(p: P): Option[LogicalPlan] = {
     val path = p.lakeTarget().getOrElse(return None)
     val where =
@@ -705,18 +763,24 @@ object LakeSqlDml {
   private def parseVacuum(p: P): Option[LogicalPlan] = {
     val path = p.lakeTarget().getOrElse(return None)
     val changes = p.eat("CHANGES")
+    // RETAIN <n> VERSIONS (count-based) or RETAIN <n> HOURS (time-based,
+    // Delta's operational idiom — resolved through commit timestamps)
+    var hours: Option[Long] = None
     val retain =
       if (p.eat("RETAIN")) {
-        val n = p.intLiteral("RETAIN version count")
-        p.expect("VERSIONS", "after RETAIN <n>")
-        Some(n.toInt)
+        val n = p.intLiteral("RETAIN amount")
+        if (p.eat("HOURS")) { hours = Some(n); None }
+        else { p.expect("VERSIONS", "after RETAIN <n>"); Some(n.toInt) }
       } else None
     p.done("VACUUM")
     val op =
       if (changes) LakeMaintenanceCommand.VacuumChanges(
         retain.getOrElse(p.fail(
           "VACUUM … CHANGES needs RETAIN <n> VERSIONS (how much feed to keep)")))
-      else LakeMaintenanceCommand.Vacuum(retain)
+      else hours match {
+        case Some(h) => LakeMaintenanceCommand.VacuumHours(h.toDouble)
+        case None    => LakeMaintenanceCommand.Vacuum(retain)
+      }
     Some(LakeMaintenanceCommand(path, op))
   }
 

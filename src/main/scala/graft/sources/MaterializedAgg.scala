@@ -138,34 +138,23 @@ final class MaterializedAgg(
     * the commit record after) never threatens correctness: the batch
     * content is only a NOTIFICATION — [[refresh]] derives its work from
     * the watermark and the change-feed dirs, bounded to the latest
-    * COMMITTED version, so a change file delivered in the pre-commit
-    * window is simply deferred. It DOES threaten freshness: a file
-    * source fires no further trigger until NEW files arrive, so a
-    * deferred set would stay unapplied until the base's next commit.
-    * Hence `commitAwaitMs`: after refresh, if the batch delivered a set
-    * whose commit is still in flight, await that commit briefly and
-    * apply it — `processAllAvailable()` then implies current. On
-    * timeout (a writer crashed mid-window) the deferral stands and the
-    * next trigger repairs; the view is never advanced past an
-    * unconfirmed version, with or without the await.
+    * COMMITTED version, so a change set delivered in the pre-commit
+    * window is simply DEFERRED, with nothing blocking the stream thread
+    * (a writer crashed mid-commit costs nothing here). The deferral's
+    * freshness cost: a file source fires no further trigger until new
+    * files arrive, so a set whose commit was in flight at refresh time
+    * stays unapplied until the base's next change-feed commit — whose
+    * trigger applies BOTH (the watermark never advanced past the
+    * deferred set). `processAllAvailable()` therefore implies current
+    * only when no writer is mid-commit at that moment.
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      commitAwaitMs: Long = 10000L
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (_: DataFrame, _: Long) =>
         refresh(): Unit
-        val maxDelivered = b.agg(max(col("_commit_version"))).head
-        if (!maxDelivered.isNullAt(0) && commitAwaitMs > 0) {
-          val target = maxDelivered.getLong(0)
-          val deadline = System.currentTimeMillis() + commitAwaitMs
-          while (watermark() < target && System.currentTimeMillis() < deadline) {
-            if (latestBaseVersion() >= target) refresh(): Unit
-            else Thread.sleep(25)
-          }
-        }
       }
       .trigger(trigger)
       .start()

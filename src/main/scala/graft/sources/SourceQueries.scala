@@ -549,6 +549,13 @@ object SourceQueries {
          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
          |WHEN NOT MATCHED THEN INSERT *
          |""".stripMargin)
+    // full SQL-only lifecycle: a second name over the same path is
+    // created and dropped in-statement — DROP removes only the NAME
+    // (Delta external-table semantics; the data files stay, as the
+    // final SELECT through the surviving name proves)
+    spark.sql(
+      s"CREATE OR REPLACE TABLE `$db`.orders_alias USING graft_lake LOCATION '$path'")
+    spark.sql(s"DROP TABLE `$db`.orders_alias")
     // versioned layout by name: snapshot 0 stays readable through the
     // name + version TVF form while the name reads the latest snapshot
     val vpath = scratch(sfDir, "nation_named_v")

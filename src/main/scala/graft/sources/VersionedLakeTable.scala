@@ -186,6 +186,42 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Time-based retention (Delta's operational idiom: `VACUUM … RETAIN
+    * 168 HOURS`): drop every snapshot that stopped being CURRENT before
+    * `now - hours` — eligibility keys off the timestamp of the commit
+    * that SUPERSEDED the snapshot, so any reader that started inside the
+    * retention window still finds its version. The latest snapshot is
+    * never vacuumable (hours = 0 degenerates to keep-latest-only). The
+    * horizon resolves through the commit log's own timestamps — no
+    * filesystem mtimes, which object stores skew. `clock` is injectable
+    * for tests.
+    */
+  def vacuumRetainHours(
+      hours: Double,
+      clock: () => java.time.Instant = () => java.time.Instant.now()): VersionedLakeTable = {
+    require(hours >= 0, s"RETAIN hours must be >= 0, got $hours")
+    val horizon = clock().minusMillis((hours * 3600 * 1000).toLong)
+    // (dataVersion, commit timestamp) in commit order: entry i was
+    // superseded at entry i+1's timestamp
+    val rows = history
+      .where(col("operationParameters.dataVersion").isNotNull)
+      .select(col("operationParameters.dataVersion").cast("long").as("dv"),
+        col("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.Instant.parse(r.getString(1))))
+      .sortBy(_._1)
+    val latest = latestVersion
+    val f = fs
+    rows.sliding(2).foreach {
+      case Array((v, _), (_, supersededAt)) =>
+        if (v != latest && supersededAt.isBefore(horizon))
+          f.delete(new Path(versionDir(v)), true): Unit
+      case _ => ()
+    }
+    commit("VACUUM", Map("retainHours" -> hours.toString))
+    this
+  }
+
   def history: DataFrame = CommitLog.history(spark, fs, path, log)
 
   private def commit(op: String, params: Map[String, String]): Unit =

@@ -358,6 +358,16 @@ object Dedup {
     math.min(math.max(raw, 4), 24)
   }
 
+  /** Cluster count for SemDeDup over n embeddings: n / targetBlockSize
+    * clusters keep each within-cluster O(block²) pairing bounded at any
+    * corpus size (the [[semanticDedup]] analogue of
+    * [[adaptivePlaneCount]]). Floor 16 so small corpora still block;
+    * cap 1M — beyond that the k-means fit itself needs a coarser
+    * hierarchy and the caller should shard first.
+    */
+  def adaptiveClusterCount(n: Long, targetBlockSize: Long = 4096L): Int =
+    math.min(math.max(16L, n / math.max(targetBlockSize, 1L)), 1L << 20).toInt
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     * semantic deduplication by CLUSTER-SCOPED pairwise cosine. K-means
     * clusters the embedding space (sampled fit, the same quantizer
@@ -376,17 +386,30 @@ object Dedup {
     * The paper's documented trade-off applies: a duplicate pair split
     * across a cluster boundary is missed. Raise `nClusters` for
     * throughput (smaller blocks), lower it for recall.
+    *
+    * `nClusters <= 0` (the default) picks k ADAPTIVELY as
+    * [[adaptiveClusterCount]] — k grows with the corpus so the
+    * within-cluster O(block²) pairing stays bounded at any scale (a
+    * FIXED k at 100 TB sends the blocks quadratic); deriving n runs
+    * `df.count()` at call time, so pass `corpusSizeHint` (within 2x is
+    * fine) to keep the call fully lazy on a derived input plan.
     */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       eps: Double = 0.97,
       seed: Long = 42L,
-      fitSampleFraction: Double = 1.0
+      fitSampleFraction: Double = 1.0,
+      targetBlockSize: Long = 4096L,
+      corpusSizeHint: Option[Long] = None
   ): DataFrame = {
-    val centers = Ivf.fitCentroids(df, vecCol, nClusters, seed, fitSampleFraction)
+    val k =
+      if (nClusters > 0) nClusters
+      else adaptiveClusterCount(
+        corpusSizeHint.getOrElse(df.count()), targetBlockSize)
+    val centers = Ivf.fitCentroids(df, vecCol, k, seed, fitSampleFraction)
     val assigned = Ivf.assignCells(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
       centers, "v")

@@ -31,6 +31,23 @@ class MediaCodecSpec extends SparkSpec {
     assert(img.getWidth === 37 && img.getHeight === 23)
   }
 
+  test("real jpeg round-trip: ImageIO encode -> decode recovers dims and constant gray within DC tolerance") {
+    val bytes = MediaCodec.makeJpegReal(41, 29, gray = 137)
+    // the probe's own marker walk sees a genuine JFIF stream
+    val r = probeOne(bytes)
+    assert(r.getString(0) === "jpeg")
+    assert(r.getInt(1) === 41 && r.getInt(2) === 29)
+    // and a full pixel decode comes back: constant image is DC-only, so
+    // the decoded values sit within IDCT rounding of the source constant
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO failed to decode its own JPEG")
+    assert(img.getWidth === 41 && img.getHeight === 29)
+    var sum = 0.0
+    for (y <- 0 until 29; x <- 0 until 41) sum += img.getRaster.getSample(x, y, 0)
+    val mean = sum / (41 * 29)
+    assert(math.abs(mean - 137.0) < 2.0, s"decoded mean $mean drifted from 137")
+  }
+
   test("jpeg round-trip: SOF dims and precision parse back") {
     val r = probeOne(MediaCodec.makeJpeg(640, 480))
     assert(r.getString(0) === "jpeg")

@@ -116,6 +116,27 @@ class LakeNamesSpec extends SparkSpec {
     assert(LakeNames.resolve(spark, Seq("named_db", "ct1")) === Some(p2))
   }
 
+  test("DROP TABLE on a registered name unregisters it and keeps the data files") {
+    val path = tmp(); seed(path)
+    spark.sql("CREATE DATABASE IF NOT EXISTS named_db")
+    spark.sql(s"CREATE TABLE named_db.dt1 USING graft_lake LOCATION '$path'")
+    assert(spark.sql("SELECT * FROM named_db.dt1").count() === 4)
+    spark.sql("DROP TABLE named_db.dt1")
+    assert(LakeNames.resolve(spark, Seq("named_db", "dt1")).isEmpty)
+    // external-table semantics: the data files survive the drop
+    assert(LakeTable(spark, path).read.count() === 4)
+    // the name is reusable and IF EXISTS works (idempotent re-drop)
+    spark.sql(s"CREATE TABLE named_db.dt1 USING graft_lake LOCATION '$path'")
+    spark.sql("DROP TABLE IF EXISTS named_db.dt1")
+    spark.sql("DROP TABLE IF EXISTS named_db.dt1") // falls through to Spark: no-op
+    assert(LakeNames.resolve(spark, Seq("named_db", "dt1")).isEmpty)
+    // a non-lake table keeps Spark's native DROP TABLE behavior
+    Catalog.createDatabase(spark, "named_db")
+    Catalog.registerTable(spark, "named_db", "drop_plain", path)
+    spark.sql("DROP TABLE named_db.drop_plain")
+    assert(!spark.catalog.tableExists("named_db.drop_plain"))
+  }
+
   test("CTAS: CREATE TABLE … USING graft_lake LOCATION … AS SELECT writes and registers") {
     val path = tmp(); seed(path)
     LakeNames.register(spark, "named_db", "ctas_src", path)

@@ -128,6 +128,40 @@ class MaterializedAggSpec extends SparkSpec {
     assert(sorted(mv.read) === settled)
   }
 
+  test("stream defers an in-flight change set without blocking and repairs on the next commit") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("base6")).write(
+      Seq(("a", 10L), ("b", 5L), ("c", 7L)).toDF("k", "v"))
+    val mv = MaterializedAgg(spark, base, tmp("mv6"),
+      keys = Seq("k"), sums = Map("total" -> col("v"))).initialize()
+    base.delete(col("k") === "c", changeFeed = true) // seed the feed
+    val q = mv.startStream(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+      // a writer mid-commit: its change set lands at the version the NEXT
+      // commit will take, with no commit record yet (writeChanges order)
+      val inFlight = base.history
+        .agg(max(col("version"))).head.getLong(0) + 1
+      Seq(("b", 5L)).toDF("k", "v")
+        .withColumn("_change_type", lit("delete"))
+        .write.parquet(s"${base.path}/${LakeTable.ChangesDirName}/v$inFlight")
+      val before = sorted(mv.read)
+      q.processAllAvailable() // triggers on the new file; must NOT block or apply
+      assert(sorted(mv.read) === before,
+        "an uncommitted change set must be deferred, not applied")
+      // the writer's commit lands (same content as the staged change set),
+      // then a later change-feed commit fires the trigger that repairs both
+      base.delete(col("k") === "b") // commits version `inFlight`
+      base.update(Map("v" -> (col("v") + 1L)), col("k") === "a", changeFeed = true)
+      q.processAllAvailable()
+      assert(sorted(mv.read) === sorted(mv.aggregate(base.read)),
+        "the deferred set and the new commit must both apply on the next trigger")
+    } finally q.stop()
+  }
+
   test("null measures contribute zero identically in full and incremental paths") {
     val s = spark
     import s.implicits._

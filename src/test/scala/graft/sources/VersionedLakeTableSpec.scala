@@ -43,6 +43,56 @@ class VersionedLakeTableSpec extends SparkSpec {
     assert(lake.readVersion(2).count() === 5)
   }
 
+  test("vacuumRetainHours drops snapshots superseded before the horizon (injected clock)") {
+    val t = Tables(spark, sf0001)
+    val lake = VersionedLakeTable(spark, tmp())
+    lake.write(t.region); lake.write(t.region); lake.write(t.region)
+    // pull real commit instants — wall-clock guesses would be racy
+    val ts = lake.history
+      .select(col("operationParameters.dataVersion").cast("long"), col("timestamp"))
+      .collect().map(r => r.getLong(0) -> java.time.Instant.parse(r.getString(1)))
+      .toMap
+    // horizon just after v1's commit: v0 (superseded at v1's commit) is
+    // out of retention; v1 (superseded at v2's commit, inside the window)
+    // and the latest v2 survive
+    val now = ts(2L).plusSeconds(3600)
+    // +2ms so the horizon lands STRICTLY after v1's commit even if the
+    // hours->millis round-trip truncates a millisecond
+    val horizonHours = (now.toEpochMilli -
+      ts(1L).plusMillis(2).toEpochMilli) / 3600.0e3
+    lake.vacuumRetainHours(horizonHours, clock = () => now)
+    intercept[IllegalArgumentException](lake.readVersion(0))
+    assert(lake.readVersion(1).count() === 5)
+    assert(lake.readVersion(2).count() === 5)
+    // RETAIN 0 HOURS keeps only the live snapshot
+    lake.vacuumRetainHours(0.0, clock = () => java.time.Instant.now())
+    intercept[IllegalArgumentException](lake.readVersion(1))
+    assert(lake.read.count() === 5)
+    // a huge retention window vacuums nothing further
+    lake.write(t.region)
+    lake.vacuumRetainHours(24 * 365)
+    assert(lake.readVersion(2).count() === 5)
+  }
+
+  test("VACUUM … RETAIN n HOURS parses and runs through the SQL surface") {
+    val t = Tables(spark, sf0001)
+    val path = tmp()
+    val lake = VersionedLakeTable(spark, path)
+    lake.write(t.region); lake.write(t.region)
+    spark.sql(s"VACUUM graft_lake('$path') RETAIN 9999 HOURS")
+    assert(lake.readVersion(0).count() === 5) // inside the window: kept
+    spark.sql(s"VACUUM graft_lake('$path') RETAIN 0 HOURS")
+    intercept[IllegalArgumentException](lake.readVersion(0))
+    assert(lake.read.count() === 5)
+    // plain tables reject the hours form with a clear message
+    val plainPath = Files.createTempDirectory("graft_vlake_plain").resolve("p").toString
+    LakeTable(spark, plainPath).write(t.region)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM graft_lake('$plainPath') RETAIN 1 HOURS")
+    }
+    assert(e.getMessage.contains("versioned tables"), e.getMessage)
+  }
+
   test("snapshot dirs are invisible to a naive root read") {
     val t = Tables(spark, sf0001)
     val lake = VersionedLakeTable(spark, tmp()).write(t.region)

@@ -188,6 +188,38 @@ class DedupSpec extends SparkSpec {
     (900L until 920L).foreach(i => assert(comp(i) === i))
   }
 
+  test("SemDeDup adaptive cluster count: k scales with the corpus, survivors stay exact") {
+    // the adaptive default mirrors adaptivePlaneCount: blocks stay
+    // ~targetBlockSize however big the corpus gets
+    assert(Dedup.adaptiveClusterCount(1000, 4096) === 16) // floor
+    assert(Dedup.adaptiveClusterCount(1L << 22, 4096) === 1024)
+    assert(Dedup.adaptiveClusterCount(Long.MaxValue, 1) === (1 << 20)) // cap
+    // same planted duplicates, two corpus sizes, adaptive default picks
+    // different k (16 vs 21 at targetBlockSize=20) — the survivor set of
+    // the planted groups must be IDENTICAL in both runs
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val planted = (0 until 5).flatMap { g =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 3).map { i =>
+        val v = if (i == 0) base else base.map(_ + rnd.nextGaussian() * 0.005)
+        (g.toLong * 10 + i, v)
+      }
+    }
+    def extras(n: Int) =
+      (1000L until (1000L + n)).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val small = planted ++ extras(35)  // n = 50  -> k = 16
+    val big = planted ++ extras(405)   // n = 420 -> k = 21
+    def surviving(rows: Seq[(Long, Array[Double])]): Set[Long] =
+      Dedup.semanticDedup(rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          eps = 0.99, seed = 3L, targetBlockSize = 20L)
+        .where(col("keep")).select("id").as[Long].collect().toSet
+    val plantedIds = planted.map(_._1).toSet
+    val expectKept = (0 until 5).map(g => g.toLong * 10).toSet
+    assert(surviving(small).intersect(plantedIds) === expectKept)
+    assert(surviving(big).intersect(plantedIds) === expectKept)
+  }
+
   test("containment catches subsumption that Jaccard dilutes") {
     // doc 1 is fully contained in doc 2, but doc 2 is 4x longer: every
     // shingle of doc 1 appears in doc 2 (containment 1.0) while the union
