@@ -155,15 +155,51 @@ object Sketches {
           col("n_both") * 0.10).as("both_within_10pct"))
   }
 
+  /** Count-Min point frequencies ([[graft.functions.CountMinSketch]]):
+    * the third sketch pillar — HLL counts distinct, KMV does set ops,
+    * the CMS answers "how often does THIS key occur" from kilobytes.
+    * Per-returnflag sketches are merged back through `cms_merge_agg`
+    * (additive counters — the daily-sketch reaggregation shape; byte
+    * identity of merged vs global build pinned in CountMinSketchSpec),
+    * then the top-20 part keys' estimates are checked against their
+    * exact counts: never below (one-sided guarantee), and above by at
+    * most 8N/width — loose enough that the failure probability per key
+    * is ~(1/8)^depth, tight enough that a broken hash or merge breaks
+    * the boolean.
+    */
+  def cmsPointCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMinSketch
+    val li = Tables(spark, sfDir).lineitem
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(CountMinSketch.agg(col("l_partkey").cast("string")).as("sk"))
+      .agg(CountMinSketch.mergeAgg(col("sk")).as("sk"))
+    val total = li.agg(count(lit(1)).as("total"))
+    val est = CountMinSketch.estimateCol(col("sk"), col("l_partkey").cast("string"))
+    li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_partkey")).limit(20)
+      .crossJoin(broadcast(merged)).crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("n"),
+        (est >= col("n") &&
+          est <= col("n") + ceil(col("total") * 8.0 / 8192).cast("long"))
+          .as("cms_ok"))
+      .orderBy(col("n").desc, col("l_partkey"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_hll_distinct" -> (hllDistinctCustomers _),
     "q_tdigest_quantiles" -> (tdigestQuantiles _),
     "q_kmv_set_ops" -> (kmvSetOps _),
+    "q_cms_counts" -> (cmsPointCounts _),
     "q_heavy_hitters" -> (heavyHitterTokens _),
     "q_heavy_hitters_by_group" -> (heavyHittersByGroup _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cms_counts" ->
+      """SELECT l_partkey, n, true AS cms_ok FROM (
+        |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+        |  ORDER BY n DESC, l_partkey LIMIT 20)
+        |ORDER BY n DESC, l_partkey""".stripMargin,
     "q_kmv_set_ops" ->
       """SELECT
         | (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'F') AS n_F,

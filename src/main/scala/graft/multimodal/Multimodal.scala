@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample operators.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container — see `FakeDecoder`): the decode produces a deterministic
-  * feature vector derived from the payload bytes. Everything around it —
+  * Codec reality: image decode (PNG/JPEG via the JDK's own ImageIO —
+  * [[decodeImages]]) and audio decode (PCM WAV — [[audioFrames]]) are
+  * REAL, end to end, and ORACLED on analytically-constructed fixtures.
+  * Only the generic [[decodeFeatures]] operator keeps a deterministic
+  * byte-hash fallback (`FakeDecoder`) standing in for a model-style
+  * embedding of payloads no shipped codec parses — the declared boundary
+  * where an external model would plug in. Everything around the codec —
   * the schema contract, the per-partition batch iteration, the
   * repartitioning for decode parallelism, the flatMap frame explosion — is
   * the real 100 TB plumbing: decode is CPU-bound, so the operator
@@ -125,19 +129,73 @@ object Multimodal {
     }
   }
 
-  /** Declared rows-only query: decode features for every fabricated media
-    * row and profile by modality (deterministic).
+  /** Media featurization with REAL decodes end-to-end (this query was
+    * the declared FakeDecoder stub until the codec layer caught up):
+    * image payloads — gradient PNGs and constant-gray JPEGs written by
+    * the JDK's own encoder — decode through ImageIO into the 64-d
+    * block-mean thumbnail embedding; audio payloads (PCM sine tones)
+    * decode into a per-frame RMS energy vector. The per-modality profile
+    * is ORACLED on analytic expectations, each collapsed to a tolerance
+    * boolean the oracle states as `true`:
+    *   - PNG gradient (pixel = x mod 256) is y-invariant, so the top and
+    *     bottom thumbnail rows must agree entry-wise, and the FIRST block
+    *     mean is closed-form: (ceil(w/8) - 1) / 2;
+    *   - constant-gray JPEG thumbnails must sit within DC-quantization
+    *     distance (±3) of the source constant in EVERY entry;
+    *   - tone frame RMS must sit within truncation tolerance of the
+    *     analytic amplitude/√2 in every frame.
+    * Row counts and feature dims are exact (a failed decode drops its
+    * row and breaks the count). Shape at scale: map-only decode, one
+    * per-media aggregate for audio frames, a modality-sized rollup.
     */
   def featureProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val docs = graft.core.Tables(spark, sfDir).documents
-    val media = mediaFromDocuments(spark, docs)
-    decodeFeatures(media, dim = 16, parallelism = Some(8))
-      .groupBy(col("modality"))
+    val imgMedia = docs
+      .where(col("doc_id") % 3 =!= 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 320 + 16).toInt
+        val h = (id % 240 + 16).toInt
+        BinaryMediaRow(id,
+          if (id % 3 == 0) MediaCodec.makePng(w, h)
+          else MediaCodec.makeJpegReal(w, h, gray = (id % 200 + 28).toInt))
+      }
+    val img = decodeImages(imgMedia)
+      .where(col("decode_ok"))
+      .select(col("media_id"),
+        when(pmod(col("media_id"), lit(3)) === 0, lit("image_png"))
+          .otherwise(lit("image_jpeg")).as("modality"),
+        col("thumb").cast("array<double>").as("features"))
+    val tones = docs
+      .where(col("doc_id") % 3 === 1 && (col("n_chars") % 20) =!= 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        BinaryMediaRow(id, MediaCodec.makeWavTone(
+          16000, (nChars % 20) * 10, freqHz = 400.0 + (id % 5) * 200.0))
+      }
+    val aud = audioFrames(tones, everyMs = 50L, windowMs = 50L)
+      .groupBy(col("media_id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("rms")))).as("fr"))
+      .select(col("media_id"), lit("audio").as("modality"),
+        expr("transform(fr, f -> f.rms)").as("features"))
+    val toneRms = 0.5 / math.sqrt(2.0)
+    val perMedia = img.unionByName(aud).withColumn("ok",
+      when(col("modality") === "audio",
+        expr(s"forall(features, v -> abs(v - $toneRms) < 0.02)"))
+        .when(col("modality") === "image_jpeg",
+          expr("forall(features, v -> abs(v - (media_id % 200 + 28)) < 3.0)"))
+        .otherwise(
+          expr("forall(sequence(0, 7), t -> " +
+            "abs(element_at(features, t + 1) - element_at(features, 57 + t)) < 0.01)") &&
+            abs(element_at(col("features"), 1) -
+              (ceil((pmod(col("media_id"), lit(320)) + 16) / 8.0) - 1) / 2.0) < 0.01))
+    perMedia.groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_f0")
-      )
+        min(size(col("features"))).as("dim_min"),
+        max(size(col("features"))).as("dim_max"),
+        min(col("ok")).as("features_ok"))
       .orderBy(col("modality"))
   }
 
@@ -411,6 +469,20 @@ object Multimodal {
     "q_multimodal_bytes" ->
       """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         | count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image_png'
+        |              WHEN doc_id % 3 = 2 THEN 'image_jpeg'
+        |              ELSE 'audio' END AS modality,
+        |         CASE WHEN doc_id % 3 = 1
+        |              THEN CAST(((n_chars % 20) * 10 + 49) // 50 AS INT)
+        |              ELSE 64 END AS dim
+        |  FROM documents
+        |  WHERE doc_id % 3 != 1 OR (n_chars % 20) != 0)
+        |SELECT modality, count(*) AS n,
+        |  CAST(min(dim) AS INT) AS dim_min, CAST(max(dim) AS INT) AS dim_max,
+        |  true AS features_ok
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin
   )
 }

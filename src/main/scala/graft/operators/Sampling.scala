@@ -44,6 +44,33 @@ object Sampling {
       .drop("__stratum", "__frac")
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * IPL — the A-Res scheme): each row draws an exponential key
+    * -ln(u)/w (equivalent to ranking u^(1/w) descending) and the k
+    * SMALLEST keys win, giving inclusion probability proportional to
+    * weight without replacement — the mixture-sampling primitive for
+    * quality-weighted corpus selection. `u` is the same md5-derived
+    * uniform the deterministic stratified sampler uses, so the drawn
+    * SET is a pure function of row ids: identical across partitionings,
+    * reruns, and ENGINES (the oracle recomputes the same sample in
+    * SQL). One global sort-limit (TakeOrderedAndProject — k rows per
+    * partition then k at the driver, never a full sort) is the entire
+    * cost; weights must be strictly positive.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    // uniform in (0, 1]: md5-derived like the stratified sampler, +1 so
+    // an all-zero hash prefix cannot make -ln(u) infinite (textbook
+    // A-Res draws from (0, 1])
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") + 1.0) / lit(4294967296.0)
+    df.where(col(weightCol) > 0)
+      .withColumn("__ares_key", -log(u) / col(weightCol))
+      .orderBy(col("__ares_key"))
+      .limit(k)
+      .drop("__ares_key")
+  }
+
   /** Downsample every stratum to (at most) the size of the smallest one —
     * class balancing without driver-side loops: compute per-stratum counts
     * (tiny), derive fractions, one sampleBy pass.

@@ -92,10 +92,25 @@ object ScaleSurface {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Weighted sample without replacement ([[Sampling.weightedSample]],
+    * Efraimidis–Spirakis A-Res): 50 orders drawn with probability
+    * proportional to o_totalprice. The md5-derived uniform makes the
+    * drawn SET a pure function of the keys, so the oracle recomputes the
+    * identical sample in SQL — the result is the exact rows, not a
+    * statistic.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.weightedSample(
+      Tables(spark, sfDir).orders, idCol = "o_orderkey",
+      weightCol = "o_totalprice", k = 50)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
   def queries: Map[String, Q] = Map(
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_bucketed_join" -> (bucketedJoin _),
-    "q_stratified_sample" -> (stratifiedSample _)
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_weighted_sample" -> (weightedSample _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -115,6 +130,14 @@ object ScaleSurface {
         |  f(s, frac) ON d.lang = f.s
         |WHERE (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
         |       / 4294967296.0) < f.frac
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    -ln((('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT + 1.0)
+        |        / 4294967296.0) / o_totalprice AS k
+        |  FROM orders WHERE o_totalprice > 0
+        |  ORDER BY k LIMIT 50)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -247,7 +247,8 @@ final case class LakeCreateNamedCommand(
     nameParts: Seq[String], path: String,
     orReplace: Boolean, ifNotExists: Boolean,
     ctasSql: Option[String] = None,
-    partitionBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
+    partitionBy: Seq[String] = Seq.empty,
+    schemaDdl: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (db, table) = nameParts match {
       case Seq(t)    => (spark.catalog.currentDatabase, t)
@@ -272,6 +273,33 @@ final case class LakeCreateNamedCommand(
         lake.writePartitioned(df, partitionBy, SaveMode.Overwrite,
           overwriteSchema = true)
       else lake.write(df, SaveMode.Overwrite, overwriteSchema = true)
+    }
+    // schema-first creation (Delta's empty-table CREATE): a fresh
+    // location gets an EMPTY table carrying exactly the declared schema;
+    // registering over existing data requires the declared schema to
+    // match the stored one — a silent mismatch would poison every read.
+    schemaDdl.foreach { ddl =>
+      val schema = spark.sessionState.sqlParser.parseTableSchema(ddl)
+      val lake = LakeTable(spark, path)
+      if (lake.exists && !orReplace) {
+        def shape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.toSeq.map(f =>
+            (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
+        require(shape(lake.read.schema) == shape(schema),
+          s"declared columns (${schema.map(_.name).mkString(", ")}) do not " +
+            s"match the existing table at $path — drop the column list to " +
+            "register as-is, or declare the stored schema")
+      } else {
+        // one empty partition, not zero: the single footer-only parquet
+        // file is what lets schema inference (and the registration view)
+        // see the declared schema before any data arrives
+        val empty = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+        if (partitionBy.nonEmpty)
+          lake.writePartitioned(empty, partitionBy, SaveMode.Overwrite,
+            overwriteSchema = true)
+        else lake.write(empty, SaveMode.Overwrite, overwriteSchema = true)
+      }
     }
     graft.sources.LakeNames.register(spark, db, table, path)
     Seq.empty
@@ -637,12 +665,20 @@ object LakeSqlDml {
       if (!p.more || p.peek.kind != Word) return None
       name += bare(p.peek.text); p.advance()
     }
+    // schema-first column list (Delta's empty-table CREATE idiom):
+    // captured here, applied only if the provider turns out to be ours —
+    // column-list CREATEs for other providers still fall through intact
+    val schemaDdl =
+      if (p.more && p.peek.kind == Punct && p.peek.text == "(")
+        Some(p.parenGroup("CREATE TABLE column list"))
+      else None
     // Delta's CLONE statement: the target being a lake table (TVF form
     // or registered name) is what claims it — Spark has no CLONE syntax,
     // so a non-lake source just falls through to Spark's native error
     val shallowClone = p.eat("SHALLOW")
     val deepClone = !shallowClone && p.eat("DEEP")
     if (shallowClone || deepClone || p.wordIs("CLONE")) {
+      if (schemaDdl.isDefined) return None // a column list on CLONE is not ours
       if (!p.eat("CLONE")) return None
       val src = p.lakeTarget().getOrElse(return None)
       // from here the statement is ours — errors are OUR errors
@@ -669,11 +705,14 @@ object LakeSqlDml {
     val ctas =
       if (p.eat("AS")) Some(p.sliceToEnd("CTAS query"))
       else { p.done("CREATE TABLE"); None }
-    if (ctas.isEmpty && partitionBy.nonEmpty)
-      p.fail("PARTITIONED BY needs AS <query>: registering an existing lake " +
-        "table reads its on-disk layout as-is")
+    if (ctas.isDefined && schemaDdl.isDefined)
+      p.fail("a column list and AS <query> are mutually exclusive in " +
+        "CREATE TABLE … USING graft_lake (the query defines the schema)")
+    if (ctas.isEmpty && schemaDdl.isEmpty && partitionBy.nonEmpty)
+      p.fail("PARTITIONED BY needs AS <query> or a column list: registering " +
+        "an existing lake table reads its on-disk layout as-is")
     Some(LakeCreateNamedCommand(name.result(), path, orReplace, ifNotExists,
-      ctas, partitionBy))
+      ctas, partitionBy, schemaDdl))
   }
 
   /** Routing is decided by RESOLUTION, not syntax: only `DROP TABLE` whose

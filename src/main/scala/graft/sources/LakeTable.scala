@@ -1210,7 +1210,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       changeVersion: Option[Long],
       alwaysTransform: Boolean,
       occBase: Option[Long] = None,
-      rebaseBaseFiles: Option[Set[String]] = None): LakeTable = {
+      rebaseBaseFiles: Option[Set[String]] = None,
+      keepSideDirs: Boolean = true): LakeTable = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     // same OCC contract as rewrite(): the affected/untouched file split
     // and the transform's input derive from the caller's snapshot
@@ -1283,8 +1284,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // their exact paths, so their vectors stay valid; vectors for the
     // replaced files become harmless orphans (no new file can reuse a
     // UUID-suffixed name)
+    // a FULL maintenance rewrite (keepSideDirs = false) replaces every
+    // pre-existing file, so stats and deletion vectors would be 100%
+    // orphans — drop the dirs instead of carrying dead weight (rebased
+    // appends never have either); selective rewrites keep them because
+    // the untouched files' rows stay valid
     writeManifest(staged,
-      (untouched.map(_._1) ++ rebased) :+ LakeTable.StatsDirName :+ LakeTable.DvDirName,
+      (untouched.map(_._1) ++ rebased) ++
+        (if (keepSideDirs) Seq(LakeTable.StatsDirName, LakeTable.DvDirName)
+         else Seq.empty),
       op, params)
     completeSwap(staged): Unit // same-process completion: commit inline below
     val actual = commit(op, params ++
@@ -2918,7 +2926,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val base = listDataFiles()
     swapSelective(base, Seq.empty, transform, op, params,
       changeVersion = None, alwaysTransform = true, occBase = occBase,
-      rebaseBaseFiles = Some(base.map(_._1).toSet))
+      rebaseBaseFiles = Some(base.map(_._1).toSet),
+      keepSideDirs = false)
   }
 
   /** Size-targeted compaction: pick the output file count from the

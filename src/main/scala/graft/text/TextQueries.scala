@@ -412,11 +412,19 @@ object TextQueries {
 
   /** M2: banded-MinHash near-dups with exact-jaccard verification (the
     * native scale path; the MLlib MinHashLSH variant is covered in
-    * DedupSpec). Accuracy vs exact Jaccard asserted in DedupSpec.
+    * DedupSpec). ORACLED against the exact all-pairs jaccard >= 0.7 set:
+    * sound because the output filters candidates by EXACT jaccard
+    * (precision 1 by construction) and the banding is tuned for recall —
+    * 16 bands × 2 rows puts a pair at the 0.7 threshold through at
+    * probability 1-(1-0.49)^16 ≈ 1-2e-5 (and the corpus's planted dups
+    * sit near 0.9, where a miss is ~1e-11). Same signature length (32)
+    * as the old 8×4 banding; the AND-OR trade moves candidate-pair cost
+    * up slightly, which the exact filter absorbs.
     */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashBandedPairs(
-      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7)
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
+      bands = 16, rowsPerBand = 2)
 
   /** SimHash near-dup pairs (hamming <= 3 on 64-bit signatures). */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
@@ -559,6 +567,24 @@ object TextQueries {
         |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
         |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
         |WHERE common * 1.0 / least(la.n, lb.n) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    // exact all-pairs ground truth — sound for the BANDED pipeline because
+    // its output is exact-jaccard-filtered and the 16x2 banding's miss
+    // probability at the threshold is ~2e-5 (see minhashNearDup)
+    "q_minhash_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        | round(common * 1.0 / (la.n + lb.n - common), 6) AS jaccard
+        |FROM p
+        |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.7
         |ORDER BY a_id, b_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),

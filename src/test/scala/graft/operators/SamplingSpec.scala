@@ -69,6 +69,29 @@ class SamplingSpec extends SparkSpec {
     assert(out === Seq("cat", "sat", "on", "cat", "mat"))
   }
 
+  test("weighted sample is partition-independent and favors heavy weights") {
+    import spark.implicits._
+    // 900 light rows (w=1) + 100 heavy rows (w=50): A-Res inclusion is
+    // proportional to weight, so heavy rows should dominate a k=100 draw
+    val rows = (0L until 900L).map(i => (i, 1.0)) ++
+      (900L until 1000L).map(i => (i, 50.0))
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "sample must be a pure function of ids, not partitioning")
+    val heavy = a.count(_ >= 900L)
+    assert(heavy >= 60, s"heavy rows underrepresented: $heavy/100")
+    // non-positive weights are excluded outright
+    val withZero = rows.toDF("id", "w")
+      .union(Seq((5000L, 0.0), (5001L, -1.0)).toDF("id", "w"))
+    val c = Sampling.weightedSample(withZero, "id", "w", k = 2000)
+      .select("id").as[Long].collect().toSet
+    assert(!c.contains(5000L) && !c.contains(5001L))
+    assert(c.size === 1000)
+  }
+
   test("balanced sampling of an empty frame returns empty, not a crash") {
     val empty = Tables(spark, sf001).documents.where(col("lang") === "nope")
     assert(Sampling.balanced(empty, "lang", 1L).count() === 0L)

@@ -116,6 +116,38 @@ class LakeNamesSpec extends SparkSpec {
     assert(LakeNames.resolve(spark, Seq("named_db", "ct1")) === Some(p2))
   }
 
+  test("schema-first CREATE TABLE (column list) creates an empty lake table, DML-ready") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS named_db")
+    val loc = tmp()
+    spark.sql(s"CREATE TABLE named_db.sf1 (id BIGINT, name STRING, v DOUBLE) " +
+      s"USING graft_lake LOCATION '$loc'")
+    assert(spark.sql("SELECT * FROM named_db.sf1").count() === 0)
+    assert(spark.table("named_db.sf1").schema.fieldNames.toSeq ===
+      Seq("id", "name", "v"))
+    // the empty table is a full lake table: DML works immediately
+    spark.sql("INSERT INTO named_db.sf1 VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    spark.sql("DELETE FROM named_db.sf1 WHERE id = 2")
+    assert(spark.sql("SELECT name FROM named_db.sf1").collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    // re-registering over existing data: a MATCHING column list is fine
+    // (data kept), a mismatched one errors loudly
+    spark.sql("DROP TABLE named_db.sf1")
+    spark.sql(s"CREATE TABLE named_db.sf1 (id BIGINT, name STRING, v DOUBLE) " +
+      s"USING graft_lake LOCATION '$loc'")
+    assert(spark.sql("SELECT * FROM named_db.sf1").count() === 1)
+    spark.sql("DROP TABLE named_db.sf1")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE named_db.sf1 (id BIGINT, wrong STRING) " +
+        s"USING graft_lake LOCATION '$loc'")
+    }
+    assert(e.getMessage.contains("do not match"), e.getMessage)
+    // a column-list CREATE for another provider still falls through
+    val ploc = tmp()
+    spark.sql(s"CREATE TABLE named_db.plain_sf (id INT) USING parquet LOCATION '$ploc'")
+    assert(spark.table("named_db.plain_sf").count() === 0)
+    spark.sql("DROP TABLE named_db.plain_sf")
+  }
+
   test("DROP TABLE on a registered name unregisters it and keeps the data files") {
     val path = tmp(); seed(path)
     spark.sql("CREATE DATABASE IF NOT EXISTS named_db")
