@@ -20,6 +20,7 @@ import graft.sources.{LakeTable, MergeClause}
   * UPDATE graft_lake('/p') SET v = v + 1, s = 'x' WHERE k = 2
   * INSERT INTO graft_lake('/p') (id, v) VALUES (1, 2.5), (2, 3.5)
   * INSERT OVERWRITE graft_lake('/p') SELECT * FROM src
+  * INSERT INTO graft_lake('/p') REPLACE WHERE day = '2024-06-01' SELECT …
   * MERGE INTO graft_lake('/p') t USING src s ON t.id = s.id
   *   WHEN MATCHED AND s.del THEN DELETE
   *   WHEN MATCHED THEN UPDATE SET v = s.v
@@ -31,9 +32,12 @@ import graft.sources.{LakeTable, MergeClause}
   * OPTIMIZE graft_lake('/p') HILBERT BY (id, day)
   * OPTIMIZE graft_lake('/partitioned') WHERE day = '2024-06-01'
   * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
+  * VACUUM graft_lake('/versioned') RETAIN 168 HOURS
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
   * CREATE TABLE db.t USING graft_lake LOCATION '/p'   -- register a NAME
+  * CREATE TABLE db.t3 (id BIGINT, v DOUBLE) USING graft_lake LOCATION '/p3'
   * CREATE TABLE db.t2 SHALLOW CLONE db.t LOCATION '/p2'
+  * DROP TABLE db.t                                    -- unregister, keep data
   * }}}
   *
   * Every statement's target may also be a NAME registered by `CREATE
@@ -417,7 +421,8 @@ final case class LakeInsertCommand(
     path: String,
     overwrite: Boolean,
     columns: Seq[String],
-    querySql: String) extends LeafRunnableCommand {
+    querySql: String,
+    replaceWhere: Option[Column] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val raw = spark.sql(
       if (querySql.trim.startsWith("(")) s"SELECT * FROM $querySql" else querySql)
@@ -472,7 +477,18 @@ final case class LakeInsertCommand(
     if (graft.sources.VersionedLakeTable.isVersioned(spark, path)) {
       val t = graft.sources.VersionedLakeTable(spark, path)
       val data = aligned(t.read.schema, Set.empty)
-      t.write(if (overwrite) data else t.read.unionByName(data))
+      replaceWhere match {
+        case Some(cond) =>
+          // history-preserving replaceWhere: survivors + batch as a NEW
+          // snapshot (same incoming-rows-must-match contract)
+          import org.apache.spark.sql.functions.coalesce
+          val bad = data.where(!coalesce(cond, lit(false))).count()
+          require(bad == 0L,
+            s"replaceWhere: $bad incoming row(s) do not satisfy $cond")
+          t.write(t.read.where(!coalesce(cond, lit(false))).unionByName(data))
+        case None =>
+          t.write(if (overwrite) data else t.read.unionByName(data))
+      }
     } else {
       val lake = LakeTable(spark, path)
       // identity columns are GENERATED ALWAYS: never listable, never part
@@ -488,9 +504,13 @@ final case class LakeInsertCommand(
           s.fields.filterNot(f => ids.contains(key(f.name))))
         aligned(writable, gens)
       }.getOrElse(named)
-      lake.write(data,
-        if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
-        else org.apache.spark.sql.SaveMode.Append)
+      replaceWhere match {
+        case Some(cond) => lake.replaceWhere(data, cond)
+        case None =>
+          lake.write(data,
+            if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+      }
     }
     Seq.empty
   }
@@ -846,6 +866,17 @@ object LakeSqlDml {
     if (!overwrite && !p.eat("INTO")) return None
     if (overwrite) p.eat("TABLE"): Unit
     val path = p.lakeTarget().getOrElse(return None)
+    // Delta's `INSERT INTO t REPLACE WHERE cond SELECT …`: the predicate
+    // runs to the source query's leading keyword (a scalar subquery
+    // inside the predicate is not supported here — Delta's grammar has
+    // the same keyword-boundary shape)
+    val replaceWhere =
+      if (!overwrite && p.eat("REPLACE")) {
+        p.expect("WHERE", "after INSERT INTO … REPLACE")
+        Some(stripQualifier(p.expr(
+          p.slice(Set("SELECT", "VALUES", "TABLE", "FROM"),
+            "REPLACE WHERE predicate")), None))
+      } else None
     // an optional (col, …) list — but `(SELECT …)` is a source, not a list
     val cols =
       if (p.peekIsColumnList) {
@@ -857,7 +888,7 @@ object LakeSqlDml {
         names.result()
       } else Seq.empty
     val source = p.sliceToEnd("insert source")
-    Some(LakeInsertCommand(path, overwrite, cols, source))
+    Some(LakeInsertCommand(path, overwrite, cols, source, replaceWhere))
   }
 
   /** Delta `REORG TABLE t APPLY (PURGE)`: physically drop retired

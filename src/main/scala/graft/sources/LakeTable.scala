@@ -852,6 +852,45 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion, occBase))
   }
 
+  /** Predicate-scoped atomic overwrite (Delta's `replaceWhere` — the
+    * idempotent backfill primitive when the boundary is NOT a partition
+    * column): rows matching `cond` are deleted and `df` inserted in ONE
+    * staged commit, so a re-run converges instead of duplicating.
+    * Every incoming row must satisfy `cond` — otherwise the "replace"
+    * would silently leak rows into the untouched region (Delta errors
+    * identically). Selective when stats allow: only files whose min/max
+    * admit a `cond` match are rewritten (the inserts land with them);
+    * every other file moves through the swap untouched. The incoming
+    * batch takes the full append contract — schema enforcement,
+    * generated-column compute, identity assignment, CHECK constraints.
+    */
+  def replaceWhere(df: DataFrame, cond: Column): LakeTable = {
+    // OCC base before the snapshot read — see update()
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
+    val cur = read
+    val ic = idCols
+    requireNoIdentityProvided(df, "replaceWhere", ic)
+    val (withGen, genChecks) = applyGenerated(withNullIdentity(df, ic))
+    val (aligned0, _) = enforceSchema(withGen, appendLike = true,
+      mergeSchema = false, overwriteSchema = false)
+    val (assigned, idParams) = applyIdentityIngest(aligned0, ic)
+    // materialized once: the violation count below and the staged write
+    // both consume it, and identity values must not be re-drawn
+    val toInsert = constrainedBatch(assigned, genChecks).localCheckpoint(true)
+    val violating = toInsert.where(!coalesce(cond, lit(false))).count()
+    require(violating == 0L,
+      s"replaceWhere: $violating incoming row(s) do not satisfy $cond — " +
+        "the batch may only hold rows inside the replaced region")
+    val keep = (d: DataFrame) => d.where(!coalesce(cond, lit(false)))
+    val params = Map("predicate" -> cond.toString,
+      "mode" -> "replaceWhere") ++ idParams
+    rewriteSelective(cond, a => keep(a).unionByName(toInsert),
+        "REPLACE WHERE", params, changeVersion = None,
+        alwaysTransform = true, occBase = occBase)
+      .getOrElse(rewrite(keep(cur).unionByName(toInsert),
+        "REPLACE WHERE", params, occBase = occBase))
+  }
+
   /** Idempotent file ingest (Databricks/Delta `COPY INTO` analogue):
     * load every data file under `source` that has NOT already been
     * loaded into this table, append, and remember the loaded set — so

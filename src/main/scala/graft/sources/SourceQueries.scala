@@ -656,6 +656,32 @@ object SourceQueries {
       .orderBy(col("change"))
   }
 
+  /** A3 depth (Delta `replaceWhere`): predicate-scoped atomic backfill
+    * through the SQL surface — urgent orders re-delivered with corrected
+    * prices in one `INSERT INTO … REPLACE WHERE` commit, run TWICE so
+    * the hash also pins idempotence (an implementation that appends
+    * instead of replacing doubles the region and breaks the count).
+    */
+  def lakeReplaceWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val path = scratch(sfDir, "orders_replace")
+    LakeTable(spark, path).write(t.orders, SaveMode.Overwrite)
+    t.orders.createOrReplaceTempView("rw_orders_src")
+    val stmt =
+      s"""INSERT INTO graft_lake('$path')
+         |REPLACE WHERE o_orderpriority = '1-URGENT'
+         |SELECT o_orderkey, o_custkey, o_orderstatus,
+         |       o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+         |FROM rw_orders_src WHERE o_orderpriority = '1-URGENT'""".stripMargin
+    spark.sql(stmt)
+    spark.sql(stmt) // idempotent re-delivery
+    LakeTable(spark, path).read
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A7 depth (small-file maintenance): a base write plus three small
     * appends (together restoring full lineitem), then [[LakeTable.compactSmall]]
     * — content must be untouched by the partial consolidation. The
@@ -907,6 +933,7 @@ object SourceQueries {
     "q_tvf_lake_sql" -> (tvfLakeSql _),
     "q_catalog_sql" -> (catalogSql _),
     "q_lake_compact_small" -> (lakeCompactSmall _),
+    "q_lake_replace_where" -> (lakeReplaceWhere _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
@@ -977,6 +1004,12 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_replace_where" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |                    THEN o_totalprice + 100.0 ELSE o_totalprice END
+        |               AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lake_diff" ->
       """WITH v0 AS (SELECT o_orderkey AS k, o_totalprice AS p0 FROM orders),
         |cur AS (SELECT o_orderkey AS k,

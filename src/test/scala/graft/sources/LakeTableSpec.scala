@@ -599,6 +599,34 @@ class LakeTableSpec extends SparkSpec {
       .map(_.getString(0)).contains("VACUUM DEBRIS"))
   }
 
+  test("replaceWhere atomically swaps the predicate region and is idempotent") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "seg", "v"))
+    val batch = Seq((1L, "a", 11.0), (9L, "a", 99.0)).toDF("id", "seg", "v")
+    lake.replaceWhere(batch, col("seg") === "a")
+    def state() = lake.read.orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(state() === Seq((1L, "a", 11.0), (2L, "b", 20.0), (9L, "a", 99.0)))
+    // re-delivering the same batch converges (the backfill contract)
+    lake.replaceWhere(batch, col("seg") === "a")
+    assert(state() === Seq((1L, "a", 11.0), (2L, "b", 20.0), (9L, "a", 99.0)))
+    // a batch leaking outside the region is rejected, table untouched
+    val e = intercept[IllegalArgumentException] {
+      lake.replaceWhere(Seq((7L, "b", 7.0)).toDF("id", "seg", "v"), col("seg") === "a")
+    }
+    assert(e.getMessage.contains("do not satisfy"), e.getMessage)
+    assert(state() === Seq((1L, "a", 11.0), (2L, "b", 20.0), (9L, "a", 99.0)))
+    // the SQL spelling routes to the same path
+    spark.sql(s"INSERT INTO graft_lake('${lake.path}') REPLACE WHERE seg = 'b' " +
+      "VALUES (2, 'b', 21.0), (12, 'b', 22.0)")
+    assert(state() ===
+      Seq((1L, "a", 11.0), (2L, "b", 21.0), (9L, "a", 99.0), (12L, "b", 22.0)))
+    // history records the predicate-scoped commit
+    assert(lake.history.where(col("operation") === "REPLACE WHERE").count() === 3)
+  }
+
   test("delete removes only TRUE-predicate rows (null keeps, SQL semantics) and feeds CDC") {
     val s = spark
     import s.implicits._
