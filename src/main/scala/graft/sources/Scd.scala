@@ -150,6 +150,51 @@ object Scd {
     keys.foldLeft(fact.join(dim, cond, "inner"))((df, k) => df.drop(dim(k)))
   }
 
+  /** CDC APPLY (the `APPLY CHANGES INTO` idiom Databricks DLT popularized,
+    * Type 1): fold an out-of-order, possibly-redundant change feed into
+    * the target. Per key only the row with the HIGHEST `sequenceCol`
+    * value wins (late-arriving older events are discarded, exact
+    * re-deliveries are idempotent); a winning `opCol = 'delete'` removes
+    * the key, anything else upserts the payload. One window (top-1 per
+    * key by sequence) + ONE keyed [[LakeTable.merge]] — at 100 TB the
+    * feed batch shuffles once on the key and the merge rewrites only
+    * stats-admissible files.
+    *
+    * EXACT re-deliveries (bit-identical rows — at-least-once transport)
+    * dedupe away first and are therefore idempotent; remaining ties on
+    * (key, sequence) carry DIFFERENT content, are ambiguous CDC (which
+    * op won?), and are REJECTED — feed a tiebreaking sequence (e.g.
+    * LSN, struct of (ts, offset)) instead.
+    */
+  def applyChanges(
+      lake: LakeTable,
+      changes: DataFrame,
+      keys: Seq[String],
+      sequenceCol: String,
+      opCol: String = "_op"): LakeTable = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sequenceCol).desc)
+    val ranked = changes.dropDuplicates()
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rk", rank().over(w))
+    // rank != row_number at the top marks a (key, sequence) tie
+    val ties = ranked.where(col("__rn") === 2 && col("__rk") === 1).limit(1).count()
+    require(ties == 0L,
+      s"applyChanges: tied $sequenceCol values within a key — the winning " +
+        "operation is ambiguous; supply a tiebreaking sequence")
+    val latest = ranked.where(col("__rn") === 1).drop("__rn", "__rk")
+    val payload = lake.read.columns.filterNot(keys.contains)
+    lake.merge(
+      latest, keys,
+      whenMatched = Seq(
+        MergeClause.DeleteWhen(Some(col("s." + opCol) === "delete")),
+        MergeClause.UpdateWhen(
+          payload.map(c => c -> col("s." + c)).toMap)),
+      insertUnmatched = true,
+      insertCond = Some(col(opCol) =!= "delete"),
+      extraParams = Map("applyChanges" -> "true", "sequenceBy" -> sequenceCol))
+  }
+
   /** [[applyType2]] against a [[LakeTable]]: reads the dimension, applies
     * the batch, commits the new state as one `SCD2` log entry — history,
     * time travel and the change feed come from the lake layer for free.

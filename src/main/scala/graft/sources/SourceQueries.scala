@@ -656,6 +656,39 @@ object SourceQueries {
       .orderBy(col("change"))
   }
 
+  /** A3 depth (CDC APPLY — the DLT `APPLY CHANGES INTO` idiom): fold a
+    * deliberately hostile change feed into the target — out-of-order
+    * sequences, an exact duplicate re-delivery, updates superseded by
+    * deletes, and brand-new keys — via [[Scd.applyChanges]]'s
+    * latest-wins fold + one keyed merge. The oracle recomputes the
+    * final state from the CDC rules directly, so a wrong winner, a
+    * non-idempotent re-delivery, or a resurrected delete all break the
+    * hash.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_cdc"))
+    lake.write(t.orders, SaveMode.Overwrite)
+    val src = t.orders
+    val upd = src.where(col("o_custkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .withColumn("_op", lit("upsert")).withColumn("_seq", lit(1L))
+    val del = src.where(col("o_custkey") % 14 === 0)
+      .withColumn("_op", lit("delete")).withColumn("_seq", lit(2L))
+    val ins = src.where(col("o_custkey") % 11 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(50000000L))
+      .withColumn("_op", lit("upsert")).withColumn("_seq", lit(2L))
+    // shuffled delivery order + a full duplicate of the update batch:
+    // the fold must not care
+    val feed = del.unionByName(upd).unionByName(ins).unionByName(upd)
+    Scd.applyChanges(lake, feed, Seq("o_orderkey"), sequenceCol = "_seq")
+    lake.read
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A3 depth (Delta `replaceWhere`): predicate-scoped atomic backfill
     * through the SQL surface — urgent orders re-delivered with corrected
     * prices in one `INSERT INTO … REPLACE WHERE` commit, run TWICE so
@@ -934,6 +967,7 @@ object SourceQueries {
     "q_catalog_sql" -> (catalogSql _),
     "q_lake_compact_small" -> (lakeCompactSmall _),
     "q_lake_replace_where" -> (lakeReplaceWhere _),
+    "q_cdc_apply" -> (cdcApply _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
@@ -1004,6 +1038,18 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_cdc_apply" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE NOT (o_custkey % 14 = 0)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_custkey % 11 = 3
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lake_replace_where" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'

@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   * the storage trade-off vs Delta's file-level reuse; `vacuum` bounds it.
   *
   * Concurrency: commit-log appends are atomic ([[CommitLog.append]]
-  * races put-if-absent version files), so history records are never
-  * lost. Two writers racing `latestVersion + 1` can still collide on
-  * the same `_v{N}` SNAPSHOT directory, however — multi-writer snapshot
-  * production needs external coordination, the same constraint Delta
-  * has on object stores without a coordinating LogStore. One writer per
-  * table is the supported mode; concurrent READERS are always safe
-  * (snapshots are immutable).
+  * races put-if-absent version files), and snapshot PRODUCTION is now
+  * race-safe too: every write lands its data in a private `_tmp_{uuid}`
+  * directory first, then claims a version number by atomically renaming
+  * it to `_v{N}` — rename-if-absent fails for exactly one of two racers
+  * (HDFS/local-FS semantics), the loser re-reads `latestVersion` and
+  * retries the RENAME ONLY (the data is already written, so the race
+  * costs metadata, not a second copy). Writers in one JVM serialize the
+  * claim under a per-path lock (the local-FS rename-into-missing-dest
+  * TOCTOU, same reasoning as [[CommitLog]]'s commit lock). Object
+  * stores without atomic rename need a coordinating LogStore — Delta's
+  * own constraint. Concurrent READERS are always safe (snapshots are
+  * immutable once named).
   */
 final class VersionedLakeTable(spark: SparkSession, val path: String) {
 
@@ -49,10 +54,45 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
   }
 
   def write(df: DataFrame): VersionedLakeTable = {
-    val v = latestVersion + 1
-    df.write.mode("overwrite").parquet(versionDir(v))
-    commit("WRITE", Map("dataVersion" -> v.toString))
+    publishSnapshot(df, "WRITE", Map.empty)
     this
+  }
+
+  /** Land `df` as the next snapshot, race-safely: data goes to a private
+    * tmp dir once, then a version number is CLAIMED by renaming it to
+    * `_v{N}` — the loser of a race re-reads latestVersion and retries
+    * only the (metadata) rename. The commit record carries the claimed
+    * version. Returns the version.
+    */
+  private def publishSnapshot(
+      df: DataFrame, op: String, params: Map[String, String]): Long = {
+    val tmp = new Path(path,
+      "_tmp_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val v = claimVersion(tmp)
+    commit(op, params + ("dataVersion" -> v.toString))
+    v
+  }
+
+  private def claimVersion(tmp: Path): Long = {
+    val f = fs
+    // per-path JVM lock: local-FS rename into an EXISTING dir NESTS
+    // instead of failing, so same-JVM racers must serialize the
+    // exists-check+rename pair (cross-JVM atomicity is the filesystem's
+    // rename contract — HDFS fails on existing dest; object stores need
+    // a LogStore, Delta's own constraint)
+    VersionedLakeTable.claimLocks
+      .computeIfAbsent(path, _ => new Object).synchronized {
+        var attempts = 0
+        while (attempts < 100) {
+          val v = latestVersion + 1
+          val dest = new Path(versionDir(v))
+          if (!f.exists(dest) && f.rename(tmp, dest)) return v
+          attempts += 1
+        }
+        throw new IllegalStateException(
+          s"lost 100 consecutive snapshot-version races at $path")
+      }
   }
 
   /** Latest snapshot. */
@@ -104,13 +144,11 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
   /** Cluster into a NEW version (old snapshots remain readable). */
   def optimize(zorderBy: Seq[String], numFiles: Option[Int] = None): VersionedLakeTable = {
     val n = numFiles.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val v = latestVersion + 1
-    read
-      .repartitionByRange(n, zorderBy.map(col): _*)
-      .sortWithinPartitions(zorderBy.map(col): _*)
-      .write.mode("overwrite").parquet(versionDir(v))
-    commit("OPTIMIZE",
-      Map("dataVersion" -> v.toString, "zOrderBy" -> zorderBy.mkString(",")))
+    publishSnapshot(
+      read
+        .repartitionByRange(n, zorderBy.map(col): _*)
+        .sortWithinPartitions(zorderBy.map(col): _*),
+      "OPTIMIZE", Map("zOrderBy" -> zorderBy.mkString(",")))
     this
   }
 
@@ -121,11 +159,8 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     * buys over the plain table's staged rewrite.
     */
   def delete(cond: org.apache.spark.sql.Column): VersionedLakeTable = {
-    val next = latestVersion + 1
-    read.where(!coalesce(cond, lit(false)))
-      .write.mode("overwrite").parquet(versionDir(next))
-    commit("DELETE",
-      Map("dataVersion" -> next.toString, "predicate" -> cond.toString))
+    publishSnapshot(read.where(!coalesce(cond, lit(false))),
+      "DELETE", Map("predicate" -> cond.toString))
     this
   }
 
@@ -141,16 +176,14 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     require(set.nonEmpty && bad.isEmpty,
       s"UPDATE SET references unknown columns: ${bad.mkString(", ")}")
     val hit = coalesce(cond, lit(false))
-    val next = latestVersion + 1
-    cur.select(cur.schema.fields.map { f =>
-      set.get(f.name) match {
-        case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None    => col(f.name)
-      }
-    }.toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(versionDir(next))
-    commit("UPDATE",
-      Map("dataVersion" -> next.toString, "predicate" -> cond.toString,
+    publishSnapshot(
+      cur.select(cur.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
+      }.toIndexedSeq: _*),
+      "UPDATE", Map("predicate" -> cond.toString,
         "set" -> set.keys.toSeq.sorted.mkString(",")))
     this
   }
@@ -161,10 +194,7 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     */
   def restore(v: Long): VersionedLakeTable = {
     val snapshot = readVersion(v) // validates existence
-    val next = latestVersion + 1
-    snapshot.write.mode("overwrite").parquet(versionDir(next))
-    commit("RESTORE",
-      Map("dataVersion" -> next.toString, "restoredVersion" -> v.toString))
+    publishSnapshot(snapshot, "RESTORE", Map("restoredVersion" -> v.toString))
     this
   }
 
@@ -182,8 +212,21 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     (0L to latest - keepLast).foreach { v =>
       f.delete(new Path(versionDir(v)), true)
     }
+    dropTmpDebris()
     commit("VACUUM", Map("keepLast" -> keepLast.toString))
     this
+  }
+
+  /** `_tmp_{uuid}` dirs left by a writer that crashed between its data
+    * write and its version claim — invisible to every read (underscore
+    * prefix, never matches `_v\d+`), reclaimed here.
+    */
+  private def dropTmpDebris(): Unit = {
+    val f = fs
+    if (!f.exists(new Path(path))) return
+    f.listStatus(new Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp_"))
+      .foreach(st => f.delete(st.getPath, true): Unit)
   }
 
   /** Time-based retention (Delta's operational idiom: `VACUUM … RETAIN
@@ -229,6 +272,10 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
 }
 
 object VersionedLakeTable {
+
+  /** Per-table-path snapshot-claim locks (see [[VersionedLakeTable.claimVersion]]). */
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Whether `path` holds the versioned `_v{N}` snapshot layout (vs the
     * plain [[LakeTable]] flat layout) — the SQL DML commands route on

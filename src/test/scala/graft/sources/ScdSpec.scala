@@ -158,4 +158,41 @@ class ScdSpec extends SparkSpec {
     val ops = lake.history.select("operation").as[String].collect()
     assert(ops.count(_ == "SCD2") === 2)
   }
+
+  test("applyChanges: latest sequence wins, deletes remove, re-delivery idempotent, ties rejected") {
+    val s2 = spark
+    import s2.implicits._
+    val lake = LakeTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_cdc").resolve("t").toString)
+      .write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v"))
+    // out-of-order feed: id 1 updated (seq 2) then a LATE older update
+    // (seq 1, must lose); id 2 updated then deleted (delete wins); id 4
+    // inserted; id 5 delete of an absent key (no-op); plus an exact
+    // duplicate re-delivery of the id-1 winner
+    val feed = Seq(
+      (1L, "a1-late", 11.0, "upsert", 1L),
+      (1L, "a2", 12.0, "upsert", 2L),
+      (1L, "a2", 12.0, "upsert", 2L), // exact re-delivery
+      (2L, "b9", 29.0, "upsert", 1L),
+      (2L, "b", 0.0, "delete", 2L),
+      (4L, "d", 40.0, "upsert", 1L),
+      (5L, "x", 0.0, "delete", 1L)
+    ).toDF("id", "name", "v", "_op", "_seq")
+    Scd.applyChanges(lake, feed, Seq("id"), sequenceCol = "_seq")
+    assert(lake.read.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // applying the SAME feed again converges (CDC replay safety)
+    Scd.applyChanges(lake, feed, Seq("id"), sequenceCol = "_seq")
+    assert(lake.read.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // a CONTENT-differing tie on (key, seq) is ambiguous and errors
+    val tie = Seq(
+      (7L, "p", 1.0, "upsert", 9L),
+      (7L, "q", 2.0, "upsert", 9L)
+    ).toDF("id", "name", "v", "_op", "_seq")
+    val e = intercept[IllegalArgumentException] {
+      Scd.applyChanges(lake, tie, Seq("id"), sequenceCol = "_seq")
+    }
+    assert(e.getMessage.contains("tied"), e.getMessage)
+  }
 }

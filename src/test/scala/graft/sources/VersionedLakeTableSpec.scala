@@ -93,6 +93,40 @@ class VersionedLakeTableSpec extends SparkSpec {
     assert(e.getMessage.contains("versioned tables"), e.getMessage)
   }
 
+  test("concurrent writers claim distinct snapshot versions, nothing clobbered") {
+    val t = Tables(spark, sf0001)
+    val path = tmp()
+    VersionedLakeTable(spark, path).write(t.region) // v0: 5 rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 4 writers race latestVersion+1; the tmp-then-claim protocol must
+    // give each its OWN version dir with intact content
+    val writes = (1 to 4).map { i =>
+      Future {
+        VersionedLakeTable(spark, path)
+          .write(t.region.limit(i)): Unit
+      }
+    }
+    writes.foreach(Await.result(_, 120.seconds))
+    val lake = VersionedLakeTable(spark, path)
+    assert(lake.latestVersion === 4L)
+    // every version readable; the four racer contents {1,2,3,4} all
+    // landed exactly once (order between them is unspecified)
+    assert(lake.readVersion(0).count() === 5)
+    val sizes = (1L to 4L).map(v => lake.readVersion(v).count()).sorted
+    assert(sizes === Seq(1L, 2L, 3L, 4L))
+    // no tmp debris left behind by the successful claims
+    val tmps = new java.io.File(path).list().count(_.startsWith("_tmp_"))
+    assert(tmps === 0, s"$tmps _tmp_ dirs left behind")
+    // a crashed writer's tmp dir is invisible and vacuumed away
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "_tmp_deadbeef"))
+    assert(lake.read.count() > 0) // reads unaffected by the debris
+    lake.vacuum(keepLast = 5)
+    assert(!new java.io.File(path, "_tmp_deadbeef").exists)
+  }
+
   test("snapshot dirs are invisible to a naive root read") {
     val t = Tables(spark, sf0001)
     val lake = VersionedLakeTable(spark, tmp()).write(t.region)
