@@ -21,6 +21,7 @@ import graft.sources.{LakeTable, MergeClause}
   * INSERT INTO graft_lake('/p') (id, v) VALUES (1, 2.5), (2, 3.5)
   * INSERT OVERWRITE graft_lake('/p') SELECT * FROM src
   * INSERT INTO graft_lake('/p') REPLACE WHERE day = '2024-06-01' SELECT …
+  * APPLY CHANGES INTO graft_lake('/p') FROM cdc_src KEYS (id) SEQUENCE BY seq
   * MERGE INTO graft_lake('/p') t USING src s ON t.id = s.id
   *   WHEN MATCHED AND s.del THEN DELETE
   *   WHEN MATCHED THEN UPDATE SET v = s.v
@@ -608,6 +609,26 @@ final case class LakeMergeCommand(
   }
 }
 
+/** `APPLY CHANGES INTO <lake> FROM <rel> KEYS (…) SEQUENCE BY <col>
+  * [OP COLUMN <col>]` — see [[graft.sources.Scd.applyChanges]].
+  */
+final case class LakeApplyChangesCommand(
+    path: String,
+    relationSql: String,
+    keys: Seq[String],
+    sequenceCol: String,
+    opCol: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!graft.sources.VersionedLakeTable.isVersioned(spark, path),
+      s"APPLY CHANGES INTO targets a plain lake table; $path is a versioned " +
+        "snapshot layout")
+    val changes = spark.sql(s"SELECT * FROM $relationSql")
+    graft.sources.Scd.applyChanges(
+      LakeTable(spark, path), changes, keys, sequenceCol, opCol)
+    Seq.empty
+  }
+}
+
 object LakeSqlDml {
 
   /** Session conf selecting how SQL DELETE executes on plain lake tables:
@@ -636,6 +657,7 @@ object LakeSqlDml {
       case "REORG"   => p.advance(); parseReorg(p)
       case "CREATE"  => p.advance(); parseCreate(p)
       case "DROP"    => p.advance(); parseDrop(p)
+      case "APPLY"   => p.advance(); parseApplyChanges(p)
       case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
       case _         => None
     }
@@ -757,6 +779,33 @@ object LakeSqlDml {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(return None)
     if (graft.sources.LakeNames.resolve(spark, parts).isEmpty) return None
     Some(LakeDropNamedCommand(parts))
+  }
+
+  /** `APPLY CHANGES INTO <lake> FROM <relation> KEYS (k1, …) SEQUENCE BY
+    * <col> [OP COLUMN <col>]` — the DLT CDC-apply statement, routed to
+    * [[graft.sources.Scd.applyChanges]]. Only a lake target claims the
+    * statement; everything else falls through (Spark has no APPLY
+    * syntax, so a non-lake target surfaces Spark's native parse error).
+    */
+  private def parseApplyChanges(p: P): Option[LogicalPlan] = {
+    if (!p.eat("CHANGES")) return None
+    if (!p.eat("INTO")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    p.expect("FROM", "in APPLY CHANGES INTO")
+    val relationSql = p.slice(Set("KEYS"), "APPLY CHANGES source relation")
+    p.expect("KEYS", "in APPLY CHANGES INTO (after the source relation)")
+    val keys = p.parenGroup("KEYS column list")
+      .split(',').toSeq.map(c => stripTicks(c.trim))
+    p.expect("SEQUENCE", "in APPLY CHANGES INTO")
+    p.expect("BY", "after SEQUENCE")
+    val seqCol = p.identifier("SEQUENCE BY column").mkString(".")
+    val opCol =
+      if (p.eat("OP")) {
+        p.expect("COLUMN", "after OP")
+        p.identifier("OP COLUMN name").mkString(".")
+      } else "_op"
+    p.done("APPLY CHANGES")
+    Some(LakeApplyChangesCommand(path, relationSql, keys, seqCol, opCol))
   }
 
   private def parseOptimize(p: P): Option[LogicalPlan] = {

@@ -194,5 +194,13 @@ class ScdSpec extends SparkSpec {
       Scd.applyChanges(lake, tie, Seq("id"), sequenceCol = "_seq")
     }
     assert(e.getMessage.contains("tied"), e.getMessage)
+    // the SQL spelling (DLT's statement) routes to the same fold
+    Seq((3L, "c-sql", 33.0, "upsert", 5L), (4L, "d", 0.0, "delete", 5L))
+      .toDF("id", "name", "v", "_op", "_seq")
+      .createOrReplaceTempView("cdc_sql_feed")
+    spark.sql(s"APPLY CHANGES INTO graft_lake('${lake.path}') " +
+      "FROM cdc_sql_feed KEYS (id) SEQUENCE BY _seq")
+    assert(lake.read.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a2", 12.0), (3L, "c-sql", 33.0)))
   }
 }
