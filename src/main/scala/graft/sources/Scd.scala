@@ -195,6 +195,39 @@ object Scd {
       extraParams = Map("applyChanges" -> "true", "sequenceBy" -> sequenceCol))
   }
 
+  /** Continuous CDC replication (the downstream-replica pattern): tail
+    * `source`'s change data feed and fold every delivered batch into
+    * `target` through [[applyChanges]]. The sequence is
+    * (commit version, postimage-beats-preimage): an UPDATE's preimage
+    * and postimage share a commit version, so the priority bit makes
+    * the postimage win deterministically instead of tripping the tie
+    * guard. Restart safety: a replayed batch re-applies the identical
+    * fold and converges (exact re-deliveries dedupe away inside
+    * applyChanges); cross-batch ordering rides the change-feed source's
+    * monotone version delivery.
+    */
+  def applyChangesStream(
+      source: LakeTable,
+      target: LakeTable,
+      keys: Seq[String],
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    source.readChangesStream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val feed = b
+          .withColumn("_op",
+            when(col("_change_type").isin("insert", "update_postimage"),
+              "upsert").otherwise("delete"))
+          .withColumn("_seq", struct(col("_commit_version").as("v"),
+            when(col("_change_type").isin("insert", "update_postimage"), 1)
+              .otherwise(0).as("pri")))
+          .drop("_change_type", "_commit_version")
+        if (!b.isEmpty) applyChanges(target, feed, keys, "_seq"): Unit
+      }
+      .trigger(trigger)
+      .start()
+
   /** [[applyType2]] against a [[LakeTable]]: reads the dimension, applies
     * the batch, commits the new state as one `SCD2` log entry — history,
     * time travel and the change feed come from the lake layer for free.

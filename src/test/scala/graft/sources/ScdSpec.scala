@@ -203,4 +203,33 @@ class ScdSpec extends SparkSpec {
     assert(lake.read.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
       Seq((1L, "a2", 12.0), (3L, "c-sql", 33.0)))
   }
+
+  test("applyChangesStream continuously replicates a change feed into a downstream table") {
+    val s2 = spark
+    import s2.implicits._
+    def dir(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdcrep_$tag").resolve("t").toString
+    val src = LakeTable(spark, dir("src"))
+      .write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v"))
+    val replica = LakeTable(spark, dir("dst")).write(src.read)
+    // seed the feed so the streaming source has a schema to read
+    src.update(Map("v" -> lit(11.0)), col("id") === 1L, changeFeed = true)
+    def state(l: LakeTable) = l.read.orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    val q = Scd.applyChangesStream(src, replica, Seq("id"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(state(replica) === state(src), "replica stale after seed update")
+      // a delete, then an upsert batch (update + brand-new key) — the
+      // update's preimage/postimage pair must resolve postimage-wins
+      src.delete(col("id") === 2L, changeFeed = true)
+      src.upsert(Seq((3L, "c2", 31.0), (4L, "d", 40.0)).toDF("id", "name", "v"),
+        Seq("id"), changeFeed = true)
+      q.processAllAvailable()
+      assert(state(replica) === state(src), "replica stale after delete+upsert")
+      assert(state(replica) ===
+        Seq((1L, "a", 11.0), (3L, "c2", 31.0), (4L, "d", 40.0)))
+    } finally q.stop()
+  }
 }
