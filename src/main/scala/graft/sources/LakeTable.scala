@@ -280,6 +280,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val occExpected = occBase.getOrElse(CommitLog.nextVersion(fs, logDir))
     val touched = touchedPartitions(toWrite, partitionCols)
     occCheckPartitions(occExpected, touched, op, mutated = false)
+    onPartitionsPreCheckedForTest()
     toPhysical(toWrite).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -3089,6 +3090,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * interloping commit. No-op in production.
     */
   private[sources] var onStagedForTest: () => Unit = () => ()
+
+  /** Test seam: runs after the dynamic-overwrite pre-check, before the
+    * data write — OccSpec lands an interloper here to drive the
+    * post-mutation conflict branch deterministically. No-op in
+    * production.
+    */
+  private[sources] var onPartitionsPreCheckedForTest: () => Unit = () => ()
 
   /** OCC with logical conflict RESOLUTION (Delta VLDB'20 §3.2): after
     * losing the version race, re-read the interloping commits instead of
