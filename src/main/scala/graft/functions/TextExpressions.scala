@@ -246,7 +246,61 @@ case class FirstOccurrenceTokensExpr(child: Expression) extends TokensUnaryExpre
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Unicode hygiene — the FIRST normalization pass of every corpus
+  * pipeline: NFC composition (so `e` + U+0301 and precomposed `é` dedupe,
+  * fingerprint, and tokenize identically) followed by a strip of the
+  * C0/DEL/C1 control ranges except tab/newline/CR (PDF extractions and
+  * mojibake leave them everywhere; they poison shingles and models).
+  * One codegen call into [[TextNormalizeExpr.clean]] per row — the JDK's
+  * own `java.text.Normalizer` does NFC, matching DuckDB's utf8proc
+  * implementation of the same Unicode standard, which is what makes the
+  * operator oracle-checkable byte-for-byte.
+  */
+case class TextNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize expects string, got $other")
+    }
+  override def nullSafeEval(s: Any): Any =
+    TextNormalizeExpr.clean(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNormalizeExpr.clean($c)")
+  override protected def withNewChildInternal(c: Expression): TextNormalizeExpr =
+    copy(child = c)
+}
+
+object TextNormalizeExpr {
+  def clean(s: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      val control =
+        (c < ' ' && c != '\t' && c != '\n' && c != '\r') ||
+          (c >= '\u007F' && c <= '\u009F')
+      if (!control) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object TextExpressions {
+  def normalizeText(text: Column): Column =
+    GraftBridge.column(TextNormalizeExpr(GraftBridge.expression(text)))
+
   def shingles(tokens: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), n))
 

@@ -266,6 +266,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode hygiene (the first normalization pass of every corpus
+    * pipeline, [[graft.functions.TextNormalizeExpr]]): NFC composition +
+    * control-character strip as one codegen expression. The fixture
+    * plants a combining-accent sequence (e + U+0301 must compose to the
+    * precomposed é) and a C0 control on every doc, so the oracle's
+    * utf8proc NFC and the JVM Normalizer must agree byte-for-byte
+    * through the md5.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" e\u0301cole\u0007fin"), (col("doc_id") % 7).cast("string"))
+    val clean = graft.functions.TextExpressions.normalizeText(planted)
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), length(clean).cast("bigint").as("n_clean"),
+        md5(clean).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-data hygiene: PII scrubbing over text with planted
     * email/phone/IP payloads (the synthetic corpus has none, so each doc
     * gets a deterministic contact tail appended before redaction — both
@@ -494,6 +512,7 @@ object TextQueries {
     "q_quality_model_scores" -> (qualityModelScores _),
     "q_quality_model_scores_standing" -> (qualityModelScoresStanding _),
     "q_pii_redact" -> (piiRedact _),
+    "q_text_normalize" -> (textNormalize _),
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),
     "q_gopher_quality" -> (gopherQuality _),
@@ -659,6 +678,15 @@ object TextQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_replace(
+        |    nfc_normalize(text || ' e' || chr(769) || 'cole' || chr(7) || 'fin'
+        |                  || CAST(doc_id % 7 AS VARCHAR)),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g') AS clean
+        |  FROM documents)
+        |SELECT doc_id, length(clean) AS n_clean, md5(clean) AS clean_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """SELECT doc_id,
         | regexp_replace(

@@ -7,6 +7,34 @@ import graft.SparkSpec
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeText: NFC composes combining sequences, controls stripped, codegen parity") {
+    import graft.functions.TextExpressions
+    // e + U+0301 composes to the single precomposed char; bell stripped;
+    // tab/newline survive; C1 NEL (U+0085) stripped
+    val df = Seq("e\u0301cole\u0007 a\tb\nc\u0085d").toDF("t")
+    val got = df.select(TextExpressions.normalizeText(col("t"))).head.getString(0)
+    assert(got === "\u00e9cole a\tb\ncd")
+    assert(got.length === "Xcole a\tb\ncd".length)
+    // already-NFC text passes through untouched
+    val clean = "plain ascii text 123"
+    assert(Seq(clean).toDF("t")
+      .select(TextExpressions.normalizeText(col("t"))).head.getString(0) === clean)
+    // interpreted and codegen paths agree
+    val q = df.select(TextExpressions.normalizeText(col("t")).as("c"))
+    val codegen = q.head.getString(0)
+    val savedWhole = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val savedMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(q.head.getString(0) === codegen)
+    finally {
+      restore("spark.sql.codegen.wholeStage", savedWhole)
+      restore("spark.sql.codegen.factoryMode", savedMode)
+    }
+  }
+
   test("tokenCount and shingles") {
     val df = Seq("The quick  brown fox").toDF("t")
     assert(df.select(TextFunctions.tokenCount(col("t"))).head.getInt(0) === 4)
