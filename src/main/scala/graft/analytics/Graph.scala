@@ -42,13 +42,24 @@ object Graph {
   ): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    // nodes PRE-PARTITIONED on the key every iteration joins/aggregates
+    // by: localCheckpoint preserves the physical partitioning (LogicalRDD
+    // carries it), so the per-iteration rank rebuild never re-shuffles
+    // the node table
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node"))
       .localCheckpoint(true)
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // contribution edges with the sender's degree attached once, up front
-    val withDeg = e.join(outDeg, Seq("src")).localCheckpoint(true)
+    // contribution edges with the sender's degree attached once, up
+    // front, PRE-PARTITIONED on src: each iteration's contribution join
+    // then shuffles only the (node-sized) rank table, not the edge table
+    // — at 8 iterations that is 8 edge-table shuffles saved, the
+    // dominant cost on a real graph where |edges| >> |nodes|
+    val withDeg = e.join(outDeg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
       val contribs = withDeg

@@ -80,10 +80,16 @@ object ConnectedComponents {
       checkpointDir: Option[String] = None): DataFrame =
       withCheckpointScope(edges.sparkSession, checkpointDir) {
     val cut = cutter(edges.sparkSession, checkpointDir)
+    // PRE-PARTITIONED on src before the lineage cut: localCheckpoint
+    // preserves physical partitioning, so the per-round propagation join
+    // never re-shuffles the (big) symmetric edge table — one extra
+    // up-front exchange buys one saved edge shuffle per round (the
+    // labels side arrives co-partitioned from its own groupBy(node))
     val sym = cut(edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("src")))
 
     // sum over zero rows is SQL NULL — normalize so the empty graph
     // converges immediately instead of NPE-ing on compareTo

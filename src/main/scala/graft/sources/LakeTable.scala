@@ -323,6 +323,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private def occCheckPartitions(
       expected: Long, touched: Set[String], op: String, mutated: Boolean): Unit = {
+    // an empty batch replaces nothing — no write set, no conflict
+    if (touched.isEmpty) return
     val conflicting = CommitLog.recordsSince(fs, logDir, expected).filterNot { rec =>
       rec.params.get("occPartitions").exists(ps =>
         ps.split('\u0001').filter(_.nonEmpty).toSet.intersect(touched).isEmpty)

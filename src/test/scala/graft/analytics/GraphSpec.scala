@@ -36,6 +36,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRank iterations reuse the pre-partitioned edge layout (no per-round edge shuffle)") {
+    // localCheckpoint preserves physical partitioning, so the per-round
+    // contribution join must NOT re-shuffle the (big) edge side — only
+    // rank/contribution exchanges belong in the iterated plan
+    val edges = (1L to 400L)
+      .map(i => (i % 40, (i * 7) % 40)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iterations = 4)
+    pr.collect(): Unit // finalize AQE
+    val plan = pr.queryExecution.executedPlan.toString
+    val srcExchanges =
+      "hashpartitioning\\(src".r.findAllIn(plan).length
+    // before pre-partitioning this was one src-keyed Exchange PER
+    // ITERATION (4 here); the pre-partitioned checkpoint leaves none in
+    // the iterated plan (the one real shuffle happened before the
+    // checkpoint and is not part of this plan)
+    assert(srcExchanges === 0,
+      s"expected no per-iteration src shuffles, found $srcExchanges in:\n$plan")
+  }
+
   test("triangleCount is exact on known shapes") {
     def tri(edges: Seq[(Long, Long)]): Long =
       Graph.triangleCount(edges.toDF("src", "dst")).head.getLong(0)
