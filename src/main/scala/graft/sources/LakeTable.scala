@@ -866,8 +866,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * every other file moves through the swap untouched. The incoming
     * batch takes the full append contract — schema enforcement,
     * generated-column compute, identity assignment, CHECK constraints.
+    *
+    * @param changeFeed record the replaced region as `delete` change rows
+    *                   and the batch as `insert` rows under this commit's
+    *                   version — without it, a replaceWhere silently
+    *                   diverges every change-feed consumer (incremental
+    *                   MVs, CDC replicas) because data changed with no
+    *                   change records
     */
-  def replaceWhere(df: DataFrame, cond: Column): LakeTable = {
+  def replaceWhere(
+      df: DataFrame, cond: Column, changeFeed: Boolean = false): LakeTable = {
     // OCC base before the snapshot read — see update()
     val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val cur = read
@@ -885,13 +893,21 @@ final class LakeTable(spark: SparkSession, val path: String) {
       s"replaceWhere: $violating incoming row(s) do not satisfy $cond — " +
         "the batch may only hold rows inside the replaced region")
     val keep = (d: DataFrame) => d.where(!coalesce(cond, lit(false)))
+    // CDF: the replaced region leaves as deletes, the batch arrives as
+    // inserts — one change set, same commit (delete()'s feed contract)
+    val changeVersion =
+      if (!changeFeed) None
+      else Some(writeChanges(
+        cur.where(coalesce(cond, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(toInsert.withColumn("_change_type", lit("insert")))))
     val params = Map("predicate" -> cond.toString,
-      "mode" -> "replaceWhere") ++ idParams
+      "mode" -> "replaceWhere", "changeFeed" -> changeFeed.toString) ++ idParams
     rewriteSelective(cond, a => keep(a).unionByName(toInsert),
-        "REPLACE WHERE", params, changeVersion = None,
+        "REPLACE WHERE", params, changeVersion = changeVersion,
         alwaysTransform = true, occBase = occBase)
-      .getOrElse(rewrite(keep(cur).unionByName(toInsert),
-        "REPLACE WHERE", params, occBase = occBase))
+      .getOrElse(rewriteWithFeed(keep(cur).unionByName(toInsert),
+        "REPLACE WHERE", params, changeVersion, occBase = occBase))
   }
 
   /** Idempotent file ingest (Databricks/Delta `COPY INTO` analogue):

@@ -171,7 +171,8 @@ object Scd {
       changes: DataFrame,
       keys: Seq[String],
       sequenceCol: String,
-      opCol: String = "_op"): LakeTable = {
+      opCol: String = "_op",
+      changeFeed: Boolean = false): LakeTable = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sequenceCol).desc)
     val ranked = changes.dropDuplicates()
@@ -192,6 +193,7 @@ object Scd {
           payload.map(c => c -> col("s." + c)).toMap)),
       insertUnmatched = true,
       insertCond = Some(col(opCol) =!= "delete"),
+      changeFeed = changeFeed,
       extraParams = Map("applyChanges" -> "true", "sequenceBy" -> sequenceCol))
   }
 

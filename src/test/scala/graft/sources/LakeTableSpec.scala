@@ -625,6 +625,16 @@ class LakeTableSpec extends SparkSpec {
       Seq((1L, "a", 11.0), (2L, "b", 21.0), (9L, "a", 99.0), (12L, "b", 22.0)))
     // history records the predicate-scoped commit
     assert(lake.history.where(col("operation") === "REPLACE WHERE").count() === 3)
+    // with the feed on, the replaced region leaves as deletes and the
+    // batch arrives as inserts — change-feed consumers stay consistent
+    lake.replaceWhere(Seq((9L, "a", 100.0)).toDF("id", "seg", "v"),
+      col("seg") === "a", changeFeed = true)
+    val v = lake.history.agg(max(col("version"))).head.getLong(0)
+    val ch = lake.readChanges(fromVersion = v, toVersion = v)
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq.sorted
+    assert(ch === Seq(("delete", 1L), ("delete", 9L), ("insert", 9L)))
+    assert(state() ===
+      Seq((2L, "b", 21.0), (9L, "a", 100.0), (12L, "b", 22.0)))
   }
 
   test("delete removes only TRUE-predicate rows (null keeps, SQL semantics) and feeds CDC") {
