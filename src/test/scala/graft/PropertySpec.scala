@@ -32,6 +32,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates never undercount on random streams (one-sided guarantee)") {
+    import graft.functions.CountMinSketch
+    samples(Gen.listOfN(300, Gen.choose(0, 40).map(i => s"k$i")), 8)
+      .filter(_.nonEmpty).foreach { stream =>
+        val sk = stream.toDF("k")
+          .agg(CountMinSketch.agg(col("k"), depth = 4, width = 256).as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val slack = math.ceil(stream.size * 8.0 / 256).toLong
+        stream.groupBy(identity).foreach { case (k, ks) =>
+          val est = CountMinSketch.estimate(
+            sk, org.apache.spark.unsafe.types.UTF8String.fromString(k))
+          assert(est >= ks.size.toLong, s"$k undercounted")
+          assert(est <= ks.size.toLong + slack, s"$k overcounted past 8N/w")
+        }
+      }
+  }
+
+  test("weighted sample: the drawn set is stable under shuffling and duplication of partitions") {
+    import graft.operators.Sampling
+    samples(Gen.listOfN(60, Gen.choose(1, 100)), 6).foreach { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w.toDouble) }
+      val df = rows.toDF("id", "w")
+      val base = Sampling.weightedSample(df, "id", "w", k = 20)
+        .select("id").as[Long].collect().toSet
+      val reparted = Sampling.weightedSample(df.repartition(7), "id", "w", k = 20)
+        .select("id").as[Long].collect().toSet
+      assert(base === reparted, s"sample drifted under repartition for $rows")
+      assert(base.size === math.min(20, rows.size))
+    }
+  }
+
+  test("text normalization is idempotent and never grows the string") {
+    import graft.functions.TextExpressions
+    val noisy = Gen.listOfN(10, Gen.oneOf(
+      "plain", "e\u0301", "\u00e9", "a\u0007b", "x\ty", "c\u0085d", "\u0041\u030A"))
+      .map(_.mkString(" "))
+    samples(noisy, 10).foreach { t =>
+      val once = Seq(t).toDF("t")
+        .select(TextExpressions.normalizeText(col("t"))).head.getString(0)
+      val twice = Seq(once).toDF("t")
+        .select(TextExpressions.normalizeText(col("t"))).head.getString(0)
+      assert(twice === once, s"not idempotent on ${t.map(_.toInt)}")
+      // on this alphabet composition+strip only shrinks (NFC can expand
+      // for a few excluded-composition singletons, none generated here)
+      assert(once.length <= t.length)
+    }
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     samples(Gen.listOfN(10, Gen.oneOf("a b c", "d e f", "g h i")), 10)
       .filter(_.nonEmpty).foreach { texts =>
