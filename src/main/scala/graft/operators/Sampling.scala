@@ -66,9 +66,33 @@ object Sampling {
       .cast("bigint").cast("double") + 1.0) / lit(4294967296.0)
     df.where(col(weightCol) > 0)
       .withColumn("__ares_key", -log(u) / col(weightCol))
-      .orderBy(col("__ares_key"))
+      // id tiebreak: two rows sharing an md5 prefix AND a weight would
+      // otherwise order nondeterministically at the k boundary
+      .orderBy(col("__ares_key"), col(idCol))
       .limit(k)
       .drop("__ares_key")
+  }
+
+  /** Per-stratum [[weightedSample]]: k rows PER GROUP, inclusion still
+    * proportional to weight within the group — the per-language
+    * quality-weighted corpus selection primitive. One window over the
+    * group key ordered by the same deterministic A-Res key (no per-group
+    * loop, no driver state); the oracle recomputes the identical sample
+    * with the identical SQL window.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") + 1.0) / lit(4294967296.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__ares_key"), col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("__ares_key", -log(u) / col(weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__ares_key", "__rn")
   }
 
   /** Downsample every stratum to (at most) the size of the smallest one —

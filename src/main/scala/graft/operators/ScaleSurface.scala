@@ -106,11 +106,24 @@ object ScaleSurface {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Per-language weighted sample ([[Sampling.weightedSamplePerGroup]]):
+    * 5 docs per lang, inclusion proportional to n_chars — the
+    * quality-weighted per-stratum corpus selection, oracle-exact via the
+    * identical SQL window.
+    */
+  def weightedSampleByLang(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.weightedSamplePerGroup(
+      Tables(spark, sfDir).documents, groupCol = "lang", idCol = "doc_id",
+      weightCol = "n_chars", k = 5)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
   def queries: Map[String, Q] = Map(
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_stratified_sample" -> (stratifiedSample _),
-    "q_weighted_sample" -> (weightedSample _)
+    "q_weighted_sample" -> (weightedSample _),
+    "q_weighted_sample_group" -> (weightedSampleByLang _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -137,7 +150,15 @@ object ScaleSurface {
         |    -ln((('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT + 1.0)
         |        / 4294967296.0) / o_totalprice AS k
         |  FROM orders WHERE o_totalprice > 0
-        |  ORDER BY k LIMIT 50)
-        |ORDER BY o_orderkey""".stripMargin
+        |  ORDER BY k, o_orderkey LIMIT 50)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_weighted_sample_group" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      -ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT + 1.0)
+        |          / 4294967296.0) / n_chars, doc_id) AS rn
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin
   )
 }
