@@ -376,7 +376,141 @@ object CorpusOps {
       .limit(25)
   }
 
+  /** Cross-document LINE-level dedup (the C4 / CCNet boilerplate pass:
+    * drop every occurrence of a line that appears in `maxDf` or more
+    * distinct documents — navigation chrome, license headers, cookie
+    * banners). This corpus has no newline structure, so a "line" is a
+    * fixed `lineWidth`-token chunk — the operator's shape (hash the
+    * line, count document frequency, excise hot lines, rebuild) is
+    * unchanged. Distinct from [[spanDedup]]: spans excise REPEATED
+    * n-gram windows keeping the first occurrence; this drops ALL copies
+    * of corpus-frequent lines, first included — the C4 recipe for
+    * boilerplate, where no occurrence is worth keeping.
+    *
+    * Scale shape: the explode is bounded at tokens/lineWidth rows per
+    * doc; the line-frequency aggregate partially combines map-side and
+    * only lines at/above the df threshold survive it (the "hot" set —
+    * tiny relative to the corpus by the boilerplate assumption, exactly
+    * like [[coveredPositions]]'s hotGramDf set), so the join back is
+    * AQE-broadcastable; the per-doc rebuild is the only corpus-sized
+    * shuffle.
+    */
+  def dedupLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      lineWidth: Int, maxDf: Int): DataFrame = {
+    require(lineWidth > 0 && maxDf >= 2, s"need lineWidth>0, maxDf>=2")
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("ts"))
+    val nLines = greatest(
+      ceil(size_(col("ts")).cast("double") / lineWidth).cast("int"), lit(1))
+    val lines = withToks
+      .withColumn("i", explode(sequence(lit(0), nLines - 1)))
+      .select(col(idCol), col("i"),
+        array_join(slice(col("ts"), col("i") * lineWidth + 1, lit(lineWidth)), " ")
+          .as("line"))
+    val hot = lines
+      .groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("line_df"))
+      .where(col("line_df") >= maxDf)
+      .select(col("line"), lit(true).as("dup"))
+    lines
+      .join(hot, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("dup").isNull, 1)).as("n_kept"),
+        md5(coalesce(array_join(transform(
+          sort_array(collect_list(when(col("dup").isNull,
+            struct(col("i"), col("line"))))),
+          s => s.getField("line")), " "), lit(""))).as("clean_hash"))
+      .orderBy(col(idCol))
+  }
+
+  def qLineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLines(Tables(spark, sfDir).documents, "doc_id", "text",
+      lineWidth = 8, maxDf = 2)
+
+  /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 — the
+    * repetition family, complementing [[graft.text.TextQueries]]'s
+    * q_gopher_quality which carries the length/symbol/rep3 family):
+    * top-word mass, duplicate-line fraction, and the fraction of
+    * CHARACTERS inside duplicated lines (the paper thresholds the char
+    * fraction, not the line count, so one giant repeated paragraph
+    * can't hide behind many unique short lines). Lines are 4-token
+    * chunks as in [[dedupLines]] (the corpus has no newlines).
+    *
+    * Scale shape: MAP-ONLY — every signal is array arithmetic over the
+    * doc's own tokens (nested higher-order functions, all codegen
+    * built-ins), so the corpus never shuffles; the only exchange is the
+    * output ordering. The per-doc work is O(words · distinct-words),
+    * bounded by document length, not corpus size.
+    */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionSignalsFor(Tables(spark, sfDir).documents, lineWidth = 2)
+
+  def repetitionSignalsFor(docs: DataFrame, lineWidth: Int): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("lines", expr(
+        s"transform(sequence(0, greatest(cast(ceil(size(ts) / ${lineWidth}.0d) as int), 1) - 1), " +
+          s"i -> array_join(slice(ts, i * $lineWidth + 1, $lineWidth), ' '))"))
+      .select(
+        col("doc_id"),
+        size_(col("ts")).cast("bigint").as("n_words"),
+        round(
+          expr("array_max(transform(array_distinct(ts), " +
+            "w -> size(filter(ts, x -> x = w))))").cast("double")
+            / size_(col("ts")), 6).as("top_word_frac"),
+        round(
+          lit(1.0) - size_(array_distinct(col("lines"))).cast("double")
+            / size_(col("lines")), 6).as("dup_line_frac"),
+        round(
+          expr("aggregate(lines, 0L, (acc, l) -> acc + " +
+            "CASE WHEN size(filter(lines, x -> x = l)) > 1 " +
+            "THEN cast(length(l) as bigint) ELSE 0L END)").cast("double")
+            / greatest(
+              expr("aggregate(lines, 0L, (acc, l) -> acc + cast(length(l) as bigint))"),
+              lit(1L)), 6).as("dup_line_char_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document word-distribution Shannon entropy — the "token soup vs
+    * natural text" diversity signal (low entropy = one token repeated,
+    * high = uniform soup; real prose sits between). `norm_entropy`
+    * divides by the maximum ln(n_uniq) so documents of different
+    * vocabulary sizes are comparable (0 for single-word docs, where the
+    * maximum is 0).
+    *
+    * Scale shape: MAP-ONLY like [[repetitionSignals]] — probabilities
+    * and the entropy fold are array expressions over each row. The fold
+    * runs over the SORTED distinct-word array, so both engines sum the
+    * identical term sequence and round(…, 6) has no float-order residue
+    * to absorb.
+    */
+  def wordEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    wordEntropyFor(Tables(spark, sfDir).documents)
+
+  def wordEntropyFor(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("ps", expr(
+        "transform(array_sort(array_distinct(ts)), " +
+          "w -> size(filter(ts, x -> x = w)) / cast(size(ts) as double))"))
+      // `+ 0.0` collapses IEEE -0.0 (a negated zero sum on a
+      // single-word doc) to +0.0 so both engines hash identically
+      .withColumn("h", expr(
+        "-aggregate(ps, 0.0d, (acc, p) -> acc + p * ln(p)) + 0.0d"))
+      .select(
+        col("doc_id"),
+        size_(col("ps")).cast("bigint").as("n_uniq"),
+        round(col("h"), 6).as("entropy"),
+        round(when(size_(col("ps")) > 1,
+          col("h") / log(size_(col("ps")).cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, Q] = Map(
+    "q_line_dedup" -> (qLineDedup _),
+    "q_repetition_signals" -> (repetitionSignals _),
+    "q_word_entropy" -> (wordEntropy _),
     "q_pmi_collocations" -> (pmiCollocations _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_unigram_logprob" -> (unigramLogprob _),
@@ -388,6 +522,56 @@ object CorpusOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |x AS (SELECT doc_id, ts,
+        |        greatest(CAST(ceil(len(ts) / 8.0) AS INT), 1) AS nc FROM t),
+        |l AS (SELECT doc_id, i, array_to_string(ts[i*8+1:(i+1)*8], ' ') AS line
+        |      FROM (SELECT doc_id, ts, unnest(generate_series(0, nc - 1)) AS i FROM x)),
+        |hot AS (SELECT line FROM (
+        |          SELECT line, count(DISTINCT doc_id) AS d FROM l GROUP BY line)
+        |        WHERE d >= 2)
+        |SELECT l.doc_id, count(*) AS n_lines,
+        |  count(CASE WHEN h.line IS NULL THEN 1 END) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN h.line IS NULL THEN l.line END, ' ' ORDER BY l.i),
+        |    '')) AS clean_hash
+        |FROM l LEFT JOIN hot h ON l.line = h.line
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "q_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |x AS (SELECT doc_id, ts,
+        |  list_transform(
+        |    generate_series(0, greatest(CAST(ceil(len(ts) / 2.0) AS INT), 1) - 1),
+        |    i -> array_to_string(ts[i*2+1:(i+1)*2], ' ')) AS lines
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_words,
+        |  round(list_max(list_transform(list_distinct(ts),
+        |          w -> len(list_filter(ts, x -> x = w))))::DOUBLE / len(ts), 6)
+        |    AS top_word_frac,
+        |  round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+        |    AS dup_line_frac,
+        |  round(list_sum(list_transform(lines,
+        |          l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+        |               THEN length(l) ELSE 0 END))::DOUBLE
+        |        / greatest(list_sum(list_transform(lines, l -> length(l))), 1), 6)
+        |    AS dup_line_char_frac
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "q_word_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |x AS (SELECT doc_id,
+        |  list_transform(list_sort(list_distinct(ts)),
+        |    w -> len(list_filter(ts, y -> y = w)) / len(ts)::DOUBLE) AS ps
+        |  FROM t),
+        |h AS (SELECT doc_id, ps,
+        |  -coalesce(list_sum(list_transform(ps, p -> p * ln(p))), 0.0) + 0.0 AS ent
+        |  FROM x)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_uniq,
+        |  round(ent, 6) AS entropy,
+        |  round(CASE WHEN len(ps) > 1 THEN ent / ln(len(ps)::DOUBLE)
+        |        ELSE 0.0 END, 6) AS norm_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_pmi_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
         |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2

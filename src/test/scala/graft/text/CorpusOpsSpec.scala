@@ -86,6 +86,54 @@ class CorpusOpsSpec extends SparkSpec {
       s"repeated common tokens must score lower perplexity: $ppl")
   }
 
+  test("line dedup drops EVERY occurrence of a corpus-frequent line, first included") {
+    val boiler = "cookie banner accept all" // exactly one 4-token line
+    val docs = Seq(
+      (1L, s"a b c d $boiler"),
+      (2L, s"e f g h $boiler"), // boiler df=2 -> excised from BOTH
+      (3L, "i j k l m") // 5 tokens -> 2 lines, nothing shared
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dedupLines(docs, "doc_id", "text", lineWidth = 4, maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 === 2L && out(1L)._2 === 1L)
+    assert(out(2L)._1 === 2L && out(2L)._2 === 1L)
+    assert(out(3L) === (2L, 2L, md5Of("i j k l m")))
+    // the C4 semantics: the FIRST occurrence is dropped too
+    assert(out(1L)._3 === md5Of("a b c d"), "doc 1 must lose its boiler line")
+    assert(out(2L)._3 === md5Of("e f g h"), "doc 2 must lose its boiler line")
+  }
+
+  private def md5Of(s: String): String =
+    spark.sql(s"SELECT md5('$s')").head.getString(0)
+
+  test("repetition signals: duplicated lines and top-word mass are exact") {
+    val docs = Seq(
+      (1L, "x x x x"), // lines(2): [x x, x x] -> all duplicated
+      (2L, "a b c d") // no repetition anywhere
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionSignalsFor(docs, lineWidth = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) === (4L, 1.0, 0.5, 1.0)) // top word x=4/4; 1 distinct of 2 lines; all chars
+    assert(out(2L) === (4L, 0.25, 0.0, 0.0))
+  }
+
+  test("word entropy: uniform pair is ln(2), single word is exactly +0.0") {
+    val docs = Seq((1L, "a a b b"), (2L, "z z z")).toDF("doc_id", "text")
+    val out = CorpusOps.wordEntropyFor(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 === 2L)
+    assert(out(1L)._2 === math.rint(math.log(2) * 1e6) / 1e6) // 0.693147
+    assert(out(1L)._3 === 1.0) // entropy at its max -> normalized 1
+    // single-word doc: the fold sums to zero and must surface as +0.0
+    // (an IEEE -0.0 here would hash-mismatch the DuckDB oracle)
+    assert(out(2L) === (1L, 0.0, 0.0))
+    assert(java.lang.Double.doubleToRawLongBits(out(2L)._2) === 0L,
+      "entropy must be +0.0, not -0.0")
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     // 95 tokens, size 50 / overlap 10 -> stride 40: chunks at 0, 40, 80
