@@ -141,7 +141,42 @@ object Behavior {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Exponentially-weighted moving average over each event type's DAILY
+    * value series (the classic trend smoother; unlike the window
+    * functions it is genuinely recursive — EWMA_t = α·x_t + (1-α)·EWMA_{t-1}
+    * — so no frame spec expresses it). The recursion runs as an
+    * `aggregate` fold over the per-key day-ordered series: series are
+    * bounded (days, not events), keys fold in parallel, and the corpus
+    * itself only shuffles for the daily pre-aggregate. The closed-form
+    * alternative Σ x_i·(1-α)^(t-i) via pow over a window was rejected:
+    * (1-α)^(-i) overflows doubles past ~6k rows, the fold never does.
+    *
+    * Float exactness: daily sums pass through DECIMAL(18,2); α = 0.25
+    * and 1-α = 0.75 are exact binary fractions; both engines fold the
+    * identical value sequence left-to-right with the first day as the
+    * seed (DuckDB `list_reduce` convention) — so the fold is bit-exact
+    * before the final round.
+    */
+  def ewmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = Tables(spark, sfDir).eventsRaw
+      .select(col("event_type"), expr(s"ts div $dayNs").as("d"), col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("v")))).as("series"))
+      .select(
+        col("event_type"),
+        size(col("series")).cast("bigint").as("n_days"),
+        round(expr(
+          "aggregate(slice(series, 2, size(series) - 1), element_at(series, 1).v, " +
+            "(acc, s) -> 0.25d * s.v + 0.75d * acc)"), 6).as("ewma"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_ewma_daily" -> (ewmaDaily _),
     "q_anomaly_zscore" -> (anomalyZscore _),
     "q_decayed_score" -> (decayedEngagement _),
     "q_event_transitions" -> (eventTransitions _),
@@ -150,6 +185,15 @@ object Behavior {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ewma_daily" ->
+      """WITH d AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(v ORDER BY d) AS vs FROM d GROUP BY 1)
+        |SELECT event_type, CAST(len(vs) AS BIGINT) AS n_days,
+        |  round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+        |FROM s ORDER BY event_type""".stripMargin,
     "q_decayed_score" ->
       """WITH e AS (
         |  SELECT user_id, value,

@@ -38,6 +38,30 @@ class BehaviorSpec extends SparkSpec {
     assert(z > 100, s"spike z should be extreme, got $z")
   }
 
+  test("ewma fold matches the recurrence by hand") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // series [1,2,3,4] at α=0.25 seeded with the first value:
+    // 1 -> 1.25 -> 1.6875 -> 2.265625
+    val series = Seq((Seq(1.0, 2.0, 3.0, 4.0), "a"), (Seq(7.5), "b"))
+      .toDF("series", "k")
+    val out = series.select(col("k"), expr(
+      "aggregate(slice(series, 2, size(series) - 1), element_at(series, 1), " +
+        "(acc, x) -> 0.25d * x + 0.75d * acc)").as("ewma"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") === 2.265625) // exact: every term is a binary fraction
+    assert(out("b") === 7.5) // single-element series returns its seed
+  }
+
+  test("ewma query emits one row per event type with bounded values") {
+    val rows = Behavior.ewmaDaily(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L, "every present type has at least one day")
+      assert(!r.getDouble(2).isNaN && r.getDouble(2) > 0.0)
+    }
+  }
+
   test("transition probabilities are a proper distribution per prev state") {
     val rows = Behavior.eventTransitions(spark, sf0001).collect()
     assert(rows.nonEmpty)
