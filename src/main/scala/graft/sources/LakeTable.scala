@@ -1860,6 +1860,55 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Expectations-style append (the DLT `expect_or_drop` idiom, vs the
+    * hard write-path gate): rows violating ANY of the table's CHECK
+    * constraints are diverted to the table's `_quarantine` sibling —
+    * same lake layout, original columns plus a `_violated` list of the
+    * constraint names each row failed — and only the clean remainder
+    * lands (through the normal gated write, so a racing addConstraint
+    * still can't be bypassed). Returns the per-constraint violation
+    * report; a row violating two constraints counts in both.
+    *
+    * The underscore prefix keeps quarantine files invisible to table
+    * reads (Hadoop's hidden-file filter), so the audit trail rides
+    * inside the table directory without polluting scans. The batch is
+    * materialized once and all constraints flag in a single projection —
+    * the split cannot diverge between the clean and quarantine passes,
+    * and violation counting shares that same pass.
+    */
+  def appendExpecting(df: DataFrame): DataFrame = {
+    val cons = constraints.toSeq.sortBy(_._1)
+    require(cons.nonEmpty,
+      s"appendExpecting at $path needs at least one CHECK constraint")
+    def flag(n: String) = s"__viol_$n"
+    val pinned = df.localCheckpoint(true)
+    val flagged = pinned.select(
+      pinned.columns.map(col).toSeq ++ cons.map { case (n, e) =>
+        (!coalesce(expr(e), lit(false))).as(flag(n))
+      }: _*).localCheckpoint(true)
+    val anyViol = cons.map(c => col(flag(c._1))).reduce(_ || _)
+    val report = flagged.agg(
+      sum(when(anyViol, 1L).otherwise(0L)).as("__n_bad"),
+      cons.map { case (n, _) =>
+        sum(when(col(flag(n)), 1L).otherwise(0L)).as(n)
+      }: _*)
+    val counts = report.head()
+    write(flagged.where(!anyViol).drop(cons.map(c => flag(c._1)): _*),
+      SaveMode.Append)
+    // sum over an empty batch is NULL; getAs unboxes it to the right 0
+    if (counts.getAs[Long]("__n_bad") > 0L) {
+      val quarantined = flagged.where(anyViol)
+        .withColumn("_violated", concat_ws(",",
+          cons.map { case (n, _) => when(col(flag(n)), lit(n)) }: _*))
+        .drop(cons.map(c => flag(c._1)): _*)
+      LakeTable(spark, new Path(path, "_quarantine").toString)
+        .write(quarantined, SaveMode.Append)
+    }
+    import spark.implicits._
+    cons.map { case (n, _) => (n, counts.getAs[Long](n)) }
+      .toDF("constraint_name", "n_quarantined")
+  }
+
   /** Current constraints (name -> boolean SQL expression). Stored as
     * URL-encoded `name\texpr` lines — parsed driver-side in microseconds
     * (a JSON-reader Spark job for a one-line file was measured on every

@@ -656,6 +656,50 @@ object SourceQueries {
       .orderBy(col("change"))
   }
 
+  /** A3 depth (Delta CHECK constraints + DLT expectations): the whole
+    * constraint lifecycle over one table. ADD CONSTRAINT lands via SQL
+    * (validating the standing data), then a violating append must FAIL
+    * the hard write-path gate, then [[LakeTable.appendExpecting]] takes
+    * a mixed batch the expectations way — violating rows quarantined
+    * per-constraint, clean rows landing. Output joins the metadata
+    * round-trip (name + expression re-read from the table), the
+    * quarantine report, the final row count, and the hard-gate outcome;
+    * the oracle recomputes every number from the base table, so a
+    * constraint that silently stopped gating breaks the compare.
+    */
+  def lakeConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val path = scratch(sfDir, "orders_constraints")
+    val lake = LakeTable(spark, path)
+    lake.write(t.orders.where(col("o_orderkey") % 10 < 8))
+    // rerun-idempotent: scratch dirs persist across runs and constraint
+    // metadata deliberately survives overwrite, so start from a clean set
+    lake.constraints.keys.foreach(lake.dropConstraint)
+    spark.sql(s"ALTER TABLE graft_lake('$path') " +
+      "ADD CONSTRAINT pos_total CHECK (o_totalprice > 0)")
+    spark.sql(s"ALTER TABLE graft_lake('$path') " +
+      "ADD CONSTRAINT status_domain CHECK (o_orderstatus IN ('F', 'O', 'P'))")
+    val hardRejected = scala.util.Try(
+      lake.write(
+        t.orders.where(col("o_orderkey") % 10 === 8)
+          .withColumn("o_totalprice", -col("o_totalprice")),
+        SaveMode.Append)).isFailure
+    val mixed = t.orders.where(col("o_orderkey") % 10 === 9)
+      .withColumn("o_totalprice",
+        when(col("o_custkey") % 3 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_custkey") % 5 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    val report = lake.appendExpecting(mixed)
+    import spark.implicits._
+    val cons = lake.constraints.toSeq.sortBy(_._1)
+      .toDF("constraint_name", "check_expr")
+    cons.join(report, Seq("constraint_name"))
+      .crossJoin(lake.read.agg(count(lit(1)).as("n_rows")))
+      .withColumn("hard_rejected", lit(hardRejected))
+      .orderBy(col("constraint_name"))
+  }
+
   /** A3 depth (CDC APPLY — the DLT `APPLY CHANGES INTO` idiom): fold a
     * deliberately hostile change feed into the target — out-of-order
     * sequences, an exact duplicate re-delivery, updates superseded by
@@ -968,6 +1012,7 @@ object SourceQueries {
     "q_lake_compact_small" -> (lakeCompactSmall _),
     "q_lake_replace_where" -> (lakeReplaceWhere _),
     "q_cdc_apply" -> (cdcApply _),
+    "q_lake_constraints" -> (lakeConstraints _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
@@ -1038,6 +1083,26 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_constraints" ->
+      """WITH mixed AS (
+        |  SELECT o_custkey % 3 = 0 AS bad_price, o_custkey % 5 = 0 AS bad_status
+        |  FROM orders WHERE o_orderkey % 10 = 9),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN bad_price THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |  CAST(sum(CASE WHEN bad_status THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |  CAST(sum(CASE WHEN NOT (bad_price OR bad_status) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |  FROM mixed),
+        |b AS (SELECT count(*) AS n_base FROM orders WHERE o_orderkey % 10 < 8)
+        |SELECT r.constraint_name, r.check_expr, r.n_quarantined,
+        |  b.n_base + c.n_clean AS n_rows, true AS hard_rejected
+        |FROM (
+        |  SELECT 'pos_total' AS constraint_name, 'o_totalprice > 0' AS check_expr,
+        |         v_price AS n_quarantined FROM c
+        |  UNION ALL
+        |  SELECT 'status_domain', 'o_orderstatus IN (''F'', ''O'', ''P'')',
+        |         v_status FROM c
+        |) r CROSS JOIN b CROSS JOIN c
+        |ORDER BY constraint_name""".stripMargin,
     "q_cdc_apply" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -494,6 +494,37 @@ class LakeTableSpec extends SparkSpec {
     assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
   }
 
+  test("appendExpecting quarantines per-constraint instead of failing the batch") {
+    val s = spark
+    import s.implicits._
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "tag"))
+      .addConstraint("x_positive", "x > 0")
+      .addConstraint("tag_known", "tag IN ('a', 'b')")
+    val report = lake.appendExpecting(Seq(
+      (3L, 5.0, "a"), // clean
+      (4L, -1.0, "a"), // violates x_positive
+      (5L, 7.0, "z"), // violates tag_known
+      (6L, -2.0, "q") // violates BOTH -> counted in each
+    ).toDF("id", "x", "tag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report === Map("x_positive" -> 2L, "tag_known" -> 2L))
+    // only the clean row landed; the quarantine is invisible to reads
+    assert(lake.read.count() === 3)
+    assert(lake.read.where(col("id") >= 4L).count() === 0)
+    // the quarantine table holds the three bad rows with their labels
+    val q = LakeTable(spark,
+      new org.apache.hadoop.fs.Path(lake.path, "_quarantine").toString)
+    val bad = q.read.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(bad === Map(
+      4L -> "x_positive", 5L -> "tag_known", 6L -> "tag_known,x_positive"))
+    // a fully-clean expectations batch writes nothing to the quarantine
+    val clean = lake.appendExpecting(Seq((7L, 1.0, "b")).toDF("id", "x", "tag"))
+      .collect().map(_.getLong(1)).sum
+    assert(clean === 0L && lake.read.count() === 4 && q.read.count() === 3)
+  }
+
   test("an aborted change-feed merge leaves no phantom change set behind") {
     val s = spark
     import s.implicits._
