@@ -119,11 +119,65 @@ object TfIdf {
   def qBm25TopTerms(spark: SparkSession, sfDir: String): DataFrame =
     bm25TopTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
 
+  /** Standing-index retrieval: [[InvertedIndex.build]] lays the corpus
+    * out once (Z-ordered postings + df + stats lakes), then a 5-query
+    * workload retrieves top-5 docs through [[InvertedIndex.serveBm25]]
+    * WITHOUT re-scanning the corpus. The bench run deliberately pays the
+    * build too (the IVF-PQ convention) so staleness can never split the
+    * query from its oracle; the serve-only path is pinned in
+    * InvertedIndexSpec. Query terms are each query doc's 3 smallest
+    * distinct tokens — derivable identically in both engines.
+    */
+  def qBm25Standing(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_models", sf, "bm25_index").toString
+    val docs = Tables(spark, sfDir).documents
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    val queries = docs
+      .where(col("doc_id") % 100 === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_sort(array_distinct(
+          TextFunctions.tokens(col("text")))), 1, 3)).as("term"))
+    InvertedIndex.serveBm25(spark, dir, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_tfidf_top_terms" -> (qTopTerms _),
+    "q_bm25_standing" -> (qBm25Standing _),
     "q_bm25_top_terms" -> (qBm25TopTerms _))
 
   def oracles: Map[String, String] = Map(
+    "q_bm25_standing" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |corpus AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_sort(list_distinct(
+        |      string_split_regex(trim(lower(text)), '\s+')))[1:3]) AS term
+        |  FROM documents WHERE doc_id % 100 = 0 AND doc_id < 500),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (c.n - df.df + 0.5) / (df.df + 0.5))
+        |        * tf.tf * (1.2 + 1.0)
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 6) AS score
+        |  FROM q JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |       JOIN df USING (term) CROSS JOIN corpus c
+        |  GROUP BY q.query_id, tf.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
