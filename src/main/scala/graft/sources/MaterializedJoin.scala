@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained equi-JOIN view (delta-join maintenance —
+  * the IVM sibling of [[MaterializedAgg]]'s self-maintainable
+  * aggregate): `V = fact ⋈_joinKey dim`, keyed by the fact table's
+  * primary key, refreshed from BOTH tables' change data feeds.
+  *
+  * The classic result: for an insert/update/delete delta on either leg,
+  * `V' = (fact' ⋈ dim')` differs from `V` only on rows whose fact pk
+  * changed or whose join key was touched on the dim side. A refresh
+  * therefore touches
+  *   - the fact change rows themselves (their postimages carry the
+  *     whole fact side — NO fact re-scan when only the fact changed),
+  *   - plus, ONLY when the dim changed, the fact rows holding a changed
+  *     join key (one semi-joined fact scan, file-skippable on the join
+  *     key at scale),
+  * re-joins that bounded set against the CURRENT dim, and merges by pk:
+  * present rows upsert, vanished rows delete (inner-join semantics — a
+  * dim delete cascades, a dim insert materializes previously-unmatched
+  * fact rows). Cost is `O(changes) + O(view-touch)` when the dim is
+  * quiet — never a full recompute.
+  *
+  * Change feeds fold to ONE final state per key before use (latest
+  * commit wins; within a commit a postimage outranks the paired
+  * preimage/delete, because no single commit deletes a row it just
+  * wrote), so out-of-order multi-version backlogs apply exactly once.
+  * Same single-writer assumption as the rest of the lake layer.
+  */
+final class MaterializedJoin(
+    spark: SparkSession,
+    fact: LakeTable,
+    dim: LakeTable,
+    val viewPath: String,
+    factKey: String,
+    joinKey: String) {
+
+  private val view = LakeTable(spark, viewPath)
+  private val stateFile =
+    new Path(new Path(viewPath, LakeTable.LogDirName), "_mvj_watermarks")
+
+  private def fs =
+    stateFile.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def read: DataFrame = view.read
+
+  /** The from-scratch join — initialize uses it; tests compare refresh
+    * output against it directly. Dim's join key rides once (fact side).
+    */
+  def recompute(): DataFrame =
+    fact.read.join(dim.read, Seq(joinKey))
+
+  def initialize(): MaterializedJoin = {
+    val (vf, vd) = (latestVersion(fact), latestVersion(dim))
+    view.write(recompute())
+    saveWatermarks(vf, vd)
+    this
+  }
+
+  /** Apply every change-feed version in `(watermark, latest-committed]`
+    * on both legs (the same committed-upper-bound discipline as
+    * [[MaterializedAgg.refresh]] — in-flight change sets defer to the
+    * next refresh). No-op when neither table moved.
+    */
+  def refresh(): MaterializedJoin = {
+    val (wmF, wmD) = watermarks()
+    val (latestF, latestD) = (latestVersion(fact), latestVersion(dim))
+    if (latestF <= wmF && latestD <= wmD) return this
+    val dF = changesSince(fact, wmF, latestF, factKey)
+    val dD = changesSince(dim, wmD, latestD, joinKey)
+
+    val factCols = fact.read.columns.toSeq
+    // fact rows needing re-join: changed-fact postimages (no scan —
+    // the feed carries the rows) ∪ fact rows on a changed dim key
+    // (the one fact scan, and only when the dim actually moved)
+    val fromFactFeed = dF
+      .map(_.where(col("_change_type").isin("insert", "update_postimage"))
+        .select(factCols.map(col): _*))
+    val fromDimTouch = dD.map { d =>
+      fact.read.join(d.select(col(joinKey)).distinct(), Seq(joinKey), "left_semi")
+        .select(factCols.map(col): _*)
+    }
+    val candidates = (fromFactFeed.toSeq ++ fromDimTouch.toSeq)
+      .reduceOption(_.unionByName(_))
+      .map(_.dropDuplicates(factKey))
+    candidates.foreach { cand =>
+      val newState = cand.join(dim.read, Seq(joinKey))
+      // every pk whose row may have changed; those with no row in the
+      // fresh join state (fact delete, dim delete, still-unmatched fk)
+      // must not survive in the view
+      val affected = (dF.map(_.select(col(factKey))).toSeq :+
+        cand.select(col(factKey)))
+        .reduce(_.unionByName(_)).distinct()
+      val gone = affected.join(newState.select(col(factKey)), Seq(factKey), "left_anti")
+      view.merge(
+        newState, Seq(factKey),
+        whenMatched = Seq(MergeClause.UpdateWhen(
+          newState.columns.filterNot(_ == factKey).map(c => c -> col(s"s.$c")).toMap)),
+        insertUnmatched = true)
+      view.merge(gone, Seq(factKey),
+        whenMatched = Seq(MergeClause.DeleteWhen(None)),
+        insertUnmatched = false)
+    }
+    saveWatermarks(latestF, latestD)
+    this
+  }
+
+  /** Change rows folded to the FINAL state per key across the version
+    * range: latest commit wins; within one commit the postimage/insert
+    * outranks the delete/preimage half of the same logical change.
+    * None when the range is empty or recorded no change sets.
+    */
+  private def changesSince(
+      t: LakeTable, wm: Long, latest: Long, key: String): Option[DataFrame] = {
+    if (latest <= wm) return None
+    val raw =
+      try t.readChanges(fromVersion = wm + 1, toVersion = latest)
+      catch { case _: IllegalArgumentException => return None }
+    val w = Window.partitionBy(col(key)).orderBy(
+      col("_commit_version").desc,
+      when(col("_change_type").isin("insert", "update_postimage"), 0)
+        .otherwise(1).asc)
+    Some(raw
+      .where(col("_change_type").isin("insert", "update_postimage", "delete"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk"))
+  }
+
+  private def latestVersion(t: LakeTable): Long =
+    CommitLog.nextVersion(fs, new Path(t.path, LakeTable.LogDirName)) - 1L
+
+  private def watermarks(): (Long, Long) = {
+    val f = fs
+    if (!f.exists(stateFile)) (-1L, -1L)
+    else {
+      val in = f.open(stateFile)
+      val s =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
+        finally in.close()
+      s.split(",") match {
+        case Array(a, b) => (a.toLong, b.toLong)
+        case _ => throw new IllegalStateException(
+          s"unreadable MV watermark file at $stateFile — re-initialize the view")
+      }
+    }
+  }
+
+  /** Same placement discipline as [[MaterializedAgg]]'s watermark: the
+    * view's log dir, no `.json` suffix, survives view rewrites.
+    */
+  private def saveWatermarks(vf: Long, vd: Long): Unit = {
+    val f = fs
+    if (!f.exists(stateFile.getParent)) f.mkdirs(stateFile.getParent)
+    val out = f.create(stateFile, true)
+    try out.write(s"$vf,$vd".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object MaterializedJoin {
+  def apply(
+      spark: SparkSession,
+      fact: LakeTable,
+      dim: LakeTable,
+      viewPath: String,
+      factKey: String,
+      joinKey: String): MaterializedJoin =
+    new MaterializedJoin(spark, fact, dim, viewPath, factKey, joinKey)
+}

@@ -507,6 +507,49 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A3/A8 extension (incremental JOIN maintenance — the delta-join
+    * sibling of [[lakeIncrementalMv]]): materialize orders ⋈ customer
+    * keyed by order, mutate BOTH legs through the change feed (order
+    * price update, order deletes sensitive to that update, order
+    * inserts, customer segment rewrite, customer deletes that must
+    * CASCADE), refresh once, and aggregate the refreshed view per
+    * market segment. The oracle replays every mutation in the same
+    * order and joins from scratch, so the postimage re-join, the
+    * dim-touched fact scan, and the cascade deletes are all
+    * content-checked against a full recompute; decimal sums keep the
+    * comparison exact.
+    */
+  def lakeJoinMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val fact = LakeTable(spark, scratch(sfDir, "orders_mvj_fact"))
+    fact.write(t.orders)
+    val dim = LakeTable(spark, scratch(sfDir, "customer_mvj_dim"))
+    dim.write(t.customer.withColumnRenamed("c_custkey", "o_custkey"))
+    val mv = MaterializedJoin(spark, fact, dim,
+      scratch(sfDir, "orders_mvj_view"),
+      factKey = "o_orderkey", joinKey = "o_custkey")
+    mv.initialize()
+    fact.update(Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderpriority").like("2-%"), changeFeed = true)
+    fact.delete(
+      col("o_orderstatus") === "F" && col("o_totalprice") > 250000,
+      changeFeed = true)
+    fact.upsert(
+      t.orders.where(col("o_custkey") % 97 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(40000000L)),
+      Seq("o_orderkey"), changeFeed = true)
+    dim.update(Map("c_mktsegment" -> lit("PREMIUM")),
+      col("o_custkey") % 10 === 3, changeFeed = true)
+    dim.delete(col("o_custkey") % 10 === 7, changeFeed = true)
+    mv.refresh()
+    mv.read
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** A4-A6 depth (NAMED lake tables — the reference's primary idiom,
     * `CREATE TABLE rwd_hls.patient_encounters … LOCATION` then every
     * query by name, 00-etl-rwd.py:158-200): register `db.name -> lake
@@ -1013,6 +1056,7 @@ object SourceQueries {
     "q_lake_replace_where" -> (lakeReplaceWhere _),
     "q_cdc_apply" -> (cdcApply _),
     "q_lake_constraints" -> (lakeConstraints _),
+    "q_lake_join_mv" -> (lakeJoinMv _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
@@ -1083,6 +1127,29 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_join_mv" ->
+      """WITH f1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderpriority LIKE '2-%' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS price
+        |  FROM orders),
+        |f2 AS (SELECT * FROM f1
+        |       WHERE NOT (o_orderstatus = 'F' AND price > 250000)),
+        |f3 AS (
+        |  SELECT * FROM f2
+        |  UNION ALL
+        |  SELECT o_orderkey + 40000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_custkey % 97 = 3),
+        |d AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 3 THEN 'PREMIUM' ELSE c_mktsegment END
+        |      AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 != 7)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM f3 JOIN d ON f3.o_custkey = d.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_lake_constraints" ->
       """WITH mixed AS (
         |  SELECT o_custkey % 3 = 0 AS bad_price, o_custkey % 5 = 0 AS bad_status

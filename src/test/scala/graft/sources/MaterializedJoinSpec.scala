@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MaterializedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_mvj").resolve("t").toString
+
+  private def snap(mv: MaterializedJoin): Set[(Long, Long, Double, String)] =
+    mv.read.select("id", "k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+
+  private def direct(mv: MaterializedJoin): Set[(Long, Long, Double, String)] =
+    mv.recompute().select("id", "k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+
+  test("refresh == recompute across fact deltas, dim deltas, and both at once") {
+    val fact = LakeTable(spark, tmp()).write(Seq(
+      (1L, 10L, 100.0), (2L, 20L, 200.0), (3L, 30L, 300.0),
+      (4L, 99L, 400.0) // unmatched fk: not in the view until k=99 exists
+    ).toDF("id", "k", "v"))
+    val dim = LakeTable(spark, tmp())
+      .write(Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "name"))
+    val mv = MaterializedJoin(spark, fact, dim, tmp(), "id", "k")
+    mv.initialize()
+    assert(snap(mv) === direct(mv) && snap(mv).size === 3)
+
+    // fact-only delta: insert, update, delete — postimages only, no scan
+    fact.upsert(Seq((5L, 10L, 500.0)).toDF("id", "k", "v"), Seq("id"), changeFeed = true)
+    fact.update(Map("v" -> (col("v") * 2)), col("id") === 2L, changeFeed = true)
+    fact.delete(col("id") === 3L, changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === direct(mv))
+    assert(snap(mv).map(_._1) === Set(1L, 2L, 5L))
+    assert(snap(mv).exists(t => t._1 == 2L && t._3 == 400.0))
+
+    // dim-only delta: a delete cascades, an update rewrites every
+    // holder, an insert materializes the previously-unmatched fk
+    dim.delete(col("k") === 10L, changeFeed = true)
+    dim.update(Map("name" -> lit("B")), col("k") === 20L, changeFeed = true)
+    dim.upsert(Seq((99L, "z")).toDF("k", "name"), Seq("k"), changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === direct(mv))
+    assert(snap(mv) === Set((2L, 20L, 400.0, "B"), (4L, 99L, 400.0, "z")))
+
+    // re-refresh with nothing new is a no-op (exactly-once)
+    mv.refresh()
+    assert(snap(mv) === Set((2L, 20L, 400.0, "B"), (4L, 99L, 400.0, "z")))
+
+    // both legs move before ONE refresh, including a fact row whose fk
+    // MOVES onto a dim key that is deleted in the same window
+    fact.update(Map("k" -> lit(30L)), col("id") === 4L, changeFeed = true)
+    dim.delete(col("k") === 20L, changeFeed = true)
+    dim.upsert(Seq((30L, "c2")).toDF("k", "name"), Seq("k"), changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === direct(mv))
+    assert(snap(mv) === Set((4L, 30L, 400.0, "c2")))
+  }
+
+  test("a multi-version backlog folds to final state per key before applying") {
+    val fact = LakeTable(spark, tmp())
+      .write(Seq((1L, 10L, 1.0)).toDF("id", "k", "v"))
+    val dim = LakeTable(spark, tmp())
+      .write(Seq((10L, "a")).toDF("k", "name"))
+    val mv = MaterializedJoin(spark, fact, dim, tmp(), "id", "k")
+    mv.initialize()
+    // three versions against the SAME pk: update, delete, re-insert —
+    // only the final state may land
+    fact.update(Map("v" -> lit(2.0)), col("id") === 1L, changeFeed = true)
+    fact.delete(col("id") === 1L, changeFeed = true)
+    fact.upsert(Seq((1L, 10L, 9.0)).toDF("id", "k", "v"), Seq("id"), changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === Set((1L, 10L, 9.0, "a")))
+    // and a key whose FINAL state is deleted stays deleted
+    fact.upsert(Seq((2L, 10L, 5.0)).toDF("id", "k", "v"), Seq("id"), changeFeed = true)
+    fact.delete(col("id") === 2L, changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === Set((1L, 10L, 9.0, "a")))
+  }
+}
