@@ -111,6 +111,31 @@ final class MaterializedJoin(
     this
   }
 
+  /** CONTINUOUS maintenance: one streaming query tailing BOTH change
+    * feeds (unioned — a single stream, so refreshes never race each
+    * other on the view; the lake layer's single-writer assumption
+    * holds by construction). The batch content is only a notification,
+    * exactly as in [[MaterializedAgg.startStream]]: refresh derives its
+    * work from the watermarks bounded to committed versions, so
+    * replayed triggers are no-ops and in-flight change sets defer to
+    * the next trigger. Requires at least one recorded change set on
+    * each leg (the change-feed streaming-source precondition).
+    */
+  def startStream(
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val notifications = fact.readChangesStream
+      .select(lit("fact").as("leg"))
+      .unionByName(dim.readChangesStream.select(lit("dim").as("leg")))
+    notifications.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(): Unit
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Change rows folded to the FINAL state per key across the version
     * range: latest commit wins; within one commit the postimage/insert
     * outranks the delete/preimage half of the same logical change.

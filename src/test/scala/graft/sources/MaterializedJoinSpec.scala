@@ -63,6 +63,32 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(snap(mv) === Set((4L, 30L, 400.0, "c2")))
   }
 
+  test("startStream keeps the join view current as EITHER leg commits") {
+    val fact = LakeTable(spark, tmp())
+      .write(Seq((1L, 10L, 1.0), (2L, 20L, 2.0)).toDF("id", "k", "v"))
+    val dim = LakeTable(spark, tmp())
+      .write(Seq((10L, "a"), (20L, "b")).toDF("k", "name"))
+    val mv = MaterializedJoin(spark, fact, dim, tmp(), "id", "k")
+    mv.initialize()
+    // seed BOTH feeds so each streaming source has a schema to read
+    fact.update(Map("v" -> lit(1.5)), col("id") === 1L, changeFeed = true)
+    dim.update(Map("name" -> lit("a2")), col("k") === 10L, changeFeed = true)
+    val q = mv.startStream(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(snap(mv) === direct(mv), "view stale after the seed commits")
+      fact.upsert(Seq((3L, 20L, 3.0)).toDF("id", "k", "v"), Seq("id"),
+        changeFeed = true)
+      q.processAllAvailable()
+      assert(snap(mv) === direct(mv), "view stale after a fact commit")
+      dim.delete(col("k") === 10L, changeFeed = true)
+      q.processAllAvailable()
+      assert(snap(mv) === direct(mv), "view stale after a dim cascade delete")
+      assert(snap(mv).map(_._1) === Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("a multi-version backlog folds to final state per key before applying") {
     val fact = LakeTable(spark, tmp())
       .write(Seq((1L, 10L, 1.0)).toDF("id", "k", "v"))
