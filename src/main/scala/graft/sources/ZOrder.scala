@@ -62,9 +62,27 @@ object ZOrder {
     withCurveValue(df, cols, bits, hCol,
       scaled => graft.functions.Hilbert.hilbertIndex(scaled, bits))
 
+  /** Order-preserving numeric key for one clustered dimension. Numerics
+    * cast straight to double; STRINGS map through their first 6 UTF-8
+    * bytes, right-padded with 0x00 and read big-endian — binary-collation
+    * order-preserving ("ab" sorts before "b" and 0x6162… < 0x62…), and 48
+    * bits stays EXACT in a double's 53-bit mantissa (7 bytes would round
+    * and could swap near-equal prefixes). Six bytes of prefix resolution
+    * is far above the `bits`-bit rank the scaling collapses to anyway.
+    */
+  private def curveKey(c: String, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        expr(s"cast(conv(hex(rpad(substring(encode(`$c`, 'utf-8'), 1, 6), 6, x'00')), " +
+          "16, 10) as double)")
+      case _ => col(c).cast("double")
+    }
+
   /** Shared scaling stage: min/max-rank each column to `bits` bits (1-row
     * broadcast stats, no driver action), then combine ranks into a single
-    * curve value with `combine`.
+    * curve value with `combine`. String dimensions cluster through
+    * [[curveKey]]'s prefix rank, so `OPTIMIZE … ZORDER BY (category, ts)`
+    * works on mixed string/numeric column sets like Delta's does.
     */
   private def withCurveValue(
       df: DataFrame,
@@ -74,16 +92,17 @@ object ZOrder {
       combine: Seq[Column] => Column
   ): DataFrame = {
     val maxRank = (1L << bits) - 1
+    val keys = cols.map(c => c -> curveKey(c, df.schema(c).dataType)).toMap
     val statCols = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__zmin_$c"),
-      max(col(c)).cast("double").as(s"__zmax_$c")))
+      min(keys(c)).as(s"__zmin_$c"),
+      max(keys(c)).as(s"__zmax_$c")))
     val stats = df.agg(statCols.head, statCols.tail: _*)
     val scaled = cols.map { c =>
       val mn = col(s"__zmin_$c")
       val range = greatest(col(s"__zmax_$c") - mn, lit(Double.MinPositiveValue))
       coalesce(
         least(
-          ((col(c).cast("double") - mn) / range * maxRank).cast("long"),
+          ((keys(c) - mn) / range * maxRank).cast("long"),
           lit(maxRank)),
         lit(0L))
     }

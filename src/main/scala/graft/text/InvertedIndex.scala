@@ -46,7 +46,8 @@ object InvertedIndex {
     val p = LakeTable(spark, sub(dir, "postings"))
     p.write(postings)
     // single-dimension clustering: a linear sort IS the optimal curve
-    // (Z-order adds nothing in 1-D, and the curve value is numeric-only)
+    // (a 1-D Z-order degenerates to the same ordering, minus exactness —
+    // the string curve key ranks only a 6-byte prefix)
     p.optimize(Seq("term"), numFiles = Some(8))
     // postings rows are distinct (doc, term), so df is a plain rollup
     LakeTable(spark, sub(dir, "terms"))

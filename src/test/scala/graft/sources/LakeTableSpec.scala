@@ -160,6 +160,27 @@ class LakeTableSpec extends SparkSpec {
       s"z-order should at least halve the secondary-dim scan: morton=$morton linear=$linear")
   }
 
+  test("z-order accepts STRING dimensions: prefix rank is order-preserving") {
+    import graft.sources.ZOrder
+    val s = spark
+    import s.implicits._
+    // binary-collation order must survive the prefix mapping, including
+    // the prefix-of-a-longer-string case ("ab" < "b") and the empty string
+    val words = Seq("", "a", "ab", "abc", "abcdefXX", "abcdefYY", "b", "zz")
+    val df = words.zipWithIndex.map { case (w, i) => (w, i.toLong) }.toDF("w", "i")
+    val ranked = ZOrder.withZValue(df, Seq("w"), bits = 16)
+      .orderBy("w").select("__z").collect().map(_.getLong(0))
+    assert(ranked.toSeq === ranked.sorted.toSeq,
+      s"string prefix rank must be monotone in binary order: ${ranked.toSeq}")
+    // beyond the 6-byte prefix the rank ties — same tile, still valid
+    assert(ranked(4) === ranked(5))
+    // and a mixed string+numeric zorder runs end-to-end on a lake table
+    val li = Tables(spark, sf0001).lineitem
+    val lake = LakeTable(spark, tmp()).write(li)
+    lake.optimizeZorder(Seq("l_returnflag", "l_partkey"), numFiles = Some(4))
+    assert(lake.read.count() === li.count())
+  }
+
   test("history is empty for a fresh path") {
     assert(LakeTable(spark, tmp()).history.count() === 0)
   }
