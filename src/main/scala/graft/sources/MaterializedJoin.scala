@@ -89,21 +89,31 @@ final class MaterializedJoin(
     val candidates = (fromFactFeed.toSeq ++ fromDimTouch.toSeq)
       .reduceOption(_.unionByName(_))
       .map(_.dropDuplicates(factKey))
-    candidates.foreach { cand =>
-      val newState = cand.join(dim.read, Seq(joinKey))
+    candidates.foreach { cand0 =>
+      // delta-sized frames, but each merge below re-evaluates its source
+      // plan several times (key-condition stats, the rewrite itself) —
+      // materialize ONCE so the change-feed fold and the fact semi-scan
+      // never replay
+      val cand = cand0.localCheckpoint(true)
+      val newState = cand.join(dim.read, Seq(joinKey)).localCheckpoint(true)
       // every pk whose row may have changed; those with no row in the
       // fresh join state (fact delete, dim delete, still-unmatched fk)
       // must not survive in the view
       val affected = (dF.map(_.select(col(factKey))).toSeq :+
         cand.select(col(factKey)))
         .reduce(_.unionByName(_)).distinct()
-      val gone = affected.join(newState.select(col(factKey)), Seq(factKey), "left_anti")
-      view.merge(
+      val gone = affected
+        .join(newState.select(col(factKey)), Seq(factKey), "left_anti")
+        .localCheckpoint(true)
+      // skip empty merges: an empty source defeats the stats-pruned
+      // selective path (no key bounds) and would pay a FULL staged
+      // rewrite of the view for nothing
+      if (!newState.isEmpty) view.merge(
         newState, Seq(factKey),
         whenMatched = Seq(MergeClause.UpdateWhen(
           newState.columns.filterNot(_ == factKey).map(c => c -> col(s"s.$c")).toMap)),
         insertUnmatched = true)
-      view.merge(gone, Seq(factKey),
+      if (!gone.isEmpty) view.merge(gone, Seq(factKey),
         whenMatched = Seq(MergeClause.DeleteWhen(None)),
         insertUnmatched = false)
     }
