@@ -1,0 +1,67 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two samples of a numeric
+  * column — the Population Stability Index every recurring data /
+  * training pipeline gates on (PSI < 0.1 stable, 0.1-0.2 moderate
+  * shift, > 0.2 action). Combined with the lake's time travel this is
+  * version-to-version drift: "did yesterday's load change the price
+  * distribution?".
+  *
+  * Bins are FIXED-WIDTH from the baseline's own min/max — deliberately
+  * not quantile bins: the edges are pure arithmetic over two broadcast
+  * scalars, so any engine (and the DuckDB oracle) lands every value in
+  * the identical bin, where percentile interpolation differs in ulps
+  * and would flip edge values. Out-of-range current values clamp into
+  * the terminal bins (the standard PSI treatment of new mass beyond the
+  * baseline's support). Proportions are Laplace-smoothed — (n+1)/(N+k)
+  * — so an empty bin contributes a finite, defined term instead of
+  * ln(0).
+  *
+  * Scale shape: one aggregate pass per side (map-side partial combine,
+  * bins-sized results), a 1-row baseline-stats broadcast, and joins on
+  * the k-row bin axis. No driver actions, nothing grows with the table.
+  */
+object Drift {
+
+  def psi(
+      baseline: DataFrame, current: DataFrame,
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val spark = baseline.sparkSession
+    val stats = baseline.agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame, nCol: String) = df
+      .crossJoin(broadcast(stats))
+      .select(least(greatest(floor(
+        (col(valueCol).cast("double") - col("__lo")) /
+          greatest((col("__hi") - col("__lo")) / bins, lit(1e-12))),
+        lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
+    val a = binned(baseline, "n_base")
+    val b = binned(current, "n_cur")
+    val ta = a.agg(sum(col("n_base")).as("__t_base"))
+    val tb = b.agg(sum(col("n_cur")).as("__t_cur"))
+    val axis = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val pBase = (col("n_base") + lit(1.0)) / (col("__t_base") + lit(bins.toDouble))
+    val pCur = (col("n_cur") + lit(1.0)) / (col("__t_cur") + lit(bins.toDouble))
+    axis
+      .join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(
+        col("bin"),
+        col("n_base"),
+        col("n_cur"),
+        round((pCur - pBase) * log(pCur / pBase), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map.empty
+  def oracles: Map[String, String] = Map.empty
+}

@@ -507,6 +507,29 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A8 extension (version-to-version drift monitoring): write orders
+    * at v0, mutate the price distribution (a 1.5× update on a quarter
+    * of customers, then a delete whose predicate sees the UPDATED
+    * prices), and compute the Population Stability Index of
+    * o_totalprice between v0 and the head via [[analytics.Drift.psi]] —
+    * time travel supplying the baseline, fixed-width baseline-derived
+    * bins keeping both engines bit-identical. The oracle replays the
+    * mutations in order and recomputes every smoothed term, so the
+    * binning arithmetic, the clamp, and the Laplace smoothing are all
+    * content-checked.
+    */
+  def versionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val vt = VersionedLakeTable(spark, scratch(sfDir, "orders_drift"))
+    vt.write(t.orders)
+    vt.update(
+      Map("o_totalprice" -> (col("o_totalprice") * 1.5)),
+      col("o_custkey") % 4 === 0)
+    vt.delete(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+    graft.analytics.Drift.psi(
+      vt.readVersion(0), vt.read, "o_totalprice", bins = 10)
+  }
+
   /** A3/A8 extension (incremental JOIN maintenance — the delta-join
     * sibling of [[lakeIncrementalMv]]): materialize orders ⋈ customer
     * keyed by order, mutate BOTH legs through the change feed (order
@@ -1057,6 +1080,7 @@ object SourceQueries {
     "q_cdc_apply" -> (cdcApply _),
     "q_lake_constraints" -> (lakeConstraints _),
     "q_lake_join_mv" -> (lakeJoinMv _),
+    "q_version_drift" -> (versionDrift _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
@@ -1127,6 +1151,39 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_version_drift" ->
+      """WITH a AS (SELECT o_totalprice AS x FROM orders),
+        |upd AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_custkey % 4 = 0 THEN o_totalprice * 1.5
+        |         ELSE o_totalprice END AS x
+        |  FROM orders),
+        |cur AS (SELECT x FROM upd
+        |        WHERE NOT (o_orderstatus = 'F' AND x > 300000)),
+        |s AS (SELECT min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi FROM a),
+        |ba AS (
+        |  SELECT CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 10, 1e-12)),
+        |                             0), 9) AS INT) AS bin, count(*) AS n_base
+        |  FROM a, s GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 10, 1e-12)),
+        |                             0), 9) AS INT) AS bin, count(*) AS n_cur
+        |  FROM cur, s GROUP BY 1),
+        |ta AS (SELECT sum(n_base) AS t_base FROM ba),
+        |tb AS (SELECT sum(n_cur) AS t_cur FROM bb),
+        |axis AS (SELECT unnest(generate_series(0, 9))::INT AS bin)
+        |SELECT axis.bin,
+        |  coalesce(n_base, 0) AS n_base,
+        |  coalesce(n_cur, 0) AS n_cur,
+        |  round(((coalesce(n_cur, 0) + 1.0) / (t_cur + 10.0)
+        |          - (coalesce(n_base, 0) + 1.0) / (t_base + 10.0))
+        |        * ln(((coalesce(n_cur, 0) + 1.0) / (t_cur + 10.0))
+        |             / ((coalesce(n_base, 0) + 1.0) / (t_base + 10.0))), 6)
+        |    AS psi_term
+        |FROM axis LEFT JOIN ba ON axis.bin = ba.bin
+        |LEFT JOIN bb ON axis.bin = bb.bin
+        |CROSS JOIN ta CROSS JOIN tb
+        |ORDER BY axis.bin""".stripMargin,
     "q_lake_join_mv" ->
       """WITH f1 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

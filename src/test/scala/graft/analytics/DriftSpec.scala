@@ -1,0 +1,42 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical samples score exactly zero in every bin") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = Drift.psi(df, df, "v", bins = 10).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"bin ${r.getInt(0)}: ${r.getDouble(3)}")
+      assert(r.getLong(1) === r.getLong(2))
+    }
+  }
+
+  test("a shifted sample scores positive total PSI; out-of-range mass clamps") {
+    val base = (1 to 1000).map(_.toDouble).toDF("v")
+    // current: everything pushed up 50%, a third of it beyond the
+    // baseline's max — that mass must land in the TOP bin, not vanish
+    val cur = (1 to 1000).map(i => i * 1.5).toDF("v")
+    val out = Drift.psi(base, cur, "v", bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = out.map(_._4).sum
+    assert(total > 0.2, s"a 1.5x shift is a major drift, got PSI=$total")
+    // top bin holds base's last decile (100) vs cur's clamped overflow
+    val top = out.find(_._1 === 9).get
+    assert(top._2 === 100L && top._3 > 300L, s"clamp failed: $top")
+    // every bin axis row is present even if empty on one side
+    assert(out.map(_._1).toSeq === (0 until 10))
+  }
+
+  test("empty bins stay finite through Laplace smoothing") {
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = Seq(1.0, 2.0, 3.0).toDF("v") // most bins empty on the current side
+    val out = Drift.psi(base, cur, "v", bins = 10).collect()
+    out.foreach(r => assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+}
