@@ -3425,12 +3425,93 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * `read.where(cond)` — stats only shrink the file list. Falls back
     * to a plain filtered read when no stats exist.
     */
+  /** Derive predicates over GENERATED columns from a predicate over
+    * their SOURCE columns — Delta's generated-column partition pruning.
+    * For a recognized MONOTONE generation expression g = f(src)
+    * (to_date, cast-to-date, date_trunc, year), a range or equality
+    * conjunct on src implies the corresponding bound on g: every row
+    * with `src >= lo` has `g = f(src) >= f(lo)`. So `WHERE ts BETWEEN a
+    * AND b` prunes a to_date(ts)-partitioned table's directories (and
+    * its file stats) without the user ever mentioning the partition
+    * column. Unrecognized generation expressions and non-range
+    * conjuncts derive nothing — the sound default. (month/day alone are
+    * deliberately NOT recognized: month(ts) is not monotone across
+    * years, and a derived bound from it would be wrong.)
+    */
+  private[graft] def derivedGeneratedFilters(cond: Column): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val gens = generatedColumns
+    if (gens.isEmpty) return Seq.empty
+    val dtPat = "^date_trunc\\(\\s*'(year|quarter|month|week|day|hour)'\\s*,\\s*`?(\\w+)`?\\s*\\)$".r
+    val tdPat = "^to_date\\(\\s*`?(\\w+)`?\\s*\\)$".r
+    val castPat = "^cast\\(\\s*`?(\\w+)`?\\s+as\\s+date\\s*\\)$".r
+    val yrPat = "^year\\(\\s*`?(\\w+)`?\\s*\\)$".r
+    val maps: Seq[(String, String, Column => Column)] = gens.toSeq.flatMap {
+      case (g, e) => e.trim.toLowerCase match {
+        case tdPat(src)       => Some((src, g, (c: Column) => to_date(c)))
+        case castPat(src)     => Some((src, g, (c: Column) => c.cast("date")))
+        case dtPat(unit, src) => Some((src, g, (c: Column) => date_trunc(unit, c)))
+        case yrPat(src)       => Some((src, g, (c: Column) => year(c)))
+        case _                => None
+      }
+    }
+    if (maps.isEmpty) return Seq.empty
+    // Spark 4 user Columns are opaque ColumnNode wrappers, not Catalyst
+    // trees — ANALYZE the filter against the table to get a resolved
+    // condition (with the analyzer's implicit casts on the literals),
+    // then pattern-match that. Analysis is driver-only, no jobs.
+    val conds = read.where(cond).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def name(a: Expression): Option[String] = a match {
+      case ar: AttributeReference => Some(ar.name)
+      case ua: UnresolvedAttribute => Some(ua.nameParts.last)
+      case _ => None
+    }
+    // the comparison's value side after analysis: a literal, usually
+    // wrapped in the analyzer's implicit cast — any foldable tree with
+    // no column references transplants safely into a fresh filter
+    def bound(e: Expression): Option[Column] =
+      if (e.foldable) Some(org.apache.spark.sql.GraftBridge.column(e)) else None
+    conds.flatMap(conjuncts).flatMap { c =>
+      maps.flatMap { case (src, g, f) =>
+        def hits(a: Expression) = name(a).exists(_.equalsIgnoreCase(src))
+        val d: Option[Column] = c match {
+          // f monotone nondecreasing: strict bounds weaken to inclusive
+          // ones on g (f(x) > f(lo) does NOT follow from x > lo, but
+          // f(x) >= f(lo) always does)
+          case GreaterThanOrEqual(a, v) if hits(a) => bound(v).map(b => col(g) >= f(b))
+          case GreaterThan(a, v) if hits(a)        => bound(v).map(b => col(g) >= f(b))
+          case LessThanOrEqual(a, v) if hits(a)    => bound(v).map(b => col(g) <= f(b))
+          case LessThan(a, v) if hits(a)           => bound(v).map(b => col(g) <= f(b))
+          case EqualTo(a, v) if hits(a)            => bound(v).map(b => col(g) === f(b))
+          case GreaterThanOrEqual(v, a) if hits(a) => bound(v).map(b => col(g) <= f(b))
+          case GreaterThan(v, a) if hits(a)        => bound(v).map(b => col(g) <= f(b))
+          case LessThanOrEqual(v, a) if hits(a)    => bound(v).map(b => col(g) >= f(b))
+          case LessThan(v, a) if hits(a)           => bound(v).map(b => col(g) >= f(b))
+          case EqualTo(v, a) if hits(a)            => bound(v).map(b => col(g) === f(b))
+          case _ => None
+        }
+        d
+      }
+    }
+  }
+
   def readWhere(cond: Column): DataFrame = {
+    // strengthen with implied generated-column bounds BEFORE pruning:
+    // they drive both Hive partition-dir pruning (planning-time, via
+    // the scan filter) and the file-stats prune below
+    val full = derivedGeneratedFilters(cond).foldLeft(cond)(_ && _)
     // a shallow clone has no usable stats (see prunedFiles) — correct,
     // just unpruned; parquet row-group min/max still applies in-scan
-    if (isShallowClone) return read.where(cond)
-    val files = prunedFiles(cond)
-    if (files.isEmpty) read.where(cond).where(lit(false))
+    if (isShallowClone) return read.where(full)
+    val files = prunedFiles(full)
+    if (files.isEmpty) read.where(full).where(lit(false))
     else {
       // basePath keeps Hive-partition columns derivable from the dirs
       // even though the scan names leaf files explicitly
@@ -3438,7 +3519,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         case Some(s) => readMapped(s, files, basePath = Some(path))
         case None => spark.read.option("basePath", path).parquet(files: _*)
       }
-      applyDeletionVectors(scan).where(cond)
+      applyDeletionVectors(scan).where(full)
     }
   }
 

@@ -507,6 +507,35 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A7/A12 extension (GENERATED-column partition pruning — Delta's
+    * idiom where tables partition on a derived month/day column but
+    * queries filter the raw timestamp): orders laid out partitioned by
+    * a generated `om = date_trunc('month', o_orderdate)`, then queried
+    * through [[LakeTable.readWhere]] with a bare o_orderdate range —
+    * the monotone-derivation pass adds the implied `om` bounds, so the
+    * scan prunes partition DIRECTORIES at planning time without the
+    * user mentioning om. The oracle filters the raw table, so a
+    * derivation that dropped or double-counted boundary rows breaks the
+    * hash; the pruning itself (files read <= touched months) is pinned
+    * in GeneratedPruneSpec.
+    */
+  def lakeGeneratedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val lake = LakeTable(spark, scratch(sfDir, "orders_genprune"))
+    lake.write(t.orders.limit(1))
+    if (!lake.generatedColumns.contains("om"))
+      lake.addGeneratedColumn("om", org.apache.spark.sql.types.TimestampType,
+        "date_trunc('month', o_orderdate)")
+    lake.writePartitioned(t.orders, Seq("om"))
+    lake.readWhere(
+      col("o_orderdate") >= "1995-03-01" && col("o_orderdate") <= "1995-06-30")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A8 extension (version-to-version drift monitoring): write orders
     * at v0, mutate the price distribution (a 1.5× update on a quarter
     * of customers, then a delete whose predicate sees the UPDATED
@@ -1081,6 +1110,7 @@ object SourceQueries {
     "q_lake_constraints" -> (lakeConstraints _),
     "q_lake_join_mv" -> (lakeJoinMv _),
     "q_version_drift" -> (versionDrift _),
+    "q_lake_generated_prune" -> (lakeGeneratedPrune _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
     "q_lake_clone" -> (lakeClone _),
@@ -1151,6 +1181,12 @@ object SourceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lake_generated_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= '1995-03-01' AND o_orderdate <= '1995-06-30'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_version_drift" ->
       """WITH a AS (SELECT o_totalprice AS x FROM orders),
         |upd AS (
