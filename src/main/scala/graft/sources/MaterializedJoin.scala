@@ -39,7 +39,8 @@ final class MaterializedJoin(
     dim: LakeTable,
     val viewPath: String,
     factKey: String,
-    joinKey: String) {
+    joinKey: String,
+    emitChangeFeed: Boolean = false) {
 
   private val view = LakeTable(spark, viewPath)
   private val stateFile =
@@ -112,10 +113,12 @@ final class MaterializedJoin(
         newState, Seq(factKey),
         whenMatched = Seq(MergeClause.UpdateWhen(
           newState.columns.filterNot(_ == factKey).map(c => c -> col(s"s.$c")).toMap)),
-        insertUnmatched = true)
+        insertUnmatched = true,
+        changeFeed = emitChangeFeed)
       if (!gone.isEmpty) view.merge(gone, Seq(factKey),
         whenMatched = Seq(MergeClause.DeleteWhen(None)),
-        insertUnmatched = false)
+        insertUnmatched = false,
+        changeFeed = emitChangeFeed)
     }
     saveWatermarks(latestF, latestD)
     this
@@ -201,12 +204,24 @@ final class MaterializedJoin(
 }
 
 object MaterializedJoin {
+  /** `emitChangeFeed = true` makes every refresh record the view's own
+    * CDC — the composition hook: a [[MaterializedAgg]] (or a second
+    * MaterializedJoin) stacked on the VIEW then maintains a join+agg
+    * pipeline incrementally end-to-end, fact/dim deltas flowing through
+    * two O(changes) refreshes with no full recompute anywhere. The
+    * trade: a change-feed-recording merge must read pre-merge state
+    * over the whole view, so the stats-pruned selective rewrite bails —
+    * the refresh stays O(changes) in what it READS from the legs but
+    * pays a full view rewrite per merge. Choose per view: cheap refresh
+    * (default) or composable CDC.
+    */
   def apply(
       spark: SparkSession,
       fact: LakeTable,
       dim: LakeTable,
       viewPath: String,
       factKey: String,
-      joinKey: String): MaterializedJoin =
-    new MaterializedJoin(spark, fact, dim, viewPath, factKey, joinKey)
+      joinKey: String,
+      emitChangeFeed: Boolean = false): MaterializedJoin =
+    new MaterializedJoin(spark, fact, dim, viewPath, factKey, joinKey, emitChangeFeed)
 }

@@ -89,6 +89,34 @@ class MaterializedJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC-emitting view composes: join MV + agg MV maintain a pipeline end-to-end") {
+    val fact = LakeTable(spark, tmp()).write(Seq(
+      (1L, 10L, 100.0), (2L, 20L, 200.0), (3L, 10L, 300.0)).toDF("id", "k", "v"))
+    val dim = LakeTable(spark, tmp())
+      .write(Seq((10L, "a"), (20L, "b")).toDF("k", "name"))
+    val mv = MaterializedJoin(spark, fact, dim, tmp(), "id", "k",
+      emitChangeFeed = true)
+    mv.initialize()
+    // the aggregate view stacks on the JOIN view's own change feed:
+    // per-name decimal totals over the joined rows
+    val agg = MaterializedAgg(spark, LakeTable(spark, mv.viewPath), tmp(),
+      keys = Seq("name"), sums = Map("total" -> col("v").cast("decimal(18,2)")))
+    agg.initialize()
+    def aggState: Map[String, (Long, Double)] = agg.read.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[java.math.BigDecimal](2).doubleValue)).toMap
+    assert(aggState === Map("a" -> (2L, 400.0), "b" -> (1L, 200.0)))
+    // fact + dim deltas flow through TWO incremental refreshes — no
+    // recompute anywhere in the pipeline
+    fact.upsert(Seq((4L, 20L, 50.0)).toDF("id", "k", "v"), Seq("id"), changeFeed = true)
+    fact.delete(col("id") === 1L, changeFeed = true)
+    dim.update(Map("name" -> lit("B")), col("k") === 20L, changeFeed = true)
+    mv.refresh()
+    agg.refresh()
+    assert(snap(mv) === direct(mv))
+    // joined state: (3,10,300,a), (2,20,200,B), (4,20,50,B)
+    assert(aggState === Map("a" -> (1L, 300.0), "B" -> (2L, 250.0)))
+  }
+
   test("a multi-version backlog folds to final state per key before applying") {
     val fact = LakeTable(spark, tmp())
       .write(Seq((1L, 10L, 1.0)).toDF("id", "k", "v"))
