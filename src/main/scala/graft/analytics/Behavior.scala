@@ -175,7 +175,43 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** Holt's linear-trend smoothing over the same per-type daily series
+    * as [[ewmaDaily]] — the DOUBLE recursion (level + trend) that makes
+    * plain EWMA lag a trending series:
+    * l_t = α·x_t + (1-α)(l_{t-1} + b_{t-1}),
+    * b_t = γ(l_t - l_{t-1}) + (1-γ)·b_{t-1}, seeded l_1 = x_1, b_1 = 0.
+    * The accumulator is a STRUCT folded through `aggregate` (Spark) /
+    * `list_reduce` (the oracle) — both engines run the identical
+    * constant set and fold order, so level/trend/forecast are bit-exact
+    * before rounding. Emits the 3-day-ahead forecast l + 3b, the number
+    * every capacity dashboard actually wants.
+    */
+  def holtTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = Tables(spark, sfDir).eventsRaw
+      .select(col("event_type"), expr(s"ts div $dayNs").as("d"), col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, v))), s -> s.v)").as("vs"))
+      .withColumn("h", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), " +
+          "named_struct('l', element_at(vs, 1), 'b', cast(0.0 as double)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5d * x + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l) + 0.7d * acc.b))"))
+      .select(
+        col("event_type"),
+        size(col("vs")).cast("bigint").as("n_days"),
+        round(col("h.l"), 6).as("level"),
+        round(col("h.b"), 6).as("trend"),
+        round(col("h.l") + lit(3.0) * col("h.b"), 6).as("forecast_3"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_holt_trend" -> (holtTrend _),
     "q_ewma_daily" -> (ewmaDaily _),
     "q_anomaly_zscore" -> (anomalyZscore _),
     "q_decayed_score" -> (decayedEngagement _),
@@ -185,6 +221,32 @@ object Behavior {
   )
 
   def oracles: Map[String, String] = Map(
+    // recursive CTE, NOT list_reduce: DuckDB 1.0's list_reduce
+    // mis-evaluates struct lambdas whose second field reads the
+    // accumulator field the first just computed (verified: the 'b'
+    // expression sees the NEW l from iteration 3 on) — a CTE row's
+    // columns all reference the PREVIOUS row, so the coupled recursion
+    // is safe, and the arithmetic mirrors the Spark fold op-for-op
+    "q_holt_trend" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(v ORDER BY d) AS vs FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, vs, len(vs) AS n, 1 AS i,
+        |    vs[1]::DOUBLE AS l, 0.0::DOUBLE AS b
+        |  FROM s
+        |  UNION ALL
+        |  SELECT event_type, vs, n, i + 1,
+        |    0.5::DOUBLE * vs[i + 1] + 0.5::DOUBLE * (l + b),
+        |    0.3::DOUBLE * ((0.5::DOUBLE * vs[i + 1] + 0.5::DOUBLE * (l + b)) - l)
+        |      + 0.7::DOUBLE * b
+        |  FROM r WHERE i < n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + 3.0 * b, 6) AS forecast_3
+        |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
     "q_ewma_daily" ->
       """WITH d AS (
         |  SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS d,

@@ -53,6 +53,34 @@ class BehaviorSpec extends SparkSpec {
     assert(out("b") === 7.5) // single-element series returns its seed
   }
 
+  test("holt fold matches the coupled level/trend recurrence by hand") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // [2,4,6,8] at α=0.5, γ=0.3 seeded (l=2, b=0):
+    // (3, 0.3) -> (4.65, 0.705) -> (6.6775, 1.10175)
+    val out = Seq(Seq(2.0, 4.0, 6.0, 8.0)).toDF("vs")
+      .select(expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), " +
+          "named_struct('l', element_at(vs, 1), 'b', cast(0.0 as double)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5d * x + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l) + 0.7d * acc.b))")
+        .as("h"))
+      .select(col("h.l"), col("h.b")).head
+    assert(out.getDouble(0) === 6.6775)
+    assert(out.getDouble(1) === 1.10175)
+  }
+
+  test("holt query trends: level tracks the data scale, forecast extends it") {
+    val rows = Behavior.holtTrend(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (level, trend, f3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(level > 0.0 && !trend.isNaN)
+      assert(math.abs(f3 - (level + 3 * trend)) < 1e-4)
+    }
+  }
+
   test("ewma query emits one row per event type with bounded values") {
     val rows = Behavior.ewmaDaily(spark, sf0001).collect()
     assert(rows.nonEmpty)
