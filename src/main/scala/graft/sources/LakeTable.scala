@@ -1880,32 +1880,36 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val cons = constraints.toSeq.sortBy(_._1)
     require(cons.nonEmpty,
       s"appendExpecting at $path needs at least one CHECK constraint")
-    def flag(n: String) = s"__viol_$n"
+    // flag columns keyed by SORTED INDEX, not constraint name — a name
+    // holding a dot (legal in addConstraint) would otherwise parse as a
+    // struct access when the flag is read back
+    def flag(i: Int) = s"__viol_$i"
+    val idx = cons.indices
     val pinned = df.localCheckpoint(true)
     val flagged = pinned.select(
-      pinned.columns.map(col).toSeq ++ cons.map { case (n, e) =>
-        (!coalesce(expr(e), lit(false))).as(flag(n))
+      pinned.columns.map(col).toSeq ++ idx.map { i =>
+        (!coalesce(expr(cons(i)._2), lit(false))).as(flag(i))
       }: _*).localCheckpoint(true)
-    val anyViol = cons.map(c => col(flag(c._1))).reduce(_ || _)
+    val anyViol = idx.map(i => col(flag(i))).reduce(_ || _)
     val report = flagged.agg(
       sum(when(anyViol, 1L).otherwise(0L)).as("__n_bad"),
-      cons.map { case (n, _) =>
-        sum(when(col(flag(n)), 1L).otherwise(0L)).as(n)
+      idx.map { i =>
+        sum(when(col(flag(i)), 1L).otherwise(0L)).as(flag(i))
       }: _*)
     val counts = report.head()
-    write(flagged.where(!anyViol).drop(cons.map(c => flag(c._1)): _*),
+    write(flagged.where(!anyViol).drop(idx.map(flag): _*),
       SaveMode.Append)
     // sum over an empty batch is NULL; getAs unboxes it to the right 0
     if (counts.getAs[Long]("__n_bad") > 0L) {
       val quarantined = flagged.where(anyViol)
         .withColumn("_violated", concat_ws(",",
-          cons.map { case (n, _) => when(col(flag(n)), lit(n)) }: _*))
-        .drop(cons.map(c => flag(c._1)): _*)
+          idx.map { i => when(col(flag(i)), lit(cons(i)._1)) }: _*))
+        .drop(idx.map(flag): _*)
       LakeTable(spark, new Path(path, "_quarantine").toString)
         .write(quarantined, SaveMode.Append)
     }
     import spark.implicits._
-    cons.map { case (n, _) => (n, counts.getAs[Long](n)) }
+    idx.map { i => (cons(i)._1, counts.getAs[Long](flag(i))) }
       .toDF("constraint_name", "n_quarantined")
   }
 

@@ -64,13 +64,14 @@ object InvertedIndex {
     * (query_id, term) rows — a query WORKLOAD, bounded by construction,
     * so collecting its distinct terms into a literal IN-list (the same
     * bounded-payload idiom the merge key prune uses) is what lets the
-    * Z-ordered postings lake skip files instead of scanning.
+    * term-clustered postings lake skip files instead of scanning.
     */
   def serveBm25(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
+    require(qterms.nonEmpty, "serveBm25 needs a non-empty query workload")
     val postings = LakeTable(spark, sub(dir, "postings")).read
       .where(col("term").isin(qterms: _*))
     val dfT = LakeTable(spark, sub(dir, "terms")).read
