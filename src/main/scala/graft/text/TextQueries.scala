@@ -360,6 +360,36 @@ object TextQueries {
     * just the rates. At 100 TB this is one broadcast join + a stateless
     * filter: no shuffle of the corpus.
     */
+  /** Vocabulary coverage / OOV rate — the tokenizer-health signal every
+    * corpus ships with its tokenizer artifacts: the standing vocabulary
+    * is the corpus's own top-K tokens (count-desc, token-asc tie-break,
+    * so the K boundary is deterministic in both engines), and every
+    * document reports how much of it falls outside that vocabulary.
+    * High OOV flags encoding damage, language drift, or boilerplate the
+    * vocab never saw.
+    *
+    * Scale shape: the vocab is a K-row TopK (partial-aggregated, then
+    * limit), broadcast into the token stream — the corpus shuffles only
+    * for the per-doc rollup, exactly the [[CorpusOps.unigramLogprob]]
+    * model-then-score pipeline.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables(spark, sfDir).documents
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(25)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    tok
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+        round(count(when(col("in_vocab").isNull, 1)).cast("double")
+          / count(lit(1)), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 200.0
     val d = Tables(spark, sfDir).documents
@@ -516,6 +546,7 @@ object TextQueries {
     "q_contamination" -> (contamination _),
     "q_pack_sequences" -> (packSequences _),
     "q_gopher_quality" -> (gopherQuality _),
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_temperature_mix" -> (temperatureMix _)
   )
 
@@ -744,6 +775,18 @@ object TextQueries {
         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
         |   AND symbol_ratio < 0.1 AND rep3 < 0.3) AS pass_all
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        |        ORDER BY n DESC, tok LIMIT 25)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
