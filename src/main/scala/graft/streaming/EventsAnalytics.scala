@@ -171,6 +171,66 @@ object EventsAnalytics {
         OutputMode.Update())
   }
 
+  case class KeyEwma(event_type: String, n_events: Long, ewma: Double)
+
+  /** Streaming per-key EWMA — [[graft.analytics.Behavior.ewmaDaily]]'s
+    * long-lived stream twin: the smoothed value updates continuously in
+    * a typed ValueState instead of being refit over history. Rows fold
+    * in EVENT-TIME order WITHIN each micro-batch (the batch op's
+    * day-ordered discipline); across batches the fold follows arrival
+    * order, which equals event order for an in-order source — the
+    * standard trade every streaming smoother makes (reordering beyond
+    * the batch boundary would need the full history the smoother exists
+    * to avoid).
+    */
+  class EwmaProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Double), KeyEwma] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var state: ValueState[KeyEwma] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyEwma](
+        "ewma", org.apache.spark.sql.Encoders.product[KeyEwma], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Double)],
+        timerValues: TimerValues): Iterator[KeyEwma] = {
+      val sorted = rows.toArray.sortBy(_._2)
+      val prev = Option(state.get())
+      var n = prev.map(_.n_events).getOrElse(0L)
+      var e = prev.map(_.ewma).getOrElse(0.0)
+      sorted.foreach { case (_, _, v) =>
+        e = if (n == 0L) v else alpha * v + (1.0 - alpha) * e
+        n += 1
+      }
+      val out = KeyEwma(key, n, e)
+      state.update(out)
+      Iterator.single(out)
+    }
+  }
+
+  /** L5 surface for [[EwmaProcessor]] (RocksDB state store, like
+    * [[runningUserTotalsTws]]).
+    */
+  def streamingEwma(
+      spark: SparkSession,
+      stream: DataFrame,
+      alpha: Double = 0.25
+  ): Dataset[KeyEwma] = {
+    import spark.implicits._
+    stream
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new EwmaProcessor(alpha),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---------- declared batch queries ----------
 
   type Q = (SparkSession, String) => DataFrame

@@ -430,6 +430,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA matches the batch fold over ts-ordered values (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventsAnalytics.readStream(spark, eventsDir)
+      val updates = runToMemory(
+        EventsAnalytics.streamingEwma(spark, stream).toDF(), "t_ewma", "update")
+      val finalRows = updates
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy(col("n_events").desc)))
+        .where(col("rn") === 1)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // the reference: the identical fold over the batch table's
+      // ts-ordered values per type
+      val expected = graft.core.Tables(spark, sf0001).events
+        .select(col("event_type"), col("ts"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rows) =>
+          val vs = rows.sortBy(_._2).map(_._3)
+          k -> (vs.length.toLong,
+            vs.tail.foldLeft(vs.head)((acc, x) => 0.25 * x + 0.75 * acc))
+        }
+      assert(finalRows.keySet === expected.keySet)
+      finalRows.foreach { case (k, (n, e)) =>
+        assert(n === expected(k)._1, s"$k count")
+        // identical op sequence when the file source delivers in one
+        // batch -> exact; allow ulps in case the source splits batches
+        assert(math.abs(e - expected(k)._2) < 1e-9, s"$k ewma $e vs ${expected(k)._2}")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     val stream = EventsAnalytics.readStream(spark, eventsDir)
     val updates = runToMemory(
