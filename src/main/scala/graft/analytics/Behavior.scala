@@ -210,7 +210,48 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** Top session PATHS — the path-mining rollup behind every "how do
+    * users actually move through the product" dashboard: sessionize by
+    * 30-minute inactivity gaps (gaps-and-islands over one per-user
+    * window — no session_window state machinery needed in batch), take
+    * each session's first 5 event types in time order, and count the
+    * most common paths. Two per-user sorts share the SAME window
+    * partitioning (user shuffle happens once); the path rollup is a
+    * tiny-key aggregate.
+    *
+    * Path assembly uses sort_array(collect_list(struct(rn, type))) —
+    * collect_list order is partition-nondeterministic, the struct sort
+    * makes the joined path deterministic.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 30L * 60L * 1000000000L
+    val ev = Tables(spark, sfDir).eventsRaw
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+    val w2 = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= 5)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+        "->").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_session_paths" -> (sessionPaths _),
     "q_holt_trend" -> (holtTrend _),
     "q_ewma_daily" -> (ewmaDaily _),
     "q_anomaly_zscore" -> (anomalyZscore _),
@@ -221,6 +262,20 @@ object Behavior {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS new_s FROM l),
+        |sid AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |        FROM s),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        |       FROM sid),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '->' ORDER BY rn) AS path
+        |      FROM rn WHERE rn <= 5 GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // recursive CTE, NOT list_reduce: DuckDB 1.0's list_reduce
     // mis-evaluates struct lambdas whose second field reads the
     // accumulator field the first just computed (verified: the 'b'
