@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Exchange-count pins for the round-9 corpus/behavior queries — the
+  * shuffle budget each plan was DESIGNED to (AQE plans print final +
+  * initial sections, so every bound is the doubled count). A regression
+  * that sneaks an extra corpus-wide shuffle into one of these (a lost
+  * broadcast, a window repartition) trips the bound.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def exchanges(df: DataFrame): Int = {
+    df.collect()
+    "Exchange ".r.findAllIn(df.queryExecution.executedPlan.toString).length
+  }
+
+  test("shuffle budgets hold") {
+    val budgets: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame, Int)] = Seq(
+      // map-only signals: the output ordering is the ONLY exchange
+      ("q_repetition_signals", graft.text.CorpusOps.repetitionSignals _, 2),
+      ("q_word_entropy", graft.text.CorpusOps.wordEntropy _, 2),
+      // model-then-score: vocab rollup + limit + per-doc rollup + order
+      ("q_vocab_coverage", graft.text.TextQueries.vocabCoverage _, 8),
+      // both windows and the session rollup share the user partitioning
+      ("q_session_paths", graft.analytics.Behavior.sessionPaths _, 4),
+      // daily rollup + per-key series + order
+      ("q_ewma_daily", graft.analytics.Behavior.ewmaDaily _, 6),
+      // line build + hot rollup + rebuild rollup + order (two corpus
+      // passes by construction — the hot set must exist before rebuild)
+      ("q_line_dedup", graft.text.CorpusOps.qLineDedup _, 10)
+    )
+    budgets.foreach { case (name, q, budget) =>
+      val n = exchanges(q(spark, sf0001))
+      assert(n <= budget, s"$name planned $n exchange sections, budget $budget")
+    }
+  }
+}
