@@ -360,6 +360,23 @@ object TextQueries {
     * just the rates. At 100 TB this is one broadcast join + a stateless
     * filter: no shuffle of the corpus.
     */
+  /** M3 serving depth (rows-only like its ANN siblings — k-means isn't
+    * SQL-expressible; equality to the scan-and-assign IVF path, the
+    * file-level probe pruning, and incremental append are pinned in
+    * IvfIndexSpec): the MATERIALIZED IVF index — postings laid out
+    * cell-clustered once, every retrieval reading only the probed
+    * cells' FILES.
+    */
+  def ivfStandingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_models", sf, "ivf_index").toString
+    val e = Tables(spark, sfDir).embeddings
+    IvfIndex.build(e, "vec_id", "embedding", dir)
+    IvfIndex.serveTopK(spark, dir, e.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+  }
+
   /** Vocabulary coverage / OOV rate — the tokenizer-health signal every
     * corpus ships with its tokenizer artifacts: the standing vocabulary
     * is the corpus's own top-K tokens (count-desc, token-asc tie-break,
@@ -547,6 +564,7 @@ object TextQueries {
     "q_pack_sequences" -> (packSequences _),
     "q_gopher_quality" -> (gopherQuality _),
     "q_vocab_coverage" -> (vocabCoverage _),
+    "q_ivf_standing_topk" -> (ivfStandingTopK _),
     "q_temperature_mix" -> (temperatureMix _)
   )
 
