@@ -250,7 +250,33 @@ object Behavior {
       .limit(20)
   }
 
+  /** Time-weighted average value per event type (TWAP — the correct
+    * mean over IRREGULARLY-spaced observations, where the plain average
+    * over-weights bursts): each observation holds its value until the
+    * next one, so it weighs `next_ts - ts`; the last observation per
+    * type carries no interval and drops, the standard left-Riemann
+    * convention. One per-type window (lead) over the events, a per-type
+    * rollup, nothing else. Weights are exact integer nanos summed as
+    * longs; only the final division is floating, so round(…, 6) is
+    * engine-stable.
+    */
+  def twapByType(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir).eventsRaw
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+      .where(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("dt")) / sum(col("dt")), 6).as("twap"),
+        round(avg(col("value")), 6).as("plain_avg"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_twap" -> (twapByType _),
     "q_session_paths" -> (sessionPaths _),
     "q_holt_trend" -> (holtTrend _),
     "q_ewma_daily" -> (ewmaDaily _),
@@ -262,6 +288,16 @@ object Behavior {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) AS tns, event_id, value FROM events),
+        |d AS (SELECT event_type, value,
+        |        lead(tns) OVER (PARTITION BY event_type ORDER BY tns, event_id) - tns AS dt
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  round(sum(value * dt) / sum(dt), 6) AS twap,
+        |  round(avg(value), 6) AS plain_avg
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_session_paths" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
         |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
