@@ -275,7 +275,43 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** Conversion-WINDOW funnel — [[Descriptive.funnel]]'s ordered chain
+    * with the latency constraint every real funnel carries: each step
+    * counts only within `gap` (6 h) of the previous step, and the report
+    * includes the mean step latencies. Per-step min-timestamps come from
+    * step-filtered aggregates joined forward (each join's build side is
+    * the converted-user set — strictly shrinking, AQE broadcasts it);
+    * latency averages stay exact: nano diffs sum as longs far below
+    * 2^53 before the single floating division.
+    */
+  def funnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = 6L * 3600L * 1000000000L
+    val e = Tables(spark, sfDir).eventsRaw
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("tv") && col("ts") <= col("tv") + gap)
+      .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tc"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("tc")), Seq("user_id"))
+      .where(col("ts") > col("tc") && col("ts") <= col("tc") + gap)
+      .groupBy(col("user_id"), col("tc")).agg(min(col("ts")).as("tp"))
+    val nv = v.agg(count(lit(1)).as("n_view"))
+    val nc = c.agg(
+      count(lit(1)).as("n_click_in_window"),
+      round(avg(col("tc") - col("tv")) / 1e9, 3).as("avg_view_to_click_s"))
+    val np = p.agg(
+      count(lit(1)).as("n_purchase_in_window"),
+      round(avg(col("tp") - col("tc")) / 1e9, 3).as("avg_click_to_purchase_s"))
+    nv.crossJoin(nc).crossJoin(np)
+      .select(col("n_view"), col("n_click_in_window"), col("n_purchase_in_window"),
+        col("avg_view_to_click_s"), col("avg_click_to_purchase_s"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_funnel_windowed" -> (funnelWindowed _),
     "q_twap" -> (twapByType _),
     "q_session_paths" -> (sessionPaths _),
     "q_holt_trend" -> (holtTrend _),
@@ -288,6 +324,22 @@ object Behavior {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tv) AS tv, min(t) AS tc
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > tv AND t <= tv + 21600000000000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tc) AS tc, min(t) AS tp
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > tc AND t <= tc + 21600000000000
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_in_window,
+        |  (SELECT count(*) FROM p) AS n_purchase_in_window,
+        |  round((SELECT avg(tc - tv) FROM c) / 1e9, 3) AS avg_view_to_click_s,
+        |  round((SELECT avg(tp - tc) FROM p) / 1e9, 3) AS avg_click_to_purchase_s""".stripMargin,
     "q_twap" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) AS tns, event_id, value FROM events),
         |d AS (SELECT event_type, value,
