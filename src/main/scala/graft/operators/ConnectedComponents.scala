@@ -226,7 +226,39 @@ object ConnectedComponents {
       .orderBy(col("doc_id"))
   }
 
+  /** Survivor SELECTION per near-dup cluster — the policy step after
+    * clustering that real pipelines run: keep the HIGHEST-QUALITY member
+    * (min-id is the test-friendly default elsewhere; production keeps
+    * the best copy and drops mirrors/truncations). Quality is the same
+    * oracled composite [[graft.text.TextFunctions.qualityScore]] the
+    * lang-quality query uses; ties break on doc_id so the argmax is
+    * total. One window over the clustered docs (a small fraction of the
+    * corpus) picks the survivor; sizes come from the same component
+    * frame.
+    */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir).documents
+    val pairs = graft.text.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val comp = components(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val quality = docs.select(col("doc_id"),
+      graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    comp
+      .join(quality, col("node") === col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .join(sizes, "component")
+      .select(col("component"), col("cluster_size"),
+        col("doc_id").as("survivor_doc"), col("quality").as("survivor_quality"))
+      .orderBy(col("component"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_clusters" -> (dedupClusters _)
   )
 
@@ -234,6 +266,45 @@ object ConnectedComponents {
     * same pair SQL as the q_ngram_jaccard oracle (min reachable id).
     */
   def oracles: Map[String, String] = Map(
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, text,
+        |        string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM p
+        |  JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
+        |  JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
+        |  WHERE common * 1.0 / (la.n + lb.n - common) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |q AS (SELECT doc_id,
+        |  round(
+        |    0.4 * least(len(ts) / 20.0, 1.0)
+        |  + 0.2 * (1.0 - least(round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |                             * 1.0 / greatest(length(text), 1), 6) * 5, 1.0))
+        |  + 0.4 * least(len(list_distinct(ts)) * 1.0 / greatest(len(ts), 1) * 2, 1.0)
+        |  , 6) AS quality
+        |  FROM t),
+        |ranked AS (
+        |  SELECT c.node, c.component, q.quality,
+        |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, node) AS rk
+        |  FROM comp c JOIN q ON q.doc_id = c.node),
+        |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+        |SELECT r.component, s2.cluster_size, r.node AS survivor_doc,
+        |  r.quality AS survivor_quality
+        |FROM ranked r JOIN sizes s2 USING (component)
+        |WHERE rk = 1 ORDER BY r.component""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
