@@ -60,6 +60,51 @@ object Drift {
       .orderBy(col("bin"))
   }
 
+  /** [[psi]] stratified by a group column — per-segment drift, the form
+    * dashboards actually page on ("only the URGENT tier moved"). Bin
+    * edges come from EACH GROUP's own baseline min/max (a groups-sized
+    * stats table, broadcast), so a group's score reflects its own
+    * distribution, not the global one. Groups absent from the baseline
+    * have no defined PSI and are excluded — monitor them with a
+    * presence check, not a drift score.
+    */
+  def psiByGroup(
+      baseline: DataFrame, current: DataFrame,
+      groupCol: String, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val spark = baseline.sparkSession
+    val stats = baseline.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame, nCol: String) = df
+      .join(broadcast(stats), Seq(groupCol))
+      .select(col(groupCol), least(greatest(floor(
+        (col(valueCol).cast("double") - col("__lo")) /
+          greatest((col("__hi") - col("__lo")) / bins, lit(1e-12))),
+        lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as(nCol))
+    val a = binned(baseline, "n_base")
+    val b = binned(current, "n_cur")
+    val ta = a.groupBy(col(groupCol)).agg(sum(col("n_base")).as("__t_base"))
+    val tb = b.groupBy(col(groupCol)).agg(sum(col("n_cur")).as("__t_cur"))
+    val axis = stats.select(col(groupCol))
+      .crossJoin(spark.range(bins).select(col("id").cast("int").as("bin")))
+    val pBase = (col("n_base") + lit(1.0)) / (col("__t_base") + lit(bins.toDouble))
+    val pCur = (col("n_cur") + lit(1.0)) / (col("__t_cur") + lit(bins.toDouble))
+    axis
+      .join(a, Seq(groupCol, "bin"), "left").join(b, Seq(groupCol, "bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .join(broadcast(ta), Seq(groupCol)).join(broadcast(tb), Seq(groupCol), "left")
+      .na.fill(0L, Seq("__t_cur"))
+      .select(
+        col(groupCol),
+        col("bin"),
+        col("n_base"),
+        col("n_cur"),
+        round((pCur - pBase) * log(pCur / pBase), 6).as("psi_term"))
+      .orderBy(col(groupCol), col("bin"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map.empty

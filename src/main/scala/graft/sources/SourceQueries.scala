@@ -507,6 +507,24 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A8 extension (STRATIFIED drift — [[versionDrift]]'s per-segment
+    * form, the one dashboards page on): a price mutation that targets
+    * ONE priority tier, then per-priority PSI between v0 and head with
+    * each tier binned against its own baseline. The oracle replays the
+    * mutations and recomputes every smoothed term per group.
+    */
+  def versionDriftByGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val vt = VersionedLakeTable(spark, scratch(sfDir, "orders_drift_g"))
+    vt.write(t.orders)
+    vt.update(
+      Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderpriority") === "1-URGENT")
+    vt.delete(col("o_orderstatus") === "F" && col("o_totalprice") > 400000)
+    graft.analytics.Drift.psiByGroup(
+      vt.readVersion(0), vt.read, "o_orderpriority", "o_totalprice", bins = 8)
+  }
+
   /** A7/A12 extension (GENERATED-column partition pruning — Delta's
     * idiom where tables partition on a derived month/day column but
     * queries filter the raw timestamp): orders laid out partitioned by
@@ -1110,6 +1128,7 @@ object SourceQueries {
     "q_lake_constraints" -> (lakeConstraints _),
     "q_lake_join_mv" -> (lakeJoinMv _),
     "q_version_drift" -> (versionDrift _),
+    "q_drift_by_group" -> (versionDriftByGroup _),
     "q_lake_generated_prune" -> (lakeGeneratedPrune _),
     "q_scd2_apply" -> (scd2Apply _),
     "q_scd2_pit_join" -> (scd2PointInTime _),
@@ -1187,6 +1206,40 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderdate >= '1995-03-01' AND o_orderdate <= '1995-06-30'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_drift_by_group" ->
+      """WITH a AS (SELECT o_orderpriority AS g, o_totalprice AS x FROM orders),
+        |upd AS (
+        |  SELECT o_orderpriority AS g, o_orderstatus,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS x
+        |  FROM orders),
+        |cur AS (SELECT g, x FROM upd WHERE NOT (o_orderstatus = 'F' AND x > 400000)),
+        |s AS (SELECT g, min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi FROM a GROUP BY g),
+        |ba AS (
+        |  SELECT a.g, CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 8, 1e-12)),
+        |                                  0), 7) AS INT) AS bin, count(*) AS n_base
+        |  FROM a JOIN s USING (g) GROUP BY 1, 2),
+        |bb AS (
+        |  SELECT cur.g, CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 8, 1e-12)),
+        |                                    0), 7) AS INT) AS bin, count(*) AS n_cur
+        |  FROM cur JOIN s USING (g) GROUP BY 1, 2),
+        |ta AS (SELECT g, sum(n_base) AS t_base FROM ba GROUP BY g),
+        |tb AS (SELECT g, sum(n_cur) AS t_cur FROM bb GROUP BY g),
+        |axis AS (SELECT g, unnest(generate_series(0, 7))::INT AS bin FROM s)
+        |SELECT axis.g AS o_orderpriority, axis.bin,
+        |  coalesce(n_base, 0) AS n_base,
+        |  coalesce(n_cur, 0) AS n_cur,
+        |  round(((coalesce(n_cur, 0) + 1.0) / (coalesce(t_cur, 0) + 8.0)
+        |          - (coalesce(n_base, 0) + 1.0) / (t_base + 8.0))
+        |        * ln(((coalesce(n_cur, 0) + 1.0) / (coalesce(t_cur, 0) + 8.0))
+        |             / ((coalesce(n_base, 0) + 1.0) / (t_base + 8.0))), 6)
+        |    AS psi_term
+        |FROM axis
+        |LEFT JOIN ba ON axis.g = ba.g AND axis.bin = ba.bin
+        |LEFT JOIN bb ON axis.g = bb.g AND axis.bin = bb.bin
+        |JOIN ta ON axis.g = ta.g
+        |LEFT JOIN tb ON axis.g = tb.g
+        |ORDER BY o_orderpriority, axis.bin""".stripMargin,
     "q_version_drift" ->
       """WITH a AS (SELECT o_totalprice AS x FROM orders),
         |upd AS (

@@ -33,6 +33,22 @@ class DriftSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === (0 until 10))
   }
 
+  test("group PSI isolates the drifted segment; bins come from each group's own baseline") {
+    val base = (Seq.tabulate(500)(i => ("a", (i % 100).toDouble)) ++
+      Seq.tabulate(500)(i => ("b", (i % 1000).toDouble))).toDF("g", "v")
+    // only group a shifts; b is byte-identical
+    val cur = (Seq.tabulate(500)(i => ("a", (i % 100) * 2.0)) ++
+      Seq.tabulate(500)(i => ("b", (i % 1000).toDouble))).toDF("g", "v")
+    val out = Drift.psiByGroup(base, cur, "g", "v", bins = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(4)))
+    val psiA = out.filter(_._1 == "a").map(_._3).sum
+    val psiB = out.filter(_._1 == "b").map(_._3).sum
+    assert(psiA > 0.2, s"shifted group must flag: $psiA")
+    assert(psiB === 0.0, s"unchanged group must score exactly zero: $psiB")
+    // every group has the full bin axis
+    assert(out.count(_._1 == "a") === 10 && out.count(_._1 == "b") === 10)
+  }
+
   test("empty bins stay finite through Laplace smoothing") {
     val base = (1 to 100).map(_.toDouble).toDF("v")
     val cur = Seq(1.0, 2.0, 3.0).toDF("v") // most bins empty on the current side
