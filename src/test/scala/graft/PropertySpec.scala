@@ -472,4 +472,68 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PSI terms are individually nonnegative on random distribution pairs") {
+    // (x - y) ln(x/y) >= 0 for x, y > 0 — Laplace smoothing keeps every
+    // proportion strictly positive, so no term can dip below zero
+    val vals = Gen.listOfN(200, Gen.choose(0.0, 100.0))
+    samples(vals, 6).zipWithIndex.foreach { case (base, i) =>
+      val cur = samples(vals, 6)((i + 1) % 6)
+      val out = graft.analytics.Drift.psi(
+        base.toDF("v"), cur.toDF("v"), "v", bins = 10).collect()
+      out.foreach(r => assert(r.getDouble(3) >= 0.0,
+        s"negative PSI term in bin ${r.getInt(0)}: ${r.getDouble(3)}"))
+      // and a distribution against itself is identically zero
+      val self = graft.analytics.Drift.psi(
+        base.toDF("v"), base.toDF("v"), "v", bins = 10).collect()
+      self.foreach(r => assert(r.getDouble(3) === 0.0))
+    }
+  }
+
+  test("EWMA stays inside the series' min/max envelope") {
+    val series = Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0))
+    samples(series, 10).filter(_.nonEmpty).foreach { vs =>
+      val e = Seq(vs).toDF("vs").select(expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), " +
+          "(acc, x) -> 0.25d * x + 0.75d * acc)")).head.getDouble(0)
+      assert(e >= vs.min - 1e-9 && e <= vs.max + 1e-9,
+        s"EWMA $e escaped [${vs.min}, ${vs.max}]")
+    }
+  }
+
+  test("line dedup: never drops below-threshold lines; a df=∞ cap keeps everything") {
+    val doc = Gen.listOfN(10, word).map(_.mkString(" "))
+    samples(Gen.listOfN(6, doc), 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // a threshold no line can reach keeps every line of every doc
+      val all = graft.text.CorpusOps
+        .dedupLines(df, "doc_id", "text", lineWidth = 4, maxDf = 1000)
+        .collect()
+      all.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"maxDf=1000 must keep all lines: $r"))
+      // at maxDf=2, kept <= total and the count algebra holds
+      graft.text.CorpusOps
+        .dedupLines(df, "doc_id", "text", lineWidth = 4, maxDf = 2)
+        .collect()
+        .foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    }
+  }
+
+  test("TWAP of a constant series equals the constant; weights are positive") {
+    // irregular gaps, constant value -> twap must be exactly that value
+    val gaps = Gen.listOfN(20, Gen.choose(1L, 1000000L))
+    samples(gaps, 5).foreach { gs =>
+      val ts = gs.scanLeft(0L)(_ + _)
+      val rows = ts.map(t => ("k", t, 7.25)).toDF("event_type", "ts", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"))
+      val twap = rows
+        .withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+        .where(col("dt").isNotNull)
+        .agg((sum(col("value") * col("dt")) / sum(col("dt"))).as("t"))
+        .head.getDouble(0)
+      assert(twap === 7.25, s"constant series must TWAP to itself: $twap")
+    }
+  }
 }
