@@ -178,6 +178,15 @@ final case class LakeUpdateCommand(path: String, set: Seq[(String, Column)], con
 final case class LakeMaintenanceCommand(
     path: String,
     op: LakeMaintenanceCommand.Op) extends LeafRunnableCommand {
+  // DRY RUN variants RETURN the would-be-dropped versions as rows
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    op match {
+      case LakeMaintenanceCommand.Vacuum(_, true) |
+           LakeMaintenanceCommand.VacuumHours(_, true) =>
+        Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "version", org.apache.spark.sql.types.LongType, nullable = false)())
+      case _ => Nil
+    }
   override def run(spark: SparkSession): Seq[Row] = {
     val versioned = graft.sources.VersionedLakeTable.isVersioned(spark, path)
     op match {
@@ -203,22 +212,28 @@ final case class LakeMaintenanceCommand(
             "versioned tables cluster whole snapshots via OPTIMIZE … ZORDER BY")
       case LakeMaintenanceCommand.OptimizeWhere(cond) =>
         LakeTable(spark, path).optimizeWhere(cond)
-      case LakeMaintenanceCommand.Vacuum(None) if versioned =>
+      case LakeMaintenanceCommand.Vacuum(None, _) if versioned =>
         throw new IllegalArgumentException(
           "VACUUM on a versioned table needs RETAIN <n> VERSIONS (or HOURS)")
-      case LakeMaintenanceCommand.Vacuum(Some(keep)) if versioned =>
+      case LakeMaintenanceCommand.Vacuum(Some(keep), true) if versioned =>
+        return graft.sources.VersionedLakeTable(spark, path)
+          .vacuumDryRun(keep).map(Row(_))
+      case LakeMaintenanceCommand.Vacuum(Some(keep), false) if versioned =>
         graft.sources.VersionedLakeTable(spark, path).vacuum(keep)
-      case LakeMaintenanceCommand.VacuumHours(h) if versioned =>
+      case LakeMaintenanceCommand.VacuumHours(h, true) if versioned =>
+        return graft.sources.VersionedLakeTable(spark, path)
+          .vacuumRetainHoursDryRun(h).map(Row(_))
+      case LakeMaintenanceCommand.VacuumHours(h, false) if versioned =>
         graft.sources.VersionedLakeTable(spark, path).vacuumRetainHours(h)
-      case LakeMaintenanceCommand.VacuumHours(_) =>
+      case LakeMaintenanceCommand.VacuumHours(_, _) =>
         throw new IllegalArgumentException(
           "RETAIN <n> HOURS applies to versioned tables (whose snapshots " +
             "carry commit timestamps); plain-table VACUUM collects crash " +
             "debris only")
-      case LakeMaintenanceCommand.Vacuum(keep) =>
-        require(keep.isEmpty,
-          "RETAIN <n> VERSIONS applies to versioned tables; plain-table VACUUM " +
-            "collects crash debris only")
+      case LakeMaintenanceCommand.Vacuum(keep, dry) =>
+        require(keep.isEmpty && !dry,
+          "RETAIN <n> VERSIONS / DRY RUN apply to versioned tables; " +
+            "plain-table VACUUM collects crash debris only")
         LakeTable(spark, path).vacuumDebris()
       case LakeMaintenanceCommand.VacuumChanges(_) if versioned =>
         throw new IllegalArgumentException(
@@ -235,8 +250,8 @@ object LakeMaintenanceCommand {
   sealed trait Op
   final case class Optimize(clusterBy: Seq[String], hilbert: Boolean = false) extends Op
   final case class OptimizeWhere(partitionCond: org.apache.spark.sql.Column) extends Op
-  final case class Vacuum(retainVersions: Option[Int]) extends Op
-  final case class VacuumHours(retainHours: Double) extends Op
+  final case class Vacuum(retainVersions: Option[Int], dryRun: Boolean = false) extends Op
+  final case class VacuumHours(retainHours: Double, dryRun: Boolean = false) extends Op
   final case class VacuumChanges(retainVersions: Int) extends Op
 }
 
@@ -880,14 +895,18 @@ object LakeSqlDml {
         if (p.eat("HOURS")) { hours = Some(n); None }
         else { p.expect("VERSIONS", "after RETAIN <n>"); Some(n.toInt) }
       } else None
+    val dry = p.eat("DRY")
+    if (dry) p.expect("RUN", "after DRY")
     p.done("VACUUM")
     val op =
-      if (changes) LakeMaintenanceCommand.VacuumChanges(
-        retain.getOrElse(p.fail(
-          "VACUUM … CHANGES needs RETAIN <n> VERSIONS (how much feed to keep)")))
-      else hours match {
-        case Some(h) => LakeMaintenanceCommand.VacuumHours(h.toDouble)
-        case None    => LakeMaintenanceCommand.Vacuum(retain)
+      if (changes) {
+        if (dry) p.fail("DRY RUN applies to VACUUM … RETAIN (snapshot retention)")
+        LakeMaintenanceCommand.VacuumChanges(
+          retain.getOrElse(p.fail(
+            "VACUUM … CHANGES needs RETAIN <n> VERSIONS (how much feed to keep)")))
+      } else hours match {
+        case Some(h) => LakeMaintenanceCommand.VacuumHours(h.toDouble, dry)
+        case None    => LakeMaintenanceCommand.Vacuum(retain, dry)
       }
     Some(LakeMaintenanceCommand(path, op))
   }

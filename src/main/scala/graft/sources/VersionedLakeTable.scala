@@ -206,15 +206,25 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     * silently delete the whole table).
     */
   def vacuum(keepLast: Int): VersionedLakeTable = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val latest = latestVersion
     val f = fs
-    (0L to latest - keepLast).foreach { v =>
+    vacuumDryRun(keepLast).foreach { v =>
       f.delete(new Path(versionDir(v)), true)
     }
     dropTmpDebris()
     commit("VACUUM", Map("keepLast" -> keepLast.toString))
     this
+  }
+
+  /** The snapshot versions [[vacuum]] would drop — Delta's `VACUUM …
+    * DRY RUN`: inspect the blast radius before committing to it. Only
+    * versions whose directory still exists are listed (already-vacuumed
+    * ones are not re-reported).
+    */
+  def vacuumDryRun(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs
+    (0L to latestVersion - keepLast)
+      .filter(v => f.exists(new Path(versionDir(v))))
   }
 
   /** `_tmp_{uuid}` dirs left by a writer that crashed between its data
@@ -263,6 +273,32 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
     }
     commit("VACUUM", Map("retainHours" -> hours.toString))
     this
+  }
+
+  /** [[vacuumRetainHours]]'s DRY RUN: the versions the time horizon
+    * would drop, computed from the same superseded-at timestamps,
+    * deleting nothing and committing nothing.
+    */
+  def vacuumRetainHoursDryRun(
+      hours: Double,
+      clock: () => java.time.Instant = () => java.time.Instant.now()): Seq[Long] = {
+    require(hours >= 0, s"RETAIN hours must be >= 0, got $hours")
+    val horizon = clock().minusMillis((hours * 3600 * 1000).toLong)
+    val rows = history
+      .where(col("operationParameters.dataVersion").isNotNull)
+      .select(col("operationParameters.dataVersion").cast("long").as("dv"),
+        col("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.Instant.parse(r.getString(1))))
+      .sortBy(_._1)
+    val latest = latestVersion
+    val f = fs
+    rows.sliding(2).toSeq.flatMap {
+      case Array((v, _), (_, supersededAt))
+        if v != latest && supersededAt.isBefore(horizon) &&
+          f.exists(new Path(versionDir(v))) => Some(v)
+      case _ => None
+    }
   }
 
   def history: DataFrame = CommitLog.history(spark, fs, path, log)

@@ -43,6 +43,35 @@ class VersionedLakeTableSpec extends SparkSpec {
     assert(lake.readVersion(2).count() === 5)
   }
 
+  test("VACUUM DRY RUN lists the blast radius, deletes nothing, commits nothing") {
+    val t = Tables(spark, sf0001)
+    val lake = VersionedLakeTable(spark, tmp())
+    lake.write(t.region); lake.write(t.region); lake.write(t.region)
+    val before = lake.history.count()
+    // API form
+    assert(lake.vacuumDryRun(keepLast = 1) === Seq(0L, 1L))
+    assert(lake.vacuumDryRun(keepLast = 3) === Seq.empty)
+    // SQL form returns the versions as rows
+    val rows = spark.sql(
+      s"VACUUM graft_lake('${lake.path}') RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(0L, 1L))
+    // nothing deleted, no commit recorded
+    assert(lake.readVersion(0).count() === 5)
+    assert(lake.history.count() === before)
+    // hours form mirrors the destructive path's horizon, dry
+    val dryHours = lake.vacuumRetainHoursDryRun(0.0)
+    assert(dryHours === Seq(0L, 1L))
+    assert(spark.sql(
+      s"VACUUM graft_lake('${lake.path}') RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    // then the real vacuum drops exactly what the dry run named
+    lake.vacuum(keepLast = 1)
+    intercept[IllegalArgumentException](lake.readVersion(0))
+    assert(lake.vacuumDryRun(keepLast = 1) === Seq.empty,
+      "already-vacuumed versions must not be re-reported")
+  }
+
   test("vacuumRetainHours drops snapshots superseded before the horizon (injected clock)") {
     val t = Tables(spark, sf0001)
     val lake = VersionedLakeTable(spark, tmp())
