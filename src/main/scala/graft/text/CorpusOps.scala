@@ -435,8 +435,10 @@ object CorpusOps {
     * top-word mass, duplicate-line fraction, and the fraction of
     * CHARACTERS inside duplicated lines (the paper thresholds the char
     * fraction, not the line count, so one giant repeated paragraph
-    * can't hide behind many unique short lines). Lines are 4-token
-    * chunks as in [[dedupLines]] (the corpus has no newlines).
+    * can't hide behind many unique short lines). Lines are 2-token
+    * chunks in the [[dedupLines]] sense (the corpus has no newlines,
+    * and its generated word soup repeats 2-token runs naturally but
+    * longer ones almost never — 2 keeps every signal branch live).
     *
     * Scale shape: MAP-ONLY — every signal is array arithmetic over the
     * doc's own tokens (nested higher-order functions, all codegen
