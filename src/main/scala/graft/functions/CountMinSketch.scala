@@ -77,10 +77,15 @@ object CountMinSketch {
     s
   }
 
-  /** Point-frequency estimate: min over rows (never undercounts). */
+  /** Point-frequency estimate: min over rows (never undercounts). A
+    * depth-0 sketch (the neutral state a merge over an empty or all-null
+    * group serializes) has observed nothing — estimate 0, not the
+    * Long.MaxValue an empty min-fold would leave.
+    */
   def estimate(bytes: Array[Byte], value: UTF8String): Long = {
     val bb = ByteBuffer.wrap(bytes)
     val depth = bb.getInt(); val width = bb.getInt()
+    if (depth == 0) return 0L
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {

@@ -276,17 +276,60 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val toWrite = constrainedBatch(assigned, genChecks)
     // partition-scoped OCC: the batch's partition values ARE this op's
     // logical write set — record them in the commit and check interlopers
-    // for overlap before anything is mutated (and again, loudly, after)
+    // for overlap before staging (cheap early abort) and again after
+    // (still a clean abort: nothing in the table has moved yet)
     val occExpected = occBase.getOrElse(CommitLog.nextVersion(fs, logDir))
     val touched = touchedPartitions(toWrite, partitionCols)
-    occCheckPartitions(occExpected, touched, op, mutated = false)
+    occCheckPartitions(occExpected, touched, op)
     onPartitionsPreCheckedForTest()
-    toPhysical(toWrite).write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols.map(physicalOf): _*)
-      .parquet(path)
-    occCheckPartitions(occExpected, touched, op, mutated = true)
+    // stage the replacement partitions in a PRIVATE sibling dir, then
+    // swap per partition AFTER the final conflict check — the in-place
+    // dynamic overwrite this replaces had two failure shapes: a conflict
+    // surfacing after the write left partitions replaced with no commit
+    // recorded (table content attributed to no version), and concurrent
+    // disjoint-partition writers shared the table root's one _temporary
+    // dir, so one job's committer cleanup could clobber the other's
+    // in-flight task output. A uuid-suffixed stage gives every writer
+    // its own committer scratch space and defers all table mutation to
+    // metadata renames behind the check.
+    val staged = new Path(
+      s"$path${LakeTable.PartStageSuffix}${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      toPhysical(toWrite).write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols.map(physicalOf): _*)
+        .parquet(staged.toString)
+      // final check against everything that landed while staging ran;
+      // the residual window from here to the commit is the same
+      // metadata-only window occCheck documents
+      occCheckPartitions(occExpected, touched, op)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staged, true): Unit
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
+    // swap: the staged layout holds EXACTLY the partitions the batch
+    // touched (dynamic-overwrite semantics), so walking its k=v chain to
+    // the partition depth enumerates the swap set with Spark's own
+    // physical names and value escaping — no re-rendering of `touched`,
+    // which is a logical (conflict-check) rendering
+    def stagedParts(dir: Path, depth: Int, rel: String): Seq[(Path, String)] =
+      if (depth == 0) Seq((dir, rel))
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => stagedParts(st.getPath, depth - 1,
+          if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"))
+    stagedParts(staged, partitionCols.length, "").foreach { case (src, rel) =>
+      val dest = new Path(path, rel)
+      if (fs.exists(dest)) fs.delete(dest, true): Unit
+      val parent = dest.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent): Unit
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(
+          s"dynamic partition overwrite: could not swap $src into $dest")
+    }
+    fs.delete(staged, true): Unit // _SUCCESS + drained partition parents
     saveSchema(schema)
     commit(op, params ++ idParams +
       ("occPartitions" -> touched.toSeq.sorted.mkString("\u0001")))
@@ -314,15 +357,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * `occPartitions` write set is logically compatible — two
     * `optimizeWhere` jobs on different days' partitions both land.
     * Anything else (overlap, or an op with no recorded write set — an
-    * append, a full rewrite) conflicts. Checked BEFORE the data write
-    * (clean abort, nothing mutated) and re-checked before the commit —
-    * a conflict surfacing only then fails loudly AFTER the partitions
-    * were replaced, which still beats the silent lost update; the
-    * residual window to the commit itself is the same metadata-only
-    * window [[occCheck]] documents.
+    * append, a full rewrite) conflicts. Checked BEFORE the staging write
+    * (cheap early abort) and again after it — both are CLEAN aborts,
+    * because the staged overwrite mutates nothing in the table until the
+    * per-partition swap behind the second check; the residual window
+    * from that check to the commit is the same metadata-only window
+    * [[occCheck]] documents.
     */
   private def occCheckPartitions(
-      expected: Long, touched: Set[String], op: String, mutated: Boolean): Unit = {
+      expected: Long, touched: Set[String], op: String): Unit = {
     // an empty batch replaces nothing — no write set, no conflict
     if (touched.isEmpty) return
     val conflicting = CommitLog.recordsSince(fs, logDir, expected).filterNot { rec =>
@@ -334,12 +377,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
         s"$op at $path conflicts with concurrent commit(s) " +
           conflicting.map(r => s"v${r.version} ${r.operation}").mkString(", ") +
           s" on partitions of ${touched.mkString(", ")}" +
-          (if (mutated)
-            " — detected after this operation's partitions were already " +
-              "replaced; reconcile from history (the commit was NOT recorded)"
-          else
-            " — aborted before any data was written; retry against the " +
-              "current table state"))
+          " — aborted before any data was written; retry against the " +
+          "current table state")
   }
 
   /** Partition columns of a Hive-layout table, detected from the
@@ -1320,7 +1359,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val clash = untouched.map(_._1).filter(stagedNames.contains)
     require(clash.isEmpty, s"staged rewrite produced colliding file names: $clash")
     onStagedForTest()
-    val rebased =
+    val (rebased, resolvedNext) =
       try occResolve(occExpected, staged, op, rebaseBaseFiles)
       catch {
         case e: Throwable =>
@@ -1353,6 +1392,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
          else Seq.empty),
       op, params)
     completeSwap(staged): Unit // same-process completion: commit inline below
+    // post-swap audit (closes the lost-append window the rebase opened):
+    // an append landing AFTER occResolve's file listing but before the
+    // swap's table-dir delete loses its data files while its commit
+    // record rides the moved log — the log would then claim rows that no
+    // longer exist. completeSwap moves the log LAST so such commits are
+    // visible here; refuse to commit on top of one and say exactly what
+    // to reconcile. (The truly-residual window — a commit after the log
+    // itself moved — recreates a log dir the delete removes entirely,
+    // record and all: undetectable, metadata-only, documented.)
+    val postSwapNext = CommitLog.nextVersion(fs, logDir)
+    if (postSwapNext != resolvedNext)
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
+          "while the swap was in flight; their data files were not carried " +
+          "through it. This operation's commit was NOT recorded — reconcile " +
+          "from history: re-apply the listed commits' writes, or RESTORE a " +
+          "pre-swap version.")
     val actual = commit(op, params ++
       Map("filesRewritten" -> affected.size.toString,
         "filesKept" -> untouched.size.toString) ++
@@ -1862,19 +1918,24 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
   /** Expectations-style append (the DLT `expect_or_drop` idiom, vs the
     * hard write-path gate): rows violating ANY of the table's CHECK
-    * constraints are diverted to the table's `_quarantine` sibling —
-    * same lake layout, original columns plus a `_violated` list of the
-    * constraint names each row failed — and only the clean remainder
-    * lands (through the normal gated write, so a racing addConstraint
-    * still can't be bypassed). Returns the per-constraint violation
-    * report; a row violating two constraints counts in both.
+    * constraints are diverted to the table's quarantine SIBLING
+    * (`<path>__quarantine`, a lake table of its own) — original columns
+    * plus a `_violated` list of the constraint names each row failed —
+    * and only the clean remainder lands (through the normal gated
+    * write, so a racing addConstraint still can't be bypassed). Returns
+    * the per-constraint violation report; a row violating two
+    * constraints counts in both.
     *
-    * The underscore prefix keeps quarantine files invisible to table
-    * reads (Hadoop's hidden-file filter), so the audit trail rides
-    * inside the table directory without polluting scans. The batch is
-    * materialized once and all constraints flag in a single projection —
-    * the split cannot diverge between the clean and quarantine passes,
-    * and violation counting shares that same pass.
+    * The quarantine lives OUTSIDE the table directory, like the staging
+    * dir: every staged swap (MERGE, DELETE, OPTIMIZE, replaceWhere, full
+    * rewrite) replaces the table dir wholesale and carries through only
+    * manifest-listed entries, so an audit trail stored inside the table
+    * would be silently erased by the first subsequent DML. A sibling
+    * survives all of it (DROP TABLE keeps data files by design, so it
+    * keeps the audit trail too). The batch is materialized once and all
+    * constraints flag in a single projection — the split cannot diverge
+    * between the clean and quarantine passes, and violation counting
+    * shares that same pass.
     */
   def appendExpecting(df: DataFrame): DataFrame = {
     val cons = constraints.toSeq.sortBy(_._1)
@@ -1905,13 +1966,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .withColumn("_violated", concat_ws(",",
           idx.map { i => when(col(flag(i)), lit(cons(i)._1)) }: _*))
         .drop(idx.map(flag): _*)
-      LakeTable(spark, new Path(path, "_quarantine").toString)
-        .write(quarantined, SaveMode.Append)
+      quarantine.write(quarantined, SaveMode.Append)
     }
     import spark.implicits._
     idx.map { i => (cons(i)._1, counts.getAs[Long](flag(i))) }
       .toDF("constraint_name", "n_quarantined")
   }
+
+  /** The quarantine sibling [[appendExpecting]] diverts violating rows
+    * to — a normal lake table (read it, time-travel its commits, vacuum
+    * it) rooted at `<path>__quarantine`, deliberately outside the table
+    * dir so staged swaps never destroy the audit trail.
+    */
+  def quarantine: LakeTable =
+    LakeTable(spark, s"$path${LakeTable.QuarantineSuffix}")
 
   /** Current constraints (name -> boolean SQL expression). Stored as
     * URL-encoded `name\texpr` lines — parsed driver-side in microseconds
@@ -2834,6 +2902,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // the next refresh's Overwrite should not inherit it
     val statsStage = new Path(s"$statsDir${LakeTable.StageSuffix}")
     if (fs.exists(statsStage)) fs.delete(statsStage, true): Unit
+    // orphaned dynamic-overwrite part-stages are ALWAYS pre-commit (the
+    // per-partition swap behind them is the commit path), so reclaim —
+    // but only past an age horizon: a concurrent writer's live stage is
+    // indistinguishable from debris except by its youth
+    locally {
+      val parent = new Path(path).getParent
+      val prefix = new Path(path).getName + LakeTable.PartStageSuffix
+      val horizon = System.currentTimeMillis() - LakeTable.PartStageRetentionMs
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+          .filter(_.getModificationTime < horizon)
+          .foreach(st => fs.delete(st.getPath, true): Unit)
+    }
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     val action =
       if (!fs.exists(staged)) "none"
@@ -2868,10 +2950,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
         throw new java.io.IOException(s"swap recovery: could not move $from to $dest")
     }
     val pending = readPendingOp(staged)
-    moveIn(logDir, LakeTable.LogDirName)
     moveIn(new Path(path, LakeTable.ChangesDirName), LakeTable.ChangesDirName)
     val manifest = new Path(staged, LakeTable.SwapManifestName)
     readManifest(manifest).foreach(n => moveIn(new Path(path, n), n))
+    // the log moves LAST: every commit that lands while the (possibly
+    // long) data-file moves above run still reaches the REAL log dir and
+    // rides into the stage — swapSelective's post-swap audit can then see
+    // it and refuse to commit on top of a lost append. Order is safe for
+    // crash recovery: every moveIn is idempotent.
+    moveIn(logDir, LakeTable.LogDirName)
     val p = new Path(path)
     if (f.exists(p)) f.delete(p, true)
     if (!f.rename(staged, p))
@@ -3182,12 +3269,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * LATER writer, exactly the strict [[occCheck]] contract. At 100 TB
     * this is what lets a compaction cadence coexist with streaming
     * sinks instead of retry-storming against them.
+    *
+    * Returns (rebase set, log version AT the rebase listing) — the
+    * caller re-reads the version after its swap and refuses to commit if
+    * anything landed in between: an append whose files arrive after this
+    * listing but before the swap's table-dir delete would lose its data
+    * while its commit record rides the moved log (see
+    * [[swapSelective]]'s post-swap audit).
     */
   private def occResolve(
       expected: Long, staged: Path, op: String,
-      baseFiles: Option[Set[String]]): Seq[String] = {
+      baseFiles: Option[Set[String]]): (Seq[String], Long) = {
     val now = CommitLog.nextVersion(fs, logDir)
-    if (now == expected) return Nil
+    if (now == expected) return (Nil, now)
     val compatible = baseFiles.isDefined && {
       val interlopers = CommitLog.recordsSince(fs, logDir, expected)
       interlopers.nonEmpty && interlopers.forall(isPureAppend)
@@ -3196,7 +3290,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // the rebase set: files on disk now that the stage did not derive
     // from. Pure appends never remove files, so base - current = empty
     // and current - base = exactly the concurrent additions.
-    listDataFiles().map(_._1).filterNot(baseFiles.get.contains).sorted
+    (listDataFiles().map(_._1).filterNot(baseFiles.get.contains).sorted, now)
   }
 
   /** Stage the clustered rewrite to a sibling dir, then swap — avoids
@@ -3259,6 +3353,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
     f.rename(s, p)
     f.delete(new Path(p, LakeTable.SwapManifestName), false)
     f.delete(new Path(p, LakeTable.PendingOpFileName), false)
+    // post-swap audit, mirroring swapSelective's: a commit that landed
+    // between the occCheck and the log move rode into the stage but its
+    // data files died with the old table dir — refuse to stack this
+    // op's commit on top of a lost update
+    val postSwapNext = CommitLog.nextVersion(fs, logDir)
+    if (postSwapNext != occExpected)
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $path: commit(s) v$occExpected..v${postSwapNext - 1} landed " +
+          "while the swap was in flight; their data files were not carried " +
+          "through it. This operation's commit was NOT recorded — reconcile " +
+          "from history: re-apply the listed commits' writes, or RESTORE a " +
+          "pre-swap version.")
     // the rewritten frame IS the table now — keep the authoritative
     // schema in lockstep so stored-schema reads match the new files
     // (upsert casts to the table types, so this is a no-op for MERGE;
@@ -3677,7 +3783,18 @@ object LakeTable {
   val CloneDirName = "_graft_clone"
   val CloneManifestName = "manifest"
   val StageSuffix = "__staging"
+  // dynamic-partition-overwrite stages: uuid-suffixed so concurrent
+  // disjoint-partition writers never share a committer _temporary dir
+  val PartStageSuffix = "__staging_part_"
   val ChangesTmpSuffix = "__changes_tmp"
+  // appendExpecting's quarantine sibling: OUTSIDE the table dir so the
+  // staged-swap protocol (which replaces the table dir wholesale) can
+  // never erase the audit trail
+  val QuarantineSuffix = "__quarantine"
+  // how old an orphaned part-stage must be before vacuumDebris reclaims
+  // it — a live concurrent writer's in-flight stage must survive the
+  // vacuum (mutable only for tests)
+  private[sources] var PartStageRetentionMs: Long = 4L * 3600 * 1000
   // swap point-of-no-return marker inside a staged dir; lists the
   // untouched data files a selective rewrite pulls through the swap
   val SwapManifestName = "__graft_swap_manifest"

@@ -229,13 +229,22 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
 
   /** `_tmp_{uuid}` dirs left by a writer that crashed between its data
     * write and its version claim — invisible to every read (underscore
-    * prefix, never matches `_v\d+`), reclaimed here.
+    * prefix, never matches `_v\d+`), reclaimed here. Only dirs older
+    * than a retention horizon are touched (Delta's vacuum treatment of
+    * uncommitted files): a vacuum racing a LIVE concurrent snapshot
+    * writer must not delete its in-flight `_tmp_` data — the writer
+    * would then spin its rename loop against a vanished source and fail
+    * with a misleading lost-the-race error. A crashed writer's debris is
+    * by definition old; hours of slack loses nothing.
     */
   private def dropTmpDebris(): Unit = {
     val f = fs
     if (!f.exists(new Path(path))) return
+    val horizon =
+      System.currentTimeMillis() - VersionedLakeTable.TmpDebrisRetentionMs
     f.listStatus(new Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp_"))
+      .filter(_.getModificationTime < horizon)
       .foreach(st => f.delete(st.getPath, true): Unit)
   }
 
@@ -308,6 +317,11 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
 }
 
 object VersionedLakeTable {
+
+  /** How old a `_tmp_` staging dir must be before vacuum reclaims it
+    * (mutable only for tests — aging a real dir needs setTimes anyway).
+    */
+  private[sources] var TmpDebrisRetentionMs: Long = 4L * 3600 * 1000
 
   /** Per-table-path snapshot-claim locks (see [[VersionedLakeTable.claimVersion]]). */
   private val claimLocks =

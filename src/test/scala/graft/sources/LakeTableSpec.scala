@@ -533,9 +533,8 @@ class LakeTableSpec extends SparkSpec {
     // only the clean row landed; the quarantine is invisible to reads
     assert(lake.read.count() === 3)
     assert(lake.read.where(col("id") >= 4L).count() === 0)
-    // the quarantine table holds the three bad rows with their labels
-    val q = LakeTable(spark,
-      new org.apache.hadoop.fs.Path(lake.path, "_quarantine").toString)
+    // the quarantine sibling holds the three bad rows with their labels
+    val q = lake.quarantine
     val bad = q.read.collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(bad === Map(
@@ -544,6 +543,13 @@ class LakeTableSpec extends SparkSpec {
     val clean = lake.appendExpecting(Seq((7L, 1.0, "b")).toDF("id", "x", "tag"))
       .collect().map(_.getLong(1)).sum
     assert(clean === 0L && lake.read.count() === 4 && q.read.count() === 3)
+    // the audit trail SURVIVES staged swaps: a DELETE and a full
+    // OPTIMIZE both replace the table dir wholesale — the quarantine
+    // sibling lives outside it, so neither touches the quarantined rows
+    lake.delete(col("id") === 7L)
+    lake.compact()
+    assert(lake.read.count() === 3)
+    assert(lake.quarantine.read.count() === 3)
   }
 
   test("an aborted change-feed merge leaves no phantom change set behind") {
