@@ -261,6 +261,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
       df: DataFrame, partitionCols: Seq[String],
       op: String, params: Map[String, String],
       occBase: Option[Long] = None): LakeTable = {
+    require(partitionCols.nonEmpty,
+      "dynamic partition overwrite needs at least one partition column — " +
+        "for a full-table replacement use write(df) with Overwrite")
     require(!isShallowClone,
       s"dynamic partition overwrite on a flat-layout shallow clone would mix " +
         "layouts — materialize() first")
@@ -320,20 +323,41 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .flatMap(st => stagedParts(st.getPath, depth - 1,
           if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"))
-    stagedParts(staged, partitionCols.length, "").foreach { case (src, rel) =>
-      val dest = new Path(path, rel)
-      if (fs.exists(dest)) fs.delete(dest, true): Unit
-      val parent = dest.getParent
-      if (!fs.exists(parent)) fs.mkdirs(parent): Unit
-      if (!fs.rename(src, dest))
-        throw new java.io.IOException(
-          s"dynamic partition overwrite: could not swap $src into $dest")
-    }
-    fs.delete(staged, true): Unit // _SUCCESS + drained partition parents
+    val swapSet = stagedParts(staged, partitionCols.length, "")
+    val commitParams = params ++ idParams +
+      ("occPartitions" -> touched.toSeq.sorted.mkString("\u0001"))
+    // point of no return: the first rename leaves the table part old /
+    // part new, so mark the stage with the swap set and the pending op
+    // BEFORE touching the table — a crash mid-swap then leaves a MARKED
+    // stage that vacuumDebris completes and attributes, instead of a
+    // half-swapped table whose remaining replacements age out and get
+    // silently reclaimed as debris
+    if (swapSet.nonEmpty) writeManifest(staged, swapSet.map(_._2), op, commitParams)
+    swapSet.foreach { case (src, rel) => swapPartitionIn(src, rel) }
     saveSchema(schema)
-    commit(op, params ++ idParams +
-      ("occPartitions" -> touched.toSeq.sorted.mkString("\u0001")))
+    // commit BEFORE dropping the stage: the marked stage is the recovery
+    // record for the swap and must outlive the data change until the
+    // change is attributed. The residual (crash between commit and the
+    // delete below) costs at most one spurious RECOVERED entry in
+    // history — recovery finds nothing left to rename and re-records.
+    commit(op, commitParams)
+    fs.delete(staged, true): Unit // marker + _SUCCESS + drained parents
     this
+  }
+
+  /** One partition-directory swap of the dynamic-overwrite commit path:
+    * drop the table's current partition dir and rename the staged
+    * replacement into its place — metadata-only renames on a real FS.
+    */
+  private def swapPartitionIn(src: Path, rel: String): Unit = {
+    val dest = new Path(path, rel)
+    if (fs.exists(dest)) fs.delete(dest, true): Unit
+    val parent = dest.getParent
+    if (!fs.exists(parent)) fs.mkdirs(parent): Unit
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(
+        s"dynamic partition overwrite: could not swap $src into $dest — " +
+          "the stage is marked, vacuumDebris() completes the remaining swaps")
   }
 
   /** Hive-style rendering of the partition values present in `df` — the
@@ -2902,10 +2926,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // the next refresh's Overwrite should not inherit it
     val statsStage = new Path(s"$statsDir${LakeTable.StageSuffix}")
     if (fs.exists(statsStage)) fs.delete(statsStage, true): Unit
-    // orphaned dynamic-overwrite part-stages are ALWAYS pre-commit (the
-    // per-partition swap behind them is the commit path), so reclaim —
-    // but only past an age horizon: a concurrent writer's live stage is
-    // indistinguishable from debris except by its youth
+    // orphaned dynamic-overwrite part-stages: UNMARKED means pre-swap
+    // (the writer crashed before its point of no return — the table was
+    // never touched, the stage is dead bytes, reclaim); MARKED means the
+    // per-partition swap had begun — the table may be part old / part
+    // new and the stage holds the not-yet-swapped replacements, so
+    // COMPLETE the swap and attribute it, never delete. Either way only
+    // past an age horizon keyed on the NEWEST mtime anywhere in the
+    // stage: a live staging write keeps producing fresh task files, so
+    // the root's creation-time mtime alone would age out a long write
+    // mid-flight.
     locally {
       val parent = new Path(path).getParent
       val prefix = new Path(path).getName + LakeTable.PartStageSuffix
@@ -2913,8 +2943,22 @@ final class LakeTable(spark: SparkSession, val path: String) {
       if (parent != null && fs.exists(parent))
         fs.listStatus(parent)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-          .filter(_.getModificationTime < horizon)
-          .foreach(st => fs.delete(st.getPath, true): Unit)
+          .filter(st => newestMtime(st.getPath) < horizon)
+          .foreach { st =>
+            val stage = st.getPath
+            if (fs.exists(new Path(stage, LakeTable.SwapManifestName))) {
+              val pending = readPendingOp(stage)
+              readManifest(new Path(stage, LakeTable.SwapManifestName)).foreach { rel =>
+                val src = new Path(stage, rel)
+                // already-swapped partitions were renamed OUT of the
+                // stage, so presence == still pending; each swap is the
+                // same idempotent rename the writer would have done
+                if (fs.exists(src)) swapPartitionIn(src, rel)
+              }
+              pending.foreach { case (op, ps) => commit(s"RECOVERED $op", ps): Unit }
+            }
+            fs.delete(stage, true): Unit
+          }
     }
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     val action =
@@ -3006,6 +3050,21 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }.toMap
       lines.headOption.filter(_.nonEmpty).map(h => (CommitLog.unesc(h), params))
     }
+  }
+
+  /** Newest modification time anywhere under `p` — the liveness signal
+    * for part-stage reclaim. A stage dir's own mtime is set at creation
+    * and only moves on direct-child churn, so a staging write whose task
+    * phase outlives the retention window would look aged by the root
+    * mtime alone; the freshest task file tells the truth. Bounded: part
+    * stages hold one file tree per touched partition, and this runs only
+    * in the vacuum path.
+    */
+  private def newestMtime(p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else (st.getModificationTime +:
+      fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
   }
 
   private def readManifest(manifest: Path): Seq[String] = {

@@ -228,14 +228,16 @@ class OccSpec extends SparkSpec {
       Seq(("a", 1L, 50.0), ("b", 2L, 2.0)))
   }
 
-  test("a same-partition commit landing AFTER the pre-check fails loudly post-mutation") {
+  test("a same-partition commit landing AFTER the pre-check still aborts cleanly") {
     val root = Files.createTempDirectory("graft_occ_part_late").toString
     val path = s"$root/t"
     val lake = LakeTable(spark, path).writePartitioned(
       Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("p", "id", "x"), Seq("p"))
     // land the interloper in the window between writer A's pre-check and
-    // its data write — the post-check must catch it and say the mutation
-    // already happened instead of pretending a clean abort
+    // its staging write — the post-staging check must catch it, and
+    // because the overwrite stages in a private dir and swaps only after
+    // that check, the abort is CLEAN: the interloper (the winner) keeps
+    // the partition
     lake.onPartitionsPreCheckedForTest = () => {
       lake.onPartitionsPreCheckedForTest = () => ()
       LakeTable(spark, path).overwritePartitions(
@@ -244,10 +246,12 @@ class OccSpec extends SparkSpec {
     val e = intercept[java.util.ConcurrentModificationException] {
       lake.overwritePartitions(Seq(("a", 1L, 99.0)).toDF("p", "id", "x"), Seq("p"))
     }
-    assert(e.getMessage.contains("already"), e.getMessage)
-    // the failed writer's data DID land (last physical writer) — the
-    // loud error is the reconciliation signal, not a rollback claim
-    assert(lake.read.where(col("p") === "a").select("x").as[Double].head() === 99.0)
+    assert(e.getMessage.contains("aborted before any data was written"), e.getMessage)
+    // the interloper's overwrite (the winner) is intact — the loser
+    // mutated nothing in the table
+    assert(lake.read.select("p", "id", "x").orderBy("id")
+      .as[(String, Long, Double)].collect().toSeq ===
+      Seq(("a", 1L, 50.0), ("b", 2L, 2.0)))
   }
 
   test("concurrent optimizeWhere on disjoint partitions both land") {

@@ -412,4 +412,99 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(!f.exists(new HPath(path, LakeTable.SwapManifestName)))
     assert(lake.history.where(col("operation").startsWith("RECOVERED")).count() === 0)
   }
+
+  test("a crashed MID-SWAP partition overwrite is completed by vacuumDebris") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path).writePartitioned(
+      Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("p", "id", "x"), Seq("p"))
+    val f = hfs(path)
+
+    // hand-build the post-crash state a dynamic overwrite of p=a leaves
+    // right after its point of no return: a MARKED part-stage still
+    // holding the replacement partition, the table untouched
+    val stage = s"$path${LakeTable.PartStageSuffix}crashfix"
+    Seq(("a", 1L, 99.0)).toDF("p", "id", "x")
+      .write.partitionBy("p").parquet(stage)
+    val pend = f.create(new HPath(stage, LakeTable.PendingOpFileName), true)
+    pend.write(Seq(
+      CommitLog.esc("OVERWRITE PARTITIONS"),
+      s"${CommitLog.esc("mode")}\t${CommitLog.esc("dynamic")}",
+      s"${CommitLog.esc("occPartitions")}\t${CommitLog.esc("p=a")}",
+      s"${CommitLog.esc("partitionBy")}\t${CommitLog.esc("p")}"
+    ).mkString("\n").getBytes("UTF-8"))
+    pend.close()
+    val man = f.create(new HPath(stage, LakeTable.SwapManifestName), true)
+    man.write("p=a".getBytes("UTF-8"))
+    man.close()
+
+    // age the stage past the retention horizon (var is package-private)
+    val savedRetention = LakeTable.PartStageRetentionMs
+    LakeTable.PartStageRetentionMs = -60000L // horizon in the future: all aged
+    try lake.vacuumDebris()
+    finally LakeTable.PartStageRetentionMs = savedRetention
+
+    assert(!f.exists(new HPath(stage)), "marked stage should be consumed, not kept")
+    // the pending partition was swapped in: p=a carries the replacement,
+    // p=b is untouched
+    assert(lake.read.select("p", "id", "x").orderBy("id")
+      .as[(String, Long, Double)].collect().toSeq ===
+      Seq(("a", 1L, 99.0), ("b", 2L, 2.0)))
+    // the change is attributed to the interrupted op, before the vacuum
+    val ops = lake.history.orderBy(col("version"))
+      .select("operation").as[String].collect().toSeq
+    assert(ops.contains("RECOVERED OVERWRITE PARTITIONS"), ops.mkString(","))
+    assert(ops.indexOf("RECOVERED OVERWRITE PARTITIONS") < ops.indexOf("VACUUM DEBRIS"))
+  }
+
+  test("an UNMARKED aged part-stage is reclaimed; a fresh task file keeps it alive") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path).writePartitioned(
+      Seq(("a", 1L, 1.0)).toDF("p", "id", "x"), Seq("p"))
+    val f = hfs(path)
+    val stage = s"$path${LakeTable.PartStageSuffix}preswap"
+    Seq(("a", 1L, 5.0)).toDF("p", "id", "x").write.partitionBy("p").parquet(stage)
+
+    // backdate everything EXCEPT one task file: the recursive newest-mtime
+    // horizon must treat the stage as live while any file inside is fresh
+    val old = System.currentTimeMillis() - 24L * 3600 * 1000
+    def walk(p: HPath): Seq[HPath] = {
+      val st = f.getFileStatus(p)
+      if (!st.isDirectory) Seq(p)
+      else p +: f.listStatus(p).toSeq.flatMap(c => walk(c.getPath))
+    }
+    val all = walk(new HPath(stage))
+    val freshFile = all.filter(q => !f.getFileStatus(q).isDirectory).head
+    all.filterNot(_ == freshFile).foreach(q => f.setTimes(q, old, -1))
+
+    lake.vacuumDebris() // default 4h retention; fresh file => kept
+    assert(f.exists(new HPath(stage)),
+      "a stage with a fresh task file must not be reclaimed")
+
+    f.setTimes(freshFile, old, -1)
+    lake.vacuumDebris() // now uniformly aged and UNMARKED => deleted
+    assert(!f.exists(new HPath(stage)), "aged unmarked stage should be reclaimed")
+    // pre-swap crash: the table was never touched
+    assert(lake.read.select("x").as[Double].head() === 1.0)
+  }
+
+  test("overwritePartitions with no partition columns is rejected up front") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val lake = LakeTable(spark, path).write(Seq((1L, 1.0)).toDF("id", "x"))
+    val e = intercept[IllegalArgumentException] {
+      lake.overwritePartitions(Seq((2L, 9.0)).toDF("id", "x"), Seq.empty)
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // and no stage dir leaked next to the table
+    val parent = new HPath(path).getParent
+    val leaked = hfs(path).listStatus(parent)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(new HPath(path).getName + LakeTable.PartStageSuffix))
+    assert(leaked.isEmpty, leaked.mkString(","))
+  }
 }
