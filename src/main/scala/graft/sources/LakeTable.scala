@@ -3805,6 +3805,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def history: DataFrame = CommitLog.history(spark, fs, path, logDir)
 
+  /** The table's latest committed version (-1 for an empty log) — the
+    * watermark a derived artifact (standing index, materialized view)
+    * stamps at build time so serving can detect base drift.
+    */
+  def currentVersion: Long = CommitLog.nextVersion(fs, logDir) - 1
+
   /** Atomic commit (see [[CommitLog.append]]); returns the version won.
     * Every `spark.graft.lake.checkpointInterval`-th commit (default 100)
     * folds the log into one checkpoint file, so log reads stay O(1 +

@@ -2,11 +2,11 @@ package graft.text
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.LakeTable
+import graft.sources.{LakeTable, MergeClause}
 
 /** Standing BM25 inverted index — the lexical twin of the ANN standing
   * indexes ([[Ivf]]/[[Pq]]): the corpus is tokenized, scored, and laid
@@ -16,9 +16,9 @@ import graft.sources.LakeTable
   * tf/df/avgdl per query batch, which is the right call exactly once.
   *
   * Layout (three lake tables under one directory):
-  *   - `postings`: (term, doc_id, tf, dl) — sort-clustered by term, so
-  *     a query's terms prune to a handful of files via the lake's
-  *     stats-based file skipping instead of scanning all postings;
+  *   - `postings`: (term, doc_id, tf, dl) — sort-clustered by term with
+  *     file stats, so a query's terms prune to a handful of files via the
+  *     lake's stats-based file skipping instead of scanning all postings;
   *   - `terms`: (term, df) — the vocabulary-sized document frequencies;
   *   - `stats`: one row (n_docs, avgdl) — the corpus scalars.
   *
@@ -26,10 +26,34 @@ import graft.sources.LakeTable
   * standard Okapi form; the only shuffle is the per-(query, doc) sum,
   * keyed far below corpus size. Scores round(…, 6) BEFORE ranking so an
   * ulp of sum-order drift can never flip a rank across engines.
+  *
+  * ==Freshness==
+  * Built from a versioned [[LakeTable]] base, the index stamps the base's
+  * commit version ([[IndexMeta]]) and [[serveBm25]] REFUSES to serve once
+  * the base has moved — a stale index silently returns ghost hits for
+  * deleted documents and misses new ones. [[applyChanges]] folds the
+  * base's change feed in INCREMENTALLY: superseded postings leave through
+  * a (term, doc_id)-keyed merge whose rewrite prunes to the files holding
+  * those terms (the change rows carry the old images, so the deleted
+  * documents' terms are known without scanning the index), new images
+  * append, df/stats adjust arithmetically, and the stamp advances. Built
+  * from a raw DataFrame, the index is unstamped and freshness is the
+  * caller's problem (nothing to compare against).
   */
 object InvertedIndex {
 
   private def sub(dir: String, name: String) = new Path(dir, name).toString
+
+  /** (term, doc_id, tf, dl) rows for a batch of documents — the unit of
+    * both the initial build and every incremental delta.
+    */
+  private def tokenPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
 
   /** Build (or rebuild) the index at `dir` from `docs`. One corpus scan
     * feeds the postings aggregate; the df and stats tables derive from
@@ -37,18 +61,15 @@ object InvertedIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val spark = docs.sparkSession
-    val postings = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val p = LakeTable(spark, sub(dir, "postings"))
-    p.write(postings)
+    p.write(tokenPostings(docs, idCol, textCol))
     // single-dimension clustering: a linear sort IS the optimal curve
     // (a 1-D Z-order degenerates to the same ordering, minus exactness —
     // the string curve key ranks only a 6-byte prefix)
     p.optimize(Seq("term"), numFiles = Some(8))
+    // term min/max stats per file are what turn a serve's term IN-list
+    // (and a maintenance merge's key bounds) into file-level skips
+    p.collectStats(Seq("term"))
     // postings rows are distinct (doc, term), so df is a plain rollup
     LakeTable(spark, sub(dir, "terms"))
       .write(p.read.groupBy(col("term")).agg(count(lit(1)).as("df")))
@@ -57,18 +78,132 @@ object InvertedIndex {
         .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
   }
 
+  /** [[build]] from a versioned lake base: same layout, plus the base
+    * version stamp that arms the freshness check in [[serveBm25]] and
+    * the resume point for [[applyChanges]].
+    */
+  def build(base: LakeTable, idCol: String, textCol: String, dir: String): Unit = {
+    val spark = base.read.sparkSession
+    // capture the version BEFORE reading: a commit racing the build makes
+    // the index look stale (applyChanges reconciles), never silently fresh
+    val v = base.currentVersion
+    build(base.read, idCol, textCol, dir)
+    IndexMeta.stamp(spark, dir, base.path, v)
+  }
+
   def exists(spark: SparkSession, dir: String): Boolean =
     LakeTable(spark, sub(dir, "stats")).exists
+
+  /** No-refit incremental append of NEW documents (ids not yet indexed —
+    * the caller's contract, same as [[IvfIndex.append]]): postings rows
+    * append to the term-clustered lake, per-term df increments merge into
+    * the vocabulary table, and the two corpus scalars update
+    * arithmetically. No existing posting is read or rewritten. Refused on
+    * a version-stamped index — there the base's change feed is the one
+    * source of truth and [[applyChanges]] is the maintenance path (a raw
+    * append would advance the index without advancing the stamp).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val spark = docs.sparkSession
+    require(IndexMeta.read(spark, dir).isEmpty,
+      s"BM25 index at $dir is stamped against a versioned base — " +
+        "maintain it with applyChanges(base, ...), not raw append")
+    appendPostings(spark, tokenPostings(docs, idCol, textCol), dir)
+  }
+
+  /** Fold the base table's change feed since the stamped version into the
+    * index, then advance the stamp. Deletes and the pre-images of updates
+    * leave via a (term, doc_id)-keyed merge — the feed carries the OLD
+    * text, so the superseded postings' terms (the merge's prune keys) are
+    * known without touching the index; inserts and post-images append.
+    * Requires every content-changing commit in the range to have recorded
+    * a change set (`changeFeed = true`) — a mutation the feed never saw
+    * cannot be folded in, and silently skipping it would re-stamp a wrong
+    * index as fresh, so that case throws instead.
+    */
+  def applyChanges(base: LakeTable, idCol: String, textCol: String, dir: String): Unit = {
+    val spark = base.read.sparkSession
+    val meta = IndexMeta.forMaintenance(spark, dir, base, "BM25 index")
+    val target = base.currentVersion
+    if (target == meta.version) return
+    val (removals, additions) =
+      IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(textCol))
+    val remPost = tokenPostings(removals, "doc_id", textCol).localCheckpoint(true)
+    val addPost = tokenPostings(additions, "doc_id", textCol).localCheckpoint(true)
+
+    val p = LakeTable(spark, sub(dir, "postings"))
+    // superseded images out: keyed merge, rewrite pruned to the files
+    // whose term range intersects the removed docs' terms
+    if (!remPost.isEmpty)
+      p.merge(remPost.select(col("term"), col("doc_id")), Seq("term", "doc_id"),
+        whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false)
+    appendPostings(spark, addPost, dir, removedPostings = Some(remPost))
+    IndexMeta.stamp(spark, dir, base.path, target)
+  }
+
+  /** Shared incremental update of the three tables: postings append
+    * (nothing existing rewritten), df merge (delta per term, delete at
+    * zero), stats arithmetic. `removedPostings` carries the superseded
+    * images' postings when called from [[applyChanges]] — their df and
+    * length contributions subtract.
+    */
+  private def appendPostings(
+      spark: SparkSession, addPost: DataFrame, dir: String,
+      removedPostings: Option[DataFrame] = None): Unit = {
+    val p = LakeTable(spark, sub(dir, "postings"))
+    val add = addPost.localCheckpoint(true)
+    if (!add.isEmpty) {
+      p.write(add, SaveMode.Append)
+      // new files pick up their term stats so they skip like the rest
+      p.refreshStats()
+    }
+    val rem = removedPostings.getOrElse(add.where(lit(false)))
+    // df delta per term: +1 per added (doc, term), -1 per removed. The
+    // source column is NAMED df so an unmatched (brand-new) term inserts
+    // its delta as the absolute count
+    val dfDelta = add.groupBy(col("term")).agg(count(lit(1)).as("plus"))
+      .join(rem.groupBy(col("term")).agg(count(lit(1)).as("minus")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("plus"), lit(0L)) - coalesce(col("minus"), lit(0L))).as("df"))
+      .where(col("df") =!= 0L)
+    if (!dfDelta.isEmpty)
+      LakeTable(spark, sub(dir, "terms")).merge(dfDelta, Seq("term"),
+        whenMatched = Seq(
+          // a term whose last document left drops out of the vocabulary,
+          // exactly as a rebuild would have it
+          MergeClause.DeleteWhen(Some(col("t.df") + col("s.df") <= 0L)),
+          MergeClause.UpdateWhen(Map("df" -> (col("t.df") + col("s.df"))))),
+        insertUnmatched = true, insertCond = Some(col("df") > 0L))
+    // corpus scalars: counts and length sums move by the doc-level deltas
+    // (docs are (doc_id, dl)-distinct inside each side's postings)
+    def docStats(posts: DataFrame): (Long, Double) = {
+      val r = posts.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1).toDouble)
+    }
+    val (nAdd, dlAdd) = docStats(add)
+    val (nRem, dlRem) = docStats(rem)
+    if (nAdd != 0 || nRem != 0) {
+      val st = LakeTable(spark, sub(dir, "stats"))
+      val cur = st.read.select(col("n_docs"), col("avgdl")).head()
+      val n1 = cur.getDouble(0) + nAdd - nRem
+      val sum1 = cur.getDouble(0) * cur.getDouble(1) + dlAdd - dlRem
+      import spark.implicits._
+      st.write(Seq((n1, if (n1 == 0.0) 0.0 else sum1 / n1)).toDF("n_docs", "avgdl"))
+    }
+  }
 
   /** Top-k BM25 retrieval against the standing index. `queries` is
     * (query_id, term) rows — a query WORKLOAD, bounded by construction,
     * so collecting its distinct terms into a literal IN-list (the same
     * bounded-payload idiom the merge key prune uses) is what lets the
     * term-clustered postings lake skip files instead of scanning.
+    * Refuses to serve a stale stamped index (see class doc).
     */
   def serveBm25(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    IndexMeta.requireFresh(spark, dir, "BM25 index")
     val qterms = queries.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     require(qterms.nonEmpty, "serveBm25 needs a non-empty query workload")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.sources.LakeTable
+import graft.sources.{LakeTable, MergeClause}
 
 /** MATERIALIZED IVF serving index — the I/O layer under [[Ivf.ivfTopK]]:
   * that path prunes logically (only probed cells join) but still SCANS
@@ -43,18 +43,76 @@ object IvfIndex {
     p.collectStats(Seq("cell"))
   }
 
+  /** [[build]] from a versioned lake base: same layout, plus the base
+    * version stamp that arms the freshness check in [[serveTopK]] and
+    * the resume point for [[applyChanges]].
+    */
+  def build(
+      base: LakeTable, idCol: String, vecCol: String, dir: String,
+      nCells: Int, seed: Long, sampleFraction: Double): Unit = {
+    val spark = base.read.sparkSession
+    // version BEFORE the read: a racing commit leaves the index stale
+    // (applyChanges reconciles), never silently fresh
+    val v = base.currentVersion
+    build(base.read, idCol, vecCol, dir, nCells, seed, sampleFraction)
+    IndexMeta.stamp(spark, dir, base.path, v)
+  }
+
   /** Add vectors to a standing index without refitting: map-only
     * assignment against the saved quantizer, one append commit. New
     * files carry their own cell stats once [[LakeTable.refreshStats]] /
     * the next optimize pass runs; until then they are read unpruned —
-    * correct, just not yet skipped.
+    * correct, just not yet skipped. Refused on a version-stamped index —
+    * there the base's change feed is the one source of truth and
+    * [[applyChanges]] is the maintenance path.
     */
   def append(df: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = df.sparkSession
+    require(IndexMeta.read(spark, dir).isEmpty,
+      s"IVF index at $dir is stamped against a versioned base — " +
+        "maintain it with applyChanges(base, ...), not raw append")
+    appendAssigned(spark, df, idCol, vecCol, dir)
+  }
+
+  private def appendAssigned(
+      spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
     val centers = LakeTable(spark, sub(dir, "centers")).read
     val p = LakeTable(spark, sub(dir, "postings"))
     p.write(assigned(df, centers, idCol, vecCol), SaveMode.Append)
     p.refreshStats()
+  }
+
+  /** Fold the base table's change feed since the stamped version into the
+    * index, then advance the stamp. The feed's pre-images carry the OLD
+    * vectors, so the superseded postings' CELLS are recomputed map-only
+    * against the standing quantizer — the (cell, vec_id)-keyed delete
+    * merge then prunes its rewrite to exactly those cells' files, never
+    * touching the rest of the postings. Inserts and post-images take the
+    * same no-refit assignment path as [[append]]. Same completeness
+    * contract as the BM25 twin: a content-changing commit with no
+    * recorded change set throws rather than re-stamping a wrong index.
+    */
+  def applyChanges(base: LakeTable, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = base.read.sparkSession
+    val meta = IndexMeta.forMaintenance(spark, dir, base, "IVF index")
+    val target = base.currentVersion
+    if (target == meta.version) return
+    val (removals, additions) =
+      IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(vecCol))
+    val p = LakeTable(spark, sub(dir, "postings"))
+    val centers = LakeTable(spark, sub(dir, "centers")).read
+    val remKeys = assigned(
+      removals.select(col("doc_id").as("vec_id"), col(vecCol)), centers, "vec_id", vecCol)
+      .select(col("cell"), col("vec_id"))
+      .localCheckpoint(true)
+    if (!remKeys.isEmpty)
+      p.merge(remKeys, Seq("cell", "vec_id"),
+        whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false)
+    if (!additions.isEmpty)
+      appendAssigned(spark, additions.select(col("doc_id"), col(vecCol)),
+        "doc_id", vecCol, dir)
+    IndexMeta.stamp(spark, dir, base.path, target)
   }
 
   private def assigned(
@@ -71,6 +129,7 @@ object IvfIndex {
   def serveTopK(
       spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    IndexMeta.requireFresh(spark, dir, "IVF index")
     val centers = LakeTable(spark, sub(dir, "centers")).read
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val wProbe = Window.partitionBy(col("q_id"))
