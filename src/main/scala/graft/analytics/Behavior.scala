@@ -255,17 +255,39 @@ object Behavior {
     * over-weights bursts): each observation holds its value until the
     * next one, so it weighs `next_ts - ts`; the last observation per
     * type carries no interval and drops, the standard left-Riemann
-    * convention. One per-type window (lead) over the events, a per-type
-    * rollup, nothing else. Weights are exact integer nanos summed as
-    * longs; only the final division is floating, so round(…, 6) is
-    * engine-stable.
+    * convention. Weights are exact integer nanos summed as longs; only
+    * the final division is floating, so round(…, 6) is engine-stable.
+    *
+    * The per-row `lead` must NOT window on the bare event type: with a
+    * handful of types the whole table would sort into that many
+    * unsplittable window partitions — the hot-gram hazard this repo
+    * documents elsewhere (AQE splits skewed joins, never windows), fatal
+    * at 100× scale. Instead the fold is SEGMENTED: lead within
+    * (event_type, hour-bucket) — partitions bounded by time, not by type
+    * cardinality — and each bucket's last row stitches to the next
+    * non-empty bucket's first observation through a bucket-level frame
+    * that is ~|buckets|·|types| rows (broadcast-sized) no matter how big
+    * the raw table is. Identical arithmetic to the global lead: a row's
+    * successor is in its own bucket or is its type's next bucket's first.
     */
   def twapByType(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    Tables(spark, sfDir).eventsRaw
+    val bucketNanos = 3600L * 1000000000L
+    val e = Tables(spark, sfDir).eventsRaw
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
-      .withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+      .withColumn("bucket", expr(s"ts div $bucketNanos"))
+    // first observation per non-empty (type, bucket) under the window
+    // order (ts, event_id): struct-min IS that lexicographic first
+    val wBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val stitch = e.groupBy(col("event_type"), col("bucket"))
+      .agg(min(struct(col("ts"), col("event_id"))).getField("ts").as("first_ts"))
+      .withColumn("next_first_ts", lead(col("first_ts"), 1).over(wBucket))
+      .select(col("event_type"), col("bucket"), col("next_first_ts"))
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("lead_ts", lead(col("ts"), 1).over(w))
+      .join(broadcast(stitch), Seq("event_type", "bucket"))
+      .withColumn("dt", coalesce(col("lead_ts"), col("next_first_ts")) - col("ts"))
       .where(col("dt").isNotNull)
       .groupBy(col("event_type"))
       .agg(

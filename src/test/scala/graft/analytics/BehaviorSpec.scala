@@ -18,6 +18,40 @@ class BehaviorSpec extends SparkSpec {
       s"expected ONE window operator (shared spec), plan had $windows:\n$plan")
   }
 
+  test("TWAP: segmented fold equals the global lead; no type-only window partition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Behavior.twapByType(spark, sf0001)
+    // reference: the textbook single-window form (fine at test scale)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val ref = graft.core.Tables(spark, sf0001).eventsRaw
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+      .where(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("dt")) / sum(col("dt")), 6).as("twap"),
+        round(avg(col("value")), 6).as("plain_avg"))
+      .orderBy(col("event_type"))
+    assert(df.collect().toSeq === ref.collect().toSeq)
+    // scale pin: the row-level fold must never sort the raw table into
+    // |event_type| unsplittable window partitions — every Window over the
+    // events partitions on MORE than the bare type (the bucket rides
+    // along); only the bucket-level stitch frame may key on type alone,
+    // and it windows over an aggregate, not the raw rows
+    val analyzed = df.queryExecution.optimizedPlan
+    val offenders = analyzed.collect {
+      case wnd: org.apache.spark.sql.catalyst.plans.logical.Window
+        if wnd.partitionSpec.length == 1 &&
+          wnd.partitionSpec.head.references.toSeq.exists(_.name == "event_type") &&
+          // the stitch window reads the (type, bucket) aggregate — one
+          // row per bucket — recognizable by its first_ts input
+          !wnd.child.output.exists(_.name == "first_ts") => wnd
+    }
+    assert(offenders.isEmpty,
+      s"raw-row window partitioned on event_type alone:\n${offenders.mkString("\n")}")
+  }
+
   test("the current row never dilutes its own baseline") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
