@@ -330,6 +330,70 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[simhashPairs]]' ENGINE-NEUTRAL twin: same bit-vote signature, same
+    * band join, same hamming filter, but the per-token hash is the first
+    * 60 bits of md5 instead of Spark's internal Murmur3_x86_32 — md5 is
+    * bit-identical in every engine, so the whole signature arithmetic
+    * (and therefore the exact pair set) is reproducible in plain SQL and
+    * the query carries a full hash oracle. The murmur variant stays the
+    * hot-path choice (one 32-bit mix vs a crypto digest per token); this
+    * one is the verification surface. 60 bits (15 hex chars) rather than
+    * 64 keep the signature inside a SIGNED long in both engines — a
+    * 4-bit haircut costs nothing at these hamming radii.
+    *
+    * Exactness (the q_minhash_neardup precision-1 argument, stronger
+    * here): output = ALL pairs at hamming <= `maxHamming` — precision 1
+    * because hamming is checked directly, recall 1 by pigeonhole: with 4
+    * bands of 15 bits, <= 3 differing bits touch at most 3 bands, so at
+    * least one band matches exactly and banding loses NOTHING (unlike
+    * MinHash banding, which is probabilistic). For maxHamming > 3 the
+    * guarantee needs maxHamming+1 bands; enforced below.
+    *
+    * Signature is a map-only nested-HOF fold (no explode, no shuffle
+    * before the band join); the join explodes 4 rows per doc — the same
+    * scale shape as the murmur path.
+    */
+  def simhashMd5Pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands of 15 bits guarantee recall only through hamming 3, got $maxHamming")
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
+      .withColumn("hs",
+        expr("transform(ts, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("sig", expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(hs, array_repeat(0, 60),
+          |      (acc, h) -> zip_with(acc, sequence(0, 59),
+          |        (v, b) -> v + if(((h >> b) & 1) = 1, 1, -1))),
+          |    sequence(0, 59),
+          |    (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
+          |  0L, (s, x) -> s + x)""".stripMargin))
+      .select(col("id"), col("sig"))
+    val bands = sh.select(
+      col("id"),
+      col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL).as("v"))
+      }: _*)).as("bv")
+    ).select(col("id"), col("sig"), col("bv.band"), col("bv.v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("bigint").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Embedding cosine near-dup: random-hyperplane LSH buckets (seeded) then
     * exact cosine refine inside each bucket. Sub-quadratic at scale; recall
     * measured vs brute force in SimilaritySpec.

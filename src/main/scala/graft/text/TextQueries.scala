@@ -491,9 +491,21 @@ object TextQueries {
       Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
       bands = 16, rowsPerBand = 2)
 
-  /** SimHash near-dup pairs (hamming <= 3 on 64-bit signatures). */
+  /** SimHash near-dup pairs (hamming <= 3), via the engine-neutral
+    * md5-60-bit signature ([[Dedup.simhashMd5Pairs]]) so the query is
+    * FULLY hash-oracled: the band join is exact at this radius
+    * (pigeonhole — 3 flipped bits leave >= 1 of 4 bands intact), so the
+    * output IS the brute-force all-pairs hamming set the oracle computes.
+    * The Murmur3 variant ([[Dedup.simhashPairs]], same vote/band/hamming
+    * arithmetic, faster hash) cannot carry a SQL oracle — its signature
+    * space is Spark-internal Murmur3_x86_32, which DuckDB does not
+    * expose, and unlike MinHash the FINAL filter lives in signature
+    * space, so there is no engine-neutral exact-verify stage to match
+    * on. Its agreement with this oracled path on planted near-dups is
+    * pinned in DedupSpec instead.
+    */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairs(Tables(spark, sfDir).documents, "doc_id", "text", maxHamming = 3)
+    Dedup.simhashMd5Pairs(Tables(spark, sfDir).documents, "doc_id", "text", maxHamming = 3)
 
   /** Embedding near-dup via hyperplane LSH + cosine refine. */
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
@@ -653,6 +665,23 @@ object TextQueries {
         |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = a_id
         |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = b_id
         |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
+    // exact all-pairs ground truth — sound for the BANDED pipeline because
+    // the 4x15-bit banding is LOSSLESS at hamming <= 3 (pigeonhole) and
+    // the signature hash (first 60 bits of md5 per token) is bit-identical
+    // across engines, so the banded output IS this brute-force set
+    "q_simhash_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |      FROM t, unnest(ts) AS u(tok)),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+        |      FROM e, range(60) r(b) GROUP BY doc_id, b),
+        |s AS (SELECT doc_id, sum(CASE WHEN sv > 0 THEN 1::BIGINT << b ELSE 0 END) AS sig
+        |      FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),

