@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * the identical bin, where percentile interpolation differs in ulps
   * and would flip edge values. Out-of-range current values clamp into
   * the terminal bins (the standard PSI treatment of new mass beyond the
-  * baseline's support). Proportions are Laplace-smoothed — (n+1)/(N+k)
-  * — so an empty bin contributes a finite, defined term instead of
-  * ln(0).
+  * baseline's support). NULLs (including values that fail the double
+  * cast) get their OWN bin, `-1` on the axis: a null-rate shift is one
+  * of the most common real drifts (an upstream field going dark), and
+  * folding nulls into the totals while hiding them from the axis would
+  * smear that signal into diffuse mass loss across every bin.
+  * Proportions are Laplace-smoothed over the bins+1 categories —
+  * (n+1)/(N+k+1) — so an empty bin contributes a finite, defined term
+  * instead of ln(0).
   *
   * Scale shape: one aggregate pass per side (map-side partial combine,
   * bins-sized results), a 1-row baseline-stats broadcast, and joins on
@@ -36,18 +41,23 @@ object Drift {
       max(col(valueCol)).cast("double").as("__hi"))
     def binned(df: DataFrame, nCol: String) = df
       .crossJoin(broadcast(stats))
-      .select(least(greatest(floor(
-        (col(valueCol).cast("double") - col("__lo")) /
-          greatest((col("__hi") - col("__lo")) / bins, lit(1e-12))),
-        lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      // null values (and failed casts) get their own -1 bin — via an
+      // explicit null test: greatest/least SKIP nulls (both engines), so
+      // a null value would otherwise clamp silently into bin 0
+      .select(when(col(valueCol).cast("double").isNull, lit(-1))
+        .otherwise(least(greatest(floor(
+          (col(valueCol).cast("double") - col("__lo")) /
+            greatest((col("__hi") - col("__lo")) / bins, lit(1e-12))),
+          lit(0.0)), lit((bins - 1).toDouble)).cast("int")).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
     val a = binned(baseline, "n_base")
     val b = binned(current, "n_cur")
     val ta = a.agg(sum(col("n_base")).as("__t_base"))
     val tb = b.agg(sum(col("n_cur")).as("__t_cur"))
-    val axis = spark.range(bins).select(col("id").cast("int").as("bin"))
-    val pBase = (col("n_base") + lit(1.0)) / (col("__t_base") + lit(bins.toDouble))
-    val pCur = (col("n_cur") + lit(1.0)) / (col("__t_cur") + lit(bins.toDouble))
+    val axis = spark.range(-1, bins).select(col("id").cast("int").as("bin"))
+    val k = lit((bins + 1).toDouble) // bins + the null bin
+    val pBase = (col("n_base") + lit(1.0)) / (col("__t_base") + k)
+    val pCur = (col("n_cur") + lit(1.0)) / (col("__t_cur") + k)
     axis
       .join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))
@@ -78,19 +88,24 @@ object Drift {
       max(col(valueCol)).cast("double").as("__hi"))
     def binned(df: DataFrame, nCol: String) = df
       .join(broadcast(stats), Seq(groupCol))
-      .select(col(groupCol), least(greatest(floor(
-        (col(valueCol).cast("double") - col("__lo")) /
-          greatest((col("__hi") - col("__lo")) / bins, lit(1e-12))),
-        lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      // null values (and failed casts) get their own -1 bin — via an
+      // explicit null test: greatest/least SKIP nulls (both engines), so
+      // a null value would otherwise clamp silently into bin 0
+      .select(col(groupCol), when(col(valueCol).cast("double").isNull, lit(-1))
+        .otherwise(least(greatest(floor(
+          (col(valueCol).cast("double") - col("__lo")) /
+            greatest((col("__hi") - col("__lo")) / bins, lit(1e-12))),
+          lit(0.0)), lit((bins - 1).toDouble)).cast("int")).as("bin"))
       .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as(nCol))
     val a = binned(baseline, "n_base")
     val b = binned(current, "n_cur")
     val ta = a.groupBy(col(groupCol)).agg(sum(col("n_base")).as("__t_base"))
     val tb = b.groupBy(col(groupCol)).agg(sum(col("n_cur")).as("__t_cur"))
     val axis = stats.select(col(groupCol))
-      .crossJoin(spark.range(bins).select(col("id").cast("int").as("bin")))
-    val pBase = (col("n_base") + lit(1.0)) / (col("__t_base") + lit(bins.toDouble))
-    val pCur = (col("n_cur") + lit(1.0)) / (col("__t_cur") + lit(bins.toDouble))
+      .crossJoin(spark.range(-1, bins).select(col("id").cast("int").as("bin")))
+    val k = lit((bins + 1).toDouble) // bins + the null bin
+    val pBase = (col("n_base") + lit(1.0)) / (col("__t_base") + k)
+    val pCur = (col("n_cur") + lit(1.0)) / (col("__t_cur") + k)
     axis
       .join(a, Seq(groupCol, "bin"), "left").join(b, Seq(groupCol, "bin"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))

@@ -1216,23 +1216,25 @@ object SourceQueries {
         |cur AS (SELECT g, x FROM upd WHERE NOT (o_orderstatus = 'F' AND x > 400000)),
         |s AS (SELECT g, min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi FROM a GROUP BY g),
         |ba AS (
-        |  SELECT a.g, CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 8, 1e-12)),
-        |                                  0), 7) AS INT) AS bin, count(*) AS n_base
+        |  SELECT a.g, CASE WHEN x IS NULL THEN -1
+        |         ELSE CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 8, 1e-12)),
+        |                                  0), 7) AS INT) END AS bin, count(*) AS n_base
         |  FROM a JOIN s USING (g) GROUP BY 1, 2),
         |bb AS (
-        |  SELECT cur.g, CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 8, 1e-12)),
-        |                                    0), 7) AS INT) AS bin, count(*) AS n_cur
+        |  SELECT cur.g, CASE WHEN x IS NULL THEN -1
+        |           ELSE CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 8, 1e-12)),
+        |                                    0), 7) AS INT) END AS bin, count(*) AS n_cur
         |  FROM cur JOIN s USING (g) GROUP BY 1, 2),
         |ta AS (SELECT g, sum(n_base) AS t_base FROM ba GROUP BY g),
         |tb AS (SELECT g, sum(n_cur) AS t_cur FROM bb GROUP BY g),
-        |axis AS (SELECT g, unnest(generate_series(0, 7))::INT AS bin FROM s)
+        |axis AS (SELECT g, unnest(generate_series(-1, 7))::INT AS bin FROM s)
         |SELECT axis.g AS o_orderpriority, axis.bin,
         |  coalesce(n_base, 0) AS n_base,
         |  coalesce(n_cur, 0) AS n_cur,
-        |  round(((coalesce(n_cur, 0) + 1.0) / (coalesce(t_cur, 0) + 8.0)
-        |          - (coalesce(n_base, 0) + 1.0) / (t_base + 8.0))
-        |        * ln(((coalesce(n_cur, 0) + 1.0) / (coalesce(t_cur, 0) + 8.0))
-        |             / ((coalesce(n_base, 0) + 1.0) / (t_base + 8.0))), 6)
+        |  round(((coalesce(n_cur, 0) + 1.0) / (coalesce(t_cur, 0) + 9.0)
+        |          - (coalesce(n_base, 0) + 1.0) / (t_base + 9.0))
+        |        * ln(((coalesce(n_cur, 0) + 1.0) / (coalesce(t_cur, 0) + 9.0))
+        |             / ((coalesce(n_base, 0) + 1.0) / (t_base + 9.0))), 6)
         |    AS psi_term
         |FROM axis
         |LEFT JOIN ba ON axis.g = ba.g AND axis.bin = ba.bin
@@ -1251,23 +1253,25 @@ object SourceQueries {
         |        WHERE NOT (o_orderstatus = 'F' AND x > 300000)),
         |s AS (SELECT min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi FROM a),
         |ba AS (
-        |  SELECT CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 10, 1e-12)),
-        |                             0), 9) AS INT) AS bin, count(*) AS n_base
+        |  SELECT CASE WHEN x IS NULL THEN -1
+        |         ELSE CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 10, 1e-12)),
+        |                             0), 9) AS INT) END AS bin, count(*) AS n_base
         |  FROM a, s GROUP BY 1),
         |bb AS (
-        |  SELECT CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 10, 1e-12)),
-        |                             0), 9) AS INT) AS bin, count(*) AS n_cur
+        |  SELECT CASE WHEN x IS NULL THEN -1
+        |         ELSE CAST(least(greatest(floor((x - lo) / greatest((hi - lo) / 10, 1e-12)),
+        |                             0), 9) AS INT) END AS bin, count(*) AS n_cur
         |  FROM cur, s GROUP BY 1),
         |ta AS (SELECT sum(n_base) AS t_base FROM ba),
         |tb AS (SELECT sum(n_cur) AS t_cur FROM bb),
-        |axis AS (SELECT unnest(generate_series(0, 9))::INT AS bin)
+        |axis AS (SELECT unnest(generate_series(-1, 9))::INT AS bin)
         |SELECT axis.bin,
         |  coalesce(n_base, 0) AS n_base,
         |  coalesce(n_cur, 0) AS n_cur,
-        |  round(((coalesce(n_cur, 0) + 1.0) / (t_cur + 10.0)
-        |          - (coalesce(n_base, 0) + 1.0) / (t_base + 10.0))
-        |        * ln(((coalesce(n_cur, 0) + 1.0) / (t_cur + 10.0))
-        |             / ((coalesce(n_base, 0) + 1.0) / (t_base + 10.0))), 6)
+        |  round(((coalesce(n_cur, 0) + 1.0) / (t_cur + 11.0)
+        |          - (coalesce(n_base, 0) + 1.0) / (t_base + 11.0))
+        |        * ln(((coalesce(n_cur, 0) + 1.0) / (t_cur + 11.0))
+        |             / ((coalesce(n_base, 0) + 1.0) / (t_base + 11.0))), 6)
         |    AS psi_term
         |FROM axis LEFT JOIN ba ON axis.bin = ba.bin
         |LEFT JOIN bb ON axis.bin = bb.bin

@@ -10,7 +10,7 @@ class DriftSpec extends SparkSpec {
   test("identical samples score exactly zero in every bin") {
     val df = (1 to 1000).map(_.toDouble).toDF("v")
     val out = Drift.psi(df, df, "v", bins = 10).collect()
-    assert(out.length === 10)
+    assert(out.length === 11) // 10 value bins + the null bin (-1)
     out.foreach { r =>
       assert(r.getDouble(3) === 0.0, s"bin ${r.getInt(0)}: ${r.getDouble(3)}")
       assert(r.getLong(1) === r.getLong(2))
@@ -29,8 +29,9 @@ class DriftSpec extends SparkSpec {
     // top bin holds base's last decile (100) vs cur's clamped overflow
     val top = out.find(_._1 === 9).get
     assert(top._2 === 100L && top._3 > 300L, s"clamp failed: $top")
-    // every bin axis row is present even if empty on one side
-    assert(out.map(_._1).toSeq === (0 until 10))
+    // every bin axis row is present even if empty on one side — the
+    // null bin (-1) included
+    assert(out.map(_._1).toSeq === (-1 until 10))
   }
 
   test("group PSI isolates the drifted segment; bins come from each group's own baseline") {
@@ -45,8 +46,36 @@ class DriftSpec extends SparkSpec {
     val psiB = out.filter(_._1 == "b").map(_._3).sum
     assert(psiA > 0.2, s"shifted group must flag: $psiA")
     assert(psiB === 0.0, s"unchanged group must score exactly zero: $psiB")
-    // every group has the full bin axis
-    assert(out.count(_._1 == "a") === 10 && out.count(_._1 == "b") === 10)
+    // every group has the full bin axis, null bin included
+    assert(out.count(_._1 == "a") === 11 && out.count(_._1 == "b") === 11)
+  }
+
+  test("a null-rate shift registers as drift in its own bin") {
+    // same value distribution both sides, but 30% of the current side
+    // went dark (nulls) — before the null bin existed this showed up only
+    // as diffuse mass loss across every bin
+    val base = (1 to 1000).map(i => Some((i % 100).toDouble)).toDF("v")
+    val cur = (1 to 1000).map(i =>
+      if (i % 10 < 3) None else Some((i % 100).toDouble)).toDF("v")
+    val out = Drift.psi(base, cur, "v", bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nullBin = out.find(_._1 === -1).get
+    assert(nullBin._2 === 0L && nullBin._3 === 300L, s"null counts wrong: $nullBin")
+    assert(nullBin._4 > 0.1, s"null-rate shift must dominate the score: $nullBin")
+    assert(nullBin._4 > out.filter(_._1 >= 0).map(_._4).sum,
+      "the null bin should carry more signal than all value bins combined")
+    // and per-group: nulls planted in one group only flag that group
+    val gBase = (Seq.tabulate(400)(i => ("a", Some((i % 50).toDouble))) ++
+      Seq.tabulate(400)(i => ("b", Some((i % 50).toDouble)))).toDF("g", "v")
+    val gCur = (Seq.tabulate(400)(i =>
+      ("a", if (i % 2 == 0) None else Some((i % 50).toDouble))) ++
+      Seq.tabulate(400)(i => ("b", Some((i % 50).toDouble)))).toDF("g", "v")
+    val g = Drift.psiByGroup(gBase, gCur, "g", "v", bins = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(4)))
+    val aNull = g.find(x => x._1 == "a" && x._2 == -1).get._3
+    val bSum = g.filter(_._1 == "b").map(_._3).sum
+    assert(aNull > 0.1, s"group a's null bin must flag: $aNull")
+    assert(bSum === 0.0, s"untouched group must stay zero: $bSum")
   }
 
   test("empty bins stay finite through Laplace smoothing") {
