@@ -82,22 +82,34 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(results)},""" +
         f""""queries_fwd":${js(fwd)},"queries_rev":${js(rev)},"sf":"$sfDir"}"""
-    println(line)
-    // ALSO persist the line: the driver's stdout tail-capture has twice
-    // clipped the JSON before the "total" field (BENCH_r02/r04 both
-    // recorded "parsed": null) — the file makes the artifact
-    // self-contained and lets bench_compare read it directly
+    // the FULL artifact (~2.5 KB with both raw passes) goes to the file
+    // ONLY: the driver keeps just the last ~2 KB of stdout, and printing
+    // the full line clipped its head (BENCH_r02/r04/r09/r10 all recorded
+    // "parsed": null). bench_compare reads the file directly.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    // the full line above is ~2.5 KB and the capture window keeps only
-    // the LAST ~2 KB, clipping its head (and with it "metric"/"value").
-    // Emit a compact summary LAST so whatever tail survives always ends
-    // with one complete, parseable JSON object; per-query numbers live
-    // in the full line and in BENCH_local.json.
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"queries_file":"BENCH_local.json"}""")
+    // stdout gets ONE compact line, the last thing printed, sized to fit
+    // whole inside the capture window: header + as many per-query numbers
+    // as the budget allows, slowest first (the queries that matter for
+    // the plan-audit read). The rest are counted, never silently dropped.
+    val budget = 1500 // bytes for the whole line, < capture window - sbt tail chatter
+    val header =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+        f""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
+        """"queries_file":"BENCH_local.json""""
+    val entries = new StringBuilder
+    var taken = 0
+    var full = false
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val piece = (if (taken > 0) "," else "") + "\"" + k + f"\":$v%.2f"
+      if (!full && header.length + entries.length + piece.length + 40 <= budget) {
+        entries.append(piece); taken += 1
+      } else full = true
+    }
+    println(header +
+      s""","queries":{$entries},"queries_omitted":${results.size - taken}}""")
     spark.stop()
   }
 }
