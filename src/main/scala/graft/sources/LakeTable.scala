@@ -656,6 +656,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     *                     than rejected, and INSERT * null-fills target
     *                     columns the source lacks. Explicitly opt-in —
     *                     the default keeps schema drift an error.
+    * @param pruneCols    extra columns (present in source and target) used
+    *                     ONLY to bound the selective rewrite's affected-file
+    *                     set, on top of the merge keys — the lever when the
+    *                     target is CLUSTERED on a non-key column (e.g. a
+    *                     join-key-clustered MV merged by pk). SOUND only
+    *                     under a functional dependency the CALLER asserts:
+    *                     every merge key maps to the same pruneCols values
+    *                     in the source and in the target — otherwise a
+    *                     matching target row could hide in a pruned file
+    *                     and resurface as a duplicate insert.
     */
   def merge(
       source: DataFrame,
@@ -666,7 +676,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       changeFeed: Boolean = false,
       whenNotMatchedBySource: Seq[MergeClause] = Seq.empty,
       schemaEvolution: Boolean = false,
-      extraParams: Map[String, String] = Map.empty): LakeTable = {
+      extraParams: Map[String, String] = Map.empty,
+      pruneCols: Seq[String] = Seq.empty): LakeTable = {
     val cur = evolveTarget(read, source, schemaEvolution)
     // OCC base AFTER evolveTarget (its ADD COLUMNS commit is our own,
     // metadata-only — data files are unchanged) but before every data
@@ -843,7 +854,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "clauses" -> whenMatched.length.toString,
         "changeFeed" -> "false") ++ extraParams ++ idParams
       val selective = sourceKeyCondition(src, keys).flatMap { keyCond =>
-        rewriteSelective(keyCond, affected => resultOver(affected),
+        // pruneCols tighten the affected-file bound (see param doc for
+        // the functional-dependency soundness contract); a null-bounded
+        // prune column simply contributes nothing
+        val cond = pruneCols.filter(cur.columns.contains) match {
+          case Seq() => keyCond
+          case ps    => sourceKeyCondition(src, ps).map(keyCond && _).getOrElse(keyCond)
+        }
+        rewriteSelective(cond, affected => resultOver(affected),
           "MERGE", mergeParams + ("selective" -> "true"),
           changeVersion = None, alwaysTransform = insertUnmatched,
           occBase = occBase)

@@ -57,9 +57,31 @@ final class MaterializedJoin(
   def recompute(): DataFrame =
     fact.read.join(dim.read, Seq(joinKey))
 
-  def initialize(): MaterializedJoin = {
+  /** Materialize the view. `clusterBy` picks which refresh stays
+    * file-local — the central LAYOUT CHOICE for this view (MvJoinProbe
+    * measures both):
+    *   - `factKey` (the usual default): fact-delta merges prune to the
+    *     files holding the touched pks; a dim delta's cascade scatters
+    *     across the pk-clustering and rewrites most files;
+    *   - `joinKey`: the cascade of a dim delta lands in the few files
+    *     holding the touched join keys — refresh merges then prune on
+    *     the join key (sound here: a dim delta never changes a fact
+    *     row's join key, so pk → joinKey agrees between the merge
+    *     source and the view); fact deltas with scattered pks pay more.
+    * Choose by which leg churns. Stats are collected on BOTH keys so
+    * whichever bound is useful engages.
+    */
+  def initialize(
+      clusterBy: Option[String] = None,
+      numFiles: Option[Int] = None): MaterializedJoin = {
     val (vf, vd) = (latestVersion(fact), latestVersion(dim))
     view.write(recompute())
+    clusterBy.foreach { c =>
+      require(c == factKey || c == joinKey,
+        s"clusterBy must be the fact pk ($factKey) or the join key ($joinKey), got $c")
+      view.optimize(Seq(c), numFiles)
+      view.collectStats(Seq(factKey, joinKey).distinct)
+    }
     saveWatermarks(vf, vd)
     this
   }
@@ -97,11 +119,22 @@ final class MaterializedJoin(
       // never replay
       val cand = cand0.localCheckpoint(true)
       val newState = cand.join(dim.read, Seq(joinKey)).localCheckpoint(true)
+      // a PURE dim delta never changes a fact row's join key, so pk →
+      // joinKey agrees between every merge source below and the view —
+      // the functional dependency that makes joinKey a SOUND extra
+      // prune column (merge's pruneCols contract). On a joinKey-
+      // clustered view this is what keeps a dim-delta refresh touching
+      // O(delta) files; with fact changes in the same batch the pk may
+      // have MOVED join keys, so pruning stays keys-only.
+      val pureDimDelta = dF.isEmpty
+      val prune = if (pureDimDelta) Seq(joinKey) else Seq.empty
       // every pk whose row may have changed; those with no row in the
       // fresh join state (fact delete, dim delete, still-unmatched fk)
       // must not survive in the view
+      val goneCols =
+        if (pureDimDelta) Seq(col(factKey), col(joinKey)) else Seq(col(factKey))
       val affected = (dF.map(_.select(col(factKey))).toSeq :+
-        cand.select(col(factKey)))
+        cand.select(goneCols: _*))
         .reduce(_.unionByName(_)).distinct()
       val gone = affected
         .join(newState.select(col(factKey)), Seq(factKey), "left_anti")
@@ -114,11 +147,13 @@ final class MaterializedJoin(
         whenMatched = Seq(MergeClause.UpdateWhen(
           newState.columns.filterNot(_ == factKey).map(c => c -> col(s"s.$c")).toMap)),
         insertUnmatched = true,
-        changeFeed = emitChangeFeed)
+        changeFeed = emitChangeFeed,
+        pruneCols = prune)
       if (!gone.isEmpty) view.merge(gone, Seq(factKey),
         whenMatched = Seq(MergeClause.DeleteWhen(None)),
         insertUnmatched = false,
-        changeFeed = emitChangeFeed)
+        changeFeed = emitChangeFeed,
+        pruneCols = prune)
     }
     saveWatermarks(latestF, latestD)
     this

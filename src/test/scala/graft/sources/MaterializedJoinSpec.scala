@@ -149,4 +149,43 @@ class MaterializedJoinSpec extends SparkSpec {
     mv.refresh()
     assert(snap(mv) === Set((1L, 10L, 9.0, "a")))
   }
+
+  test("joinKey clustering keeps a dim-delta refresh file-local and exact") {
+    // 400 fact rows over 8 join keys, ids scattered across keys so a
+    // pk-clustered layout would smear any one key's cascade everywhere
+    val fact = LakeTable(spark, tmp()).write(
+      (0L until 400L).map(i => (i, i % 8, i * 1.0)).toDF("id", "k", "v").repartition(4))
+    val dim = LakeTable(spark, tmp())
+      .write((0L until 8L).map(k => (k, s"n$k")).toDF("k", "name"))
+    val viewPath = tmp()
+    val mv = MaterializedJoin(spark, fact, dim, viewPath, "id", "k")
+    mv.initialize(clusterBy = Some("k"), numFiles = Some(8))
+    val view = LakeTable(spark, viewPath)
+    assert(snap(mv) === direct(mv))
+
+    // one dim key changes: the cascade touches 50 rows that all live in
+    // ~1 of the 8 k-clustered files — the merge must prune on k
+    dim.update(Map("name" -> lit("X")), col("k") === 3L, changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === direct(mv))
+    assert(mv.read.where(col("k") === 3L).select("name").distinct()
+      .as[String].collect().toSeq === Seq("X"))
+    val merge = view.history.where(col("operation") === "MERGE")
+      .orderBy(col("version").desc)
+      .select("operationParameters.selective", "operationParameters.filesRewritten",
+        "operationParameters.filesKept")
+      .collect().head
+    assert(merge.getString(0) === "true", "dim-delta merge must take the selective path")
+    val rewritten = merge.getString(1).toInt
+    val kept = merge.getString(2).toInt
+    assert(rewritten <= 2 && kept >= 6,
+      s"joinKey clustering should localize the cascade: rewrote $rewritten, kept $kept")
+
+    // a dim DELETE cascades through the same pruned path
+    dim.delete(col("k") === 5L, changeFeed = true)
+    mv.refresh()
+    assert(snap(mv) === direct(mv))
+    assert(!mv.read.select("k").as[Long].collect().contains(5L))
+  }
+
 }
