@@ -1413,6 +1413,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(!rebased.exists(stagedNames.contains),
       s"staged rewrite collides with concurrently appended files: " +
         rebased.filter(stagedNames.contains).mkString(", "))
+    onResolvedForTest()
     // the stats dir rides the swap too: untouched files return to their
     // exact original paths, so their stats rows stay valid and skipping
     // keeps working after a selective rewrite (rows for replaced files
@@ -1432,29 +1433,43 @@ final class LakeTable(spark: SparkSession, val path: String) {
       (untouched.map(_._1) ++ rebased) ++
         (if (keepSideDirs) Seq(LakeTable.StatsDirName, LakeTable.DvDirName)
          else Seq.empty),
-      op, params)
-    completeSwap(staged): Unit // same-process completion: commit inline below
-    // post-swap audit (closes the lost-append window the rebase opened):
-    // an append landing AFTER occResolve's file listing but before the
-    // swap's table-dir delete loses its data files while its commit
-    // record rides the moved log — the log would then claim rows that no
-    // longer exist. completeSwap moves the log LAST so such commits are
-    // visible here; refuse to commit on top of one and say exactly what
-    // to reconcile. (The truly-residual window — a commit after the log
-    // itself moved — recreates a log dir the delete removes entirely,
-    // record and all: undetectable, metadata-only, documented.)
+      op, params,
+      // the snapshot's complete file accounting: replaced originals die
+      // with the old dir, everything else rides the manifest — any file
+      // NOT here at delete time is a concurrent append completeSwap
+      // sweeps through (see the sweep comment there)
+      known = affected.map(_._1) ++ untouched.map(_._1) ++ rebased)
+    // same-process completion: commit inline below
+    val (_, sweptLate) = completeSwap(staged)
+    // post-swap audit (closing the lost-append window the rebase opened):
+    // a commit landing AFTER occResolve's file listing rode the moved log
+    // (completeSwap moves the log LAST, so it is visible here) and its
+    // data files rode the late-append sweep. A MAINTENANCE rewrite
+    // composes with pure appends exactly as the pre-swap rebase does —
+    // proceed and record the sweep. Anything else (a non-append
+    // interloper, or a content-deriving op like MERGE whose result
+    // cannot absorb unseen commits) still refuses to stack its commit on
+    // top of the interleaving. (The truly-residual window — a commit
+    // after the log itself moved — recreates a log dir the delete
+    // removes entirely, record and all: undetectable, metadata-only,
+    // documented.)
     val postSwapNext = CommitLog.nextVersion(fs, logDir)
-    if (postSwapNext != resolvedNext)
-      throw new java.util.ConcurrentModificationException(
-        s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
-          "while the swap was in flight; their data files were not carried " +
-          "through it. This operation's commit was NOT recorded — reconcile " +
-          "from history: re-apply the listed commits' writes, or RESTORE a " +
-          "pre-swap version.")
+    if (postSwapNext != resolvedNext) {
+      val late = CommitLog.recordsSince(fs, logDir, resolvedNext)
+      val nonAppend = late.filterNot(_.operation == "WRITE APPEND")
+      if (nonAppend.nonEmpty || rebaseBaseFiles.isEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
+            "while the swap was in flight (their data files were carried " +
+            "through it where present). This operation's commit was NOT " +
+            "recorded — reconcile from history or RESTORE a pre-swap version.")
+    }
     val actual = commit(op, params ++
       Map("filesRewritten" -> affected.size.toString,
         "filesKept" -> untouched.size.toString) ++
       (if (rebased.nonEmpty) Map("filesRebased" -> rebased.size.toString)
+       else Map.empty) ++
+      (if (sweptLate > 0) Map("filesSweptLate" -> sweptLate.toString)
        else Map.empty))
     changeVersion.foreach { predicted =>
       if (predicted != actual) {
@@ -2988,7 +3003,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         // never claimed a version, so next-version == predicted unless
         // other writers intervened — then rewriteWithFeed-style rename
         // already can't help and history still names the right op)
-        val pending = completeSwap(staged)
+        val (pending, _) = completeSwap(staged)
         pending.foreach { case (op, params) =>
           commit(s"RECOVERED $op", params): Unit
         }
@@ -3004,7 +3019,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * dir swap. Every step skips work a previous attempt completed, so
     * repeated crashes during recovery converge.
     */
-  private def completeSwap(staged: Path): Option[(String, Map[String, String])] = {
+  private def completeSwap(staged: Path): (Option[(String, Map[String, String])], Int) = {
     val f = fs
     def moveIn(from: Path, name: String): Unit = {
       val dest = new Path(staged, name)
@@ -3022,17 +3037,45 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // crash recovery: every moveIn is idempotent.
     moveIn(logDir, LakeTable.LogDirName)
     val p = new Path(path)
+    // late-append sweep: any table-dir parquet file the snapshot did NOT
+    // account for (absent from the known-set) landed concurrently — a
+    // streaming-sink batch racing this swap. Carry it through like a
+    // rebased file instead of deleting its data with the old dir; its
+    // commit either already rode the moved log (the audit sees it and
+    // knows the data survived) or will land in the live log after the
+    // swap. Stages without a known-set (pre-sweep layouts) keep the old
+    // behavior. Sweep immediately before the delete: the window in which
+    // a file can still die shrinks to one FS op (and such a file's job
+    // fails loudly with the vanished dir — its writer retries).
+    val knownFile = new Path(staged, LakeTable.KnownFilesName)
+    var swept = 0
+    if (f.exists(knownFile) && f.exists(p)) {
+      val known = readManifest(knownFile).toSet
+      f.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+        .filterNot(known.contains)
+        .foreach { n =>
+          if (f.exists(new Path(staged, n)))
+            throw new java.io.IOException(
+              s"late-append sweep: staged rewrite collides with concurrent file $n")
+          moveIn(new Path(path, n), n)
+          swept += 1
+        }
+    }
     if (f.exists(p)) f.delete(p, true)
     if (!f.rename(staged, p))
       throw new java.io.IOException(s"swap recovery: could not rename $staged to $p")
     f.delete(new Path(p, LakeTable.SwapManifestName), false)
     f.delete(new Path(p, LakeTable.PendingOpFileName), false)
-    pending
+    f.delete(new Path(p, LakeTable.KnownFilesName), false)
+    (pending, swept)
   }
 
   private def writeManifest(
       staged: Path, untouched: Seq[String],
-      op: String, params: Map[String, String]): Unit = {
+      op: String, params: Map[String, String],
+      known: Seq[String] = Seq.empty): Unit = {
     // pending-op record FIRST: once the manifest (the point-of-no-return
     // marker) exists, recovery must be able to attribute the data change
     // to the operation that staged it, not to the vacuum that finishes it
@@ -3043,6 +3086,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     try pend.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally pend.close()
+    // the KNOWN-set (every data file the op's snapshot accounted for):
+    // completeSwap preserves any table-dir parquet file NOT listed here —
+    // a concurrent append landing mid-swap — instead of deleting it with
+    // the old dir. Written before the manifest so a marked stage is
+    // always sweep-capable.
+    if (known.nonEmpty) {
+      val kf = fs.create(new Path(staged, LakeTable.KnownFilesName), true)
+      try kf.write(known.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally kf.close()
+    }
     val out = fs.create(new Path(staged, LakeTable.SwapManifestName), true)
     try out.write(untouched.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -3325,6 +3378,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * interloping commit. No-op in production.
     */
   private[sources] var onStagedForTest: () => Unit = () => ()
+
+  /** Test seam firing AFTER occResolve's interloper listing and before
+    * the swap — a commit landed here is invisible to the rebase and
+    * exercises the late-append sweep + post-swap audit path.
+    */
+  private[sources] var onResolvedForTest: () => Unit = () => ()
 
   /** Test seam: runs after the dynamic-overwrite pre-check, before the
     * data write — OccSpec lands an interloper here to drive the
@@ -3715,6 +3774,27 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * non-parquet files are excluded.
     */
   private def listDataFiles(): Seq[(String, String, String)] = {
+    // a concurrent writer's committer creates and removes _temporary
+    // entries between the recursive walk's readdir and its stat — the
+    // walk then throws mid-iteration (FileNotFound on most stores; on
+    // the local FS a RuntimeException from the permission shell-out).
+    // The listing is merely STALE, not wrong: take it again, bounded.
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < 6) {
+      try return listDataFilesOnce()
+      catch {
+        case e: java.io.FileNotFoundException =>
+          last = e; attempt += 1; Thread.sleep(20L * attempt)
+        case e: RuntimeException
+            if e.getMessage != null && e.getMessage.contains("file permissions") =>
+          last = e; attempt += 1; Thread.sleep(20L * attempt)
+      }
+    }
+    throw last
+  }
+
+  private def listDataFilesOnce(): Seq[(String, String, String)] = {
     val f = fs
     val rootUri = new Path(path).toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
@@ -3885,6 +3965,9 @@ object LakeTable {
   // recovery can commit "RECOVERED <op>" instead of attributing the
   // data change to the vacuum that merely finished it
   val PendingOpFileName = "__graft_pending_op"
+  // every data-file name the staged op's snapshot accounted for — the
+  // complement completeSwap's late-append sweep preserves
+  val KnownFilesName = "__graft_known_files"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"

@@ -254,6 +254,36 @@ class OccSpec extends SparkSpec {
       Seq(("a", 1L, 50.0), ("b", 2L, 2.0)))
   }
 
+  test("an append landing AFTER the rebase listing SWEEPS through a maintenance swap") {
+    // the window the rebase can't see: the interloper commits after
+    // occResolve listed the disk but before the table dir is replaced.
+    // The late-append sweep must carry its data through the swap, and a
+    // MAINTENANCE rewrite (content-preserving) must still commit —
+    // composing with pure appends exactly like the pre-listing rebase.
+    val root = Files.createTempDirectory("graft_occ_sweep").toString
+    val path = s"$root/t"
+    val lake = LakeTable(spark, path)
+    // several small files so compactSmall has real work
+    (0 until 4).foreach(b =>
+      lake.write(Seq((b.toLong, b * 1.0)).toDF("id", "x").coalesce(1),
+        if (b == 0) SaveMode.Overwrite else SaveMode.Append))
+    lake.onResolvedForTest = () => {
+      lake.onResolvedForTest = () => ()
+      LakeTable(spark, path)
+        .write(Seq((99L, 99.0)).toDF("id", "x").coalesce(1), SaveMode.Append)
+    }
+    lake.compactSmall(minFileBytes = 64L * 1024 * 1024)
+    // nothing lost: the four compacted rows AND the late append
+    assert(lake.read.orderBy("id").as[(Long, Double)].collect().toSeq ===
+      Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0), (99L, 99.0)))
+    // the compaction committed (as COMPACT — with every file small,
+    // compactSmall delegates to the full compaction) and recorded the sweep
+    val rec = lake.history.where(col("operation").startsWith("COMPACT"))
+      .select("operationParameters.filesSweptLate").collect()
+    assert(rec.length === 1 && rec.head.getString(0) === "1",
+      s"expected filesSweptLate=1, got ${rec.map(_.getString(0)).toSeq}")
+  }
+
   test("concurrent optimizeWhere on disjoint partitions both land") {
     val root = Files.createTempDirectory("graft_occ_optwhere").toString
     val path = s"$root/t"

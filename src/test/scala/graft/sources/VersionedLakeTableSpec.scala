@@ -148,10 +148,18 @@ class VersionedLakeTableSpec extends SparkSpec {
     // no tmp debris left behind by the successful claims
     val tmps = new java.io.File(path).list().count(_.startsWith("_tmp_"))
     assert(tmps === 0, s"$tmps _tmp_ dirs left behind")
-    // a crashed writer's tmp dir is invisible and vacuumed away
-    java.nio.file.Files.createDirectories(
+    // a crashed writer's tmp dir is invisible, and vacuum reclaims it
+    // only past the retention horizon — a FRESH tmp dir could be a live
+    // concurrent writer's in-flight data and must survive
+    val debris = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(path, "_tmp_deadbeef"))
     assert(lake.read.count() > 0) // reads unaffected by the debris
+    lake.vacuum(keepLast = 5)
+    assert(new java.io.File(path, "_tmp_deadbeef").exists,
+      "a fresh (possibly live) _tmp_ dir must not be reclaimed")
+    // aged past the horizon it is debris by definition
+    debris.toFile.setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000): Unit
     lake.vacuum(keepLast = 5)
     assert(!new java.io.File(path, "_tmp_deadbeef").exists)
   }
