@@ -210,6 +210,57 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** The pure-SQL spelling of [[ewmaDaily]] through the injected `ewma`
+    * function ([[graft.functions.Smoothers]], registered by
+    * [[graft.core.GraftExtensions]]): daily DECIMAL pre-aggregate, day-
+    * ordered series assembly, and the smoothing fold all in one SQL
+    * statement — the notebook-cell shape the reference's SQL-first users
+    * write (01-rwe-dashboard.r:30-44). `ewma(...)` EXPANDS to the exact
+    * aggregate() fold the DataFrame twin runs, so the two queries are
+    * bit-identical before rounding and share one DuckDB oracle
+    * arithmetic.
+    */
+  def ewmaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    Tables(spark, sfDir).eventsRaw.createOrReplaceTempView("graft_events_raw")
+    spark.sql(
+      s"""SELECT event_type, CAST(size(vs) AS BIGINT) AS n_days,
+         |  round(ewma(vs, 0.25D), 6) AS ewma
+         |FROM (
+         |  SELECT event_type,
+         |    transform(sort_array(collect_list(struct(d, v))), s -> s.v) AS vs
+         |  FROM (
+         |    SELECT event_type, ts div $dayNs AS d,
+         |      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |    FROM graft_events_raw GROUP BY event_type, ts div $dayNs)
+         |  GROUP BY event_type)
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** The pure-SQL spelling of [[holtTrend]] through the injected
+    * `holt_smooth` function — level, trend, and the 3-day forecast from
+    * one SQL statement. Same bit-exactness argument as [[ewmaSql]].
+    */
+  def holtSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    Tables(spark, sfDir).eventsRaw.createOrReplaceTempView("graft_events_raw")
+    spark.sql(
+      s"""SELECT event_type, CAST(size(vs) AS BIGINT) AS n_days,
+         |  round(h.level, 6) AS level, round(h.trend, 6) AS trend,
+         |  round(h.level + 3.0D * h.trend, 6) AS forecast_3
+         |FROM (
+         |  SELECT event_type, vs, holt_smooth(vs, 0.5D, 0.3D) AS h
+         |  FROM (
+         |    SELECT event_type,
+         |      transform(sort_array(collect_list(struct(d, v))), s -> s.v) AS vs
+         |    FROM (
+         |      SELECT event_type, ts div $dayNs AS d,
+         |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |      FROM graft_events_raw GROUP BY event_type, ts div $dayNs)
+         |    GROUP BY event_type))
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Top session PATHS — the path-mining rollup behind every "how do
     * users actually move through the product" dashboard: sessionize by
     * 30-minute inactivity gaps (gaps-and-islands over one per-user
@@ -338,6 +389,8 @@ object Behavior {
     "q_session_paths" -> (sessionPaths _),
     "q_holt_trend" -> (holtTrend _),
     "q_ewma_daily" -> (ewmaDaily _),
+    "q_ewma_sql" -> (ewmaSql _),
+    "q_holt_sql" -> (holtSql _),
     "q_anomaly_zscore" -> (anomalyZscore _),
     "q_decayed_score" -> (decayedEngagement _),
     "q_event_transitions" -> (eventTransitions _),
@@ -393,6 +446,37 @@ object Behavior {
     // columns all reference the PREVIOUS row, so the coupled recursion
     // is safe, and the arithmetic mirrors the Spark fold op-for-op
     "q_holt_trend" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(v ORDER BY d) AS vs FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, vs, len(vs) AS n, 1 AS i,
+        |    vs[1]::DOUBLE AS l, 0.0::DOUBLE AS b
+        |  FROM s
+        |  UNION ALL
+        |  SELECT event_type, vs, n, i + 1,
+        |    0.5::DOUBLE * vs[i + 1] + 0.5::DOUBLE * (l + b),
+        |    0.3::DOUBLE * ((0.5::DOUBLE * vs[i + 1] + 0.5::DOUBLE * (l + b)) - l)
+        |      + 0.7::DOUBLE * b
+        |  FROM r WHERE i < n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + 3.0 * b, 6) AS forecast_3
+        |FROM r WHERE i = n ORDER BY event_type""".stripMargin,
+    // identical arithmetic to q_ewma_daily / q_holt_trend — the Spark
+    // side differs only in spelling (SQL function vs DataFrame fold)
+    "q_ewma_sql" ->
+      """WITH d AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(v ORDER BY d) AS vs FROM d GROUP BY 1)
+        |SELECT event_type, CAST(len(vs) AS BIGINT) AS n_days,
+        |  round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_holt_sql" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS d,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v

@@ -96,6 +96,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es.head,
         literalInt("minhash_signature", "k", es(1)),
         if (es.length > 2) literalInt("minhash_signature", "seed", es(2)) else 42)))
+    // recursive trend smoothers as SQL functions — each expands to the
+    // exact aggregate()-fold composition the DataFrame twins in
+    // graft.analytics.Behavior run, so both spellings are bit-identical
+    // by construction (graft.functions.Smoothers)
+    e.injectFunction((
+      FunctionIdentifier("ewma"),
+      info("ewma",
+        "ewma(vs, alpha) - exponentially-weighted moving average of a double array (oldest first), seeded with vs[1]"),
+      (es: Seq[Expression]) => graft.functions.Smoothers.ewma(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("holt_smooth"),
+      info("holt_smooth",
+        "holt_smooth(vs, alpha, gamma) - Holt linear-trend smoothing; returns struct<level, trend>"),
+      (es: Seq[Expression]) =>
+        graft.functions.Smoothers.holtSmooth(es.head, es(1), es(2))))
     e.injectFunction((
       FunctionIdentifier("frequent_items"),
       info("frequent_items",

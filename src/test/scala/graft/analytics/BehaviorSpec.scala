@@ -161,4 +161,36 @@ class BehaviorSpec extends SparkSpec {
       .head.getDouble(1)
     assert(math.abs(score - 150.0) < 1e-9, s"expected 100 + 100/2, got $score")
   }
+
+  test("ewma/holt SQL spellings are bit-identical to the DataFrame folds") {
+    // the SQL functions EXPAND to the same aggregate() composition, so
+    // equality must hold exactly, not approximately
+    assert(Behavior.ewmaSql(spark, sf0001).collect().toSeq ===
+      Behavior.ewmaDaily(spark, sf0001).collect().toSeq)
+    assert(Behavior.holtSql(spark, sf0001).collect().toSeq ===
+      Behavior.holtTrend(spark, sf0001).collect().toSeq)
+  }
+
+  test("ewma/holt_smooth SQL functions: seed, recursion step, and null/empty") {
+    import spark.implicits._
+    Seq((1, Seq(10.0, 20.0)), (2, Seq(4.0)), (3, Seq.empty[Double]))
+      .toDF("id", "vs").createOrReplaceTempView("sm_edge")
+    val e = spark.sql(
+      "SELECT id, ewma(vs, 0.25D) AS e, holt_smooth(vs, 0.5D, 0.3D) AS h " +
+        "FROM sm_edge ORDER BY id").collect()
+    // one step: 0.25*20 + 0.75*10 = 12.5
+    assert(e(0).getDouble(1) === 12.5)
+    val h0 = e(0).getStruct(2)
+    // l2 = 0.5*20 + 0.5*(10+0) = 15; b2 = 0.3*(15-10) + 0.7*0 = 1.5
+    assert(h0.getDouble(0) === 15.0 && h0.getDouble(1) === 1.5)
+    // single element: seed only
+    assert(e(1).getDouble(1) === 4.0)
+    assert(e(1).getStruct(2).getDouble(0) === 4.0 &&
+      e(1).getStruct(2).getDouble(1) === 0.0)
+    // empty array folds to NULL, not an error
+    assert(e(2).isNullAt(1) && e(2).isNullAt(2))
+    // NULL array likewise
+    assert(spark.sql(
+      "SELECT ewma(CAST(NULL AS ARRAY<DOUBLE>), 0.25D)").head.isNullAt(0))
+  }
 }
