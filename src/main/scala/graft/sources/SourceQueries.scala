@@ -122,6 +122,40 @@ object SourceQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** A1 (corpus landing + observability): JSONL quarantine ingest — the
+    * documents corpus round-trips through line-delimited JSON (the
+    * C4/RedPajama/Dolma interchange shape) with a planted dirty landing
+    * file: one truncated object, one non-JSON line, one schema
+    * violation. [[JsonlIngest.readWithQuarantine]] must route all 1500
+    * real documents to the good leg BYTE-EXACTLY (md5 profile oracled
+    * against the parquet source) and exactly the 3 bad lines to the
+    * quarantine — dropped-line observability is the contract; silent
+    * drops on a crawl corpus are how training sets lose a language.
+    */
+  def jsonlQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val dir = scratch(sfDir, "docs_jsonl")
+    JsonlIngest.write(t.documents, dir)
+    val dirty = Seq(
+      """{"doc_id": 900001, "text": "truncated""",
+      """not json at all""",
+      """{"doc_id": "abc", "text": "t", "lang": "xx", "source": "crawl", "n_chars": 1}""")
+    Files.write(Paths.get(dir, "dirty.jsonl"),
+      dirty.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (good, quarantined) =
+      JsonlIngest.readWithQuarantine(spark, dir, t.documents.schema)
+    val nq = quarantined.agg(count(lit(1)).as("n_quarantined"))
+    good.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .crossJoin(broadcast(nq))
+      .orderBy(col("source"))
+  }
+
   /** SQL-native lake access through the `graft_lake` TABLE FUNCTION
     * (injected via SparkSessionExtensions): the query never touches the
     * DataFrame API — the TVF splices the lake table's analyzed scan into
@@ -1120,6 +1154,7 @@ object SourceQueries {
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
     "q_json_ingest" -> (jsonIngestNation _),
+    "q_jsonl_quarantine" -> (jsonlQuarantine _),
     "q_tvf_lake_sql" -> (tvfLakeSql _),
     "q_catalog_sql" -> (catalogSql _),
     "q_lake_compact_small" -> (lakeCompactSmall _),
@@ -1525,6 +1560,15 @@ object SourceQueries {
         |FROM after_update GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_csv_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_json_ingest" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    // the 3 planted dirty lines never reach the good leg, so the oracle
+    // is the parquet source plus the constant quarantine count
+    "q_jsonl_quarantine" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT md5(text)) AS n_uniq,
+        | min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        | CAST(3 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_tvf_lake_sql" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

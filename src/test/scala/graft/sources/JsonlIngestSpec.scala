@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class JsonlIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+
+  test("quarantine splits exactly: parse failures and schema violations out, rest in") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    writeLines(dir, "landing.jsonl", Seq(
+      """{"id": 1, "text": "ok one", "lang": "en"}""",
+      """{"id": 2, "text": "ok two", "lang": "de"}""",
+      """{"id": "NaN", "text": "bad id type", "lang": "en"}""",
+      """garbage line""",
+      """{"id": 5, "text": "truncated""",
+      """{"id": 6, "text": "ok three", "lang": "fr"}"""))
+    val (good, bad) = JsonlIngest.readWithQuarantine(spark, dir, schema)
+    assert(good.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "ok one", "en"), (2L, "ok two", "de"), (6L, "ok three", "fr")))
+    val badLines = bad.select("raw_line").as[String].collect().toSet
+    assert(badLines === Set(
+      """{"id": "NaN", "text": "bad id type", "lang": "en"}""",
+      "garbage line",
+      """{"id": 5, "text": "truncated"""))
+    // the quarantine records WHERE the line came from, for replay
+    assert(bad.select("source_file").as[String].collect()
+      .forall(_.endsWith("landing.jsonl")))
+  }
+
+  test("missing fields are nulls (valid JSON, no quarantine); extra fields ignored") {
+    val dir = Files.createTempDirectory("graft_jsonl2").toString
+    writeLines(dir, "l.jsonl", Seq(
+      """{"id": 1, "text": "no lang"}""",
+      """{"id": 2, "text": "extra", "lang": "en", "bonus": 42}"""))
+    val (good, bad) = JsonlIngest.readWithQuarantine(spark, dir, schema)
+    assert(bad.count() === 0L)
+    val rows = good.orderBy("id").collect()
+    assert(rows.length === 2 && rows(0).isNullAt(2) && rows(1).getString(2) === "en")
+  }
+
+  test("round-trip is byte-exact through JSON escaping (newlines, quotes, unicode)") {
+    val dir = Files.createTempDirectory("graft_jsonl3").toString
+    val src = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "a \"quoted\" value \t tab", "de"),
+      (3L, "unicode: éü中文", "fr"))
+      .toDF("id", "text", "lang")
+    JsonlIngest.write(src, s"$dir/out", SaveMode.Overwrite)
+    val (good, bad) = JsonlIngest.readWithQuarantine(spark, s"$dir/out", schema)
+    assert(bad.count() === 0L)
+    assert(good.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      src.orderBy("id").as[(Long, String, String)].collect().toSeq)
+  }
+
+  test("ingestToLake lands both legs as lake tables with commits") {
+    val dir = Files.createTempDirectory("graft_jsonl4").toString
+    writeLines(dir, "l.jsonl", Seq(
+      """{"id": 1, "text": "ok", "lang": "en"}""",
+      """broken"""))
+    val (lake, quarantine) = JsonlIngest.ingestToLake(
+      spark, dir, s"$dir/lake", s"$dir/quarantine", schema)
+    assert(lake.read.count() === 1L)
+    assert(quarantine.read.select("raw_line").as[String].collect().toSeq ===
+      Seq("broken"))
+    assert(lake.history.count() >= 1L && quarantine.history.count() >= 1L)
+  }
+
+  test("both legs stay map-only: no shuffle before the caller aggregates") {
+    val dir = Files.createTempDirectory("graft_jsonl5").toString
+    writeLines(dir, "l.jsonl", Seq("""{"id": 1, "text": "t", "lang": "en"}"""))
+    val (good, bad) = JsonlIngest.readWithQuarantine(spark, dir, schema)
+    Seq(good, bad).foreach { leg =>
+      leg.collect()
+      val plan = leg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+    }
+  }
+}
