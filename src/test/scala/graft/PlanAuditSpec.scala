@@ -35,4 +35,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(n <= budget, s"$name planned $n exchange sections, budget $budget")
     }
   }
+
+  test("rank-filtered window top-k keeps the partial WindowGroupLimit below the shuffle") {
+    // Spark 4's InferWindowGroupLimit turns `row_number() ... WHERE rank
+    // <= k` into a PARTIAL per-partition top-k BEFORE the hash exchange —
+    // at 100 TB that is the difference between shuffling k rows per group
+    // per map partition and shuffling every candidate row. The pattern
+    // only fires while the filter sits directly on the rank column of a
+    // single rank-like window function, so pin it: a refactor that breaks
+    // the shape (e.g. rounding cos AFTER ranking in a way that detaches
+    // the filter) would silently reintroduce the full shuffle.
+    Seq[(String, DataFrame)](
+      ("q_cosine_topk", graft.text.TextQueries.cosineTopK(spark, sf0001)),
+      ("q_euclidean_topk", graft.text.TextQueries.euclideanTopK(spark, sf0001))
+    ).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"$name lost the partial window group limit:\n$plan")
+    }
+    // global top-k stays a TakeOrderedAndProject (never a full sort)
+    val topk = graft.operators.Sorting.queries("q_topk_parts")(spark, sf0001)
+    topk.collect()
+    assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
 }
