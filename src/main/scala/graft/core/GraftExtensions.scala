@@ -292,5 +292,88 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         df.queryExecution.analyzed
       })
+
+    // a foldable numeric-array literal (the ANN TVF's query vector),
+    // materialized as floats to match the stored embedding element type
+    // exactly — serving must score the same bits the index holds
+    def literalFloatArray(fn: String, arg: Expression): Array[Float] = {
+      def fail(): Nothing = throw new AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr"   -> s""""$fn"""",
+          "inputName" -> "`vector`",
+          "inputType" -> "\"ARRAY<FLOAT>\"",
+          "inputExpr" -> s""""${scala.util.Try(arg.sql).getOrElse(arg.toString)}""""))
+      if (!arg.foldable) fail()
+      val elem = arg.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => et
+        case _ => fail()
+      }
+      arg.eval() match {
+        case null => fail()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          import org.apache.spark.sql.types._
+          elem match {
+            case FloatType   => a.toFloatArray()
+            case DoubleType  => a.toDoubleArray().map(_.toFloat)
+            case IntegerType => a.toIntArray().map(_.toFloat)
+            case LongType    => a.toLongArray().map(_.toFloat)
+            case _: DecimalType =>
+              (0 until a.numElements()).map(i =>
+                a.get(i, elem).asInstanceOf[org.apache.spark.sql.types.Decimal]
+                  .toFloat).toArray
+            case _ => fail()
+          }
+        case _ => fail()
+      }
+    }
+
+    // SQL serving for the STANDING retrieval indexes — the last piece of
+    // the "a SQL user reaches everything" contract: a point query against
+    // an index another job built, no DataFrame code required. Both TVFs
+    // go through the library serve paths, so the freshness guard
+    // (IndexMeta.requireFresh) and file-level pruning apply unchanged.
+    //   FROM graft_bm25_topk('/idx', 'free text query', 5)
+    //   FROM graft_ann_topk('/idx', array(0.1F, ...), 5[, nProbe])
+    injectLakeTvf(
+      FunctionIdentifier("graft_bm25_topk"),
+      info("graft_bm25_topk",
+        "graft_bm25_topk(indexDir, query, k) - top-k docs by BM25 from a standing inverted index"),
+      (es: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = lakePath("graft_bm25_topk", es.head)
+        val text = literalString("graft_bm25_topk", "query", es(1))
+        val k = literalInt("graft_bm25_topk", "k", es(2))
+        // the index tokenizer's exact semantics (TextFunctions.tokens):
+        // trim + lowercase + whitespace split
+        val terms = text.trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty).distinct
+        require(terms.nonEmpty, "graft_bm25_topk: query has no terms")
+        import spark.implicits._
+        graft.text.InvertedIndex
+          .serveBm25(spark, dir, terms.map((0L, _)).toDF("query_id", "term"), k)
+          .select("rank", "doc_id", "score")
+          .queryExecution.analyzed
+      })
+    injectLakeTvf(
+      FunctionIdentifier("graft_ann_topk"),
+      info("graft_ann_topk",
+        "graft_ann_topk(indexDir, vector, k[, nProbe]) - top-k cosine neighbors from a standing IVF index"),
+      (es: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = lakePath("graft_ann_topk", es.head)
+        val vec = literalFloatArray("graft_ann_topk", es(1))
+        val k = literalInt("graft_ann_topk", "k", es(2))
+        val nProbe =
+          if (es.length > 3) literalInt("graft_ann_topk", "nProbe", es(3)) else 4
+        import spark.implicits._
+        // sentinel query id: serveTopK excludes self-matches by id
+        // equality, and -1 can never collide with a stored vector id
+        graft.text.IvfIndex
+          .serveTopK(spark, dir, Seq((-1L, vec)).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", k, nProbe)
+          .select("rank", "vec_id", "cos")
+          .queryExecution.analyzed
+      })
   }
 }

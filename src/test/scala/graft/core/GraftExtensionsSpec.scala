@@ -136,4 +136,58 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(byType.get("insert").contains(1L), byType)
     assert(byType.get("update_postimage").contains(1L), byType)
   }
+
+  test("graft_bm25_topk serves a standing inverted index from pure SQL") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, sf0001).documents
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlbm25")
+      .resolve("idx").toString
+    graft.text.InvertedIndex.build(docs, "doc_id", "text", dir)
+    // a real query: the alphabetically-first 2 tokens of doc 0
+    val terms = docs.where(col("doc_id") === 0)
+      .select(explode(array_sort(array_distinct(
+        graft.text.TextFunctions.tokens(col("text"))))).as("t"))
+      .limit(2).collect().map(_.getString(0)).toSeq
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_bm25_topk('$dir', '${terms.mkString(" ")}', 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    import spark.implicits._
+    val viaApi = graft.text.InvertedIndex
+      .serveBm25(spark, dir, terms.map((0L, _)).toDF("query_id", "term"), 5)
+      .select("rank", "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi)
+  }
+
+  test("graft_ann_topk serves a standing IVF index from pure SQL, self included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.core.Tables(spark, sf0001).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlann")
+      .resolve("idx").toString
+    graft.text.IvfIndex.build(e, "vec_id", "embedding", dir, nCells = 8, seed = 42L)
+    val vec = e.where(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    // Float.toString round-trips through parseFloat, so the SQL literal
+    // rebuilds the exact stored bits
+    val lit = vec.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_ann_topk('$dir', $lit, 3, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaApi = graft.text.IvfIndex
+      .serveTopK(spark, dir, Seq((-1L, vec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, nProbe = 3)
+      .select("rank", "vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql === viaApi)
+    // the query vector IS vector 0, and the sentinel query id means the
+    // stored copy is a legal (perfect-cosine) result
+    assert(viaSql.head._2 === 0L && viaSql.head._3 === 1.0)
+    // argument guards: non-foldable vector is an analysis error
+    e.limit(1).createOrReplaceTempView("ann_guard")
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM graft_ann_topk('$dir', " +
+        "(SELECT embedding FROM ann_guard), 3)").collect())
+    assert(err.getMessage.contains("graft_ann_topk"), err.getMessage)
+  }
 }
