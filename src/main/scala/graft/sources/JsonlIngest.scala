@@ -76,6 +76,40 @@ object JsonlIngest {
     (good, quarantined)
   }
 
+  /** Streaming twin of [[readWithQuarantine]]: continuous landing-zone
+    * ingest — files dropped into `path` are picked up by the file
+    * source, parsed once per leg, and split good/quarantine with the
+    * IDENTICAL predicate as the batch path (kappa contract: backfill
+    * and live ingest run the same parse). Each leg is a separate
+    * streaming query with its own checkpoint; the file source replays
+    * deterministically, so the two legs always partition the same line
+    * set even though they track progress independently.
+    */
+  def readStreamWithQuarantine(
+      spark: SparkSession, path: String, schema: StructType):
+      (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already has a $CorruptCol column")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    def parsed = spark.readStream.text(path)
+      .select(
+        col("value").as("raw_line"),
+        input_file_name().as("source_file"),
+        from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+    val bad = col("r").isNull || col(s"r.$CorruptCol").isNotNull
+    // each leg gets its OWN source instance (def, not val): a streaming
+    // DataFrame feeds one query; sharing a plan across two starts would
+    // tie their checkpoints together
+    val good = parsed.where(!bad)
+      .select(schema.fieldNames.map(f => col(s"r.$f").as(f)).toIndexedSeq: _*)
+    val quarantined = parsed.where(bad)
+      .select(col("raw_line"), col("source_file"))
+    (good, quarantined)
+  }
+
   /** Write `df` as JSONL (one object per line — the interchange output
     * shape; JSON string escaping makes embedded newlines round-trip).
     */

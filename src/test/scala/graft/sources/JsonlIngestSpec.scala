@@ -81,6 +81,35 @@ class JsonlIngestSpec extends SparkSpec {
     assert(lake.history.count() >= 1L && quarantine.history.count() >= 1L)
   }
 
+  test("streaming quarantine splits like batch, and picks up late-landing files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_jsonl_s").toString
+    writeLines(dir, "first.jsonl", Seq(
+      """{"id": 1, "text": "ok", "lang": "en"}""",
+      """broken one"""))
+    val (good, bad) = JsonlIngest.readStreamWithQuarantine(spark, dir, schema)
+    val qg = good.writeStream.format("memory").queryName("jsonl_good")
+      .trigger(Trigger.AvailableNow()).start()
+    val qb = bad.writeStream.format("memory").queryName("jsonl_bad")
+      .trigger(Trigger.AvailableNow()).start()
+    qg.awaitTermination(60000); qb.awaitTermination(60000)
+    assert(spark.table("jsonl_good").as[(Long, String, String)]
+      .collect().toSeq === Seq((1L, "ok", "en")))
+    assert(spark.table("jsonl_bad").select("raw_line").as[String]
+      .collect().toSeq === Seq("broken one"))
+    // a file landing later is a new micro-batch, same split
+    writeLines(dir, "second.jsonl", Seq(
+      """{"id": 2, "text": "late", "lang": "de"}""",
+      """also broken"""))
+    val qg2 = good.writeStream.format("memory").queryName("jsonl_good2")
+      .trigger(Trigger.AvailableNow()).start()
+    val qb2 = bad.writeStream.format("memory").queryName("jsonl_bad2")
+      .trigger(Trigger.AvailableNow()).start()
+    qg2.awaitTermination(60000); qb2.awaitTermination(60000)
+    assert(spark.table("jsonl_good2").count() === 2L)
+    assert(spark.table("jsonl_bad2").count() === 2L)
+  }
+
   test("both legs stay map-only: no shuffle before the caller aggregates") {
     val dir = Files.createTempDirectory("graft_jsonl5").toString
     writeLines(dir, "l.jsonl", Seq("""{"id": 1, "text": "t", "lang": "en"}"""))
