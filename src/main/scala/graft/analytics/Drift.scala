@@ -120,6 +120,43 @@ object Drift {
       .orderBy(col(groupCol), col("bin"))
   }
 
+  /** EMBEDDING drift between two corpus versions, per group: how far
+    * each group's centroid moved (cosine between the two centroids and
+    * the L2 shift), beside the raw counts. PSI watches one scalar
+    * column; an embedding corpus drifts in vector space — a re-run
+    * encoder, a deleted subpopulation, or an upstream language shift
+    * moves centroids long before any scalar column notices. The standard
+    * SemDeDup/model-ops gate: centroid_cos near 1 = stable; a falling
+    * cosine or growing shift on one label = that slice changed.
+    *
+    * Scale shape: one [[graft.functions.VectorMean]] aggregate pass per
+    * side (map-side partial combine, one row per group out) and a
+    * groups-sized join — the corpus is never joined row-to-row, nothing
+    * reaches the driver.
+    */
+  def embeddingDrift(
+      baseline: DataFrame, current: DataFrame,
+      groupCol: String, vecCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, c: String) = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as(n),
+        graft.functions.VectorMean(col(vecCol)).as(c))
+    // deleted groups surface with n_cur = 0 (full drift), not a dropped
+    // row — losing a whole slice IS the drift a gate must see
+    side(baseline, "n_base", "__cb")
+      .join(side(current, "n_cur", "__cc"), Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_cur"))
+      .select(
+        col(groupCol),
+        col("n_base"),
+        col("n_cur"),
+        round(graft.functions.VectorFunctions.cosineSim(col("__cb"), col("__cc")), 6)
+          .as("centroid_cos"),
+        round(graft.functions.VectorFunctions.euclidean(col("__cb"), col("__cc")), 6)
+          .as("centroid_shift"))
+      .orderBy(col(groupCol))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map.empty

@@ -611,6 +611,26 @@ object SourceQueries {
       vt.readVersion(0), vt.read, "o_totalprice", bins = 10)
   }
 
+  /** A8 extension (vector-space drift): version the embeddings corpus,
+    * delete a label-biased slice plus a uniform slice, and measure how
+    * far each label's CENTROID moved between v0 and head
+    * ([[graft.analytics.Drift.embeddingDrift]]) — the gate that catches
+    * a re-run encoder or a vanished subpopulation long before any
+    * scalar column drifts. The oracle replays both deletes and
+    * recomputes the centroid cosine/shift from raw vectors, so the
+    * per-label mean, the cosine, and the L2 arithmetic are all
+    * content-checked.
+    */
+  def embeddingVersionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val vt = VersionedLakeTable(spark, scratch(sfDir, "embeddings_drift"))
+    vt.write(t.embeddings)
+    vt.delete(col("label") === 2 && col("vec_id") % 2 === 0)
+    vt.delete(col("vec_id") % 7 === 3)
+    graft.analytics.Drift.embeddingDrift(
+      vt.readVersion(0), vt.read, "label", "embedding")
+  }
+
   /** A3/A8 extension (incremental JOIN maintenance — the delta-join
     * sibling of [[lakeIncrementalMv]]): materialize orders ⋈ customer
     * keyed by order, mutate BOTH legs through the change feed (order
@@ -1163,6 +1183,7 @@ object SourceQueries {
     "q_lake_constraints" -> (lakeConstraints _),
     "q_lake_join_mv" -> (lakeJoinMv _),
     "q_version_drift" -> (versionDrift _),
+    "q_embedding_drift" -> (embeddingVersionDrift _),
     "q_drift_by_group" -> (versionDriftByGroup _),
     "q_lake_generated_prune" -> (lakeGeneratedPrune _),
     "q_scd2_apply" -> (scd2Apply _),
@@ -1312,6 +1333,29 @@ object SourceQueries {
         |LEFT JOIN bb ON axis.bin = bb.bin
         |CROSS JOIN ta CROSS JOIN tb
         |ORDER BY axis.bin""".stripMargin,
+    // replays both deletes, recomputes per-label centroids from raw
+    // vectors, then the cosine / L2 between the v0 and head centroids
+    "q_embedding_drift" ->
+      """WITH cur AS (
+        |  SELECT * FROM embeddings
+        |  WHERE NOT (label = 2 AND vec_id % 2 = 0) AND NOT (vec_id % 7 = 3)),
+        |cb AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v
+        |       FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cc AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v
+        |       FROM cur, range(1, 65) t(i) GROUP BY label, i),
+        |nb AS (SELECT label, count(*) AS n_base FROM embeddings GROUP BY label),
+        |nc AS (SELECT label, count(*) AS n_cur FROM cur GROUP BY label),
+        |j AS (SELECT cb.label,
+        |        sum(cb.v * cc.v) AS dot, sum(cb.v * cb.v) AS m2b,
+        |        sum(cc.v * cc.v) AS m2c,
+        |        sum((cb.v - cc.v) * (cb.v - cc.v)) AS d2
+        |      FROM cb JOIN cc ON cb.label = cc.label AND cb.i = cc.i
+        |      GROUP BY cb.label)
+        |SELECT j.label, nb.n_base, coalesce(nc.n_cur, 0) AS n_cur,
+        |  round(dot / sqrt(m2b * m2c), 6) AS centroid_cos,
+        |  round(sqrt(d2), 6) AS centroid_shift
+        |FROM j JOIN nb USING (label) LEFT JOIN nc USING (label)
+        |ORDER BY j.label""".stripMargin,
     "q_lake_join_mv" ->
       """WITH f1 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

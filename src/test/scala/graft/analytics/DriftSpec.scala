@@ -84,4 +84,32 @@ class DriftSpec extends SparkSpec {
     val out = Drift.psi(base, cur, "v", bins = 10).collect()
     out.foreach(r => assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
   }
+
+  test("embedding drift: stable slice reads 1.0/0.0, shifted slice registers, deleted slice surfaces") {
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val base = Seq(
+      (1L, 0, vec(1, 0, 0)), (2L, 0, vec(1, 0.2, 0)),   // label 0: kept as-is
+      (3L, 1, vec(0, 1, 0)), (4L, 1, vec(0, 1, 0.2)),   // label 1: half replaced
+      (5L, 2, vec(0, 0, 1)), (6L, 2, vec(0.2, 0, 1))    // label 2: fully deleted
+    ).toDF("vec_id", "label", "embedding")
+    val cur = Seq(
+      (1L, 0, vec(1, 0, 0)), (2L, 0, vec(1, 0.2, 0)),
+      (3L, 1, vec(0, 1, 0)), (7L, 1, vec(1, 0, 0))      // label 1 pulled toward x
+    ).toDF("vec_id", "label", "embedding")
+    val out = Drift.embeddingDrift(base, cur, "label", "embedding")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val byLabel = out.map(t => t._1 -> t).toMap
+    assert(byLabel(0) === ((0, 2L, 2L, Some(1.0), Some(0.0))), byLabel(0))
+    val l1 = byLabel(1)
+    assert(l1._2 === 2L && l1._3 === 2L && l1._4.get < 0.999 && l1._5.get > 0.1,
+      s"shifted slice must register: $l1")
+    // a fully-deleted label keeps its row: n_cur = 0 and NULL metrics
+    // (no centroid exists to compare against) — the count is the signal
+    val l2 = out.find(_._1 == 2).get
+    assert(l2._3 === 0L && l2._4.isEmpty && l2._5.isEmpty,
+      s"deleted slice must surface with n_cur = 0: $l2")
+  }
 }
