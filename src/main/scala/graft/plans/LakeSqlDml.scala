@@ -34,6 +34,7 @@ import graft.sources.{LakeTable, MergeClause}
   * OPTIMIZE graft_lake('/partitioned') WHERE day = '2024-06-01'
   * VACUUM graft_lake('/versioned') RETAIN 3 VERSIONS
   * VACUUM graft_lake('/versioned') RETAIN 168 HOURS
+  * GENERATE symlink_format_manifest FOR TABLE graft_lake('/p')
   * RESTORE graft_lake('/versioned') TO VERSION AS OF 3
   * CREATE TABLE db.t USING graft_lake LOCATION '/p'   -- register a NAME
   * CREATE TABLE db.t3 (id BIGINT, v DOUBLE) USING graft_lake LOCATION '/p3'
@@ -185,6 +186,11 @@ final case class LakeMaintenanceCommand(
            LakeMaintenanceCommand.VacuumHours(_, true) =>
         Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
           "version", org.apache.spark.sql.types.LongType, nullable = false)())
+      // GENERATE returns the written manifest paths (observability;
+      // Delta returns nothing, but the caller needs the handoff paths)
+      case LakeMaintenanceCommand.GenerateManifest =>
+        Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "manifest", org.apache.spark.sql.types.StringType, nullable = false)())
       case _ => Nil
     }
   override def run(spark: SparkSession): Seq[Row] = {
@@ -241,6 +247,13 @@ final case class LakeMaintenanceCommand(
             "tables retire whole snapshots via VACUUM … RETAIN <n> VERSIONS")
       case LakeMaintenanceCommand.VacuumChanges(keep) =>
         LakeTable(spark, path).vacuumChanges(keep)
+      case LakeMaintenanceCommand.GenerateManifest if versioned =>
+        throw new IllegalArgumentException(
+          "GENERATE symlink_format_manifest targets plain lake tables; a " +
+            "versioned table's current snapshot dir is already a plain " +
+            "parquet directory external readers can point at")
+      case LakeMaintenanceCommand.GenerateManifest =>
+        return LakeTable(spark, path).generateSymlinkManifest().map(Row(_))
     }
     Seq.empty
   }
@@ -253,6 +266,7 @@ object LakeMaintenanceCommand {
   final case class Vacuum(retainVersions: Option[Int], dryRun: Boolean = false) extends Op
   final case class VacuumHours(retainHours: Double, dryRun: Boolean = false) extends Op
   final case class VacuumChanges(retainVersions: Int) extends Op
+  case object GenerateManifest extends Op
 }
 
 /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] db.t USING graft_lake
@@ -673,6 +687,7 @@ object LakeSqlDml {
       case "CREATE"  => p.advance(); parseCreate(p)
       case "DROP"    => p.advance(); parseDrop(p)
       case "APPLY"   => p.advance(); parseApplyChanges(p)
+      case "GENERATE" => p.advance(); parseGenerate(p)
       case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
       case _         => None
     }
@@ -881,6 +896,21 @@ object LakeSqlDml {
       } else (Seq.empty[String], Seq.empty[String])
     p.done("ANALYZE TABLE")
     Some(LakeAnalyzeCommand(path, cols, bloom))
+  }
+
+  /** Delta's `GENERATE symlink_format_manifest FOR TABLE t` — external-
+    * engine interop manifests, routed to
+    * [[graft.sources.LakeTable.generateSymlinkManifest]].
+    */
+  private def parseGenerate(p: P): Option[LogicalPlan] = {
+    // the mode is an identifier in Delta's grammar; only the symlink
+    // mode exists
+    if (!p.eat("SYMLINK_FORMAT_MANIFEST")) return None
+    p.expect("FOR", "in GENERATE symlink_format_manifest")
+    p.expect("TABLE", "in GENERATE symlink_format_manifest FOR")
+    val path = p.lakeTarget().getOrElse(return None)
+    p.done("GENERATE")
+    Some(LakeMaintenanceCommand(path, LakeMaintenanceCommand.GenerateManifest))
   }
 
   private def parseVacuum(p: P): Option[LogicalPlan] = {

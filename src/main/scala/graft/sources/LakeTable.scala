@@ -3072,6 +3072,53 @@ final class LakeTable(spark: SparkSession, val path: String) {
     (pending, swept)
   }
 
+  /** Delta `GENERATE symlink_format_manifest` equivalent: write
+    * `_symlink_format_manifest/[<k=v>/…]manifest` files listing the
+    * table's CURRENT data files as absolute URIs, one per line — the
+    * interop handshake that lets external engines (Presto/Trino/Hive/
+    * Athena-style symlink readers) query the lake table without
+    * understanding its commit log. Partitioned layouts get one manifest
+    * per partition directory (the layout those readers require); flat
+    * layouts get a single root manifest. Returns the manifest paths.
+    *
+    * Refused where the file list alone would LIE about content:
+    * deletion vectors (a symlink reader would resurrect deleted rows —
+    * materialize them with a rewrite first, Delta's own restriction)
+    * and shallow clones (the files live in the source table;
+    * `materialize()` first). A regenerate replaces the whole manifest
+    * dir, and like Delta the manifest is a point-in-time snapshot —
+    * writes after GENERATE are invisible to external readers until the
+    * next GENERATE. Driver cost: one recursive listing (the same
+    * ceiling every log/manifest operation has) + one metadata-sized
+    * file write per partition.
+    */
+  def generateSymlinkManifest(): Seq[String] = {
+    require(!isShallowClone,
+      "symlink manifests for a shallow clone would point into the source " +
+        "table — materialize() first")
+    require(!hasDeletionVectors,
+      "symlink manifests cannot express deletion vectors (an external " +
+        "reader would resurrect deleted rows) — rewrite to materialize " +
+        "deletes first")
+    val root = new Path(path, LakeTable.SymlinkManifestDirName)
+    if (fs.exists(root)) fs.delete(root, true): Unit
+    listDataFiles()
+      .groupBy { case (rel, _, _) =>
+        rel.split("/").dropRight(1).takeWhile(_.contains("=")).mkString("/")
+      }
+      .toSeq.sortBy(_._1)
+      .map { case (partRel, files) =>
+        val dir = if (partRel.isEmpty) root else new Path(root, partRel)
+        if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+        val manifest = new Path(dir, "manifest")
+        val out = fs.create(manifest, true)
+        try out.write(files.map(_._3).sorted.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        manifest.toString
+      }
+  }
+
   private def writeManifest(
       staged: Path, untouched: Seq[String],
       op: String, params: Map[String, String],
@@ -3961,6 +4008,8 @@ object LakeTable {
   // swap point-of-no-return marker inside a staged dir; lists the
   // untouched data files a selective rewrite pulls through the swap
   val SwapManifestName = "__graft_swap_manifest"
+  // underscore prefix keeps it out of listDataFiles and every scan
+  val SymlinkManifestDirName = "_symlink_format_manifest"
   // op name + params of the rewrite that staged the swap, so crash
   // recovery can commit "RECOVERED <op>" instead of attributing the
   // data change to the vacuum that merely finished it

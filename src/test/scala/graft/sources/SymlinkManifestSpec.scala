@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SymlinkManifestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def manifestLines(spark: org.apache.spark.sql.SparkSession, m: String): Seq[String] =
+    spark.read.textFile(m).collect().toSeq
+
+  test("flat table: one root manifest listing exactly the live data files") {
+    val dir = Files.createTempDirectory("graft_symlink").toString
+    val lake = LakeTable(spark, s"$dir/t")
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val manifests = lake.generateSymlinkManifest()
+    assert(manifests.length === 1 && manifests.head.endsWith(
+      "_symlink_format_manifest/manifest"))
+    val listed = manifestLines(spark, manifests.head)
+    // an EXTERNAL reader (plain parquet over the listed files) sees the
+    // exact table content — the whole point of the handshake
+    val external = spark.read.parquet(listed: _*)
+    assert(external.orderBy("id").as[(Long, String)].collect().toSeq ===
+      lake.read.orderBy("id").as[(Long, String)].collect().toSeq)
+    // regenerating after a rewrite re-points at the NEW files
+    lake.compact()
+    val after = manifestLines(spark, lake.generateSymlinkManifest().head)
+    assert(after.toSet.intersect(listed.toSet).isEmpty,
+      "manifest must not keep pre-compaction files")
+    assert(spark.read.parquet(after: _*).count() === 2L)
+  }
+
+  test("partitioned table: one manifest per partition dir") {
+    val dir = Files.createTempDirectory("graft_symlink2").toString
+    val lake = LakeTable(spark, s"$dir/t").writePartitioned(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("p", "id"), Seq("p"))
+    val manifests = lake.generateSymlinkManifest().sorted
+    assert(manifests.length === 2, manifests)
+    assert(manifests.exists(_.contains("p=a")) && manifests.exists(_.contains("p=b")))
+    // partition values are NOT in the data files (Hive layout), so the
+    // external reader reads each partition's manifest knowing its value
+    val aRows = spark.read.parquet(manifestLines(spark, manifests.find(_.contains("p=a")).get): _*)
+    assert(aRows.select("id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("refuses deletion vectors and shallow clones; SQL spelling works") {
+    val dir = Files.createTempDirectory("graft_symlink3").toString
+    val lake = LakeTable(spark, s"$dir/t")
+    lake.write((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    // SQL spelling returns the manifest paths as rows
+    val viaSql = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE graft_lake('$dir/t')")
+      .as[String].collect().toSeq
+    assert(viaSql.length === 1 && viaSql.head.endsWith("manifest"))
+    // deletion vectors: an external reader would resurrect deleted rows
+    lake.deleteVectored(col("id") > 8)
+    val e = intercept[IllegalArgumentException](lake.generateSymlinkManifest())
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // a full rewrite materializes the deletes and re-arms GENERATE
+    lake.compact()
+    val after = lake.generateSymlinkManifest()
+    assert(spark.read.parquet(manifestLines(spark, after.head): _*).count() === 8L)
+    // shallow clone: files live in the source table
+    val clone = lake.cloneTo(s"$dir/c", shallow = true)
+    val e2 = intercept[IllegalArgumentException](clone.generateSymlinkManifest())
+    assert(e2.getMessage.contains("materialize"), e2.getMessage)
+  }
+}
