@@ -59,4 +59,53 @@ class PlanAuditSpec extends SparkSpec {
     topk.collect()
     assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
+
+  test("dynamic partition pruning fires through the lake read path") {
+    // a fact-partitioned lake table joined to a small filtered dim must
+    // scan only the dim's partitions — at 100 TB DPP is the difference
+    // between reading 2 partitions and all of them, and it only works
+    // if our lake read presents a plain partitioned scan Catalyst can
+    // inject the runtime filter into (a wrapped/manual file listing
+    // would silently disable it)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = (1L to 20000L).map(i => (s"d${i % 30}", i, i * 1.0))
+      .toDF("day", "id", "v")
+    val lake = graft.sources.LakeTable(spark, s"$dir/t")
+      .writePartitioned(fact, Seq("day"))
+    // DPP keys on a SELECTIVE dim-side predicate (an unfiltered dim has
+    // nothing to prune with) — the realistic shape: a dim table filtered
+    // to the slice of interest. NOT a LocalRelation: ConvertToLocal-
+    // Relation folds its filter away and DPP then sees no predicate
+    val dim = spark.range(0, 30)
+      .select(concat(lit("d"), col("id")).as("day"),
+        when(col("id").isin(3, 7), "keep").otherwise("drop").as("tag"))
+      .where(col("tag") === "keep")
+    val j = lake.read.join(dim, Seq("day")).groupBy(col("day")).agg(sum(col("v")))
+    j.collect()
+    // the physical plan STRING truncates scan metadata, so assert on the
+    // optimized plan's injected filter and on what the scan actually read
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter in the scan:\n$opt")
+    // AQE hides the scan behind adaptive/stage wrappers — unwrap them
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScan(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: QueryStageExec => findScan(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(findScan)
+      }
+    val scanned = findScan(j.queryExecution.executedPlan)
+      .headOption.map(_.metrics("numFiles").value)
+      .getOrElse(fail("no file scan in the plan"))
+    val total = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(scanned > 0 && scanned <= total / 3,
+      s"DPP should scan only the 2 surviving partitions of 30 " +
+        s"($scanned of $total files read)")
+  }
 }
