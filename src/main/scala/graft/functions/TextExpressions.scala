@@ -105,6 +105,64 @@ case class SimHash64Expr(child: Expression) extends TokensUnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 60-bit md5 SimHash of a token array — the ENGINE-NEUTRAL signature
+  * the q_simhash_neardup oracle recomputes in DuckDB: per token,
+  * `conv(substr(md5(t), 1, 15), 16, 10)` (= the digest's top 60 bits),
+  * bit-vote over 60 positions, sign bitmap with `votes > 0` set. This
+  * expression IS that HOF arithmetic compiled: the nested
+  * transform/aggregate/zip_with spelling evaluates ~60 lambda frames
+  * per token interpreted (measured 8 s on the sf0.1 bench — 12x the
+  * murmur path); one fused pass brings it back. Null tokens cast no
+  * vote (the HOF's `if` votes -1 on a null hash, but tokens() can
+  * never produce null elements, so the two spellings agree on every
+  * reachable input — equality pinned in DedupSpec).
+  */
+case class SimHash60Md5Expr(child: Expression) extends TokensUnaryExpression {
+  override def dataType: DataType = LongType
+
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    val d = md5.get()
+    var i = 0
+    val m = toks.numElements()
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        d.reset()
+        val dig = d.digest(t.getBytes)
+        // first 15 hex chars == big-endian first 8 bytes >>> 4
+        var h64 = 0L
+        var k = 0
+        while (k < 8) { h64 = (h64 << 8) | (dig(k) & 0xFFL); k += 1 }
+        val h = h64 >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** MinHash signature: k independent min-hashes of a string array, one pass
   * over the array per row (k seeds, not k array traversals of a lambda).
   */
@@ -312,6 +370,9 @@ object TextExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  def simhash60Md5(tokens: Column): Column =
+    GraftBridge.column(SimHash60Md5Expr(GraftBridge.expression(tokens)))
 
   def minhashSignature(arr: Column, k: Int, seed: Int = 42): Column =
     GraftBridge.column(MinHashSignatureExpr(GraftBridge.expression(arr), k, seed))

@@ -361,20 +361,15 @@ object Dedup {
   ): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands of 15 bits guarantee recall only through hamming 3, got $maxHamming")
+    // one compiled pass per row (graft.functions.SimHash60Md5Expr) —
+    // the identical md5-60 arithmetic the DuckDB oracle recomputes; the
+    // equivalent nested transform/aggregate/zip_with HOF spelling costs
+    // ~60 interpreted lambda frames per token (12x slower on the bench)
+    // and is pinned equal in DedupSpec
     val sh = df
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
-      .withColumn("hs",
-        expr("transform(ts, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
-      .withColumn("sig", expr(
-        """aggregate(
-          |  zip_with(
-          |    aggregate(hs, array_repeat(0, 60),
-          |      (acc, h) -> zip_with(acc, sequence(0, 59),
-          |        (v, b) -> v + if(((h >> b) & 1) = 1, 1, -1))),
-          |    sequence(0, 59),
-          |    (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
-          |  0L, (s, x) -> s + x)""".stripMargin))
-      .select(col("id"), col("sig"))
+      .select(col(idCol).as("id"),
+        graft.functions.TextExpressions.simhash60Md5(
+          TextFunctions.tokens(col(textCol))).as("sig"))
     val bands = sh.select(
       col("id"),
       col("sig"),

@@ -266,6 +266,30 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, "Jaccard must miss the subsumed pair at 0.5")
   }
 
+  test("compiled md5-60 signature equals the HOF spelling the oracle mirrors") {
+    import org.apache.spark.sql.functions._
+    // adversarial tokens: empty string, unicode, repeats, single char
+    val df = Seq((1L, "alpha beta beta gamma"), (2L, "x"), (3L, "éü 中文 éü"),
+      (4L, "a b c d e f g h i j k l m n o p q r s t"))
+      .toDF("id", "text")
+      .select(col("id"), graft.text.TextFunctions.tokens(col("text")).as("ts"))
+    val both = df.select(
+      col("id"),
+      graft.functions.TextExpressions.simhash60Md5(col("ts")).as("fast"),
+      expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(transform(ts, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)),
+          |      array_repeat(0, 60),
+          |      (acc, h) -> zip_with(acc, sequence(0, 59),
+          |        (v, b) -> v + if(((h >> b) & 1) = 1, 1, -1))),
+          |    sequence(0, 59),
+          |    (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
+          |  0L, (s, x) -> s + x)""".stripMargin).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"row ${r.getLong(0)}: fast=${r.getLong(1)} hof=${r.getLong(2)}"))
+  }
+
   test("containment equals Jaccard on equal-size shingle sets") {
     // identical-length docs: min(|A|,|B|) = |A| = |B|, and for the
     // identical pair common = union, so both metrics give 1.0
