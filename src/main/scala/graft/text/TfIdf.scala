@@ -143,12 +143,65 @@ object TfIdf {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The PURE-SQL serving spelling of the standing index: build once,
+    * then retrieve through the `graft_bm25_topk` TVF — the statement a
+    * SQL-only user runs against an index another job maintains. The
+    * query text is doc 0's two alphabetically-first distinct tokens
+    * (derivable identically in the oracle), so the whole path — index
+    * layout, term IN-list pruning, BM25 arithmetic, tie-break — is
+    * content-checked from SQL in, rows out.
+    */
+  def qBm25SqlTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_models", sf, "bm25_index_sql").toString
+    val docs = Tables(spark, sfDir).documents
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    val terms = docs.where(col("doc_id") === 0)
+      .select(explode(slice(array_sort(array_distinct(
+        TextFunctions.tokens(col("text")))), 1, 2)).as("term"))
+      .collect().map(_.getString(0)).toSeq
+    val query = terms.mkString(" ").replace("\\", "\\\\").replace("'", "\\'")
+    spark.sql(s"SELECT * FROM graft_bm25_topk('$dir', '$query', 5)")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_tfidf_top_terms" -> (qTopTerms _),
     "q_bm25_standing" -> (qBm25Standing _),
+    "q_bm25_sql_topk" -> (qBm25SqlTopk _),
     "q_bm25_top_terms" -> (qBm25TopTerms _))
 
   def oracles: Map[String, String] = Map(
+    // same corpus arithmetic as q_bm25_standing, single query = doc 0's
+    // two alphabetically-first distinct tokens (what the TVF was handed)
+    "q_bm25_sql_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |corpus AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |q AS (
+        |  SELECT DISTINCT unnest(list_sort(list_distinct(
+        |      string_split_regex(trim(lower(text)), '\s+')))[1:2]) AS term
+        |  FROM documents WHERE doc_id = 0),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (c.n - df.df + 0.5) / (df.df + 0.5))
+        |        * tf.tf * (1.2 + 1.0)
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 6) AS score
+        |  FROM q JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |       JOIN df USING (term) CROSS JOIN corpus c
+        |  GROUP BY tf.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM ranked
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q_bm25_standing" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
