@@ -108,4 +108,38 @@ class PlanAuditSpec extends SparkSpec {
       s"DPP should scan only the 2 surviving partitions of 30 " +
         s"($scanned of $total files read)")
   }
+
+  test("runtime bloom filter injects into the shuffle join when the dim side filters") {
+    // the row-level sibling of DPP: a selective dim predicate on a
+    // NON-partition join key makes Catalyst build a bloom filter from
+    // the dim and apply it to the fact scan BEFORE the shuffle — at
+    // 100 TB that is most of the fact never leaving the mappers. The
+    // defaults gate on a 10 GB fact scan, so at test scale the
+    // thresholds must come down; at cluster scale they fire as-is.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1MB")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloomrf").toString
+      spark.range(0, 200000)
+        .select(col("id"), pmod(col("id"), lit(10000)).as("k"), (col("id") * 1.0).as("v"))
+        .write.parquet(s"$dir/fact")
+      spark.range(0, 10000)
+        .select(col("id").as("k"), pmod(col("id"), lit(1000)).as("tag"))
+        .write.parquet(s"$dir/dim")
+      val j = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim").where(col("tag") === 7), Seq("k"))
+        .agg(sum(col("v")))
+      j.collect()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
