@@ -116,6 +116,33 @@ object JsonlIngest {
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Continuous landing-zone -> lake pipeline: both quarantine legs
+    * stream into lake tables through [[graft.streaming.LakeSink]], so
+    * every micro-batch appends data AND a tagged commit — replayed batches
+    * are skipped per leg (each leg runs its own query, its own appId
+    * lineage, its own idempotence high-water mark). The quarantine
+    * table is queryable/monitorable like any other lake table: a
+    * dashboard alerting on its growth is the dropped-line observability
+    * story running continuously.
+    */
+  def streamToLake(
+      spark: SparkSession,
+      jsonlPath: String,
+      lakePath: String,
+      quarantinePath: String,
+      schema: StructType,
+      appId: String = "graft-jsonl-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()):
+      (org.apache.spark.sql.streaming.StreamingQuery,
+        org.apache.spark.sql.streaming.StreamingQuery) = {
+    val (good, bad) = readStreamWithQuarantine(spark, jsonlPath, schema)
+    (graft.streaming.LakeSink.streamTo(
+        good, LakeTable(spark, lakePath), appId = s"$appId-good", trigger = trigger),
+      graft.streaming.LakeSink.streamTo(
+        bad, LakeTable(spark, quarantinePath), appId = s"$appId-bad", trigger = trigger))
+  }
+
   /** JSONL landing files -> lake table + quarantine table, the
     * [[CsvIngest.ingestToLake]] pipeline shape with the quarantine leg
     * recorded beside the data (replayable after an upstream fix).

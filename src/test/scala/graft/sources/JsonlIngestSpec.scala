@@ -110,6 +110,29 @@ class JsonlIngestSpec extends SparkSpec {
     assert(spark.table("jsonl_bad2").count() === 2L)
   }
 
+  test("streamToLake: continuous ingest lands both legs as committed lake tables") {
+    val dir = Files.createTempDirectory("graft_jsonl_sl").toString
+    writeLines(dir, "in.jsonl", Seq(
+      """{"id": 1, "text": "ok", "lang": "en"}""",
+      """{"id": 2, "text": "also ok", "lang": "de"}""",
+      """nope"""))
+    val (qg, qb) = JsonlIngest.streamToLake(
+      spark, dir, s"$dir/lake", s"$dir/quarantine", schema)
+    qg.awaitTermination(120000); qb.awaitTermination(120000)
+    val lake = LakeTable(spark, s"$dir/lake")
+    val quarantine = LakeTable(spark, s"$dir/quarantine")
+    assert(lake.read.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(quarantine.read.select("raw_line").as[String].collect().toSeq === Seq("nope"))
+    // every applied batch left a tagged commit (LakeSink idempotence)
+    assert(lake.history.count() >= 1L && quarantine.history.count() >= 1L)
+    // a late file is a new batch into BOTH legs
+    writeLines(dir, "late.jsonl", Seq("""{"id": 3, "text": "late", "lang": "fr"}"""))
+    val (qg2, qb2) = JsonlIngest.streamToLake(
+      spark, dir, s"$dir/lake2", s"$dir/quarantine2", schema, appId = "second")
+    qg2.awaitTermination(120000); qb2.awaitTermination(120000)
+    assert(LakeTable(spark, s"$dir/lake2").read.count() === 3L)
+  }
+
   test("both legs stay map-only: no shuffle before the caller aggregates") {
     val dir = Files.createTempDirectory("graft_jsonl5").toString
     writeLines(dir, "l.jsonl", Seq("""{"id": 1, "text": "t", "lang": "en"}"""))
