@@ -1994,7 +1994,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * between the clean and quarantine passes, and violation counting
     * shares that same pass.
     */
-  def appendExpecting(df: DataFrame): DataFrame = {
+  def appendExpecting(
+      df: DataFrame,
+      extraParams: Map[String, String] = Map.empty): DataFrame = {
     val cons = constraints.toSeq.sortBy(_._1)
     require(cons.nonEmpty,
       s"appendExpecting at $path needs at least one CHECK constraint")
@@ -2016,7 +2018,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }: _*)
     val counts = report.head()
     write(flagged.where(!anyViol).drop(idx.map(flag): _*),
-      SaveMode.Append)
+      SaveMode.Append, extraParams = extraParams)
     // sum over an empty batch is NULL; getAs unboxes it to the right 0
     if (counts.getAs[Long]("__n_bad") > 0L) {
       val quarantined = flagged.where(anyViol)

@@ -94,6 +94,53 @@ object LakeSink {
     }
   }
 
+  /** Start appending the stream WITH EXPECTATIONS (the streaming DLT
+    * idiom): each micro-batch runs the table's CHECK constraints,
+    * violating rows divert to the `<path>__quarantine` sibling with
+    * their `_violated` labels, and only the clean remainder lands —
+    * [[graft.sources.LakeTable.appendExpecting]] running continuously.
+    * Together with `JsonlIngest.streamToLake` this completes the
+    * quarantine ladder: lines that don't PARSE quarantine at ingest,
+    * rows that parse but violate the CONTRACT quarantine here, and both
+    * audit trails are ordinary lake tables a drop-rate alert can watch.
+    *
+    * Replay contract: the CLEAN leg is exactly-once — its commit
+    * carries the (appId, batchId) tag, so a redelivered batch is
+    * skipped whole. The QUARANTINE leg is at-least-once: its append
+    * rides the same batch but commits separately, so a crash landing
+    * between the two writes can re-quarantine one batch's violations
+    * on replay (dedupe downstream on content if the audit count must
+    * be exact — the same window DLT's expectation metrics have).
+    */
+  def streamToExpecting(
+      stream: DataFrame,
+      lake: LakeTable,
+      appId: String = "graft-lake-expect",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        expectingBatch(lake, batch.toDF(), batchId, appId)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch of [[streamToExpecting]] — [[writeBatch]]'s replay
+    * skip around the constraint-gated split.
+    */
+  def expectingBatch(
+      lake: LakeTable, batch: DataFrame, batchId: Long,
+      appId: String = "graft-lake-expect"): Unit = {
+    val key = TxnKeyPrefix + appId
+    val cacheKey = lake.path + "\u0000" + appId
+    val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
+    if (batchId <= last) return
+    if (!batch.isEmpty) {
+      lake.appendExpecting(batch, extraParams = Map(key -> batchId.toString)): Unit
+      seen.merge(cacheKey, batchId, (a, b) => math.max(a, b)): Unit
+    }
+  }
+
   /** Start UPSERTING the stream into the lake table — the Delta
     * "stream-MERGE" pattern (`foreachBatch` + `MERGE INTO`): each
     * micro-batch's rows update matching keys in place and insert the

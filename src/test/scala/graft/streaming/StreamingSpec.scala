@@ -340,6 +340,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streamToExpecting: violating rows quarantine continuously; replay skips the clean leg") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_stream_expect")
+    val src = s"$root/src"
+    val lake = graft.sources.LakeTable(spark, s"$root/t")
+    lake.write(Seq((0L, 1.0)).toDF("id", "v"))
+    lake.addConstraint("v_pos", "v > 0")
+    Seq((1L, 2.0), (2L, -5.0), (3L, 4.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/b1")
+    val q = LakeSink.streamToExpecting(
+      spark.readStream.schema(lake.read.schema).parquet(s"$src/*"), lake,
+      appId = "expect-spec")
+    assert(q.awaitTermination(120000))
+    // clean rows landed, the violator did not
+    assert(lake.read.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 3L))
+    // …and it sits in the quarantine sibling with its label
+    val quarantined = lake.quarantine.read
+      .select("id", "_violated").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(quarantined.toSeq === Seq((2L, "v_pos")))
+    // a REPLAYED batch id is skipped whole (no second commit, no dup)
+    LakeSink.expectingBatch(lake,
+      Seq((1L, 2.0), (2L, -5.0), (3L, 4.0)).toDF("id", "v"), 0L, "expect-spec")
+    assert(lake.read.count() === 3L)
+  }
+
   test("streaming CDC apply: foreachBatch upserts micro-batches into a lake table") {
     val ev = Tables(spark, sf0001).events.drop("ts_ts")
     val lakeDir = Files.createTempDirectory("graft_cdc").resolve("t").toString
