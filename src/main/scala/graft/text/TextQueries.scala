@@ -377,6 +377,33 @@ object TextQueries {
       "vec_id", "embedding", k = 5, nProbe = 4)
   }
 
+  /** M3 SQL serving, ORACLED: the `graft_ann_topk` TVF probed
+    * EXHAUSTIVELY (nProbe = nCells) — with every cell probed the IVF
+    * candidate set is the whole corpus and the serve ranking (rounded
+    * cosine desc, vec_id tie-break) is exactly brute-force top-k, so
+    * the entire SQL-in/rows-out path — index layout, TVF argument
+    * handling, distance arithmetic, ranking — gets a content oracle.
+    * The k-means cell ASSIGNMENT cancels out of the answer here by
+    * construction; the PRUNED serving path (where it does matter) stays
+    * pinned by IvfIndexSpec's serve==scan-and-assign equality and file-
+    * skip checks, and rows-only q_ivf_standing_topk. Query vector =
+    * stored vector 0, spelled as a SQL float-array literal
+    * (Float.toString round-trips through parseFloat, so the literal
+    * rebuilds the exact stored bits; the TVF's -1 sentinel query id
+    * keeps the stored copy itself a legal rank-1, cosine-1 result).
+    */
+  def annSqlTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_models", sf, "ivf_index_sql").toString
+    val e = Tables(spark, sfDir).embeddings
+    IvfIndex.build(e, "vec_id", "embedding", dir, nCells = 8)
+    val vec = e.where(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0)
+    val lit0 = vec.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
+    spark.sql(s"SELECT * FROM graft_ann_topk('$dir', $lit0, 5, 8)")
+  }
+
   /** Vocabulary coverage / OOV rate — the tokenizer-health signal every
     * corpus ships with its tokenizer artifacts: the standing vocabulary
     * is the corpus's own top-K tokens (count-desc, token-asc tie-break,
@@ -553,6 +580,7 @@ object TextQueries {
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_cosine_topk" -> (cosineTopK _),
+    "q_ann_sql_topk" -> (annSqlTopk _),
     "q_embedding_norms" -> (embeddingNorms _),
     "q_embedding_centroids" -> (embeddingCentroids _),
     "q_minhash_neardup" -> (minhashNearDup _),
@@ -732,6 +760,18 @@ object TextQueries {
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_next
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 50 ORDER BY a.vec_id""".stripMargin,
+    // exhaustive probe == brute force over the whole corpus, self
+    // included (the serve ranks on ROUNDED cosine with vec_id tie-break)
+    "q_ann_sql_topk" ->
+      """SELECT rank, vec_id, cos FROM (
+        |  SELECT e.vec_id,
+        |   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+        |   row_number() OVER (
+        |     ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+        |              e.vec_id) AS rank
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  CROSS JOIN embeddings e)
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q_cosine_topk" ->
       """SELECT q_id, rank, n_id, cos FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
