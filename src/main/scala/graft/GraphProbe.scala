@@ -34,10 +34,10 @@ object GraphProbe {
       val oriented = graft.analytics.Graph.orientEdges(edges)
       val m = oriented.count()
       val maxOutDeg = oriented.groupBy(col("lo"))
-        .agg(count(lit(1)).as("d")).agg(max(col("d"))).head.getLong(0)
+        .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
       val wedges = graft.analytics.Graph.orientedWedges(oriented).count()
       val triangles = graft.analytics.Graph.triangleCount(edges)
-        .head.getLong(0)
+        .head().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(
         s"""{"probe":"$label","edges":$m,"maxOutDeg":$maxOutDeg,""" +

@@ -66,11 +66,11 @@ object IngestProbe {
     }
     timed("DROPMALFORMED (silent)") {
       (JsonlIngest.ingestAs(spark, dir, schema)
-        .agg(count(lit(1)), sum(col("n_chars"))).head.getLong(0), -1L)
+        .agg(count(lit(1)), sum(col("n_chars"))).head().getLong(0), -1L)
     }
     timed("quarantine split (both legs)") {
       val (good, bad) = JsonlIngest.readWithQuarantine(spark, dir, schema)
-      (good.agg(count(lit(1)), sum(col("n_chars"))).head.getLong(0), bad.count())
+      (good.agg(count(lit(1)), sum(col("n_chars"))).head().getLong(0), bad.count())
     }
     spark.stop()
   }

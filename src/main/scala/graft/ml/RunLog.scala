@@ -82,7 +82,7 @@ final class RunLog(dir: String) {
       }
     }
     if (!hasMetric) return r.limit(0)
-    val row = r.agg(max(col(s"metrics.$metric"))).head
+    val row = r.agg(max(col(s"metrics.$metric"))).head()
     if (row.isNullAt(0)) r.limit(0)
     else r.where(col(s"metrics.$metric") === row.getDouble(0)).limit(1)
   }

@@ -2634,7 +2634,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       s"renameColumn targets plain lake tables; $path is a versioned layout")
     require(!isShallowClone,
       s"renameColumn on a shallow clone at $path — materialize() first")
-    require(partitionColumns.isEmpty,
+    require(partitionColumns().isEmpty,
       "renameColumn is not supported on a Hive-partitioned layout (the " +
         "directory names ARE the column)")
     val schema = storedSchema.getOrElse(throw new IllegalArgumentException(
@@ -2686,7 +2686,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       s"dropColumn targets plain lake tables; $path is a versioned layout")
     require(!isShallowClone,
       s"dropColumn on a shallow clone at $path — materialize() first")
-    require(partitionColumns.isEmpty,
+    require(partitionColumns().isEmpty,
       "dropColumn is not supported on a Hive-partitioned layout")
     val schema = storedSchema.getOrElse(throw new IllegalArgumentException(
       s"no schema at $path yet"))
