@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
       ("q_ewma_daily", graft.analytics.Behavior.ewmaDaily _, 6),
       // line build + hot rollup + rebuild rollup + order (two corpus
       // passes by construction — the hot set must exist before rebuild)
-      ("q_line_dedup", graft.text.CorpusOps.qLineDedup _, 10)
+      ("q_line_dedup", graft.text.CorpusOps.qLineDedup _, 10),
+      // one VectorMean aggregate per side + a groups-sized join + order;
+      // the corpus must never join row-to-row
+      ("q_embedding_drift", graft.sources.SourceQueries.embeddingVersionDrift _, 8)
     )
     budgets.foreach { case (name, q, budget) =>
       val n = exchanges(q(spark, sf0001))
