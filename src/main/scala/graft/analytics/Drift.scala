@@ -141,11 +141,16 @@ object Drift {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as(n),
         graft.functions.VectorMean(col(vecCol)).as(c))
-    // deleted groups surface with n_cur = 0 (full drift), not a dropped
-    // row — losing a whole slice IS the drift a gate must see
+    // FULL OUTER on the group key: deleted groups surface with n_cur = 0
+    // and brand-new groups (a re-run encoder's new label, a new corpus
+    // slice) with n_base = 0 — both are drift a gate must see, and a
+    // one-sided join would silently hide whichever side it drops. The
+    // missing side's centroid is NULL, so the cosine/shift metrics are
+    // NULL (there is nothing to compare against), while the counts tell
+    // the story.
     side(baseline, "n_base", "__cb")
-      .join(side(current, "n_cur", "__cc"), Seq(groupCol), "left")
-      .na.fill(0L, Seq("n_cur"))
+      .join(side(current, "n_cur", "__cc"), Seq(groupCol), "full")
+      .na.fill(0L, Seq("n_base", "n_cur"))
       .select(
         col(groupCol),
         col("n_base"),

@@ -124,6 +124,15 @@ object JsonlIngest {
     * table is queryable/monitorable like any other lake table: a
     * dashboard alerting on its growth is the dropped-line observability
     * story running continuously.
+    *
+    * `checkpointDir` is REQUIRED (each leg checkpoints under its own
+    * subdir) so batch ids are durable across invocations — that is what
+    * makes the default appId safe. LakeSink's contract ties the appId to
+    * a checkpoint lineage: a fresh (temp) checkpoint restarts batch ids
+    * at 0, so re-running under the same appId would let the previous
+    * run's high-water mark silently swallow every new file's batch. With
+    * a durable checkpoint, a re-run continues the same lineage and new
+    * landing files land as new batch ids.
     */
   def streamToLake(
       spark: SparkSession,
@@ -131,16 +140,20 @@ object JsonlIngest {
       lakePath: String,
       quarantinePath: String,
       schema: StructType,
+      checkpointDir: String,
       appId: String = "graft-jsonl-ingest",
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()):
       (org.apache.spark.sql.streaming.StreamingQuery,
         org.apache.spark.sql.streaming.StreamingQuery) = {
     val (good, bad) = readStreamWithQuarantine(spark, jsonlPath, schema)
+    val cp = new org.apache.hadoop.fs.Path(checkpointDir)
     (graft.streaming.LakeSink.streamTo(
-        good, LakeTable(spark, lakePath), appId = s"$appId-good", trigger = trigger),
+        good, LakeTable(spark, lakePath), appId = s"$appId-good", trigger = trigger,
+        checkpointLocation = Some(new org.apache.hadoop.fs.Path(cp, "good").toString)),
       graft.streaming.LakeSink.streamTo(
-        bad, LakeTable(spark, quarantinePath), appId = s"$appId-bad", trigger = trigger))
+        bad, LakeTable(spark, quarantinePath), appId = s"$appId-bad", trigger = trigger,
+        checkpointLocation = Some(new org.apache.hadoop.fs.Path(cp, "bad").toString)))
   }
 
   /** JSONL landing files -> lake table + quarantine table, the

@@ -2017,8 +2017,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
         sum(when(col(flag(i)), 1L).otherwise(0L)).as(flag(i))
       }: _*)
     val counts = report.head()
-    write(flagged.where(!anyViol).drop(idx.map(flag): _*),
-      SaveMode.Append, extraParams = extraParams)
+    // quarantine BEFORE the tagged clean commit: streaming callers key
+    // replay-skip on the clean commit's (appId, batchId) tag, so a crash
+    // between the two writes must leave the tag UNcommitted — the replay
+    // then re-runs the whole batch and re-quarantines (at-least-once on
+    // the audit trail), instead of skipping it and losing the violations
+    // forever (at-most-once, the opposite contract).
     // sum over an empty batch is NULL; getAs unboxes it to the right 0
     if (counts.getAs[Long]("__n_bad") > 0L) {
       val quarantined = flagged.where(anyViol)
@@ -2027,6 +2031,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .drop(idx.map(flag): _*)
       quarantine.write(quarantined, SaveMode.Append)
     }
+    write(flagged.where(!anyViol).drop(idx.map(flag): _*),
+      SaveMode.Append, extraParams = extraParams)
     import spark.implicits._
     idx.map { i => (cons(i)._1, counts.getAs[Long](flag(i))) }
       .toDF("constraint_name", "n_quarantined")
@@ -2079,6 +2085,77 @@ final class LakeTable(spark: SparkSession, val path: String) {
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("\n")
     val out = f.create(constraintsFile, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Table properties (`SET TBLPROPERTIES` analogue): free-form
+    * name -> value pairs stored constraints-style (URL-encoded
+    * `name\tvalue` lines under the log dir) — re-read per use, never
+    * cached, so two live instances of one path see each other's
+    * changes. Behavior-bearing properties so far:
+    * [[LakeTable.SymlinkAutoProperty]].
+    */
+  def tableProperties: Map[String, String] = {
+    val f = fs
+    if (!f.exists(propertiesFile)) Map.empty
+    else {
+      val in = f.open(propertiesFile)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", 2) match {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          case _ =>
+            throw new IllegalStateException(
+              s"unreadable properties file at $propertiesFile " +
+                s"(line: ${line.take(80)}) — re-set properties via setTableProperty")
+        }
+      }.toMap
+    }
+  }
+
+  /** Set (or overwrite) a table property. Enabling
+    * [[LakeTable.SymlinkAutoProperty]] validates the table is
+    * manifest-capable FIRST (same refusals as
+    * [[generateSymlinkManifest]]) and generates the initial manifest via
+    * the property's own commit — external readers are live from the
+    * moment the enable lands.
+    */
+  def setTableProperty(name: String, value: String): LakeTable = {
+    require(name.nonEmpty, "property name must be non-empty")
+    if (name == LakeTable.SymlinkAutoProperty && value.trim.equalsIgnoreCase("true")) {
+      require(!VersionedLakeTable.isVersioned(spark, path) && !isShallowClone
+          && !hasDeletionVectors,
+        s"cannot enable ${LakeTable.SymlinkAutoProperty}: the table is " +
+          "versioned, a shallow clone, or carries deletion vectors — " +
+          "none of which a symlink manifest can express")
+    }
+    saveProperties(tableProperties + (name -> value))
+    commit("SET TBLPROPERTIES", Map("property" -> name, "value" -> value))
+    this
+  }
+
+  def unsetTableProperty(name: String): LakeTable = {
+    require(tableProperties.contains(name), s"no property '$name'")
+    saveProperties(tableProperties - name)
+    commit("UNSET TBLPROPERTIES", Map("property" -> name))
+    this
+  }
+
+  private val propertiesFile = new Path(logDir, LakeTable.PropertiesFileName)
+
+  private def saveProperties(props: Map[String, String]): Unit = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val text = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("\n")
+    val out = f.create(propertiesFile, true)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -3087,14 +3164,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * deletion vectors (a symlink reader would resurrect deleted rows —
     * materialize them with a rewrite first, Delta's own restriction)
     * and shallow clones (the files live in the source table;
-    * `materialize()` first). A regenerate replaces the whole manifest
-    * dir, and like Delta the manifest is a point-in-time snapshot —
-    * writes after GENERATE are invisible to external readers until the
-    * next GENERATE. Driver cost: one recursive listing (the same
-    * ceiling every log/manifest operation has) + one metadata-sized
-    * file write per partition.
+    * `materialize()` first) — and versioned layouts, whose data lives in
+    * `_v*` snapshot dirs that [[listDataFiles]] (rightly) excludes: the
+    * direct API would otherwise emit an EMPTY manifest an external
+    * reader takes for an empty table (the SQL GENERATE path already
+    * rejects them). A regenerate builds the whole manifest dir in a
+    * staging sibling and swaps it in (delete + rename — external readers
+    * see the old manifest or the new one, never a half-written mix), and
+    * like Delta the manifest is a point-in-time snapshot — writes after
+    * GENERATE are invisible to external readers until the next GENERATE
+    * (or continuously, under the
+    * [[LakeTable.SymlinkAutoProperty]] table property). Driver cost: one
+    * recursive listing (the same ceiling every log/manifest operation
+    * has) + one metadata-sized file write per partition.
     */
   def generateSymlinkManifest(): Seq[String] = {
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      "symlink manifests are for plain lake layouts — a versioned " +
+        "table's data lives in _v* snapshot dirs the manifest cannot " +
+        "express; write a snapshot to a plain table first")
     require(!isShallowClone,
       "symlink manifests for a shallow clone would point into the source " +
         "table — materialize() first")
@@ -3103,23 +3191,52 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "reader would resurrect deleted rows) — rewrite to materialize " +
         "deletes first")
     val root = new Path(path, LakeTable.SymlinkManifestDirName)
-    if (fs.exists(root)) fs.delete(root, true): Unit
-    listDataFiles()
+    val tmp = new Path(path, LakeTable.SymlinkManifestDirName + "__tmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val rels = listDataFiles()
       .groupBy { case (rel, _, _) =>
         rel.split("/").dropRight(1).takeWhile(_.contains("=")).mkString("/")
       }
       .toSeq.sortBy(_._1)
       .map { case (partRel, files) =>
-        val dir = if (partRel.isEmpty) root else new Path(root, partRel)
+        val dir = if (partRel.isEmpty) tmp else new Path(tmp, partRel)
         if (!fs.exists(dir)) fs.mkdirs(dir): Unit
         val manifest = new Path(dir, "manifest")
         val out = fs.create(manifest, true)
         try out.write(files.map(_._3).sorted.mkString("\n")
           .getBytes(StandardCharsets.UTF_8))
         finally out.close()
-        manifest.toString
+        partRel
       }
+    if (fs.exists(root)) fs.delete(root, true): Unit
+    if (!fs.rename(tmp, root))
+      throw new java.io.IOException(
+        s"could not publish symlink manifest: rename $tmp -> $root failed")
+    rels.map { partRel =>
+      val dir = if (partRel.isEmpty) root else new Path(root, partRel)
+      new Path(dir, "manifest").toString
+    }
   }
+
+  /** Whether [[LakeTable.SymlinkAutoProperty]] is set true — every
+    * file-set-changing commit then regenerates the symlink manifest, so
+    * external symlink readers track the table continuously (Delta's
+    * `delta.compatibility.symlinkFormatManifest.enabled` analogue).
+    */
+  def symlinkAutoEnabled: Boolean =
+    tableProperties.get(LakeTable.SymlinkAutoProperty)
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Post-commit manifest maintenance: regenerate when the auto property
+    * is on. Runs AFTER the commit lands (data first, interop mirror
+    * second — a crash between the two leaves a stale manifest, which the
+    * next commit repairs, never a manifest pointing at uncommitted
+    * data). A DV delete or clone under the property fails HERE, loudly:
+    * a silent skip would hand external readers exactly the stale-forever
+    * manifest the property exists to prevent.
+    */
+  private def maintainSymlinkManifest(): Unit =
+    if (symlinkAutoEnabled) generateSymlinkManifest(): Unit
 
   private def writeManifest(
       staged: Path, untouched: Seq[String],
@@ -3965,10 +4082,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * sink committing per batch would otherwise grow every log consumer
     * linearly and forever.
     */
-  private def commit(op: String, params: Map[String, String]): Long =
-    CommitLog.append(fs, logDir, op, params,
+  private def commit(op: String, params: Map[String, String]): Long = {
+    val v = CommitLog.append(fs, logDir, op, params,
       spark.conf.get(LakeTable.CheckpointIntervalKey,
         LakeTable.CheckpointIntervalDefault).toInt)
+    // interop mirror AFTER the commit: the manifest reflects only
+    // committed state, and a metadata-only commit just rewrites the
+    // identical listing (the cost is one recursive list, paid only when
+    // the table opted in)
+    maintainSymlinkManifest()
+    v
+  }
 }
 
 object LakeTable {
@@ -4022,6 +4146,15 @@ object LakeTable {
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"
+  // table properties (SET TBLPROPERTIES), constraints-style storage
+  val PropertiesFileName = "_properties"
+
+  /** Table property: when "true", every commit regenerates the symlink
+    * manifest (Delta's `delta.compatibility.symlinkFormatManifest
+    * .enabled` analogue) so external symlink readers never read a stale
+    * file list.
+    */
+  val SymlinkAutoProperty = "graft.compatibility.symlinkFormatManifest.enabled"
   // generated-column declarations (name -> SQL expr), constraints-style
   val GeneratedFileName = "_generated"
   // identity-column declarations (name -> start/step), constraints-style

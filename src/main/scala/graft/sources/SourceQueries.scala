@@ -616,10 +616,14 @@ object SourceQueries {
     * far each label's CENTROID moved between v0 and head
     * ([[graft.analytics.Drift.embeddingDrift]]) — the gate that catches
     * a re-run encoder or a vanished subpopulation long before any
-    * scalar column drifts. The oracle replays both deletes and
-    * recomputes the centroid cosine/shift from raw vectors, so the
-    * per-label mean, the cosine, and the L2 arithmetic are all
-    * content-checked.
+    * scalar column drifts. The fixture also lands a BRAND-NEW label in
+    * head (absent from the baseline), which must surface as an
+    * n_base = 0 row with NULL metrics — the full-outer side of the
+    * report a baseline-anchored left join would silently hide. The
+    * oracle replays the deletes and the insert and recomputes the
+    * centroid cosine/shift from raw vectors, so the per-label mean, the
+    * cosine, the L2 arithmetic, and both missing-side conventions are
+    * all content-checked.
     */
   def embeddingVersionDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
@@ -627,6 +631,10 @@ object SourceQueries {
     vt.write(t.embeddings)
     vt.delete(col("label") === 2 && col("vec_id") % 2 === 0)
     vt.delete(col("vec_id") % 7 === 3)
+    vt.write(vt.read.unionByName(
+      t.embeddings.where(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"),
+          lit(99).as("label"))))
     graft.analytics.Drift.embeddingDrift(
       vt.readVersion(0), vt.read, "label", "embedding")
   }
@@ -862,7 +870,7 @@ object SourceQueries {
     val cons = lake.constraints.toSeq.sortBy(_._1)
       .toDF("constraint_name", "check_expr")
     cons.join(report, Seq("constraint_name"))
-      .crossJoin(lake.read.agg(count(lit(1)).as("n_rows")))
+      .crossJoin(broadcast(lake.read.agg(count(lit(1)).as("n_rows"))))
       .withColumn("hard_rejected", lit(hardRejected))
       .orderBy(col("constraint_name"))
   }
@@ -1333,12 +1341,19 @@ object SourceQueries {
         |LEFT JOIN bb ON axis.bin = bb.bin
         |CROSS JOIN ta CROSS JOIN tb
         |ORDER BY axis.bin""".stripMargin,
-    // replays both deletes, recomputes per-label centroids from raw
-    // vectors, then the cosine / L2 between the v0 and head centroids
+    // replays the deletes AND the new-label insert, recomputes per-label
+    // centroids from raw vectors, then the cosine / L2 between the v0
+    // and head centroids — full outer on the label axis, so deleted
+    // labels (n_cur = 0) AND baseline-missing labels (n_base = 0, NULL
+    // metrics) both surface
     "q_embedding_drift" ->
-      """WITH cur AS (
+      """WITH ins AS (
+        |  SELECT vec_id + 1000000 AS vec_id, embedding, 99 AS label
+        |  FROM embeddings WHERE vec_id < 5),
+        |cur AS (
         |  SELECT * FROM embeddings
-        |  WHERE NOT (label = 2 AND vec_id % 2 = 0) AND NOT (vec_id % 7 = 3)),
+        |  WHERE NOT (label = 2 AND vec_id % 2 = 0) AND NOT (vec_id % 7 = 3)
+        |  UNION ALL SELECT * FROM ins),
         |cb AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v
         |       FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cc AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v
@@ -1350,12 +1365,15 @@ object SourceQueries {
         |        sum(cc.v * cc.v) AS m2c,
         |        sum((cb.v - cc.v) * (cb.v - cc.v)) AS d2
         |      FROM cb JOIN cc ON cb.label = cc.label AND cb.i = cc.i
-        |      GROUP BY cb.label)
-        |SELECT j.label, nb.n_base, coalesce(nc.n_cur, 0) AS n_cur,
+        |      GROUP BY cb.label),
+        |k AS (SELECT coalesce(nb.label, nc.label) AS label,
+        |        coalesce(nb.n_base, 0) AS n_base, coalesce(nc.n_cur, 0) AS n_cur
+        |      FROM nb FULL JOIN nc ON nb.label = nc.label)
+        |SELECT k.label, k.n_base, k.n_cur,
         |  round(dot / sqrt(m2b * m2c), 6) AS centroid_cos,
         |  round(sqrt(d2), 6) AS centroid_shift
-        |FROM j JOIN nb USING (label) LEFT JOIN nc USING (label)
-        |ORDER BY j.label""".stripMargin,
+        |FROM k LEFT JOIN j ON j.label = k.label
+        |ORDER BY k.label""".stripMargin,
     "q_lake_join_mv" ->
       """WITH f1 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -62,9 +62,10 @@ object LakeSink {
       appId: String = "graft-lake-sink",
       trigger: Trigger = Trigger.AvailableNow(),
       autoCompactEvery: Option[Int] = None,
-      autoRefreshStats: Boolean = false
-  ): StreamingQuery =
-    stream.writeStream
+      autoRefreshStats: Boolean = false,
+      checkpointLocation: Option[String] = None
+  ): StreamingQuery = {
+    val writer = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeBatch(lake, batch.toDF(), batchId, appId)
         autoCompactEvery.foreach(n =>
@@ -72,7 +73,9 @@ object LakeSink {
         if (autoRefreshStats) refreshStatsIfPresent(lake)
       }
       .trigger(trigger)
-      .start()
+    checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.start()
+  }
 
   /** One micro-batch append, (appId, batchId)-keyed for replay
     * idempotence. Factored out so the replay contract is directly
@@ -106,11 +109,14 @@ object LakeSink {
     *
     * Replay contract: the CLEAN leg is exactly-once — its commit
     * carries the (appId, batchId) tag, so a redelivered batch is
-    * skipped whole. The QUARANTINE leg is at-least-once: its append
-    * rides the same batch but commits separately, so a crash landing
-    * between the two writes can re-quarantine one batch's violations
-    * on replay (dedupe downstream on content if the audit count must
-    * be exact — the same window DLT's expectation metrics have).
+    * skipped whole. The QUARANTINE leg is at-least-once, and the write
+    * ORDER makes that true: the quarantine append commits BEFORE the
+    * tagged clean commit (LakeTable.appendExpecting), so a crash
+    * landing between the two leaves the tag uncommitted and the replay
+    * re-runs the whole batch — re-quarantining its violations (dedupe
+    * downstream on content if the audit count must be exact, the same
+    * window DLT's expectation metrics have) rather than skipping them
+    * forever.
     */
   def streamToExpecting(
       stream: DataFrame,

@@ -94,7 +94,8 @@ class DriftSpec extends SparkSpec {
     ).toDF("vec_id", "label", "embedding")
     val cur = Seq(
       (1L, 0, vec(1, 0, 0)), (2L, 0, vec(1, 0.2, 0)),
-      (3L, 1, vec(0, 1, 0)), (7L, 1, vec(1, 0, 0))      // label 1 pulled toward x
+      (3L, 1, vec(0, 1, 0)), (7L, 1, vec(1, 0, 0)),     // label 1 pulled toward x
+      (8L, 3, vec(0, 1, 1))                             // label 3: brand-new slice
     ).toDF("vec_id", "label", "embedding")
     val out = Drift.embeddingDrift(base, cur, "label", "embedding")
       .collect().map(r =>
@@ -111,5 +112,11 @@ class DriftSpec extends SparkSpec {
     val l2 = out.find(_._1 == 2).get
     assert(l2._3 === 0L && l2._4.isEmpty && l2._5.isEmpty,
       s"deleted slice must surface with n_cur = 0: $l2")
+    // the mirror case (full outer, not left): a label present ONLY in
+    // current must surface with n_base = 0 and NULL metrics — a gate
+    // watching this report sees new slices appear, not just vanish
+    val l3 = out.find(_._1 == 3).get
+    assert(l3._2 === 0L && l3._3 === 1L && l3._4.isEmpty && l3._5.isEmpty,
+      s"brand-new slice must surface with n_base = 0: $l3")
   }
 }

@@ -117,7 +117,7 @@ class JsonlIngestSpec extends SparkSpec {
       """{"id": 2, "text": "also ok", "lang": "de"}""",
       """nope"""))
     val (qg, qb) = JsonlIngest.streamToLake(
-      spark, dir, s"$dir/lake", s"$dir/quarantine", schema)
+      spark, dir, s"$dir/lake", s"$dir/quarantine", schema, s"$dir/cp")
     qg.awaitTermination(120000); qb.awaitTermination(120000)
     val lake = LakeTable(spark, s"$dir/lake")
     val quarantine = LakeTable(spark, s"$dir/quarantine")
@@ -125,12 +125,16 @@ class JsonlIngestSpec extends SparkSpec {
     assert(quarantine.read.select("raw_line").as[String].collect().toSeq === Seq("nope"))
     // every applied batch left a tagged commit (LakeSink idempotence)
     assert(lake.history.count() >= 1L && quarantine.history.count() >= 1L)
-    // a late file is a new batch into BOTH legs
+    // a late file + a RE-RUN under the same checkpoint + DEFAULT appId:
+    // the durable checkpoint continues the batch-id lineage, so the new
+    // file lands as a new batch into the SAME table instead of being
+    // swallowed by the previous run's high-water mark (the bug a fresh
+    // temp checkpoint per run would reintroduce)
     writeLines(dir, "late.jsonl", Seq("""{"id": 3, "text": "late", "lang": "fr"}"""))
     val (qg2, qb2) = JsonlIngest.streamToLake(
-      spark, dir, s"$dir/lake2", s"$dir/quarantine2", schema, appId = "second")
+      spark, dir, s"$dir/lake", s"$dir/quarantine", schema, s"$dir/cp")
     qg2.awaitTermination(120000); qb2.awaitTermination(120000)
-    assert(LakeTable(spark, s"$dir/lake2").read.count() === 3L)
+    assert(lake.read.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 
   test("both legs stay map-only: no shuffle before the caller aggregates") {

@@ -552,6 +552,32 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.quarantine.read.count() === 3)
   }
 
+  test("appendExpecting commits the quarantine BEFORE the tagged clean append") {
+    val s = spark
+    import s.implicits._
+    // streaming replay-skip keys on the clean commit's (appId, batchId)
+    // tag, so the quarantine must land first: a crash between the two
+    // then leaves the tag uncommitted and the replay re-quarantines
+    // (at-least-once audit) instead of skipping the batch whole and
+    // losing its violations forever. Pin the order by making the CLEAN
+    // append fail (schema drift: an extra column on append without
+    // mergeSchema) — the violations must already be in the quarantine,
+    // and the tag must NOT be committed.
+    val lake = LakeTable(spark, tmp())
+      .write(Seq((1L, 10.0)).toDF("id", "x"))
+      .addConstraint("x_positive", "x > 0")
+    intercept[Exception] {
+      lake.appendExpecting(
+        Seq((2L, 5.0, "boom"), (3L, -1.0, "boom")).toDF("id", "x", "extra"),
+        extraParams = Map("streamTxn:order-pin" -> "7"))
+    }
+    assert(lake.quarantine.read.select("id").as[Long].collect().toSeq === Seq(3L),
+      "violations must be quarantined before the clean append can fail")
+    assert(lake.maxCommitParamLong("streamTxn:order-pin") === -1L,
+      "the replay-skip tag must not be committed when the clean leg failed")
+    assert(lake.read.count() === 1)
+  }
+
   test("an aborted change-feed merge leaves no phantom change set behind") {
     val s = spark
     import s.implicits._

@@ -69,4 +69,53 @@ class SymlinkManifestSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](clone.generateSymlinkManifest())
     assert(e2.getMessage.contains("materialize"), e2.getMessage)
   }
+
+  test("refuses versioned layouts (data lives in _v* dirs the manifest can't see)") {
+    val dir = Files.createTempDirectory("graft_symlink4").toString
+    VersionedLakeTable(spark, s"$dir/v").write(Seq((1L, "a")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException](
+      LakeTable(spark, s"$dir/v").generateSymlinkManifest())
+    assert(e.getMessage.contains("versioned"), e.getMessage)
+  }
+
+  test("symlinkAuto property: every file-set-changing commit refreshes the manifest") {
+    val dir = Files.createTempDirectory("graft_symlink5").toString
+    val lake = LakeTable(spark, s"$dir/t")
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // enabling generates the initial manifest via the property's commit
+    lake.setTableProperty(LakeTable.SymlinkAutoProperty, "true")
+    val root = s"$dir/t/${LakeTable.SymlinkManifestDirName}/manifest"
+    val initial = manifestLines(spark, root)
+    assert(spark.read.parquet(initial: _*).count() === 2L)
+    // append: the manifest must follow WITHOUT an explicit GENERATE
+    lake.write(Seq((3L, "c")).toDF("id", "s"),
+      org.apache.spark.sql.SaveMode.Append)
+    val afterAppend = manifestLines(spark, root)
+    assert(spark.read.parquet(afterAppend: _*).count() === 3L)
+    assert(afterAppend.toSet !== initial.toSet)
+    // optimize (staged swap): manifest re-points at the compacted files
+    lake.compactSmall()
+    val afterCompact = manifestLines(spark, root)
+    assert(spark.read.parquet(afterCompact: _*)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(afterCompact.toSet.intersect(afterAppend.toSet).isEmpty,
+      "manifest must not keep pre-compaction files")
+    // delete: external view tracks the shrink
+    lake.delete(col("id") === 1L)
+    assert(spark.read.parquet(manifestLines(spark, root): _*)
+      .select("id").as[Long].collect().toSet === Set(2L, 3L))
+    // unset: the manifest freezes (point-in-time again)
+    lake.unsetTableProperty(LakeTable.SymlinkAutoProperty)
+    val frozen = manifestLines(spark, root)
+    lake.write(Seq((4L, "d")).toDF("id", "s"),
+      org.apache.spark.sql.SaveMode.Append)
+    assert(manifestLines(spark, root) === frozen)
+    // enabling on a DV-bearing table is refused up front
+    val lake2 = LakeTable(spark, s"$dir/t2")
+    lake2.write((1L to 4L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    lake2.deleteVectored(col("id") > 3)
+    val e = intercept[IllegalArgumentException](
+      lake2.setTableProperty(LakeTable.SymlinkAutoProperty, "true"))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
 }
