@@ -293,6 +293,61 @@ object Dedup {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** [[incrementalNearDup]] with an EXACT verification stage — the
+    * production serving shape when the audit needs true Jaccard, not the
+    * signature estimate: the standing index still generates candidates
+    * (band-key collisions, no corpus re-shingling for the probe), but
+    * each candidate pair is then verified against the corpus TEXT with
+    * exact n-gram Jaccard. Precision is 1 by construction (every output
+    * pair passed the exact filter), and with the 16×2 banding the
+    * candidate recall at threshold 0.7 is 1 - (1 - 0.7²)^16 ≈ 1 - 2e-5
+    * per pair (planted near-dups at ~0.9 miss at ~1e-11) — the same
+    * quantitative argument that lets [[minhashBandedPairs]] carry a full
+    * content oracle, applied to the incremental path.
+    *
+    * Scale shape: the incoming batch's banded keys broadcast against the
+    * index (as in [[incrementalNearDup]]); the exact stage touches
+    * corpus text ONLY for candidate corpus_ids (a broadcast semi-join of
+    * a candidate-sized key set into the corpus scan), so the verify cost
+    * tracks |candidates|, never |corpus|.
+    *
+    * Returns (new_id, corpus_id, jaccard >= threshold).
+    */
+  def incrementalNearDupVerified(
+      newDocs: DataFrame,
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      seed: Int = 42): DataFrame = {
+    val probe = buildMinhashIndex(newDocs, idCol, textCol, n, bands, rowsPerBand, seed)
+    val cand = broadcast(probe
+      .select(col("id").as("new_id"), col("band"), col("key")))
+      .join(index.select(col("id").as("corpus_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    def shingled(d: DataFrame, idName: String, shName: String) = d
+      .select(col(idCol).as(idName),
+        TextFunctions.shinglesOf(TextFunctions.tokens(col(textCol)), n).as(shName))
+      .where(size(col(shName)) > 0)
+    val withNew = cand
+      .join(shingled(newDocs, "new_id", "a_sh"), Seq("new_id"))
+    val jac = shingled(corpus, "corpus_id", "b_sh")
+      .join(broadcast(withNew), Seq("corpus_id"))
+      .withColumn("common",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("common") / (size(col("a_sh")) + size(col("b_sh")) - col("common")), 6))
+    jac.where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   def simhash64Of(ts: Column): Column =
     graft.functions.TextExpressions.simhash64(ts)
 
@@ -484,6 +539,60 @@ object Dedup {
       .select(col("id"), col("cell"),
         coalesce(col("component"), col("id")).as("component"))
       .withColumn("keep", col("id") === col("component"))
+  }
+
+  /** OR-banded hyperplane LSH near-dup (the AND-OR construction MinHash
+    * uses, in cosine space): `bands` independent hyperplane tables of
+    * `planesPerBand` planes each; a pair becomes a candidate when ANY
+    * band's full bucket hash matches, and candidates pass through the
+    * EXACT cosine filter — so precision is 1 by construction and the
+    * banding is purely the recall dial. A pair at cosine similarity c
+    * survives one band with probability s^r (s = 1 - arccos(c)/π), so
+    * the candidate probability is 1 - (1 - s^r)^b: at the fixture's
+    * (b=32, r=2) and threshold 0.4 (s = 0.631) the per-pair miss is
+    * (1 - 0.631²)^32 ≈ 9e-8 — the banded output IS the exact all-pairs
+    * set at any practical corpus size, which is what lets the declared
+    * query carry a full content oracle (and the planes are seeded, so
+    * the pair set is deterministic, not merely high-probability).
+    *
+    * The r/b pair is the scale dial: r bounds bucket sizes (2^r buckets
+    * per band — at 100 TB raise r so buckets stay ~n/2^r bounded, and
+    * raise b to hold the recall target per the closed form above); the
+    * single-band adaptive variant ([[embeddingNearDup]]) is the
+    * max-pruning end of the same curve.
+    */
+  def embeddingNearDupBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bands: Int,
+      planesPerBand: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1,
+      "embeddingNearDupBanded needs bands >= 1 and planesPerBand >= 1")
+    val rnd = new scala.util.Random(seed)
+    val planeTables: Seq[Seq[Seq[Double]]] =
+      Seq.fill(bands)(Seq.fill(planesPerBand)(Seq.fill(dim)(rnd.nextGaussian())))
+    val bucketed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(VectorFunctions.hyperplaneBuckets(col(vecCol), planeTables))
+          .as(Seq("band", "bucket")))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.v").as("av"), col("b.v").as("bv"))
+      // a pair colliding in several bands must verify once, not b times
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosineSim(col("av"), col("bv")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   def embeddingNearDup(

@@ -179,19 +179,27 @@ object TextQueries {
       buildSampleFraction = 0.2)
   }
 
-  /** M2 incremental path: near-dups of an incoming batch (odd doc_ids)
-    * against a standing MinHash index over the lake (even doc_ids) —
-    * signature-estimate similarity, no corpus text rescanned. Rows-only
-    * (the seeded hash family isn't DuckDB-expressible); recall vs the
-    * exact cross-half pairs is pinned in IncrementalDedupSpec.
+  /** M2 incremental path, ORACLED: near-dups of an incoming batch (odd
+    * doc_ids) against a standing MinHash index over the lake (even
+    * doc_ids), with the EXACT-verify serving shape
+    * ([[Dedup.incrementalNearDupVerified]]): the index generates
+    * candidates (band-key collisions — no corpus re-shingling for the
+    * probe), exact 3-gram Jaccard against candidate corpus docs confirms.
+    * Precision 1 by construction; the 16×2 banding's per-pair miss at
+    * the 0.7 threshold is ~2e-5 (planted dups near 0.9: ~1e-11) and the
+    * hash family is seeded, so the output deterministically equals the
+    * brute-force cross-half Jaccard set the oracle computes. The
+    * signature-estimate variant ([[Dedup.incrementalNearDup]] — no text
+    * touched at all) stays pinned in IncrementalDedupSpec.
     */
   def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir).documents
+    val corpus = d.where(col("doc_id") % 2 === 0)
     val index = Dedup.buildMinhashIndex(
-      d.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
-    Dedup.incrementalNearDup(
-      d.where(col("doc_id") % 2 === 1), index, "doc_id", "text",
-      n = 3, threshold = 0.5)
+      corpus, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 2)
+    Dedup.incrementalNearDupVerified(
+      d.where(col("doc_id") % 2 === 1), index, corpus, "doc_id", "text",
+      n = 3, threshold = 0.7)
   }
 
   /** Tokenizer learning: the first 10 BPE merge rules of the corpus —
@@ -360,21 +368,26 @@ object TextQueries {
     * just the rates. At 100 TB this is one broadcast join + a stateless
     * filter: no shuffle of the corpus.
     */
-  /** M3 serving depth (rows-only like its ANN siblings — k-means isn't
-    * SQL-expressible; equality to the scan-and-assign IVF path, the
-    * file-level probe pruning, and incremental append are pinned in
-    * IvfIndexSpec): the MATERIALIZED IVF index — postings laid out
-    * cell-clustered once, every retrieval reading only the probed
-    * cells' FILES.
+  /** M3 serving depth, ORACLED via the exhaustive probe (the argument
+    * q_ann_sql_topk proved for the TVF spelling): [[IvfIndex.serveTopK]]
+    * with nProbe = nCells probes EVERY cell, so the candidate set is the
+    * whole corpus and the serve ranking (rounded cosine desc, vec_id
+    * tie-break, self excluded) is exactly brute-force top-k — the
+    * k-means cell ASSIGNMENT cancels out of the answer by construction,
+    * and the entire standing-index path (postings lake layout, cell
+    * probe, stats-skipped read, distance arithmetic, ranking) carries a
+    * content oracle. The PRUNED serve (where the assignment does
+    * matter) stays pinned by IvfIndexSpec's serve==scan-and-assign
+    * equality and file-skip checks.
     */
   def ivfStandingTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_models", sf, "ivf_index").toString
     val e = Tables(spark, sfDir).embeddings
-    IvfIndex.build(e, "vec_id", "embedding", dir)
+    IvfIndex.build(e, "vec_id", "embedding", dir, nCells = 16)
     IvfIndex.serveTopK(spark, dir, e.where(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, nProbe = 4)
+      "vec_id", "embedding", k = 5, nProbe = 16)
   }
 
   /** M3 SQL serving, ORACLED: the `graft_ann_topk` TVF probed
@@ -534,11 +547,21 @@ object TextQueries {
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashMd5Pairs(Tables(spark, sfDir).documents, "doc_id", "text", maxHamming = 3)
 
-  /** Embedding near-dup via hyperplane LSH + cosine refine. */
+  /** Embedding near-dup via OR-banded hyperplane LSH + exact cosine
+    * refine, ORACLED against the exact all-pairs cosine >= 0.4 set:
+    * precision is 1 (the final filter is exact cosine) and the seeded
+    * 32-band × 2-plane construction's per-pair candidate miss at the
+    * threshold is ~9e-8 ([[Dedup.embeddingNearDupBanded]]), so the
+    * banded output deterministically equals brute force here — the same
+    * verify-terminated argument that oracled q_minhash_neardup. The
+    * adaptive single-band variant ([[Dedup.embeddingNearDup]] — the
+    * max-pruning end of the same r/b curve) stays recall-pinned in
+    * DedupSpec.
+    */
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingNearDup(
+    Dedup.embeddingNearDupBanded(
       Tables(spark, sfDir).embeddings, "vec_id", "embedding",
-      dim = 64, threshold = 0.4)
+      dim = 64, threshold = 0.4, bands = 32, planesPerBand = 2)
 
   /** SemDeDup over the embeddings table: cluster-scoped semantic dedup
     * (seeded k-means fit → no SQL oracle; survivor-set recall vs the
@@ -760,6 +783,50 @@ object TextQueries {
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_next
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 50 ORDER BY a.vec_id""".stripMargin,
+    // exhaustive probe (nProbe = nCells) == brute force, self EXCLUDED:
+    // the k-means cell assignment cancels out of the answer, so the
+    // whole standing-index serve path hash-matches; ranks on ROUNDED
+    // cosine with vec_id tie-break, like the serve
+    "q_ivf_standing_topk" ->
+      """SELECT q_id, rank, vec_id, cos FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+        |              e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // exact all-pairs ground truth — sound for the banded-LSH pipeline
+    // because its output is exact-cosine-filtered (precision 1) and the
+    // seeded 32x2 hyperplane banding's candidate miss at the 0.4
+    // threshold is ~9e-8 per pair (see embeddingNearDupBanded)
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    // exact cross-half (incoming odd vs corpus even) 3-gram jaccard —
+    // sound for the index-probe + exact-verify pipeline: precision 1 by
+    // construction, 16x2 banding miss ~2e-5 at the 0.7 threshold (see
+    // incrementalNearDupVerified)
+    "q_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                                    for i in range(1, len(ts)-1)]) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id new_id, b.doc_id corpus_id, count(*) common
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |      GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        | round(common * 1.0 / (la.n + lb.n - common), 6) AS jaccard
+        |FROM p
+        |JOIN (SELECT doc_id, len(sh) n FROM s) la ON la.doc_id = new_id
+        |JOIN (SELECT doc_id, len(sh) n FROM s) lb ON lb.doc_id = corpus_id
+        |WHERE common * 1.0 / (la.n + lb.n - common) >= 0.7
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // exhaustive probe == brute force over the whole corpus, self
     // included (the serve ranks on ROUNDED cosine with vec_id tie-break)
     "q_ann_sql_topk" ->

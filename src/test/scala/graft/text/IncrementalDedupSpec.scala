@@ -55,6 +55,29 @@ class IncrementalDedupSpec extends SparkSpec {
       s"recall ${found.toDouble / exact.size} on ${exact.size} true pairs")
   }
 
+  test("verified incremental path EQUALS the exact cross-half jaccard set") {
+    // the declared query's contract (q_incremental_neardup is fully
+    // oracled): index-probe candidates + exact verify must reproduce
+    // brute-force cross-half jaccard >= 0.7 exactly at the 16x2 banding
+    val docs = Tables(spark, sf001).documents
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text", n = 3,
+      bands = 16, rowsPerBand = 2)
+    val verified = Dedup.incrementalNearDupVerified(
+      batch, index, corpus, "doc_id", "text", n = 3, threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((a, b), _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case ((a, b), j) => (if (a % 2 == 1) (a, b) else (b, a)) -> j }
+      .toMap
+    assert(exact.nonEmpty, "fixture lost its planted cross-half near-dups")
+    assert(verified === exact,
+      s"verified path must equal brute force: got ${verified.size}, want ${exact.size}")
+  }
+
   test("index round-trips through a lake table and probes identically") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.where(col("doc_id") < 100)

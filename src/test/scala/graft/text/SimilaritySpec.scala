@@ -117,26 +117,32 @@ class SimilaritySpec extends SparkSpec {
       "persisted index must reproduce the in-memory index exactly")
   }
 
-  test("embedding LSH near-dup pins precision 1.0 and candidate recall vs the ORACLED exact pairs") {
+  test("embedding LSH near-dup: banded path EQUALS the ORACLED exact pairs; single-band prunes") {
     // ground truth = q_embedding_pairs_exact, which the DuckDB oracle
-    // hash-checks — so this recall pin chains back to an oracle row
-    // instead of trusting a test-local recomputation
+    // hash-checks — so this pin chains back to an oracle row instead of
+    // trusting a test-local recomputation
     val exact = TextQueries.embeddingPairsExact(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(exact.size === 59, s"exact ground truth drifted: ${exact.size} pairs")
-    val lsh = TextQueries.embeddingNearDupLsh(spark, sf001)
+    // the declared query (32x2 OR-banding + exact cosine verify) is
+    // promoted to a full content oracle, so its output must equal the
+    // brute-force set EXACTLY — miss probability at the seeded planes is
+    // ~9e-8 per pair and deterministic (see embeddingNearDupBanded)
+    val banded = TextQueries.embeddingNearDupLsh(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // precision 1.0 with identical cosines: LSH post-verifies candidates
-    // against the same exact cosine, so every emitted pair must appear in
-    // the exact set with the same (rounded) value
-    lsh.foreach { case (pair, cos) =>
+    assert(banded === exact, "banded LSH must reproduce exact all-pairs here")
+    // the adaptive single-band variant is the max-pruning end of the
+    // same curve: still precision 1 (exact-cosine-verified), recall is
+    // the trade it makes for one-table candidate cost
+    val single = Dedup.embeddingNearDup(
+      Tables(spark, sf001).embeddings, "vec_id", "embedding",
+      dim = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    single.foreach { case (pair, cos) =>
       assert(exact.get(pair).contains(cos), s"false/drifted pair $pair -> $cos")
     }
-    // recall floor for ONE 4-plane hash table at the permissive tau=0.4
-    // operating point (a candidate pruner, not a complete search — the
-    // multi-table path lshTopK measures recall 1.0 in AnnProbe)
-    val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.10, s"LSH candidate recall $recall collapsed")
+    val recall = single.size.toDouble / exact.size
+    assert(recall >= 0.10, s"single-band candidate recall $recall collapsed")
   }
 
   test("lshTopK is deterministic given the seed") {
