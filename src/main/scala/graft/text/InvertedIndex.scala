@@ -141,6 +141,39 @@ object InvertedIndex {
     IndexMeta.stamp(spark, dir, base.path, target)
   }
 
+  /** CONTINUOUS maintenance: one streaming query tailing the base's
+    * change feed and folding [[applyChanges]] per micro-batch — the
+    * [[graft.sources.MaterializedJoin.startStream]] pattern applied to
+    * the retrieval index, and the operational complement of the
+    * freshness guard: serves THROW on staleness, this keeps them from
+    * ever seeing it on a CDC-fed corpus, no external orchestrator. The
+    * batch content is only a notification; applyChanges derives its
+    * work from the version stamp vs the base's committed head, so a
+    * REPLAYED trigger is a no-op (stamp already advanced) and a trigger
+    * racing an in-flight commit defers that commit's change set to the
+    * next trigger — exactly-once index effects over an at-least-once
+    * stream, with no txn tags needed because the stamp IS the
+    * idempotence watermark. Single writer per index by construction
+    * (one streaming query, serialized foreachBatch). Unlike the MV
+    * twins, a notification arriving in the change-files-before-commit
+    * window is WAITED out, not deferred
+    * ([[IndexMeta.awaitBatchCommit]]) — deferral here would leave the
+    * freshness guard throwing until the base's next mutation.
+    */
+  def startMaintenanceStream(
+      base: LakeTable, idCol: String, textCol: String, dir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    base.readChangesStream
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IndexMeta.awaitBatchCommit(base, batch)
+        applyChanges(base, idCol, textCol, dir)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Shared incremental update of the three tables: postings append
     * (nothing existing rewritten), df merge (delta per term, delete at
     * zero), stats arithmetic. `removedPostings` carries the superseded

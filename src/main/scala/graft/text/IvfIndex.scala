@@ -115,6 +115,26 @@ object IvfIndex {
     IndexMeta.stamp(spark, dir, base.path, target)
   }
 
+  /** CONTINUOUS maintenance: tail the base's change feed and fold
+    * [[applyChanges]] per micro-batch — the exact twin of
+    * [[InvertedIndex.startMaintenanceStream]] (see its doc for the
+    * idempotence argument: the version stamp is the watermark, so
+    * replayed triggers no-op and racing commits defer one trigger).
+    */
+  def startMaintenanceStream(
+      base: LakeTable, idCol: String, vecCol: String, dir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    base.readChangesStream
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IndexMeta.awaitBatchCommit(base, batch)
+        applyChanges(base, idCol, vecCol, dir)
+      }
+      .trigger(trigger)
+      .start()
+
   private def assigned(
       df: DataFrame, centers: DataFrame, idCol: String, vecCol: String): DataFrame =
     Ivf.assignCells(

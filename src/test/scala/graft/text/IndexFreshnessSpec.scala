@@ -154,6 +154,73 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(e.getMessage.contains("applyChanges"), e.getMessage)
   }
 
+  test("BM25: live maintenance stream keeps serves fresh; replayed batches converge") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot
+    val base = LakeTable(spark, s"$root/docs").write(corpus.toDF("doc_id", "text"))
+    val dir = s"$root/idx"
+    InvertedIndex.build(base, "doc_id", "text", dir)
+    // >= 1 recorded change set: the change-feed streaming source's
+    // precondition (same as MaterializedJoin.startStream)
+    base.delete(col("doc_id") === 2L, changeFeed = true)
+    val q = InvertedIndex.startMaintenanceStream(base, "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      // the stream folded the delete: serve is FRESH (no stale throw)
+      // and the deleted doc is gone
+      assert(!served(dir, 10L -> "banana", 10L -> "apple").exists(_._3 == 2L))
+      // mutate UNDER the live stream: the next trigger folds it in with
+      // no orchestrator call
+      base.upsert(Seq((5L, "grape banana")).toDF("doc_id", "text"),
+        Seq("doc_id"), changeFeed = true)
+      q.processAllAvailable()
+      assert(served(dir, 1L -> "grape").exists(_._3 == 5L))
+      val rebuilt = s"$root/idx2"
+      InvertedIndex.build(base, "doc_id", "text", rebuilt)
+      val queries = Seq(1L -> "apple", 2L -> "banana", 3L -> "grape", 4L -> "durian")
+      assert(served(dir, queries: _*) === served(rebuilt, queries: _*))
+    } finally q.stop()
+    // replay: a FRESH checkpoint re-delivers every change batch from the
+    // feed's start; the version stamp is the idempotence watermark, so
+    // the replayed foldings no-op and the index stays equal to a rebuild
+    val q2 = InvertedIndex.startMaintenanceStream(base, "doc_id", "text", dir)
+    try q2.awaitTermination(120000) finally q2.stop()
+    val rebuilt2 = s"$root/idx3"
+    InvertedIndex.build(base, "doc_id", "text", rebuilt2)
+    val queries = Seq(1L -> "apple", 2L -> "banana", 3L -> "grape", 4L -> "durian")
+    assert(served(dir, queries: _*) === served(rebuilt2, queries: _*))
+  }
+
+  test("IVF: live maintenance stream keeps vector serves fresh") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot
+    val vecs = (0 until 64).map { i =>
+      val ang = i * 2.0 * math.Pi / 64
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val base = LakeTable(spark, s"$root/vecs").write(vecs.toDF("id", "vec"))
+    val dir = s"$root/idx"
+    IvfIndex.build(base, "id", "vec", dir, nCells = 8, seed = 7L, sampleFraction = 1.0)
+    base.delete(col("id") === 0L, changeFeed = true)
+    val q = IvfIndex.startMaintenanceStream(base, "id", "vec", dir,
+      trigger = Trigger.ProcessingTime(0L))
+    val probe = Seq((1000L, Array(1.0f, 0.05f))).toDF("id", "vec")
+    try {
+      q.processAllAvailable()
+      val got = IvfIndex.serveTopK(spark, dir, probe, "id", "vec", k = 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(!got.contains(0L), "ghost hit for deleted vector under live stream")
+      // an insert lands through the same stream
+      base.upsert(Seq((500L, Array(0.999f, 0.04f)))
+        .toDF("id", "vec"), Seq("id"), changeFeed = true)
+      q.processAllAvailable()
+      val got2 = IvfIndex.serveTopK(spark, dir, probe, "id", "vec", k = 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got2.contains(500L), s"new vector must serve immediately: $got2")
+    } finally q.stop()
+  }
+
   test("IVF: stale serve throws; delete cascades to the deleted ids' cells only") {
     val root = freshRoot
     val vecs = (0 until 64).map { i =>
