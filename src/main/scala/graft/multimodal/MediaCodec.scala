@@ -13,13 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** REAL media-container header parsing over opaque `binary` columns — the
   * part of the multimodal pillar that needs no codec library, done from the
   * published container specs (PNG RFC 2083, JFIF/ISO 10918, RIFF/WAVE,
-  * GIF89a):
+  * GIF89a, ISO/IEC 14496-12):
   *
   *   - PNG: 8-byte signature, IHDR width/height (big-endian)
   *   - JPEG: marker walk to the first SOF0/1/2 frame header
   *   - WAV: RIFF/WAVE chunk walk — `fmt ` (rate/channels/bits) + `data`
   *     size, duration derived from byte rate
   *   - GIF: GIF87a/89a logical-screen descriptor (little-endian)
+  *   - MP4/ISO-BMFF: box walk (size/type, largesize + to-EOF rules) —
+  *     ftyp brand, moov/mvhd timescale+duration, trak count, first
+  *     tkhd's 16.16 fixed-point presentation dimensions
   *
   * Exposed as a Catalyst expression ([[MediaProbe]]) whose codegen is one
   * static call — pixel/sample DECODE (which genuinely needs a codec
@@ -45,7 +48,10 @@ object MediaCodec {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
     StructField("bits", IntegerType, nullable = true),
-    StructField("duration_ms", LongType, nullable = true)))
+    StructField("duration_ms", LongType, nullable = true),
+    // ISO-BMFF only: number of trak boxes (appended last so positional
+    // struct readers of the older fields stay valid)
+    StructField("tracks", IntegerType, nullable = true)))
 
   private def row(
       format: String,
@@ -54,10 +60,11 @@ object MediaCodec {
       sampleRate: java.lang.Integer = null,
       channels: java.lang.Integer = null,
       bits: java.lang.Integer = null,
-      durationMs: java.lang.Long = null): InternalRow =
+      durationMs: java.lang.Long = null,
+      tracks: java.lang.Integer = null): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(format), width, height, sampleRate, channels, bits,
-      durationMs))
+      durationMs, tracks))
 
   // ---------- byte helpers ----------
 
@@ -87,7 +94,92 @@ object MediaCodec {
     else if (u8(payload, 0) == 0xFF && u8(payload, 1) == 0xD8) parseJpeg(payload)
     else if (tag(payload, 0, "RIFF") && tag(payload, 8, "WAVE")) parseWav(payload)
     else if (tag(payload, 0, "GIF87a") || tag(payload, 0, "GIF89a")) parseGif(payload)
+    else if (payload.length >= 12 && tag(payload, 4, "ftyp")) parseMp4(payload)
     else row("unknown")
+  }
+
+  /** ISO-BMFF / MP4 (ISO/IEC 14496-12): the file is a sequence of boxes
+    * `size(4 BE) type(4) body`, with `size == 1` escaping to a 64-bit
+    * largesize and `size == 0` meaning "to end of file". Identified by
+    * the `ftyp` box leading the stream; the movie header (`moov/mvhd`,
+    * version 0 or 1) carries timescale + duration, each `moov/trak`
+    * counts a track, and the first track header (`tkhd`) with nonzero
+    * dimensions supplies presentation width/height (16.16 fixed point).
+    * Same never-throw contract as the other parsers.
+    */
+  private def parseMp4(b: Array[Byte]): InternalRow = {
+    // generic box walk over [from, until): invokes f(type, bodyFrom,
+    // bodyUntil) per box; returns false on a malformed size
+    def walk(from: Long, until: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(b, i.toInt)
+        val typ = new String(b, i.toInt + 4, 4, "US-ASCII")
+        var header = 8L
+        val size =
+          if (size0 == 1) {
+            if (i + 16 > until) return false
+            header = 16L
+            (be32(b, i.toInt + 8) << 32) | be32(b, i.toInt + 12)
+          } else if (size0 == 0) until - i
+          else size0
+        if (size < header || i + size > until) return false
+        f(typ, i + header, i + size)
+        i += size
+      }
+      true
+    }
+    var brand: String = null
+    var timescale = -1L; var duration = -1L
+    var tracks = 0
+    var width = -1; var height = -1
+    def parseMvhd(from: Long, until: Long): Unit = {
+      if (until - from < 4) return
+      val v = u8(b, from.toInt)
+      // v0: creation(4) modification(4) timescale(4) duration(4)
+      // v1: creation(8) modification(8) timescale(4) duration(8)
+      if (v == 0 && until - from >= 20) {
+        timescale = be32(b, from.toInt + 12)
+        duration = be32(b, from.toInt + 16)
+      } else if (v == 1 && until - from >= 32) {
+        timescale = be32(b, from.toInt + 20)
+        duration = (be32(b, from.toInt + 24) << 32) | be32(b, from.toInt + 28)
+      }
+    }
+    def parseTkhd(from: Long, until: Long): Unit = {
+      if (until - from < 4 || width > 0) return
+      val v = u8(b, from.toInt)
+      // width/height are the LAST 8 bytes of the tkhd body (16.16 fixed)
+      val need = if (v == 1) 96L else 84L
+      if (until - from >= need) {
+        val w = (be32(b, (until - 8).toInt) >> 16).toInt
+        val h = (be32(b, (until - 4).toInt) >> 16).toInt
+        if (w > 0 && h > 0) { width = w; height = h }
+      }
+    }
+    val ok = walk(0, b.length.toLong) {
+      case ("ftyp", from, until) =>
+        if (brand == null && until - from >= 4)
+          brand = new String(b, from.toInt, 4, "US-ASCII")
+      case ("moov", mFrom, mUntil) =>
+        walk(mFrom, mUntil) {
+          case ("mvhd", from, until) => parseMvhd(from, until)
+          case ("trak", tFrom, tUntil) =>
+            tracks += 1
+            walk(tFrom, tUntil) {
+              case ("tkhd", from, until) => parseTkhd(from, until)
+              case _ => ()
+            }: Unit
+          case _ => ()
+        }: Unit
+      case _ => ()
+    }
+    if (!ok || brand == null || timescale <= 0) row("unknown")
+    else row("mp4",
+      width = if (width > 0) Int.box(width) else null,
+      height = if (height > 0) Int.box(height) else null,
+      durationMs = duration * 1000L / timescale,
+      tracks = tracks)
   }
 
   private def parsePng(b: Array[Byte]): InternalRow = {
@@ -361,6 +453,51 @@ object MediaCodec {
     require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF)
     "GIF89a".getBytes("US-ASCII") ++ le16b(width) ++ le16b(height) ++
       Array[Byte](0, 0, 0, 0x3B.toByte)
+  }
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    be32b((8 + body.length).toLong) ++ typ.getBytes("US-ASCII") ++ body
+
+  /** A structurally valid ISO-BMFF / MP4 header stream: `ftyp` (isom) +
+    * `moov` holding a version-0 `mvhd` (given timescale/duration) and
+    * `nTracks` `trak` boxes, the first carrying a `tkhd` with the given
+    * 16.16 fixed-point presentation dimensions. Standard full boxes with
+    * unity matrix and zeroed reserved fields — spec-shaped bytes, no
+    * media data (`mdat` needs a codec; metadata is the probe's job).
+    */
+  def makeMp4(
+      width: Int, height: Int, timescale: Int, durationTicks: Long,
+      nTracks: Int = 1): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && durationTicks >= 0 &&
+      nTracks >= 1)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32b(0x200L) ++
+        "isom".getBytes("US-ASCII") ++ "mp42".getBytes("US-ASCII"))
+    val matrix = // unity transform: 0x00010000, 0, 0 / 0, 0x00010000, 0 / 0, 0, 0x40000000
+      be32b(0x10000L) ++ be32b(0) ++ be32b(0) ++
+        be32b(0) ++ be32b(0x10000L) ++ be32b(0) ++
+        be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
+    val mvhd = box("mvhd",
+      be32b(0) ++                       // version 0 + flags
+        be32b(0) ++ be32b(0) ++         // creation, modification
+        be32b(timescale.toLong) ++ be32b(durationTicks) ++
+        be32b(0x10000L) ++              // rate 1.0
+        Array[Byte](1, 0) ++            // volume 1.0
+        new Array[Byte](2 + 8) ++       // reserved
+        matrix ++ new Array[Byte](24) ++ // pre_defined
+        be32b((nTracks + 1).toLong))    // next_track_ID
+    def tkhd(id: Int, w: Int, h: Int) = box("tkhd",
+      be32b(7L) ++                      // version 0 + flags (enabled|in movie|in preview)
+        be32b(0) ++ be32b(0) ++         // creation, modification
+        be32b(id.toLong) ++ be32b(0) ++ // track_ID, reserved
+        be32b(durationTicks) ++
+        new Array[Byte](8 + 2 + 2 + 2 + 2) ++ // reserved, layer, group, volume, reserved
+        matrix ++
+        be32b(w.toLong << 16) ++ be32b(h.toLong << 16)) // 16.16 fixed
+    val traks = (1 to nTracks).map { i =>
+      box("trak", tkhd(i, if (i == 1) width else 0, if (i == 1) height else 0))
+    }
+    ftyp ++ box("moov", mvhd ++ traks.reduce(_ ++ _))
   }
 
   // ---------- column surface ----------

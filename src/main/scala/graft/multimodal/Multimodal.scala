@@ -410,6 +410,42 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Oracled VIDEO-container probe (the fourth MediaProbe arm): fabricate
+    * structurally valid ISO-BMFF/MP4 header streams ([[MediaCodec.makeMp4]]
+    * — ftyp brand, version-0 mvhd timescale/duration, per-track tkhd with
+    * 16.16 fixed-point dimensions) deterministically from document ints,
+    * parse them back with the codegen [[MediaProbe]] box walk, and emit
+    * the recovered metadata. Same contract as q_multimodal_probe: Spark
+    * recovers the values from BYTES, DuckDB recomputes them from the
+    * source integers, hashes must meet — so the box walk, the largesize/
+    * to-EOF size rules, the fixed-point decode, and the timescale
+    * arithmetic are all content-checked. Map-only end to end; durations
+    * are chosen so ticks*1000/timescale is exact integer math in both
+    * engines.
+    */
+  def videoProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir).documents
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        BinaryMediaRow(id, MediaCodec.makeMp4(
+          width = (id % 640 + 32).toInt,
+          height = (id % 360 + 32).toInt,
+          timescale = 600,
+          durationTicks = (nChars % 100) * 60,
+          nTracks = (id % 3 + 1).toInt))
+      }
+      .select(col("media_id"), MediaCodec.probe(col("payload")).as("m"))
+      .select(
+        col("media_id"),
+        col("m.format").as("format"),
+        coalesce(col("m.width"), lit(-1)).as("width"),
+        coalesce(col("m.height"), lit(-1)).as("height"),
+        coalesce(col("m.tracks"), lit(-1)).as("tracks"),
+        coalesce(col("m.duration_ms"), lit(-1L)).as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracle-matched slice of the multimodal surface: byte-length profile of
     * the binary payloads (encode/octet_length agree across engines).
     */
@@ -427,6 +463,7 @@ object Multimodal {
     "q_multimodal_features" -> (featureProfile _),
     "q_multimodal_bytes" -> (payloadBytesProfile _),
     "q_multimodal_probe" -> (probeMetadata _),
+    "q_video_probe" -> (videoProbe _),
     "q_audio_frames" -> (audioFrameProfile _),
     "q_image_decode" -> (imageDecodeProfile _)
   )
@@ -465,6 +502,16 @@ object Multimodal {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE -1 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS INT) AS bits,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN (n_chars % 20) * 10 ELSE -1 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // the writer fabricates from (doc_id, n_chars); the oracle replays
+    // the same integer arithmetic, so the parser's box walk and the
+    // 16.16 / timescale decodes are content-checked
+    "q_video_probe" ->
+      """SELECT doc_id AS media_id, 'mp4' AS format,
+        |  CAST(doc_id % 640 + 32 AS INT) AS width,
+        |  CAST(doc_id % 360 + 32 AS INT) AS height,
+        |  CAST(doc_id % 3 + 1 AS INT) AS tracks,
+        |  CAST((n_chars % 100) * 100 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -88,6 +88,38 @@ class MediaCodecSpec extends SparkSpec {
     assert(r.getString(0) === "gif" && r.getInt(1) === 12 && r.getInt(2) === 34)
   }
 
+  test("mp4 round-trip: ftyp + mvhd timescale/duration + tkhd dims + track count") {
+    val r = probeOne(MediaCodec.makeMp4(
+      width = 640, height = 360, timescale = 600, durationTicks = 3000, nTracks = 2))
+    assert(r.getString(0) === "mp4")
+    assert(r.getInt(1) === 640 && r.getInt(2) === 360)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)) // no audio fields
+    assert(r.getLong(6) === 5000L) // 3000 ticks / 600 tps = 5 s
+    assert(r.getInt(7) === 2)
+    // a zero-length movie and a single track parse too
+    val r2 = probeOne(MediaCodec.makeMp4(16, 16, 1000, 0L))
+    assert(r2.getString(0) === "mp4" && r2.getLong(6) === 0L && r2.getInt(7) === 1)
+  }
+
+  test("mp4 parser handles largesize and to-end-of-file box sizes") {
+    val normal = MediaCodec.makeMp4(100, 50, 600, 1200L, nTracks = 1)
+    // rewrite the leading ftyp box to use size==1 + 64-bit largesize
+    val ftypLen = ((normal(0) & 0xFF) << 24) | ((normal(1) & 0xFF) << 16) |
+      ((normal(2) & 0xFF) << 8) | (normal(3) & 0xFF)
+    val ftypBody = normal.slice(8, ftypLen)
+    val large = Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, (16 + ftypBody.length).toByte) ++
+      ftypBody ++ normal.drop(ftypLen)
+    val r = probeOne(large)
+    assert(r.getString(0) === "mp4" && r.getInt(1) === 100 && r.getLong(6) === 2000L)
+    // size==0 (to EOF) on the LAST top-level box (moov)
+    val zeroLast = normal.clone()
+    zeroLast(ftypLen) = 0; zeroLast(ftypLen + 1) = 0
+    zeroLast(ftypLen + 2) = 0; zeroLast(ftypLen + 3) = 0
+    val r2 = probeOne(zeroLast)
+    assert(r2.getString(0) === "mp4" && r2.getInt(7) === 1)
+  }
+
   test("malformed payloads degrade to unknown, never throw") {
     val cases = Seq[Array[Byte]](
       Array.empty,
@@ -96,12 +128,15 @@ class MediaCodecSpec extends SparkSpec {
       MediaCodec.makePng(5, 5).take(20), // truncated inside IHDR
       MediaCodec.makeWav(8000, 10L).take(16), // truncated before fmt body
       MediaCodec.makeJpeg(9, 9).take(3), // SOI + half marker
-      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte) // SOI+EOI only
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte), // SOI+EOI only
+      MediaCodec.makeMp4(8, 8, 600, 600L).take(30), // truncated inside moov
+      // ftyp with a size lying past EOF
+      Array[Byte](0, 0, 0x40, 0) ++ "ftyp".getBytes("US-ASCII") ++ new Array[Byte](8)
     )
     cases.foreach { p =>
       val r = probeOne(p)
       assert(r.getString(0) === "unknown", s"payload len ${p.length}")
-      (1 to 6).foreach(i => assert(r.isNullAt(i)))
+      (1 to 7).foreach(i => assert(r.isNullAt(i)))
     }
     val nullRow = Seq(Tuple1(null: Array[Byte])).toDF("p")
       .select(MediaCodec.probe(col("p")).as("m")).head
