@@ -10,14 +10,20 @@ import org.apache.spark.sql.SparkSession
   *     Spark skip computing projected columns for some plans;
   *   - one small warm-up action first so JVM/classloader/codegen-compiler
   *     startup is not billed to the first query;
-  *   - TWO passes, alphabetical then reverse-alphabetical, and the
-  *     published per-query number is the MIN of the two. This makes
-  *     host-regime drift self-diagnosing: a query that degrades late in
-  *     a long run (GC/JIT/host regime — the r6/r7 false-alarm pattern)
-  *     is slow in one pass's tail but fast in the other's head, so the
-  *     min stays honest and only a REAL regression — slow in both
-  *     orders — moves the headline number. Both raw passes ride along
-  *     as queries_fwd/queries_rev for adjudication.
+  *   - THREE passes — alphabetical, reverse-alphabetical, and
+  *     interleaved (evens then odds) — and the published per-query
+  *     number is the MIN of the three. This makes host-regime drift
+  *     self-diagnosing: a query that degrades late in a long run
+  *     (GC/JIT/host regime — the r6/r7 false-alarm pattern) is slow in
+  *     one pass's tail but fast elsewhere, so the min stays honest and
+  *     only a REAL regression — slow in every order — moves the
+  *     headline number. All raw passes ride along as
+  *     queries_fwd/queries_rev/queries_mid, and a per-query SPREAD
+  *     (max/min across the passes) is published so a judge comparing
+  *     two runs can tell noise from regression without re-running: a
+  *     2x cross-run disagreement on a query whose own within-run spread
+  *     is 2x is the host, not the code (the r11 adjudication cost this
+  *     replaces).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -74,14 +80,30 @@ object Bench {
       }
     val fwd = runPass(selected)
     val rev = runPass(selected.reverse).reverse // emit in name order
-    // min of the passes; a failure (-1) in either pass dominates
-    val results = fwd.zip(rev).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // third, interleaved order: every query lands at a run-position far
+    // from both its fwd and rev slots, so position-correlated host drift
+    // decorrelates across the three samples
+    val (evens, odds) = selected.zipWithIndex.partition(_._2 % 2 == 0)
+    val midOrder = (evens ++ odds).map(_._1)
+    val midByName = runPass(midOrder).toMap
+    val mid = selected.map { case (n, _) => n -> midByName(n) } // name order
+    // min of the passes; a failure (-1) in any pass dominates
+    val passes = fwd.zip(rev).zip(mid).map { case (((n, a), (_, b)), (_, c)) =>
+      (n, Seq(a, b, c))
+    }
+    val results = passes.map { case (n, ts) => n -> ts.min }
+    // within-run spread (max/min across the three orders) — the noise
+    // yardstick a cross-run comparison should be read against
+    val spread = passes.map { case (n, ts) =>
+      n -> (if (ts.min <= 0) -1.0 else ts.max / ts.min)
+    }
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(results)},""" +
-        f""""queries_fwd":${js(fwd)},"queries_rev":${js(rev)},"sf":"$sfDir"}"""
+        f""""spread":${js(spread)},"queries_fwd":${js(fwd)},"queries_rev":${js(rev)},""" +
+        f""""queries_mid":${js(mid)},"sf":"$sfDir"}"""
     // the FULL artifact (~2.5 KB with both raw passes) goes to the file
     // ONLY: the driver keeps just the last ~2 KB of stdout, and printing
     // the full line clipped its head (BENCH_r02/r04/r09/r10 all recorded
@@ -95,9 +117,13 @@ object Bench {
     // as the budget allows, slowest first (the queries that matter for
     // the plan-audit read). The rest are counted, never silently dropped.
     val budget = 1500 // bytes for the whole line, < capture window - sbt tail chatter
+    val okSpreads = spread.map(_._2).filter(_ > 0).sorted
+    val spreadP50 = if (okSpreads.isEmpty) 0.0 else okSpreads(okSpreads.size / 2)
+    val spreadMax = if (okSpreads.isEmpty) 0.0 else okSpreads.last
     val header =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
+        f""""spread_p50":$spreadP50%.2f,"spread_max":$spreadMax%.2f,""" +
         """"queries_file":"BENCH_local.json""""
     val entries = new StringBuilder
     var taken = 0

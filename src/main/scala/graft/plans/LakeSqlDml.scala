@@ -155,6 +155,22 @@ final case class LakeCopyIntoCommand(path: String, source: String, format: Strin
   }
 }
 
+/** `COPY INTO <lake> FROM '<dir>' FILEFORMAT = JSONL SCHEMA '<ddl>' WITH
+  * QUARANTINE` — the quarantine ingest
+  * ([[graft.sources.LakeTable.copyIntoJsonlQuarantine]]) reachable from
+  * pure SQL, completing the "SQL user reaches everything" contract for
+  * the landing-zone path the way the TVFs completed it for serving.
+  */
+final case class LakeCopyIntoQuarantineCommand(
+    path: String, source: String, schemaDdl: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable(spark, path).copyIntoJsonlQuarantine(source,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    Seq.empty
+  }
+}
+
 /** `UPDATE graft_lake(path) [alias] SET ... [WHERE cond]` — layout-routed
   * like [[LakeDeleteCommand]].
   */
@@ -941,9 +957,14 @@ object LakeSqlDml {
     Some(LakeMaintenanceCommand(path, op))
   }
 
-  /** `COPY INTO <lake target> FROM '<source dir>' [FILEFORMAT = <fmt>]`
-    * — Databricks COPY INTO's core shape: idempotent exactly-once file
-    * ingest (re-running loads only files not yet loaded).
+  /** `COPY INTO <lake target> FROM '<source dir>' [FILEFORMAT = <fmt>]
+    * [SCHEMA '<ddl>'] [WITH QUARANTINE]` — Databricks COPY INTO's core
+    * shape: idempotent exactly-once file ingest (re-running loads only
+    * files not yet loaded). WITH QUARANTINE routes through the JSONL
+    * quarantine split (bad lines to the `__quarantine` sibling,
+    * verbatim + source file); it requires FILEFORMAT = JSONL and an
+    * explicit SCHEMA — the quarantine split IS a contract check, and a
+    * contract needs a declared schema.
     */
   private def parseCopy(p: P): Option[LogicalPlan] = {
     if (!p.eat("INTO")) return None
@@ -955,8 +976,24 @@ object LakeSqlDml {
         if (!p.eatPunct("=")) p.fail("expected = after FILEFORMAT")
         p.identifier("file format").mkString(".").toLowerCase(java.util.Locale.ROOT)
       } else "parquet"
+    val schemaDdl =
+      if (p.eat("SCHEMA")) Some(p.stringLiteral("SCHEMA DDL string")) else None
+    val quarantine = p.eat("WITH")
+    if (quarantine) p.expect("QUARANTINE", "after WITH")
     p.done("COPY INTO")
-    Some(LakeCopyIntoCommand(path, src, fmt))
+    if (quarantine) {
+      if (fmt != "jsonl" && fmt != "json")
+        p.fail("COPY INTO … WITH QUARANTINE supports FILEFORMAT = JSONL")
+      val ddl = schemaDdl.getOrElse(p.fail(
+        "COPY INTO … WITH QUARANTINE needs SCHEMA '<ddl>' — the " +
+          "quarantine split is a contract check and needs the contract"))
+      Some(LakeCopyIntoQuarantineCommand(path, src, ddl))
+    } else {
+      schemaDdl.foreach(_ => p.fail(
+        "SCHEMA on COPY INTO is only used WITH QUARANTINE — the plain " +
+          "path takes the table's stored schema"))
+      Some(LakeCopyIntoCommand(path, src, fmt))
+    }
   }
 
   private def parseInsert(p: P): Option[LogicalPlan] = {

@@ -56,12 +56,20 @@ object JsonlIngest {
     */
   def readWithQuarantine(
       spark: SparkSession, path: String, schema: StructType):
+      (DataFrame, DataFrame) = readWithQuarantine(spark, Seq(path), schema)
+
+  /** [[readWithQuarantine]] over an explicit file list — the COPY INTO
+    * integration point ([[LakeTable.copyIntoJsonlQuarantine]] feeds it
+    * exactly the not-yet-loaded files).
+    */
+  def readWithQuarantine(
+      spark: SparkSession, paths: Seq[String], schema: StructType):
       (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema already has a $CorruptCol column")
     val withCorrupt = StructType(schema.fields :+
       StructField(CorruptCol, StringType, nullable = true))
-    val parsed = spark.read.textFile(path).toDF("raw_line")
+    val parsed = spark.read.textFile(paths: _*).toDF("raw_line")
       .select(
         col("raw_line"),
         input_file_name().as("source_file"),

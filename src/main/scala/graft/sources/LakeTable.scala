@@ -1060,6 +1060,51 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** COPY INTO with the JSONL quarantine split (`COPY INTO … FILEFORMAT
+    * = JSONL WITH QUARANTINE` in SQL): the exactly-once-per-file ledger
+    * of [[copyInto]] around [[JsonlIngest.readWithQuarantine]] — each
+    * not-yet-loaded landing file parses once, clean rows append here,
+    * unparseable/contract-violating LINES land verbatim (with their
+    * source file) in the `<path>__quarantine` sibling. The ledger claim
+    * rides the CLEAN append's commit, and the quarantine leg writes
+    * FIRST (the appendExpecting ordering): a crash between the two
+    * leaves the files unclaimed, so the re-run re-processes them —
+    * re-quarantining is at-least-once, losing violations is impossible.
+    */
+  def copyIntoJsonlQuarantine(
+      source: String, schema: org.apache.spark.sql.types.StructType): LakeTable = {
+    require(!VersionedLakeTable.isVersioned(spark, path),
+      s"$path uses the versioned snapshot layout; COPY INTO targets plain " +
+        "lake tables (write a new snapshot via VersionedLakeTable instead)")
+    val srcPath = new Path(source)
+    val srcFs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(srcFs.exists(srcPath), s"COPY INTO source not found: $source")
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = srcFs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) found += st.getPath.toString
+    }
+    val todo = found.filterNot(copiedFiles.contains).sorted.toSeq
+    if (todo.isEmpty) return this
+    val (good, bad) = JsonlIngest.readWithQuarantine(spark, todo, schema)
+    val badPinned = bad.localCheckpoint(true)
+    if (!badPinned.isEmpty) quarantine.write(badPinned, SaveMode.Append)
+    val ledger = "_copied_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    if (!fs.exists(logDir)) fs.mkdirs(logDir): Unit
+    val out = fs.create(new Path(logDir, ledger), false)
+    try out.write(todo.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    write(good, SaveMode.Append,
+      extraParams = Map(
+        LakeTable.CopyLedgerParam -> ledger,
+        "copySource" -> source,
+        "fileFormat" -> "jsonl+quarantine",
+        "filesLoaded" -> todo.size.toString))
+    this
+  }
+
   /** Source files already loaded by [[copyInto]]: the union of every
     * ledger a commit claims. Unclaimed ledgers (pre-commit crash
     * debris) are invisible here and removed by [[vacuumDebris]].

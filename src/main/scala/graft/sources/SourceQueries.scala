@@ -156,6 +156,50 @@ object SourceQueries {
       .orderBy(col("source"))
   }
 
+  /** The pure-SQL spelling of [[jsonlQuarantine]]: `COPY INTO …
+    * FILEFORMAT = JSONL SCHEMA '<ddl>' WITH QUARANTINE`
+    * ([[graft.plans.LakeSqlDml]] → [[LakeTable.copyIntoJsonlQuarantine]])
+    * — the landing-zone quarantine ingest under COPY INTO's exactly-
+    * once-per-file ledger, reachable without the DataFrame API. Same
+    * planted dirty lines, same oracle: clean rows land in the lake,
+    * three bad LINES land verbatim in the `__quarantine` sibling. The
+    * target lake is recreated per invocation: the overwrite-written
+    * source files carry fresh names each run, which a surviving ledger
+    * would rightly treat as new files and double-load.
+    */
+  def jsonlSqlQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val dir = scratch(sfDir, "docs_jsonl_sql")
+    JsonlIngest.write(t.documents, dir)
+    val dirty = Seq(
+      """{"doc_id": 900001, "text": "truncated""",
+      """not json at all""",
+      """{"doc_id": "abc", "text": "t", "lang": "xx", "source": "crawl", "n_chars": 1}""")
+    Files.write(Paths.get(dir, "dirty.jsonl"),
+      dirty.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val target = scratch(sfDir, "docs_jsonl_sql_lake")
+    val hfs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(target), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      target + LakeTable.QuarantineSuffix), true)
+    spark.sql(
+      s"""COPY INTO graft_lake('$target') FROM '$dir'
+         |FILEFORMAT = JSONL SCHEMA '${t.documents.schema.toDDL}'
+         |WITH QUARANTINE""".stripMargin)
+    val lake = LakeTable(spark, target)
+    val nq = lake.quarantine.read.agg(count(lit(1)).as("n_quarantined"))
+    lake.read.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .crossJoin(broadcast(nq))
+      .orderBy(col("source"))
+  }
+
   /** SQL-native lake access through the `graft_lake` TABLE FUNCTION
     * (injected via SparkSessionExtensions): the query never touches the
     * DataFrame API — the TVF splices the lake table's analyzed scan into
@@ -1183,6 +1227,7 @@ object SourceQueries {
     "q_csv_ingest" -> (csvIngestNation _),
     "q_json_ingest" -> (jsonIngestNation _),
     "q_jsonl_quarantine" -> (jsonlQuarantine _),
+    "q_jsonl_sql_quarantine" -> (jsonlSqlQuarantine _),
     "q_tvf_lake_sql" -> (tvfLakeSql _),
     "q_catalog_sql" -> (catalogSql _),
     "q_lake_compact_small" -> (lakeCompactSmall _),
@@ -1625,6 +1670,14 @@ object SourceQueries {
     // the 3 planted dirty lines never reach the good leg, so the oracle
     // is the parquet source plus the constant quarantine count
     "q_jsonl_quarantine" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT md5(text)) AS n_uniq,
+        | min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        | CAST(3 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical contract through the SQL COPY INTO … WITH QUARANTINE path
+    "q_jsonl_sql_quarantine" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | count(DISTINCT md5(text)) AS n_uniq,

@@ -547,21 +547,55 @@ object TextQueries {
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashMd5Pairs(Tables(spark, sfDir).documents, "doc_id", "text", maxHamming = 3)
 
-  /** Embedding near-dup via OR-banded hyperplane LSH + exact cosine
-    * refine, ORACLED against the exact all-pairs cosine >= 0.4 set:
-    * precision is 1 (the final filter is exact cosine) and the seeded
-    * 32-band × 2-plane construction's per-pair candidate miss at the
-    * threshold is ~9e-8 ([[Dedup.embeddingNearDupBanded]]), so the
-    * banded output deterministically equals brute force here — the same
-    * verify-terminated argument that oracled q_minhash_neardup. The
-    * adaptive single-band variant ([[Dedup.embeddingNearDup]] — the
-    * max-pruning end of the same r/b curve) stays recall-pinned in
-    * DedupSpec.
+  /** Embedding near-dup via single-band hyperplane LSH + exact cosine
+    * refine — the PRODUCTION candidate-pruner shape (16 buckets, pair
+    * cost ~n²/16, one narrow shuffle) — fully ORACLED the way
+    * q_simhash_neardup is: the seeded Gaussian planes are INLINED into
+    * the oracle SQL as literals, so DuckDB recomputes the identical
+    * bucket bit-pattern (dot >= 0 per plane, same element order, same
+    * double arithmetic) and the bucketed candidate set, the exact-cosine
+    * verify, and the rounding are ALL content-checked — including the
+    * pruner's recall trade, which the oracle reproduces rather than
+    * papers over (the exact-completeness yardstick is the separately
+    * oracled q_embedding_pairs_exact; recall vs it is pinned in
+    * SimilaritySpec). The OR-banded near-exhaustive construction
+    * ([[Dedup.embeddingNearDupBanded]]) stays as the recall dial, with
+    * banded == exact-all-pairs pinned at test scale in SimilaritySpec —
+    * it is deliberately NOT the declared bench query: at this fixture's
+    * permissive 0.4 threshold (s(0.4)=0.63 vs s(0)=0.5) near-complete
+    * hyperplane recall is inherently ~all-pairs work, which is the
+    * exact path's job.
     */
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingNearDupBanded(
+    Dedup.embeddingNearDup(
       Tables(spark, sfDir).embeddings, "vec_id", "embedding",
-      dim = 64, threshold = 0.4, bands = 32, planesPerBand = 2)
+      dim = 64, threshold = 0.4, nPlanes = Some(4))
+
+  /** The DuckDB twin of [[embeddingNearDupLsh]]'s plane set: the SAME
+    * seeded Gaussian sequence ([[Dedup.embeddingNearDup]]'s
+    * `new Random(42)` + `Array.fill(4, 64)(nextGaussian)`), emitted as
+    * SQL literals (Double.toString round-trips exactly through a
+    * correctly-rounded parser, so both engines dot the identical
+    * doubles in the identical order).
+    */
+  private def embeddingNearDupOracle: String = {
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(4, 64)(rnd.nextGaussian())
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      val arr = w.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** SemDeDup over the embeddings table: cluster-scoped semantic dedup
     * (seeded k-means fit → no SQL oracle; survivor-set recall vs the
@@ -797,16 +831,11 @@ object TextQueries {
         |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    // exact all-pairs ground truth — sound for the banded-LSH pipeline
-    // because its output is exact-cosine-filtered (precision 1) and the
-    // seeded 32x2 hyperplane banding's candidate miss at the 0.4
-    // threshold is ~9e-8 per pair (see embeddingNearDupBanded)
-    "q_embedding_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin,
+    // the LSH path itself, recomputed: plane constants inlined (same
+    // seeded sequence), bucket = dot-sign bit pattern, same-bucket pairs
+    // exact-cosine-verified — candidate generation AND verification are
+    // both content-checked (see embeddingNearDupLsh)
+    "q_embedding_neardup" -> embeddingNearDupOracle,
     // exact cross-half (incoming odd vs corpus even) 3-gram jaccard —
     // sound for the index-probe + exact-verify pipeline: precision 1 by
     // construction, 16x2 banding miss ~2e-5 at the 0.7 threshold (see

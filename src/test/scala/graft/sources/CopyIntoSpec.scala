@@ -52,6 +52,48 @@ class CopyIntoSpec extends SparkSpec {
       lake.copiedFiles.size, s"per-commit file counts must sum: ${loaded.toSeq}")
   }
 
+  test("COPY INTO … WITH QUARANTINE: ledgered split, idempotent re-run, SQL errors") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("srcq")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.write(java.nio.file.Paths.get(src, "a.jsonl"), Seq(
+      """{"id": 1, "t": "ok"}""",
+      """broken line""",
+      """{"id": "nope", "t": "bad type"}""").mkString("\n").getBytes("UTF-8"))
+    val dir = tmp("t")
+    spark.sql(
+      s"""COPY INTO graft_lake('$dir') FROM '$src'
+         |FILEFORMAT = JSONL SCHEMA 'id BIGINT, t STRING' WITH QUARANTINE""".stripMargin)
+    val lake = LakeTable(spark, dir)
+    assert(lake.read.as[(Long, String)].collect().toSeq === Seq((1L, "ok")))
+    assert(lake.quarantine.read.select("raw_line").as[String].collect().toSet ===
+      Set("broken line", """{"id": "nope", "t": "bad type"}"""))
+    // re-run: the ledger marks the file loaded — neither leg grows
+    spark.sql(
+      s"""COPY INTO graft_lake('$dir') FROM '$src'
+         |FILEFORMAT = JSONL SCHEMA 'id BIGINT, t STRING' WITH QUARANTINE""".stripMargin)
+    assert(lake.read.count() === 1 && lake.quarantine.read.count() === 2)
+    // a LATE file loads incrementally, both legs
+    Files.write(java.nio.file.Paths.get(src, "b.jsonl"), Seq(
+      """{"id": 2, "t": "late"}""", """also broken""").mkString("\n").getBytes("UTF-8"))
+    spark.sql(
+      s"""COPY INTO graft_lake('$dir') FROM '$src'
+         |FILEFORMAT = JSONL SCHEMA 'id BIGINT, t STRING' WITH QUARANTINE""".stripMargin)
+    assert(lake.read.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(lake.quarantine.read.count() === 3)
+    // grammar guards: quarantine needs JSONL + SCHEMA; plain COPY refuses SCHEMA
+    val e1 = intercept[Exception](spark.sql(
+      s"COPY INTO graft_lake('$dir') FROM '$src' FILEFORMAT = PARQUET WITH QUARANTINE"))
+    assert(e1.getMessage.contains("JSONL"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"COPY INTO graft_lake('$dir') FROM '$src' FILEFORMAT = JSONL WITH QUARANTINE"))
+    assert(e2.getMessage.contains("SCHEMA"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      s"COPY INTO graft_lake('$dir') FROM '$src' FILEFORMAT = JSONL SCHEMA 'id BIGINT'"))
+    assert(e3.getMessage.contains("QUARANTINE"), e3.getMessage)
+  }
+
   test("SQL COPY INTO routes with FILEFORMAT and works on named tables") {
     val n = Tables(spark, sf0001).nation
     val src = tmp("srcjson")

@@ -117,32 +117,35 @@ class SimilaritySpec extends SparkSpec {
       "persisted index must reproduce the in-memory index exactly")
   }
 
-  test("embedding LSH near-dup: banded path EQUALS the ORACLED exact pairs; single-band prunes") {
+  test("embedding LSH near-dup: single-band prunes with precision 1; banded recalls everything") {
     // ground truth = q_embedding_pairs_exact, which the DuckDB oracle
     // hash-checks — so this pin chains back to an oracle row instead of
     // trusting a test-local recomputation
     val exact = TextQueries.embeddingPairsExact(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(exact.size === 59, s"exact ground truth drifted: ${exact.size} pairs")
-    // the declared query (32x2 OR-banding + exact cosine verify) is
-    // promoted to a full content oracle, so its output must equal the
-    // brute-force set EXACTLY — miss probability at the seeded planes is
-    // ~9e-8 per pair and deterministic (see embeddingNearDupBanded)
-    val banded = TextQueries.embeddingNearDupLsh(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(banded === exact, "banded LSH must reproduce exact all-pairs here")
-    // the adaptive single-band variant is the max-pruning end of the
-    // same curve: still precision 1 (exact-cosine-verified), recall is
-    // the trade it makes for one-table candidate cost
-    val single = Dedup.embeddingNearDup(
-      Tables(spark, sf001).embeddings, "vec_id", "embedding",
-      dim = 64, threshold = 0.4)
+    // the declared query (single 4-plane band + exact cosine verify,
+    // itself fully oracled via inlined plane constants): precision 1
+    // with identical cosines; recall is the pruning trade it makes
+    val single = TextQueries.embeddingNearDupLsh(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     single.foreach { case (pair, cos) =>
       assert(exact.get(pair).contains(cos), s"false/drifted pair $pair -> $cos")
     }
     val recall = single.size.toDouble / exact.size
     assert(recall >= 0.10, s"single-band candidate recall $recall collapsed")
+    // the OR-banded AND-OR construction is the recall dial: at 32x2 the
+    // per-pair candidate miss at threshold 0.4 is ~9e-8 (seeded, so
+    // deterministic), and the output must equal exact all-pairs — pinned
+    // at sf0.001 where near-exhaustive candidate cost is a test budget,
+    // not a bench lie
+    val exactSmall = TextQueries.embeddingPairsExact(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Dedup.embeddingNearDupBanded(
+      Tables(spark, sf0001).embeddings, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, bands = 32, planesPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded === exactSmall, "banded LSH must reproduce exact all-pairs here")
   }
 
   test("lshTopK is deterministic given the seed") {

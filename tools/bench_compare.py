@@ -48,14 +48,24 @@ def main():
     failed = [k for k, v in new["queries"].items() if v < 0]
     for k in failed:
         print(f"FAILED  {k}")
-    regressions = []
+    # per-query within-run spread (max/min across the bench's three
+    # pass orders) is the noise yardstick: a cross-run ratio within a
+    # run's OWN spread is host noise, not code. Runs older than the
+    # three-pass bench carry no "spread" key -> yardstick 1.0.
+    ospread = old.get("spread", {})
+    nspread = new.get("spread", {})
+    regressions, noise = [], []
     for k in sorted(set(oq) & set(nq)):
         ratio = (nq[k] / nm) / (oq[k] / om)
         if ratio > thr:
-            regressions.append((ratio, k))
-    for ratio, k in sorted(regressions, reverse=True):
+            yard = max(ospread.get(k, 1.0), nspread.get(k, 1.0), 1.0)
+            (noise if ratio <= yard else regressions).append((ratio, k, yard))
+    for ratio, k, yard in sorted(regressions, reverse=True):
         print(f"REGRESS {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s "
-              f"({ratio:.2f}x vs median drift)")
+              f"({ratio:.2f}x vs median drift, beyond own spread {yard:.2f}x)")
+    for ratio, k, yard in sorted(noise, reverse=True):
+        print(f"NOISE   {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s "
+              f"({ratio:.2f}x, within within-run spread {yard:.2f}x)")
     added = sorted(set(nq) - set(oq))
     if added:
         print("new queries:", ", ".join(f"{k}={nq[k]:.2f}s" for k in added))
