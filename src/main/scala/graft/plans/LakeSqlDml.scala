@@ -29,6 +29,10 @@ import graft.sources.{LakeTable, MergeClause}
   *   WHEN NOT MATCHED BY SOURCE THEN DELETE
   * ALTER TABLE graft_lake('/p') ADD COLUMNS (score DOUBLE)
   * ALTER TABLE graft_lake('/p') ADD CONSTRAINT pos CHECK (v > 0)
+  * ALTER TABLE graft_lake('/p') SET TBLPROPERTIES ('k' = 'v')
+  * ALTER TABLE graft_lake('/p') UNSET TBLPROPERTIES ('k')
+  * COPY INTO graft_lake('/p') FROM '/landing' FILEFORMAT = JSONL
+  *   SCHEMA 'id BIGINT, t STRING' WITH QUARANTINE
   * OPTIMIZE graft_lake('/p') ZORDER BY (id, day)
   * OPTIMIZE graft_lake('/p') HILBERT BY (id, day)
   * OPTIMIZE graft_lake('/partitioned') WHERE day = '2024-06-01'
@@ -593,6 +597,10 @@ final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
         lake.addIdentityColumn(n, s, st)
       case LakeAlterCommand.RenameColumn(a, b)      => lake.renameColumn(a, b)
       case LakeAlterCommand.DropColumn(n)           => lake.dropColumn(n)
+      case LakeAlterCommand.SetProperties(kvs)      =>
+        kvs.foldLeft(lake) { case (l, (k, v)) => l.setTableProperty(k, v) }
+      case LakeAlterCommand.UnsetProperties(ks)     =>
+        ks.foldLeft(lake)(_.unsetTableProperty(_))
     }
     Seq.empty
   }
@@ -627,6 +635,15 @@ object LakeAlterCommand {
     * mapping; the physical name is retired.
     */
   final case class DropColumn(name: String) extends Action
+
+  /** `ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', …)` — the SQL face of
+    * [[graft.sources.LakeTable.setTableProperty]] (behavior-bearing
+    * properties validate at set time, e.g. the symlink auto-manifest).
+    */
+  final case class SetProperties(kvs: Seq[(String, String)]) extends Action
+
+  /** `ALTER TABLE t UNSET TBLPROPERTIES ('k', …)`. */
+  final case class UnsetProperties(keys: Seq[String]) extends Action
 }
 
 /** `MERGE INTO graft_lake(path) t USING <relation> s ON ... WHEN ...`;
@@ -1083,7 +1100,24 @@ object LakeSqlDml {
         val from = p.identifier("column name").mkString(".")
         p.expect("TO", "in RENAME COLUMN")
         LakeAlterCommand.RenameColumn(from, p.identifier("new column name").mkString("."))
-      } else p.fail("expected ADD, DROP or RENAME after the ALTER TABLE target")
+      } else if (p.eat("SET")) {
+        p.expect("TBLPROPERTIES", "after ALTER TABLE … SET")
+        val body = p.parenGroup("TBLPROPERTIES list")
+        val kvs = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1).replace("''", "'") -> m.group(2).replace("''", "'"))
+          .toSeq
+        if (kvs.isEmpty) p.fail("SET TBLPROPERTIES needs ('key' = 'value', …)")
+        LakeAlterCommand.SetProperties(kvs)
+      } else if (p.eat("UNSET")) {
+        p.expect("TBLPROPERTIES", "after ALTER TABLE … UNSET")
+        val body = p.parenGroup("TBLPROPERTIES list")
+        val ks = """'((?:[^']|'')*)'""".r
+          .findAllMatchIn(body).map(_.group(1).replace("''", "'")).toSeq
+        if (ks.isEmpty) p.fail("UNSET TBLPROPERTIES needs ('key', …)")
+        LakeAlterCommand.UnsetProperties(ks)
+      } else p.fail(
+        "expected ADD, DROP, RENAME, SET or UNSET after the ALTER TABLE target")
     p.done("ALTER TABLE")
     Some(LakeAlterCommand(path, action))
   }

@@ -4105,6 +4105,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
 
   private def statsDir: String = s"$path/${LakeTable.StatsDirName}"
 
+  /** Whether the table currently carries file stats. A FULL staged
+    * rewrite (a merge whose key set touches every file, compact without
+    * selective scope) drops the stats dir with the old table dir — the
+    * maintenance callers that keep pruning alive incrementally
+    * ([[refreshStats]]) must re-seed with [[collectStats]] in that case
+    * rather than assume the dir survived.
+    */
+  def hasStats: Boolean = fs.exists(new Path(statsDir))
+
   /** Commit history as a DataFrame (DESCRIBE HISTORY substitute).
     *
     * Stable columns: version (long), operation (string), timestamp

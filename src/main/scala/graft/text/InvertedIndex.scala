@@ -121,6 +121,23 @@ object InvertedIndex {
     * cannot be folded in, and silently skipping it would re-stamp a wrong
     * index as fresh, so that case throws instead.
     */
+  /** Max removed-doc count for which [[applyChanges]] takes the
+    * TOMBSTONE path (deletion vectors keyed on a driver-side doc-id
+    * IN-list) instead of a keyed merge. The tombstone path is the
+    * Lucene/segment model on the lake's own merge-on-read machinery and
+    * is what keeps maintenance O(delta): the removal set is exactly
+    * "every posting of a superseded doc", and a superseded doc's TERMS
+    * are scattered over the vocabulary, so a (term, doc_id)-keyed merge's
+    * range pruning degrades to a full postings rewrite for any realistic
+    * text delta (measured by IndexMaintenanceProbe: apply ≈ rebuild
+    * before this path existed). A DV write costs one postings scan plus
+    * a KB-scale vector file — no data rewritten; the next OPTIMIZE on
+    * the maintenance cadence materializes the tombstones. Above the
+    * threshold (a backfill-scale delta, not a CDC batch) the keyed merge
+    * remains — a rewrite of most files is then honest work.
+    */
+  var DvRemovalThreshold: Int = 65536
+
   def applyChanges(base: LakeTable, idCol: String, textCol: String, dir: String): Unit = {
     val spark = base.read.sparkSession
     val meta = IndexMeta.forMaintenance(spark, dir, base, "BM25 index")
@@ -132,11 +149,17 @@ object InvertedIndex {
     val addPost = tokenPostings(additions, "doc_id", textCol).localCheckpoint(true)
 
     val p = LakeTable(spark, sub(dir, "postings"))
-    // superseded images out: keyed merge, rewrite pruned to the files
-    // whose term range intersects the removed docs' terms
-    if (!remPost.isEmpty)
-      p.merge(remPost.select(col("term"), col("doc_id")), Seq("term", "doc_id"),
-        whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false)
+    // superseded images out — tombstones for CDC-sized deltas, keyed
+    // merge beyond the threshold (see DvRemovalThreshold)
+    if (!remPost.isEmpty) {
+      val remIds = remPost.select(col("doc_id")).distinct()
+        .limit(DvRemovalThreshold + 1).collect().map(_.get(0))
+      if (remIds.length <= DvRemovalThreshold)
+        p.deleteVectored(col("doc_id").isin(remIds: _*)): Unit
+      else
+        p.merge(remPost.select(col("term"), col("doc_id")), Seq("term", "doc_id"),
+          whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false): Unit
+    }
     appendPostings(spark, addPost, dir, removedPostings = Some(remPost))
     IndexMeta.stamp(spark, dir, base.path, target)
   }
@@ -187,9 +210,17 @@ object InvertedIndex {
     val add = addPost.localCheckpoint(true)
     if (!add.isEmpty) {
       p.write(add, SaveMode.Append)
-      // new files pick up their term stats so they skip like the rest
-      p.refreshStats()
+      // new files pick up their term stats so they skip like the rest.
+      // A removal merge whose term set touched EVERY postings file took
+      // the full-rewrite path, which drops the stats dir with the old
+      // table dir — re-seed instead of refreshing into a void (caught
+      // live by IndexMaintenanceProbe at 100k docs)
+      if (p.hasStats) p.refreshStats() else p.collectStats(Seq("term"))
     }
+    // removal-only delta with a full-rewrite merge: nothing appended,
+    // but the stats (and the serve pruning they power) must still come back
+    if (add.isEmpty && removedPostings.nonEmpty && !p.hasStats)
+      p.collectStats(Seq("term"))
     val rem = removedPostings.getOrElse(add.where(lit(false)))
     // df delta per term: +1 per added (doc, term), -1 per removed. The
     // source column is NAMED df so an unmatched (brand-new) term inserts

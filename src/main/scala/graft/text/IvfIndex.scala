@@ -80,7 +80,9 @@ object IvfIndex {
     val centers = LakeTable(spark, sub(dir, "centers")).read
     val p = LakeTable(spark, sub(dir, "postings"))
     p.write(assigned(df, centers, idCol, vecCol), SaveMode.Append)
-    p.refreshStats()
+    // same full-rewrite contingency as the BM25 twin: a delete merge
+    // that touched every cell file dropped the stats dir — re-seed
+    if (p.hasStats) p.refreshStats() else p.collectStats(Seq("cell"))
   }
 
   /** Fold the base table's change feed since the stamped version into the
@@ -106,12 +108,26 @@ object IvfIndex {
       removals.select(col("doc_id").as("vec_id"), col(vecCol)), centers, "vec_id", vecCol)
       .select(col("cell"), col("vec_id"))
       .localCheckpoint(true)
-    if (!remKeys.isEmpty)
-      p.merge(remKeys, Seq("cell", "vec_id"),
-        whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false)
+    // tombstones for CDC-sized deltas (the Lucene model on the lake's
+    // merge-on-read machinery — one scan + a KB-scale vector, no files
+    // rewritten; OPTIMIZE on the maintenance cadence materializes), the
+    // cell-keyed merge beyond the threshold; see the BM25 twin's
+    // DvRemovalThreshold doc for the measured rationale
+    if (!remKeys.isEmpty) {
+      val remIds = remKeys.select(col("vec_id")).distinct()
+        .limit(InvertedIndex.DvRemovalThreshold + 1).collect().map(_.get(0))
+      if (remIds.length <= InvertedIndex.DvRemovalThreshold)
+        p.deleteVectored(col("vec_id").isin(remIds: _*)): Unit
+      else
+        p.merge(remKeys, Seq("cell", "vec_id"),
+          whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false): Unit
+    }
     if (!additions.isEmpty)
       appendAssigned(spark, additions.select(col("doc_id"), col(vecCol)),
         "doc_id", vecCol, dir)
+    // removal-only delta with a full-rewrite merge: re-seed the pruning
+    // stats the swap dropped (see the BM25 twin)
+    else if (!remKeys.isEmpty && !p.hasStats) p.collectStats(Seq("cell"))
     IndexMeta.stamp(spark, dir, base.path, target)
   }
 

@@ -83,7 +83,10 @@ class SymlinkManifestSpec extends SparkSpec {
     val lake = LakeTable(spark, s"$dir/t")
     lake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     // enabling generates the initial manifest via the property's commit
-    lake.setTableProperty(LakeTable.SymlinkAutoProperty, "true")
+    // (SQL spelling — routes through setTableProperty)
+    spark.sql(s"ALTER TABLE graft_lake('$dir/t') SET TBLPROPERTIES " +
+      s"('${LakeTable.SymlinkAutoProperty}' = 'true')")
+    assert(lake.tableProperties(LakeTable.SymlinkAutoProperty) === "true")
     val root = s"$dir/t/${LakeTable.SymlinkManifestDirName}/manifest"
     val initial = manifestLines(spark, root)
     assert(spark.read.parquet(initial: _*).count() === 2L)
@@ -104,8 +107,10 @@ class SymlinkManifestSpec extends SparkSpec {
     lake.delete(col("id") === 1L)
     assert(spark.read.parquet(manifestLines(spark, root): _*)
       .select("id").as[Long].collect().toSet === Set(2L, 3L))
-    // unset: the manifest freezes (point-in-time again)
-    lake.unsetTableProperty(LakeTable.SymlinkAutoProperty)
+    // unset (SQL spelling): the manifest freezes (point-in-time again)
+    spark.sql(s"ALTER TABLE graft_lake('$dir/t') UNSET TBLPROPERTIES " +
+      s"('${LakeTable.SymlinkAutoProperty}')")
+    assert(!lake.tableProperties.contains(LakeTable.SymlinkAutoProperty))
     val frozen = manifestLines(spark, root)
     lake.write(Seq((4L, "d")).toDF("id", "s"),
       org.apache.spark.sql.SaveMode.Append)
