@@ -183,19 +183,45 @@ object InvertedIndex {
     * ([[IndexMeta.awaitBatchCommit]]) — deferral here would leave the
     * freshness guard throwing until the base's next mutation.
     */
+  /** @param autoOptimizeEvery re-cluster + re-stat the postings every N
+    *        applied batches (the index twin of `LakeSink.autoCompactEvery`):
+    *        a long-running stream of deltas accrues tombstone vectors and
+    *        small appended files, and this is the maintenance cadence that
+    *        materializes the former and folds the latter — without it the
+    *        caller owns the OPTIMIZE schedule. Maintenance, not data: a
+    *        crash between fold and optimize loses nothing.
+    */
   def startMaintenanceStream(
       base: LakeTable, idCol: String, textCol: String, dir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      autoOptimizeEvery: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
     base.readChangesStream
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IndexMeta.awaitBatchCommit(base, batch)
         applyChanges(base, idCol, textCol, dir)
+        autoOptimizeEvery.foreach { every =>
+          if (every > 0 && applied.incrementAndGet() % every == 0)
+            optimizePostings(batch.sparkSession, dir)
+        }
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** The index's maintenance compaction: re-cluster the postings by term
+    * (materializing any tombstone vectors, folding small appended files)
+    * and re-stat so serving's file skips stay sharp. Safe under the
+    * single-writer-per-index contract the maintenance stream provides.
+    */
+  def optimizePostings(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
+    val p = LakeTable(spark, sub(dir, "postings"))
+    p.optimize(Seq("term"), numFiles = Some(numFiles))
+    p.collectStats(Seq("term"))
+  }
 
   /** Shared incremental update of the three tables: postings append
     * (nothing existing rewritten), df merge (delta per term, delete at

@@ -140,16 +140,33 @@ object IvfIndex {
   def startMaintenanceStream(
       base: LakeTable, idCol: String, vecCol: String, dir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      autoOptimizeEvery: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
     base.readChangesStream
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IndexMeta.awaitBatchCommit(base, batch)
         applyChanges(base, idCol, vecCol, dir)
+        autoOptimizeEvery.foreach { every =>
+          if (every > 0 && applied.incrementAndGet() % every == 0)
+            optimizePostings(batch.sparkSession, dir)
+        }
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** Maintenance compaction: re-cluster by cell (materializing tombstone
+    * vectors, folding small appends) + re-stat — the IVF twin of
+    * [[InvertedIndex.optimizePostings]].
+    */
+  def optimizePostings(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
+    val p = LakeTable(spark, sub(dir, "postings"))
+    p.optimize(Seq("cell"), numFiles = Some(numFiles))
+    p.collectStats(Seq("cell"))
+  }
 
   private def assigned(
       df: DataFrame, centers: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -192,6 +192,36 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(served(dir, queries: _*) === served(rebuilt2, queries: _*))
   }
 
+  test("BM25: tombstone removals + stream auto-optimize materialize on cadence") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot
+    val base = LakeTable(spark, s"$root/docs").write(corpus.toDF("doc_id", "text"))
+    val dir = s"$root/idx"
+    InvertedIndex.build(base, "doc_id", "text", dir)
+    base.delete(col("doc_id") === 2L, changeFeed = true)
+    // fold WITHOUT the stream first: a CDC-sized removal must take the
+    // tombstone path (deletion vectors, zero postings files rewritten)
+    val before = postingsFiles(dir)
+    InvertedIndex.applyChanges(base, "doc_id", "text", dir)
+    val p = LakeTable(spark, s"$dir/postings")
+    assert(p.hasDeletionVectors, "CDC-sized removal must tombstone, not rewrite")
+    assert(postingsFiles(dir).intersect(before) === before,
+      "tombstone removal must rewrite no postings file")
+    assert(!served(dir, 10L -> "banana").exists(_._3 == 2L), "ghost hit through DV")
+    // now a live stream with autoOptimizeEvery=1: the next fold's cadence
+    // OPTIMIZE materializes the tombstones and the index stays correct
+    base.upsert(Seq((5L, "grape banana")).toDF("doc_id", "text"),
+      Seq("doc_id"), changeFeed = true)
+    val q = InvertedIndex.startMaintenanceStream(base, "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L), autoOptimizeEvery = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    assert(!p.hasDeletionVectors, "cadence OPTIMIZE must materialize tombstones")
+    val rebuilt = s"$root/idx2"
+    InvertedIndex.build(base, "doc_id", "text", rebuilt)
+    val queries = Seq(1L -> "apple", 2L -> "banana", 3L -> "grape", 4L -> "durian")
+    assert(served(dir, queries: _*) === served(rebuilt, queries: _*))
+  }
+
   test("IVF: live maintenance stream keeps vector serves fresh") {
     import org.apache.spark.sql.streaming.Trigger
     val root = freshRoot
