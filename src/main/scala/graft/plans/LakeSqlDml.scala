@@ -31,6 +31,7 @@ import graft.sources.{LakeTable, MergeClause}
   * ALTER TABLE graft_lake('/p') ADD CONSTRAINT pos CHECK (v > 0)
   * ALTER TABLE graft_lake('/p') SET TBLPROPERTIES ('k' = 'v')
   * ALTER TABLE graft_lake('/p') UNSET TBLPROPERTIES ('k')
+  * SHOW TBLPROPERTIES graft_lake('/p')
   * COPY INTO graft_lake('/p') FROM '/landing' FILEFORMAT = JSONL
   *   SCHEMA 'id BIGINT, t STRING' WITH QUARANTINE
   * OPTIMIZE graft_lake('/p') ZORDER BY (id, day)
@@ -157,6 +158,22 @@ final case class LakeCopyIntoCommand(path: String, source: String, format: Strin
     LakeTable(spark, path).copyInto(source, format)
     Seq.empty
   }
+}
+
+/** `SHOW TBLPROPERTIES graft_lake('<path>')` — the read side of the
+  * SET/UNSET TBLPROPERTIES surface, (key, value) rows sorted by key.
+  */
+final case class LakeShowPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "key", org.apache.spark.sql.types.StringType, nullable = false)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "value", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeTable(spark, path).tableProperties.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `COPY INTO <lake> FROM '<dir>' FILEFORMAT = JSONL SCHEMA '<ddl>' WITH
@@ -722,8 +739,19 @@ object LakeSqlDml {
       case "APPLY"   => p.advance(); parseApplyChanges(p)
       case "GENERATE" => p.advance(); parseGenerate(p)
       case "DESCRIBE" | "DESC" => p.advance(); parseDescribe(p, delegate)
+      case "SHOW"    => p.advance(); parseShow(p)
       case _         => None
     }
+  }
+
+  /** `SHOW TBLPROPERTIES graft_lake('<path>')` — (key, value) rows from
+    * the table-property store; every other SHOW falls through to Spark.
+    */
+  private def parseShow(p: P): Option[LogicalPlan] = {
+    if (!p.eat("TBLPROPERTIES")) return None
+    val path = p.lakeTarget().getOrElse(return None)
+    p.done("SHOW TBLPROPERTIES")
+    Some(LakeShowPropertiesCommand(path))
   }
 
   /** Delta's `DESCRIBE HISTORY t [LIMIT n]` / `DESCRIBE DETAIL t`

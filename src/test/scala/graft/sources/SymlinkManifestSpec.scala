@@ -87,6 +87,9 @@ class SymlinkManifestSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft_lake('$dir/t') SET TBLPROPERTIES " +
       s"('${LakeTable.SymlinkAutoProperty}' = 'true')")
     assert(lake.tableProperties(LakeTable.SymlinkAutoProperty) === "true")
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft_lake('$dir/t')")
+      .as[(String, String)].collect().toSeq ===
+      Seq(LakeTable.SymlinkAutoProperty -> "true"))
     val root = s"$dir/t/${LakeTable.SymlinkManifestDirName}/manifest"
     val initial = manifestLines(spark, root)
     assert(spark.read.parquet(initial: _*).count() === 2L)
