@@ -614,10 +614,8 @@ final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
         lake.addIdentityColumn(n, s, st)
       case LakeAlterCommand.RenameColumn(a, b)      => lake.renameColumn(a, b)
       case LakeAlterCommand.DropColumn(n)           => lake.dropColumn(n)
-      case LakeAlterCommand.SetProperties(kvs)      =>
-        kvs.foldLeft(lake) { case (l, (k, v)) => l.setTableProperty(k, v) }
-      case LakeAlterCommand.UnsetProperties(ks)     =>
-        ks.foldLeft(lake)(_.unsetTableProperty(_))
+      case LakeAlterCommand.SetProperties(kvs)      => lake.setTableProperties(kvs)
+      case LakeAlterCommand.UnsetProperties(ks)     => lake.unsetTableProperties(ks)
     }
     Seq.empty
   }
@@ -1131,18 +1129,23 @@ object LakeSqlDml {
       } else if (p.eat("SET")) {
         p.expect("TBLPROPERTIES", "after ALTER TABLE … SET")
         val body = p.parenGroup("TBLPROPERTIES list")
-        val kvs = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
-          .findAllMatchIn(body)
+        // the WHOLE body must be well-formed pairs — findAllMatchIn alone
+        // would silently skip a malformed entry, and a property the user
+        // believes set but isn't is worse than a parse error
+        val pair = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'"""
+        if (!body.trim.matches(s"$pair(\\s*,\\s*$pair)*"))
+          p.fail("SET TBLPROPERTIES needs ('key' = 'value', …), all entries quoted")
+        val kvs = pair.r.findAllMatchIn(body)
           .map(m => m.group(1).replace("''", "'") -> m.group(2).replace("''", "'"))
           .toSeq
-        if (kvs.isEmpty) p.fail("SET TBLPROPERTIES needs ('key' = 'value', …)")
         LakeAlterCommand.SetProperties(kvs)
       } else if (p.eat("UNSET")) {
         p.expect("TBLPROPERTIES", "after ALTER TABLE … UNSET")
         val body = p.parenGroup("TBLPROPERTIES list")
-        val ks = """'((?:[^']|'')*)'""".r
-          .findAllMatchIn(body).map(_.group(1).replace("''", "'")).toSeq
-        if (ks.isEmpty) p.fail("UNSET TBLPROPERTIES needs ('key', …)")
+        val key = """'((?:[^']|'')*)'"""
+        if (!body.trim.matches(s"$key(\\s*,\\s*$key)*"))
+          p.fail("UNSET TBLPROPERTIES needs ('key', …), all keys quoted")
+        val ks = key.r.findAllMatchIn(body).map(_.group(1).replace("''", "'")).toSeq
         LakeAlterCommand.UnsetProperties(ks)
       } else p.fail(
         "expected ADD, DROP, RENAME, SET or UNSET after the ALTER TABLE target")

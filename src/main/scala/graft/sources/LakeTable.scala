@@ -1203,6 +1203,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def deleteVectored(cond: Column, changeFeed: Boolean = false): LakeTable = {
     require(exists, s"no lake table at $path")
+    // Delta's own incompatibility, enforced in the same direction: the
+    // auto-manifest property refuses to ENABLE on a DV table, so creating
+    // a DV under the property must refuse too — BEFORE mutating (a
+    // post-commit manifest failure would leave external readers the exact
+    // stale file list the property exists to prevent)
+    require(!symlinkAutoEnabled,
+      s"deleteVectored on $path conflicts with " +
+        s"${LakeTable.SymlinkAutoProperty}: a symlink manifest cannot " +
+        "express deletion vectors — unset the property, or use the " +
+        "copy-on-write delete")
     val fileCol = "__graft_dv_file"
     val rowCol = "__graft_dv_row"
     val raw = readRaw
@@ -2170,24 +2180,41 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * the property's own commit — external readers are live from the
     * moment the enable lands.
     */
-  def setTableProperty(name: String, value: String): LakeTable = {
-    require(name.nonEmpty, "property name must be non-empty")
-    if (name == LakeTable.SymlinkAutoProperty && value.trim.equalsIgnoreCase("true")) {
-      require(!VersionedLakeTable.isVersioned(spark, path) && !isShallowClone
-          && !hasDeletionVectors,
-        s"cannot enable ${LakeTable.SymlinkAutoProperty}: the table is " +
-          "versioned, a shallow clone, or carries deletion vectors — " +
-          "none of which a symlink manifest can express")
+  def setTableProperty(name: String, value: String): LakeTable =
+    setTableProperties(Seq(name -> value))
+
+  /** Multi-property SET as ONE atomic statement: every pair validates
+    * first, then a single save + a single commit — a failing pair leaves
+    * nothing half-applied (the SQL spelling routes here).
+    */
+  def setTableProperties(kvs: Seq[(String, String)]): LakeTable = {
+    require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    kvs.foreach { case (name, value) =>
+      require(name.nonEmpty, "property name must be non-empty")
+      if (name == LakeTable.SymlinkAutoProperty && value.trim.equalsIgnoreCase("true")) {
+        require(!VersionedLakeTable.isVersioned(spark, path) && !isShallowClone
+            && !hasDeletionVectors,
+          s"cannot enable ${LakeTable.SymlinkAutoProperty}: the table is " +
+            "versioned, a shallow clone, or carries deletion vectors — " +
+            "none of which a symlink manifest can express")
+      }
     }
-    saveProperties(tableProperties + (name -> value))
-    commit("SET TBLPROPERTIES", Map("property" -> name, "value" -> value))
+    saveProperties(tableProperties ++ kvs)
+    commit("SET TBLPROPERTIES", Map(
+      "properties" -> kvs.map { case (k, v) => s"$k=$v" }.mkString(", ")))
     this
   }
 
-  def unsetTableProperty(name: String): LakeTable = {
-    require(tableProperties.contains(name), s"no property '$name'")
-    saveProperties(tableProperties - name)
-    commit("UNSET TBLPROPERTIES", Map("property" -> name))
+  def unsetTableProperty(name: String): LakeTable =
+    unsetTableProperties(Seq(name))
+
+  def unsetTableProperties(names: Seq[String]): LakeTable = {
+    val cur = tableProperties
+    val missing = names.filterNot(cur.contains)
+    require(missing.isEmpty, s"no propert${
+      if (missing.sizeIs > 1) "ies" else "y"} '${missing.mkString("', '")}'")
+    saveProperties(cur -- names)
+    commit("UNSET TBLPROPERTIES", Map("properties" -> names.mkString(", ")))
     this
   }
 
@@ -2200,9 +2227,21 @@ final class LakeTable(spark: SparkSession, val path: String) {
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("\n")
-    val out = f.create(propertiesFile, true)
+    // tmp + rename, NOT in-place: commit() reads this file on EVERY
+    // commit (symlinkAutoEnabled), so a torn write would brick the whole
+    // write path, not just the property feature — the blast radius the
+    // constraints file (read only by its own feature) doesn't have
+    f.globStatus(new Path(logDir, LakeTable.PropertiesFileName + "__tmp_*"))
+      .foreach(st => f.delete(st.getPath, false): Unit)
+    val tmp = new Path(logDir, LakeTable.PropertiesFileName + "__tmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val out = f.create(tmp, true)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(propertiesFile)) f.delete(propertiesFile, false): Unit
+    if (!f.rename(tmp, propertiesFile))
+      throw new java.io.IOException(
+        s"could not publish table properties: rename $tmp -> $propertiesFile failed")
   }
 
   /** Gate an incoming batch on the table's constraints. The batch is
@@ -3236,8 +3275,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "reader would resurrect deleted rows) — rewrite to materialize " +
         "deletes first")
     val root = new Path(path, LakeTable.SymlinkManifestDirName)
+    // opportunistic sweep of tmp dirs a crashed earlier publish leaked
+    // (underscore-prefixed, so invisible to scans either way)
+    fs.globStatus(new Path(path, LakeTable.SymlinkManifestDirName + "__tmp_*"))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
     val tmp = new Path(path, LakeTable.SymlinkManifestDirName + "__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
+    // created up front: an EMPTY table publishes an empty manifest dir
+    // (zero per-partition manifests = zero files = empty table, the
+    // honest external view), rather than deleting the old manifest and
+    // failing the rename of a never-created tmp
+    fs.mkdirs(tmp): Unit
     val rels = listDataFiles()
       .groupBy { case (rel, _, _) =>
         rel.split("/").dropRight(1).takeWhile(_.contains("=")).mkString("/")

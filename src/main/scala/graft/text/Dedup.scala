@@ -337,7 +337,14 @@ object Dedup {
       .where(size(col(shName)) > 0)
     val withNew = cand
       .join(shingled(newDocs, "new_id", "a_sh"), Seq("new_id"))
-    val jac = shingled(corpus, "corpus_id", "b_sh")
+    // semi-join the corpus to the candidate ids BEFORE shingling: the
+    // shingle projection would otherwise evaluate below the join and pay
+    // O(|corpus|) tokenize+set CPU per probe batch — the cost this path
+    // exists to avoid
+    val candCorpus = corpus.join(
+      broadcast(cand.select(col("corpus_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val jac = shingled(candCorpus, "corpus_id", "b_sh")
       .join(broadcast(withNew), Seq("corpus_id"))
       .withColumn("common",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))

@@ -103,31 +103,35 @@ object IvfIndex {
     val (removals, additions) =
       IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(vecCol))
     val p = LakeTable(spark, sub(dir, "postings"))
-    val centers = LakeTable(spark, sub(dir, "centers")).read
-    val remKeys = assigned(
-      removals.select(col("doc_id").as("vec_id"), col(vecCol)), centers, "vec_id", vecCol)
-      .select(col("cell"), col("vec_id"))
-      .localCheckpoint(true)
     // tombstones for CDC-sized deltas (the Lucene model on the lake's
     // merge-on-read machinery — one scan + a KB-scale vector, no files
     // rewritten; OPTIMIZE on the maintenance cadence materializes), the
     // cell-keyed merge beyond the threshold; see the BM25 twin's
-    // DvRemovalThreshold doc for the measured rationale
-    if (!remKeys.isEmpty) {
-      val remIds = remKeys.select(col("vec_id")).distinct()
-        .limit(InvertedIndex.DvRemovalThreshold + 1).collect().map(_.get(0))
+    // DvRemovalThreshold doc for the measured rationale. The tombstone
+    // branch needs only the removed ids — the nearest-centroid
+    // assignment (whose cells are the merge's prune keys) is deferred to
+    // the merge branch so the maintenance stream's hot loop never pays it
+    val remIds = removals.select(col("doc_id")).distinct()
+      .limit(InvertedIndex.DvRemovalThreshold + 1).collect().map(_.get(0))
+    if (remIds.nonEmpty) {
       if (remIds.length <= InvertedIndex.DvRemovalThreshold)
         p.deleteVectored(col("vec_id").isin(remIds: _*)): Unit
-      else
+      else {
+        val centers = LakeTable(spark, sub(dir, "centers")).read
+        val remKeys = assigned(
+          removals.select(col("doc_id").as("vec_id"), col(vecCol)),
+          centers, "vec_id", vecCol)
+          .select(col("cell"), col("vec_id"))
         p.merge(remKeys, Seq("cell", "vec_id"),
           whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false): Unit
+      }
     }
     if (!additions.isEmpty)
       appendAssigned(spark, additions.select(col("doc_id"), col(vecCol)),
         "doc_id", vecCol, dir)
     // removal-only delta with a full-rewrite merge: re-seed the pruning
     // stats the swap dropped (see the BM25 twin)
-    else if (!remKeys.isEmpty && !p.hasStats) p.collectStats(Seq("cell"))
+    else if (remIds.nonEmpty && !p.hasStats) p.collectStats(Seq("cell"))
     IndexMeta.stamp(spark, dir, base.path, target)
   }
 

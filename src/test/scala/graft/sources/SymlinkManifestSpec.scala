@@ -125,5 +125,25 @@ class SymlinkManifestSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       lake2.setTableProperty(LakeTable.SymlinkAutoProperty, "true"))
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // ... and the mirror direction: a DV delete UNDER the property is
+    // refused BEFORE mutating (a post-commit manifest failure would leave
+    // external readers the stale file list the property exists to prevent)
+    val lake3 = LakeTable(spark, s"$dir/t3")
+    lake3.write((1L to 4L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    lake3.setTableProperty(LakeTable.SymlinkAutoProperty, "true")
+    val e2 = intercept[IllegalArgumentException](lake3.deleteVectored(col("id") > 3))
+    assert(e2.getMessage.contains("symlink"), e2.getMessage)
+    assert(lake3.read.count() === 4, "refusal must precede the mutation")
+    // multi-property SET is atomic: a failing pair leaves nothing applied
+    val e3 = intercept[IllegalArgumentException](
+      lake2.setTableProperties(Seq(
+        "owner" -> "x", LakeTable.SymlinkAutoProperty -> "true")))
+    assert(e3.getMessage.contains("deletion vectors"), e3.getMessage)
+    assert(!lake2.tableProperties.contains("owner"),
+      "a failing SET TBLPROPERTIES must apply none of its pairs")
+    // malformed TBLPROPERTIES bodies fail loudly instead of half-parsing
+    val e4 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_lake('$dir/t2') SET TBLPROPERTIES ('a', 'b' = '2')"))
+    assert(e4.getMessage.contains("quoted"), e4.getMessage)
   }
 }
