@@ -4177,6 +4177,53 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def currentVersion: Long = CommitLog.nextVersion(fs, logDir) - 1
 
+  /** Bounded wait until this table's committed head reaches `target`.
+    * The change-feed FILES land before their commit record (the swap's
+    * point-of-no-return ordering), so a hot-trigger maintenance stream
+    * can receive a notification in the pre-commit window; acting on the
+    * committed state immediately would no-op — and a file source fires
+    * no further trigger until NEW files arrive, so the consumed
+    * notification never re-fires and the derived artifact stays stale
+    * until the base's next mutation. Waiting the instant out closes
+    * that window. On timeout (the writer genuinely crashed or stalled
+    * mid-mutation): with `failOnTimeout` this throws — the right call
+    * when the consumer's freshness is load-bearing (a standing index
+    * whose serves THROW on staleness); an at-least-once stream replays
+    * the batch on restart, by which time the commit exists or the feed
+    * was cleaned up. Without it, returns false and the caller DEFERS —
+    * the right call for an MV whose readers don't gate on freshness and
+    * whose refresh is watermark-bounded anyway (the deferred set applies
+    * with the base's next commit).
+    */
+  def awaitCommitVersion(
+      target: Long, waitMs: Long = 60000L, failOnTimeout: Boolean = true): Boolean = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (currentVersion < target) {
+      if (System.currentTimeMillis() >= deadline) {
+        if (failOnTimeout) throw new IllegalStateException(
+          s"change set v$target at $path has no commit record after " +
+            s"$waitMs ms — writer crashed mid-mutation? Failing the " +
+            "maintenance stream; a restart replays this batch.")
+        return false
+      }
+      Thread.sleep(25L)
+    }
+    true
+  }
+
+  /** [[awaitCommitVersion]] for a change-feed notification batch: the
+    * batch's rows carry `_commit_version`, naming exactly the commits to
+    * wait for. No-op (true) on an empty batch.
+    */
+  def awaitChangeSetCommit(
+      batch: DataFrame, waitMs: Long = 60000L,
+      failOnTimeout: Boolean = true): Boolean = {
+    val row = batch.agg(
+      org.apache.spark.sql.functions.max(col("_commit_version"))).head()
+    if (row.isNullAt(0)) true
+    else awaitCommitVersion(row.getLong(0), waitMs, failOnTimeout)
+  }
+
   /** Atomic commit (see [[CommitLog.append]]); returns the version won.
     * Every `spark.graft.lake.checkpointInterval`-th commit (default 100)
     * folds the log into one checkpoint file, so log reads stay O(1 +

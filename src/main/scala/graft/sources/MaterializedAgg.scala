@@ -135,25 +135,29 @@ final class MaterializedAgg(
     * precondition).
     *
     * The change-file-before-commit ordering hazard (files land pre-swap,
-    * the commit record after) never threatens correctness: the batch
-    * content is only a NOTIFICATION — [[refresh]] derives its work from
-    * the watermark and the change-feed dirs, bounded to the latest
-    * COMMITTED version, so a change set delivered in the pre-commit
-    * window is simply DEFERRED, with nothing blocking the stream thread
-    * (a writer crashed mid-commit costs nothing here). The deferral's
-    * freshness cost: a file source fires no further trigger until new
-    * files arrive, so a set whose commit was in flight at refresh time
-    * stays unapplied until the base's next change-feed commit — whose
-    * trigger applies BOTH (the watermark never advanced past the
-    * deferred set). `processAllAvailable()` therefore implies current
-    * only when no writer is mid-commit at that moment.
+    * the commit record after) never threatens correctness — [[refresh]]
+    * derives its work from the watermark bounded to the latest COMMITTED
+    * version — but a notification consumed in that window would leave
+    * the set unapplied until the base's NEXT change-feed commit (a file
+    * source fires no further trigger until new files arrive). The
+    * stream therefore WAITS the instant out before refreshing
+    * ([[LakeTable.awaitChangeSetCommit]] — the batch's own
+    * `_commit_version` names the commit), so `processAllAvailable()`
+    * implies current whenever writers are healthy; a writer genuinely
+    * crashed/stalled past the short wait DEFERS (non-blocking stream,
+    * the old contract — the set applies with the base's next commit)
+    * rather than failing the query, because MV readers don't gate on
+    * freshness the way a standing index's serve guard does. The wait's
+    * absence here flaked MaterializedAggSpec under host load.
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        base.awaitChangeSetCommit(batch,
+          waitMs = MaterializedAgg.CommitWaitMs, failOnTimeout = false): Unit
         refresh(): Unit
       }
       .trigger(trigger)
@@ -200,6 +204,15 @@ final class MaterializedAgg(
 }
 
 object MaterializedAgg {
+
+  /** How long [[MaterializedAgg.startStream]] /
+    * [[MaterializedJoin.startStream]] wait for a notified change set's
+    * commit record before DEFERRING it (covers the normal
+    * change-files-before-commit instant; a genuinely crashed writer
+    * defers instead of failing the stream). Mutable only for tests.
+    */
+  var CommitWaitMs: Long = 3000L
+
   def apply(
       spark: SparkSession,
       base: LakeTable,

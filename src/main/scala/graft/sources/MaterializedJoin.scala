@@ -165,19 +165,31 @@ final class MaterializedJoin(
     * holds by construction). The batch content is only a notification,
     * exactly as in [[MaterializedAgg.startStream]]: refresh derives its
     * work from the watermarks bounded to committed versions, so
-    * replayed triggers are no-ops and in-flight change sets defer to
-    * the next trigger. Requires at least one recorded change set on
-    * each leg (the change-feed streaming-source precondition).
+    * replayed triggers are no-ops — and a notification delivered in a
+    * leg's change-files-before-commit window is WAITED out per leg
+    * before refreshing ([[LakeTable.awaitCommitVersion]]; see the agg
+    * twin's doc for why deferral would otherwise stall until the next
+    * mutation). Requires at least one recorded change set on each leg
+    * (the change-feed streaming-source precondition).
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val notifications = fact.readChangesStream
-      .select(lit("fact").as("leg"))
-      .unionByName(dim.readChangesStream.select(lit("dim").as("leg")))
+      .select(lit("fact").as("leg"), col("_commit_version"))
+      .unionByName(dim.readChangesStream
+        .select(lit("dim").as("leg"), col("_commit_version")))
     notifications.writeStream
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("leg"))
+          .agg(org.apache.spark.sql.functions.max(col("_commit_version")).as("v"))
+          .collect()
+          .foreach { r =>
+            val t = if (r.getString(0) == "fact") fact else dim
+            t.awaitCommitVersion(r.getLong(1),
+              waitMs = MaterializedAgg.CommitWaitMs, failOnTimeout = false): Unit
+          }
         refresh(): Unit
       }
       .trigger(trigger)

@@ -87,43 +87,16 @@ private[text] object IndexMeta {
     s
   }
 
-  /** How long a maintenance stream waits for a notified change set's
-    * commit record (see [[awaitBatchCommit]]). Mutable only for tests.
-    */
-  private[text] var CommitWaitMs: Long = 60000L
-
   /** Bounded wait for the commit record of every change set a
-    * maintenance notification batch names. The lake lands change-feed
-    * FILES before the commit record (the swap's point-of-no-return
-    * ordering), so a hot-trigger stream can receive the notification in
-    * the pre-commit window; folding immediately would compute
-    * target == stamp, no-op, and — because a file source fires no
-    * further trigger until NEW files arrive — leave the index stale
-    * (and its freshness guard throwing) until the base's next mutation.
-    * The MV maintenance streams accept that deferral (documented at
-    * [[graft.sources.MaterializedAgg.startStream]]: their readers don't
-    * gate on freshness); an index whose serves THROW on staleness must
-    * not, so here the stream waits the instant out. The batch's change
-    * rows carry `_commit_version`, naming exactly the commit to wait
-    * for; if it never lands (writer crashed mid-mutation) the stream
-    * fails loudly — at-least-once delivery replays the batch on
-    * restart, by which time either the commit exists or the feed was
-    * cleaned up.
+    * maintenance notification batch names — a maintenance stream folding
+    * in the change-files-before-commit window would compute
+    * target == stamp, no-op, and leave the index stale (its freshness
+    * guard THROWING) until the base's next mutation. Delegates to
+    * [[graft.sources.LakeTable.awaitCommitVersion]], the shared
+    * mechanism the MV maintenance streams use too.
     */
-  private[text] def awaitBatchCommit(base: LakeTable, batch: DataFrame): Unit = {
-    val row = batch.agg(max(col("_commit_version"))).head()
-    if (row.isNullAt(0)) return
-    val target = row.getLong(0)
-    val deadline = System.currentTimeMillis() + CommitWaitMs
-    while (base.currentVersion < target) {
-      if (System.currentTimeMillis() >= deadline)
-        throw new IllegalStateException(
-          s"change set v$target at ${base.path} has no commit record after " +
-            s"$CommitWaitMs ms — writer crashed mid-mutation? Failing the " +
-            "maintenance stream; a restart replays this batch.")
-      Thread.sleep(25L)
-    }
-  }
+  private[text] def awaitBatchCommit(base: LakeTable, batch: DataFrame): Unit =
+    base.awaitChangeSetCommit(batch)
 
   /** Commits that reorganize bytes or metadata but provably leave every
     * row's content unchanged — the only ops allowed to appear in a
