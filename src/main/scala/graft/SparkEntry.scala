@@ -61,4 +61,24 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = modules.flatMap(_._2).toMap
+
+  /** Oracles whose SQL depends on a LEARNED artifact of the corpus at
+    * `sfDir` and therefore cannot be a static string: the distilled
+    * quality tree, compiled to nested CASEs over engine-parity features
+    * ([[text.QualityClassifier.treeToSql]]). Verify merges these into the
+    * dumped oracle_sql.json AFTER running the queries, so the tree the
+    * oracle inlines is the same seeded fit the queries scored with.
+    * Failures here degrade the affected queries to rows-only (their
+    * pre-round state) rather than failing the whole dump.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val sql = text.QualityClassifier.scoreOracleSql(
+      text.TextQueries.standingQualityModel(spark, sfDir))
+    Map(
+      "q_quality_model_scores" -> sql,
+      // the standing path loads the SAME promoted tree the fresh train
+      // produces on this corpus (seeded fit), so one compiled tree
+      // oracles both spellings
+      "q_quality_model_scores_standing" -> sql)
+  }
 }

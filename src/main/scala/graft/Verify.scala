@@ -39,7 +39,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // data-dependent oracles (learned artifacts compiled to SQL) merge in
+    // AFTER the queries ran; a failure degrades those queries to their
+    // old rows-only state instead of zeroing the whole dump
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles skipped: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -90,4 +90,58 @@ object QualityClassifier {
         element_at(org.apache.spark.ml.functions.vector_to_array(
           col("probability")), 2).as("quality_prob"))
   }
+
+  /** The fitted tree COMPILED TO SQL — the "inline the learned artifact"
+    * oracle trick (q_embedding_neardup's plane constants, q_simhash's
+    * md5-60 signature) generalized to a MODEL: every split is a nested
+    * CASE on the feature columns `f0..f4`, every leaf is its class-1
+    * probability (MLlib's `probability` output is exactly the leaf's
+    * normalized class counts), and the thresholds round-trip through
+    * Double.toString into a correctly-rounded parser. Because the five
+    * features are the engine-parity arithmetic the Gopher oracle already
+    * proved (token split, length ratios, the 6dp-rounded punct ratio),
+    * DuckDB recomputing features + walking the same constants yields the
+    * same scores — the distilled model itself becomes content-checked,
+    * not just spec-pinned.
+    */
+  def treeToSql(model: DecisionTreeClassificationModel): String = {
+    def emit(n: org.apache.spark.ml.tree.Node): String = n match {
+      case i: org.apache.spark.ml.tree.InternalNode =>
+        val s = i.split match {
+          case c: org.apache.spark.ml.tree.ContinuousSplit => c
+          case other => throw new IllegalStateException(
+            s"quality tree has a non-continuous split: $other")
+        }
+        s"(CASE WHEN f${s.featureIndex} <= ${s.threshold} " +
+          s"THEN ${emit(i.leftChild)} ELSE ${emit(i.rightChild)} END)"
+      case l: org.apache.spark.ml.tree.LeafNode =>
+        val counts = org.apache.spark.ml.GraftMlBridge.leafClassCounts(l)
+        val total = counts.sum
+        val p = if (total == 0.0) 0.0 else counts(1) / total
+        p.toString
+    }
+    emit(model.rootNode)
+  }
+
+  /** DuckDB oracle for [[score]]'s output over the `documents` table:
+    * recompute the five [[featurize]] features engine-neutrally, then
+    * walk the inlined tree ([[treeToSql]]). Generated at Verify time
+    * (the tree is corpus-dependent, so this cannot be a static string).
+    */
+  def scoreOracleSql(model: DecisionTreeClassificationModel): String = {
+    val toks = """string_split_regex(trim(lower(text)), '\s+')"""
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len($toks)::DOUBLE AS f0,
+       |    length(text)::DOUBLE AS f1,
+       |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |      / greatest(len($toks)::DOUBLE, 1.0) AS f2,
+       |    round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+       |      / greatest(length(text), 1), 6) AS f3,
+       |    len(list_distinct($toks))::DOUBLE
+       |      / greatest(len($toks)::DOUBLE, 1.0) AS f4
+       |  FROM documents)
+       |SELECT doc_id, round(${treeToSql(model)}, 6) AS quality_prob
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

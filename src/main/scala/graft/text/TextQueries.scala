@@ -233,7 +233,13 @@ object TextQueries {
     * identity and the exchange-free plan are pinned in
     * QualityClassifierSpec.
     */
-  def qualityModelScoresStanding(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The promoted standing quality tree for the corpus at `sfDir`
+    * (training + promoting on first use) — shared by the standing query
+    * and the dynamic oracle, so the SQL-compiled tree is byte-for-byte
+    * the one the query scored with.
+    */
+  def standingQualityModel(spark: SparkSession, sfDir: String):
+      org.apache.spark.ml.classification.DecisionTreeClassificationModel = {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val runDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_models", sf)
@@ -242,7 +248,11 @@ object TextQueries {
     if (log.currentVersion("quality_tree", "production") == 0L)
       log.promote(QualityClassifier.train(spark, sfDir).model,
         "quality_tree", "production"): Unit
-    val model = log.loadDecisionTree("quality_tree", "production")
+    log.loadDecisionTree("quality_tree", "production")
+  }
+
+  def qualityModelScoresStanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = standingQualityModel(spark, sfDir)
     QualityClassifier.score(Tables(spark, sfDir).documents, model)
       .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
       .orderBy(col("doc_id"))
