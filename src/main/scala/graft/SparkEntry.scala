@@ -79,6 +79,9 @@ object SparkEntry {
       // the standing path loads the SAME promoted tree the fresh train
       // produces on this corpus (seeded fit), so one compiled tree
       // oracles both spellings
-      "q_quality_model_scores_standing" -> sql)
+      "q_quality_model_scores_standing" -> sql,
+      // SemDeDup: fitted k-means centers inlined, closure via a
+      // recursive CTE (see TextQueries.semanticDedupOracle)
+      "q_semantic_dedup" -> text.TextQueries.semanticDedupOracle(spark, sfDir))
   }
 }

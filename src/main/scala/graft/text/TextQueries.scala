@@ -622,6 +622,56 @@ object TextQueries {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy(col("cell"))
 
+  /** DuckDB oracle for [[semanticDedupQ]], generated at Verify time (the
+    * k-means centers are a learned, corpus-dependent artifact — the same
+    * dynamic-oracle contract as the compiled quality tree): the fitted
+    * centers are INLINED as literals (float-rounded exactly as
+    * [[Ivf.assignCells]] consumes them), the nearest-center assignment is
+    * re-ranked with the identical tie-break (distance asc, cell asc —
+    * matching the strict-less argmin), within-cell pairs re-verify with
+    * exact cosine at the same threshold, duplicate groups close over a
+    * RECURSIVE CTE (min-reachable-id labeling, exactly the
+    * min-label-propagation contract of ConnectedComponents), and the
+    * survivor rule (id == component) aggregates per cell. Every stage of
+    * the SemDeDup pipeline — quantizer assignment, blocking, pairing,
+    * closure, survivor choice — is content-checked.
+    */
+  def semanticDedupOracle(spark: SparkSession, sfDir: String): String = {
+    val centers = Ivf.fitCentroids(
+      Tables(spark, sfDir).embeddings, "embedding", nCells = 8, seed = 42L)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val values = centers.map { case (cell, vec) =>
+      vec.map(f => f.toDouble.toString).mkString(s"($cell, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE c(cell, center) AS (VALUES
+       |    $values),
+       |a0 AS (
+       |  SELECT e.vec_id AS id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.embedding::DOUBLE[], c.center) ASC,
+       |               c.cell ASC) AS rk
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT id, embedding, cell FROM a0 WHERE rk = 1),
+       |p AS (SELECT x.id AS src, y.id AS dst
+       |      FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id
+       |      WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4),
+       |e2 AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+       |r AS (
+       |  SELECT src AS a, dst AS b FROM e2
+       |  UNION
+       |  SELECT r.a, e2.dst FROM r JOIN e2 ON r.b = e2.src),
+       |comp AS (
+       |  SELECT a.id, least(a.id, coalesce(min(r.b), a.id)) AS component
+       |  FROM a LEFT JOIN r ON r.a = a.id GROUP BY a.id)
+       |SELECT a.cell, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN a.id = comp.component THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM a JOIN comp ON a.id = comp.id
+       |GROUP BY a.cell ORDER BY a.cell""".stripMargin
+  }
+
   /** Language-ID + quality profile. Both heuristics are deterministic
     * closed forms (stopword-overlap argmax; length/punct/TTR blend), so
     * the query is fully oracle-matched — the DuckDB side is generated from
