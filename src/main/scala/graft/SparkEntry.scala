@@ -82,6 +82,12 @@ object SparkEntry {
       "q_quality_model_scores_standing" -> sql,
       // SemDeDup: fitted k-means centers inlined, closure via a
       // recursive CTE (see TextQueries.semanticDedupOracle)
-      "q_semantic_dedup" -> text.TextQueries.semanticDedupOracle(spark, sfDir))
+      "q_semantic_dedup" -> text.TextQueries.semanticDedupOracle(spark, sfDir),
+      // PQ: fitted codebooks inlined, full encode/ADC/shortlist/re-rank
+      // replay (see TextQueries.pqTopKOracle)
+      "q_pq_topk" -> text.TextQueries.pqTopKOracle(spark, sfDir),
+      // IVF-PQ: coarse centers + codebooks inlined, probe + ADC + refine
+      // replay (see TextQueries.ivfPqTopKOracle)
+      "q_ivfpq_topk" -> text.TextQueries.ivfPqTopKOracle(spark, sfDir))
   }
 }

@@ -672,6 +672,172 @@ object TextQueries {
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
   }
 
+  /** DuckDB oracle for [[pqTopK]], generated at Verify time — the
+    * artifact-inlining pattern applied to the PQ CODEBOOKS: the fitted
+    * per-subspace centroids (float-rounded exactly as [[Pq.encode]]
+    * consumes them) are inlined as 256 VALUES rows, and DuckDB then
+    * replays the WHOLE compressed-search pipeline: L2-normalize with the
+    * same per-element float cast, per-subspace nearest-codeword encode
+    * (strict-less argmin == distance asc, cell asc), per-query ADC
+    * tables (subvector·codeword dots over the same float-widened
+    * operands), the ADC score as an ORDERED sum over subspaces (double
+    * addition is order-sensitive; `sum(dp ORDER BY j)` reproduces
+    * AdcScore's j-ascending fold), the 50-candidate shortlist with the
+    * same tie-break, and the exact-cosine re-rank of the shortlist. So
+    * quantization, asymmetric scoring, shortlisting, and refinement are
+    * ALL content-checked — including the approximation itself, which the
+    * oracle reproduces rather than papers over (the exactness yardstick
+    * is q_cosine_topk).
+    */
+  def pqTopKOracle(spark: SparkSession, sfDir: String): String = {
+    val books = Pq.fitCodebooks(
+      Tables(spark, sfDir).embeddings, "embedding",
+      m = 16, k = 16, seed = 42L, sampleFraction = 0.5)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(t => (t._1, t._2))
+    val values = books.map { case (j, c, vec) =>
+      vec.map(f => f.toDouble.toString)
+        .mkString(s"($j, $c, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n    ")
+    s"""WITH cb(j, cell, center) AS (VALUES
+       |    $values),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN nrm > 0
+       |      THEN list_transform(ev, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+       |      ELSE list_transform(ev, x -> 0.0) END AS nv
+       |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev,
+       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |        FROM embeddings)),
+       |enc AS (
+       |  SELECT vec_id, j, cell AS code FROM (
+       |    SELECT n.vec_id, cb.j, cb.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id, cb.j
+       |        ORDER BY list_distance(n.nv[cb.j*4+1 : cb.j*4+4], cb.center) ASC,
+       |                 cb.cell ASC) AS rk
+       |    FROM n CROSS JOIN cb)
+       |  WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, nv FROM n WHERE vec_id < 10),
+       |dp AS (
+       |  SELECT q.q_id, cb.j, cb.cell,
+       |    list_dot_product(q.nv[cb.j*4+1 : cb.j*4+4], cb.center) AS dp
+       |  FROM q CROSS JOIN cb),
+       |adc AS (
+       |  SELECT d.q_id, c.vec_id AS n_id, sum(d.dp ORDER BY d.j) AS approx
+       |  FROM enc c JOIN dp d ON d.j = c.j AND d.cell = c.code
+       |  WHERE c.vec_id != d.q_id
+       |  GROUP BY d.q_id, c.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx DESC, n_id ASC) AS rk
+       |    FROM adc)
+       |  WHERE rk <= 50)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    round(list_cosine_similarity(qq.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qq.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+       |               s.n_id ASC) AS rank
+       |  FROM short s
+       |  JOIN embeddings qq ON qq.vec_id = s.q_id
+       |  JOIN embeddings e ON e.vec_id = s.n_id)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]] — [[pqTopKOracle]]'s pipeline with
+    * the IVF PRUNING stage composed in front, both learned artifacts
+    * inlined: the coarse centers pick each query's nProbe=4 cells
+    * (cosine desc, cell asc — matching the negated-distance window), the
+    * candidate set is the probed cells' rows only, then the same
+    * encode/ADC/shortlist/exact-re-rank replay. The full FAISS
+    * IndexIVFPQ+refine recipe, content-checked stage by stage.
+    */
+  def ivfPqTopKOracle(spark: SparkSession, sfDir: String): String = {
+    val e = Tables(spark, sfDir).embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val centers = Ivf.fitCentroids(e, "n_vec", nCells = 8, seed = 42L,
+      sampleFraction = 0.2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val centerValues = centers.map { case (cell, vec) =>
+      vec.map(f => f.toDouble.toString).mkString(s"($cell, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n    ")
+    val books = Pq.fitCodebooks(e, "n_vec", m = 16, k = 16, seed = 42L,
+      sampleFraction = 0.2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(t => (t._1, t._2))
+    val bookValues = books.map { case (j, c, vec) =>
+      vec.map(f => f.toDouble.toString).mkString(s"($j, $c, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n    ")
+    s"""WITH ivf(cell, center) AS (VALUES
+       |    $centerValues),
+       |cb(j, pcell, pcenter) AS (VALUES
+       |    $bookValues),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, ivf.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.embedding::DOUBLE[], ivf.center) ASC,
+       |                 ivf.cell ASC) AS rk
+       |    FROM embeddings e CROSS JOIN ivf)
+       |  WHERE rk = 1),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN nrm > 0
+       |      THEN list_transform(ev, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+       |      ELSE list_transform(ev, x -> 0.0) END AS nv
+       |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev,
+       |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |        FROM embeddings)),
+       |enc AS (
+       |  SELECT vec_id, j, pcell AS code FROM (
+       |    SELECT n.vec_id, cb.j, cb.pcell,
+       |      row_number() OVER (PARTITION BY n.vec_id, cb.j
+       |        ORDER BY list_distance(n.nv[cb.j*4+1 : cb.j*4+4], cb.pcenter) ASC,
+       |                 cb.pcell ASC) AS rk
+       |    FROM n CROSS JOIN cb)
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, ivf.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.center) DESC,
+       |                 ivf.cell ASC) AS pr
+       |    FROM embeddings e CROSS JOIN ivf
+       |    WHERE e.vec_id < 10)
+       |  WHERE pr <= 4),
+       |q AS (SELECT vec_id AS q_id, nv FROM n WHERE vec_id < 10),
+       |dp AS (
+       |  SELECT q.q_id, cb.j, cb.pcell,
+       |    list_dot_product(q.nv[cb.j*4+1 : cb.j*4+4], cb.pcenter) AS dp
+       |  FROM q CROSS JOIN cb),
+       |adc AS (
+       |  SELECT d.q_id, c.vec_id AS n_id, sum(d.dp ORDER BY d.j) AS approx
+       |  FROM enc c
+       |  JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN dp d ON d.q_id = p.q_id AND d.j = c.j AND d.pcell = c.code
+       |  WHERE c.vec_id != p.q_id
+       |  GROUP BY d.q_id, c.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx DESC, n_id ASC) AS rk
+       |    FROM adc)
+       |  WHERE rk <= 50)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    round(list_cosine_similarity(qq.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qq.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+       |               s.n_id ASC) AS rank
+       |  FROM short s
+       |  JOIN embeddings qq ON qq.vec_id = s.q_id
+       |  JOIN embeddings e ON e.vec_id = s.n_id)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Language-ID + quality profile. Both heuristics are deterministic
     * closed forms (stopword-overlap argmax; length/punct/TTR blend), so
     * the query is fully oracle-matched — the DuckDB side is generated from
