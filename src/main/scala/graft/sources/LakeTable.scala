@@ -584,7 +584,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
           affected => aligned.unionByName(
             affected.join(aligned.select(keys.map(col): _*), keys, "left_anti")),
           "MERGE", params + ("selective" -> "true"),
-          changeVersion = None, alwaysTransform = true, occBase = occBase)
+          changeStage = None, alwaysTransform = true, occBase = occBase)
       }
     selective.getOrElse {
       val untouched = cur.join(
@@ -863,7 +863,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         }
         rewriteSelective(cond, affected => resultOver(affected),
           "MERGE", mergeParams + ("selective" -> "true"),
-          changeVersion = None, alwaysTransform = insertUnmatched,
+          changeStage = None, alwaysTransform = insertUnmatched,
           occBase = occBase)
       }
       selective match {
@@ -877,7 +877,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val inserts = insertsFor(cur)
     val result = recomputeGenerated(inserts.fold(keptOut)(keptOut.unionByName(_)), gc)
 
-    val changeVersion: Option[Long] =
+    val changeStage: Option[String] =
       if (!changeFeed) None
       else {
         val updateIdx = allClauses.zipWithIndex.collect {
@@ -906,7 +906,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     rewriteWithFeed(result, "MERGE",
       Map("keys" -> keys.mkString(","), "clauses" -> whenMatched.length.toString,
         "changeFeed" -> changeFeed.toString) ++ extraParams ++ idParams,
-      changeVersion, occBase)
+      changeStage, occBase)
   }
 
   /** Delta `DELETE FROM table WHERE cond`: removes rows where `cond`
@@ -926,14 +926,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val cur = read
     val hit = coalesce(cond, lit(false))
-    val changeVersion =
+    val changeStage =
       if (!changeFeed) None
       else Some(writeChanges(
         cur.where(hit).withColumn("_change_type", lit("delete"))))
     val params = Map("predicate" -> cond.toString, "changeFeed" -> changeFeed.toString)
     rewriteSelective(cond, a => a.where(!coalesce(cond, lit(false))),
-        "DELETE", params, changeVersion, occBase = occBase)
-      .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeVersion, occBase))
+        "DELETE", params, changeStage, occBase = occBase)
+      .getOrElse(rewriteWithFeed(cur.where(!hit), "DELETE", params, changeStage, occBase))
   }
 
   /** Predicate-scoped atomic overwrite (Delta's `replaceWhere` — the
@@ -976,7 +976,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val keep = (d: DataFrame) => d.where(!coalesce(cond, lit(false)))
     // CDF: the replaced region leaves as deletes, the batch arrives as
     // inserts — one change set, same commit (delete()'s feed contract)
-    val changeVersion =
+    val changeStage =
       if (!changeFeed) None
       else Some(writeChanges(
         cur.where(coalesce(cond, lit(false)))
@@ -985,10 +985,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val params = Map("predicate" -> cond.toString,
       "mode" -> "replaceWhere", "changeFeed" -> changeFeed.toString) ++ idParams
     rewriteSelective(cond, a => keep(a).unionByName(toInsert),
-        "REPLACE WHERE", params, changeVersion = changeVersion,
+        "REPLACE WHERE", params, changeStage = changeStage,
         alwaysTransform = true, occBase = occBase)
       .getOrElse(rewriteWithFeed(keep(cur).unionByName(toInsert),
-        "REPLACE WHERE", params, changeVersion, occBase = occBase))
+        "REPLACE WHERE", params, changeStage, occBase = occBase))
   }
 
   /** Idempotent file ingest (Databricks/Delta `COPY INTO` analogue):
@@ -1233,7 +1233,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
     val hit = coalesce(cond, lit(false))
     val hits = live.where(hit)
-    val changeVersion =
+    val changeStage =
       if (!changeFeed) None
       else Some(writeChanges(hits.drop(fileCol, rowCol)
         .withColumn("_change_type", lit("delete"))))
@@ -1246,21 +1246,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
       case e: Throwable =>
         try {
           fs.delete(dir, true): Unit
-          changeVersion.foreach(v => fs.delete(
-            new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+          changeStage.foreach(discardChanges)
         } catch { case r: Throwable => e.addSuppressed(r) }
         throw e
     }
     val actual = commit("DELETE", Map(
       "predicate" -> cond.toString, "mode" -> "merge-on-read",
-      LakeTable.DvDirParam -> name, "changeFeed" -> changeFeed.toString))
-    changeVersion.foreach { predicted =>
-      if (predicted != actual) {
-        val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
-        if (fs.exists(from))
-          fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual")): Unit
-      }
-    }
+      LakeTable.DvDirParam -> name, "changeFeed" -> changeFeed.toString) ++
+      changeStage.map(LakeTable.ChangeStageParam -> _))
+    changeStage.foreach(publishChanges(_, actual))
     this
   }
 
@@ -1296,7 +1290,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       if (set.contains(f.name)) when(hit, post(f)).otherwise(col(f.name)).as(f.name)
       else col(f.name)
     }.toIndexedSeq: _*), gc)
-    val changeVersion =
+    val changeStage =
       if (!changeFeed) None
       else {
         val touched = cur.where(hit)
@@ -1315,36 +1309,30 @@ final class LakeTable(spark: SparkSession, val path: String) {
           if (set.contains(f.name)) when(h, post(f)).otherwise(col(f.name)).as(f.name)
           else col(f.name)
         }.toIndexedSeq: _*), gc)
-      }, "UPDATE", params, changeVersion, occBase = occBase)
-      .getOrElse(rewriteWithFeed(result, "UPDATE", params, changeVersion, occBase))
+      }, "UPDATE", params, changeStage, occBase = occBase)
+      .getOrElse(rewriteWithFeed(result, "UPDATE", params, changeStage, occBase))
   }
 
-  /** Shared commit path for operations that may have materialized a
-    * change set under a PREDICTED version before their rewrite.
+  /** Shared commit path for operations that staged a change set before
+    * their rewrite.
     *
-    * Phantom-change-set guard: if the rewrite aborts BEFORE the swap
-    * (staged write or constraint failure), the materialized feed
-    * describes a commit that never happened and must go; a failure
-    * AFTER the swap means the data IS the table, so the feed stays —
-    * deleting it there would hide a real commit from CDC consumers.
-    * And if a concurrent commit slipped in between version prediction
-    * and the atomic append, the feed dir is realigned to the version
-    * actually won so readChanges' `_commit_version` stays truthful.
+    * Abort (staged write or constraint failure, table untouched): the
+    * staged set describes a commit that never happened — discard it
+    * (it was never visible, so no reader can have seen it). Commit:
+    * publish the stage at the version actually won, so readChanges'
+    * `_commit_version` is truthful by construction and the set becomes
+    * visible only after its commit record exists. The stage name rides
+    * the commit params so a crash between commit and publication is
+    * recoverable ([[vacuumDebris]] publishes claimed stages).
     */
   private def rewriteWithFeed(
       result: DataFrame, op: String, params: Map[String, String],
-      changeVersion: Option[Long],
+      changeStage: Option[String],
       occBase: Option[Long] = None): LakeTable =
-    rewrite(result, op, params,
-      onAbort = () => changeVersion.foreach(v =>
-        fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true)),
-      onCommit = actual => changeVersion.foreach { predicted =>
-        if (predicted != actual) {
-          val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
-          if (fs.exists(from))
-            fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual"))
-        }
-      },
+    rewrite(result, op,
+      params ++ changeStage.map(LakeTable.ChangeStageParam -> _),
+      onAbort = () => changeStage.foreach(discardChanges),
+      onCommit = actual => changeStage.foreach(publishChanges(_, actual)),
       occBase = occBase)
 
   /** Selective DELETE/UPDATE rewrite — the Delta-style file-level path:
@@ -1371,7 +1359,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       cond: Column,
       transformAffected: DataFrame => DataFrame,
       op: String, params: Map[String, String],
-      changeVersion: Option[Long],
+      changeStage: Option[String],
       alwaysTransform: Boolean = false,
       occBase: Option[Long] = None): Option[LakeTable] = {
     if (!fs.exists(new Path(statsDir))) return None
@@ -1386,7 +1374,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val untouched = all.filterNot(t => mightMatch.contains(t._3))
     if (untouched.isEmpty) return None // nothing saved: full rewrite is equal
     Some(swapSelective(affected, untouched, transformAffected, op, params,
-      changeVersion, alwaysTransform, occBase))
+      changeStage, alwaysTransform, occBase))
   }
 
   /** The staged PARTIAL swap shared by every selective rewrite: write
@@ -1401,7 +1389,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       untouched: Seq[(String, String, String)],
       transformAffected: DataFrame => DataFrame,
       op: String, params: Map[String, String],
-      changeVersion: Option[Long],
+      changeStage: Option[String],
       alwaysTransform: Boolean,
       occBase: Option[Long] = None,
       rebaseBaseFiles: Option[Set[String]] = None,
@@ -1443,8 +1431,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     } catch {
       case e: Throwable =>
-        try changeVersion.foreach(v => fs.delete(
-          new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+        try changeStage.foreach(discardChanges)
         catch { case r: Throwable => e.addSuppressed(r) }
         throw e
     }
@@ -1460,8 +1447,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       try occResolve(occExpected, staged, op, rebaseBaseFiles)
       catch {
         case e: Throwable =>
-          try changeVersion.foreach(v => fs.delete(
-            new Path(s"$path/${LakeTable.ChangesDirName}/v$v"), true): Unit)
+          try changeStage.foreach(discardChanges)
           catch { case r: Throwable => e.addSuppressed(r) }
           throw e
       }
@@ -1520,19 +1506,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
             "recorded — reconcile from history or RESTORE a pre-swap version.")
     }
     val actual = commit(op, params ++
+      changeStage.map(LakeTable.ChangeStageParam -> _) ++
       Map("filesRewritten" -> affected.size.toString,
         "filesKept" -> untouched.size.toString) ++
       (if (rebased.nonEmpty) Map("filesRebased" -> rebased.size.toString)
        else Map.empty) ++
       (if (sweptLate > 0) Map("filesSweptLate" -> sweptLate.toString)
        else Map.empty))
-    changeVersion.foreach { predicted =>
-      if (predicted != actual) {
-        val from = new Path(s"$path/${LakeTable.ChangesDirName}/v$predicted")
-        if (fs.exists(from))
-          fs.rename(from, new Path(s"$path/${LakeTable.ChangesDirName}/v$actual")): Unit
-      }
-    }
+    changeStage.foreach(publishChanges(_, actual))
     this
   }
 
@@ -1579,27 +1560,60 @@ final class LakeTable(spark: SparkSession, val path: String) {
         "COMPACT SMALL",
         Map("minFileBytes" -> minFileBytes.toString,
           "targetFileBytes" -> targetFileBytes.toString),
-        changeVersion = None, alwaysTransform = false, occBase = occBase,
+        changeStage = None, alwaysTransform = false, occBase = occBase,
         rebaseBaseFiles = Some(all.map(_._1).toSet))
   }
 
-  /** Materialize a change set under `_graft_changes/v<N>` where N is the
-    * version the ABOUT-TO-HAPPEN commit will get — must run before the
-    * table swap, while the plans still read the pre-merge table.
+  /** Materialize a change set in a STAGING dir under `_graft_changes/`
+    * — dot-prefixed, so the `v*` glob [[readChanges]] uses and the file
+    * stream behind [[readChangesStream]] can never list it. The set
+    * becomes visible only when the commit it describes lands: the
+    * committing operation records the stage name in its params
+    * ([[LakeTable.ChangeStageParam]]) and [[publishChanges]] renames it
+    * to `v<actual>` AFTER the commit record exists. Change sets are
+    * therefore IMMUTABLE ONCE VISIBLE — nothing ever renames, deletes,
+    * or moves a published set (retention-driven [[vacuumChanges]]
+    * aside), which is what keeps a live CDC file stream from dying on a
+    * listed-then-vanished file. Must still run BEFORE the table swap,
+    * while the plans read the pre-mutation table.
     */
-  private def writeChanges(changes: DataFrame): Long = {
-    val v = CommitLog.nextVersion(fs, logDir)
-    val dir = s"$path/${LakeTable.ChangesDirName}/v$v"
+  private def writeChanges(changes: DataFrame): String = {
+    val name = LakeTable.ChangeStagePrefix +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dir = s"$path/${LakeTable.ChangesDirName}/$name"
     try changes.write.mode(SaveMode.Overwrite).parquet(dir)
     catch {
       case e: Throwable =>
-        // a half-written change dir would pollute readChanges once a
-        // later commit reaches this version number
         fs.delete(new Path(dir), true)
         throw e
     }
-    v
+    name
   }
+
+  /** Publish a staged change set at the version its commit won — the
+    * one rename that makes it visible to feed readers, run AFTER the
+    * commit record exists (so a visible change set always has its
+    * commit, and consumers never need to wait one out). Loud on
+    * failure: a committed mutation whose change set silently vanished
+    * would diverge every CDC consumer. Idempotent when a crash-recovery
+    * pass already published this stage.
+    */
+  private def publishChanges(stage: String, version: Long): Unit = {
+    val from = new Path(s"$path/${LakeTable.ChangesDirName}/$stage")
+    val to = new Path(s"$path/${LakeTable.ChangesDirName}/v$version")
+    if (fs.exists(from)) {
+      if (!fs.rename(from, to)) throw new java.io.IOException(
+        s"could not publish change set $from at version v$version")
+    } else require(fs.exists(to),
+      s"change set stage $stage vanished before publication at v$version")
+  }
+
+  /** Drop a staged change set whose operation aborted pre-commit — it
+    * was never visible, so this is pure hygiene, not a reader-facing
+    * mutation.
+    */
+  private def discardChanges(stage: String): Unit =
+    fs.delete(new Path(s"$path/${LakeTable.ChangesDirName}/$stage"), true): Unit
 
   /** Delta `table_changes` analogue: every change row recorded by
     * change-feed-enabled commits in `[fromVersion, toVersion]`, with
@@ -1759,10 +1773,18 @@ final class LakeTable(spark: SparkSession, val path: String) {
   }
 
   /** The change feed as a STREAMING source: each change-feed-enabled
-    * commit drops new files under `_graft_changes/v<N>/`, which a file
-    * stream discovers incrementally — so downstream CDC consumers tail
-    * `readChangesStream` with a checkpoint and see every change exactly
-    * once across restarts (StreamingSpec drives this). Requires at least
+    * commit PUBLISHES its change set under `_graft_changes/v<N>/` (one
+    * rename, after the commit record lands — see [[publishChanges]]),
+    * which a file stream discovers incrementally — so downstream CDC
+    * consumers tail `readChangesStream` with a checkpoint and see every
+    * change exactly once across restarts (StreamingSpec drives this).
+    * Two structural guarantees keep a LIVE stream safe against
+    * concurrent writers: a listed change file always has its commit
+    * record (visible-implies-committed), and it NEVER moves — staged
+    * rewrites swap the table's other children around the feed dir
+    * (completeSwap), and only [[vacuumChanges]] retention ever removes
+    * published sets (ChangeFeedPublicationSpec's race loop pins this).
+    * Requires at least
     * one recorded change set. The stream schema is the mergeSchema UNION
     * of every change set present at start (so a feed whose table evolved
     * mid-history exposes all columns, null-filled where a version lacks
@@ -3160,27 +3182,72 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val action =
       if (!fs.exists(staged)) "none"
       else if (fs.exists(new Path(staged, LakeTable.SwapManifestName))) {
-        // commit the interrupted operation UNDER ITS OWN NAME first: it is
-        // what changed the data, and a change-feed dir materialized at the
-        // predicted version now lines up with this commit (the crashed op
-        // never claimed a version, so next-version == predicted unless
-        // other writers intervened — then rewriteWithFeed-style rename
-        // already can't help and history still names the right op)
+        // commit the interrupted operation UNDER ITS OWN NAME first: it
+        // is what changed the data — and its params carry the staged
+        // change set's name (ChangeStageParam), so the reconciliation
+        // below publishes that set at exactly this commit's version
         val (pending, _) = completeSwap(staged)
         pending.foreach { case (op, params) =>
           commit(s"RECOVERED $op", params): Unit
         }
         "completedSwap"
       } else { fs.delete(staged, true); "removedStage" }
+    // staged change sets: a crash between a commit and its publication
+    // rename leaves a committed mutation's change set invisible under
+    // its stage name — publish it at the version its commit claims
+    // (including a RECOVERED commit made just above). A stage NO commit
+    // claims is pre-commit debris: the op aborted or never committed,
+    // no reader ever saw it, delete.
+    locally {
+      val changesRoot = new Path(path, LakeTable.ChangesDirName)
+      if (fs.exists(changesRoot)) {
+        val stages = fs.listStatus(changesRoot).map(_.getPath.getName)
+          .filter(_.startsWith(LakeTable.ChangeStagePrefix))
+        if (stages.nonEmpty) {
+          val claims: Map[String, Long] =
+            CommitLog.recordsSince(fs, logDir, 0L)
+              .flatMap(r => r.params.get(LakeTable.ChangeStageParam)
+                .map(_ -> r.version))
+              .toMap
+          stages.foreach { n =>
+            claims.get(n) match {
+              case Some(v) => publishChanges(n, v)
+              case None    => discardChanges(n)
+            }
+          }
+        }
+      }
+    }
     commit("VACUUM DEBRIS", Map("stage" -> action))
     this
   }
 
-  /** Resume a crashed staged swap (manifest present): idempotently move
-    * the log, change feed, and every manifest-listed untouched data file
-    * that is still in the table dir into the stage, then finish the
-    * dir swap. Every step skips work a previous attempt completed, so
-    * repeated crashes during recovery converge.
+  /** Finish a staged swap (manifest present) — shared by the live
+    * rewrite paths and crash recovery, and CHILD-WISE by design: the
+    * old table dir's children are deleted and the stage's children
+    * renamed into place one by one, so `_graft_changes` NEVER MOVES.
+    * A live CDC file stream ([[readChangesStream]]) that listed change
+    * files before the swap reads them mid- and post-swap at the same
+    * paths — the whole-dir delete+rename this replaced unlinked every
+    * feed file for the duration of the swap and killed any stream whose
+    * poll interleaved it.
+    *
+    * Crash-safe by phase, not by a single rename: (1) GATHER — move the
+    * manifest-listed untouched files and the log into the stage, sweep
+    * unaccounted late-append files through (all idempotent moves);
+    * (2) CLEAR — persist the list of old children to delete in the
+    * stage FIRST ([[LakeTable.SwapClearName]]), then delete them; a
+    * resumed swap that finds the clear list skips re-gathering (new
+    * files already placed in the table dir must not be re-classified as
+    * old) and re-deletes exactly the recorded set (idempotent, and
+    * structurally unable to touch a placed new file); (3) PLACE — move
+    * stage children into the table dir, skipping any a prior attempt
+    * placed; the log dir MERGES file-by-file if a concurrent commit
+    * recreated it mid-swap (commit records are version-named, so both
+    * sides survive and the post-swap audit sees the interloper);
+    * (4) markers are deleted from the stage, manifest last — it is the
+    * resume trigger, so recovery always knows whether a stage is still
+    * completable.
     */
   private def completeSwap(staged: Path): (Option[(String, Map[String, String])], Int) = {
     val f = fs
@@ -3190,48 +3257,102 @@ final class LakeTable(spark: SparkSession, val path: String) {
         throw new java.io.IOException(s"swap recovery: could not move $from to $dest")
     }
     val pending = readPendingOp(staged)
-    moveIn(new Path(path, LakeTable.ChangesDirName), LakeTable.ChangesDirName)
-    val manifest = new Path(staged, LakeTable.SwapManifestName)
-    readManifest(manifest).foreach(n => moveIn(new Path(path, n), n))
-    // the log moves LAST: every commit that lands while the (possibly
-    // long) data-file moves above run still reaches the REAL log dir and
-    // rides into the stage — swapSelective's post-swap audit can then see
-    // it and refuse to commit on top of a lost append. Order is safe for
-    // crash recovery: every moveIn is idempotent.
-    moveIn(logDir, LakeTable.LogDirName)
     val p = new Path(path)
-    // late-append sweep: any table-dir parquet file the snapshot did NOT
-    // account for (absent from the known-set) landed concurrently — a
-    // streaming-sink batch racing this swap. Carry it through like a
-    // rebased file instead of deleting its data with the old dir; its
-    // commit either already rode the moved log (the audit sees it and
-    // knows the data survived) or will land in the live log after the
-    // swap. Stages without a known-set (pre-sweep layouts) keep the old
-    // behavior. Sweep immediately before the delete: the window in which
-    // a file can still die shrinks to one FS op (and such a file's job
-    // fails loudly with the vanished dir — its writer retries).
-    val knownFile = new Path(staged, LakeTable.KnownFilesName)
+    val clearFile = new Path(staged, LakeTable.SwapClearName)
     var swept = 0
-    if (f.exists(knownFile) && f.exists(p)) {
-      val known = readManifest(knownFile).toSet
-      f.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName)
-        .filterNot(known.contains)
-        .foreach { n =>
-          if (f.exists(new Path(staged, n)))
-            throw new java.io.IOException(
-              s"late-append sweep: staged rewrite collides with concurrent file $n")
-          moveIn(new Path(path, n), n)
-          swept += 1
-        }
+    if (!f.exists(clearFile)) {
+      // ---- phase 1: gather ----
+      val manifest = new Path(staged, LakeTable.SwapManifestName)
+      readManifest(manifest).foreach(n => moveIn(new Path(path, n), n))
+      // the log moves LAST among the gathered dirs: every commit that
+      // lands while the (possibly long) data-file moves above run still
+      // reaches the REAL log dir and rides into the stage —
+      // swapSelective's post-swap audit can then see it and refuse to
+      // commit on top of a lost append.
+      moveIn(logDir, LakeTable.LogDirName)
+      // late-append sweep: any table-dir parquet file the snapshot did
+      // NOT account for (absent from the known-set) landed concurrently
+      // — a streaming-sink batch racing this swap. Carry it through like
+      // a rebased file instead of deleting it with the old children; its
+      // commit either already rode the moved log (the audit sees it and
+      // knows the data survived) or will land in the live log after the
+      // swap. Stages without a known-set delete unaccounted files with
+      // the clear phase (the full-rewrite contract — the audit refuses
+      // to stack a commit on the interleaving either way).
+      val knownFile = new Path(staged, LakeTable.KnownFilesName)
+      if (f.exists(knownFile) && f.exists(p)) {
+        val known = readManifest(knownFile).toSet
+        f.listStatus(p).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName)
+          .filterNot(known.contains)
+          .foreach { n =>
+            if (f.exists(new Path(staged, n)))
+              throw new java.io.IOException(
+                s"late-append sweep: staged rewrite collides with concurrent file $n")
+            moveIn(new Path(path, n), n)
+            swept += 1
+          }
+      }
+      // ---- phase 2a: persist the clear list ----
+      // every remaining old child except the change feed dies; a child
+      // whose NAME the stage will also place (e.g. _SUCCESS) is deleted
+      // NOW and kept OFF the list, so a resumed clear can never delete
+      // the placed replacement
+      val children =
+        if (!f.exists(p)) Seq.empty[String]
+        else f.listStatus(p).toSeq.map(_.getPath.getName)
+          .filterNot(_ == LakeTable.ChangesDirName)
+      val (colliding, plain) =
+        children.partition(n => f.exists(new Path(staged, n)))
+      colliding.foreach(n => f.delete(new Path(p, n), true): Unit)
+      val out = f.create(clearFile, true)
+      try out.write(plain.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
     }
-    if (f.exists(p)) f.delete(p, true)
-    if (!f.rename(staged, p))
-      throw new java.io.IOException(s"swap recovery: could not rename $staged to $p")
-    f.delete(new Path(p, LakeTable.SwapManifestName), false)
-    f.delete(new Path(p, LakeTable.PendingOpFileName), false)
-    f.delete(new Path(p, LakeTable.KnownFilesName), false)
+    // ---- phase 2b: clear the recorded old children (idempotent) ----
+    readManifest(clearFile).foreach(n => f.delete(new Path(p, n), true): Unit)
+    if (!f.exists(p)) f.mkdirs(p)
+    // ---- phase 3: place the stage's children ----
+    val markers = Set(LakeTable.SwapManifestName, LakeTable.PendingOpFileName,
+      LakeTable.KnownFilesName, LakeTable.SwapClearName)
+    def place(name: String): Unit = {
+      val src = new Path(staged, name)
+      val dest = new Path(p, name)
+      if (f.exists(src) && !f.exists(dest) && !f.rename(src, dest))
+        throw new java.io.IOException(s"staged swap: could not move $src to $dest")
+    }
+    def placeLog(): Unit = {
+      val src = new Path(staged, LakeTable.LogDirName)
+      if (!f.exists(src)) return
+      val dest = new Path(p, LakeTable.LogDirName)
+      if (!f.exists(dest)) {
+        if (!f.rename(src, dest))
+          throw new java.io.IOException(s"staged swap: could not move $src to $dest")
+      } else {
+        // a commit landed while the log sat in the stage and recreated
+        // the live log dir — merge the staged records in file-by-file
+        // (version-named, so both sides survive); the post-swap audit
+        // then SEES the interloper and refuses, instead of the old
+        // whole-dir delete losing its record undetectably
+        f.listStatus(src).foreach { st =>
+          val d = new Path(dest, st.getPath.getName)
+          if (!f.exists(d) && !f.rename(st.getPath, d))
+            throw new java.io.IOException(
+              s"staged swap: could not merge log file ${st.getPath} into $d")
+        }
+        f.delete(src, true): Unit
+      }
+    }
+    f.listStatus(staged).map(_.getPath.getName)
+      .filterNot(n => markers.contains(n) || n == LakeTable.LogDirName)
+      .foreach(place)
+    placeLog()
+    // ---- phase 4: drop markers, manifest last (the resume trigger) ----
+    Seq(LakeTable.SwapClearName, LakeTable.KnownFilesName,
+      LakeTable.PendingOpFileName, LakeTable.SwapManifestName)
+      .foreach(n => f.delete(new Path(staged, n), false): Unit)
+    f.delete(staged, true)
     (pending, swept)
   }
 
@@ -3512,7 +3633,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val occBase = Some(CommitLog.nextVersion(fs, logDir))
     val base = listDataFiles()
     swapSelective(base, Seq.empty, transform, op, params,
-      changeVersion = None, alwaysTransform = true, occBase = occBase,
+      changeStage = None, alwaysTransform = true, occBase = occBase,
       rebaseBaseFiles = Some(base.map(_._1).toSet),
       keepSideDirs = false)
   }
@@ -3727,7 +3848,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
         catch { case r: Throwable => e.addSuppressed(r) }
         throw e
     }
-    val p = new Path(path)
     val s = new Path(staged)
     val f = fs
     // the manifest is the swap's point-of-no-return marker: once present,
@@ -3741,13 +3861,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // edit the staged log here, after the point of no return — the swap
     // (or its crash recovery) applies both together (see reorgPurge)
     onStagedLog(new Path(s, LakeTable.LogDirName))
-    val changesDir = new Path(p, LakeTable.ChangesDirName)
-    if (f.exists(changesDir)) // change history survives rewrites, like the log
-      f.rename(changesDir, new Path(s, LakeTable.ChangesDirName))
-    f.delete(p, true)
-    f.rename(s, p)
-    f.delete(new Path(p, LakeTable.SwapManifestName), false)
-    f.delete(new Path(p, LakeTable.PendingOpFileName), false)
+    // child-wise swap: old children cleared, staged children placed, the
+    // change feed NEVER moves (its files keep their paths through the
+    // whole swap — the CDC-stream survival contract; see completeSwap)
+    completeSwap(s): Unit
     // post-swap audit, mirroring swapSelective's: a commit that landed
     // between the occCheck and the log move rode into the stage but its
     // data files died with the old table dir — refuse to stack this
@@ -4177,53 +4294,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def currentVersion: Long = CommitLog.nextVersion(fs, logDir) - 1
 
-  /** Bounded wait until this table's committed head reaches `target`.
-    * The change-feed FILES land before their commit record (the swap's
-    * point-of-no-return ordering), so a hot-trigger maintenance stream
-    * can receive a notification in the pre-commit window; acting on the
-    * committed state immediately would no-op — and a file source fires
-    * no further trigger until NEW files arrive, so the consumed
-    * notification never re-fires and the derived artifact stays stale
-    * until the base's next mutation. Waiting the instant out closes
-    * that window. On timeout (the writer genuinely crashed or stalled
-    * mid-mutation): with `failOnTimeout` this throws — the right call
-    * when the consumer's freshness is load-bearing (a standing index
-    * whose serves THROW on staleness); an at-least-once stream replays
-    * the batch on restart, by which time the commit exists or the feed
-    * was cleaned up. Without it, returns false and the caller DEFERS —
-    * the right call for an MV whose readers don't gate on freshness and
-    * whose refresh is watermark-bounded anyway (the deferred set applies
-    * with the base's next commit).
-    */
-  def awaitCommitVersion(
-      target: Long, waitMs: Long = 60000L, failOnTimeout: Boolean = true): Boolean = {
-    val deadline = System.currentTimeMillis() + waitMs
-    while (currentVersion < target) {
-      if (System.currentTimeMillis() >= deadline) {
-        if (failOnTimeout) throw new IllegalStateException(
-          s"change set v$target at $path has no commit record after " +
-            s"$waitMs ms — writer crashed mid-mutation? Failing the " +
-            "maintenance stream; a restart replays this batch.")
-        return false
-      }
-      Thread.sleep(25L)
-    }
-    true
-  }
-
-  /** [[awaitCommitVersion]] for a change-feed notification batch: the
-    * batch's rows carry `_commit_version`, naming exactly the commits to
-    * wait for. No-op (true) on an empty batch.
-    */
-  def awaitChangeSetCommit(
-      batch: DataFrame, waitMs: Long = 60000L,
-      failOnTimeout: Boolean = true): Boolean = {
-    val row = batch.agg(
-      org.apache.spark.sql.functions.max(col("_commit_version"))).head()
-    if (row.isNullAt(0)) true
-    else awaitCommitVersion(row.getLong(0), waitMs, failOnTimeout)
-  }
-
   /** Atomic commit (see [[CommitLog.append]]); returns the version won.
     * Every `spark.graft.lake.checkpointInterval`-th commit (default 100)
     * folds the log into one checkpoint file, so log reads stay O(1 +
@@ -4292,6 +4362,19 @@ object LakeTable {
   // every data-file name the staged op's snapshot accounted for — the
   // complement completeSwap's late-append sweep preserves
   val KnownFilesName = "__graft_known_files"
+  // the old table-dir children the swap's clear phase will delete,
+  // persisted in the stage BEFORE any deletion so a crashed swap's
+  // resume re-deletes exactly the same set and can never mistake an
+  // already-placed new file for old debris
+  val SwapClearName = "__graft_swap_clear"
+  // change-set staging dirs under _graft_changes: dot-prefixed so the
+  // `v*` glob and Spark's listing never see a set before its commit
+  // publishes it (rename to v<actual> AFTER the commit record lands)
+  val ChangeStagePrefix = ".stage_"
+  // commit param naming the staged change set a commit publishes —
+  // vacuumDebris publishes claimed-but-unrenamed stages (crash between
+  // commit and publication) and deletes unclaimed ones
+  val ChangeStageParam = "changeStage"
   // no .json suffix: CommitLog treats only *.json under the log dir as commits
   val SchemaFileName = "_schema"
   val ConstraintsFileName = "_constraints"

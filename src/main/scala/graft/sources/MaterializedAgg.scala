@@ -65,15 +65,12 @@ final class MaterializedAgg(
   }
 
   /** Apply every change-feed version in `(watermark, latest]` where
-    * `latest` is the base table's latest COMMITTED version. The upper
-    * bound is load-bearing: change-set files land BEFORE the commit
-    * record that names their version (writeChanges runs pre-swap), so an
-    * unbounded read could apply a not-yet-committed change set and then
-    * re-apply it after its commit landed (the watermark, saved as
-    * `latest`, would still be below it). Bounding to the committed
-    * version defers the in-flight change set to the next refresh —
-    * exactly-once with no waiting. No-op when nothing new was recorded.
-    * Returns this for chaining.
+    * `latest` is the base table's latest COMMITTED version. Change sets
+    * publish AFTER their commit record (the lake layer's
+    * visible-implies-committed contract), so every visible set at or
+    * below `latest` is final and exactly-once follows from the
+    * watermark alone. No-op when nothing new was recorded. Returns this
+    * for chaining.
     */
   def refresh(): MaterializedAgg = {
     val wm = watermark()
@@ -130,34 +127,21 @@ final class MaterializedAgg(
     * refresh calls. Refresh derives everything from the watermark and
     * the change-feed versions and is a no-op when already current, which
     * makes the stream RESTART-SAFE for free (an at-least-once replayed
-    * trigger re-runs a refresh that sees nothing new). Requires at least
-    * one recorded change set (the change-feed streaming-source
+    * trigger re-runs a refresh that sees nothing new). Because change
+    * sets publish only AFTER their commit record lands, a notification
+    * batch always finds the commits it names already in the log — the
+    * bounded-wait/defer machinery this stream once needed (the old
+    * change-files-before-commit window) is gone with the window itself,
+    * and `processAllAvailable()` implies current. Requires at least one
+    * recorded change set (the change-feed streaming-source
     * precondition).
-    *
-    * The change-file-before-commit ordering hazard (files land pre-swap,
-    * the commit record after) never threatens correctness — [[refresh]]
-    * derives its work from the watermark bounded to the latest COMMITTED
-    * version — but a notification consumed in that window would leave
-    * the set unapplied until the base's NEXT change-feed commit (a file
-    * source fires no further trigger until new files arrive). The
-    * stream therefore WAITS the instant out before refreshing
-    * ([[LakeTable.awaitChangeSetCommit]] — the batch's own
-    * `_commit_version` names the commit), so `processAllAvailable()`
-    * implies current whenever writers are healthy; a writer genuinely
-    * crashed/stalled past the short wait DEFERS (non-blocking stream,
-    * the old contract — the set applies with the base's next commit)
-    * rather than failing the query, because MV readers don't gate on
-    * freshness the way a standing index's serve guard does. The wait's
-    * absence here flaked MaterializedAggSpec under host load.
     */
   def startStream(
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        base.awaitChangeSetCommit(batch,
-          waitMs = MaterializedAgg.CommitWaitMs, failOnTimeout = false): Unit
+      .foreachBatch { (_: DataFrame, _: Long) =>
         refresh(): Unit
       }
       .trigger(trigger)
@@ -204,14 +188,6 @@ final class MaterializedAgg(
 }
 
 object MaterializedAgg {
-
-  /** How long [[MaterializedAgg.startStream]] /
-    * [[MaterializedJoin.startStream]] wait for a notified change set's
-    * commit record before DEFERRING it (covers the normal
-    * change-files-before-commit instant; a genuinely crashed writer
-    * defers instead of failing the stream). Mutable only for tests.
-    */
-  var CommitWaitMs: Long = 3000L
 
   def apply(
       spark: SparkSession,

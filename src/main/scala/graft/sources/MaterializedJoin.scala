@@ -165,11 +165,10 @@ final class MaterializedJoin(
     * holds by construction). The batch content is only a notification,
     * exactly as in [[MaterializedAgg.startStream]]: refresh derives its
     * work from the watermarks bounded to committed versions, so
-    * replayed triggers are no-ops — and a notification delivered in a
-    * leg's change-files-before-commit window is WAITED out per leg
-    * before refreshing ([[LakeTable.awaitCommitVersion]]; see the agg
-    * twin's doc for why deferral would otherwise stall until the next
-    * mutation). Requires at least one recorded change set on each leg
+    * replayed triggers are no-ops. Change sets publish AFTER their
+    * commit record lands (the lake layer's visible-implies-committed
+    * contract), so a notification always finds its commits — no wait,
+    * no defer. Requires at least one recorded change set on each leg
     * (the change-feed streaming-source precondition).
     */
   def startStream(
@@ -181,15 +180,7 @@ final class MaterializedJoin(
       .unionByName(dim.readChangesStream
         .select(lit("dim").as("leg"), col("_commit_version")))
     notifications.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.groupBy(col("leg"))
-          .agg(org.apache.spark.sql.functions.max(col("_commit_version")).as("v"))
-          .collect()
-          .foreach { r =>
-            val t = if (r.getString(0) == "fact") fact else dim
-            t.awaitCommitVersion(r.getLong(1),
-              waitMs = MaterializedAgg.CommitWaitMs, failOnTimeout = false): Unit
-          }
+      .foreachBatch { (_: DataFrame, _: Long) =>
         refresh(): Unit
       }
       .trigger(trigger)

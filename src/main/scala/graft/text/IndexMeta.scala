@@ -87,16 +87,7 @@ private[text] object IndexMeta {
     s
   }
 
-  /** Bounded wait for the commit record of every change set a
-    * maintenance notification batch names — a maintenance stream folding
-    * in the change-files-before-commit window would compute
-    * target == stamp, no-op, and leave the index stale (its freshness
-    * guard THROWING) until the base's next mutation. Delegates to
-    * [[graft.sources.LakeTable.awaitCommitVersion]], the shared
-    * mechanism the MV maintenance streams use too.
-    */
-  private[text] def awaitBatchCommit(base: LakeTable, batch: DataFrame): Unit =
-    base.awaitChangeSetCommit(batch)
+
 
   /** Commits that reorganize bytes or metadata but provably leave every
     * row's content unchanged — the only ops allowed to appear in a

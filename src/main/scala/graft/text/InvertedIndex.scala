@@ -177,11 +177,11 @@ object InvertedIndex {
     * next trigger — exactly-once index effects over an at-least-once
     * stream, with no txn tags needed because the stamp IS the
     * idempotence watermark. Single writer per index by construction
-    * (one streaming query, serialized foreachBatch). Unlike the MV
-    * twins, a notification arriving in the change-files-before-commit
-    * window is WAITED out, not deferred
-    * ([[IndexMeta.awaitBatchCommit]]) — deferral here would leave the
-    * freshness guard throwing until the base's next mutation.
+    * (one streaming query, serialized foreachBatch). Change sets
+    * publish only AFTER their commit record lands (and never move once
+    * visible), so a notification batch always finds its commits and
+    * the stream can never list a change file that a staged rewrite
+    * later unlinks — the two hazards that once needed a bounded wait.
     */
   /** @param autoOptimizeEvery re-cluster + re-stat the postings every N
     *        applied batches (the index twin of `LakeSink.autoCompactEvery`):
@@ -201,7 +201,6 @@ object InvertedIndex {
     base.readChangesStream
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IndexMeta.awaitBatchCommit(base, batch)
         applyChanges(base, idCol, textCol, dir)
         autoOptimizeEvery.foreach { every =>
           if (every > 0 && applied.incrementAndGet() % every == 0)

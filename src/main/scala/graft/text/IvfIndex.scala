@@ -151,7 +151,6 @@ object IvfIndex {
     base.readChangesStream
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IndexMeta.awaitBatchCommit(base, batch)
         applyChanges(base, idCol, vecCol, dir)
         autoOptimizeEvery.foreach { every =>
           if (every > 0 && applied.incrementAndGet() % every == 0)

@@ -106,7 +106,7 @@ class MaterializedAggSpec extends SparkSpec {
     assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
   }
 
-  test("refresh defers change sets whose commit has not landed (pre-commit window)") {
+  test("refresh ignores change sets beyond the committed head (feed corruption guard)") {
     val s = spark
     import s.implicits._
     val base = LakeTable(spark, tmp("base5")).write(
@@ -116,8 +116,9 @@ class MaterializedAggSpec extends SparkSpec {
     base.delete(col("k") === "b", changeFeed = true)
     mv.refresh()
     val settled = sorted(mv.read)
-    // simulate the writer mid-flight: a change-set dir lands for a
-    // version with NO commit record yet (writeChanges runs pre-swap)
+    // the library itself never exposes an uncommitted set (publication
+    // is post-commit), but an externally planted / corrupted feed dir
+    // beyond the head must still be ignored, not applied
     Seq(("a", 10L)).toDF("k", "v")
       .withColumn("_change_type", lit("delete"))
       .write.parquet(s"${base.path}/${LakeTable.ChangesDirName}/v999")
@@ -128,7 +129,7 @@ class MaterializedAggSpec extends SparkSpec {
     assert(sorted(mv.read) === settled)
   }
 
-  test("stream defers an in-flight change set without blocking and repairs on the next commit") {
+  test("stream ignores a beyond-head change set and repairs once its commit exists") {
     val s = spark
     import s.implicits._
     val base = LakeTable(spark, tmp("base6")).write(
@@ -141,8 +142,9 @@ class MaterializedAggSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
-      // a writer mid-commit: its change set lands at the version the NEXT
-      // commit will take, with no commit record yet (writeChanges order)
+      // an externally planted set at the version the NEXT commit will
+      // take (the library never does this — publication is post-commit):
+      // the watermark bound must ignore it until that commit exists
       val inFlight = base.history
         .agg(max(col("version"))).head.getLong(0) + 1
       Seq(("b", 5L)).toDF("k", "v")
