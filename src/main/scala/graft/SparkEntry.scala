@@ -88,6 +88,14 @@ object SparkEntry {
       "q_pq_topk" -> text.TextQueries.pqTopKOracle(spark, sfDir),
       // IVF-PQ: coarse centers + codebooks inlined, probe + ADC + refine
       // replay (see TextQueries.ivfPqTopKOracle)
-      "q_ivfpq_topk" -> text.TextQueries.ivfPqTopKOracle(spark, sfDir))
+      "q_ivfpq_topk" -> text.TextQueries.ivfPqTopKOracle(spark, sfDir),
+      // BPE encode: the standing merge table inlined as a rank-ordered
+      // replace chain (see TextQueries.bpeEncodeOracle). Merge LEARNING
+      // (q_bpe_merges) stays rows-only by design: each rank is an argmax
+      // over corpus-wide pair counts that feeds the next rank's input —
+      // 40 chained data-dependent aggregations, beyond a practical
+      // DuckDB replay; the learned rules are instead VERIFIED here by
+      // replaying the encode they define.
+      "q_bpe_encode_standing" -> text.TextQueries.bpeEncodeOracle(spark, sfDir))
   }
 }

@@ -258,16 +258,11 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** M4 standing-tokenizer shape (the BPE twin of
-    * [[qualityModelScoresStanding]]): merge rules are learned and saved
-    * ONCE per corpus as a lake artifact ([[Bpe.saveMerges]]), and the
-    * declared query is load + [[Bpe.encodeScalable]] ONLY — a map-only
-    * plan whose size is constant in the rule count, which is what every
-    * recurring 100 TB tokenize job runs. Rows-only; token identity
-    * across save/load and the Exchange-free serving plan are pinned in
-    * BpeSpec.
+  /** The corpus's standing BPE rule table (learn-once, load-everywhere
+    * — [[Bpe.saveMerges]]), shared by the serving query AND its
+    * run-time-generated oracle so both replay the SAME seeded fit.
     */
-  def bpeEncodeStanding(spark: SparkSession, sfDir: String): DataFrame = {
+  def standingBpeMerges(spark: SparkSession, sfDir: String): Seq[Bpe.Merge] = {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val path = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_models", sf, "bpe_merges").toString
@@ -275,13 +270,66 @@ object TextQueries {
       Bpe.saveMerges(spark,
         Bpe.learnMerges(Tables(spark, sfDir).documents, "text",
           numMerges = 40, sampleFraction = 0.5), path)
-    val rules = Bpe.loadMerges(spark, path)
+    Bpe.loadMerges(spark, path)
+  }
+
+  /** M4 standing-tokenizer shape (the BPE twin of
+    * [[qualityModelScoresStanding]]): merge rules are learned and saved
+    * ONCE per corpus as a lake artifact ([[Bpe.saveMerges]]), and the
+    * declared query is load + [[Bpe.encodeScalable]] ONLY — a map-only
+    * plan whose size is constant in the rule count, which is what every
+    * recurring 100 TB tokenize job runs. Content-oracled by
+    * [[bpeEncodeOracle]] (the learned rules inlined as a DuckDB replace
+    * chain); token identity across save/load and the Exchange-free
+    * serving plan are pinned in BpeSpec.
+    */
+  def bpeEncodeStanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val rules = standingBpeMerges(spark, sfDir)
     Bpe.encodeScalable(Tables(spark, sfDir).documents, "text", rules)
-      .select(col("doc_id"), size(col("bpe_tokens")).as("n_tokens"),
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("bigint").as("n_tokens"),
         // Joined to a flat string (the q_array_agg convention): the
         // driver's pandas canonicalizer cannot sort array cells.
         concat_ws(" ", slice(col("bpe_tokens"), 1, 8)).as("head_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[bpeEncodeStanding]], generated at Verify time —
+    * the artifact-inlining pattern applied to the LEARNED MERGE TABLE:
+    * the standing rules become a rank-ordered chain of literal string
+    * rewrites DuckDB replays per word. Encoding a word with rules
+    * learned by [[Bpe.learnMerges]] IS the rank-ordered sequence of
+    * left-to-right non-overlapping folds ([[Bpe.encode]]; PropertySpec
+    * pins [[Bpe.encodeScalable]]'s equality to it), and one fold is
+    * exactly one `replace` over a delimiter-wrapped symbol string: each
+    * symbol rides as `|sym|`, so the pattern `|l||r|` matches only
+    * whole-symbol adjacency, and scan-forward replacement reproduces
+    * the fold's non-overlap (a just-merged symbol never re-pairs with
+    * the next occurrence inside one rule, exactly like the fold's
+    * accumulator). The `|` delimiter cannot collide: symbols are corpus
+    * characters and their concatenations, and the generator refuses
+    * (degrading the query to rows-only, its pre-promotion state) if a
+    * learned symbol ever contains one.
+    */
+  def bpeEncodeOracle(spark: SparkSession, sfDir: String): String = {
+    val rules = standingBpeMerges(spark, sfDir).sortBy(_.rank)
+    def esc(s: String) = s.replace("'", "''")
+    require(rules.forall(m => !m.left.contains("|") && !m.right.contains("|")),
+      "BPE oracle delimiter collision: a learned symbol contains '|'")
+    // innermost: wrap each character as |c|; then one literal rewrite
+    // per rule, rank order = nesting order (rank 0 innermost)
+    val chain = rules.foldLeft("""regexp_replace(w, '(.)', '|\1|', 'g')""") {
+      (acc, m) =>
+        s"replace($acc, '|${esc(m.left)}||${esc(m.right)}|', '|${esc(m.left + m.right)}|')"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(
+       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> ''),
+       |      w -> string_split(trim($chain, '|'), '||'))) AS bpe
+       |  FROM documents)
+       |SELECT doc_id, len(bpe)::BIGINT AS n_tokens,
+       |  array_to_string(bpe[1:8], ' ') AS head_tokens
+       |FROM toks ORDER BY doc_id""".stripMargin
   }
 
   /** Unicode hygiene (the first normalization pass of every corpus
