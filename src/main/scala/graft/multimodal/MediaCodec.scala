@@ -175,11 +175,19 @@ object MediaCodec {
       case _ => ()
     }
     if (!ok || brand == null || timescale <= 0) row("unknown")
-    else row("mp4",
-      width = if (width > 0) Int.box(width) else null,
-      height = if (height > 0) Int.box(height) else null,
-      durationMs = duration * 1000L / timescale,
-      tracks = tracks)
+    else {
+      // ISO/IEC 14496-12 8.2.2.3: an all-ones duration means "duration
+      // unknown" — v0's 0xFFFFFFFF and v1's 64-bit all-ones (-1 here)
+      // are sentinels, not tick counts; degrade to null like the other
+      // unknown fields instead of emitting a bogus (or negative) ms
+      val unknownDuration = duration == 0xFFFFFFFFL || duration == -1L
+      row("mp4",
+        width = if (width > 0) Int.box(width) else null,
+        height = if (height > 0) Int.box(height) else null,
+        durationMs =
+          if (unknownDuration) null else Long.box(duration * 1000L / timescale),
+        tracks = tracks)
+    }
   }
 
   private def parsePng(b: Array[Byte]): InternalRow = {

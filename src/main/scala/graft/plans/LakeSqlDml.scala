@@ -284,12 +284,9 @@ final case class LakeMaintenanceCommand(
             "tables retire whole snapshots via VACUUM … RETAIN <n> VERSIONS")
       case LakeMaintenanceCommand.VacuumChanges(keep) =>
         LakeTable(spark, path).vacuumChanges(keep)
-      case LakeMaintenanceCommand.GenerateManifest if versioned =>
-        throw new IllegalArgumentException(
-          "GENERATE symlink_format_manifest targets plain lake tables; a " +
-            "versioned table's current snapshot dir is already a plain " +
-            "parquet directory external readers can point at")
       case LakeMaintenanceCommand.GenerateManifest =>
+        // versioned layouts generate a HEAD-SNAPSHOT manifest (the
+        // current _v{N} dir's files) — same spelling, same reader side
         return LakeTable(spark, path).generateSymlinkManifest().map(Row(_))
     }
     Seq.empty
@@ -600,7 +597,14 @@ final case class LakeReorgCommand(path: String) extends LeafRunnableCommand {
 final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    require(!graft.sources.VersionedLakeTable.isVersioned(spark, path),
+    // TBLPROPERTIES are log-level metadata both layouts share (the
+    // versioned layout uses the same _graft_log); the schema-mutating
+    // ALTERs remain plain-table-only
+    val isProps = action match {
+      case _: LakeAlterCommand.SetProperties | _: LakeAlterCommand.UnsetProperties => true
+      case _ => false
+    }
+    require(isProps || !graft.sources.VersionedLakeTable.isVersioned(spark, path),
       s"ALTER TABLE targets a plain lake table; $path is a versioned snapshot layout")
     val lake = LakeTable(spark, path)
     action match {

@@ -2214,11 +2214,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     kvs.foreach { case (name, value) =>
       require(name.nonEmpty, "property name must be non-empty")
       if (name == LakeTable.SymlinkAutoProperty && value.trim.equalsIgnoreCase("true")) {
-        require(!VersionedLakeTable.isVersioned(spark, path) && !isShallowClone
-            && !hasDeletionVectors,
+        // versioned layouts are manifest-capable (head-snapshot view);
+        // clones and DV tables still are not
+        require(!isShallowClone && !hasDeletionVectors,
           s"cannot enable ${LakeTable.SymlinkAutoProperty}: the table is " +
-            "versioned, a shallow clone, or carries deletion vectors — " +
-            "none of which a symlink manifest can express")
+            "a shallow clone or carries deletion vectors — neither of " +
+            "which a symlink manifest can express")
       }
     }
     saveProperties(tableProperties ++ kvs)
@@ -2260,10 +2261,27 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val out = f.create(tmp, true)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(propertiesFile)) f.delete(propertiesFile, false): Unit
-    if (!f.rename(tmp, propertiesFile))
-      throw new java.io.IOException(
-        s"could not publish table properties: rename $tmp -> $propertiesFile failed")
+    // ATOMIC overwrite (FileContext rename with OVERWRITE): one
+    // metadata op, no delete-first window — a concurrent reader (e.g. a
+    // commit's symlinkAutoEnabled check) sees the old properties or the
+    // new ones, never none. A delete-then-rename here once left a
+    // crash/read window in which EVERY property silently vanished —
+    // including the auto-manifest flag, whose loss permanently freezes
+    // the external manifest. Filesystems without a FileContext binding
+    // fall back to the windowed pair, the best they can express.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(propertiesFile).toUri, spark.sessionState.newHadoopConf())
+      fc.rename(f.makeQualified(tmp), f.makeQualified(propertiesFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException |
+          _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(propertiesFile)) f.delete(propertiesFile, false): Unit
+        if (!f.rename(tmp, propertiesFile))
+          throw new java.io.IOException(
+            s"could not publish table properties: rename $tmp -> $propertiesFile failed")
+    }
   }
 
   /** Gate an incoming batch on the table's constraints. The batch is
@@ -3369,11 +3387,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * deletion vectors (a symlink reader would resurrect deleted rows —
     * materialize them with a rewrite first, Delta's own restriction)
     * and shallow clones (the files live in the source table;
-    * `materialize()` first) — and versioned layouts, whose data lives in
-    * `_v*` snapshot dirs that [[listDataFiles]] (rightly) excludes: the
-    * direct API would otherwise emit an EMPTY manifest an external
-    * reader takes for an empty table (the SQL GENERATE path already
-    * rejects them). A regenerate builds the whole manifest dir in a
+    * `materialize()` first). A VERSIONED layout generates a
+    * HEAD-SNAPSHOT manifest — the current `_v{N}` dir's files — which
+    * tracks RESTOREs under the auto property (every snapshot commit
+    * regenerates). A regenerate builds the whole manifest dir in a
     * staging sibling and swaps it in (delete + rename — external readers
     * see the old manifest or the new one, never a half-written mix), and
     * like Delta the manifest is a point-in-time snapshot — writes after
@@ -3384,10 +3401,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * has) + one metadata-sized file write per partition.
     */
   def generateSymlinkManifest(): Seq[String] = {
-    require(!VersionedLakeTable.isVersioned(spark, path),
-      "symlink manifests are for plain lake layouts — a versioned " +
-        "table's data lives in _v* snapshot dirs the manifest cannot " +
-        "express; write a snapshot to a plain table first")
     require(!isShallowClone,
       "symlink manifests for a shallow clone would point into the source " +
         "table — materialize() first")
@@ -3395,10 +3408,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
       "symlink manifests cannot express deletion vectors (an external " +
         "reader would resurrect deleted rows) — rewrite to materialize " +
         "deletes first")
+    // versioned layout: the manifest is a HEAD-SNAPSHOT view — the
+    // current `_v{N}` dir's files, which is exactly what an external
+    // reader of a versioned table wants (and regenerates on every
+    // commit under the auto property, RESTORE included, so "current"
+    // tracks restores). Listing one snapshot dir, not the recursive
+    // walk: older snapshots are history, not the table.
+    val headSnapshot: Option[Seq[String]] =
+      if (!VersionedLakeTable.isVersioned(spark, path)) None
+      else {
+        val head = VersionedLakeTable(spark, path).latestVersion
+        Some(fs.listStatus(new Path(s"$path/_v$head")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString))
+      }
     val root = new Path(path, LakeTable.SymlinkManifestDirName)
     // opportunistic sweep of tmp dirs a crashed earlier publish leaked
     // (underscore-prefixed, so invisible to scans either way)
     fs.globStatus(new Path(path, LakeTable.SymlinkManifestDirName + "__tmp_*"))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
+    fs.globStatus(new Path(path, LakeTable.SymlinkManifestDirName + "__old_*"))
       .foreach(st => fs.delete(st.getPath, true): Unit)
     val tmp = new Path(path, LakeTable.SymlinkManifestDirName + "__tmp_" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
@@ -3407,25 +3436,47 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // honest external view), rather than deleting the old manifest and
     // failing the rename of a never-created tmp
     fs.mkdirs(tmp): Unit
-    val rels = listDataFiles()
-      .groupBy { case (rel, _, _) =>
-        rel.split("/").dropRight(1).takeWhile(_.contains("=")).mkString("/")
-      }
-      .toSeq.sortBy(_._1)
-      .map { case (partRel, files) =>
-        val dir = if (partRel.isEmpty) tmp else new Path(tmp, partRel)
-        if (!fs.exists(dir)) fs.mkdirs(dir): Unit
-        val manifest = new Path(dir, "manifest")
-        val out = fs.create(manifest, true)
-        try out.write(files.map(_._3).sorted.mkString("\n")
-          .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        partRel
-      }
-    if (fs.exists(root)) fs.delete(root, true): Unit
-    if (!fs.rename(tmp, root))
+    // (partition-relative dir, absolute file URIs): snapshots are flat
+    // by construction, the plain layout groups by k=v dirs
+    val groups: Seq[(String, Seq[String])] = headSnapshot match {
+      case Some(files) => Seq("" -> files)
+      case None => listDataFiles()
+        .groupBy { case (rel, _, _) =>
+          rel.split("/").dropRight(1).takeWhile(_.contains("=")).mkString("/")
+        }
+        .view.mapValues(_.map(_._3)).toSeq.sortBy(_._1)
+    }
+    val rels = groups.map { case (partRel, files) =>
+      val dir = if (partRel.isEmpty) tmp else new Path(tmp, partRel)
+      if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+      val manifest = new Path(dir, "manifest")
+      val out = fs.create(manifest, true)
+      try out.write(files.sorted.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      partRel
+    }
+    // publish: move the OLD root aside (one rename), move the new one
+    // in (one rename), then delete the old — the unavailable window is
+    // two back-to-back metadata renames, not a recursive delete; an
+    // external reader racing the swap sees the old manifest, the new
+    // one, or (across exactly that rename pair) a transient absence a
+    // retry resolves — never a half-written mix, and a crash between
+    // the renames leaves the old manifest recoverable in the __old dir
+    // rather than destroyed
+    val old = new Path(path, LakeTable.SymlinkManifestDirName + "__old_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val hadOld = fs.exists(root)
+    if (hadOld && !fs.rename(root, old))
+      throw new java.io.IOException(
+        s"could not publish symlink manifest: move-aside $root -> $old failed")
+    if (!fs.rename(tmp, root)) {
+      // restore the old manifest before failing: readers keep a view
+      if (hadOld) fs.rename(old, root): Unit
       throw new java.io.IOException(
         s"could not publish symlink manifest: rename $tmp -> $root failed")
+    }
+    if (hadOld) fs.delete(old, true): Unit
     rels.map { partRel =>
       val dir = if (partRel.isEmpty) root else new Path(root, partRel)
       new Path(dir, "manifest").toString
@@ -3449,7 +3500,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * a silent skip would hand external readers exactly the stale-forever
     * manifest the property exists to prevent.
     */
-  private def maintainSymlinkManifest(): Unit =
+  private[sources] def maintainSymlinkManifest(): Unit =
     if (symlinkAutoEnabled) generateSymlinkManifest(): Unit
 
   private def writeManifest(

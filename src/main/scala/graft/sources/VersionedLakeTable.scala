@@ -312,8 +312,14 @@ final class VersionedLakeTable(spark: SparkSession, val path: String) {
 
   def history: DataFrame = CommitLog.history(spark, fs, path, log)
 
-  private def commit(op: String, params: Map[String, String]): Unit =
-    CommitLog.append(fs, log, op, params)
+  private def commit(op: String, params: Map[String, String]): Unit = {
+    CommitLog.append(fs, log, op, params): Unit
+    // interop mirror AFTER the commit, the plain layout's contract
+    // (LakeTable.commit): under the auto property every snapshot commit
+    // — RESTORE included — republishes the head-snapshot manifest, so
+    // external symlink readers track restores continuously
+    LakeTable(spark, path).maintainSymlinkManifest()
+  }
 }
 
 object VersionedLakeTable {

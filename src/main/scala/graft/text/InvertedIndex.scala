@@ -135,8 +135,17 @@ object InvertedIndex {
     * the maintenance cadence materializes the tombstones. Above the
     * threshold (a backfill-scale delta, not a CDC batch) the keyed merge
     * remains — a rewrite of most files is then honest work.
+    *
+    * Tunable per session via `spark.graft.index.dvRemovalThreshold` —
+    * a conf read at each apply, not a JVM-global: concurrent
+    * maintenance streams on different sessions never race a shared
+    * mutable, and tests tune it through the ordinary conf surface.
     */
-  var DvRemovalThreshold: Int = 65536
+  val DvRemovalThresholdKey = "spark.graft.index.dvRemovalThreshold"
+  val DvRemovalThresholdDefault = 65536
+
+  private[text] def dvRemovalThreshold(spark: SparkSession): Int =
+    spark.conf.get(DvRemovalThresholdKey, DvRemovalThresholdDefault.toString).toInt
 
   def applyChanges(base: LakeTable, idCol: String, textCol: String, dir: String): Unit = {
     val spark = base.read.sparkSession
@@ -152,9 +161,10 @@ object InvertedIndex {
     // superseded images out — tombstones for CDC-sized deltas, keyed
     // merge beyond the threshold (see DvRemovalThreshold)
     if (!remPost.isEmpty) {
+      val dvMax = dvRemovalThreshold(spark)
       val remIds = remPost.select(col("doc_id")).distinct()
-        .limit(DvRemovalThreshold + 1).collect().map(_.get(0))
-      if (remIds.length <= DvRemovalThreshold)
+        .limit(dvMax + 1).collect().map(_.get(0))
+      if (remIds.length <= dvMax)
         p.deleteVectored(col("doc_id").isin(remIds: _*)): Unit
       else
         p.merge(remPost.select(col("term"), col("doc_id")), Seq("term", "doc_id"),

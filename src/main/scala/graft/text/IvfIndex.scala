@@ -111,10 +111,11 @@ object IvfIndex {
     // branch needs only the removed ids — the nearest-centroid
     // assignment (whose cells are the merge's prune keys) is deferred to
     // the merge branch so the maintenance stream's hot loop never pays it
+    val dvMax = InvertedIndex.dvRemovalThreshold(spark)
     val remIds = removals.select(col("doc_id")).distinct()
-      .limit(InvertedIndex.DvRemovalThreshold + 1).collect().map(_.get(0))
+      .limit(dvMax + 1).collect().map(_.get(0))
     if (remIds.nonEmpty) {
-      if (remIds.length <= InvertedIndex.DvRemovalThreshold)
+      if (remIds.length <= dvMax)
         p.deleteVectored(col("vec_id").isin(remIds: _*)): Unit
       else {
         val centers = LakeTable(spark, sub(dir, "centers")).read

@@ -70,12 +70,39 @@ class SymlinkManifestSpec extends SparkSpec {
     assert(e2.getMessage.contains("materialize"), e2.getMessage)
   }
 
-  test("refuses versioned layouts (data lives in _v* dirs the manifest can't see)") {
+  test("versioned layout: HEAD-snapshot manifest round-trips across a RESTORE") {
     val dir = Files.createTempDirectory("graft_symlink4").toString
-    VersionedLakeTable(spark, s"$dir/v").write(Seq((1L, "a")).toDF("id", "s"))
-    val e = intercept[IllegalArgumentException](
-      LakeTable(spark, s"$dir/v").generateSymlinkManifest())
-    assert(e.getMessage.contains("versioned"), e.getMessage)
+    val vt = VersionedLakeTable(spark, s"$dir/v")
+      .write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val m1 = LakeTable(spark, s"$dir/v").generateSymlinkManifest()
+    assert(m1.length === 1)
+    // the manifest is the CURRENT snapshot's files — an external plain
+    // parquet reader sees exactly what vt.read sees
+    assert(spark.read.parquet(manifestLines(spark, m1.head): _*)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      vt.read.orderBy("id").as[(Long, String)].collect().toSeq)
+    // under the auto property, every snapshot commit — DELETE and
+    // RESTORE included — republishes the manifest, so the external view
+    // tracks restores with no manual GENERATE
+    spark.sql(s"ALTER TABLE graft_lake('$dir/v') SET TBLPROPERTIES " +
+      s"('${LakeTable.SymlinkAutoProperty}' = 'true')")
+    vt.delete(col("id") === 2L) // snapshot v1
+    val afterDelete = manifestLines(spark,
+      s"$dir/v/${LakeTable.SymlinkManifestDirName}/manifest")
+    assert(spark.read.parquet(afterDelete: _*).count() === 1L)
+    assert(afterDelete.forall(_.contains("/_v1/")), afterDelete)
+    vt.restore(0L) // snapshot v2 = v0's content; manifest must follow
+    val afterRestore = manifestLines(spark,
+      s"$dir/v/${LakeTable.SymlinkManifestDirName}/manifest")
+    assert(afterRestore.forall(_.contains("/_v2/")), afterRestore)
+    assert(spark.read.parquet(afterRestore: _*)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // SQL spelling serves versioned tables too
+    val viaSql = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE graft_lake('$dir/v')")
+      .as[String].collect().toSeq
+    assert(viaSql.length === 1 && viaSql.head.endsWith("manifest"))
   }
 
   test("symlinkAuto property: every file-set-changing commit refreshes the manifest") {
