@@ -257,16 +257,17 @@ private[sources] object CommitLog {
       val ts = java.time.Instant.now().toString
       val json =
         s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
-      try {
-        val out = fs.create(new Path(logDir, f"$v%020d.json"), false)
-        try out.write(json.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+      // content-first publication (LakeIo): a bare create-then-write
+      // left the record VISIBLE while empty, and a concurrent log scan
+      // parsing it died on "no content to map" (witnessed killing a
+      // live maintenance stream); the rename still refuses an existing
+      // name, so version races lose exactly as before
+      if (LakeIo.renamePublish(fs, new Path(logDir, f"$v%020d.json"), json))
         committed = v
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempt += 1
-          require(attempt < maxAttempts,
-            s"commit contention: lost $maxAttempts consecutive version races under $logDir")
+      else {
+        attempt += 1
+        require(attempt < maxAttempts,
+          s"commit contention: lost $maxAttempts consecutive version races under $logDir")
       }
     }
     committed

@@ -2161,9 +2161,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("\n")
-    val out = f.create(constraintsFile, true)
-    try out.write(text.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    LakeIo.atomicOverwrite(f, constraintsFile, text)
   }
 
   /** Table properties (`SET TBLPROPERTIES` analogue): free-form
@@ -2250,38 +2248,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("\n")
-    // tmp + rename, NOT in-place: commit() reads this file on EVERY
+    // atomic publication (LakeIo): commit() reads this file on EVERY
     // commit (symlinkAutoEnabled), so a torn write would brick the whole
-    // write path, not just the property feature — the blast radius the
-    // constraints file (read only by its own feature) doesn't have
-    f.globStatus(new Path(logDir, LakeTable.PropertiesFileName + "__tmp_*"))
-      .foreach(st => f.delete(st.getPath, false): Unit)
-    val tmp = new Path(logDir, LakeTable.PropertiesFileName + "__tmp_" +
-      java.util.UUID.randomUUID().toString.replace("-", ""))
-    val out = f.create(tmp, true)
-    try out.write(text.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // ATOMIC overwrite (FileContext rename with OVERWRITE): one
-    // metadata op, no delete-first window — a concurrent reader (e.g. a
-    // commit's symlinkAutoEnabled check) sees the old properties or the
-    // new ones, never none. A delete-then-rename here once left a
-    // crash/read window in which EVERY property silently vanished —
-    // including the auto-manifest flag, whose loss permanently freezes
-    // the external manifest. Filesystems without a FileContext binding
-    // fall back to the windowed pair, the best they can express.
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.makeQualified(propertiesFile).toUri, spark.sessionState.newHadoopConf())
-      fc.rename(f.makeQualified(tmp), f.makeQualified(propertiesFile),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException |
-          _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (f.exists(propertiesFile)) f.delete(propertiesFile, false): Unit
-        if (!f.rename(tmp, propertiesFile))
-          throw new java.io.IOException(
-            s"could not publish table properties: rename $tmp -> $propertiesFile failed")
-    }
+    // write path, not just the property feature — a concurrent reader
+    // sees the old properties or the new ones, never none
+    LakeIo.atomicOverwrite(f, propertiesFile, text)
   }
 
   /** Gate an incoming batch on the table's constraints. The batch is
@@ -2343,9 +2314,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("\n")
-    val out = f.create(generatedFile, true)
-    try out.write(text.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    LakeIo.atomicOverwrite(f, generatedFile, text)
   }
 
   /** Declare `name` as GENERATED ALWAYS AS (`exprSql`) of type
@@ -2488,9 +2457,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val text = specs.toSeq.sortBy(_._1).map { case (k, (s, st)) =>
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" + s + "\t" + st
     }.mkString("\n")
-    val out = f.create(identityFile, true)
-    try out.write(text.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    LakeIo.atomicOverwrite(f, identityFile, text)
   }
 
   /** Identity context for ONE operation (same single-metadata-read
@@ -2718,9 +2685,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       mapping.filter { case (l, p) => l != p }.toSeq.sortBy(_._1)
         .map { case (l, p) => s"m\t${enc(l)}\t${enc(p)}" } ++
         retired.toSeq.sorted.map(p => s"r\t${enc(p)}")
-    val out = f.create(colMapFile, true)
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    LakeIo.atomicOverwrite(f, colMapFile, lines.mkString("\n"))
   }
 
   /** Physical (on-disk) twin of a logical schema. */
@@ -3096,9 +3061,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def saveSchema(schema: StructType): Unit = {
     val f = fs
     if (!f.exists(logDir)) f.mkdirs(logDir)
-    val out = f.create(schemaFile, true)
-    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // atomic (LakeIo): EVERY reader loads this file — a torn window
+    // here would fail (or mis-schema) any read racing a commit
+    LakeIo.atomicOverwrite(f, schemaFile, schema.json)
   }
 
   /** Recover a `__changes_tmp` dir left by a crash between
@@ -3157,6 +3122,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .filterNot(st => claimedLedgers.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false): Unit)
     }
+    // metadata publications that crashed between tmp-write and rename
+    // (LakeIo): dot-prefixed, invisible to every glob — pure debris
+    if (fs.exists(logDir))
+      fs.listStatus(logDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(LakeIo.TmpPrefix))
+        .foreach(st => fs.delete(st.getPath, false): Unit)
     // a crashed stats refresh leaves its nested stage behind; it is not
     // data (listDataFiles skips _-prefixed dirs) but it is garbage, and
     // the next refresh's Overwrite should not inherit it
@@ -3633,9 +3604,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       if (saved.nonEmpty) {
         if (!f.exists(logDir)) f.mkdirs(logDir)
         saved.foreach { case (name, bytes) =>
-          val out = f.create(new Path(logDir, name), true)
-          try out.write(bytes)
-          finally out.close()
+          LakeIo.atomicOverwrite(f, new Path(logDir, name),
+            new String(bytes, StandardCharsets.UTF_8))
         }
       }
     }
@@ -4438,6 +4408,48 @@ object LakeTable {
     * file list.
     */
   val SymlinkAutoProperty = "graft.compatibility.symlinkFormatManifest.enabled"
+
+  /** Run `body`, retrying when a file vanishes mid-scan because a
+    * concurrent staged rewrite swapped the table underneath the plan.
+    *
+    * A lake read is a DIRECTORY scan (one listing at plan time), so a
+    * writer's swap — which must delete superseded files immediately, or
+    * fresh listings would double-read old+new — can unlink a file an
+    * in-flight plan already listed. Spark then fails the task
+    * (`FAILED_READ_FILE.FILE_NOT_EXIST`) rather than silently dropping
+    * rows, which makes the failure RETRYABLE by construction: a re-run
+    * re-lists and sees a consistent post-swap snapshot, never a torn
+    * mix. Every continuous CDC consumer (view refresh streams, index
+    * maintenance, replica apply) routes its per-trigger work through
+    * this — their refreshes derive all work from committed watermarks
+    * and mutate only via atomic staged commits, so a retried attempt
+    * either no-ops or converges on newer state. Bounded: a genuinely
+    * missing file (not a swap race) still surfaces after `attempts`.
+    */
+  def retryTornRead[T](what: String, attempts: Int = 8, backoffMs: Long = 250L)(
+      body: => T): T = {
+    def torn(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            (c.getMessage != null && c.getMessage.contains("FAILED_READ_FILE")))
+          return true
+        c = if (c.getCause != c) c.getCause else null
+      }
+      false
+    }
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if torn(e) && attempt < attempts =>
+          // a swap won the race — re-plan against the new snapshot
+          attempt += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
   // generated-column declarations (name -> SQL expr), constraints-style
   val GeneratedFileName = "_generated"
   // identity-column declarations (name -> start/step), constraints-style

@@ -109,6 +109,13 @@ final class MaterializedAgg(
           (coalesce(col("m." + alias), lit(0).cast(cur.schema(alias).dataType)) +
             col("d." + alias)).as(alias)
         }): _*)
+    // the watermark rides INSIDE the merge commit (extraParams), so the
+    // applied delta and the version it covers move atomically: a crash
+    // between the merge and the state-file write can no longer leave an
+    // applied-but-unmarked delta that a restarted stream re-adds
+    // (sums are DELTAS, so unlike the join view's content-idempotent
+    // merges, a double-apply here would be a real double count). The
+    // state file remains as a cheap cache; watermark() takes the max.
     view.merge(
       merged, keys,
       whenMatched = Seq(
@@ -116,7 +123,8 @@ final class MaterializedAgg(
         MergeClause.UpdateWhen(
           (CountCol +: sums.keys.toSeq).map(c => c -> col("s." + c)).toMap)),
       insertUnmatched = true,
-      insertCond = Some(col(CountCol) > 0L))
+      insertCond = Some(col(CountCol) > 0L),
+      extraParams = Map(MaterializedAgg.WatermarkParam -> latest.toString))
     saveWatermark(latest)
     this
   }
@@ -142,7 +150,10 @@ final class MaterializedAgg(
   ): org.apache.spark.sql.streaming.StreamingQuery =
     base.readChangesStream.writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(): Unit
+        // inputs are immutable change sets, but the view merge's plan
+        // still lists the view dir — retry survives a torn scan under
+        // any concurrent swap (see LakeTable.retryTornRead)
+        LakeTable.retryTornRead("agg-view refresh")(refresh()): Unit
       }
       .trigger(trigger)
       .start()
@@ -165,13 +176,17 @@ final class MaterializedAgg(
 
   private def watermark(): Long = {
     val f = fs
-    if (!f.exists(stateFile)) -1L
-    else {
-      val in = f.open(stateFile)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    val fromFile =
+      if (!f.exists(stateFile)) -1L
+      else {
+        val in = f.open(stateFile)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    // the commit-carried watermark is authoritative (it moves with the
+    // delta); the state file only ever lags it, never leads
+    math.max(fromFile, view.maxCommitParamLong(MaterializedAgg.WatermarkParam))
   }
 
   /** Lives in the view's log dir (no `.json` suffix, so the commit glob
@@ -181,13 +196,17 @@ final class MaterializedAgg(
   private def saveWatermark(v: Long): Unit = {
     val f = fs
     if (!f.exists(stateFile.getParent)) f.mkdirs(stateFile.getParent)
-    val out = f.create(stateFile, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    LakeIo.atomicOverwrite(f, stateFile, v.toString)
   }
 }
 
 object MaterializedAgg {
+
+  /** Commit param on the view's merge commits carrying the base version
+    * the applied delta covers — the crash-atomic half of the watermark
+    * (see [[MaterializedAgg.refresh]]).
+    */
+  val WatermarkParam = "mvAggWatermark"
 
   def apply(
       spark: SparkSession,

@@ -181,7 +181,12 @@ final class MaterializedJoin(
         .select(lit("dim").as("leg"), col("_commit_version")))
     notifications.writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(): Unit
+        // refresh scans the LIVE fact and dim tables (the dim-touch
+        // semi-join and the re-join), so a concurrent writer's staged
+        // swap can tear the scan — retry re-plans against the new
+        // snapshot; watermark-derived work + atomic merges make the
+        // retry convergent (see LakeTable.retryTornRead)
+        LakeTable.retryTornRead("join-view refresh")(refresh()): Unit
       }
       .trigger(trigger)
       .start()
@@ -230,14 +235,17 @@ final class MaterializedJoin(
   }
 
   /** Same placement discipline as [[MaterializedAgg]]'s watermark: the
-    * view's log dir, no `.json` suffix, survives view rewrites.
+    * view's log dir, no `.json` suffix, survives view rewrites. Unlike
+    * the agg view, a FILE-ONLY watermark is crash-sound here: both
+    * merges write ABSOLUTE row contents (never deltas), so a crash
+    * between a merge and this save makes the restarted refresh re-apply
+    * the same rows — content-idempotent, converging, never a double
+    * count.
     */
   private def saveWatermarks(vf: Long, vd: Long): Unit = {
     val f = fs
     if (!f.exists(stateFile.getParent)) f.mkdirs(stateFile.getParent)
-    val out = f.create(stateFile, true)
-    try out.write(s"$vf,$vd".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    LakeIo.atomicOverwrite(f, stateFile, s"$vf,$vd")
   }
 }
 

@@ -225,7 +225,14 @@ object Scd {
             when(col("_change_type").isin("insert", "update_postimage"), 1)
               .otherwise(0).as("pri")))
           .drop("_change_type", "_commit_version")
-        if (!b.isEmpty) applyChanges(target, feed, keys, "_seq"): Unit
+        // the feed rows are immutable change sets, but the merge into
+        // the target lists the target dir and reads its schema — the
+        // retry (one atomic merge, idempotent by content) survives a
+        // torn scan under concurrent maintenance on the target
+        if (!b.isEmpty)
+          LakeTable.retryTornRead("replica apply") {
+            applyChanges(target, feed, keys, "_seq")
+          }: Unit
       }
       .trigger(trigger)
       .start()

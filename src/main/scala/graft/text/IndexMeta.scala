@@ -37,12 +37,12 @@ private[text] object IndexMeta {
   def stamp(spark: SparkSession, dir: String, base: LakeTable): Unit =
     stamp(spark, dir, base.path, base.currentVersion)
 
-  def stamp(spark: SparkSession, dir: String, basePath: String, version: Long): Unit = {
-    val f = fs(spark, dir)
-    val out = f.create(new Path(dir, FileName), true)
-    try out.write(s"$basePath\n$version".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def stamp(spark: SparkSession, dir: String, basePath: String, version: Long): Unit =
+    // atomic (LakeIo): every serve's freshness check reads this file
+    // while the maintenance stream rewrites it — a torn read here would
+    // fail a concurrent serve for no reason
+    graft.sources.LakeIo.atomicOverwrite(
+      fs(spark, dir), new Path(dir, FileName), s"$basePath\n$version")
 
   def read(spark: SparkSession, dir: String): Option[Stamp] = {
     val f = fs(spark, dir)

@@ -211,7 +211,13 @@ object InvertedIndex {
     base.readChangesStream
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyChanges(base, idCol, textCol, dir)
+        // the delta derives from immutable change sets and the index's
+        // own single-writer lakes, but the base's history/log reads can
+        // still race a log checkpoint — the retry (convergent: the
+        // stamp is the watermark) keeps the stream alive either way
+        LakeTable.retryTornRead("BM25 index maintenance") {
+          applyChanges(base, idCol, textCol, dir)
+        }
         autoOptimizeEvery.foreach { every =>
           if (every > 0 && applied.incrementAndGet() % every == 0)
             optimizePostings(batch.sparkSession, dir)

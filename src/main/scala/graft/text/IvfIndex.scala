@@ -152,7 +152,10 @@ object IvfIndex {
     base.readChangesStream
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyChanges(base, idCol, vecCol, dir)
+        // same retry contract as the BM25 twin (LakeTable.retryTornRead)
+        LakeTable.retryTornRead("IVF index maintenance") {
+          applyChanges(base, idCol, vecCol, dir)
+        }
         autoOptimizeEvery.foreach { every =>
           if (every > 0 && applied.incrementAndGet() % every == 0)
             optimizePostings(batch.sparkSession, dir)

@@ -84,6 +84,45 @@ class ChangeFeedPublicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("race loop: view refresh retries torn base scans instead of dying") {
+    // the OTHER consumer-side race (caught by CdcRaceProbe): a lake
+    // read is a directory scan, so a refresh's live fact/dim scan can
+    // list files a concurrent writer's swap then deletes — Spark fails
+    // the task (never a silent torn mix) and retryTornRead re-plans;
+    // without it the join-view stream died within ~2 writer iterations
+    val root = freshRoot
+    val fact = LakeTable(spark, s"$root/fact").write(
+      Seq.tabulate(30)(i => (i.toLong, s"k${i % 4}", i * 1.0)).toDF("id", "k", "v"))
+    val dim = LakeTable(spark, s"$root/dim").write(
+      Seq.tabulate(4)(i => (s"k$i", s"name$i")).toDF("k", "name"))
+    val mv = new MaterializedJoin(spark, fact, dim, s"$root/mv", "id", "k")
+      .initialize()
+    fact.update(Map("v" -> (col("v") + lit(0.5))), col("id") === 0L,
+      changeFeed = true)
+    dim.update(Map("name" -> lit("name0b")), col("k") === "k0",
+      changeFeed = true)
+    val q = mv.startStream(Trigger.ProcessingTime(0L))
+    try {
+      for (i <- 0 until 12) {
+        // every iteration swaps a table the refresh scans live: the
+        // dim update tears the re-join read, the fact update tears the
+        // dim-touch semi-join read
+        dim.update(Map("name" -> concat(col("name"), lit(s"-$i"))),
+          col("k") === s"k${i % 4}", changeFeed = true)
+        fact.upsert(Seq((100L + i, s"k${i % 4}", i * 2.0)).toDF("id", "k", "v"),
+          Seq("id"), changeFeed = true)
+        assert(q.exception.isEmpty,
+          s"join-view stream died during iteration $i: ${q.exception}")
+      }
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"join-view stream died: ${q.exception}")
+      // exactly-once despite every retry: the view equals a recompute
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(rows(mv.read) === rows(mv.recompute()))
+    } finally q.stop()
+  }
+
   test("change sets are invisible until their commit lands; aborts leave no trace") {
     val root = freshRoot
     val lake = LakeTable(spark, s"$root/t")

@@ -45,6 +45,42 @@ class MaterializedAggSpec extends SparkSpec {
     assert(mv.read.where(col("k") === "d").head.getLong(1) === 1L)
   }
 
+  test("a crash between merge and state-file save cannot double-apply a delta") {
+    val s = spark
+    import s.implicits._
+    val base = LakeTable(spark, tmp("cbase")).write(
+      Seq(("a", 10L), ("b", 5L)).toDF("k", "v"))
+    val viewPath = tmp("cmv")
+    val mv = MaterializedAgg(spark, base, viewPath,
+      keys = Seq("k"), sums = Map("total" -> col("v")))
+    mv.initialize()
+    val wmAfterInit = {
+      val f = new org.apache.hadoop.fs.Path(viewPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(viewPath, LakeTable.LogDirName), "_mv_watermark")
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in)).trim
+      finally in.close()
+    }
+    base.update(Map("v" -> (col("v") + 100L)), col("k") === "a", changeFeed = true)
+    mv.refresh()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+    // simulate the crash window: the merge commit LANDED (it carries
+    // the watermark param) but the state file write never happened —
+    // roll the file back to its pre-refresh content
+    val f = new org.apache.hadoop.fs.Path(viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LakeIo.atomicOverwrite(f, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(viewPath, LakeTable.LogDirName), "_mv_watermark"),
+      wmAfterInit)
+    // the restarted refresh must see the commit-carried watermark and
+    // NO-OP — a delta re-apply would double 'a' to +200
+    mv.refresh()
+    assert(sorted(mv.read) === sorted(mv.aggregate(base.read)))
+    assert(mv.read.where(col("k") === "a").head.getAs[Long]("total") === 110L)
+  }
+
   test("startStream keeps the view current as the base table commits") {
     val s = spark
     import s.implicits._
