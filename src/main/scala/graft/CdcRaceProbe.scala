@@ -115,8 +115,12 @@ object CdcRaceProbe {
             mutations += 1; swaps += 1
           case 4 =>
             // content-preserving staged swaps: the dir moves that killed
-            // the old layout, racing all five pollers at once
+            // the old layout, racing all five pollers at once — plus the
+            // feed's own retention trim (keep is far above the hot
+            // streams' ~1-2 set lag, the documented retention contract)
             docs.compact(); fact.compact()
+            docs.vacuumChanges(retainLast = 16)
+            fact.vacuumChanges(retainLast = 16)
             swaps += 2
           case 5 =>
             dim.compact()

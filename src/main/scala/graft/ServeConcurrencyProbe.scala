@@ -18,17 +18,16 @@ import graft.text.{InvertedIndex, IvfIndex}
   * production cluster serves MANY point lookups at once against the
   * standing indexes — while the maintenance stream folds base deltas in
   * the background. This measures the "single writer per index, many
-  * readers" contract instead of asserting it:
-  *   - 8 threads issue SQL TVF serves (`graft_bm25_topk` +
-  *     `graft_ann_topk`) concurrently; p50/p95 per-serve latency and
-  *     aggregate throughput are compared against the same workload run
-  *     sequentially;
-  *   - a writer commits change-feed deltas throughout, and both
-  *     maintenance streams fold them live — a serve that catches the
-  *     index mid-fold sees the documented STALE refusal (freshness
-  *     guard), retries, and must converge; retries are counted, stream
-  *     deaths are zero.
-  * Results recorded in BASELINE.md.
+  * readers" contract instead of asserting it, in THREE regimes that
+  * decompose the cost: the same 96-serve SQL TVF workload
+  * (`graft_bm25_topk` + `graft_ann_topk`) runs (1) sequentially — the
+  * per-driver serving capacity unit; (2) 8-way concurrent against QUIET
+  * indexes — isolates driver/scheduler contention from freshness; and
+  * (3) 8-way concurrent while a writer commits change-feed deltas that
+  * live maintenance streams fold — a serve that catches the index
+  * mid-fold sees the documented STALE refusal (freshness guard),
+  * retries, and must converge; retries are counted, stream deaths are
+  * zero, p50/p95/throughput recorded per regime in BASELINE.md.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ServeConcurrencyProbe [servesPerThread]
   */
@@ -64,11 +63,13 @@ object ServeConcurrencyProbe {
     val vecPool = vecs.read.orderBy("vec_id").limit(32)
       .select("embedding").as[Array[Float]].collect()
     def bm25Sql(i: Int) = {
-      val q = Seq(termPool(i % 64), termPool((i * 7 + 3) % 64)).mkString(" ")
+      val q = Seq(termPool(i % termPool.length),
+        termPool((i * 7 + 3) % termPool.length)).mkString(" ")
       s"SELECT * FROM graft_bm25_topk('$root/bm25', '$q', 10)"
     }
     def annSql(i: Int) = {
-      val lit = vecPool(i % 32).map(f => s"${f}F").mkString("array(", ", ", ")")
+      val lit = vecPool(i % vecPool.length)
+        .map(f => s"${f}F").mkString("array(", ", ", ")")
       s"SELECT * FROM graft_ann_topk('$root/ivf', $lit, 10)"
     }
     def sqlFor(i: Int) = if (i % 2 == 0) bm25Sql(i / 2) else annSql(i / 2)
@@ -78,8 +79,12 @@ object ServeConcurrencyProbe {
       val t0 = System.nanoTime()
       var done = false
       while (!done) {
-        try { spark.sql(sqlFor(i)).collect(); done = true }
-        catch {
+        try {
+          // torn scans under the maintenance stream's postings rewrites
+          // are the same retryable family every CDC consumer handles
+          LakeTable.retryTornRead(s"serve $i")(spark.sql(sqlFor(i)).collect())
+          done = true
+        } catch {
           case e: IllegalStateException if e.getMessage.contains("STALE") =>
             // the freshness guard working as designed: a base commit
             // landed and the maintenance stream hasn't folded it yet
@@ -103,7 +108,23 @@ object ServeConcurrencyProbe {
     val seqLat = (0 until total).map(serve)
     val seqWall = (System.nanoTime() - sT0) / 1e9
 
+    // ---- concurrent QUIET phase: 8 threads, no writer, no streams ----
+    // separates scheduler/driver-planning contention from freshness lag
+    val qPool = Executors.newFixedThreadPool(Threads)
+    val qEc = ExecutionContext.fromExecutor(qPool)
+    val qT0 = System.nanoTime()
+    val quietLat = (0 until Threads).map { t =>
+      Future { (0 until perThread).map(j => serve(t * perThread + j)) }(qEc)
+    }.flatMap(Await.result(_, 30.minutes))
+    val quietWall = (System.nanoTime() - qT0) / 1e9
+    qPool.shutdown()
+
     // ---- concurrent phase: 8 threads + live maintenance streams ----
+    // seed each feed (the change-feed streaming source precondition)
+    docs.upsert(Seq((99999L, s"${termPool.head} seed doc"))
+      .toDF("doc_id", "text"), Seq("doc_id"), changeFeed = true)
+    vecs.upsert(Seq((99999L, vecPool.head)).toDF("vec_id", "embedding"),
+      Seq("vec_id"), changeFeed = true)
     val q1 = InvertedIndex.startMaintenanceStream(docs, "doc_id", "text",
       bmDir, Trigger.ProcessingTime(200L))
     val q2 = IvfIndex.startMaintenanceStream(vecs, "vec_id", "embedding",
@@ -119,9 +140,10 @@ object ServeConcurrencyProbe {
     val deltasApplied = new AtomicInteger
     val writer = Future {
       (0 until nDeltas).foreach { i =>
-        docs.upsert(Seq((100000L + i, s"${termPool(i % 64)} fresh doc $i"))
+        docs.upsert(Seq((100000L + i,
+          s"${termPool(i % termPool.length)} fresh doc $i"))
           .toDF("doc_id", "text"), Seq("doc_id"), changeFeed = true)
-        vecs.upsert(Seq((100000L + i, vecPool(i % 32)))
+        vecs.upsert(Seq((100000L + i, vecPool(i % vecPool.length)))
           .toDF("vec_id", "embedding"), Seq("vec_id"), changeFeed = true)
         deltasApplied.incrementAndGet()
         Thread.sleep(400)
@@ -143,6 +165,8 @@ object ServeConcurrencyProbe {
       s"""{"probe":"serve_concurrency","threads":$Threads,"serves":$total,""" +
         f""""seq_p50_s":${pct(seqLat, 0.5)}%.3f,"seq_p95_s":${pct(seqLat, 0.95)}%.3f,""" +
         f""""seq_wall_s":$seqWall%.1f,"seq_qps":${total / seqWall}%.2f,""" +
+        f""""quiet_p50_s":${pct(quietLat, 0.5)}%.3f,"quiet_p95_s":${pct(quietLat, 0.95)}%.3f,""" +
+        f""""quiet_wall_s":$quietWall%.1f,"quiet_qps":${total / quietWall}%.2f,""" +
         f""""conc_p50_s":${pct(concLat, 0.5)}%.3f,"conc_p95_s":${pct(concLat, 0.95)}%.3f,""" +
         f""""conc_wall_s":$concWall%.1f,"conc_qps":${total / concWall}%.2f,""" +
         s""""deltas_during_concurrent":${deltasApplied.get},""" +

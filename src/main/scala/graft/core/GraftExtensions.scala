@@ -349,9 +349,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val terms = text.trim.toLowerCase.split("\\s+").toSeq
           .filter(_.nonEmpty).distinct
         require(terms.nonEmpty, "graft_bm25_topk: query has no terms")
-        import spark.implicits._
+        // terms are SQL literals the driver already holds — the Seq
+        // overload skips the collect-the-workload-back Spark job
         graft.text.InvertedIndex
-          .serveBm25(spark, dir, terms.map((0L, _)).toDF("query_id", "term"), k)
+          .serveBm25(spark, dir, terms.map((0L, _)), k, k1 = 1.2, b = 0.75)
           .select("rank", "doc_id", "score")
           .queryExecution.analyzed
       })

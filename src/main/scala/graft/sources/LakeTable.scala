@@ -3061,9 +3061,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def saveSchema(schema: StructType): Unit = {
     val f = fs
     if (!f.exists(logDir)) f.mkdirs(logDir)
+    val json = schema.json
+    // skip-if-unchanged: every commit saves the schema but almost none
+    // change it — one small read beats the tmp+rename publish, and
+    // skipping also keeps concurrent disjoint-partition writers (who
+    // share one schema) from racing each other's identical overwrite
+    val unchanged =
+      try {
+        f.exists(schemaFile) && {
+          val in = f.open(schemaFile)
+          val cur =
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+            finally in.close()
+          cur == json
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (unchanged) return
     // atomic (LakeIo): EVERY reader loads this file — a torn window
     // here would fail (or mis-schema) any read racing a commit
-    LakeIo.atomicOverwrite(f, schemaFile, schema.json)
+    LakeIo.atomicOverwrite(f, schemaFile, json)
   }
 
   /** Recover a `__changes_tmp` dir left by a crash between
@@ -4431,7 +4448,12 @@ object LakeTable {
     def torn(e: Throwable): Boolean = {
       var c: Throwable = e
       while (c != null) {
+        // ChecksumException: the local ChecksumFs renames a file and its
+        // .crc sidecar as TWO ops, so a read racing an atomic overwrite
+        // can briefly pair new bytes with the old checksum — transient
+        // by the same argument as the vanished-file case
         if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            c.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
             (c.getMessage != null && c.getMessage.contains("FAILED_READ_FILE")))
           return true
         c = if (c.getCause != c) c.getCause else null

@@ -47,12 +47,10 @@ private[text] object IndexMeta {
   def read(spark: SparkSession, dir: String): Option[Stamp] = {
     val f = fs(spark, dir)
     val p = new Path(dir, FileName)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        finally in.close()
+    // resilient: every serve's freshness check reads this while the
+    // maintenance stream republishes it — transient absence/checksum
+    // blips from the overwrite rename must not fail a serve
+    graft.sources.LakeIo.resilientRead(f, p).flatMap { text =>
       text.split("\n", -1).toSeq match {
         case Seq(base, v, _*) if v.trim.nonEmpty => Some(Stamp(base, v.trim.toLong))
         case _                                   => None

@@ -308,10 +308,25 @@ object InvertedIndex {
   def serveBm25(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val workload = queries.select(col("query_id"), col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    serveBm25(spark, dir, workload, k, k1, b)
+  }
+
+  /** [[serveBm25]] with the workload as plain rows — the point-serving
+    * shape: the SQL TVF (and any driver that already holds its query
+    * terms as literals) skips the Spark job a DataFrame workload pays
+    * just to `collect()` the terms back out. One job per serve (the
+    * postings read), not two.
+    */
+  def serveBm25(
+      spark: SparkSession, dir: String, queries: Seq[(Long, String)], k: Int,
+      k1: Double, b: Double): DataFrame = {
     IndexMeta.requireFresh(spark, dir, "BM25 index")
-    val qterms = queries.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val qterms = queries.map(_._2).distinct
     require(qterms.nonEmpty, "serveBm25 needs a non-empty query workload")
+    import spark.implicits._
+    val queriesDf = queries.toDF("query_id", "term")
     val postings = LakeTable(spark, sub(dir, "postings")).read
       .where(col("term").isin(qterms: _*))
     val dfT = LakeTable(spark, sub(dir, "terms")).read
@@ -320,7 +335,7 @@ object InvertedIndex {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     postings
-      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .join(broadcast(queriesDf), Seq("term"))
       .join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("s",
