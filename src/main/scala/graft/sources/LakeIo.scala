@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Options, Path}
 
 /** Atomic publication for the lake layer's metadata files.
   *
@@ -15,26 +15,49 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * dot-prefixed tmp sibling no glob or listing matches, and ONE rename
   * publishes the finished file. Two flavors:
   *   - [[atomicOverwrite]] — replace-or-create (schema, stamps,
-  *     watermarks, constraints): rename with OVERWRITE, one metadata
-  *     op, a reader sees the old content or the new, never neither;
+  *     watermarks, constraints): a reader sees the old content or the
+  *     new, never neither;
   *   - [[renamePublish]] — first-writer-wins (commit records): the
-  *     rename REFUSES an existing destination, preserving the
+  *     publish REFUSES an existing destination, preserving the
   *     optimistic-concurrency semantics `create(path, false)` gave,
-  *     without its torn window. (In-JVM writers are additionally
-  *     serialized by CommitLog's per-table lock; the cross-process
-  *     check-then-rename window is the same one every HDFS-rename
-  *     commit protocol carries.)
+  *     without its torn window.
+  *
+  * Two filesystem regimes, because their atomic primitives differ:
+  *   - LOCAL (`ChecksumFileSystem`): all ops go through the RAW
+  *     filesystem — metadata files carry no `.crc` sidecar, so an
+  *     overwrite is ONE POSIX rename (atomic, windowless) instead of
+  *     the checksummed pair whose two-op move can cross one writer's
+  *     bytes with another's checksum (hadoop 3.4.2's ChecksumFs renames
+  *     data then crc WITHOUT overwrite — disassembled); readers via the
+  *     checksummed fs skip verification for crc-less files, which is
+  *     the standard external-file behavior. Any legacy sidecar is
+  *     removed at publish so it can never go stale. Exclusive publish
+  *     is serialized per-path in-JVM; multi-process writers against one
+  *     local directory were never a supported topology.
+  *   - REMOTE (HDFS & co): FileContext rename, with and without
+  *     OVERWRITE — server-side atomic, the Delta HDFS LogStore
+  *     protocol. FileContexts are cached per scheme/authority
+  *     (getFileContext reflects a fresh AbstractFileSystem per call — a
+  *     measurable per-commit tax when uncached).
   */
 object LakeIo {
-
-  private def tmpSibling(path: Path): Path =
-    new Path(path.getParent,
-      s".tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
 
   /** Dot-prefixed tmp names this module writes — vacuum sweeps match
     * on it to reclaim crash debris.
     */
   val TmpPrefix = ".tmp_"
+
+  private def tmpSibling(path: Path): Path =
+    new Path(path.getParent,
+      s"$TmpPrefix${java.util.UUID.randomUUID().toString.replace("-", "")}")
+
+  /** The raw (sidecar-free) filesystem for local paths; identity
+    * elsewhere. Metadata through raw = half the ops and no crc to race.
+    */
+  private def rawFor(fs: FileSystem): FileSystem = fs match {
+    case c: ChecksumFileSystem => c.getRawFileSystem
+    case other                 => other
+  }
 
   private def writeTmp(fs: FileSystem, path: Path, text: String): Path = {
     val tmp = tmpSibling(path)
@@ -44,11 +67,17 @@ object LakeIo {
     tmp
   }
 
-  // one FileContext per (scheme, authority): getFileContext builds a
-  // fresh AbstractFileSystem via reflection on EVERY call, which at one
-  // publish per commit turned into a measurable per-commit tax (the
-  // r13 bench flagged every commit-heavy lake query ~1.5x). FileContext
-  // is thread-safe as used here (no umask/working-dir mutation).
+  /** Drop a legacy checksum sidecar so a raw (crc-less) publish can
+    * never leave a stale crc that fails every subsequent read.
+    */
+  private def dropSidecar(c: ChecksumFileSystem, path: Path): Unit = {
+    val crc = c.getChecksumFile(path)
+    val raw = c.getRawFileSystem
+    if (raw.exists(crc)) raw.delete(crc, false): Unit
+  }
+
+  // one FileContext per (scheme, authority); thread-safe as used here
+  // (no umask/working-dir mutation)
   private val fileContexts =
     new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
 
@@ -59,69 +88,66 @@ object LakeIo {
       _ => FileContext.getFileContext(uri, fs.getConf))
   }
 
-  /** Publish `text` at `path`, atomically replacing any previous
-    * content. On bindings whose OVERWRITE rename is itself
-    * delete-then-rename (local ChecksumFs), two CONCURRENT overwriters
-    * can collide — one's rename lands inside the other's window and the
-    * loser sees FileAlreadyExists; retrying re-runs the whole
-    * delete+rename and converges (last writer wins, both contents were
-    * complete files). Filesystems without a FileContext binding fall
-    * back to an explicit delete+rename — the narrowest window they can
-    * express.
-    */
-  def atomicOverwrite(fs: FileSystem, path: Path, text: String): Unit = {
-    val tmp = writeTmp(fs, path, text)
-    var attempt = 0
-    while (true) {
-      try {
-        contextFor(fs, path).rename(
-          fs.makeQualified(tmp), fs.makeQualified(path),
-          Options.Rename.OVERWRITE)
-        return
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.nio.file.FileAlreadyExistsException if attempt < 8 =>
-          attempt += 1
-          Thread.sleep(10L * attempt)
-        case _: UnsupportedOperationException |
-            _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          if (fs.exists(path)) fs.delete(path, false): Unit
-          if (!fs.rename(tmp, path))
-            throw new java.io.IOException(
-              s"could not publish $path: rename $tmp -> $path failed")
-          return
-      }
-    }
-  }
-
-  // in-JVM serialization per destination: the local ChecksumFs renames
-  // the data file and its .crc sidecar as TWO unguarded ops (data
-  // clobbers via POSIX rename when both racers pass the layered
-  // dst-exists checks; the crc rename then crosses), so two same-JVM
-  // racers could publish A's bytes under B's checksum. One lock per
-  // path keeps the loser behind the winner's completed pair. Across
-  // PROCESSES the contract is the filesystem's: HDFS rename is
-  // server-side atomic (this is Delta's HDFS LogStore protocol);
-  // multi-process writers against one checksummed LOCAL directory were
-  // never a supported topology.
+  // in-JVM serialization per destination for the exclusive publish:
+  // the local layers' dst-exists checks are check-then-rename, so two
+  // same-JVM racers need the lock to keep first-writer-wins exact.
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Publish `text` at `path`, atomically replacing any previous
+    * content.
+    */
+  def atomicOverwrite(fs: FileSystem, path: Path, text: String): Unit = fs match {
+    case c: ChecksumFileSystem =>
+      val raw = c.getRawFileSystem
+      val tmp = writeTmp(raw, path, text)
+      dropSidecar(c, path)
+      // ONE POSIX rename: atomic replace, no absence window, no crc
+      if (!raw.rename(tmp, path))
+        throw new java.io.IOException(
+          s"could not publish $path: rename $tmp -> $path failed")
+    case other =>
+      val tmp = writeTmp(other, path, text)
+      var attempt = 0
+      while (true) {
+        try {
+          contextFor(other, path).rename(
+            other.makeQualified(tmp), other.makeQualified(path),
+            Options.Rename.OVERWRITE)
+          return
+        } catch {
+          // a concurrent overwriter's rename landed inside ours —
+          // re-running the whole OVERWRITE converges (both contents
+          // were complete files; last writer wins)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.nio.file.FileAlreadyExistsException if attempt < 8 =>
+            attempt += 1
+            Thread.sleep(10L * attempt)
+          case _: UnsupportedOperationException |
+              _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (other.exists(path)) other.delete(path, false): Unit
+            if (!other.rename(tmp, path))
+              throw new java.io.IOException(
+                s"could not publish $path: rename $tmp -> $path failed")
+            return
+        }
+      }
+  }
+
   /** Read a metadata file published through [[atomicOverwrite]],
     * absorbing the transient artifacts a concurrent republish can show
-    * a reader on checksummed local filesystems: a brief absence (the
-    * OVERWRITE rename degrades to delete+rename there) and a brief
-    * data/.crc mismatch (the pair moves as two ops). Both resolve on a
-    * re-read because the writer's content is always a complete file;
-    * after `attempts` the error is real and surfaces. None = the file
-    * durably does not exist.
+    * a reader: a brief absence and (on legacy checksummed files) a
+    * brief data/.crc mismatch. Both resolve on a re-read because the
+    * writer's content is always a complete file; after `attempts` the
+    * error is real and surfaces. None = the file durably does not
+    * exist.
     */
   def resilientRead(fs: FileSystem, path: Path, attempts: Int = 8): Option[String] = {
     var attempt = 0
     while (true) {
       try {
         if (!fs.exists(path)) {
-          // absence may be the rename window, not a missing file —
+          // absence may be a rename window, not a missing file —
           // confirm it holds across one backoff before believing it
           if (attempt >= 2) return None
         } else {
@@ -143,28 +169,42 @@ object LakeIo {
 
   /** Publish `text` at `path` iff nothing is there — the atomic claim
     * a commit record needs. Returns false (and cleans its tmp) when a
-    * concurrent writer won the name.
+    * concurrent writer won the name. Cross-process exclusivity is the
+    * filesystem's contract (HDFS rename: server-side atomic refuse);
+    * in-JVM racers serialize on the per-path lock.
     */
   def renamePublish(fs: FileSystem, path: Path, text: String): Boolean =
     publishLocks.computeIfAbsent(
       fs.makeQualified(path).toString, _ => new Object).synchronized {
-      if (fs.exists(path)) return false
-      val tmp = writeTmp(fs, path, text)
-      try {
-        contextFor(fs, path).rename(fs.makeQualified(tmp), fs.makeQualified(path))
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false): Unit
-          false
-        case _: UnsupportedOperationException |
-            _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          // FileSystem.rename refuses an existing file destination on
-          // every binding we reach this from
-          val ok = fs.rename(tmp, path)
-          if (!ok) fs.delete(tmp, false): Unit
-          ok
+      fs match {
+        case c: ChecksumFileSystem =>
+          val raw = c.getRawFileSystem
+          if (raw.exists(path)) return false
+          val tmp = writeTmp(raw, path, text)
+          dropSidecar(c, path)
+          // POSIX rename clobbers, so exclusivity here is the lock +
+          // exists check above — exact in-JVM, where local multi-writer
+          // OCC actually runs
+          if (raw.rename(tmp, path)) true
+          else { raw.delete(tmp, false): Unit; false }
+        case other =>
+          if (other.exists(path)) return false
+          val tmp = writeTmp(other, path, text)
+          try {
+            contextFor(other, path).rename(
+              other.makeQualified(tmp), other.makeQualified(path))
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException =>
+              other.delete(tmp, false): Unit
+              false
+            case _: UnsupportedOperationException |
+                _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              val ok = other.rename(tmp, path)
+              if (!ok) other.delete(tmp, false): Unit
+              ok
+          }
       }
     }
 }
