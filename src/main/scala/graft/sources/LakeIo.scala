@@ -135,27 +135,25 @@ object LakeIo {
   }
 
   /** Read a metadata file published through [[atomicOverwrite]],
-    * absorbing the transient artifacts a concurrent republish can show
-    * a reader: a brief absence and (on legacy checksummed files) a
-    * brief data/.crc mismatch. Both resolve on a re-read because the
-    * writer's content is always a complete file; after `attempts` the
-    * error is real and surfaces. None = the file durably does not
-    * exist.
+    * absorbing the transient artifacts a read racing a republish can
+    * still show: a vanish between the exists check and the open (the
+    * rename is atomic, the check-then-open pair is not) and, on legacy
+    * checksummed files, a brief data/.crc mismatch. Both resolve on a
+    * re-read because the writer's content is always a complete file;
+    * after `attempts` the error is real and surfaces. A durably absent
+    * file returns None immediately — under the one-rename publication
+    * there is no absence window to wait out (this is every serve's
+    * fast path for unstamped indexes).
     */
   def resilientRead(fs: FileSystem, path: Path, attempts: Int = 8): Option[String] = {
     var attempt = 0
     while (true) {
       try {
-        if (!fs.exists(path)) {
-          // absence may be a rename window, not a missing file —
-          // confirm it holds across one backoff before believing it
-          if (attempt >= 2) return None
-        } else {
-          val in = fs.open(path)
-          try return Some(new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
-          finally in.close()
-        }
+        if (!fs.exists(path)) return None
+        val in = fs.open(path)
+        try return Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+        finally in.close()
       } catch {
         case e @ (_: java.io.FileNotFoundException |
             _: org.apache.hadoop.fs.ChecksumException) =>

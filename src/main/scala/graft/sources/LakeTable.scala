@@ -3254,6 +3254,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * (4) markers are deleted from the stage, manifest last — it is the
     * resume trigger, so recovery always knows whether a stage is still
     * completable.
+    *
+    * Scale note: the swap pays O(top-level children) renames instead of
+    * the old single dir rename. A full rewrite that produced those
+    * children just paid O(data) to WRITE them, so the metadata-op count
+    * is noise at any size (10k children ≈ seconds of namenode RPCs vs
+    * hours of data write); the common selective-rewrite path touches
+    * few files by construction (CommitCostProbe puts the local-fs cost
+    * at ~10% of a compact, zero spread-aware bench flags).
     */
   private def completeSwap(staged: Path): (Option[(String, Map[String, String])], Int) = {
     val f = fs
