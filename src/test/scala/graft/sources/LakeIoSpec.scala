@@ -101,6 +101,28 @@ class LakeIoSpec extends SparkSpec {
     assert(winners.get === 20)
   }
 
+  test("atomicOverwrite migrates a legacy checksummed file: the stale .crc sidecar drops") {
+    // pre-r13 metadata was written through the checksummed fs, so
+    // existing tables carry .crc sidecars; the first raw (sidecar-free)
+    // overwrite must DROP the legacy sidecar or every subsequent
+    // checksummed read would fail verification against stale sums
+    val dir = tmpDir
+    val fs = hfs(dir) // LocalFileSystem = ChecksumFileSystem
+    val target = new Path(dir, "_legacy_meta")
+    val out = fs.create(target, true) // checksummed write: creates the sidecar
+    try out.write("old-checksummed-content".getBytes("UTF-8"))
+    finally out.close()
+    val crc = fs.asInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem]
+      .getChecksumFile(target)
+    assert(fs.asInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem]
+      .getRawFileSystem.exists(crc), "precondition: legacy sidecar present")
+    LakeIo.atomicOverwrite(fs, target, "new-raw-content")
+    assert(!fs.asInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem]
+      .getRawFileSystem.exists(crc), "stale sidecar must drop with the publish")
+    // and the checksummed read path serves the new content unverified
+    assert(readAll(fs, target) === "new-raw-content")
+  }
+
   test("renamePublish refuses an existing destination outright") {
     val dir = tmpDir
     val fs = hfs(dir)
