@@ -72,23 +72,36 @@ object SparkEntry {
     * pre-round state) rather than failing the whole dump.
     */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val sql = text.QualityClassifier.scoreOracleSql(
-      text.TextQueries.standingQualityModel(spark, sfDir))
-    Map(
-      "q_quality_model_scores" -> sql,
+    // PER-ENTRY degradation: a generator that refuses (e.g. the BPE
+    // oracle's delimiter guard on a hostile corpus) drops only ITS
+    // queries to rows-only — the other promotions must not ride along
+    def tryOracle(entries: => Seq[(String, String)]): Seq[(String, String)] =
+      try entries
+      catch { case e: Throwable =>
+        System.err.println(s"[oracle] dynamic oracle skipped: ${e.getMessage}")
+        Seq.empty
+      }
+    (tryOracle {
+      val sql = text.QualityClassifier.scoreOracleSql(
+        text.TextQueries.standingQualityModel(spark, sfDir))
       // the standing path loads the SAME promoted tree the fresh train
       // produces on this corpus (seeded fit), so one compiled tree
       // oracles both spellings
-      "q_quality_model_scores_standing" -> sql,
+      Seq("q_quality_model_scores" -> sql,
+        "q_quality_model_scores_standing" -> sql)
+    } ++ tryOracle {
       // SemDeDup: fitted k-means centers inlined, closure via a
       // recursive CTE (see TextQueries.semanticDedupOracle)
-      "q_semantic_dedup" -> text.TextQueries.semanticDedupOracle(spark, sfDir),
+      Seq("q_semantic_dedup" -> text.TextQueries.semanticDedupOracle(spark, sfDir))
+    } ++ tryOracle {
       // PQ: fitted codebooks inlined, full encode/ADC/shortlist/re-rank
       // replay (see TextQueries.pqTopKOracle)
-      "q_pq_topk" -> text.TextQueries.pqTopKOracle(spark, sfDir),
+      Seq("q_pq_topk" -> text.TextQueries.pqTopKOracle(spark, sfDir))
+    } ++ tryOracle {
       // IVF-PQ: coarse centers + codebooks inlined, probe + ADC + refine
       // replay (see TextQueries.ivfPqTopKOracle)
-      "q_ivfpq_topk" -> text.TextQueries.ivfPqTopKOracle(spark, sfDir),
+      Seq("q_ivfpq_topk" -> text.TextQueries.ivfPqTopKOracle(spark, sfDir))
+    } ++ tryOracle {
       // BPE encode: the standing merge table inlined as a rank-ordered
       // replace chain (see TextQueries.bpeEncodeOracle). Merge LEARNING
       // (q_bpe_merges) stays rows-only by design: each rank is an argmax
@@ -96,6 +109,7 @@ object SparkEntry {
       // 40 chained data-dependent aggregations, beyond a practical
       // DuckDB replay; the learned rules are instead VERIFIED here by
       // replaying the encode they define.
-      "q_bpe_encode_standing" -> text.TextQueries.bpeEncodeOracle(spark, sfDir))
+      Seq("q_bpe_encode_standing" -> text.TextQueries.bpeEncodeOracle(spark, sfDir))
+    }).toMap
   }
 }

@@ -352,7 +352,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // terms are SQL literals the driver already holds — the Seq
         // overload skips the collect-the-workload-back Spark job
         graft.text.InvertedIndex
-          .serveBm25(spark, dir, terms.map((0L, _)), k, k1 = 1.2, b = 0.75)
+          .serveBm25(spark, dir, terms.map((0L, _)), k,
+            k1 = graft.text.InvertedIndex.DefaultK1,
+            b = graft.text.InvertedIndex.DefaultB)
           .select("rank", "doc_id", "score")
           .queryExecution.analyzed
       })

@@ -88,9 +88,14 @@ object LakeIo {
       _ => FileContext.getFileContext(uri, fs.getConf))
   }
 
-  // in-JVM serialization per destination for the exclusive publish:
-  // the local layers' dst-exists checks are check-then-rename, so two
-  // same-JVM racers need the lock to keep first-writer-wins exact.
+  // in-JVM serialization for the exclusive publish: the local layers'
+  // dst-exists checks are check-then-rename, so two same-JVM racers
+  // need the lock to keep first-writer-wins exact. Keyed by PARENT dir
+  // (one entry per log dir, bounded by table count) — a full-path key
+  // would grow one never-evicted entry per commit record forever in a
+  // long-lived driver. Coarser is harmless: same-dir publishes are
+  // near-instant metadata ops, and same-table commits already serialize
+  // on CommitLog's own lock.
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -173,7 +178,7 @@ object LakeIo {
     */
   def renamePublish(fs: FileSystem, path: Path, text: String): Boolean =
     publishLocks.computeIfAbsent(
-      fs.makeQualified(path).toString, _ => new Object).synchronized {
+      fs.makeQualified(path).getParent.toString, _ => new Object).synchronized {
       fs match {
         case c: ChecksumFileSystem =>
           val raw = c.getRawFileSystem

@@ -3215,10 +3215,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
               .flatMap(r => r.params.get(LakeTable.ChangeStageParam)
                 .map(_ -> r.version))
               .toMap
+          // unclaimed stages are reclaimed only past the same age
+          // horizon the part-stages use: a LIVE writer materializes its
+          // change set pre-commit and may spend minutes in the rewrite
+          // before its commit claims the stage — reaping it mid-flight
+          // would make the writer's post-commit publication fail AFTER
+          // the mutation committed, silently starving every CDC consumer
+          // of that commit's change set
+          val horizon = System.currentTimeMillis() - LakeTable.PartStageRetentionMs
           stages.foreach { n =>
             claims.get(n) match {
               case Some(v) => publishChanges(n, v)
-              case None    => discardChanges(n)
+              case None =>
+                val st = fs.getFileStatus(new Path(changesRoot, n))
+                if (newestMtime(st.getPath) < horizon) discardChanges(n)
             }
           }
         }
@@ -3316,13 +3326,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val children =
         if (!f.exists(p)) Seq.empty[String]
         else f.listStatus(p).toSeq.map(_.getPath.getName)
-          .filterNot(_ == LakeTable.ChangesDirName)
+          // the feed never moves; the LOG is never deleted here either —
+          // a concurrent commit may have RECREATED the live log dir
+          // after the gather moved it into the stage, and deleting it as
+          // a colliding old child would destroy the interloper's commit
+          // record undetectably. placeLog's merge branch reunites the
+          // two logs file-by-file so the post-swap audit can SEE the
+          // interloper and refuse.
+          .filterNot(n =>
+            n == LakeTable.ChangesDirName || n == LakeTable.LogDirName)
       val (colliding, plain) =
         children.partition(n => f.exists(new Path(staged, n)))
       colliding.foreach(n => f.delete(new Path(p, n), true): Unit)
-      val out = f.create(clearFile, true)
-      try out.write(plain.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // atomic publication (LakeIo): this list is the crash-resume
+      // discriminator — a torn write here would make a resumed swap
+      // skip re-gathering and clear only a PARTIAL old-child set,
+      // leaving old parquet files beside the placed new ones
+      LakeIo.atomicOverwrite(f, clearFile, plain.mkString("\n"))
     }
     // ---- phase 2b: clear the recorded old children (idempotent) ----
     readManifest(clearFile).foreach(n => f.delete(new Path(p, n), true): Unit)
@@ -4339,6 +4359,44 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * stamps at build time so serving can detect base drift.
     */
   def currentVersion: Long = CommitLog.nextVersion(fs, logDir) - 1
+
+  /** The highest committed version a change-feed consumer may fold up
+    * to. Change sets publish AFTER their commit record
+    * (immutable-once-visible), so a consumer that bounds its work by
+    * the committed latest can race the publication rename: the set's
+    * commit is in the log, its `v{n}` dir is not yet listable, and a
+    * fold that advances its watermark past that version skips the delta
+    * FOREVER — the set's later publication triggers a no-op batch below
+    * the watermark. The frontier stops just below the first
+    * claimed-but-unpublished change set; every version at or below it
+    * is final and listable. A crashed writer's claimed-unpublished
+    * stage stalls the frontier — consumers correctly wait rather than
+    * diverge — until [[vacuumDebris]] publishes the claimed stage.
+    * Commits that claim no change set (appends without the feed,
+    * OPTIMIZE, stats) never gate the frontier.
+    */
+  def publishedFrontier(fromExclusive: Long): Long = {
+    val latest = currentVersion
+    if (latest <= fromExclusive) return latest
+    val changesDir = new Path(path, LakeTable.ChangesDirName)
+    val records = CommitLog.recordsSince(fs, logDir, fromExclusive + 1)
+    // a set VACUUMED by retention is published-then-removed, not
+    // pending — it must not gate the frontier, or a consumer whose
+    // watermark fell behind retention would silently stall forever
+    // instead of reaching readChanges' loud vacuum-horizon failure
+    val vacuumed: Set[Long] = records
+      .flatMap(_.params.get(LakeTable.VacuumChangesRemovedParam))
+      .flatMap(_.split(',').iterator.filter(_.nonEmpty).map(_.toLong))
+      .toSet
+    records
+      .filter(r => r.version <= latest && !vacuumed.contains(r.version) &&
+        r.params.contains(LakeTable.ChangeStageParam))
+      .map(_.version).sorted
+      .find(v => !fs.exists(new Path(changesDir, s"v$v"))) match {
+      case Some(unpublished) => unpublished - 1
+      case None              => latest
+    }
+  }
 
   /** Atomic commit (see [[CommitLog.append]]); returns the version won.
     * Every `spark.graft.lake.checkpointInterval`-th commit (default 100)

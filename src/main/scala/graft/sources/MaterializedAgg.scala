@@ -74,7 +74,11 @@ final class MaterializedAgg(
     */
   def refresh(): MaterializedAgg = {
     val wm = watermark()
-    val latest = latestBaseVersion()
+    // bounded by the PUBLISHED frontier, not the committed latest: a
+    // committed-but-not-yet-published change set must not be skipped
+    // past (its publication would then trigger a below-watermark no-op
+    // and the delta would be lost forever)
+    val latest = base.publishedFrontier(wm)
     if (latest <= wm) return this
     val changes =
       try base.readChanges(fromVersion = wm + 1, toVersion = latest)

@@ -93,7 +93,11 @@ final class MaterializedJoin(
     */
   def refresh(): MaterializedJoin = {
     val (wmF, wmD) = watermarks()
-    val (latestF, latestD) = (latestVersion(fact), latestVersion(dim))
+    // bounded by each leg's PUBLISHED frontier, not its committed
+    // latest — a committed-but-unpublished change set must not be
+    // watermarked past (see LakeTable.publishedFrontier)
+    val (latestF, latestD) =
+      (fact.publishedFrontier(wmF), dim.publishedFrontier(wmD))
     if (latestF <= wmF && latestD <= wmD) return this
     val dF = changesSince(fact, wmF, latestF, factKey)
     val dD = changesSince(dim, wmD, latestD, joinKey)

@@ -150,7 +150,10 @@ object InvertedIndex {
   def applyChanges(base: LakeTable, idCol: String, textCol: String, dir: String): Unit = {
     val spark = base.read.sparkSession
     val meta = IndexMeta.forMaintenance(spark, dir, base, "BM25 index")
-    val target = base.currentVersion
+    // fold to the PUBLISHED frontier, not the committed latest: a
+    // committed-but-unpublished set would otherwise fail the silent-
+    // commit audit (killing the stream) or be stamped past and lost
+    val target = base.publishedFrontier(meta.version)
     if (target == meta.version) return
     val (removals, additions) =
       IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(textCol))
@@ -305,9 +308,16 @@ object InvertedIndex {
     * term-clustered postings lake skip files instead of scanning.
     * Refuses to serve a stale stamped index (see class doc).
     */
+  /** Okapi defaults (Robertson's standard parameterization) — shared by
+    * both serve overloads and the SQL TVF so every entry point scores
+    * identically.
+    */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
   def serveBm25(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val workload = queries.select(col("query_id"), col("term"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     serveBm25(spark, dir, workload, k, k1, b)

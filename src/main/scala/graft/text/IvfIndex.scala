@@ -98,7 +98,8 @@ object IvfIndex {
   def applyChanges(base: LakeTable, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = base.read.sparkSession
     val meta = IndexMeta.forMaintenance(spark, dir, base, "IVF index")
-    val target = base.currentVersion
+    // published frontier, same argument as the BM25 twin
+    val target = base.publishedFrontier(meta.version)
     if (target == meta.version) return
     val (removals, additions) =
       IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(vecCol))

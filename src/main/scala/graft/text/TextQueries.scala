@@ -315,6 +315,16 @@ object TextQueries {
     def esc(s: String) = s.replace("'", "''")
     require(rules.forall(m => !m.left.contains("|") && !m.right.contains("|")),
       "BPE oracle delimiter collision: a learned symbol contains '|'")
+    // the guard must cover the ENCODED text too, not just the learned
+    // symbols: a document word containing a literal '|' would be
+    // wrapped/split differently by the two engines (Spark treats it as
+    // an ordinary character; the oracle's delimiter machinery would
+    // shred it) — refuse, and the caller degrades the query to
+    // rows-only, its pre-promotion state
+    require(Tables(spark, sfDir).documents
+      .where(org.apache.spark.sql.functions.col("text").contains("|"))
+      .isEmpty,
+      "BPE oracle delimiter collision: corpus text contains '|'")
     // innermost: wrap each character as |c|; then one literal rewrite
     // per rule, rank order = nesting order (rank 0 innermost)
     val chain = rules.foldLeft("""regexp_replace(w, '(.)', '|\1|', 'g')""") {

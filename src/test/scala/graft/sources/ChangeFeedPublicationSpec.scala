@@ -149,6 +149,41 @@ class ChangeFeedPublicationSpec extends SparkSpec {
     assert(names.forall(_.matches("v\\d+")), names.mkString(", "))
   }
 
+  test("a committed-but-unpublished change set is waited for, never watermarked past") {
+    // the inverted publication order (commit record BEFORE the v-dir
+    // rename) opens a window where the log's latest version has no
+    // listable change set yet — a consumer bounding by the committed
+    // latest would advance its watermark over the delta and lose it
+    // FOREVER (the set's later publication triggers a below-watermark
+    // no-op). publishedFrontier stops consumers just below it.
+    val root = freshRoot
+    val base = LakeTable(spark, s"$root/t").write(
+      Seq(("a", 10L), ("b", 5L)).toDF("k", "v"))
+    val mv = new MaterializedAgg(spark, base, s"$root/mv", Seq("k"),
+      Map("total" -> org.apache.spark.sql.functions.col("v"))).initialize()
+    base.update(Map("v" -> lit(100L)), col("k") === "a", changeFeed = true)
+    val v = base.currentVersion
+    // simulate the mid-publication window: the commit record exists and
+    // CLAIMS its stage, but the v-dir is not yet renamed into place
+    val f = hfs(base.path)
+    val published = new HPath(s"${base.path}/${LakeTable.ChangesDirName}/v$v")
+    val claimed = base.history.where(col("version") === v)
+      .select(col("operationParameters")(LakeTable.ChangeStageParam))
+      .head.getString(0)
+    assert(claimed != null && claimed.startsWith(LakeTable.ChangeStagePrefix))
+    val stage = new HPath(s"${base.path}/${LakeTable.ChangesDirName}/$claimed")
+    assert(f.rename(published, stage), "test setup: unpublish the set")
+    assert(base.publishedFrontier(-1L) === v - 1)
+    mv.refresh()
+    // the refresh must NOT have folded (or skipped!) the unpublished set
+    assert(mv.read.where(col("k") === "a").head.getAs[Long]("total") === 10L)
+    // publication lands; the next refresh folds it — nothing was lost
+    assert(f.rename(stage, published), "test setup: publish the set")
+    assert(base.publishedFrontier(-1L) === v)
+    mv.refresh()
+    assert(mv.read.where(col("k") === "a").head.getAs[Long]("total") === 100L)
+  }
+
   test("vacuumDebris deletes unclaimed change-set stages (pre-commit crash debris)") {
     val root = freshRoot
     val lake = LakeTable(spark, s"$root/t")
@@ -163,9 +198,22 @@ class ChangeFeedPublicationSpec extends SparkSpec {
       .write.parquet(stage)
     // invisible to every reader while staged
     assert(lake.readChanges().select("_commit_version").distinct().count() === 1)
+    // a FRESH unclaimed stage survives the vacuum — it may belong to a
+    // live writer still mid-rewrite whose commit will claim it
     lake.vacuumDebris()
-    assert(!hfs(lake.path).exists(new HPath(stage)),
-      "vacuumDebris must reclaim an unclaimed change-set stage")
+    assert(hfs(lake.path).exists(new HPath(stage)),
+      "vacuumDebris must not reap a stage inside the retention horizon")
+    // past the age horizon it is crash debris and is reclaimed
+    val f = hfs(lake.path)
+    val old = System.currentTimeMillis() - LakeTable.PartStageRetentionMs - 60000L
+    def ageRec(p: HPath): Unit = {
+      f.setTimes(p, old, -1)
+      if (f.getFileStatus(p).isDirectory) f.listStatus(p).foreach(st => ageRec(st.getPath))
+    }
+    ageRec(new HPath(stage))
+    lake.vacuumDebris()
+    assert(!f.exists(new HPath(stage)),
+      "vacuumDebris must reclaim an unclaimed change-set stage past the horizon")
     // and the claimed, published history is untouched
     assert(lake.readChanges().select("_commit_version").distinct().count() === 1)
   }
