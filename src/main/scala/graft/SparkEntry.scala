@@ -103,13 +103,15 @@ object SparkEntry {
       Seq("q_ivfpq_topk" -> text.TextQueries.ivfPqTopKOracle(spark, sfDir))
     } ++ tryOracle {
       // BPE encode: the standing merge table inlined as a rank-ordered
-      // replace chain (see TextQueries.bpeEncodeOracle). Merge LEARNING
-      // (q_bpe_merges) stays rows-only by design: each rank is an argmax
-      // over corpus-wide pair counts that feeds the next rank's input —
-      // 40 chained data-dependent aggregations, beyond a practical
-      // DuckDB replay; the learned rules are instead VERIFIED here by
-      // replaying the encode they define.
+      // replace chain (see TextQueries.bpeEncodeOracle)
       Seq("q_bpe_encode_standing" -> text.TextQueries.bpeEncodeOracle(spark, sfDir))
+    } ++ tryOracle {
+      // BPE merge LEARNING: replayed as 10 materialized per-rank CTE
+      // stages deriving each rule from the raw corpus — no learned
+      // values inlined (see TextQueries.bpeMergesOracle). The SQL is
+      // static; it sits in the dynamic section only for the corpus
+      // delimiter guard, which degrades to rows-only on refusal.
+      Seq("q_bpe_merges" -> text.TextQueries.bpeMergesOracle(spark, sfDir))
     }).toMap
   }
 }

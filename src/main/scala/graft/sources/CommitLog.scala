@@ -229,6 +229,20 @@ private[sources] object CommitLog {
     */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Highest version this PROCESS has ever committed per log dir. A
+    * staged swap's gather moves the whole log dir into its stage, so a
+    * commit racing that window lists an absent/recreated dir and would
+    * compute a version the table already used — its claim then lands as
+    * a DUPLICATE version file that shadows a historical record when the
+    * swap's log merge reunites the two dirs. Claiming
+    * `max(listed, highWater + 1)` makes any long-lived writer (streaming
+    * sink, maintenance loop, repeated appender) immune; a brand-new
+    * process attaching in exactly that window remains the documented
+    * metadata-only residue (its data files still survive via the
+    * late-append sweep and the known-set clear guard).
+    */
+  private val highWater = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** @param checkpointEvery fold the log into a checkpoint whenever the
     *                        committed version is a positive multiple of
     *                        this; `<= 0` disables checkpointing.
@@ -253,7 +267,8 @@ private[sources] object CommitLog {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val v = nextVersion(fs, logDir)
+      val hw = Option(highWater.get(logDir.toString)).map(_.longValue).getOrElse(-1L)
+      val v = math.max(nextVersion(fs, logDir), hw + 1)
       val ts = java.time.Instant.now().toString
       val json =
         s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
@@ -262,9 +277,11 @@ private[sources] object CommitLog {
       // parsing it died on "no content to map" (witnessed killing a
       // live maintenance stream); the rename still refuses an existing
       // name, so version races lose exactly as before
-      if (LakeIo.renamePublish(fs, new Path(logDir, f"$v%020d.json"), json))
+      if (LakeIo.renamePublish(fs, new Path(logDir, f"$v%020d.json"), json)) {
         committed = v
-      else {
+        highWater.merge(logDir.toString, java.lang.Long.valueOf(v),
+          (a, b) => if (a >= b) a else b)
+      } else {
         attempt += 1
         require(attempt < maxAttempts,
           s"commit contention: lost $maxAttempts consecutive version races under $logDir")

@@ -32,8 +32,11 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Option
   *     checksummed fs skip verification for crc-less files, which is
   *     the standard external-file behavior. Any legacy sidecar is
   *     removed at publish so it can never go stale. Exclusive publish
-  *     is serialized per-path in-JVM; multi-process writers against one
-  *     local directory were never a supported topology.
+  *     claims the destination with a HARD LINK — link(2) refuses an
+  *     existing name atomically at the kernel — so first-writer-wins
+  *     holds ACROSS PROCESSES, not just across threads of one JVM
+  *     (CrossProcessProbe races two JVMs' commit claims on one table);
+  *     the per-dir in-JVM lock remains as a fast-path serializer.
   *   - REMOTE (HDFS & co): FileContext rename, with and without
   *     OVERWRITE — server-side atomic, the Delta HDFS LogStore
   *     protocol. FileContexts are cached per scheme/authority
@@ -99,10 +102,50 @@ object LakeIo {
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** A publication failure caused by the destination's PARENT DIRECTORY
+    * moving mid-publish — a staged swap's gather renames the whole log
+    * dir into its stage while a concurrent commit is between its tmp
+    * create and its rename (witnessed as `chmod: cannot access .tmp_*`
+    * from the create's permission step in CrossProcessProbe phase B).
+    * Transient by design: the swap contract says racing commits land in
+    * a RECREATED live log dir (where the post-swap audit sees them), and
+    * a retried publication recreates it via create/mkdirs. Bounded, so
+    * real failures (permissions, full disk) still surface.
+    */
+  private def parentTorn(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("No such file or directory") ||
+          m.startsWith("could not publish"))) return true
+      c = if (c.getCause != c) c.getCause else null
+    }
+    false
+  }
+
+  private def retryParentTorn[T](fs: FileSystem, path: Path)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.IOException if parentTorn(e) && attempt < 8 =>
+          attempt += 1
+          try fs.mkdirs(path.getParent): Unit
+          catch { case _: java.io.IOException => () }
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Publish `text` at `path`, atomically replacing any previous
     * content.
     */
-  def atomicOverwrite(fs: FileSystem, path: Path, text: String): Unit = fs match {
+  def atomicOverwrite(fs: FileSystem, path: Path, text: String): Unit =
+    retryParentTorn(fs, path)(atomicOverwriteOnce(fs, path, text))
+
+  private def atomicOverwriteOnce(fs: FileSystem, path: Path, text: String): Unit = fs match {
     case c: ChecksumFileSystem =>
       val raw = c.getRawFileSystem
       val tmp = writeTmp(raw, path, text)
@@ -173,10 +216,14 @@ object LakeIo {
   /** Publish `text` at `path` iff nothing is there — the atomic claim
     * a commit record needs. Returns false (and cleans its tmp) when a
     * concurrent writer won the name. Cross-process exclusivity is the
-    * filesystem's contract (HDFS rename: server-side atomic refuse);
-    * in-JVM racers serialize on the per-path lock.
+    * filesystem's contract on BOTH regimes: HDFS rename (server-side
+    * atomic refuse) and local hard-link (kernel EEXIST refuse);
+    * in-JVM racers additionally serialize on the per-dir lock.
     */
   def renamePublish(fs: FileSystem, path: Path, text: String): Boolean =
+    retryParentTorn(fs, path)(renamePublishOnce(fs, path, text))
+
+  private def renamePublishOnce(fs: FileSystem, path: Path, text: String): Boolean =
     publishLocks.computeIfAbsent(
       fs.makeQualified(path).getParent.toString, _ => new Object).synchronized {
       fs match {
@@ -185,11 +232,30 @@ object LakeIo {
           if (raw.exists(path)) return false
           val tmp = writeTmp(raw, path, text)
           dropSidecar(c, path)
-          // POSIX rename clobbers, so exclusivity here is the lock +
-          // exists check above — exact in-JVM, where local multi-writer
-          // OCC actually runs
-          if (raw.rename(tmp, path)) true
-          else { raw.delete(tmp, false): Unit; false }
+          // CROSS-PROCESS first-writer-wins: hard-link the finished tmp
+          // to the claim name — link(2) refuses an existing destination
+          // ATOMICALLY at the kernel, so two separate JVMs racing one
+          // version claim get exactly one winner (POSIX rename clobbers,
+          // which is why the pre-upgrade local branch was in-JVM-only).
+          val dst = java.nio.file.Paths.get(raw.makeQualified(path).toUri.getPath)
+          val src = java.nio.file.Paths.get(raw.makeQualified(tmp).toUri.getPath)
+          try {
+            java.nio.file.Files.createLink(dst, src)
+            java.nio.file.Files.deleteIfExists(src): Unit
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(src): Unit
+              false
+            case _: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException =>
+              // a local fs without hard links (rare): fall back to the
+              // lock + exists-check + rename pair — exact in-JVM, the
+              // pre-upgrade contract
+              if (raw.exists(path)) { raw.delete(tmp, false): Unit; false }
+              else if (raw.rename(tmp, path)) true
+              else { raw.delete(tmp, false): Unit; false }
+          }
         case other =>
           if (other.exists(path)) return false
           val tmp = writeTmp(other, path, text)

@@ -37,6 +37,19 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * `_v{N}` snapshot dirs are invisible to a plain parquet scan, and the
   * plain layout's authoritative schema lives in the lake log, not the
   * catalog.
+  *
+  * VISIBILITY ACROSS SESSIONS: the view lives in the catalog's
+  * ExternalCatalog, which belongs to the SparkContext-wide SharedState —
+  * so every `spark.newSession()` of the same application sees registered
+  * names immediately (LakeNamesSessionSpec pins this). A FRESH PROCESS
+  * with the default in-memory catalog starts empty: attach by calling
+  * [[register]] again — it is stateless and idempotent, because
+  * everything authoritative (data, schema, history, constraints) lives
+  * in the lake directory itself, never in the catalog entry
+  * (CrossProcessProbe phase D drives exactly this attach-then-DML flow
+  * from a forked JVM). Deployments with a persistent metastore (Hive)
+  * keep the view across applications — the mechanism is an ordinary
+  * catalog view + table property, nothing in-memory-specific.
   */
 object LakeNames {
 

@@ -53,7 +53,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private val constraintsFile = new Path(logDir, LakeTable.ConstraintsFileName)
 
   private def fs: FileSystem =
-    logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    LakeTable.fsDecoratorForTest(logDir.getFileSystem(spark.sessionState.newHadoopConf()))
 
   /** Whether the table directory exists yet (no data has to). */
   def exists: Boolean = fs.exists(new Path(path))
@@ -114,11 +114,58 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
     preservingLog(mode) {
-      toPhysical(toWrite).write.mode(mode).parquet(path)
+      if (mode == SaveMode.Append) appendViaStage(toPhysical(toWrite), Seq.empty)
+      else toPhysical(toWrite).write.mode(mode).parquet(path)
     }
     saveSchema(schema)
     commit(writeOp(mode), Map("mode" -> mode.toString) ++ extraParams ++ idParams)
     this
+  }
+
+  /** Land an append through a PRIVATE uuid-suffixed stage, then promote
+    * the produced parquet files into the table dir with per-file
+    * metadata renames — the same fix [[overwritePartitionsOp]] documents
+    * for dynamic overwrites: concurrent appenders (threads OR separate
+    * processes) writing one directory share the root's single
+    * `_temporary` committer scratch dir, and one job's cleanup deletes
+    * the other's in-flight task files (witnessed by CrossProcessProbe
+    * phase A). A private stage gives every appender its own scratch
+    * space; promotion is the same per-file rename count the committer's
+    * own job-commit pays, and part-file names embed the job UUID so
+    * destination collisions cannot happen. Crash profile is unchanged
+    * from the direct append (the committer's job commit is also
+    * non-atomic per-file renames): a mid-promotion crash leaves a
+    * partial UNCOMMITTED batch whose files the part-stage reaper's age
+    * horizon does not touch — readers see them like any
+    * data-landed-before-commit window, and idempotent sinks arbitrate
+    * by commit tag exactly as before.
+    */
+  private def appendViaStage(physical: DataFrame, partitionCols: Seq[String]): Unit = {
+    val staged = new Path(
+      s"$path${LakeTable.PartStageSuffix}${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      val w = physical.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staged.toString)
+      moveDataFiles(staged, new Path(path))
+    } finally fs.delete(staged, true): Unit
+  }
+
+  /** Move every parquet file under `srcDir` into `destDir`, preserving
+    * Hive-style `k=v` partition subdirectories.
+    */
+  private def moveDataFiles(srcDir: Path, destDir: Path): Unit = {
+    if (!fs.exists(destDir)) fs.mkdirs(destDir): Unit
+    fs.listStatus(srcDir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.contains("="))
+        moveDataFiles(st.getPath, new Path(destDir, name))
+      else if (st.isFile && name.endsWith(".parquet")) {
+        if (!fs.rename(st.getPath, new Path(destDir, name)))
+          throw new java.io.IOException(
+            s"append promotion: could not move ${st.getPath} into $destDir")
+      }
+    }
   }
 
   /** True iff some commit recorded `key -> value` in its
@@ -238,7 +285,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
     preservingLog(mode) {
-      toPhysical(toWrite).write.mode(mode)
+      if (mode == SaveMode.Append)
+        appendViaStage(toPhysical(toWrite), partitionCols.map(physicalOf))
+      else toPhysical(toWrite).write.mode(mode)
         .partitionBy(partitionCols.map(physicalOf): _*).parquet(path)
     }
     saveSchema(schema)
@@ -1394,6 +1443,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
       occBase: Option[Long] = None,
       rebaseBaseFiles: Option[Set[String]] = None,
       keepSideDirs: Boolean = true): LakeTable = {
+    claimStage(op)
+    try swapSelectiveClaimed(affected, untouched, transformAffected, op,
+      params, changeStage, alwaysTransform, occBase, rebaseBaseFiles,
+      keepSideDirs)
+    finally releaseStage()
+  }
+
+  private def swapSelectiveClaimed(
+      affected: Seq[(String, String, String)],
+      untouched: Seq[(String, String, String)],
+      transformAffected: DataFrame => DataFrame,
+      op: String, params: Map[String, String],
+      changeStage: Option[String],
+      alwaysTransform: Boolean,
+      occBase: Option[Long],
+      rebaseBaseFiles: Option[Set[String]],
+      keepSideDirs: Boolean): LakeTable = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     // same OCC contract as rewrite(): the affected/untouched file split
     // and the transform's input derive from the caller's snapshot
@@ -3198,6 +3264,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
         }
         "completedSwap"
       } else { fs.delete(staged, true); "removedStage" }
+    // the stage slot is resolved either way — release its claim so the
+    // next rewrite can proceed (a crashed writer's claim would otherwise
+    // refuse rewrites forever; a LIVE writer racing this vacuum loses its
+    // stage under the pre-existing vacuum contract, so dropping its claim
+    // adds no new hazard)
+    fs.delete(new Path(s"$path${LakeTable.StageClaimSuffix}"), false): Unit
     // staged change sets: a crash between a commit and its publication
     // rename leaves a committed mutation's change set invisible under
     // its stage name — publish it at the version its commit claims
@@ -3238,6 +3310,41 @@ final class LakeTable(spark: SparkSession, val path: String) {
     this
   }
 
+  /** Claim the table's single staged-rewrite slot — `__staging` is one
+    * physical directory, so two concurrent rewrites (threads OR
+    * separate processes) would otherwise cross inside it: the later
+    * `SaveMode.Overwrite` deletes the earlier writer's staged files
+    * mid-flight, before OCC ever gets to arbitrate versions. The claim
+    * is an atomic first-writer-wins publication ([[LakeIo.renamePublish]]
+    * — hard-link on local fs, rename-refuse on HDFS), so the loser gets
+    * this clean refusal instead of silent stage corruption; retry the
+    * whole operation (re-reading the table — Delta's
+    * ConcurrentModificationException contract) after the winner
+    * finishes.
+    */
+  private def claimStage(op: String): Unit = {
+    val claim = new Path(s"$path${LakeTable.StageClaimSuffix}")
+    val body = s"""{"op":"${CommitLog.esc(op)}","ts":"${java.time.Instant.now()}"}"""
+    if (!LakeIo.renamePublish(fs, claim, body))
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $path: another staged rewrite holds this table's stage " +
+          "claim. Retry after it finishes; if its writer crashed, " +
+          "vacuumDebris() completes or discards the stage and releases " +
+          "the claim.")
+  }
+
+  /** Release the stage claim — UNLESS a completable (manifest-marked)
+    * stage still exists: that stage holds the table's moved log, and a
+    * successor rewrite's stage Overwrite would destroy it. Keeping the
+    * claim turns that into a clean refusal until [[vacuumDebris]]
+    * resolves the stage (which releases the claim itself).
+    */
+  private def releaseStage(): Unit = {
+    val staged = new Path(s"$path${LakeTable.StageSuffix}")
+    if (!fs.exists(new Path(staged, LakeTable.SwapManifestName)))
+      fs.delete(new Path(s"$path${LakeTable.StageClaimSuffix}"), false): Unit
+  }
+
   /** Finish a staged swap (manifest present) — shared by the live
     * rewrite paths and crash recovery, and CHILD-WISE by design: the
     * old table dir's children are deleted and the stage's children
@@ -3261,9 +3368,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * placed; the log dir MERGES file-by-file if a concurrent commit
     * recreated it mid-swap (commit records are version-named, so both
     * sides survive and the post-swap audit sees the interloper);
-    * (4) markers are deleted from the stage, manifest last — it is the
-    * resume trigger, so recovery always knows whether a stage is still
-    * completable.
+    * (4) markers are deleted from the stage, MANIFEST FIRST — it is the
+    * resume trigger, and a stage must stop being "completable" before
+    * any marker a resumed completion would need (the clear list) goes
+    * away; a crash mid-phase-4 then leaves dead bytes vacuum reclaims,
+    * never a re-completable stage that would re-classify placed files
+    * as old children (the empty-table window CrashInjectionSpec caught).
     *
     * Scale note: the swap pays O(top-level children) renames instead of
     * the old single dir rename. A full rewrite that produced those
@@ -3304,8 +3414,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
       // the clear phase (the full-rewrite contract — the audit refuses
       // to stack a commit on the interleaving either way).
       val knownFile = new Path(staged, LakeTable.KnownFilesName)
-      if (f.exists(knownFile) && f.exists(p)) {
-        val known = readManifest(knownFile).toSet
+      val knownSet: Option[Set[String]] =
+        if (f.exists(knownFile)) Some(readManifest(knownFile).toSet) else None
+      if (knownSet.isDefined && f.exists(p)) {
+        val known = knownSet.get
         f.listStatus(p).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.getName)
@@ -3335,6 +3447,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
           // interloper and refuse.
           .filterNot(n =>
             n == LakeTable.ChangesDirName || n == LakeTable.LogDirName)
+          // when the snapshot carries a known-file set, the clear phase
+          // must never delete a parquet file the snapshot did NOT
+          // account for: a concurrent appender promotes its task files
+          // one rename at a time, and a file landing AFTER the
+          // late-append sweep's listing but BEFORE this one was
+          // recorded as an "old child" and deleted — a silent
+          // cross-process lost update (50 of 6,001 rows in
+          // CrossProcessProbe phase B's first run, one task file of a
+          // four-file append batch). Unaccounted files simply stay in
+          // the table dir through the swap — place() only ADDS files
+          // (uuid part names cannot collide), so surviving in place is
+          // equivalent to being swept through. Full-rewrite stages (no
+          // known set) keep the delete-everything contract: their
+          // post-swap audit refuses to commit over ANY interloper and
+          // directs reconciliation instead.
+          .filterNot { n =>
+            knownSet.isDefined && n.endsWith(".parquet") &&
+              !knownSet.get.contains(n)
+          }
       val (colliding, plain) =
         children.partition(n => f.exists(new Path(staged, n)))
       colliding.foreach(n => f.delete(new Path(p, n), true): Unit)
@@ -3382,9 +3513,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
       .filterNot(n => markers.contains(n) || n == LakeTable.LogDirName)
       .foreach(place)
     placeLog()
-    // ---- phase 4: drop markers, manifest last (the resume trigger) ----
-    Seq(LakeTable.SwapClearName, LakeTable.KnownFilesName,
-      LakeTable.PendingOpFileName, LakeTable.SwapManifestName)
+    // ---- phase 4: drop markers, MANIFEST FIRST — it is the resume
+    // trigger, and ending resumability must be the first (atomic) step.
+    // The previous order (manifest LAST) opened a real window: with the
+    // clear list already deleted, a crash before the manifest delete
+    // left a "completable" stage whose RE-completion re-gathered,
+    // re-classified the just-placed files as old children, and deleted
+    // them — recovery read an EMPTY table (CrashInjectionSpec caught it
+    // at upsert fuse 26 / compact fuse 37 on its first run). With the
+    // manifest gone first, a crash mid-phase-4 leaves a manifest-less
+    // stage that vacuumDebris reclaims as dead bytes without touching
+    // the placed data; the only residue is the already-documented
+    // unattributed-commit window the client replay converges over.
+    Seq(LakeTable.SwapManifestName, LakeTable.SwapClearName,
+      LakeTable.KnownFilesName, LakeTable.PendingOpFileName)
       .foreach(n => f.delete(new Path(staged, n), false): Unit)
     f.delete(staged, true)
     (pending, swept)
@@ -3726,14 +3868,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(!partitioned,
       s"$path has a Hive-partitioned layout; compact per partition " +
         "(overwritePartitions) instead of flattening the table")
-    val it = f.listFiles(new Path(path), true) // recursive
+    // sizing walk: recurse only into DATA children (e.g. a versioned
+    // layout's _v* snapshot dirs), never the metadata dirs — the log and
+    // changes dirs hold another writer's churning `.tmp_*` publications,
+    // and a recursive listFiles stats every entry it enumerated
+    // (LocatedFileStatus loads permissions eagerly on local fs), so a
+    // tmp vanishing mid-walk threw from a listing that never needed it
+    // (witnessed by CrossProcessProbe phase B)
     var bytes = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.toString.contains(LakeTable.ChangesDirName))
-        bytes += st.getLen
+    def sizeWalk(dir: Path): Unit = f.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!name.startsWith("_") && !name.startsWith(".")) sizeWalk(st.getPath)
+        else if (name.startsWith("_v") && name.drop(2).forall(_.isDigit))
+          sizeWalk(st.getPath)
+      } else if (name.endsWith(".parquet")) bytes += st.getLen
     }
+    sizeWalk(new Path(path))
     // a shallow clone's bytes live in the source dir — count the
     // manifest-referenced files so the target file count is right
     cloneManifestFiles.foreach(m => bytes += f.getFileStatus(new Path(m)).getLen)
@@ -3885,6 +4036,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
       occBase: Option[Long] = None,
       plainNames: Boolean = false,
       onStagedLog: Path => Unit = _ => ()): LakeTable = {
+    claimStage(op)
+    try rewriteClaimed(clustered, op, params, onAbort, onCommit, occBase,
+      plainNames, onStagedLog)
+    finally releaseStage()
+  }
+
+  private def rewriteClaimed(
+      clustered: DataFrame, op: String, params: Map[String, String],
+      onAbort: () => Unit,
+      onCommit: Long => Unit,
+      occBase: Option[Long],
+      plainNames: Boolean,
+      onStagedLog: Path => Unit): LakeTable = {
     val staged = s"$path${LakeTable.StageSuffix}"
     // optimistic concurrency (Delta's OCC contract): the version this
     // rewrite derives from — passed down by DML callers that captured
@@ -4442,6 +4606,23 @@ object LakeTable {
   val CloneDirName = "_graft_clone"
   val CloneManifestName = "manifest"
   val StageSuffix = "__staging"
+  /** Sibling file claiming the single staged-rewrite slot of a table —
+    * see [[LakeTable.claimStage]].
+    */
+  val StageClaimSuffix = "__staging_claim"
+
+  /** Test seam: decorate the METADATA FileSystem every lake operation
+    * (swap phases, commit claims, LakeIo publications, DV/stats/ledger
+    * gating) runs through — the crash-injection harness
+    * (CrashInjectionSpec) substitutes a fused fs that dies at the Nth
+    * mutation and stays dead, walking every filesystem operation of the
+    * swap/publish/commit sequence mechanically instead of relying on
+    * hand-picked interleavings. Spark's executor-side data writes keep
+    * their real fs: data files land whole; the sequence under test is
+    * the driver-side metadata protocol.
+    */
+  @volatile private[graft] var fsDecoratorForTest: FileSystem => FileSystem =
+    identity(_)
   // dynamic-partition-overwrite stages: uuid-suffixed so concurrent
   // disjoint-partition writers never share a committer _temporary dir
   val PartStageSuffix = "__staging_part_"
@@ -4511,32 +4692,42 @@ object LakeTable {
     */
   def retryTornRead[T](what: String, attempts: Int = 8, backoffMs: Long = 250L)(
       body: => T): T = {
-    def torn(e: Throwable): Boolean = {
-      var c: Throwable = e
-      while (c != null) {
-        // ChecksumException: the local ChecksumFs renames a file and its
-        // .crc sidecar as TWO ops, so a read racing an atomic overwrite
-        // can briefly pair new bytes with the old checksum — transient
-        // by the same argument as the vanished-file case
-        if (c.isInstanceOf[java.io.FileNotFoundException] ||
-            c.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
-            (c.getMessage != null && c.getMessage.contains("FAILED_READ_FILE")))
-          return true
-        c = if (c.getCause != c) c.getCause else null
-      }
-      false
-    }
     var attempt = 1
     while (true) {
       try return body
       catch {
-        case e: Throwable if torn(e) && attempt < attempts =>
+        case e: Throwable if isTornRead(e) && attempt < attempts =>
           // a swap won the race — re-plan against the new snapshot
           attempt += 1
           Thread.sleep(backoffMs)
       }
     }
     throw new IllegalStateException(s"unreachable: $what")
+  }
+
+  /** The retryable-by-construction failure family [[retryTornRead]]
+    * absorbs — public so one-shot clients (and the probes) can classify
+    * a caught failure the same way.
+    */
+  def isTornRead(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      // ChecksumException: the local ChecksumFs renames a file and its
+      // .crc sidecar as TWO ops, so a read racing an atomic overwrite
+      // can briefly pair new bytes with the old checksum — transient
+      // by the same argument as the vanished-file case
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          c.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
+          (c.getMessage != null && (c.getMessage.contains("FAILED_READ_FILE") ||
+            // local-fs listing race: a directory entry (e.g. another
+            // writer's .tmp_ publication) vanished between readdir and
+            // the eager permission stat LocatedFileStatus performs — a
+            // re-list converges exactly like the vanished-file case
+            c.getMessage.contains("Error while running command to get file permissions"))))
+        return true
+      c = if (c.getCause != c) c.getCause else null
+    }
+    false
   }
   // generated-column declarations (name -> SQL expr), constraints-style
   val GeneratedFileName = "_generated"

@@ -203,9 +203,11 @@ object TextQueries {
   }
 
   /** Tokenizer learning: the first 10 BPE merge rules of the corpus —
-    * iterative (rows-only by design; BpeSpec pins exact equality with the
-    * single-machine reference algorithm). Each round's pair counts stay
-    * distributed; only the ONE winning rule row reaches the driver.
+    * iterative. Each round's pair counts stay distributed; only the ONE
+    * winning rule row reaches the driver. Content-oracled by
+    * [[bpeMergesOracle]] (a static per-rank CTE chain deriving every
+    * rule from the raw corpus); BpeSpec additionally pins exact equality
+    * with the single-machine reference algorithm.
     */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     Bpe.mergesDF(Tables(spark, sfDir).documents, "text", numMerges = 10)
@@ -340,6 +342,59 @@ object TextQueries {
        |SELECT doc_id, len(bpe)::BIGINT AS n_tokens,
        |  array_to_string(bpe[1:8], ' ') AS head_tokens
        |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] — the merge-LEARNING loop replayed
+    * as a STATIC chain of per-rank CTE stages (no learned values
+    * inlined, unlike [[bpeEncodeOracle]]: the oracle derives every rule
+    * from the raw corpus itself). Stage k holds the word table after k
+    * merges (`w{k}`, delimiter-wrapped symbol strings weighted by word
+    * count), computes pair frequencies by unnesting adjacent symbol
+    * positions, and takes the engine's exact argmax (freq DESC, l ASC,
+    * r ASC — binary UTF-8 string order in both engines); stage k+1
+    * applies the winner with the whole-symbol `replace` rewrite whose
+    * equivalence to [[Bpe.applyMerge]]'s left-to-right non-overlapping
+    * fold is argued at [[bpeEncodeOracle]]. The winning (l, r) reaches
+    * stage k+1 as scalar subqueries over `r{k}` — SQL's spelling of the
+    * one-row-to-the-driver step in [[Bpe.learnMerges]].
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB inlines CTEs by default, and
+    * with ~4 references per stage an inlined chain re-evaluates `w0`
+    * O(4^ranks) times (measured: exhausts file handles at 10 ranks);
+    * materialized, the whole replay is one pass per stage.
+    *
+    * Same delimiter guard as the encode oracle: a corpus containing a
+    * literal '|' would be wrapped differently by the two engines —
+    * refuse, and the caller degrades the query to rows-only, its
+    * pre-promotion state.
+    */
+  def bpeMergesOracle(spark: SparkSession, sfDir: String): String = {
+    require(Tables(spark, sfDir).documents
+      .where(org.apache.spark.sql.functions.col("text").contains("|"))
+      .isEmpty,
+      "BPE merges oracle delimiter collision: corpus text contains '|'")
+    val ranks = 10
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += """w0 AS MATERIALIZED (
+               |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS s, count(*)::BIGINT AS n
+               |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')) AS word FROM documents)
+               |  GROUP BY 1)""".stripMargin
+    for (i <- 0 until ranks) {
+      parts += s"""r$i AS MATERIALIZED (
+                  |  SELECT pr.l AS l, pr.r AS r, sum(n)::BIGINT AS freq
+                  |  FROM (SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr, n
+                  |        FROM (SELECT string_split(trim(s, '|'), '||') AS syms, n FROM w$i))
+                  |  GROUP BY 1, 2 ORDER BY freq DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      if (i < ranks - 1)
+        parts += s"""w${i + 1} AS MATERIALIZED (
+                    |  SELECT replace(s, '|' || (SELECT l FROM r$i) || '||' || (SELECT r FROM r$i) || '|',
+                    |                    '|' || (SELECT l FROM r$i) || (SELECT r FROM r$i) || '|') AS s, n
+                    |  FROM w$i)""".stripMargin
+    }
+    val unions = (0 until ranks)
+      .map(i => s"""SELECT $i::INT AS rank, l AS "left", r AS "right", freq FROM r$i""")
+      .mkString("\nUNION ALL ")
+    "WITH " + parts.mkString(",\n") + "\nSELECT * FROM (" + unions + ") ORDER BY rank"
   }
 
   /** Unicode hygiene (the first normalization pass of every corpus

@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.net.URI
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The fuse every gated filesystem op consults. `arm(n)` allows exactly
+  * `n` MUTATIONS (create/rename/delete/mkdirs) and then simulates a
+  * crash: the nth+1 mutation throws [[FsFuse.InjectedCrash]] and the fs
+  * goes FROZEN — every subsequent op (reads included) fails like a dead
+  * process's would, so in-JVM cleanup paths cannot mutate state a real
+  * crash would have left behind.
+  */
+object FsFuse {
+  final class InjectedCrash extends Error("injected crash: fs fuse fired")
+  private var remaining: Int = -1
+  @volatile var frozen: Boolean = false
+  @volatile var fired: Boolean = false
+  def arm(n: Int): Unit = synchronized { remaining = n; frozen = false; fired = false }
+  def disarm(): Unit = synchronized { remaining = -1; frozen = false }
+  def mutation(): Unit = synchronized {
+    if (frozen) throw new java.io.IOException("injected: fs frozen (process dead)")
+    if (remaining == 0) { frozen = true; fired = true; throw new InjectedCrash }
+    if (remaining > 0) remaining -= 1
+  }
+  def read(): Unit =
+    if (frozen) throw new java.io.IOException("injected: fs frozen (process dead)")
+}
+
+/** RawLocalFileSystem with every mutation (and, once frozen, every
+  * read) gated through [[FsFuse]].
+  */
+final class GatedRawFs extends RawLocalFileSystem {
+  override def rename(src: Path, dst: Path): Boolean = {
+    FsFuse.mutation(); super.rename(src, dst)
+  }
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    FsFuse.mutation(); super.delete(p, recursive)
+  }
+  override def mkdirs(p: Path): Boolean = { FsFuse.mutation(); super.mkdirs(p) }
+  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
+    FsFuse.mutation(); super.mkdirs(p, permission)
+  }
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    FsFuse.mutation()
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    FsFuse.read(); super.open(f, bufferSize)
+  }
+  override def listStatus(f: Path): Array[FileStatus] = {
+    FsFuse.read(); super.listStatus(f)
+  }
+  override def getFileStatus(f: Path): FileStatus = {
+    FsFuse.read(); super.getFileStatus(f)
+  }
+}
+
+/** Systematic crash injection over the swap/publish/commit sequence.
+  *
+  * Round 13 proved the need: targeted crash specs (OccSpec's seams, the
+  * quarantine-ordering pin) each cover ONE hand-picked window, and the
+  * round's self-review still found an unpinned one (the
+  * committed-but-unpublished change-set window). This spec enumerates
+  * windows MECHANICALLY instead: for each lake operation it walks fuse
+  * positions 0, 1, 2, … — crash at the 1st metadata mutation, the 2nd,
+  * every one until the op completes — and after every simulated crash
+  * asserts the full convergence contract:
+  *
+  *   1. `vacuumDebris()` (the documented recovery) succeeds;
+  *   2. the table reads EXACTLY the pre-state or the post-state — never
+  *      a partial mix, never duplicates;
+  *   3. if the op's commit record landed (directly or as RECOVERED),
+  *      the data IS the post-state — a commit never lies;
+  *   4. retrying the op (the crashed client's documented contract)
+  *      lands the post-state exactly;
+  *   5. the table is not bricked: a follow-up append commits and reads
+  *      back, and no stage/claim debris survives recovery.
+  *
+  * The gated fs is the METADATA fs (LakeTable.fsDecoratorForTest):
+  * driver-side swap phases, LakeIo publications, commit claims, DV/
+  * ledger gating. Executor-side data writes keep the real fs — data
+  * files land whole, which matches any real crash at task granularity
+  * (a torn task file is the committer's problem and never promoted).
+  */
+class CrashInjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MaxFusePositions = 150
+
+  private def newFaultFs(): LocalFileSystem = {
+    val conf = spark.sessionState.newHadoopConf()
+    val raw = new GatedRawFs()
+    raw.initialize(URI.create("file:///"), conf)
+    val fault = new LocalFileSystem(raw)
+    fault.initialize(URI.create("file:///"), conf)
+    fault
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    val walk = Files.walk(s)
+    try walk.forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t): Unit
+      else Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES): Unit
+    } finally walk.close()
+  }
+
+  private def rows(dir: String): Seq[(Long, String)] =
+    LakeTable(spark, dir).read.select(col("id"), col("v"))
+      .as[(Long, String)].collect().sorted.toSeq
+
+  /** Walk every fuse position for `op` against a fresh copy of the
+    * `template` table; returns the number of crash points exercised.
+    */
+  private def crashWalk(
+      name: String, template: String,
+      op: LakeTable => Unit,
+      post: Seq[(Long, String)],
+      replayConverges: Boolean): Int = {
+    val pre = rows(template)
+    val preCommits = LakeTable(spark, template).history.count()
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val dir = Files.createTempDirectory(s"graft_crash_$name").toString + "/t"
+      copyDir(template, dir)
+      val lake = LakeTable(spark, dir)
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try { op(lake); None }
+      catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) completed = true
+      else {
+        assert(fired,
+          s"$name fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        // ---- convergence contract after the simulated crash ----
+        val fresh = LakeTable(spark, dir)
+        fresh.vacuumDebris(): Unit
+        val got = rows(dir)
+        assert(got == pre || got == post,
+          s"$name fuse=$fuse: recovered state is neither pre nor post: $got")
+        val opsAfter = fresh.history
+          .select("version", "operation").as[(Long, String)].collect()
+          .filter(r => r._1 >= preCommits && r._2 != "VACUUM DEBRIS")
+        if (opsAfter.nonEmpty)
+          assert(got == post,
+            s"$name fuse=$fuse: commit recorded (${opsAfter.mkString(",")}) " +
+              s"but data is not the post-state")
+        if (replayConverges) {
+          op(LakeTable(spark, dir))
+          assert(rows(dir) == post,
+            s"$name fuse=$fuse: replay did not converge to the post-state")
+        }
+        // not bricked: stage slot free, follow-up append lands
+        val fsReal = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        assert(!fsReal.exists(new org.apache.hadoop.fs.Path(s"$dir${LakeTable.StageSuffix}")),
+          s"$name fuse=$fuse: stage survived recovery")
+        assert(!fsReal.exists(new org.apache.hadoop.fs.Path(s"$dir${LakeTable.StageClaimSuffix}")),
+          s"$name fuse=$fuse: stage claim survived recovery")
+        val after = if (replayConverges) post else rows(dir)
+        LakeTable(spark, dir).write(
+          Seq((999L, "z")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+        assert(rows(dir) == (after :+ (999L -> "z")).sorted,
+          s"$name fuse=$fuse: follow-up append broke the table")
+      }
+      fuse += 1
+    }
+    assert(completed, s"$name: op still crashing after $MaxFusePositions fuse positions")
+    fuse - 1 // positions exercised = last fuse value that fired
+  }
+
+  private def freshTemplate(name: String, smallAppends: Int = 0): String = {
+    val dir = Files.createTempDirectory(s"graft_crashtpl_$name").toString + "/t"
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((0L, "a"), (1L, "a"), (2L, "a")).toDF("id", "v").coalesce(1))
+    (0 until smallAppends).foreach { i =>
+      lake.write(Seq((3L + i, "s")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+    }
+    dir
+  }
+
+  test("append converges from a crash at every metadata fs operation") {
+    val tpl = freshTemplate("append")
+    val pre = rows(tpl)
+    val n = crashWalk("append", tpl,
+      l => l.write(Seq((10L, "x"), (11L, "x")).toDF("id", "v").coalesce(1),
+        SaveMode.Append): Unit,
+      post = (pre ++ Seq((10L, "x"), (11L, "x"))).sorted,
+      // an append replay without a sink tag would double rows when the
+      // data landed pre-crash — at-least-once appenders arbitrate by
+      // commit tag (LakeSink), so the blind replay is NOT the contract
+      replayConverges = false)
+    assert(n >= 3, s"append walk exercised only $n crash points")
+  }
+
+  test("CDC upsert (staged swap + publication) converges from a crash at every metadata fs operation") {
+    val tpl = freshTemplate("upsert")
+    val pre = rows(tpl)
+    val n = crashWalk("upsert", tpl,
+      l => l.upsert(Seq((1L, "u"), (5L, "n")).toDF("id", "v"),
+        Seq("id"), changeFeed = true): Unit,
+      post = (pre.filterNot(_._1 == 1L) ++ Seq((1L, "u"), (5L, "n"))).sorted,
+      replayConverges = true)
+    assert(n >= 8, s"upsert walk exercised only $n crash points")
+  }
+
+  test("compactSmall (maintenance swap) converges from a crash at every metadata fs operation") {
+    val tpl = freshTemplate("compact", smallAppends = 3)
+    val pre = rows(tpl)
+    val n = crashWalk("compact", tpl,
+      l => l.compactSmall(minFileBytes = 1L << 30,
+        targetFileBytes = 1L << 30): Unit,
+      post = pre,
+      replayConverges = false)
+    assert(n >= 8, s"compact walk exercised only $n crash points")
+  }
+
+  test("vectored delete (DV publication) converges from a crash at every metadata fs operation") {
+    val tpl = freshTemplate("deletedv")
+    val pre = rows(tpl)
+    val n = crashWalk("deletedv", tpl,
+      l => l.deleteVectored(col("id") === 1L, changeFeed = true): Unit,
+      post = pre.filterNot(_._1 == 1L),
+      replayConverges = true)
+    assert(n >= 2, s"delete walk exercised only $n crash points")
+  }
+}
