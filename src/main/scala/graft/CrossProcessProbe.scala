@@ -48,6 +48,9 @@ import graft.text.{InvertedIndex, IvfIndex}
   *      with two replicas must beat one replica — scale-out measured,
   *      not asserted (the single-driver 8-thread ceiling measured by
   *      ServeConcurrencyProbe motivates replicas in the first place).
+  *      A final pipeline phase spans THREE processes: a forked child
+  *      PRODUCES change-feed deltas, this process FOLDS them, and a
+  *      forked replica SERVES — ending with a sentinel visibility gate.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.CrossProcessProbe
   */
@@ -167,6 +170,30 @@ object CrossProcessProbe {
     require(!fsB.exists(new org.apache.hadoop.fs.Path(s"$tableB${LakeTable.StageClaimSuffix}")),
       "phase B left a stage claim behind")
 
+    // ---------------- phase B2: two-process upsert contention ----------------
+    // both writers STAGE every batch (upsert = staged merge), so the
+    // stage claim arbitrates constantly; disjoint key ranges make the
+    // exactness audit sharp — every row exactly once, no cross-stage
+    // corruption, and at least one clean refusal actually observed
+    val tableB2 = s"$root/tableB2"
+    LakeTable(spark, tableB2).write(
+      Seq((-1L, -1, -1)).toDF("id", "writer", "batch"))
+    val b2Batches = 12; val b2Rows = 50
+    val u1 = forkJvm(writerMain,
+      Seq(tableB2, "6", b2Batches.toString, b2Rows.toString, "upsert", "0",
+        s"$root/u1.json"), s"$root/u1.log")
+    val u2 = forkJvm(writerMain,
+      Seq(tableB2, "7", b2Batches.toString, b2Rows.toString, "upsert", "0",
+        s"$root/u2.json"), s"$root/u2.log")
+    await(u1, "phase B2 upserter 1"); await(u2, "phase B2 upserter 2")
+    val lb2 = LakeTable(spark, tableB2)
+    val b2Expected = 1L + 2L * b2Batches * b2Rows
+    require(lb2.read.count() == b2Expected &&
+      lb2.read.select("id").distinct().count() == b2Expected,
+      s"phase B2 lost/duplicated rows: ${lb2.read.count()} vs $b2Expected")
+    val b2Refusals = readJson(s"$root/u1.json")("cme_refusals").toInt +
+      readJson(s"$root/u2.json")("cme_refusals").toInt
+
     // ---------------- phase D: fresh-JVM catalog attach ----------------
     // a new process's in-memory catalog is empty; LakeNames.register is
     // the documented stateless attach — the child asserts cold-resolution
@@ -207,15 +234,26 @@ object CrossProcessProbe {
         .toDF("doc_id", "text"), Seq("doc_id"), changeFeed = true)
       Thread.sleep(400)
     }
+    // the sentinel upsert can race a churn child's stage claim — retry
+    // the documented refusal like any lake client
     def foldAndFlag(flag: String, docId: Long): Unit = {
-      docs.upsert(Seq((docId, s"$sentinelTerm payload"))
-        .toDF("doc_id", "text"), Seq("doc_id"), changeFeed = true)
+      var done = false
+      while (!done) {
+        try {
+          docs.upsert(Seq((docId, s"$sentinelTerm payload"))
+            .toDF("doc_id", "text"), Seq("doc_id"), changeFeed = true): Unit
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => Thread.sleep(100)
+          case e: Exception if LakeTable.isTornRead(e) => Thread.sleep(100)
+        }
+      }
       m1.processAllAvailable(); m2.processAllAvailable()
       Files.write(Paths.get(flag), s"$sentinelTerm $docId".getBytes(StandardCharsets.UTF_8)): Unit
     }
     val serves = 24
 
-    // C1: one replica process
+    // C1: one replica process; the parent churns the feed
     val r1 = forkJvm(replicaMain,
       Seq(root, serves.toString, s"$root/flag1", s"$root/r1.json", "1"),
       s"$root/r1.log")
@@ -225,7 +263,9 @@ object CrossProcessProbe {
     val j1 = readJson(s"$root/r1.json")
     require(j1("sentinel_ok") == "true", "solo replica missed the folded sentinel")
 
-    // C2: two replica processes concurrently
+    // C2: two replica processes concurrently (same parent-churn regime
+    // as C1, so the qps compare isolates PROCESS scale-out from
+    // freshness lag)
     val r2a = forkJvm(replicaMain,
       Seq(root, serves.toString, s"$root/flag2", s"$root/r2a.json", "2"),
       s"$root/r2a.log")
@@ -238,6 +278,24 @@ object CrossProcessProbe {
     val j2a = readJson(s"$root/r2a.json"); val j2b = readJson(s"$root/r2b.json")
     require(j2a("sentinel_ok") == "true" && j2b("sentinel_ok") == "true",
       "a concurrent replica missed the folded sentinel")
+    // C3: the full CDC pipeline across THREE processes — a forked child
+    // PRODUCES change-feed deltas, this process's maintenance streams
+    // FOLD them, and a forked replica SERVES freshness-gated lookups;
+    // ends with a sentinel fold the replica must see
+    val r3 = forkJvm(replicaMain,
+      Seq(root, serves.toString, s"$root/flag3", s"$root/r3.json", "4"),
+      s"$root/r3.log")
+    val churner = forkJvm(writerMain,
+      Seq(s"$root/docs", "9", "6", "0", "cdcchurn", "400", s"$root/churn.json"),
+      s"$root/churn.log")
+    await(churner, "phase C3 cdc churn child")
+    foldAndFlag(s"$root/flag3", 950001L)
+    await(r3, "phase C3 replica")
+    val j3 = readJson(s"$root/r3.json")
+    require(j3("sentinel_ok") == "true",
+      "phase C3 replica missed the sentinel folded from a third process's feed")
+    require(docs.read.where(col("doc_id") >= 9000000L && col("doc_id") < 9000006L)
+      .count() == 6L, "phase C3: the churn child's CDC upserts did not all land")
     require(m1.exception.isEmpty && m2.exception.isEmpty,
       s"maintenance stream died under replica serving: ${m1.exception.orElse(m2.exception)}")
     m1.stop(); m2.stop()
@@ -247,7 +305,7 @@ object CrossProcessProbe {
     // the honest aggregate (both children ran the whole window)
     val wall2 = math.max(j2a("wall_s").toDouble, j2b("wall_s").toDouble)
     val qps2 = 2.0 * serves / wall2
-    val stales = Seq(j1, j2a, j2b).map(_("stale_retries").toInt).sum
+    val stales = Seq(j1, j2a, j2b, j3).map(_("stale_retries").toInt).sum
     require(qps2 > qps1 * 1.1,
       f"replica scale-out did not materialize: solo $qps1%.2f qps vs 2-replica $qps2%.2f qps")
 
@@ -258,8 +316,10 @@ object CrossProcessProbe {
         s""""phaseB_parent_compacts":$parentCompacts,"phaseB_parent_refusals":$parentRefusals,""" +
         s""""phaseB_child_compacts":${readJson(s"$root/bcomp.json")("compacts").toInt},""" +
         s""""phaseB_child_refusals":$childRefusals,""" +
+        s""""phaseB2_rows":${lb2.read.count()},"phaseB2_claim_refusals":$b2Refusals,""" +
         f""""solo_qps":$qps1%.2f,"two_replica_qps":$qps2%.2f,""" +
         f""""scaleout_x":${qps2 / qps1}%.2f,"stale_retries":$stales,""" +
+        f""""c3_pipeline_qps":${j3("qps").toDouble}%.2f,""" +
         s""""sentinel_ok":true,"stream_deaths":0}""")
     spark.stop()
   }
@@ -302,6 +362,53 @@ object CrossProcessWriterMain {
           val n1 = spark.sql("SELECT count(*) FROM xproc.t").collect()(0).getLong(0)
           require(n1 == n0 - 1,
             s"named DML after attach: expected ${n0 - 1} rows, got $n1")
+        case "upsert" =>
+          // stage-claim contention at its hardest: EVERY batch stages a
+          // rewrite, so two upserting processes collide on the claim
+          // constantly — the loser must get the clean CME and converge
+          // on retry, never corrupt the other's stage
+          val base = writerId * 10000000L + b.toLong * rows
+          val batch = (0 until rows).map(i => (base + i, writerId, b))
+            .toDF("id", "writer", "batch")
+          var done = false; var tries = 0
+          // generous cap: the peer HOLDS the claim for its whole staged
+          // rewrite (~1s), so a fair interleaving burns many short
+          // retries per peer batch
+          while (!done && tries < 600) {
+            try {
+              lake.upsert(batch, Seq("id")): Unit
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                refusals += 1; tries += 1; Thread.sleep(100)
+              case e: Exception if LakeTable.isTornRead(e) =>
+                refusals += 1; tries += 1; Thread.sleep(100)
+            }
+          }
+          require(done, s"upserter starved after $tries refusals")
+        case "cdcchurn" =>
+          // cross-process CDC PRODUCTION: upsert change-feed deltas into a
+          // docs-schema table another process's maintenance streams fold
+          // live. Upserts stage, so they arbitrate the stage claim with
+          // any concurrent writer (e.g. the parent's sentinel) — retry
+          // the documented refusal like any lake client
+          val base = writerId * 1000000L
+          var done = false; var tries = 0
+          while (!done && tries < 50) {
+            try {
+              lake.upsert(
+                Seq((base + b, s"fresh cross process doc $b"))
+                  .toDF("doc_id", "text"),
+                Seq("doc_id"), changeFeed = true): Unit
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                refusals += 1; tries += 1; Thread.sleep(100)
+              case e: Exception if LakeTable.isTornRead(e) =>
+                refusals += 1; tries += 1; Thread.sleep(100)
+            }
+          }
+          require(done, s"cdcchurn starved after $tries refusals")
         case "compact" =>
           var done = false; var tries = 0
           while (!done && tries < 50) {

@@ -4541,7 +4541,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def publishedFrontier(fromExclusive: Long): Long = {
     val latest = currentVersion
-    if (latest <= fromExclusive) return latest
+    // MONOTONE by contract: the caller's watermark proves commits up to
+    // `fromExclusive` exist, so a listing that sees fewer (the log dir
+    // is briefly ABSENT while a staged swap's gather holds it — a torn
+    // currentVersion reads -1) must report "nothing new", never a
+    // regressed frontier. Before this clamp, a maintenance trigger
+    // landing in that window folded nothing and RE-STAMPED its index at
+    // -1, and the next trigger audited v0 ("recorded no change feed")
+    // and killed the stream — caught live by CrossProcessProbe phase C.
+    if (latest <= fromExclusive) return fromExclusive
     val changesDir = new Path(path, LakeTable.ChangesDirName)
     val records = CommitLog.recordsSince(fs, logDir, fromExclusive + 1)
     // a set VACUUMED by retention is published-then-removed, not

@@ -154,7 +154,9 @@ object InvertedIndex {
     // committed-but-unpublished set would otherwise fail the silent-
     // commit audit (killing the stream) or be stamped past and lost
     val target = base.publishedFrontier(meta.version)
-    if (target == meta.version) return
+    // <= not ==: a watermark must never move backwards, whatever a torn
+    // frontier read reports (publishedFrontier clamps, this re-asserts)
+    if (target <= meta.version) return
     val (removals, additions) =
       IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(textCol))
     val remPost = tokenPostings(removals, "doc_id", textCol).localCheckpoint(true)

@@ -100,7 +100,9 @@ object IvfIndex {
     val meta = IndexMeta.forMaintenance(spark, dir, base, "IVF index")
     // published frontier, same argument as the BM25 twin
     val target = base.publishedFrontier(meta.version)
-    if (target == meta.version) return
+    // <= not ==: a watermark must never move backwards, whatever a torn
+    // frontier read reports (publishedFrontier clamps, this re-asserts)
+    if (target <= meta.version) return
     val (removals, additions) =
       IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(vecCol))
     val p = LakeTable(spark, sub(dir, "postings"))

@@ -230,6 +230,71 @@ class CrashInjectionSpec extends SparkSpec {
     assert(n >= 8, s"compact walk exercised only $n crash points")
   }
 
+  test("expectations append (quarantine-before-ledger ordering) converges from a crash at every metadata fs operation") {
+    // the window the r13 verdict enumerated by name ("between quarantine
+    // and ledger claim"): appendExpecting commits the QUARANTINE before
+    // the tag-carrying clean append, so no crash point may ever reach
+    // "clean batch committed (tag present) but the violation audit lost"
+    val tpl = freshTemplate("expect")
+    LakeTable(spark, tpl).addConstraint("vok", "v <> 'bad'"): Unit
+    val pre = rows(tpl)
+    val post = (pre :+ (20L -> "x")).sorted
+    val tagK = "graft.crashwalk.batch"; val tagV = "b1"
+    def quarantineViolations(dir: String): Long = {
+      val q = LakeTable(spark, s"${dir}__quarantine")
+      if (!q.exists) 0L else q.read.where(col("id") === 21L).count()
+    }
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val dir = Files.createTempDirectory("graft_crash_expect").toString + "/t"
+      copyDir(tpl, dir)
+      val batch = Seq((20L, "x"), (21L, "bad")).toDF("id", "v").coalesce(1)
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        LakeTable(spark, dir).appendExpecting(batch, Map(tagK -> tagV)): Unit
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) completed = true
+      else {
+        assert(fired, s"expect fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        val fresh = LakeTable(spark, dir)
+        fresh.vacuumDebris(): Unit
+        val got = rows(dir)
+        assert(got == pre || got == post,
+          s"expect fuse=$fuse: recovered state is neither pre nor post: $got")
+        if (fresh.hasCommitParam(tagK, tagV)) {
+          // the ordering contract itself: a committed (replay-skippable)
+          // clean batch implies its violations are already durable
+          assert(got == post, s"expect fuse=$fuse: tag committed but clean rows missing")
+          assert(quarantineViolations(dir) >= 1L,
+            s"expect fuse=$fuse: clean append committed but the violation " +
+              "audit is lost — quarantine-before-ledger ordering broke")
+        }
+        // the streaming caller's replay contract: re-run iff untagged.
+        // (When the clean DATA landed but the tag did not, a blind replay
+        // duplicates clean rows — the documented data-before-commit
+        // residue append sinks arbitrate by tag, so the replay here only
+        // fires when the data never landed either.)
+        if (!LakeTable(spark, dir).hasCommitParam(tagK, tagV) && got == pre) {
+          LakeTable(spark, dir).appendExpecting(
+            Seq((20L, "x"), (21L, "bad")).toDF("id", "v").coalesce(1),
+            Map(tagK -> tagV)): Unit
+          assert(rows(dir) == post,
+            s"expect fuse=$fuse: replay did not converge to post")
+          assert(quarantineViolations(dir) >= 1L,
+            s"expect fuse=$fuse: replay lost the violation audit")
+        }
+      }
+      fuse += 1
+    }
+    assert(completed, s"expect: op still crashing after $MaxFusePositions fuse positions")
+  }
+
   test("vectored delete (DV publication) converges from a crash at every metadata fs operation") {
     val tpl = freshTemplate("deletedv")
     val pre = rows(tpl)
