@@ -113,12 +113,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
     mapNewColumns(schema.fieldNames.filterNot(beforeNames).toSeq)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
-    preservingLog(mode) {
-      if (mode == SaveMode.Append) appendViaStage(toPhysical(toWrite), Seq.empty)
-      else toPhysical(toWrite).write.mode(mode).parquet(path)
+    val baseParams = Map("mode" -> mode.toString) ++ extraParams ++ idParams
+    if (mode == SaveMode.Append) {
+      // schema BEFORE data: if the crash lands after promotion began,
+      // recovery attributes the append (RECOVERED commit, tag included),
+      // and a mergeSchema-added column must already be authoritative —
+      // the reverse order would hide the recovered rows' new column
+      // behind the old stored schema. A crash right after saveSchema
+      // costs one empty nullable column, which is benign.
+      saveSchema(schema)
+      val (staged, params) =
+        appendViaStage(toPhysical(toWrite), Seq.empty, writeOp(mode), baseParams)
+      commit(writeOp(mode), params)
+      fs.delete(staged, true): Unit
+    } else {
+      preservingLog(mode) {
+        toPhysical(toWrite).write.mode(mode).parquet(path)
+      }
+      saveSchema(schema)
+      commit(writeOp(mode), baseParams)
     }
-    saveSchema(schema)
-    commit(writeOp(mode), Map("mode" -> mode.toString) ++ extraParams ++ idParams)
     this
   }
 
@@ -132,40 +146,142 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * phase A). A private stage gives every appender its own scratch
     * space; promotion is the same per-file rename count the committer's
     * own job-commit pays, and part-file names embed the job UUID so
-    * destination collisions cannot happen. Crash profile is unchanged
-    * from the direct append (the committer's job commit is also
-    * non-atomic per-file renames): a mid-promotion crash leaves a
-    * partial UNCOMMITTED batch whose files the part-stage reaper's age
-    * horizon does not touch — readers see them like any
-    * data-landed-before-commit window, and idempotent sinks arbitrate
-    * by commit tag exactly as before.
+    * destination collisions cannot happen.
+    *
+    * The stage is MARKED before the first promotion rename (an append
+    * manifest listing the promotion set + the pending op carrying the
+    * final commit params, both published atomically): promotion is a
+    * point of no return, and a crash anywhere inside it must leave a
+    * stage that recovery COMPLETES AND ATTRIBUTES — otherwise a killed
+    * multi-file append stays a partial batch forever (all-or-nothing
+    * broken for every reader), and a killed tagged append whose files
+    * all landed but whose commit didn't replays as a full duplicate
+    * (the exactly-once window LakeSink used to document away; KillProbe
+    * observed both for real). Recovery runs agelessly in
+    * [[vacuumDebris]] and at sink cold-start ([[recoverAppendStages]]);
+    * the pending op's stage uuid doubles as the idempotence key, so a
+    * recovery racing the writer's own commit costs at most one spurious
+    * RECOVERED history entry, never duplicate rows.
+    *
+    * Returns the stage path (the caller deletes it AFTER its commit —
+    * the marked stage is the recovery record and must outlive the data
+    * change until attributed) and the final commit params.
     */
-  private def appendViaStage(physical: DataFrame, partitionCols: Seq[String]): Unit = {
-    val staged = new Path(
-      s"$path${LakeTable.PartStageSuffix}${java.util.UUID.randomUUID().toString.take(12)}")
+  private def appendViaStage(
+      physical: DataFrame, partitionCols: Seq[String],
+      op: String, commitParams: Map[String, String]): (Path, Map[String, String]) = {
+    val stageId = java.util.UUID.randomUUID().toString.take(12)
+    val staged = new Path(s"$path${LakeTable.PartStageSuffix}$stageId")
+    val params = commitParams + (LakeTable.AppendStageParam -> stageId)
     try {
       val w = physical.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staged.toString)
-      moveDataFiles(staged, new Path(path))
-    } finally fs.delete(staged, true): Unit
+    } catch {
+      // rollback is legal ONLY before the mark: nothing promoted yet
+      case e: Throwable =>
+        try fs.delete(staged, true): Unit
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
+    val rels = stagedFilesRel(staged, "")
+    // ONE atomically-published marker carrying op + params + promotion
+    // set (appends are the hottest lake path — a separate pending-op
+    // file would double the marker cost for no recovery benefit)
+    val body = (CommitLog.esc(op) +:
+      params.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${CommitLog.esc(k)}\t${CommitLog.esc(v)}"
+      }) ++ ("" +: rels)
+    LakeIo.atomicOverwrite(fs, new Path(staged, LakeTable.AppendManifestName),
+      body.mkString("\n"))
+    rels.foreach(rel => promoteFile(new Path(staged, rel), new Path(path, rel)))
+    (staged, params)
   }
 
-  /** Move every parquet file under `srcDir` into `destDir`, preserving
-    * Hive-style `k=v` partition subdirectories.
+  /** Parse [[appendViaStage]]'s marker: (op, params, promotion set). */
+  private def readAppendManifest(mf: Path): (String, Map[String, String], Seq[String]) = {
+    val in = fs.open(mf)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq
+    val (header, files) = lines.span(_.nonEmpty)
+    val params = header.drop(1).flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(k, v) => Some(CommitLog.unesc(k) -> CommitLog.unesc(v))
+        case _           => None
+      }
+    }.toMap
+    (CommitLog.unesc(header.headOption.getOrElse("")), params,
+      files.drop(1).filter(_.nonEmpty))
+  }
+
+  /** Relative paths (Hive `k=v` dirs preserved) of every parquet file
+    * under `dir` — the promotion set an append stages.
     */
-  private def moveDataFiles(srcDir: Path, destDir: Path): Unit = {
-    if (!fs.exists(destDir)) fs.mkdirs(destDir): Unit
-    fs.listStatus(srcDir).foreach { st =>
+  private def stagedFilesRel(dir: Path, prefix: String): Seq[String] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.contains("="))
-        moveDataFiles(st.getPath, new Path(destDir, name))
-      else if (st.isFile && name.endsWith(".parquet")) {
-        if (!fs.rename(st.getPath, new Path(destDir, name)))
-          throw new java.io.IOException(
-            s"append promotion: could not move ${st.getPath} into $destDir")
-      }
+        stagedFilesRel(st.getPath,
+          if (prefix.isEmpty) name else s"$prefix/$name")
+      else if (st.isFile && name.endsWith(".parquet"))
+        Seq(if (prefix.isEmpty) name else s"$prefix/$name")
+      else Seq.empty
     }
+
+  /** One promotion rename, tolerant of a concurrent recovery having done
+    * it first: a refusal counts as success iff the file now lives at
+    * `dest` and is gone from the stage (uuid-embedded names make any
+    * other collision impossible).
+    */
+  private def promoteFile(src: Path, dest: Path): Unit = {
+    val parent = dest.getParent
+    if (!fs.exists(parent)) fs.mkdirs(parent): Unit
+    if (!fs.rename(src, dest)) {
+      if (!(fs.exists(dest) && !fs.exists(src)))
+        throw new java.io.IOException(
+          s"append promotion: could not move $src into $dest — " +
+            "the stage is marked, vacuumDebris() completes the promotion")
+    }
+  }
+
+  /** Complete a MARKED append stage: promote whatever is still staged,
+    * attribute the op (once — the stage uuid in the pending params is
+    * the idempotence key), drop the stage. Safe at any age: the manifest
+    * only exists once the writer passed its point of no return, and
+    * every step is idempotent.
+    */
+  private def completeAppendStage(staged: Path): Unit = {
+    val mf = new Path(staged, LakeTable.AppendManifestName)
+    if (!fs.exists(mf)) return
+    val (op, ps, rels) = readAppendManifest(mf)
+    rels.foreach { rel =>
+      val src = new Path(staged, rel)
+      if (fs.exists(src)) promoteFile(src, new Path(path, rel))
+    }
+    val already = ps.get(LakeTable.AppendStageParam)
+      .exists(u => hasCommitParam(LakeTable.AppendStageParam, u))
+    if (!already && op.nonEmpty) commit(s"RECOVERED $op", ps): Unit
+    fs.delete(staged, true): Unit
+  }
+
+  /** Complete every marked append stage of this table — the crashed-
+    * client recovery for the append path, run by [[vacuumDebris]] and by
+    * replaying sinks BEFORE they read their commit-tag high-water mark
+    * (so a batch whose promotion crashed is recovered-and-tagged, then
+    * SKIPPED, instead of re-appended as a duplicate). Returns how many
+    * stages were completed.
+    */
+  private[graft] def recoverAppendStages(): Int = {
+    val parent = new Path(path).getParent
+    if (parent == null || !fs.exists(parent)) return 0
+    val prefix = new Path(path).getName + LakeTable.PartStageSuffix
+    val marked = fs.listStatus(parent)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => fs.exists(new Path(st.getPath, LakeTable.AppendManifestName)))
+    marked.foreach(st => completeAppendStage(st.getPath))
+    marked.length
   }
 
   /** True iff some commit recorded `key -> value` in its
@@ -284,16 +400,24 @@ final class LakeTable(spark: SparkSession, val path: String) {
     mapNewColumns(schema.fieldNames.filterNot(beforeNames).toSeq)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val toWrite = constrainedBatch(assigned, genChecks)
-    preservingLog(mode) {
-      if (mode == SaveMode.Append)
-        appendViaStage(toPhysical(toWrite), partitionCols.map(physicalOf))
-      else toPhysical(toWrite).write.mode(mode)
-        .partitionBy(partitionCols.map(physicalOf): _*).parquet(path)
+    val baseParams = Map("mode" -> mode.toString,
+      "partitionBy" -> partitionCols.mkString(",")) ++ idParams
+    if (mode == SaveMode.Append) {
+      // schema-before-data + marked-stage promotion: same recovery
+      // contract as the flat append in write()
+      saveSchema(schema)
+      val (staged, params) = appendViaStage(toPhysical(toWrite),
+        partitionCols.map(physicalOf), "WRITE PARTITIONED", baseParams)
+      commit("WRITE PARTITIONED", params)
+      fs.delete(staged, true): Unit
+    } else {
+      preservingLog(mode) {
+        toPhysical(toWrite).write.mode(mode)
+          .partitionBy(partitionCols.map(physicalOf): _*).parquet(path)
+      }
+      saveSchema(schema)
+      commit("WRITE PARTITIONED", baseParams)
     }
-    saveSchema(schema)
-    commit("WRITE PARTITIONED",
-      Map("mode" -> mode.toString,
-        "partitionBy" -> partitionCols.mkString(",")) ++ idParams)
     this
   }
 
@@ -3188,6 +3312,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   def vacuumDebris(): LakeTable = {
     recoverStaleChangesTmp()
+    // marked APPEND stages first, agelessly: the manifest only exists
+    // once the writer passed its point of no return, completion is
+    // idempotent renames + an uuid-guarded attribution, and leaving one
+    // behind means a partial batch stays reader-visible until the age
+    // horizon — hours of broken all-or-nothing for a sub-second window
+    recoverAppendStages(): Unit
     // unclaimed deletion-vector dirs are pre-commit crash debris: the
     // commit gate means no reader ever applied them, so removal is safe
     if (fs.exists(dvRoot)) {
@@ -3236,7 +3366,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
           .filter(st => newestMtime(st.getPath) < horizon)
           .foreach { st =>
             val stage = st.getPath
-            if (fs.exists(new Path(stage, LakeTable.SwapManifestName))) {
+            if (fs.exists(new Path(stage, LakeTable.AppendManifestName))) {
+              // append-marked stages are completed AGELESSLY above; one
+              // still here raced that pass — complete, never reclaim (a
+              // marked stage's files may already be partially promoted)
+              completeAppendStage(stage)
+            } else if (fs.exists(new Path(stage, LakeTable.SwapManifestName))) {
               val pending = readPendingOp(stage)
               readManifest(new Path(stage, LakeTable.SwapManifestName)).foreach { rel =>
                 val src = new Path(stage, rel)
@@ -3306,7 +3441,22 @@ final class LakeTable(spark: SparkSession, val path: String) {
         }
       }
     }
-    commit("VACUUM DEBRIS", Map("stage" -> action))
+    // a vacuum that finds a table with NO committed existence must not
+    // mint one: committing here would create a phantom log under a path
+    // whose first real writer then sees a table that "exists" but has no
+    // schema and no data (KillProbe: kills during a table's very first
+    // operation left log-only dirs the replaying client could not read)
+    if (CommitLog.nextVersion(fs, logDir) > 0 || storedSchema.isDefined)
+      commit("VACUUM DEBRIS", Map("stage" -> action)): Unit
+    else if (fs.exists(new Path(path)) && listDataFiles().isEmpty &&
+      !fs.exists(new Path(path, LakeTable.ChangesDirName))) {
+      // the inverse phantom: a crash during the very first operation
+      // (e.g. mid-saveSchema) can leave a dir with no schema, no
+      // commits, no data and no feed — readers would die with
+      // UNABLE_TO_INFER_SCHEMA on a table that never existed. Restore
+      // the no-table state; the replaying first writer creates it fresh
+      fs.delete(new Path(path), true): Unit
+    }
     this
   }
 
@@ -3510,7 +3660,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
       }
     }
     f.listStatus(staged).map(_.getPath.getName)
-      .filterNot(n => markers.contains(n) || n == LakeTable.LogDirName)
+      .filterNot(n => markers.contains(n) || n == LakeTable.LogDirName ||
+        // a marker publication killed between tmp-write and rename
+        // (LakeIo) leaves a .tmp_ sibling in the stage — debris, not a
+        // child to place; the stage delete below reclaims it
+        n.startsWith(LakeIo.TmpPrefix))
       .foreach(place)
     placeLog()
     // ---- phase 4: drop markers, MANIFEST FIRST — it is the resume
@@ -3665,29 +3819,32 @@ final class LakeTable(spark: SparkSession, val path: String) {
       staged: Path, untouched: Seq[String],
       op: String, params: Map[String, String],
       known: Seq[String] = Seq.empty): Unit = {
+    // Every marker is published ATOMICALLY (tmp + windowless rename,
+    // LakeIo): a real SIGKILL can land between a plain create and its
+    // flush/close, leaving a marker that EXISTS but is empty — recovery
+    // would then read "nothing staged", attribute the op, and delete the
+    // stage with its data (KillProbe's torn-content hazard; the in-JVM
+    // fuse cannot model it because it throws at call boundaries).
+    //
     // pending-op record FIRST: once the manifest (the point-of-no-return
     // marker) exists, recovery must be able to attribute the data change
     // to the operation that staged it, not to the vacuum that finishes it
-    val pend = fs.create(new Path(staged, LakeTable.PendingOpFileName), true)
     val lines = CommitLog.esc(op) +:
       params.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${CommitLog.esc(k)}\t${CommitLog.esc(v)}"
       }
-    try pend.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally pend.close()
+    LakeIo.atomicOverwrite(fs, new Path(staged, LakeTable.PendingOpFileName),
+      lines.mkString("\n"))
     // the KNOWN-set (every data file the op's snapshot accounted for):
     // completeSwap preserves any table-dir parquet file NOT listed here —
     // a concurrent append landing mid-swap — instead of deleting it with
     // the old dir. Written before the manifest so a marked stage is
     // always sweep-capable.
-    if (known.nonEmpty) {
-      val kf = fs.create(new Path(staged, LakeTable.KnownFilesName), true)
-      try kf.write(known.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally kf.close()
-    }
-    val out = fs.create(new Path(staged, LakeTable.SwapManifestName), true)
-    try out.write(untouched.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    if (known.nonEmpty)
+      LakeIo.atomicOverwrite(fs, new Path(staged, LakeTable.KnownFilesName),
+        known.mkString("\n"))
+    LakeIo.atomicOverwrite(fs, new Path(staged, LakeTable.SwapManifestName),
+      untouched.mkString("\n"))
   }
 
   /** The (op, params) recorded by [[writeManifest]], if the stage carries
@@ -4642,10 +4799,16 @@ object LakeTable {
   // how old an orphaned part-stage must be before vacuumDebris reclaims
   // it — a live concurrent writer's in-flight stage must survive the
   // vacuum (mutable only for tests)
-  private[sources] var PartStageRetentionMs: Long = 4L * 3600 * 1000
+  private[graft] var PartStageRetentionMs: Long = 4L * 3600 * 1000
   // swap point-of-no-return marker inside a staged dir; lists the
   // untouched data files a selective rewrite pulls through the swap
   val SwapManifestName = "__graft_swap_manifest"
+  // append promotion set: marks a private append stage as past its point
+  // of no return (see appendViaStage / completeAppendStage); the stage
+  // uuid rides in the pending op under AppendStageParam as the
+  // recovery-attribution idempotence key
+  val AppendManifestName = "__graft_append_manifest"
+  val AppendStageParam = "appendStage"
   // underscore prefix keeps it out of listDataFiles and every scan
   val SymlinkManifestDirName = "_symlink_format_manifest"
   // op name + params of the rewrite that staged the swap, so crash

@@ -25,10 +25,15 @@ import graft.sources.LakeTable
   * must use a new appId (batch ids reset to 0, and the old high-water
   * mark would otherwise suppress every new batch).
   *
-  * Known crash window, same as Delta on non-transactional stores: the
-  * parquet data files land at job commit, the tagged log record after —
-  * a crash between the two replays the batch with no tag found and
-  * duplicates its rows. The window is one driver-side file create wide.
+  * Crash exactness: appends land through a MARKED private stage
+  * ([[graft.sources.LakeTable]] appendViaStage) whose pending op carries
+  * this sink's txn tag, and [[coldStart]] completes any interrupted
+  * promotion BEFORE reading the tag high-water mark — so a batch whose
+  * process died between data promotion and the tagged commit is
+  * recovered-and-attributed, then SKIPPED by the replay, instead of
+  * re-appended as a duplicate. This closes the "data landed, tag
+  * didn't" window the sink previously documented as a known gap
+  * (KillProbe + the CrashInjectionSpec tagged-append walk pin it).
   */
 object LakeSink {
 
@@ -42,6 +47,23 @@ object LakeSink {
     * Safe under the lake layer's single-writer-per-table assumption.
     */
   private val seen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** First touch of a (table, appId) lineage in this process — i.e. a
+    * sink (re)start: complete any promotion a crashed predecessor left
+    * marked, THEN read the tag high-water mark. Order is the exactly-once
+    * closure: the recovery's RECOVERED commit carries the crashed batch's
+    * tag, so the mark read below sees it and the replay skips the batch.
+    */
+  private def coldStart(lake: LakeTable, key: String): Long = {
+    lake.recoverAppendStages(): Unit
+    lake.maxCommitParamLong(key)
+  }
+
+  /** Drop the in-memory high-water cache — crash tests use this to make
+    * the next writeBatch behave like a fresh process (re-seed from the
+    * log, re-run cold-start recovery).
+    */
+  private[graft] def resetReplayCacheForTest(): Unit = seen.clear()
 
   /** Start appending the stream to the lake table.
     *
@@ -86,7 +108,7 @@ object LakeSink {
       appId: String = "graft-lake-sink"): Unit = {
     val key = TxnKeyPrefix + appId
     val cacheKey = lake.path + "\u0000" + appId
-    val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
+    val last: Long = seen.computeIfAbsent(cacheKey, _ => coldStart(lake, key))
     if (batchId <= last) return
     if (!batch.isEmpty) {
       lake.write(batch, SaveMode.Append, extraParams = Map(key -> batchId.toString)): Unit
@@ -139,7 +161,7 @@ object LakeSink {
       appId: String = "graft-lake-expect"): Unit = {
     val key = TxnKeyPrefix + appId
     val cacheKey = lake.path + "\u0000" + appId
-    val last: Long = seen.computeIfAbsent(cacheKey, _ => lake.maxCommitParamLong(key))
+    val last: Long = seen.computeIfAbsent(cacheKey, _ => coldStart(lake, key))
     if (batchId <= last) return
     if (!batch.isEmpty) {
       lake.appendExpecting(batch, extraParams = Map(key -> batchId.toString)): Unit

@@ -304,4 +304,92 @@ class CrashInjectionSpec extends SparkSpec {
       replayConverges = true)
     assert(n >= 2, s"delete walk exercised only $n crash points")
   }
+
+  test("tagged MULTI-FILE append (LakeSink replay) is exactly-once from a crash at every metadata fs operation") {
+    // The two windows KillProbe motivated, walked deterministically:
+    //  - a multi-file promotion crash must never leave a partial batch
+    //    after recovery (pre-or-post covers it: the batch is 3 task
+    //    files, so any partially-promoted state is neither);
+    //  - a crash between full promotion and the tagged commit must NOT
+    //    duplicate on replay — cold-start recovery attributes the
+    //    marked stage (RECOVERED commit carries the tag), and the
+    //    replayed batch is skipped. resetReplayCacheForTest makes each
+    //    replay behave like a fresh process (re-seed from the log).
+    import graft.streaming.LakeSink
+    val tpl = freshTemplate("sinkappend")
+    val pre = rows(tpl)
+    val batch = Seq((10L, "x"), (11L, "x"), (12L, "x"))
+    val post = (pre ++ batch).sorted
+    def op(l: LakeTable): Unit = {
+      LakeSink.resetReplayCacheForTest()
+      LakeSink.writeBatch(l, batch.toDF("id", "v").repartition(3), 7L, "crashwalk")
+    }
+    val n = crashWalk("sinkappend", tpl, op, post, replayConverges = true)
+    assert(n >= 5, s"tagged append walk exercised only $n crash points")
+  }
+
+  test("a table's very FIRST tagged append converges from a crash at every metadata fs operation") {
+    // the create path KillProbe's first run broke: a kill during the
+    // first-ever operation must leave either NO table, an empty-but-
+    // readable one (schema landed, data didn't), or the full batch —
+    // and the replaying sink must converge to exactly one copy
+    import graft.streaming.LakeSink
+    val batch = Seq((0L, "a"), (1L, "a"), (2L, "a"))
+    val post = batch.sorted
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val dir = Files.createTempDirectory("graft_crash_first").toString + "/t"
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        LakeSink.resetReplayCacheForTest()
+        LakeSink.writeBatch(LakeTable(spark, dir),
+          batch.toDF("id", "v").repartition(3), 0L, "firstwalk")
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) completed = true
+      else {
+        assert(fired, s"first fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        val fresh = LakeTable(spark, dir)
+        fresh.vacuumDebris(): Unit
+        val got =
+          if (!fresh.exists) Seq.empty
+          else try rows(dir)
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            fail(s"first fuse=$fuse: table exists but is unreadable: ${e.getMessage}")
+          }
+        assert(got == Seq.empty || got == post,
+          s"first fuse=$fuse: recovered state is neither empty nor post: $got")
+        LakeSink.resetReplayCacheForTest()
+        LakeSink.writeBatch(LakeTable(spark, dir),
+          batch.toDF("id", "v").repartition(3), 0L, "firstwalk")
+        assert(rows(dir) == post,
+          s"first fuse=$fuse: replay did not converge to exactly one copy")
+      }
+      fuse += 1
+    }
+    assert(completed, s"first: op still crashing after $MaxFusePositions fuse positions")
+  }
+
+  test("vacuumDebris on a never-committed table mints no phantom log") {
+    // KillProbe's first run: kills during a table's very first operation
+    // left nothing but debris; the parent's vacuumDebris then committed
+    // VACUUM DEBRIS records into a fresh log, and the next writer saw a
+    // table that "exists" (log, versions) but has no schema and no data
+    // — unreadable, unreplayable. A vacuum must never mint existence.
+    val dir = Files.createTempDirectory("graft_crash_novacuum").toString + "/t"
+    val lake = LakeTable(spark, dir)
+    lake.vacuumDebris(): Unit
+    assert(lake.currentVersion == -1L,
+      "vacuumDebris committed on a table that never existed")
+    // and once the table DOES exist, the vacuum record returns
+    lake.write(Seq((0L, "a")).toDF("id", "v").coalesce(1)): Unit
+    lake.vacuumDebris(): Unit
+    assert(lake.history.select("operation").as[String].collect()
+      .contains("VACUUM DEBRIS"))
+  }
 }
