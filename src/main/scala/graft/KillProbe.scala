@@ -113,10 +113,13 @@ object KillProbe {
             s"$root/$mode.out.$k.json"),
           s"$root/$mode.child.$k.log", flag, minCommits, jitter)
         if (killed) actualKills += 1
-        progress = math.max(progress, LakeTable(spark, table).currentVersion)
         // documented crashed-client recovery, run by a DIFFERENT process
         val lake = LakeTable(spark, table)
         lake.vacuumDebris(): Unit
+        // progress AFTER recovery, so its VACUUM/RECOVERED commits are
+        // baked into the next target and each kill genuinely waits for
+        // ~2 fresh CHILD commits — not recovery's own records
+        progress = math.max(progress, lake.currentVersion)
         audit(spark, table, mode, appId,
           s"$mode kill#$k (>=$minCommits commits + ${jitter}ms)")
       }

@@ -84,7 +84,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
       else readMapped(s, paths)
     } else storedSchema match {
       case Some(s) => readMapped(s, Seq(path))
-      case None    => spark.read.parquet(path)
+      case None =>
+        try spark.read.parquet(path)
+        catch {
+          // an existing dir with NO committed state (no schema, no
+          // commits, no parquet anywhere) is a crashed first write, not
+          // a table — name the state and the recovery instead of
+          // surfacing Spark's opaque UNABLE_TO_INFER_SCHEMA. Diagnosis
+          // runs only on the failure path, so adopted plain-parquet
+          // dirs (schema-less but with data) pay nothing extra.
+          case e: org.apache.spark.sql.AnalysisException
+            if fs.exists(new Path(path)) &&
+              CommitLog.nextVersion(fs, logDir) == 0 &&
+              listDataFiles().isEmpty =>
+            throw new IllegalStateException(
+              s"$path is not a lake table yet: its first write crashed " +
+                "before any commit. Replay the write (it creates the " +
+                "table fresh); vacuumDebris() reclaims the remains past " +
+                "the retention horizon.", e)
+        }
     }
 
   /** Write (overwrite or append) and record a commit.
@@ -115,15 +133,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val toWrite = constrainedBatch(assigned, genChecks)
     val baseParams = Map("mode" -> mode.toString) ++ extraParams ++ idParams
     if (mode == SaveMode.Append) {
-      // schema BEFORE data: if the crash lands after promotion began,
-      // recovery attributes the append (RECOVERED commit, tag included),
-      // and a mergeSchema-added column must already be authoritative —
-      // the reverse order would hide the recovered rows' new column
-      // behind the old stored schema. A crash right after saveSchema
-      // costs one empty nullable column, which is benign.
+      val (staged, params) = appendViaStage(
+        toPhysical(toWrite), Seq.empty, writeOp(mode), baseParams, schema)
       saveSchema(schema)
-      val (staged, params) =
-        appendViaStage(toPhysical(toWrite), Seq.empty, writeOp(mode), baseParams)
       commit(writeOp(mode), params)
       fs.delete(staged, true): Unit
     } else {
@@ -169,31 +181,44 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private def appendViaStage(
       physical: DataFrame, partitionCols: Seq[String],
-      op: String, commitParams: Map[String, String]): (Path, Map[String, String]) = {
+      op: String, commitParams: Map[String, String],
+      schema: StructType): (Path, Map[String, String]) = {
     val stageId = java.util.UUID.randomUUID().toString.take(12)
     val staged = new Path(s"$path${LakeTable.PartStageSuffix}$stageId")
     val params = commitParams + (LakeTable.AppendStageParam -> stageId)
-    try {
-      val w = physical.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(staged.toString)
-    } catch {
-      // rollback is legal ONLY before the mark: nothing promoted yet
-      case e: Throwable =>
-        try fs.delete(staged, true): Unit
-        catch { case r: Throwable => e.addSuppressed(r) }
-        throw e
-    }
-    val rels = stagedFilesRel(staged, "")
-    // ONE atomically-published marker carrying op + params + promotion
-    // set (appends are the hottest lake path — a separate pending-op
-    // file would double the marker cost for no recovery benefit)
-    val body = (CommitLog.esc(op) +:
-      params.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"${CommitLog.esc(k)}\t${CommitLog.esc(v)}"
-      }) ++ ("" +: rels)
-    LakeIo.atomicOverwrite(fs, new Path(staged, LakeTable.AppendManifestName),
-      body.mkString("\n"))
+    val manifest = new Path(staged, LakeTable.AppendManifestName)
+    val rels =
+      try {
+        val w = physical.write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(staged.toString)
+        val rs = stagedFilesRel(staged, "")
+        // ONE atomically-published marker carrying op + params +
+        // promotion set (appends are the hottest lake path — a separate
+        // pending-op file would double the marker cost for no recovery
+        // benefit). The batch's schema rides in a MARKER-ONLY param so
+        // recovery can attribute a mergeSchema-evolved append whose
+        // writer died before its own saveSchema — and the writer's
+        // saveSchema stays AFTER the data, so a merely-FAILED append
+        // never commits an evolved schema.
+        val markerParams = params +
+          (LakeTable.AppendSchemaParam -> schema.json)
+        val body = (CommitLog.esc(op) +:
+          markerParams.toSeq.sortBy(_._1).map { case (k, v) =>
+            s"${CommitLog.esc(k)}\t${CommitLog.esc(v)}"
+          }) ++ ("" +: rs)
+        LakeIo.atomicOverwrite(fs, manifest, body.mkString("\n"))
+        rs
+      } catch {
+        // rollback is legal ONLY before the mark (nothing promoted yet);
+        // past it, recovery completes instead
+        case e: Throwable =>
+          if (!fs.exists(manifest)) {
+            try fs.delete(staged, true): Unit
+            catch { case r: Throwable => e.addSuppressed(r) }
+          }
+          throw e
+      }
     rels.foreach(rel => promoteFile(new Path(staged, rel), new Path(path, rel)))
     (staged, params)
   }
@@ -206,14 +231,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       finally in.close()
     val lines = text.split("\n", -1).toSeq
     val (header, files) = lines.span(_.nonEmpty)
-    val params = header.drop(1).flatMap { l =>
-      l.split("\t", 2) match {
-        case Array(k, v) => Some(CommitLog.unesc(k) -> CommitLog.unesc(v))
-        case _           => None
-      }
-    }.toMap
-    (CommitLog.unesc(header.headOption.getOrElse("")), params,
-      files.drop(1).filter(_.nonEmpty))
+    val (op, params) = LakeTable.parseOpHeader(header)
+    (op, params, files.drop(1).filter(_.nonEmpty))
   }
 
   /** Relative paths (Hive `k=v` dirs preserved) of every parquet file
@@ -255,7 +274,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def completeAppendStage(staged: Path): Unit = {
     val mf = new Path(staged, LakeTable.AppendManifestName)
     if (!fs.exists(mf)) return
-    val (op, ps, rels) = readAppendManifest(mf)
+    val (op, psAll, rels) = readAppendManifest(mf)
+    val ps = psAll - LakeTable.AppendSchemaParam
+    // schema FIRST: the crashed writer may have died before its own
+    // saveSchema, and the promoted rows can carry mergeSchema-evolved
+    // columns the stored schema predates — merge the marker's
+    // writer-side-missing fields in (never overwrite: evolution that
+    // legitimately happened after the crash must survive the recovery)
+    psAll.get(LakeTable.AppendSchemaParam).foreach { js =>
+      val marker = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[StructType]
+      val merged = storedSchema match {
+        case None => marker
+        case Some(st) =>
+          val missing = marker.fields.filterNot(f =>
+            st.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          if (missing.isEmpty) st else StructType(st.fields ++ missing)
+      }
+      if (!storedSchema.contains(merged)) saveSchema(merged)
+    }
     rels.foreach { rel =>
       val src = new Path(staged, rel)
       if (fs.exists(src)) promoteFile(src, new Path(path, rel))
@@ -403,11 +440,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val baseParams = Map("mode" -> mode.toString,
       "partitionBy" -> partitionCols.mkString(",")) ++ idParams
     if (mode == SaveMode.Append) {
-      // schema-before-data + marked-stage promotion: same recovery
-      // contract as the flat append in write()
-      saveSchema(schema)
       val (staged, params) = appendViaStage(toPhysical(toWrite),
-        partitionCols.map(physicalOf), "WRITE PARTITIONED", baseParams)
+        partitionCols.map(physicalOf), "WRITE PARTITIONED", baseParams, schema)
+      saveSchema(schema)
       commit("WRITE PARTITIONED", params)
       fs.delete(staged, true): Unit
     } else {
@@ -1687,7 +1722,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val postSwapNext = CommitLog.nextVersion(fs, logDir)
     if (postSwapNext != resolvedNext) {
       val late = CommitLog.recordsSince(fs, logDir, resolvedNext)
-      val nonAppend = late.filterNot(_.operation == "WRITE APPEND")
+      val nonAppend = late.filterNot(isPureAppend)
       if (nonAppend.nonEmpty || rebaseBaseFiles.isEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
@@ -3449,12 +3484,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     if (CommitLog.nextVersion(fs, logDir) > 0 || storedSchema.isDefined)
       commit("VACUUM DEBRIS", Map("stage" -> action)): Unit
     else if (fs.exists(new Path(path)) && listDataFiles().isEmpty &&
-      !fs.exists(new Path(path, LakeTable.ChangesDirName))) {
+      !fs.exists(new Path(path, LakeTable.ChangesDirName)) &&
+      newestMtime(new Path(path)) <
+        System.currentTimeMillis() - LakeTable.PartStageRetentionMs) {
       // the inverse phantom: a crash during the very first operation
       // (e.g. mid-saveSchema) can leave a dir with no schema, no
-      // commits, no data and no feed — readers would die with
-      // UNABLE_TO_INFER_SCHEMA on a table that never existed. Restore
-      // the no-table state; the replaying first writer creates it fresh
+      // commits, no data and no feed. Restore the no-table state so the
+      // replaying first writer creates it fresh — but only past the same
+      // age horizon every other reclaim honors: a LIVE first writer is
+      // mid-mkdirs/mid-job in exactly this state, and an ageless delete
+      // here would destroy it (readers meanwhile get the explicit
+      // not-a-table-yet error from readRaw, never a silent empty)
       fs.delete(new Path(path), true): Unit
     }
     this
@@ -3859,13 +3899,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
         finally in.close()
       val lines = text.split("\n", -1).toSeq
-      val params = lines.drop(1).filter(_.nonEmpty).flatMap { l =>
-        l.split("\t", 2) match {
-          case Array(k, v) => Some(CommitLog.unesc(k) -> CommitLog.unesc(v))
-          case _           => None
-        }
-      }.toMap
-      lines.headOption.filter(_.nonEmpty).map(h => (CommitLog.unesc(h), params))
+      lines.headOption.filter(_.nonEmpty)
+        .map(_ => LakeTable.parseOpHeader(lines.filter(_.nonEmpty)))
     }
   }
 
@@ -4122,10 +4157,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
   /** A commit that only ADDED files — existing files (and the rows in
     * them) are untouched, so it cannot logically conflict with a
     * content-preserving reorganization of the pre-existing files.
-    * Streaming-sink batches and COPY INTO both land as WRITE APPEND.
+    * Streaming-sink batches and COPY INTO both land as WRITE APPEND;
+    * "RECOVERED WRITE APPEND" is the SAME files-only operation, attributed
+    * by crash recovery (completeAppendStage) instead of its writer — a
+    * recovery racing a maintenance rewrite must compose like the append
+    * it recovers, not refuse as a foreign interloper.
     */
   private def isPureAppend(rec: CommitLog.CommitRecord): Boolean =
-    rec.operation == "WRITE APPEND"
+    rec.operation == "WRITE APPEND" || rec.operation == "RECOVERED WRITE APPEND"
 
   /** Test seam: runs after the stage is built, immediately before the
     * OCC decision — OccSpec parks here to land a deterministic
@@ -4809,6 +4848,25 @@ object LakeTable {
   // recovery-attribution idempotence key
   val AppendManifestName = "__graft_append_manifest"
   val AppendStageParam = "appendStage"
+  // marker-only param carrying the batch's schema json (stripped before
+  // any commit): recovery saves it so an evolved append whose writer died
+  // pre-saveSchema still reads with its new columns
+  val AppendSchemaParam = "appendSchemaJson"
+
+  /** Shared parse of the esc'd op+params header the pending-op file and
+    * the append manifest both carry: line 0 = esc(op), then
+    * esc(k)\tesc(v) lines. One parser, so an escaping change can never
+    * drift between the two marker kinds.
+    */
+  private[sources] def parseOpHeader(header: Seq[String]): (String, Map[String, String]) = {
+    val params = header.drop(1).filter(_.nonEmpty).flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(k, v) => Some(CommitLog.unesc(k) -> CommitLog.unesc(v))
+        case _           => None
+      }
+    }.toMap
+    (CommitLog.unesc(header.headOption.getOrElse("")), params)
+  }
   // underscore prefix keeps it out of listDataFiles and every scan
   val SymlinkManifestDirName = "_symlink_format_manifest"
   // op name + params of the rewrite that staged the swap, so crash

@@ -25,6 +25,12 @@ import graft.text.Dedup
   */
 object DedupStream {
 
+  /** Tables whose crashed-append recovery already ran in this process —
+    * one directory listing per table per process, not per micro-batch.
+    */
+  private val recovered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Start the dedup stream.
     *
     * @param docs       streaming DataFrame with `idCol` (long) + `textCol`
@@ -83,6 +89,13 @@ object DedupStream {
     val indexLake = LakeTable(spark, indexPath)
     val outLake = LakeTable(spark, outPath)
     val key = LakeSink.TxnKeyPrefix + appId
+    // cold-start recovery BEFORE the replay check, once per table per
+    // process (LakeSink.coldStart's contract): a crash between a marked
+    // append's promotion and its tagged commit must surface as the
+    // RECOVERED commit's tag here, not as "never applied" -> re-append
+    Seq(outLake, indexLake).foreach { l =>
+      if (recovered.add(l.path)) l.recoverAppendStages(): Unit
+    }
     def applied(lake: LakeTable): Boolean =
       batchId.exists(b => lake.exists && lake.maxCommitParamLong(key) >= b)
     if (applied(outLake) && applied(indexLake)) return // full replay: no-op

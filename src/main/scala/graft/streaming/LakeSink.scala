@@ -279,7 +279,19 @@ object LakeSink {
     }
   }
 
-  /** One micro-batch MERGE, (appId, batchId)-keyed — see [[upsertTo]]. */
+  /** One micro-batch MERGE, (appId, batchId)-keyed — see [[upsertTo]].
+    *
+    * No [[coldStart]] here (nor in [[scd2Batch]]), deliberately: a MERGE
+    * lands through the staged swap, whose tagged commit is atomic with
+    * the data (the pending op carries the tag, so vacuumDebris's
+    * completion attributes it) — there is no promoted-but-untagged
+    * window to heal. A swap crashed mid-flight holds the stage claim;
+    * the restarted merge gets the documented clean
+    * ConcurrentModificationException until the operator runs
+    * vacuumDebris — self-healing that claim here would be UNSAFE, since
+    * under multi-writer contention (CrossProcessProbe phase B2) the
+    * claim holder may be a live peer, not our crashed predecessor.
+    */
   def upsertBatch(
       lake: LakeTable, batch: DataFrame, batchId: Long, keys: Seq[String],
       appId: String = "graft-lake-upsert",

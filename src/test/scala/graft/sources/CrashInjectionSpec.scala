@@ -359,8 +359,15 @@ class CrashInjectionSpec extends SparkSpec {
         val got =
           if (!fresh.exists) Seq.empty
           else try rows(dir)
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            fail(s"first fuse=$fuse: table exists but is unreadable: ${e.getMessage}")
+          catch {
+            // the named crashed-first-write state counts as "no table"
+            // (vacuumDebris deliberately retains the young dir — the age
+            // horizon protects a live first writer — and readers get
+            // this explicit error, never Spark's opaque schema failure)
+            case e: IllegalStateException
+              if e.getMessage.contains("not a lake table yet") => Seq.empty
+            case e: org.apache.spark.sql.AnalysisException =>
+              fail(s"first fuse=$fuse: table exists but is unreadable: ${e.getMessage}")
           }
         assert(got == Seq.empty || got == post,
           s"first fuse=$fuse: recovered state is neither empty nor post: $got")
@@ -373,6 +380,119 @@ class CrashInjectionSpec extends SparkSpec {
       fuse += 1
     }
     assert(completed, s"first: op still crashing after $MaxFusePositions fuse positions")
+  }
+
+  test("dynamic partition overwrite converges from a crash at every metadata fs operation") {
+    // the one staged path the original four walks missed; its markers
+    // (swap manifest + pending op) now publish atomically, and recovery
+    // must complete a mid-swap crash to exactly the post state
+    val tplRoot = Files.createTempDirectory("graft_crashtpl_dyno").toString
+    val tpl = tplRoot + "/t"
+    LakeTable(spark, tpl).writePartitioned(
+      Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "v")
+        .coalesce(1), Seq("v")): Unit
+    val pre = rows(tpl)
+    val post = Seq((2L, "b"), (3L, "b"), (10L, "a"), (11L, "a")).sorted
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val dir = Files.createTempDirectory("graft_crash_dyno").toString + "/t"
+      copyDir(tpl, dir)
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        LakeTable(spark, dir).overwritePartitions(
+          Seq((10L, "a"), (11L, "a")).toDF("id", "v").coalesce(1), Seq("v")): Unit
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) completed = true
+      else {
+        assert(fired, s"dyno fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        val fresh = LakeTable(spark, dir)
+        // the part-stage reaper is age-gated to protect live writers; no
+        // writer is alive here, so recovery may act immediately
+        val saved = LakeTable.PartStageRetentionMs
+        LakeTable.PartStageRetentionMs = 0L
+        try fresh.vacuumDebris(): Unit
+        finally LakeTable.PartStageRetentionMs = saved
+        val got = rows(dir)
+        assert(got == pre || got == post,
+          s"dyno fuse=$fuse: recovered state is neither pre nor post: $got")
+        // replay (the idempotent daily-backfill contract): same partition
+        // replaced again must land exactly post
+        LakeTable(spark, dir).overwritePartitions(
+          Seq((10L, "a"), (11L, "a")).toDF("id", "v").coalesce(1), Seq("v")): Unit
+        assert(rows(dir) == post,
+          s"dyno fuse=$fuse: replay did not converge to the post state")
+      }
+      fuse += 1
+    }
+    assert(completed, s"dyno: op still crashing after $MaxFusePositions fuse positions")
+  }
+
+  test("mergeSchema append recovers its evolved column from a crash at every metadata fs operation") {
+    // the schema rides the append marker: a writer killed after promotion
+    // but before its own saveSchema must still yield a table whose
+    // recovered rows read WITH the evolved column (merged from the
+    // marker), and a merely-FAILED append must never commit the evolved
+    // schema (data-before-schema order)
+    val tpl = freshTemplate("msappend")
+    val tagK = "graft.crashwalk.msbatch"; val tagV = "b1"
+    val preCols = LakeTable(spark, tpl).read.columns.toSet
+    assert(!preCols.contains("extra"))
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val dir = Files.createTempDirectory("graft_crash_ms").toString + "/t"
+      copyDir(tpl, dir)
+      def batch = Seq((10L, "x", "e1"), (11L, "x", "e2"))
+        .toDF("id", "v", "extra").repartition(2)
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        LakeTable(spark, dir).write(batch, SaveMode.Append,
+          mergeSchema = true, extraParams = Map(tagK -> tagV)): Unit
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) completed = true
+      else {
+        assert(fired, s"ms fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        val fresh = LakeTable(spark, dir)
+        fresh.vacuumDebris(): Unit
+        val df = fresh.read
+        if (fresh.hasCommitParam(tagK, tagV)) {
+          // attributed (directly or RECOVERED) => rows AND column present
+          assert(df.columns.contains("extra"),
+            s"ms fuse=$fuse: append attributed but the evolved column is lost")
+          val vals = df.where(col("id") >= 10L)
+            .select("extra").as[String].collect().sorted.toSeq
+          assert(vals == Seq("e1", "e2"),
+            s"ms fuse=$fuse: evolved column lost its values: $vals")
+        } else {
+          // unattributed => the evolved schema must NOT have committed
+          // (a failed append leaves no schema residue) and no new rows
+          assert(!df.columns.contains("extra"),
+            s"ms fuse=$fuse: append not attributed but schema evolved anyway")
+          assert(df.where(col("id") >= 10L).isEmpty,
+            s"ms fuse=$fuse: rows visible without attribution or recovery")
+          // the sink replay contract: re-run converges
+          LakeTable(spark, dir).write(batch, SaveMode.Append,
+            mergeSchema = true, extraParams = Map(tagK -> tagV)): Unit
+        }
+        val after = LakeTable(spark, dir).read
+        assert(after.columns.contains("extra") &&
+          after.where(col("id") >= 10L).count() == 2L,
+          s"ms fuse=$fuse: final state wrong")
+      }
+      fuse += 1
+    }
+    assert(completed, s"ms: op still crashing after $MaxFusePositions fuse positions")
   }
 
   test("vacuumDebris on a never-committed table mints no phantom log") {
