@@ -85,12 +85,14 @@ object KillProbe {
   def main(args: Array[String]): Unit = {
     val kills = args.headOption.map(_.toInt).getOrElse(6)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(36)
+    val modes = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(Seq("sink", "sinkcompact", "upsert", "index"))
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val root = Files.createTempDirectory("graft_kill").toString
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
 
-    Seq("sink", "sinkcompact", "upsert").foreach { mode =>
+    modes.foreach { mode =>
       val table = s"$root/$mode/t"
       val appId = s"kill-$mode"
       // upsert (MERGE) requires an existing target, like Delta — seed it
@@ -98,6 +100,19 @@ object KillProbe {
         import spark.implicits._
         LakeTable(spark, table).write(
           Seq((-1L, -1L, "seed")).toDF("id", "batch", "payload")): Unit
+      }
+      // index mode: the child upserts docs AND folds the standing BM25
+      // index per batch — kills land inside the multi-table fold
+      // (removals / postings append / df merge / stats / stamp), the
+      // sequence whose crash-exactness nothing else exercises. Parent
+      // seeds the corpus and builds the index the children maintain.
+      if (mode == "index") {
+        import spark.implicits._
+        val docs = LakeTable(spark, table)
+        docs.write((0L until 20L).map(i =>
+          (i, s"seed doc $i tok${i % 7} tok${(i + 3) % 11}"))
+          .toDF("doc_id", "text")): Unit
+        graft.text.InvertedIndex.build(docs, "doc_id", "text", s"$root/$mode/idx")
       }
       var actualKills = 0
       var progress = 0L
@@ -116,6 +131,14 @@ object KillProbe {
         // documented crashed-client recovery, run by a DIFFERENT process
         val lake = LakeTable(spark, table)
         lake.vacuumDebris(): Unit
+        if (mode == "index")
+          // the index's three lakes are ordinary tables: a kill inside a
+          // terms merge can strand its stage claim, which the next
+          // fold's merge must not inherit
+          Seq("postings", "terms", "stats").foreach { s =>
+            val t = LakeTable(spark, s"$root/$mode/idx/$s")
+            if (t.exists) t.vacuumDebris(): Unit
+          }
         // progress AFTER recovery, so its VACUUM/RECOVERED commits are
         // baked into the next target and each kill genuinely waits for
         // ~2 fresh CHILD commits — not recovery's own records
@@ -152,6 +175,23 @@ object KillProbe {
       mode: String, appId: String, what: String): Unit = {
     val lake = LakeTable(spark, table)
     if (!fsFor(spark, table).exists(new org.apache.hadoop.fs.Path(table))) return
+    if (mode == "index") {
+      // the standing index's hard invariant at ANY instant: a posting is
+      // keyed (term, doc_id) — a duplicate means a crashed fold was
+      // re-applied non-idempotently (double append / double df delta)
+      val pDir = new org.apache.hadoop.fs.Path(table).getParent.toString + "/idx/postings"
+      val p = LakeTable(spark, pDir)
+      if (p.exists) {
+        val dups = p.read.groupBy("term", "doc_id").count()
+          .where(col("count") > 1).count()
+        require(dups == 0,
+          s"$what: $dups duplicated (term, doc_id) postings after recovery")
+      }
+      val docDups = lake.read.groupBy("doc_id").count()
+        .where(col("count") > 1).count()
+      require(docDups == 0, s"$what: $docDups duplicated doc_ids")
+      return
+    }
     // a kill before the first batch ever committed can leave a dir with
     // no readable data yet — nothing to audit
     val df =
@@ -211,6 +251,35 @@ object KillProbe {
     audit(spark, table, mode, appId, s"$mode final")
     val lake = LakeTable(spark, table)
     val df = lake.read
+    if (mode == "index") {
+      // ground truth: a FRESH index built from the final corpus must be
+      // content-identical to the one maintained through 6 kills — the
+      // incremental fold's exactness oracle (postings and vocabulary
+      // row-exact; corpus scalars to float tolerance, since incremental
+      // arithmetic and a recompute may differ in summation order)
+      val root = new org.apache.hadoop.fs.Path(table).getParent.toString
+      graft.text.InvertedIndex.build(lake, "doc_id", "text", s"$root/idx_rebuilt")
+      def diff(sub: String, cols: Seq[String]): Long = {
+        val a = LakeTable(spark, s"$root/idx/$sub").read.select(cols.map(col): _*)
+        val b = LakeTable(spark, s"$root/idx_rebuilt/$sub").read.select(cols.map(col): _*)
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      }
+      val pd = diff("postings", Seq("term", "doc_id", "tf", "dl"))
+      require(pd == 0, s"index final: maintained postings diverge from a fresh rebuild on $pd rows")
+      val td = diff("terms", Seq("term", "df"))
+      require(td == 0, s"index final: maintained vocabulary diverges from a fresh rebuild on $td rows")
+      val Array(mN, mAvg) = LakeTable(spark, s"$root/idx/stats").read
+        .select("n_docs", "avgdl").head().toSeq.map(_.toString.toDouble).toArray
+      val Array(rN, rAvg) = LakeTable(spark, s"$root/idx_rebuilt/stats").read
+        .select("n_docs", "avgdl").head().toSeq.map(_.toString.toDouble).toArray
+      require(mN == rN && math.abs(mAvg - rAvg) < 1e-9,
+        s"index final: corpus scalars diverge (maintained $mN/$mAvg vs rebuilt $rN/$rAvg)")
+      val versions = lake.history.select("version")
+        .collect().map(_.getLong(0)).sorted
+      require(versions.sameElements(versions.indices.map(_.toLong)),
+        s"index final: version holes: ${versions.mkString(",")}")
+      return df.select("doc_id").distinct().count().toInt
+    }
     if (mode != "upsert") {
       val nb = df.select("batch").distinct().count()
       require(nb == nBatches, s"$mode final: $nb batches, expected $nBatches")
@@ -322,6 +391,42 @@ object KillProbeWriterMain {
             .map(i => (b.toLong * UpsertStride + i, b.toLong, s"v$b-$i"))
             .toDF("id", "batch", "payload")
           lake.upsert(batch, Seq("id"), changeFeed = true): Unit
+        case "index" =>
+          // REAL maintenance topology: the corpus only moves FORWARD (a
+          // restarted producer never re-writes old ids — re-upserting
+          // them would hide fold bugs, since doc_id-keyed removals
+          // self-heal duplicates). 20 fresh inserts (the pure-append
+          // fold path, where a non-idempotent refold duplicates) + 10
+          // updates of the current tail (the removal+re-add path).
+          val idxDir = new org.apache.hadoop.fs.Path(table)
+            .getParent.toString + "/idx"
+          val idBase = lake.read
+            .agg(max(col("doc_id"))).head().getLong(0) + 1L
+          val batch = ((0 until 20).map { i =>
+            val id = idBase + i
+            (id, s"doc $id tok${id % 7} tok${(id + b) % 11} b$b")
+          } ++ (1 to 10).map { i =>
+            val id = idBase - i
+            (id, s"doc $id tok${id % 7} upd$b")
+          }).toDF("doc_id", "text")
+          var done = false; var tries = 0
+          while (!done && tries < 100) {
+            try {
+              lake.upsert(batch, Seq("doc_id"), changeFeed = true): Unit
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                tries += 1; Thread.sleep(100)
+              case e: Exception if LakeTable.isTornRead(e) =>
+                tries += 1; Thread.sleep(100)
+            }
+          }
+          require(done, s"index doc upsert starved after $tries refusals")
+          // the fold under test: the at-least-once client retries torn
+          // reads exactly like the maintenance stream does
+          LakeTable.retryTornRead("kill-probe index fold") {
+            graft.text.InvertedIndex.applyChanges(lake, "doc_id", "text", idxDir)
+          }
       }
       applied += 1
     }

@@ -44,6 +44,12 @@ object InvertedIndex {
 
   private def sub(dir: String, name: String) = new Path(dir, name).toString
 
+  /** Commit-param key tagging each fold sub-op with its target version —
+    * the refold-idempotence guard (see [[applyChanges]]); shared with
+    * [[IvfIndex]], whose fold has the same multi-table crash shape.
+    */
+  private[text] val FoldKey = "graftIndexFold"
+
   /** (term, doc_id, tf, dl) rows for a batch of documents — the unit of
     * both the initial build and every incremental delta.
     */
@@ -73,9 +79,18 @@ object InvertedIndex {
     // postings rows are distinct (doc, term), so df is a plain rollup
     LakeTable(spark, sub(dir, "terms"))
       .write(p.read.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // k + folded_version: the constant upsert key and the IN-ROW fold
+    // watermark maintenance writes through (see appendPostings — the
+    // row-level watermark is what survives the swap's unattributed-
+    // commit window, where a commit-param tag is lost with the record)
     LakeTable(spark, sub(dir, "stats")).write(
       p.read.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+        .select(lit(1L).as("k"), col("n_docs"), col("avgdl"),
+          lit(-1L).as("folded_version")),
+      // a rebuild over a pre-watermark standing index replaces the old
+      // two-column layout — the widening is THE point, not an accident
+      overwriteSchema = true)
   }
 
   /** [[build]] from a versioned lake base: same layout, plus the base
@@ -163,9 +178,22 @@ object InvertedIndex {
     val addPost = tokenPostings(additions, "doc_id", textCol).localCheckpoint(true)
 
     val p = LakeTable(spark, sub(dir, "postings"))
+    // CRASH/RETRY EXACTNESS: the fold mutates three lakes and stamps
+    // LAST, so a REFOLD of the same (version, target] range — after a
+    // process death, or retryTornRead re-running this very call — must
+    // skip the sub-ops that already landed. Each mutating commit below
+    // carries FoldKey -> target, and each sub-op is guarded by its own
+    // table's recorded high-water mark. The removal pair-guards on the
+    // APPEND's tag (append-committed implies the removal before it ran;
+    // a removal alone is doc_id-keyed and idempotent to re-run), which
+    // also prevents the inverse corruption: a refold re-deleting the
+    // crashed fold's just-appended postings for updated docs and then
+    // skipping their re-append. (CrashInjectionSpec's fold walk caught
+    // the unguarded version double-appending pure inserts at fuse 3.)
+    val postingsDone = p.exists && p.maxCommitParamLong(FoldKey) >= target
     // superseded images out — tombstones for CDC-sized deltas, keyed
     // merge beyond the threshold (see DvRemovalThreshold)
-    if (!remPost.isEmpty) {
+    if (!postingsDone && !remPost.isEmpty) {
       val dvMax = dvRemovalThreshold(spark)
       val remIds = remPost.select(col("doc_id")).distinct()
         .limit(dvMax + 1).collect().map(_.get(0))
@@ -175,7 +203,8 @@ object InvertedIndex {
         p.merge(remPost.select(col("term"), col("doc_id")), Seq("term", "doc_id"),
           whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false): Unit
     }
-    appendPostings(spark, addPost, dir, removedPostings = Some(remPost))
+    appendPostings(spark, addPost, dir, removedPostings = Some(remPost),
+      foldTarget = Some(target))
     IndexMeta.stamp(spark, dir, base.path, target)
   }
 
@@ -251,11 +280,19 @@ object InvertedIndex {
     */
   private def appendPostings(
       spark: SparkSession, addPost: DataFrame, dir: String,
-      removedPostings: Option[DataFrame] = None): Unit = {
+      removedPostings: Option[DataFrame] = None,
+      foldTarget: Option[Long] = None): Unit = {
+    // fold-guarded path (see applyChanges): each of the three mutating
+    // sub-ops tags its commit with FoldKey -> target and skips when its
+    // own table already recorded this fold. Build-time callers pass no
+    // target and run unguarded (a fresh build has nothing to refold).
+    val tag = foldTarget.map(t => Map(FoldKey -> t.toString)).getOrElse(Map.empty)
+    def done(l: LakeTable): Boolean =
+      foldTarget.exists(t => l.exists && l.maxCommitParamLong(FoldKey) >= t)
     val p = LakeTable(spark, sub(dir, "postings"))
     val add = addPost.localCheckpoint(true)
-    if (!add.isEmpty) {
-      p.write(add, SaveMode.Append)
+    if (!add.isEmpty && !done(p)) {
+      p.write(add, SaveMode.Append, extraParams = tag)
       // new files pick up their term stats so they skip like the rest.
       // A removal merge whose term set touched EVERY postings file took
       // the full-rewrite path, which drops the stats dir with the old
@@ -268,24 +305,54 @@ object InvertedIndex {
     if (add.isEmpty && removedPostings.nonEmpty && !p.hasStats)
       p.collectStats(Seq("term"))
     val rem = removedPostings.getOrElse(add.where(lit(false)))
-    // df delta per term: +1 per added (doc, term), -1 per removed. The
-    // source column is NAMED df so an unmatched (brand-new) term inserts
-    // its delta as the absolute count
-    val dfDelta = add.groupBy(col("term")).agg(count(lit(1)).as("plus"))
-      .join(rem.groupBy(col("term")).agg(count(lit(1)).as("minus")), Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("plus"), lit(0L)) - coalesce(col("minus"), lit(0L))).as("df"))
-      .where(col("df") =!= 0L)
-    if (!dfDelta.isEmpty)
-      LakeTable(spark, sub(dir, "terms")).merge(dfDelta, Seq("term"),
-        whenMatched = Seq(
-          // a term whose last document left drops out of the vocabulary,
-          // exactly as a rebuild would have it
-          MergeClause.DeleteWhen(Some(col("t.df") + col("s.df") <= 0L)),
-          MergeClause.UpdateWhen(Map("df" -> (col("t.df") + col("s.df"))))),
-        insertUnmatched = true, insertCond = Some(col("df") > 0L))
+    // df for the AFFECTED terms, recomputed ABSOLUTELY from the postings
+    // (final for this fold by the time this runs — the postings phase
+    // precedes it and is refold-skipped by its commit tag). Absolute
+    // values make the vocabulary update VALUE-IDEMPOTENT, which a
+    // commit-tag guard alone cannot: the staged swap's one residual
+    // window (data swapped in, commit record lost — "the unattributed
+    // commit window") leaves no tag to see, and re-merging a +/-delta
+    // there double-applies (the fold crash walk caught exactly that at
+    // fuse 30). Re-merging an absolute df converges at any crash point.
+    val terms = LakeTable(spark, sub(dir, "terms"))
+    val affectedCap = 10000
+    val affected = add.select(col("term"))
+      .union(rem.select(col("term"))).distinct()
+      .limit(affectedCap + 1).collect().map(_.getString(0))
+    if (affected.nonEmpty) {
+      import spark.implicits._
+      if (affected.length <= affectedCap) {
+        // delta-sized term set: the IN-list prunes the postings read to
+        // the affected terms' files (the same stats-skipping a serve uses)
+        val absDf = p.read.where(col("term").isin(affected.toIndexedSeq: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val full = affected.toSeq.toDF("term")
+          .join(absDf, Seq("term"), "left_outer")
+          .select(col("term"), coalesce(col("df"), lit(0L)).as("df"))
+        terms.merge(full, Seq("term"),
+          whenMatched = Seq(
+            // a term whose last document left drops out of the
+            // vocabulary, exactly as a rebuild would have it
+            MergeClause.DeleteWhen(Some(col("s.df") <= 0L)),
+            MergeClause.UpdateWhen(Map("df" -> col("s.df")))),
+          insertUnmatched = true, insertCond = Some(col("df") > 0L))
+      } else {
+        // backfill-scale delta touching most of the vocabulary: stay
+        // relational — full recompute merged in, source-absent terms
+        // deleted (still value-idempotent, honest work at this size)
+        val absDf = p.read.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        terms.merge(absDf, Seq("term"),
+          whenMatched = Seq(MergeClause.UpdateWhen(Map("df" -> col("s.df")))),
+          insertUnmatched = true,
+          whenNotMatchedBySource = Seq(MergeClause.DeleteWhen(None)))
+      }
+    }
     // corpus scalars: counts and length sums move by the doc-level deltas
-    // (docs are (doc_id, dl)-distinct inside each side's postings)
+    // (docs are (doc_id, dl)-distinct inside each side's postings). The
+    // fold watermark rides IN THE ROW (folded_version) and the update is
+    // an upsert (staged, pre-or-post exact): a refold reads the
+    // watermark from the DATA, so even the unattributed-commit window
+    // cannot double-apply the arithmetic.
     def docStats(posts: DataFrame): (Long, Double) = {
       val r = posts.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -295,11 +362,22 @@ object InvertedIndex {
     val (nRem, dlRem) = docStats(rem)
     if (nAdd != 0 || nRem != 0) {
       val st = LakeTable(spark, sub(dir, "stats"))
-      val cur = st.read.select(col("n_docs"), col("avgdl")).head()
-      val n1 = cur.getDouble(0) + nAdd - nRem
-      val sum1 = cur.getDouble(0) * cur.getDouble(1) + dlAdd - dlRem
-      import spark.implicits._
-      st.write(Seq((n1, if (n1 == 0.0) 0.0 else sum1 / n1)).toDF("n_docs", "avgdl"))
+      val cur = st.read
+      val curRow = cur.select(col("n_docs"), col("avgdl"),
+        (if (cur.columns.contains("folded_version")) col("folded_version")
+         else lit(-1L)).as("folded_version")).head()
+      val alreadyFolded =
+        foldTarget.exists(t => curRow.getLong(2) >= t)
+      if (!alreadyFolded) {
+        val n1 = curRow.getDouble(0) + nAdd - nRem
+        val sum1 = curRow.getDouble(0) * curRow.getDouble(1) + dlAdd - dlRem
+        import spark.implicits._
+        val row = Seq((1L, n1, if (n1 == 0.0) 0.0 else sum1 / n1,
+          foldTarget.getOrElse(-1L)))
+          .toDF("k", "n_docs", "avgdl", "folded_version")
+        if (cur.columns.contains("k")) st.upsert(row, Seq("k")): Unit
+        else st.write(row): Unit // legacy/build-time layout: adopt in place
+      }
     }
   }
 

@@ -76,10 +76,11 @@ object IvfIndex {
 
   private def appendAssigned(
       spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
+      dir: String, extraParams: Map[String, String] = Map.empty): Unit = {
     val centers = LakeTable(spark, sub(dir, "centers")).read
     val p = LakeTable(spark, sub(dir, "postings"))
-    p.write(assigned(df, centers, idCol, vecCol), SaveMode.Append)
+    p.write(assigned(df, centers, idCol, vecCol), SaveMode.Append,
+      extraParams = extraParams)
     // same full-rewrite contingency as the BM25 twin: a delete merge
     // that touched every cell file dropped the stats dir — re-seed
     if (p.hasStats) p.refreshStats() else p.collectStats(Seq("cell"))
@@ -114,10 +115,18 @@ object IvfIndex {
     // branch needs only the removed ids — the nearest-centroid
     // assignment (whose cells are the merge's prune keys) is deferred to
     // the merge branch so the maintenance stream's hot loop never pays it
+    // CRASH/RETRY EXACTNESS, the BM25 twin's contract: a refold of the
+    // same range (process death, or retryTornRead re-running this call
+    // mid-fold) must skip what already landed — the append tags its
+    // commit with FoldKey -> target, and the removal pair-guards on that
+    // tag (append-committed implies the removal before it ran; a removal
+    // alone is vec_id-keyed and idempotent to re-run)
+    val postingsDone =
+      p.exists && p.maxCommitParamLong(InvertedIndex.FoldKey) >= target
     val dvMax = InvertedIndex.dvRemovalThreshold(spark)
     val remIds = removals.select(col("doc_id")).distinct()
       .limit(dvMax + 1).collect().map(_.get(0))
-    if (remIds.nonEmpty) {
+    if (!postingsDone && remIds.nonEmpty) {
       if (remIds.length <= dvMax)
         p.deleteVectored(col("vec_id").isin(remIds: _*)): Unit
       else {
@@ -130,9 +139,10 @@ object IvfIndex {
           whenMatched = Seq(MergeClause.DeleteWhen(None)), insertUnmatched = false): Unit
       }
     }
-    if (!additions.isEmpty)
+    if (!additions.isEmpty && !postingsDone)
       appendAssigned(spark, additions.select(col("doc_id"), col(vecCol)),
-        "doc_id", vecCol, dir)
+        "doc_id", vecCol, dir,
+        extraParams = Map(InvertedIndex.FoldKey -> target.toString))
     // removal-only delta with a full-rewrite merge: re-seed the pruning
     // stats the swap dropped (see the BM25 twin)
     else if (remIds.nonEmpty && !p.hasStats) p.collectStats(Seq("cell"))

@@ -495,6 +495,151 @@ class CrashInjectionSpec extends SparkSpec {
     assert(completed, s"ms: op still crashing after $MaxFusePositions fuse positions")
   }
 
+  test("BM25 index fold converges from a crash at every metadata fs operation") {
+    // the standing index's maintenance fold mutates FOUR lakes in
+    // sequence (postings removals, postings append, terms df merge,
+    // stats scalars) and stamps LAST — a crash (or an in-process retry
+    // after a torn read) between any two must make the REFOLD converge,
+    // never double-apply. Ground truth: a fresh rebuild of the same
+    // corpus must be content-identical after recovery + refold.
+    import graft.text.InvertedIndex
+    // IndexMeta pins the base path, so each fuse iteration gets a FRESH
+    // docs+index pair (a copied template would fail the identity check)
+    def setup(): String = {
+      val root = Files.createTempDirectory("graft_crash_idx").toString
+      val docs = LakeTable(spark, s"$root/docs")
+      docs.write((0L until 12L).map(i =>
+        (i, s"seed doc $i tok${i % 5} tok${(i + 2) % 7}"))
+        .toDF("doc_id", "text").coalesce(1)): Unit
+      InvertedIndex.build(docs, "doc_id", "text", s"$root/idx")
+      // the delta under fold: 4 fresh inserts (pure-append path) + 2
+      // updates (removal + re-add path), one change-feed commit
+      docs.upsert(
+        (Seq((12L, "fresh tok1 tok9"), (13L, "fresh tok2 tok9"),
+          (14L, "fresh tok3"), (15L, "fresh tok4 tok9")) ++
+          Seq((3L, "updated tok5"), (7L, "updated tok5 tok1")))
+          .toDF("doc_id", "text").coalesce(1),
+        Seq("doc_id"), changeFeed = true): Unit
+      root
+    }
+
+    def subTables(root: String) = Seq("postings", "terms", "stats")
+      .map(s => LakeTable(spark, s"$root/idx/$s"))
+    def assertMatchesRebuild(root: String, what: String): Unit = {
+      InvertedIndex.build(LakeTable(spark, s"$root/docs"),
+        "doc_id", "text", s"$root/idx_rebuilt")
+      def diff(sub: String, cols: Seq[String]): String = {
+        val a = LakeTable(spark, s"$root/idx/$sub").read.select(cols.map(col): _*)
+        val b = LakeTable(spark, s"$root/idx_rebuilt/$sub").read.select(cols.map(col): _*)
+        val extra = a.exceptAll(b).collect().map(_.toString).sorted
+        val missing = b.exceptAll(a).collect().map(_.toString).sorted
+        if (extra.isEmpty && missing.isEmpty) ""
+        else s"extra=${extra.take(20).mkString(",")} missing=${missing.take(20).mkString(",")}"
+      }
+      val pd = diff("postings", Seq("term", "doc_id", "tf", "dl"))
+      assert(pd.isEmpty, s"$what: postings diverge from a fresh rebuild: $pd")
+      val td = diff("terms", Seq("term", "df"))
+      assert(td.isEmpty, s"$what: vocabulary diverges from a fresh rebuild: $td")
+      val m = LakeTable(spark, s"$root/idx/stats").read
+        .select("n_docs", "avgdl").head()
+      val r = LakeTable(spark, s"$root/idx_rebuilt/stats").read
+        .select("n_docs", "avgdl").head()
+      assert(m.getDouble(0) == r.getDouble(0) &&
+        math.abs(m.getDouble(1) - r.getDouble(1)) < 1e-9,
+        s"$what: corpus scalars diverge ($m vs $r)")
+    }
+
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val root = setup()
+      val docs = LakeTable(spark, s"$root/docs")
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        InvertedIndex.applyChanges(docs, "doc_id", "text", s"$root/idx")
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) {
+        completed = true
+        // the uninterrupted fold is exact too
+        assertMatchesRebuild(root, "idxfold clean")
+      } else {
+        assert(fired, s"idxfold fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        // documented restart: release any stranded stage claim, refold
+        subTables(root).foreach(t => if (t.exists) t.vacuumDebris(): Unit)
+        InvertedIndex.applyChanges(docs, "doc_id", "text", s"$root/idx")
+        assertMatchesRebuild(root, s"idxfold fuse=$fuse")
+      }
+      fuse += 1
+    }
+    assert(completed, s"idxfold: op still crashing after $MaxFusePositions fuse positions")
+  }
+
+  test("IVF index fold converges from a crash at every metadata fs operation") {
+    // the ANN twin of the BM25 fold walk. A rebuild compare does not
+    // apply (a refit moves cells), so the invariants are the fold's own:
+    // after recovery + refold, every corpus vector is posted EXACTLY
+    // once (a double-applied refold duplicates pure inserts; a skipped
+    // removal leaves the superseded image) and the stamp serves fresh.
+    import graft.text.IvfIndex
+    def setup(): String = {
+      val root = Files.createTempDirectory("graft_crash_ivf").toString
+      val vecs = LakeTable(spark, s"$root/vecs")
+      vecs.write((0L until 24L).map(i =>
+        (i, Array(i.toFloat % 5, (i % 3).toFloat, 1f)))
+        .toDF("vec_id", "embedding").coalesce(1)): Unit
+      IvfIndex.build(vecs, "vec_id", "embedding", s"$root/idx",
+        nCells = 4, seed = 7L, sampleFraction = 1.0)
+      vecs.upsert(
+        ((24L until 30L).map(i => (i, Array(i.toFloat % 5, 2f, 1f))) ++
+          Seq((3L, Array(9f, 9f, 9f)), (7L, Array(8f, 8f, 8f))))
+          .toDF("vec_id", "embedding").coalesce(1),
+        Seq("vec_id"), changeFeed = true): Unit
+      root
+    }
+    def auditExact(root: String, what: String): Unit = {
+      val p = LakeTable(spark, s"$root/idx/postings").read
+      val n = LakeTable(spark, s"$root/vecs").read.count()
+      assert(p.select("vec_id").distinct().count() == n,
+        s"$what: posted vector set diverges from the corpus")
+      val dups = p.groupBy("vec_id").count().where(col("count") > 1).count()
+      assert(dups == 0, s"$what: $dups vectors posted more than once")
+    }
+    var fuse = 0
+    var completed = false
+    while (!completed && fuse < MaxFusePositions) {
+      val root = setup()
+      val vecs = LakeTable(spark, s"$root/vecs")
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        IvfIndex.applyChanges(vecs, "vec_id", "embedding", s"$root/idx")
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) {
+        completed = true
+        auditExact(root, "ivffold clean")
+      } else {
+        assert(fired, s"ivffold fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        Seq("postings", "centers").foreach { s =>
+          val t = LakeTable(spark, s"$root/idx/$s")
+          if (t.exists) t.vacuumDebris(): Unit
+        }
+        IvfIndex.applyChanges(vecs, "vec_id", "embedding", s"$root/idx")
+        auditExact(root, s"ivffold fuse=$fuse")
+      }
+      fuse += 1
+    }
+    assert(completed, s"ivffold: op still crashing after $MaxFusePositions fuse positions")
+  }
+
   test("vacuumDebris on a never-committed table mints no phantom log") {
     // KillProbe's first run: kills during a table's very first operation
     // left nothing but debris; the parent's vacuumDebris then committed

@@ -73,10 +73,12 @@ class IndexFreshnessSpec extends SparkSpec {
     def termsOf(d: String) = LakeTable(spark, s"$d/terms").read
       .orderBy("term").as[(String, Long)].collect().toSeq
     assert(termsOf(dir) === termsOf(rebuilt))
+    // select the scalars by name: the stats row also carries the upsert
+    // key and the in-row fold watermark (maintenance-crash exactness)
     val Seq((n1, a1)) = LakeTable(spark, s"$dir/stats").read
-      .as[(Double, Double)].collect().toSeq
+      .select("n_docs", "avgdl").as[(Double, Double)].collect().toSeq
     val Seq((n2, a2)) = LakeTable(spark, s"$rebuilt/stats").read
-      .as[(Double, Double)].collect().toSeq
+      .select("n_docs", "avgdl").as[(Double, Double)].collect().toSeq
     assert(n1 === n2)
     assert(math.abs(a1 - a2) < 1e-9)
   }
