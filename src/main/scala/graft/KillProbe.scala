@@ -157,8 +157,9 @@ object KillProbe {
         p.exitValue() == 0,
         s"final $mode run failed — see $root/$mode.final.log")
       val nApplied = finalAudit(spark, table, mode, appId, nBatches)
+      val unit = if (mode == "index") "docs" else "batches"
       println(s"[killprobe] $mode: $actualKills/$kills kills landed mid-run, " +
-        s"final state exact ($nApplied batches, 0 duplicates, 0 debris)")
+        s"final state exact ($nApplied $unit, 0 duplicates, 0 debris)")
       results += ((mode, actualKills, nApplied))
     }
     val js = results.map { case (m, a, n) => s""""$m":{"kills":$a,"batches":$n}""" }
