@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
+import graft.text.Dedup
+
+/** Decade-up scaling probe (not part of the driver contract; BASELINE.md
+  * records its curve).
+  *
+  * The committed scaling curve spans sf0.001 -> 0.1 — two decades ending
+  * at 600k lineitem rows. This probe adds the next decade: each
+  * shuffle-heavy query shape runs over its input at 1x and at REP x
+  * (sf1-equivalent at the default REP=10), IN THE SAME JVM AND RUN (so
+  * host drift cancels), and the probe asserts NO SUPERLINEAR GROWTH:
+  *
+  *     t(REP x)  <=  REP x t(1x) x SLACK      (SLACK = 2.0)
+  *
+  * Replication is DISJOINT where the operator's output would otherwise
+  * grow quadratically by construction: near-dup replicas carry a
+  * per-replica marker (clusters don't merge across replicas), graph
+  * replicas live in disjoint id ranges (triangles/components/ranks per
+  * replica are independent). Key-preserving replication is used where
+  * group scaling is the point (agg, join, window partitions scale in
+  * SIZE, distinct in VOLUME).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  *        sbt "runMain graft.DecadeProbe [rep]"
+  */
+object DecadeProbe {
+
+  private val Slack = 2.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val t = Tables(spark, sfDir)
+
+    // warm the JVM + parquet caches once so 1x timings are not
+    // first-touch-penalized (that would flatter the ratio)
+    t.lineitem.count(): Unit
+    t.documents.count(): Unit
+
+    def replicateRows(df: DataFrame, r: Int): DataFrame =
+      if (r == 1) df
+      else df.crossJoin(spark.range(r).select(col("id").as("__r"))).drop("__r")
+
+    /** Offset-keyed replication: each replica's `keyCol` moves to a
+      * disjoint range, so graph/cluster structure repeats side by side
+      * instead of densifying.
+      */
+    def replicateOffset(df: DataFrame, keyCols: Seq[String], r: Int,
+        stride: Long): DataFrame =
+      if (r == 1) df
+      else {
+        val rs = df.crossJoin(spark.range(r).select(col("id").as("__r")))
+        keyCols.foldLeft(rs)((d, k) =>
+          d.withColumn(k, col(k) + col("__r") * stride)).drop("__r")
+      }
+
+    var failures = 0
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    def scale(name: String)(body: Int => Long): Unit = {
+      def timeOnce(r: Int): Double = {
+        val t0 = System.nanoTime()
+        val n = body(r)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"  $name x$r: $sec%.2f s ($n rows)")
+        sec
+      }
+      val t1 = timeOnce(1)
+      val tn = timeOnce(rep)
+      results += ((name, t1, tn))
+      if (tn > rep * t1 * Slack) {
+        failures += 1
+        println(f"FAIL [$name] superlinear: t($rep x)=$tn%.1f s > " +
+          f"$rep x t(1x)=$t1%.2f s x $Slack")
+      }
+    }
+
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag",
+      "l_quantity", "l_extendedprice", "l_shipdate")
+
+    scale("q1_agg") { r =>
+      replicateRows(li, r).groupBy("l_returnflag")
+        .agg(count(lit(1)), sum("l_quantity"), avg("l_extendedprice"))
+        .collect().length.toLong
+    }
+    scale("star_join") { r =>
+      replicateRows(li, r)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(sum("l_extendedprice"))
+        .collect().length.toLong
+    }
+    scale("window_trailing") { r =>
+      import org.apache.spark.sql.expressions.Window
+      // suppkey offset per replica: window PARTITIONS multiply, their
+      // size stays constant — the layout a bigger corpus actually has
+      val d = replicateOffset(li, Seq("l_suppkey"), r, 1000000L)
+      d.withColumn("trail",
+        sum("l_quantity").over(Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate").rowsBetween(-6, 0)))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    scale("topk_sort") { r =>
+      replicateRows(li, r).orderBy(col("l_extendedprice").desc)
+        .limit(100).collect().length.toLong
+    }
+    scale("count_distinct") { r =>
+      replicateRows(li, r)
+        .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    }
+
+    val docs = t.documents.select("doc_id", "text")
+    def docsRep(r: Int): DataFrame =
+      if (r == 1) docs
+      else docs.crossJoin(spark.range(r).select(col("id").as("__r")))
+        .select((col("doc_id") * r + col("__r")).as("doc_id"),
+          // EVERY token carries the replica id: shingles are disjoint
+          // across replicas, so the base pair structure repeats r times
+          // side by side instead of densifying into r-sized clusters —
+          // the "10x corpus of independent documents" model. (A leading
+          // marker alone was measured to leave same-original replicas at
+          // j >= 0.8, inflating pairs 624x and the walltime 29x.)
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1x"), col("__r"))).as("text"))
+
+    scale("ngram_jaccard") { r =>
+      Dedup.ngramJaccardPairs(docsRep(r), "doc_id", "text", 3, 0.8,
+        maxShingleDf = Some(500)).count()
+    }
+    scale("minhash_banded") { r =>
+      Dedup.minhashBandedPairs(docsRep(r), "doc_id", "text", 3, 0.8).count()
+    }
+
+    // graph shapes over the bench's derived lineitem graph, replicas in
+    // DISJOINT id ranges: structure repeats side by side, so triangles
+    // and rank mass scale linearly — exactly how a 10x corpus of
+    // independent communities behaves
+    val edges = t.lineitem.select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") % 20000).as("dst"))
+    scale("triangle_count") { r =>
+      val e = replicateOffset(edges, Seq("src", "dst"), r, 1000000L)
+      graft.analytics.Graph.triangleCount(e).head().getLong(0)
+    }
+    scale("pagerank") { r =>
+      val e = replicateOffset(
+        t.lineitem.select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst")),
+        Seq("src", "dst"), r, 1000000L)
+      graft.analytics.Graph.pageRank(e, iterations = 5)
+        .agg(count(lit(1))).head().getLong(0)
+    }
+
+    println("| query | t(1x) s | t(" + rep + "x) s | ratio |")
+    results.foreach { case (n, a, b) =>
+      println(f"| $n | $a%.2f | $b%.2f | ${b / math.max(a, 1e-9)}%.1f |")
+    }
+    println(s"""{"probe":"decade","rep":$rep,"failures":$failures,""" +
+      results.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("\"queries\":{", ",", "}}"))
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

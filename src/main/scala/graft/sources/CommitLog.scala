@@ -103,7 +103,8 @@ private[sources] object CommitLog {
     * §3.2 re-checks LOGICAL conflict after losing the version race).
     */
   final case class CommitRecord(
-      version: Long, operation: String, params: Map[String, String])
+      version: Long, operation: String, params: Map[String, String],
+      timestamp: String = "")
 
   /** Read the quoted string whose opening `"` is at or after `from`,
     * honoring backslash escapes; returns (unescaped value, index after
@@ -136,7 +137,9 @@ private[sources] object CommitLog {
         i = b
       }
     }
-    CommitRecord(recordVersion(r), op, params.result())
+    val tsAt = r.indexOf("\"timestamp\":")
+    val ts = if (tsAt < 0) "" else quoted(r, tsAt + "\"timestamp\":".length - 1)._1
+    CommitRecord(recordVersion(r), op, params.result(), ts)
   }
 
   /** Every commit record with version >= `from`, parsed — the interloper

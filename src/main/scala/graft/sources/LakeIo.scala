@@ -50,6 +50,107 @@ object LakeIo {
     */
   val TmpPrefix = ".tmp_"
 
+  // ---------------------------------------------------------------- //
+  // Storage-substrate honesty: the commit protocol's exclusivity      //
+  // primitives (hard link / rename-refuse) DO NOT EXIST on S3-class   //
+  // object stores, and running the protocol there anyway loses        //
+  // commits under exactly the races the local/HDFS machinery wins.    //
+  // Scheme detection below REFUSES those substrates by default; the   //
+  // opt-in modes replace the claim primitive with one the substrate   //
+  // can honor (the public Delta LogStore design: single-writer        //
+  // in-process arbitration, or an external claim coordinator à la     //
+  // the DynamoDB LogStore).                                           //
+  // ---------------------------------------------------------------- //
+
+  /** Schemes whose filesystems are object stores: no atomic rename
+    * (rename is client-side copy+delete), no hard links, no
+    * refuse-on-existing-destination — every primitive the claim
+    * protocol leans on. Writes ARE whole-object atomic PUTs (readers
+    * never observe a partial object), which is what the opt-in modes
+    * build on.
+    */
+  private val ObjectStoreSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "cosn", "swift", "obs")
+
+  /** Best-effort scheme of `fs` ([[FileSystem.getScheme]] when the
+    * implementation provides it, else the instance URI's).
+    */
+  private def schemeOf(fs: FileSystem): String = {
+    val s =
+      try fs.getScheme
+      catch { case _: UnsupportedOperationException => null }
+    Option(s).orElse(Option(fs.getUri).flatMap(u => Option(u.getScheme)))
+      .getOrElse("")
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** True iff `fs` is an S3-class object store (by scheme). */
+  def isObjectStore(fs: FileSystem): Boolean =
+    ObjectStoreSchemes.contains(schemeOf(fs))
+
+  /** External first-writer-wins arbiter for object-store MULTI-writer
+    * commits — the seam the public Delta S3 multi-cluster LogStore
+    * fills with DynamoDB conditional writes. `claim(key)` must return
+    * true for exactly one caller per key ACROSS ALL PROCESSES; the
+    * winning content is then PUT at the claimed name (whole-object
+    * atomic, so readers see nothing until the object is complete).
+    */
+  trait ClaimCoordinator {
+    def claim(key: String): Boolean
+  }
+
+  /** How object-store substrates are handled. Process-wide because the
+    * contract it selects is itself process-scoped (SingleWriter) or
+    * externally scoped (Coordinated).
+    */
+  sealed trait ObjectStoreMode
+  /** Default: refuse with an error naming the missing contract. */
+  case object Refuse extends ObjectStoreMode
+  /** The Delta "S3 single-driver" contract: ONE writer process per
+    * table; claims arbitrate in-process (exists-check + whole-object
+    * PUT under the per-dir lock). Exact for one process, UNSAFE if two
+    * processes write one table — that needs [[Coordinated]].
+    */
+  case object SingleWriter extends ObjectStoreMode
+  /** Multi-writer object-store commits through an external
+    * [[ClaimCoordinator]] (conditional-write service, lock table, …).
+    */
+  final case class Coordinated(coordinator: ClaimCoordinator) extends ObjectStoreMode
+
+  @volatile var objectStoreMode: ObjectStoreMode = Refuse
+
+  private def refuseObjectStore(fs: FileSystem, path: Path, op: String): Nothing =
+    throw new IllegalStateException(
+      s"$op at $path: the ${schemeOf(fs)}:// substrate is an object store " +
+        "with no atomic rename, no hard links and no " +
+        "refuse-on-existing-destination — the primitives this lake's " +
+        "commit protocol requires (POSIX rename/link(2) locally, " +
+        "FileContext rename on HDFS-class stores). Running it here would " +
+        "silently lose commits under concurrent writers. Opt in " +
+        "explicitly: LakeIo.objectStoreMode = LakeIo.SingleWriter (ONE " +
+        "writer process per table, Delta's S3 single-driver contract) or " +
+        "LakeIo.Coordinated(coordinator) (external first-writer-wins " +
+        "service for multi-writer).")
+
+  /** Fail fast (BEFORE any data job runs) when `fs` is an object store
+    * and no opt-in mode is set — the same refusal the first metadata
+    * publication would raise, surfaced at operation entry.
+    */
+  def requireCommitCapable(fs: FileSystem, path: Path, op: String): Unit =
+    if (isObjectStore(fs) && objectStoreMode == Refuse)
+      refuseObjectStore(fs, path, op)
+
+  /** Whole-object PUT: on a real object store create()'s stream uploads
+    * and the object becomes visible ATOMICALLY at close — no tmp, no
+    * rename, no partial-content window. Last writer wins.
+    */
+  private def putWhole(fs: FileSystem, path: Path, text: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def tmpSibling(path: Path): Path =
     new Path(path.getParent,
       s"$TmpPrefix${java.util.UUID.randomUUID().toString.replace("-", "")}")
@@ -143,7 +244,14 @@ object LakeIo {
     * content.
     */
   def atomicOverwrite(fs: FileSystem, path: Path, text: String): Unit =
-    retryParentTorn(fs, path)(atomicOverwriteOnce(fs, path, text))
+    if (isObjectStore(fs)) objectStoreMode match {
+      case Refuse => refuseObjectStore(fs, path, "atomicOverwrite")
+      // replace-or-create IS the object store's native op: one whole-
+      // object PUT, atomic at close, last writer wins — the tmp+rename
+      // dance exists only where create() exposes partial content
+      case _ => putWhole(fs, path, text)
+    }
+    else retryParentTorn(fs, path)(atomicOverwriteOnce(fs, path, text))
 
   private def atomicOverwriteOnce(fs: FileSystem, path: Path, text: String): Unit = fs match {
     case c: ChecksumFileSystem =>
@@ -221,7 +329,26 @@ object LakeIo {
     * in-JVM racers additionally serialize on the per-dir lock.
     */
   def renamePublish(fs: FileSystem, path: Path, text: String): Boolean =
-    retryParentTorn(fs, path)(renamePublishOnce(fs, path, text))
+    if (isObjectStore(fs)) objectStoreMode match {
+      case Refuse => refuseObjectStore(fs, path, "renamePublish")
+      case SingleWriter =>
+        // Delta's S3 single-driver LogStore contract: the claim
+        // arbitrates IN PROCESS (per-dir lock + exists-check), then one
+        // whole-object PUT publishes. Exact for the one writer process
+        // the mode's contract allows; a second process racing this one
+        // is outside the contract and must use Coordinated.
+        publishLocks.computeIfAbsent(
+          fs.makeQualified(path).getParent.toString, _ => new Object).synchronized {
+          if (fs.exists(path)) false
+          else { putWhole(fs, path, text); true }
+        }
+      case Coordinated(coordinator) =>
+        // external first-writer-wins on the claim KEY; the winner's PUT
+        // is whole-object atomic so readers never see a torn claim
+        if (!coordinator.claim(fs.makeQualified(path).toString)) false
+        else { putWhole(fs, path, text); true }
+    }
+    else retryParentTorn(fs, path)(renamePublishOnce(fs, path, text))
 
   private def renamePublishOnce(fs: FileSystem, path: Path, text: String): Boolean =
     publishLocks.computeIfAbsent(

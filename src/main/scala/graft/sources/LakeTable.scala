@@ -121,6 +121,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // must be a no-op for the log too — replacing the authoritative
     // schema while leaving the old files behind would corrupt reads
     if (mode == SaveMode.Ignore && fs.exists(new Path(path))) return this
+    // substrate honesty BEFORE the data job: an object-store path with
+    // no opted-in commit mode must refuse here, not after the parquet
+    // write burned a cluster-scale job (LakeIo raises the same refusal
+    // at the first metadata publication either way)
+    LakeIo.requireCommitCapable(fs, new Path(path), "lake write")
     val ic = idCols
     requireNoIdentityProvided(df, "write", ic)
     val beforeNames = storedSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
@@ -130,14 +135,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // evolution-added columns must not rebind a retired/renamed physical
     mapNewColumns(schema.fieldNames.filterNot(beforeNames).toSeq)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
-    val toWrite = constrainedBatch(assigned, genChecks)
+    val (toWrite, consSeen) = constrainedBatch(assigned, genChecks)
     val baseParams = Map("mode" -> mode.toString) ++ extraParams ++ idParams
+    lateConstraintCheck(toWrite, consSeen)
     if (mode == SaveMode.Append) {
       val (staged, params) = appendViaStage(
         toPhysical(toWrite), Seq.empty, writeOp(mode), baseParams, schema)
       saveSchema(schema)
-      commit(writeOp(mode), params)
-      fs.delete(staged, true): Unit
+      commitStagedAppend(staged, writeOp(mode), params)
     } else {
       preservingLog(mode) {
         toPhysical(toWrite).write.mode(mode).parquet(path)
@@ -223,6 +228,27 @@ final class LakeTable(spark: SparkSession, val path: String) {
     (staged, params)
   }
 
+  /** The writer-side commit of an [[appendViaStage]] append, then stage
+    * teardown. An ageless recovery (a peer's cold start, [[vacuumDebris]])
+    * may have raced the live promotion and already attributed this stage
+    * with a RECOVERED commit; the recovery deletes the stage only AFTER
+    * its commit, so a vanished manifest is the cheap tell — probe the log
+    * for the stage uuid only then, and skip the second commit that would
+    * attribute one data change twice. (Both sides committing inside the
+    * tiny manifest-still-present window remains possible and harmless:
+    * same tag value, no duplicate rows — history gains one spurious
+    * entry.)
+    */
+  private def commitStagedAppend(
+      staged: Path, op: String, params: Map[String, String]): Unit = {
+    val attributed =
+      !fs.exists(new Path(staged, LakeTable.AppendManifestName)) &&
+        hasCommitParam(LakeTable.AppendStageParam,
+          params(LakeTable.AppendStageParam))
+    if (!attributed) commit(op, params): Unit
+    fs.delete(staged, true): Unit
+  }
+
   /** Parse [[appendViaStage]]'s marker: (op, params, promotion set). */
   private def readAppendManifest(mf: Path): (String, Map[String, String], Seq[String]) = {
     val in = fs.open(mf)
@@ -287,9 +313,24 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val merged = storedSchema match {
         case None => marker
         case Some(st) =>
+          // name-missing fields join; and a field the writer TYPE-WIDENED
+          // adopts the marker's wider type — the promoted files physically
+          // hold the wide encoding, and a narrow stored schema cannot read
+          // them (the parquet reader only promotes upward). Taking the
+          // wider of the two is monotone, so evolution that legitimately
+          // happened after the crash still survives the recovery
+          val byKey = marker.fields
+            .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+          val widened = st.fields.map { tf =>
+            byKey.get(tf.name.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(mf) if LakeTable.widens(tf.dataType, mf.dataType) =>
+                tf.copy(dataType = mf.dataType)
+              case _ => tf
+            }
+          }
           val missing = marker.fields.filterNot(f =>
             st.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-          if (missing.isEmpty) st else StructType(st.fields ++ missing)
+          StructType(widened ++ missing)
       }
       if (!storedSchema.contains(merged)) saveSchema(merged)
     }
@@ -436,15 +477,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
       enforceSchema(withGen, appendLike = mode == SaveMode.Append, mergeSchema, overwriteSchema)
     mapNewColumns(schema.fieldNames.filterNot(beforeNames).toSeq)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
-    val toWrite = constrainedBatch(assigned, genChecks)
+    val (toWrite, consSeen) = constrainedBatch(assigned, genChecks)
     val baseParams = Map("mode" -> mode.toString,
       "partitionBy" -> partitionCols.mkString(",")) ++ idParams
+    lateConstraintCheck(toWrite, consSeen)
     if (mode == SaveMode.Append) {
       val (staged, params) = appendViaStage(toPhysical(toWrite),
         partitionCols.map(physicalOf), "WRITE PARTITIONED", baseParams, schema)
       saveSchema(schema)
-      commit("WRITE PARTITIONED", params)
-      fs.delete(staged, true): Unit
+      commitStagedAppend(staged, "WRITE PARTITIONED", params)
     } else {
       preservingLog(mode) {
         toPhysical(toWrite).write.mode(mode)
@@ -484,7 +525,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val (aligned, schema) =
       enforceSchema(withGen, appendLike = true, mergeSchema = false, overwriteSchema = false)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
-    val toWrite = constrainedBatch(assigned, genChecks)
+    val (toWrite, consSeen) = constrainedBatch(assigned, genChecks)
+    lateConstraintCheck(toWrite, consSeen)
     // partition-scoped OCC: the batch's partition values ARE this op's
     // logical write set — record them in the commit and check interlopers
     // for overlap before staging (cheap early abort) and again after
@@ -685,10 +727,27 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def evolveTarget(
       cur: DataFrame, source: DataFrame, enabled: Boolean): DataFrame = {
     if (!enabled) return cur
+    val srcByKey = source.schema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     val sourceOnly = source.schema.fields.filterNot(f =>
       cur.columns.exists(_.equalsIgnoreCase(f.name)))
-    if (sourceOnly.isEmpty) cur
-    else cur.select((cur.columns.map(col).toSeq ++
+    // shared columns whose SOURCE type widens the target's evolve the
+    // target column in place (numeric type widening — same lattice and
+    // gate as enforceSchema's mergeSchema appends): existing rows cast
+    // up, the staged rewrite persists the widened schema, and old files
+    // read through the parquet reader's native promotion
+    val widenedAny = cur.schema.fields.exists { tf =>
+      srcByKey.get(tf.name.toLowerCase(java.util.Locale.ROOT))
+        .exists(sf => LakeTable.widens(tf.dataType, sf.dataType))
+    }
+    if (sourceOnly.isEmpty && !widenedAny) cur
+    else cur.select((cur.schema.fields.map { tf =>
+      srcByKey.get(tf.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(sf) if LakeTable.widens(tf.dataType, sf.dataType) =>
+          col(tf.name).cast(sf.dataType).as(tf.name)
+        case _ => col(tf.name)
+      }
+    }.toSeq ++
       sourceOnly.map(f => lit(null).cast(f.dataType).as(f.name))).toIndexedSeq: _*)
   }
 
@@ -1054,9 +1113,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // PRUNED files too, and the change feed must read pre-merge plans
     // over the whole table, so both force the full rewrite. A
     // schema-evolution-widened target also bails: the affected-file
-    // read returns the OLD on-disk schema
+    // read returns the OLD on-disk schema (same for a TYPE-widened
+    // column — the subset read would come back narrow)
     val widened = storedSchema.exists(s =>
-      !s.fieldNames.sameElements(cur.schema.fieldNames))
+      !s.fieldNames.sameElements(cur.schema.fieldNames) ||
+        s.fields.exists(tf => cur.schema.fields.exists(cf =>
+          cf.name.equalsIgnoreCase(tf.name) && cf.dataType != tf.dataType)))
     if (whenNotMatchedBySource.isEmpty && !changeFeed && !widened) {
       val mergeParams = Map("keys" -> keys.mkString(","),
         "clauses" -> whenMatched.length.toString,
@@ -1176,7 +1238,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val (assigned, idParams) = applyIdentityIngest(aligned0, ic)
     // materialized once: the violation count below and the staged write
     // both consume it, and identity values must not be re-drawn
-    val toInsert = constrainedBatch(assigned, genChecks).localCheckpoint(true)
+    val (toInsertRaw, consSeen) = constrainedBatch(assigned, genChecks)
+    val toInsert = toInsertRaw.localCheckpoint(true)
+    lateConstraintCheck(toInsert, consSeen)
     val violating = toInsert.where(!coalesce(cond, lit(false))).count()
     require(violating == 0L,
       s"replaceWhere: $violating incoming row(s) do not satisfy $cond — " +
@@ -2262,11 +2326,38 @@ final class LakeTable(spark: SparkSession, val path: String) {
   def addConstraint(name: String, expr: String): LakeTable = {
     require(name.nonEmpty && !constraints.contains(name),
       s"constraint '$name' already exists")
-    enforceConstraints(read, Map(name -> expr))
-    saveConstraints(constraints + (name -> expr))
-    commit("ADD CONSTRAINT", Map("name" -> name, "expr" -> expr))
+    // DDL-vs-writer race closure, the DDL half: validation reads the
+    // table at one version, but a concurrent append can commit rows the
+    // validation never saw before the constraint file publishes — the
+    // published constraint would then LIE about the data. Re-validate
+    // whenever the log moved during validation (bounded retries); the
+    // residual — a writer whose batch was validated before this save and
+    // whose commit lands after — is closed from the writer's side
+    // (lateConstraintCheck re-validates late-arriving constraints before
+    // its point of no return). ConstraintRaceSpec interleaves both.
+    var attempts = 0
+    while (true) {
+      val base = CommitLog.nextVersion(fs, logDir)
+      enforceConstraints(read, Map(name -> expr))
+      onConstraintValidatedForTest()
+      if (CommitLog.nextVersion(fs, logDir) == base) {
+        saveConstraints(constraints + (name -> expr))
+        commit("ADD CONSTRAINT", Map("name" -> name, "expr" -> expr))
+        return this
+      }
+      attempts += 1
+      require(attempts < 8,
+        s"addConstraint $name at $path: the table kept moving during " +
+          "validation (8 attempts) — quiesce writers or retry")
+    }
     this
   }
+
+  /** Test seam (ConstraintRaceSpec): runs between addConstraint's
+    * validation pass and its movement re-check, so a spec can land a
+    * violating append deterministically inside the race window.
+    */
+  private[sources] var onConstraintValidatedForTest: () => Unit = () => ()
 
   def dropConstraint(name: String): LakeTable = {
     require(constraints.contains(name), s"no constraint '$name'")
@@ -2488,15 +2579,40 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private def constrainedBatch(
       aligned: DataFrame,
-      extraChecks: Map[String, String] = Map.empty): DataFrame = {
+      extraChecks: Map[String, String] = Map.empty): (DataFrame, Map[String, String]) = {
     val cons = constraints ++ extraChecks
-    if (cons.isEmpty) aligned
+    if (cons.isEmpty) (aligned, cons)
     else {
       val pinned = aligned.localCheckpoint(true)
       enforceConstraints(pinned, cons)
-      pinned
+      (pinned, cons)
     }
   }
+
+  /** The write-side half of the ADD CONSTRAINT race closure: a
+    * constraint published AFTER this operation validated its batch but
+    * BEFORE its point of no return would otherwise admit rows nobody
+    * ever checked (the DDL validated the pre-write table, the writer
+    * validated against the pre-DDL constraint set — Delta surfaces the
+    * same interleave as a MetadataChangedException on the writer).
+    * Re-read the constraint file and validate the batch against any
+    * LATE-ARRIVING checks only (one cheap metadata read per write; the
+    * extra data pass runs only when a DDL actually raced). Throws the
+    * ordinary violation error, which aborts BEFORE promotion — the
+    * stage rolls back like any pre-mark failure.
+    */
+  private def lateConstraintCheck(
+      batch: DataFrame, validated: Map[String, String]): Unit = {
+    onBatchValidatedForTest()
+    val late = constraints -- validated.keys
+    if (late.nonEmpty) enforceConstraints(batch, late)
+  }
+
+  /** Test seam (ConstraintRaceSpec): runs after a write validated its
+    * batch and before the late-constraint re-read, so a spec can publish
+    * a constraint deterministically inside the writer's race window.
+    */
+  private[sources] var onBatchValidatedForTest: () => Unit = () => ()
 
   // --------------------------------------------------- generated columns
 
@@ -3239,9 +3355,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
       case Some(table) =>
         val inByName = df.schema.fields.map(f => key(f.name) -> f).toMap
         val tableNames = table.fields.map(f => key(f.name)).toSet
+        // three kinds of type difference on a shared column:
+        //  - incoming NARROWER than stored: up-cast the batch silently
+        //    (value-safe — Delta's implicit cast on write);
+        //  - incoming WIDER along the [[LakeTable.widens]] lattice: the
+        //    stored schema itself widens, gated on mergeSchema exactly
+        //    like an added column (old files read through the parquet
+        //    reader's native type promotion);
+        //  - anything else is drift and stays an error.
         val drifted = table.fields.flatMap { tf =>
-          inByName.get(key(tf.name)).filter(_.dataType != tf.dataType).map { inf =>
-            s"${tf.name}: table ${tf.dataType.simpleString} vs incoming ${inf.dataType.simpleString}"
+          inByName.get(key(tf.name)).filter(_.dataType != tf.dataType).flatMap { inf =>
+            val diff =
+              s"${tf.name}: table ${tf.dataType.simpleString} vs incoming ${inf.dataType.simpleString}"
+            if (LakeTable.widens(inf.dataType, tf.dataType)) None
+            else if (LakeTable.widens(tf.dataType, inf.dataType))
+              if (mergeSchema) None
+              else Some(s"$diff (a widening append — pass mergeSchema = true to evolve the type)")
+            else Some(diff)
           }
         }
         require(drifted.isEmpty,
@@ -3252,12 +3382,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
             s"${added.map(_.name).mkString(", ")} (pass mergeSchema = true to evolve)")
         val evolved = StructType(table.fields.map { tf =>
           // widen, never narrow: once any file may hold nulls the stored
-          // schema must say nullable, or stored-schema reads misbehave
-          val nowNullable = inByName.get(key(tf.name)).forall(_.nullable)
-          if (nowNullable && !tf.nullable) tf.copy(nullable = true) else tf
+          // schema must say nullable, or stored-schema reads misbehave —
+          // and the same monotonicity governs types (the widening above)
+          val in = inByName.get(key(tf.name))
+          val wider = in.map(_.dataType)
+            .filter(t => mergeSchema && LakeTable.widens(tf.dataType, t))
+            .getOrElse(tf.dataType)
+          val nowNullable = in.forall(_.nullable)
+          tf.copy(dataType = wider, nullable = tf.nullable || nowNullable)
         } ++ added.map(_.copy(nullable = true)))
         val alignedCols = evolved.fields.map { f =>
           inByName.get(key(f.name)) match {
+            case Some(inf) if inf.dataType != f.dataType =>
+              col(inf.name).cast(f.dataType).as(f.name)
             case Some(inf) => col(inf.name).as(f.name)
             case None      => lit(null).cast(f.dataType).as(f.name)
           }
@@ -3494,8 +3631,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
       // age horizon every other reclaim honors: a LIVE first writer is
       // mid-mkdirs/mid-job in exactly this state, and an ageless delete
       // here would destroy it (readers meanwhile get the explicit
-      // not-a-table-yet error from readRaw, never a silent empty)
-      fs.delete(new Path(path), true): Unit
+      // not-a-table-yet error from readRaw, never a silent empty).
+      // The delete is check-then-act against a concurrent first writer
+      // promoting inside the gap, and it is DESTRUCTIVE of live data if
+      // it loses that race — so re-run the cheap guards at the last
+      // possible moment to shrink the window from "everything since the
+      // top of vacuumDebris" to one fs round-trip (a full close needs a
+      // claim protocol the 4h age horizon does not justify)
+      if (CommitLog.nextVersion(fs, logDir) == 0 && storedSchema.isEmpty &&
+        listDataFiles().isEmpty)
+        fs.delete(new Path(path), true): Unit
     }
     this
   }
@@ -4787,6 +4932,45 @@ final class LakeTable(spark: SparkSession, val path: String) {
 }
 
 object LakeTable {
+
+  /** True iff a value of `from` converts to `to` losslessly — the
+    * numeric TYPE-WIDENING lattice (Delta 3.x/4.x type widening parity):
+    * integral up-casts along byte→short→int→long, float→double,
+    * integral→double, decimal precision growth that keeps both the
+    * integer digits and the scale non-shrinking, and integral→decimal
+    * wide enough to hold every value of the source type. Appends whose
+    * column is NARROWER than the stored type up-cast silently (value-
+    * safe, Delta's implicit cast); a WIDER incoming type evolves the
+    * stored schema under `mergeSchema`/`schemaEvolution`, and old data
+    * files read through the parquet reader's native widening
+    * (SPARK-40876 line — verified on this Spark: int32 files read as
+    * LONG/DOUBLE/DECIMAL, float as DOUBLE, decimals rescale).
+    * Everything else — including every narrowing — stays a schema error.
+    */
+  private[sources] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case LongType => 19; case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      // double's 53-bit mantissa holds every int exactly; NOT long
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (f @ (ByteType | ShortType | IntegerType | LongType), t: DecimalType) =>
+        t.precision - t.scale >= intDigits(f)
+      case _ => false
+    }
+  }
+
   val LogDirName = "_graft_log"
   val ChangesDirName = "_graft_changes"
   val StatsDirName = "_graft_stats"

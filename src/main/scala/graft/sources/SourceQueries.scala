@@ -513,8 +513,11 @@ object SourceQueries {
          |VALUES (100, 'AAA', 0, 1.5), (101, 'BBB', 1, 2.5)""".stripMargin)
     // source-only `tier` column: WITH SCHEMA EVOLUTION adds it to the
     // table (history null-filled); columns the source lacks (n_name,
-    // n_comment) null-fill on the INSERT * row
-    Seq((100L, 0L, 5.0, "gold"), (102L, 1L, 3.0, "silver"))
+    // n_comment) null-fill on the INSERT * row. Key columns arrive INT
+    // deliberately: a LONG source would now trigger the (round-15)
+    // int->long TYPE WIDENING under schema evolution and change this
+    // query's result dtypes — q_lake_type_widening covers that path
+    Seq((100, 0, 5.0, "gold"), (102, 1, 3.0, "silver"))
       .toDF("n_nationkey", "n_regionkey", "bonus", "tier")
       .createOrReplaceTempView("evo_merge_src")
     spark.sql(
@@ -528,6 +531,40 @@ object SourceQueries {
          | count(tier) AS n_tier
          |FROM graft_lake('$path')
          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  /** A3 extension (numeric TYPE WIDENING, Delta 3.x parity): seed a lake
+    * table with deliberately narrow column types (INT key,
+    * DECIMAL(12,2) price), then `mergeSchema`-append a batch that is
+    * WIDER on both — BIGINT keys beyond int range and DECIMAL(14,4)
+    * prices. The stored schema widens in place; the seed's files (still
+    * physically int32/decimal(12,2)) are NOT rewritten and read through
+    * the parquet reader's native type promotion. The oracle rebuilds the
+    * same two-batch union relationally, so the widened read of the
+    * pre-widening files is content-checked value by value (a wrongly
+    * promoted int or rescaled decimal changes the sums).
+    */
+  def lakeTypeWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val path = scratch(sfDir, "orders_widen")
+    val seed = t.orders.where(col("o_custkey") % 10 === 0)
+      .select(col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderstatus").as("st"))
+    // overwriteSchema: a rerun's seed narrows the previously-widened
+    // schema back down, which plain Overwrite (correctly) refuses
+    LakeTable(spark, path).write(seed, overwriteSchema = true)
+    val wide = t.orders.where(col("o_custkey") % 17 === 3)
+      .select((col("o_orderkey") + 5000000000L).as("k"),
+        col("o_totalprice").cast("decimal(14,4)").as("price"),
+        col("o_orderstatus").as("st"))
+    LakeTable(spark, path).write(wide, SaveMode.Append, mergeSchema = true)
+    LakeTable(spark, path).read
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(col("price")).cast("double").as("total"))
+      .orderBy(col("st"))
   }
 
   /** A7 extension (file-level data skipping): cluster lineitem by
@@ -1227,6 +1264,7 @@ object SourceQueries {
     "q_lake_diff" -> (lakeDiff _),
     "q_lake_time_travel" -> (lakeTimeTravel _),
     "q_lake_schema_evolution" -> (lakeSchemaEvolution _),
+    "q_lake_type_widening" -> (lakeTypeWidening _),
     "q_lake_skipping" -> (lakeSkipping _),
     "q_lake_incremental_mv" -> (lakeIncrementalMv _),
     "q_csv_ingest" -> (csvIngestNation _),
@@ -1653,6 +1691,25 @@ object SourceQueries {
         | round(sum(coalesce(bonus, 0)), 2) AS total_bonus,
         | count(tier) AS n_tier
         |FROM merged GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_lake_type_widening" ->
+      """WITH seed AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |         o_orderstatus AS st
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |wide AS (
+        |  SELECT o_orderkey + 5000000000 AS k,
+        |         CAST(o_totalprice AS DECIMAL(14,4)) AS price,
+        |         o_orderstatus AS st
+        |  FROM orders WHERE o_custkey % 17 = 3),
+        |u AS (
+        |  SELECT CAST(k AS BIGINT) AS k, CAST(price AS DECIMAL(14,4)) AS price, st
+        |  FROM seed
+        |  UNION ALL SELECT CAST(k AS BIGINT), price, st FROM wide)
+        |SELECT st, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(sum(price) AS DOUBLE) AS total
+        |FROM u GROUP BY st ORDER BY st""".stripMargin,
     "q_lake_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

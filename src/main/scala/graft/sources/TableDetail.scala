@@ -37,7 +37,8 @@ object TableDetail {
       val dvRoot = new Path(p, LakeTable.DvDirName)
       if (fs.exists(dvRoot)) dvDirs = fs.listStatus(dvRoot).length.toLong
     }
-    val commits = CommitLog.currentCount(fs, new Path(p, LakeTable.LogDirName))
+    val logDir = new Path(p, LakeTable.LogDirName)
+    val commits = CommitLog.currentCount(fs, logDir)
     val (schemaJson, cons) =
       if (versioned) {
         val t = VersionedLakeTable(spark, path)
@@ -49,15 +50,37 @@ object TableDetail {
     val partCols =
       if (versioned) ""
       else LakeTable(spark, path).partitionColumns().mkString(",")
+    // Delta DESCRIBE DETAIL parity columns users script against:
+    // createdAt / lastModified from the commit timestamps (one log read,
+    // already O(commits)); properties verbatim; clusteringColumns from
+    // the most recent OPTIMIZE commit's recorded dimensions
+    val recs = CommitLog.recordsSince(fs, logDir, 0L)
+    val createdAt = recs.headOption.map(_.timestamp).orNull
+    val lastModified = recs.lastOption.map(_.timestamp).orNull
+    val clusterCols = recs.reverseIterator
+      .find(r => r.operation.startsWith("OPTIMIZE"))
+      .flatMap(r => r.params.get("zOrderBy").orElse(r.params.get("cols")))
+      .getOrElse("")
+    val props =
+      if (versioned) ""
+      else LakeTable(spark, path).tableProperties.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("; ")
     Seq((
       path,
       if (versioned) "versioned" else "lake",
+      "parquet",
       files, bytes, commits,
       schemaJson,
       cons.toSeq.sorted.map { case (k, v) => s"$k CHECK ($v)" }.mkString("; "),
       dvDirs,
-      partCols
-    )).toDF("path", "layout", "num_files", "size_bytes", "num_commits",
-      "schema_json", "constraints", "num_deletion_vectors", "partition_columns")
+      partCols,
+      clusterCols,
+      createdAt,
+      lastModified,
+      props
+    )).toDF("path", "layout", "format", "num_files", "size_bytes",
+      "num_commits", "schema_json", "constraints", "num_deletion_vectors",
+      "partition_columns", "clustering_columns", "created_at",
+      "last_modified", "properties")
   }
 }

@@ -111,7 +111,17 @@ object LakeSink {
     val last: Long = seen.computeIfAbsent(cacheKey, _ => coldStart(lake, key))
     if (batchId <= last) return
     if (!batch.isEmpty) {
-      lake.write(batch, SaveMode.Append, extraParams = Map(key -> batchId.toString)): Unit
+      // a FAILED append may still have passed its point of no return (a
+      // marked stage that recovery will complete-and-attribute), so the
+      // warm cache must not survive the failure: evicting it forces the
+      // same-process retry back through coldStart, which completes the
+      // marked stage and SEES its recovered tag — without this the retry
+      // trusted the stale high-water mark and re-appended a batch whose
+      // first attempt later lands via recovery (a duplicate no forked-
+      // process replay could reproduce, since fresh processes always
+      // cold-start)
+      try lake.write(batch, SaveMode.Append, extraParams = Map(key -> batchId.toString)): Unit
+      catch { case t: Throwable => seen.remove(cacheKey): Unit; throw t }
       // only COMMITTED versions advance the mark: an empty batch leaves
       // no commit, so a replay of it must still fall through to the
       // (no-op) write rather than claim the id was applied
@@ -164,7 +174,11 @@ object LakeSink {
     val last: Long = seen.computeIfAbsent(cacheKey, _ => coldStart(lake, key))
     if (batchId <= last) return
     if (!batch.isEmpty) {
-      lake.appendExpecting(batch, extraParams = Map(key -> batchId.toString)): Unit
+      // same warm-retry eviction as [[writeBatch]]: the clean leg lands
+      // through the marked append stage, so a failure past the mark must
+      // send the retry back through coldStart
+      try lake.appendExpecting(batch, extraParams = Map(key -> batchId.toString)): Unit
+      catch { case t: Throwable => seen.remove(cacheKey): Unit; throw t }
       seen.merge(cacheKey, batchId, (a, b) => math.max(a, b)): Unit
     }
   }

@@ -42,6 +42,14 @@ import graft.sources.{LakeTable, MergeClause}
   */
 object InvertedIndex {
 
+  /** Test seam (TaskRetryProbe): decorate the fold's addition-postings
+    * frame so a failure-injection probe can plant a one-time TASK fault
+    * inside the fold's own jobs. Identity in production — the same
+    * pattern as [[graft.sources.LakeTable.fsDecoratorForTest]].
+    */
+  @volatile private[graft] var foldSourceDecoratorForTest:
+    DataFrame => DataFrame = identity(_)
+
   private def sub(dir: String, name: String) = new Path(dir, name).toString
 
   /** Commit-param key tagging each fold sub-op with its target version —
@@ -175,7 +183,8 @@ object InvertedIndex {
     val (removals, additions) =
       IndexMeta.resolveImages(base, meta.version, target, idCol, Seq(textCol))
     val remPost = tokenPostings(removals, "doc_id", textCol).localCheckpoint(true)
-    val addPost = tokenPostings(additions, "doc_id", textCol).localCheckpoint(true)
+    val addPost = foldSourceDecoratorForTest(
+      tokenPostings(additions, "doc_id", textCol)).localCheckpoint(true)
 
     val p = LakeTable(spark, sub(dir, "postings"))
     // CRASH/RETRY EXACTNESS: the fold mutates three lakes and stamps
@@ -375,8 +384,13 @@ object InvertedIndex {
         val row = Seq((1L, n1, if (n1 == 0.0) 0.0 else sum1 / n1,
           foldTarget.getOrElse(-1L)))
           .toDF("k", "n_docs", "avgdl", "folded_version")
+        // legacy (pre-watermark) 2-column stats layout: adopting the
+        // 4-column frame in place CHANGES the column set, which
+        // enforceSchema rejects on Overwrite unless told the rewrite is
+        // deliberate — without the flag the first fold over an old index
+        // threw here AFTER postings and terms were already mutated
         if (cur.columns.contains("k")) st.upsert(row, Seq("k")): Unit
-        else st.write(row): Unit // legacy/build-time layout: adopt in place
+        else st.write(row, overwriteSchema = true): Unit
       }
     }
   }

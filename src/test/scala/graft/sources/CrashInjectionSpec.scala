@@ -173,8 +173,14 @@ class CrashInjectionSpec extends SparkSpec {
         assert(!fsReal.exists(new org.apache.hadoop.fs.Path(s"$dir${LakeTable.StageClaimSuffix}")),
           s"$name fuse=$fuse: stage claim survived recovery")
         val after = if (replayConverges) post else rows(dir)
+        // probe row cast to the table's CURRENT id type: a widening walk's
+        // pre-crash states still hold the narrow type, and a wider probe
+        // would be a (correctly) gated evolution, not a plain append
+        val idType = LakeTable(spark, dir).read.schema("id").dataType
         LakeTable(spark, dir).write(
-          Seq((999L, "z")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+          Seq((999L, "z")).toDF("id", "v")
+            .select(col("id").cast(idType).as("id"), col("v"))
+            .coalesce(1), SaveMode.Append): Unit
         assert(rows(dir) == (after :+ (999L -> "z")).sorted,
           s"$name fuse=$fuse: follow-up append broke the table")
       }
@@ -326,6 +332,76 @@ class CrashInjectionSpec extends SparkSpec {
     }
     val n = crashWalk("sinkappend", tpl, op, post, replayConverges = true)
     assert(n >= 5, s"tagged append walk exercised only $n crash points")
+  }
+
+  test("type-WIDENING append (int->long, mergeSchema) converges from a crash at every metadata fs operation") {
+    // the widening-specific window: promotion done, saveSchema not — the
+    // promoted files physically hold int64, and a recovery that restored
+    // only name-missing columns would leave an int32 stored schema that
+    // cannot read them (parquet promotes upward only). completeAppendStage
+    // must adopt the marker's WIDER type.
+    val dir0 = Files.createTempDirectory("graft_crashtpl_widen").toString + "/t"
+    LakeTable(spark, dir0).write(
+      Seq((0, "a"), (1, "a"), (2, "a")).toDF("id", "v").coalesce(1))
+    val pre = rows(dir0)
+    val wide = Seq((5000000000L, "w"), (6000000000L, "w"))
+    val n = crashWalk("widen", dir0,
+      l => l.write(wide.toDF("id", "v").coalesce(1), SaveMode.Append,
+        mergeSchema = true): Unit,
+      post = (pre ++ wide).sorted,
+      replayConverges = false)
+    assert(n >= 3, s"widening append walk exercised only $n crash points")
+  }
+
+  test("WARM same-process retry of a failed sink batch is exactly-once at every crash point") {
+    // The window the forked-process probes structurally miss: a
+    // foreachBatch attempt fails mid-append (possibly past its marked
+    // point of no return) and the SAME process retries the batch — no
+    // process death, so no fresh cold start. The sink must evict its
+    // warm high-water cache on failure, or the retry trusts the stale
+    // mark, re-appends, and the failed attempt's marked stage is later
+    // completed by recovery: the batch lands twice.
+    import graft.streaming.LakeSink
+    val tpl = freshTemplate("sinkwarm")
+    val pre = rows(tpl)
+    val batch = Seq((30L, "w"), (31L, "w"), (32L, "w"))
+    val post = (pre ++ batch).sorted
+    var fuse = 0
+    var completed = false
+    var crashes = 0
+    while (!completed && fuse < MaxFusePositions) {
+      val dir = Files.createTempDirectory("graft_crash_warm").toString + "/t"
+      copyDir(tpl, dir)
+      LakeSink.resetReplayCacheForTest() // a fresh process picks up the table…
+      LakeTable.fsDecoratorForTest = _ => newFaultFs()
+      FsFuse.arm(fuse)
+      val outcome = try {
+        LakeSink.writeBatch(LakeTable(spark, dir),
+          batch.toDF("id", "v").repartition(3), 7L, "warmwalk")
+        None
+      } catch { case t: Throwable => Some(t) }
+      val fired = FsFuse.fired
+      FsFuse.disarm()
+      LakeTable.fsDecoratorForTest = identity(_)
+      if (outcome.isEmpty && !fired) completed = true
+      else {
+        assert(fired, s"warm fuse=$fuse: op failed without the fuse firing: ${outcome.get}")
+        crashes += 1
+        // …then retries IN PLACE: replay cache deliberately NOT reset
+        LakeSink.writeBatch(LakeTable(spark, dir),
+          batch.toDF("id", "v").repartition(3), 7L, "warmwalk")
+        assert(rows(dir) == post,
+          s"warm fuse=$fuse: same-process retry did not converge to post")
+        // recovery completing whatever stage the failed attempt left
+        // must find it already attributed — never a second landing
+        LakeTable(spark, dir).vacuumDebris(): Unit
+        assert(rows(dir) == post,
+          s"warm fuse=$fuse: batch duplicated after debris recovery")
+      }
+      fuse += 1
+    }
+    assert(completed, s"warm: op still crashing after $MaxFusePositions fuse positions")
+    assert(crashes >= 5, s"warm walk exercised only $crashes crash points")
   }
 
   test("a table's very FIRST tagged append converges from a crash at every metadata fs operation") {

@@ -258,11 +258,17 @@ class LakeTableSpec extends SparkSpec {
     import s.implicits._
     val lake = LakeTable(spark, tmp())
       .write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
-    // drift: id arrives as int, table says bigint
+    // drift: id arrives as DOUBLE, table says bigint — lossy in both
+    // directions, rejected with or without mergeSchema. (An INT id is no
+    // longer drift: narrower incoming values up-cast silently, Delta's
+    // implicit safe cast — TypeWideningSpec pins that side.)
     val drift = intercept[IllegalArgumentException] {
-      lake.write(Seq((3, "c")).toDF("id", "v"), SaveMode.Append)
+      lake.write(Seq((3.5, "c")).toDF("id", "v"), SaveMode.Append)
     }
     assert(drift.getMessage.contains("type drift"))
+    // the narrow side: an int id up-casts and lands
+    lake.write(Seq((9, "i")).toDF("id", "v"), SaveMode.Append)
+    assert(lake.read.where(col("id") === 9L).count() === 1)
     // new column without opt-in is rejected
     val extra = intercept[IllegalArgumentException] {
       lake.write(Seq((3L, "c", 1.5)).toDF("id", "v", "score"), SaveMode.Append)
@@ -273,8 +279,8 @@ class LakeTableSpec extends SparkSpec {
       SaveMode.Append, mergeSchema = true)
     val out = lake.read
     assert(out.columns.toSeq === Seq("id", "v", "score"))
-    assert(out.where(col("score").isNull).count() === 2)
-    assert(out.count() === 3)
+    assert(out.where(col("score").isNull).count() === 3)
+    assert(out.count() === 4)
   }
 
   test("SaveMode.Ignore on an existing table touches neither data nor schema nor log") {

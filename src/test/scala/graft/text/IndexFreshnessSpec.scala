@@ -113,6 +113,42 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(termsOf(dir) === termsOf(rebuilt))
   }
 
+  test("BM25: fold adopts a legacy 2-column stats layout in place") {
+    val root = freshRoot
+    val base = LakeTable(spark, s"$root/docs").write(corpus.toDF("doc_id", "text"))
+    val dir = s"$root/idx"
+    InvertedIndex.build(base, "doc_id", "text", dir)
+    // regress the stats table to the pre-watermark layout an old index
+    // shipped: no upsert key, no folded_version — the adopt-in-place
+    // branch must widen the column set (an Overwrite schema change),
+    // which requires overwriteSchema=true or the first fold throws AFTER
+    // postings and terms were already mutated
+    val st = LakeTable(spark, s"$dir/stats")
+    val Seq((nd, ad)) =
+      st.read.select("n_docs", "avgdl").as[(Double, Double)].collect().toSeq
+    st.write(Seq((nd, ad)).toDF("n_docs", "avgdl"), overwriteSchema = true)
+    assert(st.read.columns.toSet === Set("n_docs", "avgdl"))
+
+    base.delete(col("doc_id") === 2L, changeFeed = true)
+    InvertedIndex.applyChanges(base, "doc_id", "text", dir) // must not throw
+    // adopted: the modern 4-column layout, scalars equal to a rebuild
+    val rebuilt = s"$root/idx2"
+    InvertedIndex.build(base, "doc_id", "text", rebuilt)
+    assert(st.read.columns.toSet ===
+      Set("k", "n_docs", "avgdl", "folded_version"))
+    val Seq((n1, a1)) = st.read
+      .select("n_docs", "avgdl").as[(Double, Double)].collect().toSeq
+    val Seq((n2, a2)) = LakeTable(spark, s"$rebuilt/stats").read
+      .select("n_docs", "avgdl").as[(Double, Double)].collect().toSeq
+    assert(n1 === n2)
+    assert(math.abs(a1 - a2) < 1e-9)
+    // and a SECOND fold over the adopted layout takes the upsert path
+    base.upsert(Seq((7L, "kiwi kiwi banana")).toDF("doc_id", "text"),
+      Seq("doc_id"), changeFeed = true)
+    InvertedIndex.applyChanges(base, "doc_id", "text", dir)
+    assert(served(dir, 1L -> "kiwi").exists(_._3 == 7L))
+  }
+
   test("BM25: a feed-less mutation in the range fails applyChanges loudly") {
     val root = freshRoot
     val base = LakeTable(spark, s"$root/docs").write(corpus.toDF("doc_id", "text"))
