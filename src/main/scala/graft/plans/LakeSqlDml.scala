@@ -617,6 +617,8 @@ final case class LakeAlterCommand(path: String, action: LakeAlterCommand.Action)
       case LakeAlterCommand.AddIdentity(n, s, st)   =>
         lake.addIdentityColumn(n, s, st)
       case LakeAlterCommand.RenameColumn(a, b)      => lake.renameColumn(a, b)
+      case LakeAlterCommand.AlterColumnType(n, t)   =>
+        lake.alterColumnType(n, org.apache.spark.sql.types.DataType.fromDDL(t))
       case LakeAlterCommand.DropColumn(n)           => lake.dropColumn(n)
       case LakeAlterCommand.SetProperties(kvs)      => lake.setTableProperties(kvs)
       case LakeAlterCommand.UnsetProperties(ks)     => lake.unsetTableProperties(ks)
@@ -649,6 +651,11 @@ object LakeAlterCommand {
     * column mapping; no data files touched.
     */
   final case class RenameColumn(from: String, to: String) extends Action
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — metadata-only numeric
+    * type widening ([[graft.sources.LakeTable.alterColumnType]]).
+    */
+  final case class AlterColumnType(name: String, typeSql: String) extends Action
 
   /** `ALTER TABLE t DROP COLUMN a` — metadata-only via the column
     * mapping; the physical name is retired.
@@ -1130,6 +1137,13 @@ object LakeSqlDml {
         val from = p.identifier("column name").mkString(".")
         p.expect("TO", "in RENAME COLUMN")
         LakeAlterCommand.RenameColumn(from, p.identifier("new column name").mkString("."))
+      } else if (p.eat("ALTER")) {
+        // Delta 4.0: ALTER TABLE t ALTER COLUMN c TYPE <wider> —
+        // metadata-only numeric type widening
+        p.expect("COLUMN", "after ALTER TABLE … ALTER")
+        val name = p.identifier("column name").mkString(".")
+        p.expect("TYPE", "in ALTER COLUMN")
+        LakeAlterCommand.AlterColumnType(name, p.sliceToEnd("column type"))
       } else if (p.eat("SET")) {
         p.expect("TBLPROPERTIES", "after ALTER TABLE … SET")
         val body = p.parenGroup("TBLPROPERTIES list")

@@ -2359,6 +2359,35 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private[sources] var onConstraintValidatedForTest: () => Unit = () => ()
 
+  /** Delta 4.0 `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — METADATA-
+    * ONLY numeric type widening: the stored schema's column moves up the
+    * lossless lattice ([[LakeTable.widens]] — int→long, float→double,
+    * decimal growth, …), NO data file is rewritten (existing files read
+    * through the parquet reader's native type promotion, exactly like a
+    * mergeSchema append that arrived wider), and narrowing or lossy
+    * changes are rejected naming the contract. The explicit-DDL face of
+    * the implicit widening the write paths do.
+    */
+  def alterColumnType(name: String, newType: DataType): LakeTable = {
+    val schema = storedSchema.getOrElse(throw new IllegalStateException(
+      s"no stored schema at $path — write the table before altering types"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"alterColumnType: no column '$name' at $path"))
+    if (field.dataType == newType) return this
+    require(LakeTable.widens(field.dataType, newType),
+      s"alterColumnType $name: ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a lossless widening (allowed: " +
+        "byte->short->int->long, float->double, int->double, decimal " +
+        "precision growth, integral->decimal) — narrowing or lossy " +
+        "changes need a full rewrite the caller must do explicitly")
+    saveSchema(StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f)))
+    commit("ALTER COLUMN TYPE", Map("column" -> name,
+      "from" -> field.dataType.simpleString, "to" -> newType.simpleString)): Unit
+    this
+  }
+
   def dropConstraint(name: String): LakeTable = {
     require(constraints.contains(name), s"no constraint '$name'")
     saveConstraints(constraints - name)
@@ -2648,14 +2677,17 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
   }
 
-  private def saveGenerated(gens: Map[String, String]): Unit = {
+  private def saveGenerated(gens: Map[String, String]): Unit =
+    saveGeneratedAt(logDir, gens)
+
+  private def saveGeneratedAt(dir: Path, gens: Map[String, String]): Unit = {
     val f = fs
-    if (!f.exists(logDir)) f.mkdirs(logDir)
+    if (!f.exists(dir)) f.mkdirs(dir)
     val text = gens.toSeq.sortBy(_._1).map { case (k, v) =>
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("\n")
-    LakeIo.atomicOverwrite(f, generatedFile, text)
+    LakeIo.atomicOverwrite(f, new Path(dir, LakeTable.GeneratedFileName), text)
   }
 
   /** Declare `name` as GENERATED ALWAYS AS (`exprSql`) of type
@@ -2690,19 +2722,33 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(chained.isEmpty,
       s"generated column $name may not reference generated columns: " +
         chained.mkString(", "))
+    // OCC base BEFORE the snapshot read below: the reference-check job
+    // and the backfill's own staging take real time, and an append
+    // landing inside either would silently miss the backfill (its rows
+    // would read the "ALWAYS generated" column as null). The version-
+    // gated rewrite refuses instead — the DDL-vs-writer contract
+    // ConstraintRaceSpec pins for constraints, applied to backfills.
+    val occBase = Some(CommitLog.nextVersion(fs, logDir))
     read.limit(0).select(expr(exprSql)).collect(): Unit // reference check
     val computed = expr(exprSql).cast(dataType).as(name)
     if (listDataFiles().nonEmpty || isShallowClone) {
-      // BACKFILL existing rows; the rewrite persists the widened schema
+      // BACKFILL existing rows; the rewrite persists the widened schema.
+      // The DECLARATION rides the staged log (the reorgPurge pattern):
+      // it becomes visible atomically with the backfilled data, so no
+      // writer can ever observe the column in the schema without the
+      // declaration (it would silently null-fill instead of computing),
+      // and a crash on either side of the swap stays consistent.
       rewrite(read.withColumn(name, computed), "ADD GENERATED COLUMN",
-        Map("column" -> name, "expr" -> exprSql)): Unit
+        Map("column" -> name, "expr" -> exprSql), occBase = occBase,
+        onStagedLog = stagedLog =>
+          saveGeneratedAt(stagedLog, gens + (name -> exprSql))): Unit
     } else {
       saveSchema(StructType(schema.fields :+
         StructField(name, dataType, nullable = true)))
       commit("ADD GENERATED COLUMN",
         Map("column" -> name, "expr" -> exprSql)): Unit
+      saveGenerated(gens + (name -> exprSql))
     }
-    saveGenerated(gens + (name -> exprSql))
     this
   }
 
@@ -2792,13 +2838,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
   }
 
-  private def saveIdentity(specs: Map[String, (Long, Long)]): Unit = {
+  private def saveIdentity(specs: Map[String, (Long, Long)]): Unit =
+    saveIdentityAt(logDir, specs)
+
+  private def saveIdentityAt(dir: Path, specs: Map[String, (Long, Long)]): Unit = {
     val f = fs
-    if (!f.exists(logDir)) f.mkdirs(logDir)
+    if (!f.exists(dir)) f.mkdirs(dir)
     val text = specs.toSeq.sortBy(_._1).map { case (k, (s, st)) =>
       java.net.URLEncoder.encode(k, "UTF-8") + "\t" + s + "\t" + st
     }.mkString("\n")
-    LakeIo.atomicOverwrite(f, identityFile, text)
+    LakeIo.atomicOverwrite(f, new Path(dir, LakeTable.IdentityFileName), text)
   }
 
   /** Identity context for ONE operation (same single-metadata-read
@@ -2848,21 +2897,29 @@ final class LakeTable(spark: SparkSession, val path: String) {
       s"$name is already a generated column at $path")
     val longT = org.apache.spark.sql.types.LongType
     if (listDataFiles().nonEmpty || isShallowClone) {
+      // same DDL-vs-writer discipline as addGeneratedColumn: OCC base
+      // captured before the snapshot read (an append landing during the
+      // backfill would keep NULL identity forever), and the declaration
+      // rides the staged log so column-in-schema and identity-spec flip
+      // atomically with the backfilled values
+      val occBase = Some(CommitLog.nextVersion(fs, logDir))
       val withNull = read.withColumn(name, lit(null).cast(longT))
       val (backfilled, counts) =
         assignIdentityRows(withNull, Seq((name, start, step)), Map(name -> start))
       rewrite(backfilled, "ADD IDENTITY COLUMN",
         Map("column" -> name, "start" -> start.toString, "step" -> step.toString,
           LakeTable.IdentityHwmParamPrefix + name ->
-            (start + step * counts(name)).toString)): Unit
+            (start + step * counts(name)).toString), occBase = occBase,
+        onStagedLog = stagedLog =>
+          saveIdentityAt(stagedLog, specs + (name -> (start, step)))): Unit
     } else {
       saveSchema(StructType(schema.fields :+
         StructField(name, longT, nullable = true)))
       commit("ADD IDENTITY COLUMN",
         Map("column" -> name, "start" -> start.toString,
           "step" -> step.toString)): Unit
+      saveIdentity(specs + (name -> (start, step)))
     }
-    saveIdentity(specs + (name -> (start, step)))
     this
   }
 
@@ -4289,6 +4346,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * log-commit protocol, this engine documents it instead.
     */
   private def occCheck(expected: Long, staged: Path, op: String): Unit = {
+    // deterministic-interleave seam: lets a spec land a concurrent
+    // commit exactly inside the pre-swap window this check guards
+    // (ConstraintRaceSpec's backfill races; self-resetting in OccSpec)
+    onResolvedForTest()
     val now = CommitLog.nextVersion(fs, logDir)
     if (now != expected) {
       fs.delete(staged, true): Unit

@@ -354,12 +354,16 @@ class LakeSqlDmlSpec extends SparkSpec {
   test("graft_detail reports layout, counts, schema, constraints in one row") {
     val path = tmp(); seed(path)
     spark.sql(s"ALTER TABLE graft_lake('$path') ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // access BY NAME: the column contract (incl. ordering) is pinned in
+    // TableDetailSpec; this test cares about the values
     val row = spark.sql(s"SELECT * FROM graft_detail('$path')").collect().head
-    assert(row.getString(1) === "lake")
-    assert(row.getLong(2) > 0 && row.getLong(3) > 0, "file/byte counts empty")
-    assert(row.getLong(4) >= 2, "expected write + constraint commits")
-    assert(row.getString(5).contains("\"name\""), "schema json missing columns")
-    assert(row.getString(6) === "v_pos CHECK (v > 0)")
+    assert(row.getAs[String]("layout") === "lake")
+    assert(row.getAs[Long]("num_files") > 0 && row.getAs[Long]("size_bytes") > 0,
+      "file/byte counts empty")
+    assert(row.getAs[Long]("num_commits") >= 2, "expected write + constraint commits")
+    assert(row.getAs[String]("schema_json").contains("\"name\""),
+      "schema json missing columns")
+    assert(row.getAs[String]("constraints") === "v_pos CHECK (v > 0)")
     // versioned layout reports its kind
     val vpath = tmp()
     import spark.implicits._

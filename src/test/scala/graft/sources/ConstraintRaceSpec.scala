@@ -105,6 +105,66 @@ class ConstraintRaceSpec extends SparkSpec {
     fresh2.addConstraint("x_pos2", "x > 0"): Unit // full-table re-validation passes
   }
 
+  test("generated-column backfill refuses a concurrent append (no silent null rows)") {
+    // the backfill's snapshot read cannot see an append landing during
+    // it; without the OCC gate those rows would carry NULL for a column
+    // declared GENERATED ALWAYS AS — the same DDL-vs-writer shape as
+    // constraints, closed by refusing instead of validating (a rebase
+    // could not compute the column for the missed rows)
+    val dir = fresh("genback")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x").coalesce(1))
+    var fired = 0
+    lake.onResolvedForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        LakeTable(spark, dir).write(
+          Seq((3L, 30.0)).toDF("id", "x").coalesce(1), SaveMode.Append): Unit
+      }
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        lake.addGeneratedColumn("x2",
+          org.apache.spark.sql.types.DoubleType, "x * 2")
+      }
+      assert(fired == 1, "interleaved append never ran")
+    } finally lake.onResolvedForTest = () => ()
+    // clean refusal: no declaration, no schema change, append intact
+    val fresh2 = LakeTable(spark, dir)
+    assert(!fresh2.generatedColumns.contains("x2"))
+    assert(!fresh2.read.columns.contains("x2"))
+    assert(fresh2.read.count() === 3L)
+    // the retry against the settled table computes EVERY row
+    fresh2.addGeneratedColumn("x2", org.apache.spark.sql.types.DoubleType, "x * 2"): Unit
+    assert(fresh2.read.where(col("x2") =!= col("x") * 2).count() === 0L)
+    assert(fresh2.read.where(col("x2").isNull).count() === 0L)
+  }
+
+  test("identity backfill refuses a concurrent append (no silent null ids)") {
+    val dir = fresh("idback")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    var fired = 0
+    lake.onResolvedForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        LakeTable(spark, dir).write(
+          Seq((3L, "c")).toDF("k", "v").coalesce(1), SaveMode.Append): Unit
+      }
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        lake.addIdentityColumn("rid")
+      }
+      assert(fired == 1)
+    } finally lake.onResolvedForTest = () => ()
+    val fresh2 = LakeTable(spark, dir)
+    assert(!fresh2.read.columns.contains("rid"))
+    fresh2.addIdentityColumn("rid"): Unit
+    assert(fresh2.read.where(col("rid").isNull).count() === 0L)
+    assert(fresh2.read.select(countDistinct(col("rid"))).head().getLong(0) === 3L)
+  }
+
   test("writer half: a clean in-flight batch passes the late re-validation and lands") {
     val dir = fresh("clean")
     val lake = LakeTable(spark, dir)

@@ -200,6 +200,33 @@ class ObjectStoreSpec extends SparkSpec {
       post = Seq((0L, "a"), (1L, "u"), (5L, "n")))
   }
 
+  test("SingleWriter: standing BM25 index builds, folds, and serves on the emulated store") {
+    // BASELINE claims the index-maintenance invariants (in-row fold
+    // watermark, value-idempotent vocabulary) survive a non-atomic-
+    // rename substrate given the SingleWriter claim — prove the whole
+    // lifecycle under PUT+copy-delete semantics
+    import graft.text.InvertedIndex
+    withObjectStore(LakeIo.SingleWriter) {
+      val root = Files.createTempDirectory("graft_os_idx").toString
+      val base = LakeTable(spark, s"$root/docs").write(Seq(
+        (1L, "apple banana apple"), (2L, "banana cherry"),
+        (3L, "cherry apple")).toDF("doc_id", "text"))
+      val dir = s"$root/idx"
+      InvertedIndex.build(base, "doc_id", "text", dir)
+      base.upsert(Seq((2L, "durian fig"), (4L, "grape apple"))
+        .toDF("doc_id", "text"), Seq("doc_id"), changeFeed = true)
+      InvertedIndex.applyChanges(base, "doc_id", "text", dir)
+      val rebuilt = s"$root/idx2"
+      InvertedIndex.build(base, "doc_id", "text", rebuilt)
+      def served(d: String) = InvertedIndex.serveBm25(spark, d,
+        Seq(1L -> "apple", 2L -> "durian", 3L -> "grape"), k = 10,
+        InvertedIndex.DefaultK1, InvertedIndex.DefaultB)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served(dir) === served(rebuilt),
+        "fold on the emulated object store diverged from a rebuild")
+    }
+  }
+
   test("Coordinated: claims route through the external coordinator") {
     val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val coord = new LakeIo.ClaimCoordinator {

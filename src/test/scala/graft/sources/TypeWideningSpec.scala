@@ -108,6 +108,72 @@ class TypeWideningSpec extends SparkSpec {
     assert(lake.read.count() === 4L)
   }
 
+  test("ALTER COLUMN TYPE: metadata-only explicit widening, API and SQL") {
+    val dir = fresh("alter")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x").coalesce(1))
+    val filesBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    lake.alterColumnType("k", LongType)
+    spark.sql(s"ALTER TABLE graft_lake('$dir') ALTER COLUMN x TYPE DOUBLE")
+    // metadata-only: not one data file touched
+    val filesAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(filesAfter === filesBefore, "ALTER COLUMN TYPE rewrote data files")
+    assert(lake.read.schema("k").dataType === LongType)
+    assert(lake.read.schema("x").dataType === DoubleType)
+    assert(lake.read.as[(Long, Double)].collect().sorted.toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)))
+    // widened table accepts long appends without mergeSchema now
+    lake.write(Seq((5000000000L, 9.9)).toDF("k", "x").coalesce(1), SaveMode.Append)
+    assert(lake.read.count() === 3L)
+    // narrowing / lossy rejected with the lattice named
+    val e = intercept[IllegalArgumentException] {
+      lake.alterColumnType("k", IntegerType)
+    }
+    assert(e.getMessage.contains("lossless widening"), e.getMessage)
+    // history records the DDL
+    assert(lake.history.where(col("operation") === "ALTER COLUMN TYPE").count() === 2L)
+  }
+
+  test("stats skipping stays sound across a widening (narrow-era stats rows)") {
+    val dir = fresh("stats")
+    val lake = LakeTable(spark, dir)
+    lake.write((1 to 400).map(i => (i, s"v$i")).toDF("k", "v").repartition(4))
+    lake.optimize(Seq("k"), numFiles = Some(4))
+    lake.collectStats(Seq("k")) // min/max recorded as INT
+    lake.write(Seq((6000000000L, "big")).toDF("k", "v").coalesce(1),
+      SaveMode.Append, mergeSchema = true) // schema widens; new file unstatted
+    // narrow-era stats prune against a LONG predicate — conservative,
+    // never wrong: the unstatted wide file always survives
+    val hit = lake.readWhere(col("k") === 6000000000L)
+    assert(hit.count() === 1L)
+    assert(lake.readWhere(col("k") >= 1L && col("k") <= 50L).count() === 50L)
+    // refreshStats unions long min/max with the int-era rows (coerced)
+    lake.refreshStats()
+    assert(lake.readWhere(col("k") === 6000000000L).count() === 1L)
+    assert(lake.readWhere(col("k") === 7L).count() === 1L)
+  }
+
+  test("change feed reads span a widening (narrow-era change sets promote)") {
+    val dir = fresh("cdc")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1))
+    lake.upsert(Seq((2, "B2")).toDF("k", "v"), Seq("k"), changeFeed = true)
+    lake.write(Seq((5000000000L, "w")).toDF("k", "v").coalesce(1),
+      SaveMode.Append, mergeSchema = true)
+    lake.upsert(Seq((5000000000L, "W2")).toDF("k", "v"), Seq("k"), changeFeed = true)
+    // one read across BOTH eras: int-era change files promote to long
+    val changes = lake.readChanges(0L)
+    assert(changes.schema("k").dataType === LongType,
+      s"change feed did not read through the widened schema: ${changes.schema}")
+    val types = changes.select("k", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(types.contains((2L, "update_postimage")) ||
+      types.contains((2L, "insert")), s"narrow-era change rows lost: $types")
+    assert(types.exists(_._1 == 5000000000L), s"wide-era change rows lost: $types")
+  }
+
   test("partitioned append widens through the same gate") {
     val dir = fresh("part")
     val lake = LakeTable(spark, dir)
