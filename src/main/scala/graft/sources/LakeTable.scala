@@ -284,10 +284,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val parent = dest.getParent
     if (!fs.exists(parent)) fs.mkdirs(parent): Unit
     if (!fs.rename(src, dest)) {
-      if (!(fs.exists(dest) && !fs.exists(src)))
-        throw new java.io.IOException(
-          s"append promotion: could not move $src into $dest — " +
-            "the stage is marked, vacuumDebris() completes the promotion")
+      // completed-copy tolerance: an object store's rename is copy-then-
+      // delete-src and REFUSES an existing destination, so a crash after
+      // the copy leaves src+dest BOTH present and every retried rename
+      // returns false — without this branch the marked stage could never
+      // complete (recovery wedged forever). The uuid-embedded file name
+      // makes any same-name dest THIS file's copy; same length confirms
+      // the copy finished (object PUTs are whole-or-nothing), so finish
+      // the crashed rename's second half: drop the stage copy.
+      val copied = fs.exists(dest) && (!fs.exists(src) ||
+        fs.getFileStatus(dest).getLen == fs.getFileStatus(src).getLen)
+      if (copied) { if (fs.exists(src)) fs.delete(src, false): Unit }
+      else throw new java.io.IOException(
+        s"append promotion: could not move $src into $dest — " +
+          "the stage is marked, vacuumDebris() completes the promotion")
     }
   }
 

@@ -56,6 +56,13 @@ final class ObjectStoreEmulFs extends RawLocalFileSystem {
   override def rename(src: Path, dst: Path): Boolean = {
     FsFuse.read()
     if (!super.exists(src)) return false
+    // honest S3A semantics: rename REFUSES an existing destination FILE
+    // (S3AFileSystem checks dest and returns false before any copy) —
+    // a crashed previous rename that completed its copy but not its
+    // source delete leaves src+dst BOTH present, and the retry gets
+    // `false`, not a silent re-copy. Recovery code must handle that
+    // state explicitly (promoteFile's completed-copy tolerance).
+    if (super.exists(dst) && super.getFileStatus(dst).isFile) return false
     copyRec(src, dst)
     FsFuse.mutation()
     super.delete(src, true)
