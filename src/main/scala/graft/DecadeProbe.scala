@@ -132,13 +132,14 @@ object DecadeProbe {
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1x"), col("__r"))).as("text"))
 
+    val minhashBody0: Int => Long = { r =>
+      Dedup.minhashBandedPairs(docsRep(r), "doc_id", "text", 3, 0.8).count()
+    }
     scale("ngram_jaccard") { r =>
       Dedup.ngramJaccardPairs(docsRep(r), "doc_id", "text", 3, 0.8,
         maxShingleDf = Some(500)).count()
     }
-    scale("minhash_banded") { r =>
-      Dedup.minhashBandedPairs(docsRep(r), "doc_id", "text", 3, 0.8).count()
-    }
+    scale("minhash_banded")(minhashBody0)
 
     // graph shapes over the bench's derived lineitem graph, replicas in
     // DISJOINT id ranges: structure repeats side by side, so triangles
@@ -147,11 +148,11 @@ object DecadeProbe {
     val edges = t.lineitem.select(
       (col("l_orderkey") % 20000).as("src"),
       (col("l_partkey") % 20000).as("dst"))
-    scale("triangle_count") { r =>
+    val triangleBody: Int => Long = { r =>
       val e = replicateOffset(edges, Seq("src", "dst"), r, 1000000L)
       graft.analytics.Graph.triangleCount(e).head().getLong(0)
     }
-    scale("pagerank") { r =>
+    val pagerankBody: Int => Long = { r =>
       val e = replicateOffset(
         t.lineitem.select((col("l_orderkey") % 2000).as("src"),
           (col("l_partkey") % 2000).as("dst")),
@@ -159,13 +160,62 @@ object DecadeProbe {
       graft.analytics.Graph.pageRank(e, iterations = 5)
         .agg(count(lit(1))).head().getLong(0)
     }
+    val minhashBody: Int => Long = minhashBody0
+    scale("triangle_count")(triangleBody)
+    scale("pagerank")(pagerankBody)
 
     println("| query | t(1x) s | t(" + rep + "x) s | ratio |")
     results.foreach { case (n, a, b) =>
       println(f"| $n | $a%.2f | $b%.2f | ${b / math.max(a, 1e-9)}%.1f |")
     }
-    println(s"""{"probe":"decade","rep":$rep,"failures":$failures,""" +
-      results.map { case (n, a, b) => s""""$n":[$a,$b]""" }.mkString("\"queries\":{", ",", "}}"))
+
+    // -------- the SECOND decade (default 100x) for the three shapes the
+    // first decade left superlinear-ish (triangle 4.4x, pagerank 3.0x,
+    // minhash 3.2x per 10x at r15). Disjoint replication makes the TRUE
+    // work linear in the replica count, so whatever exceeded 1.0x/decade
+    // at 10x is either FIXED OVERHEAD (amortizes: the second decade's
+    // ratio falls toward 10) or a real super-linear term (it won't).
+    // The assertion pins the second decade at-most-linear with slack —
+    // the "plans you'd want at 100x" case, measured instead of argued.
+    val rep2 = args.drop(1).headOption.map(_.toInt).getOrElse(10 * rep)
+    val century = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
+    if (rep2 > rep) {
+      val SecondSlack = 1.6
+      val decadeFactor = rep2.toDouble / rep
+      Seq(("triangle_count", triangleBody), ("pagerank", pagerankBody),
+        ("minhash_banded", minhashBody)).foreach { case (name, body) =>
+        val t0 = System.nanoTime()
+        val n = body(rep2)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"  $name x$rep2: $sec%.2f s ($n rows)")
+        val (_, t1, tn) = results.find(_._1 == name).get
+        val r21 = tn / math.max(t1, 1e-9)
+        val r32 = sec / math.max(tn, 1e-9)
+        century += ((name, sec, r21, r32))
+        if (r32 > decadeFactor * SecondSlack) {
+          failures += 1
+          println(f"FAIL [$name] second decade superlinear: " +
+            f"t(${rep2}x)/t(${rep}x) = $r32%.1f > $decadeFactor%.0f x $SecondSlack")
+        }
+      }
+      println(s"| query | t(${rep}x) -> t(${rep2}x) | decade1 | decade2 | verdict |")
+      century.foreach { case (n, sec, r21, r32) =>
+        val verdict =
+          if (r32 <= rep2.toDouble / rep) {
+            if (r21 > rep2.toDouble / rep / 2)
+              "decade-1 excess was fixed overhead"
+            else "linear"
+          } else "residual superlinearity"
+        println(f"| $n | $sec%.1f s | $r21%.1f | $r32%.1f | $verdict |")
+      }
+    }
+
+    println(s"""{"probe":"decade","rep":$rep,"rep2":$rep2,"failures":$failures,""" +
+      results.map { case (n, a, b) => s""""$n":[$a,$b]""" }
+        .mkString("\"queries\":{", ",", "},") +
+      century.map { case (n, sec, r21, r32) =>
+        f""""$n":[$sec%.2f,$r21%.2f,$r32%.2f]""" }
+        .mkString("\"century\":{", ",", "}}"))
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

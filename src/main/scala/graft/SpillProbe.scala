@@ -174,11 +174,101 @@ object SpillProbe {
         s"wide-key distinct: $got vs ${baseRows * rep}")
     }
 
+    // ================= the engine's OWN heavy paths =================
+    // The relational shapes above exercise Spark's spillable operators;
+    // a 100 TB operator actually runs THIS engine's custom paths memory-
+    // tight: a standing-index BUILD (postings sort), a maintenance FOLD,
+    // and semanticDedup's within-cell pairing. Each section brackets the
+    // spill counters so the claim is per-path, and each asserts content
+    // EXACTNESS inside the spill regime (serve == rebuild; survivors ==
+    // the closed-form replica arithmetic).
+
+    val idxRep = args.drop(2).headOption.map(_.toInt).getOrElse(20)
+    val semRep = args.drop(3).headOption.map(_.toInt).getOrElse(100)
+    val root = java.nio.file.Files.createTempDirectory("graft_spill_engine").toString
+
+    // ---- 5: standing BM25 index BUILD + maintenance FOLD ----
+    locally {
+      import graft.sources.LakeTable
+      import graft.text.InvertedIndex
+      val m0 = memSpilled.get(); val d0 = diskSpilled.get()
+      // disjoint-token replication (the DecadeProbe construction): every
+      // token carries its replica id, so the postings corpus is idxRep
+      // independent sub-corpora — vocabulary and postings volume both
+      // scale by idxRep, and serve results have per-replica structure
+      val docs = t.documents.select(col("doc_id"), col("text"))
+        .crossJoin(spark.range(idxRep).select(col("id").as("__r")))
+        .select((col("doc_id") * idxRep + col("__r")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1x"), col("__r"))).as("text"))
+      val base = LakeTable(spark, s"$root/docs")
+      base.write(docs.repartition(shuffleParts)): Unit
+      val dir = s"$root/idx"
+      timed("index_build")(InvertedIndex.build(base, "doc_id", "text", dir))
+      // fold: update a slice and add fresh docs, then apply the delta
+      val delta = t.documents.select(col("doc_id"), col("text"))
+        .limit(500)
+        .select((col("doc_id") * idxRep).as("doc_id"),
+          concat(col("text"), lit(" freshx0 freshx0")).as("text"))
+      base.upsert(delta, Seq("doc_id"), changeFeed = true): Unit
+      timed("index_fold")(InvertedIndex.applyChanges(base, "doc_id", "text", dir))
+      val rebuilt = s"$root/idx2"
+      timed("index_rebuild")(InvertedIndex.build(base, "doc_id", "text", rebuilt))
+      def served(d: String) = InvertedIndex.serveBm25(spark, d,
+        Seq(1L -> "freshx0", 2L -> "thex1", 3L -> "ax2"), k = 20,
+        InvertedIndex.DefaultK1, InvertedIndex.DefaultB)
+        .collect().map(_.toString).sorted.toSeq
+      check("index_exact")(served(dir) == served(rebuilt),
+        "fold under the spill regime diverged from a rebuild")
+      check("index_spilled")(
+        memSpilled.get() - m0 > 0 || diskSpilled.get() - d0 > 0,
+        "index build+fold never spilled — raise idxRep or lower the heap")
+    }
+
+    // ---- 6: semanticDedup within-cell pairing ----
+    locally {
+      import graft.text.Dedup
+      val m0 = memSpilled.get(); val d0 = diskSpilled.get()
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      // eps high enough that only EXACT duplicates merge; verify that
+      // assumption against the base corpus brute-force, so the expected
+      // survivor count is closed-form, not hoped-for
+      val eps = 0.9999
+      val nBase = emb.count()
+      val basePairs = emb.as("a").join(emb.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .where(graft.functions.VectorFunctions.cosineSim(
+          col("a.embedding"), col("b.embedding")) >= eps)
+        .count()
+      check("sem_assumption")(basePairs == 0,
+        s"base corpus has $basePairs pairs at cosine >= $eps — raise eps")
+      // semRep exact replicas per vector, distinct ids: every replica
+      // group is one duplicate cluster, so survivors == nBase exactly
+      val corpus = emb.crossJoin(spark.range(semRep).select(col("id").as("__r")))
+        .select((col("vec_id") * semRep + col("__r")).as("vec_id"),
+          col("embedding"))
+        .repartition(shuffleParts)
+      val out = timed("semantic_dedup")(
+        Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          corpusSizeHint = Some(nBase * semRep), eps = eps)
+          .select(col("id"), col("keep")).cache())
+      val survivors = out.where(col("keep")).count()
+      val total = out.count()
+      out.unpersist(): Unit
+      check("sem_exact")(survivors == nBase && total == nBase * semRep,
+        s"semanticDedup under spill: $survivors survivors of $total " +
+          s"(want $nBase of ${nBase * semRep})")
+      check("sem_spilled")(
+        memSpilled.get() - m0 > 0 || diskSpilled.get() - d0 > 0,
+        "semanticDedup never spilled — raise semRep or lower the heap")
+    }
+
     val mem = memSpilled.get(); val disk = diskSpilled.get()
     check("spilled")(mem > 0 || disk > 0,
       "nothing spilled — raise rep or lower the heap; this run proved nothing")
     println(s"""{"probe":"spill","heap_mb":$maxHeap,"rep":$rep,""" +
-      s""""shuffle_partitions":$shuffleParts,"memory_bytes_spilled":$mem,""" +
+      s""""shuffle_partitions":$shuffleParts,"idx_rep":$idxRep,"sem_rep":$semRep,""" +
+      s""""memory_bytes_spilled":$mem,""" +
       s""""disk_bytes_spilled":$disk,"failures":$failures}""")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -91,13 +91,25 @@ object LakeIo {
 
   /** External first-writer-wins arbiter for object-store MULTI-writer
     * commits — the seam the public Delta S3 multi-cluster LogStore
-    * fills with DynamoDB conditional writes. `claim(key)` must return
-    * true for exactly one caller per key ACROSS ALL PROCESSES; the
-    * winning content is then PUT at the claimed name (whole-object
-    * atomic, so readers see nothing until the object is complete).
+    * fills with DynamoDB conditional writes. `claim` must return true
+    * for exactly one caller per key ACROSS ALL PROCESSES, durably
+    * recording that caller's `stagedRef` with the claim; the winning
+    * content is then PUT at the claimed name (whole-object atomic, so
+    * readers see nothing until the object is complete).
+    *
+    * The stagedRef is the RECOVERY pointer (the DynamoDB LogStore's
+    * incomplete-entry completion): the caller stages its full content at
+    * a readable object BEFORE claiming, so a winner that crashes between
+    * its claim and its PUT leaves a record ANY process can complete.
+    * Without it, a crashed winner consumes the claimed version with no
+    * object behind it, nextVersion never advances, and every subsequent
+    * writer loses the "race" forever — the table wedges permanently.
     */
   trait ClaimCoordinator {
-    def claim(key: String): Boolean
+    /** True for exactly ONE caller per `key`, recording `stagedRef`. */
+    def claim(key: String, stagedRef: String): Boolean
+    /** The stagedRef the winning claim recorded, if `key` is claimed. */
+    def claimedRef(key: String): Option[String]
   }
 
   /** How object-store substrates are handled. Process-wide because the
@@ -131,15 +143,23 @@ object LakeIo {
         "explicitly: LakeIo.objectStoreMode = LakeIo.SingleWriter (ONE " +
         "writer process per table, Delta's S3 single-driver contract) or " +
         "LakeIo.Coordinated(coordinator) (external first-writer-wins " +
-        "service for multi-writer).")
+        "service for multi-writer). See README \"Storage substrates\".")
 
   /** Fail fast (BEFORE any data job runs) when `fs` is an object store
     * and no opt-in mode is set — the same refusal the first metadata
-    * publication would raise, surfaced at operation entry.
+    * publication would raise, surfaced at operation entry. Under
+    * SingleWriter the ownership stamp is checked here too: a second
+    * process attaching a live table must refuse before it stages (and a
+    * crash-recovery later attributes) a single row, not at its commit.
     */
   def requireCommitCapable(fs: FileSystem, path: Path, op: String): Unit =
-    if (isObjectStore(fs) && objectStoreMode == Refuse)
-      refuseObjectStore(fs, path, op)
+    if (isObjectStore(fs)) objectStoreMode match {
+      case Refuse => refuseObjectStore(fs, path, op)
+      case SingleWriter =>
+        ensureSingleWriterOwnership(
+          fs, fs.makeQualified(new Path(path, LakeTable.LogDirName)))
+      case _ => ()
+    }
 
   /** Whole-object PUT: on a real object store create()'s stream uploads
     * and the object becomes visible ATOMICALLY at close — no tmp, no
@@ -336,19 +356,187 @@ object LakeIo {
         // arbitrates IN PROCESS (per-dir lock + exists-check), then one
         // whole-object PUT publishes. Exact for the one writer process
         // the mode's contract allows; a second process racing this one
-        // is outside the contract and must use Coordinated.
+        // is outside the contract and must use Coordinated — the
+        // ownership stamp below turns that common mistake into a loud
+        // refusal instead of a silent race re-entry.
         publishLocks.computeIfAbsent(
           fs.makeQualified(path).getParent.toString, _ => new Object).synchronized {
+          ensureSingleWriterOwnership(fs, fs.makeQualified(path).getParent)
           if (fs.exists(path)) false
           else { putWhole(fs, path, text); true }
         }
       case Coordinated(coordinator) =>
-        // external first-writer-wins on the claim KEY; the winner's PUT
-        // is whole-object atomic so readers never see a torn claim
-        if (!coordinator.claim(fs.makeQualified(path).toString)) false
-        else { putWhole(fs, path, text); true }
+        // external first-writer-wins on the claim KEY. Content stages at
+        // a readable sibling BEFORE the claim (see [[ClaimCoordinator]]):
+        // a winner crashing between claim and PUT is then COMPLETABLE by
+        // any process instead of wedging the table. The winner's PUT is
+        // whole-object atomic so readers never see a torn claim.
+        val key = fs.makeQualified(path).toString
+        val stagedRef = claimRefSibling(path)
+        putWhole(fs, stagedRef, text)
+        if (coordinator.claim(key, fs.makeQualified(stagedRef).toString)) {
+          putWhole(fs, path, text)
+          // ref only matters while the object is missing; now it's debris
+          try fs.delete(stagedRef, false): Unit
+          catch { case _: java.io.IOException => () }
+          true
+        } else {
+          try fs.delete(stagedRef, false): Unit
+          catch { case _: java.io.IOException => () }
+          // lost — but the winner may have crashed between its claim and
+          // its PUT: complete its publication from the claim's staged ref
+          // so the next version computation can move past this key
+          if (!fs.exists(path)) completeClaim(fs, path, coordinator, key)
+          false
+        }
     }
     else retryParentTorn(fs, path)(renamePublishOnce(fs, path, text))
+
+  // ------------------------------------------------------------------ //
+  // SingleWriter ownership stamp: the mode's "ONE writer process per    //
+  // table" contract, guarded instead of merely documented.              //
+  // ------------------------------------------------------------------ //
+
+  /** Name of the per-log-dir ownership stamp (SingleWriter mode). */
+  val OwnerStampName = "_graft_owner"
+
+  /** Heartbeat TTL for the SingleWriter ownership stamp: a stamp whose
+    * heartbeat is older than this is considered a DEAD owner's and is
+    * reclaimable; a fresher stamp from another process refuses the
+    * claim. The live owner re-heartbeats at TTL/2 (amortized: at most
+    * one extra PUT per table per TTL/2 across any number of commits).
+    */
+  @volatile var singleWriterStampTtlMs: Long = 10L * 60 * 1000
+
+  private lazy val processIdentity: String = {
+    val pid = ProcessHandle.current().pid()
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    s"$pid@$host"
+  }
+
+  private val processNonce = java.util.UUID.randomUUID().toString
+
+  /** Test seam: lets a spec impersonate a SECOND process (distinct
+    * nonce) without forking a JVM. Production code never sets it.
+    */
+  private[sources] var processNonceForTest: Option[String] = None
+  private def effectiveNonce: String = processNonceForTest.getOrElse(processNonce)
+
+  // per-log-dir epoch of the last heartbeat THIS process wrote — the
+  // fast path that keeps the per-commit cost at zero fs calls between
+  // heartbeats
+  private val ownedHeartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Test seam: drop the in-memory heartbeat cache so the next claim
+    * re-reads the stamp (simulates a fresh process attaching).
+    */
+  private[sources] def resetOwnershipForTest(): Unit = ownedHeartbeats.clear()
+
+  /** Best-effort enforcement of SingleWriter's one-writer-per-table
+    * contract, scoped to COMMIT-LOG dirs (where every data change's
+    * claim lands): the first claim PUTs a stamp
+    * `nonce \t pid@host \t heartbeatEpochMs`; later claims re-check it
+    * from the in-memory heartbeat cache (free) or one GET per TTL/2.
+    * Another process's stamp with a live heartbeat ⇒ loud refusal
+    * naming the owner and the fix; a stale stamp (owner died) is taken
+    * over. BEST-EFFORT by design: two processes PUTting simultaneously
+    * can both believe they own the table — last-writer-wins PUT has no
+    * arbitration, which is exactly why the mode is single-writer. The
+    * guard catches the operational mistake (a second writer attaching
+    * to a live table), not a byzantine race; true multi-writer needs
+    * [[Coordinated]].
+    */
+  private def ensureSingleWriterOwnership(fs: FileSystem, dir: Path): Unit = {
+    // only commit-log dirs carry stamps: other claim sites (the staged-
+    // rewrite slot's claim file lives in the table's PARENT, shared by
+    // sibling tables) would collide across tables
+    if (dir.getName != LakeTable.LogDirName) return
+    val key = dir.toString
+    val now = System.currentTimeMillis()
+    val last = Option(ownedHeartbeats.get(key)).map(_.longValue).getOrElse(-1L)
+    if (last >= 0 && now - last < singleWriterStampTtlMs / 2) return
+    val stamp = new Path(dir, OwnerStampName)
+    val nonce = effectiveNonce
+    val cur =
+      try {
+        if (!fs.exists(stamp)) None
+        else {
+          val in = fs.open(stamp)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    cur.map(_.split("\t", -1)).filter(_.length >= 3).foreach { parts =>
+      val (curNonce, curWho) = (parts(0), parts(1))
+      val curEpoch = scala.util.Try(parts(2).toLong).getOrElse(0L)
+      if (curNonce != nonce && now - curEpoch < singleWriterStampTtlMs)
+        throw new IllegalStateException(
+          s"SingleWriter ownership: the table log at $dir is stamped by " +
+            s"writer process $curWho (heartbeat ${now - curEpoch} ms ago, " +
+            s"ttl $singleWriterStampTtlMs ms). LakeIo.SingleWriter allows " +
+            "ONE writer process per table — stop the other writer, switch " +
+            "to LakeIo.Coordinated for multi-writer commits, or wait out " +
+            "the ttl to reclaim a dead owner's stamp.")
+    }
+    // absent, ours, or stale: (re)stamp and remember the heartbeat
+    putWhole(fs, stamp, s"$nonce\t$processIdentity\t$now")
+    ownedHeartbeats.put(key, java.lang.Long.valueOf(now)): Unit
+  }
+
+  /** Staged-content sibling for a coordinated claim. Dot-prefixed (no
+    * glob or version listing matches it) but NOT under [[TmpPrefix]]:
+    * vacuum reclaims tmp debris agelessly, and a crashed winner's claim
+    * ref must survive until recovery completes its PUT — vacuum reclaims
+    * [[ClaimRefPrefix]] files only past the stage-retention horizon.
+    */
+  val ClaimRefPrefix = ".claimref_"
+
+  private def claimRefSibling(path: Path): Path =
+    new Path(path.getParent,
+      s"$ClaimRefPrefix${java.util.UUID.randomUUID().toString.replace("-", "")}")
+
+  /** Complete a claimed-but-missing publication from the claim's staged
+    * ref — any process may run this; the PUT is idempotent (same bytes
+    * the winner would have written, whole-object atomic, last writer
+    * wins among recoverers).
+    */
+  private def completeClaim(
+      fs: FileSystem, path: Path, coordinator: ClaimCoordinator, key: String): Unit =
+    coordinator.claimedRef(key) match {
+      case Some(ref) =>
+        val refPath = new Path(ref)
+        val content =
+          try {
+            if (!fs.exists(refPath)) None
+            else {
+              val in = fs.open(refPath)
+              try Some(new String(
+                org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+              finally in.close()
+            }
+          } catch { case _: java.io.FileNotFoundException => None }
+        content match {
+          case Some(text) => putWhole(fs, path, text)
+          case None =>
+            // ref gone: the winner finished (PUT landed, ref dropped) —
+            // re-check — or the ref was reclaimed with the PUT never made
+            if (!fs.exists(path))
+              throw new IllegalStateException(
+                s"coordinated claim for $path is consumed but neither the " +
+                  s"object nor its staged ref ($ref) exists — the claim " +
+                  "winner crashed and its staged content was reclaimed " +
+                  "before recovery ran. Restore the ref content or reset " +
+                  "the coordinator's entry for this key.")
+        }
+      case None =>
+        // claim held with no recorded ref (a coordinator that refuses
+        // without recording, e.g. quota/test doubles) — nothing to recover
+        ()
+    }
 
   private def renamePublishOnce(fs: FileSystem, path: Path, text: String): Boolean =
     publishLocks.computeIfAbsent(

@@ -137,17 +137,23 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val (toWrite, consSeen) = constrainedBatch(assigned, genChecks)
     val baseParams = Map("mode" -> mode.toString) ++ extraParams ++ idParams
-    lateConstraintCheck(toWrite, consSeen)
     if (mode == SaveMode.Append) {
-      val (staged, params) = appendViaStage(
-        toPhysical(toWrite), Seq.empty, writeOp(mode), baseParams, schema)
+      // late-constraint re-validation runs INSIDE appendViaStage, at the
+      // mark — not here, where the staging job would re-open the window
+      val (staged, params, poisoned) = appendViaStage(
+        toPhysical(toWrite), Seq.empty, writeOp(mode), baseParams, schema,
+        consSeen)
       saveSchema(schema)
       commitStagedAppend(staged, writeOp(mode), params)
+      raisePoisoned(writeOp(mode), poisoned)
     } else {
+      // the point of no return for a non-append write IS the parquet job
+      // below — gate as late as possible
+      lateConstraintCheck(toWrite, consSeen)
       preservingLog(mode) {
         toPhysical(toWrite).write.mode(mode).parquet(path)
       }
-      saveSchema(schema)
+      saveSchema(schema, replace = overwriteSchema)
       commit(writeOp(mode), baseParams)
     }
     this
@@ -187,16 +193,24 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def appendViaStage(
       physical: DataFrame, partitionCols: Seq[String],
       op: String, commitParams: Map[String, String],
-      schema: StructType): (Path, Map[String, String]) = {
+      schema: StructType,
+      validatedCons: Map[String, String]): (Path, Map[String, String], Option[String]) = {
     val stageId = java.util.UUID.randomUUID().toString.take(12)
     val staged = new Path(s"$path${LakeTable.PartStageSuffix}$stageId")
     val params = commitParams + (LakeTable.AppendStageParam -> stageId)
     val manifest = new Path(staged, LakeTable.AppendManifestName)
+    var seenCons: Set[String] = validatedCons.keySet
     val rels =
       try {
         val w = physical.write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(staged.toString)
+        // late-constraint gate AT the mark, not before the staging job:
+        // a DDL published during the (possibly long) parquet job above
+        // is validated against the staged files here, and a violation
+        // rolls the unmarked stage back like any pre-mark failure
+        seenCons = lateConstraintGate(staged, validatedCons)
+        onStagePreMarkForTest()
         val rs = stagedFilesRel(staged, "")
         // ONE atomically-published marker carrying op + params +
         // promotion set (appends are the hottest lake path — a separate
@@ -224,9 +238,30 @@ final class LakeTable(spark: SparkSession, val path: String) {
           }
           throw e
       }
+    onStageMarkedForTest()
+    val poisoned = postMarkConstraintCheck(staged, seenCons)
     rels.foreach(rel => promoteFile(new Path(staged, rel), new Path(path, rel)))
-    (staged, params)
+    (staged, params, poisoned)
   }
+
+  /** Test seam: fires after the staged parquet job + late-constraint
+    * gate, immediately before the manifest mark — the writer's last
+    * abortable instant (ConstraintRaceSpec's ε-window interleaves).
+    */
+  private[graft] var onStagePreMarkForTest: () => Unit = () => ()
+
+  /** Test seam: fires immediately AFTER the append manifest publishes
+    * (point of no return) and before the writer's own promotions —
+    * TwinAttemptProbe releases a concurrent recovery here so both
+    * attempts run the promotion of ONE marked stage simultaneously.
+    */
+  private[graft] var onStageMarkedForTest: () => Unit = () => ()
+
+  /** Test seam: the staged-SWAP analogue of [[onStageMarkedForTest]] —
+    * fires immediately after the swap manifest publishes (point of no
+    * return), before the writer's own completeSwap.
+    */
+  private[graft] var onSwapMarkedForTest: () => Unit = () => ()
 
   /** The writer-side commit of an [[appendViaStage]] append, then stage
     * teardown. An ageless recovery (a peer's cold start, [[vacuumDebris]])
@@ -292,10 +327,30 @@ final class LakeTable(spark: SparkSession, val path: String) {
       // makes any same-name dest THIS file's copy; same length confirms
       // the copy finished (object PUTs are whole-or-nothing), so finish
       // the crashed rename's second half: drop the stage copy.
-      val copied = fs.exists(dest) && (!fs.exists(src) ||
+      // check-then-stat is TOCTOU-racy against a CONCURRENT recovery of
+      // the same marked stage: between exists(src)=true and
+      // getFileStatus(src), the racer can finish the promotion (src
+      // vanishes) — that is a completed promotion, not an IO failure, so
+      // a FileNotFoundException here re-evaluates instead of surfacing
+      def copiedOnce(): Boolean = fs.exists(dest) && (!fs.exists(src) ||
         fs.getFileStatus(dest).getLen == fs.getFileStatus(src).getLen)
-      if (copied) { if (fs.exists(src)) fs.delete(src, false): Unit }
-      else throw new java.io.IOException(
+      val copied =
+        try copiedOnce()
+        catch {
+          case _: java.io.FileNotFoundException =>
+            try copiedOnce()
+            catch {
+              case _: java.io.FileNotFoundException =>
+                // still racing: settle on the only stable question — did
+                // the file reach dest and leave the stage?
+                fs.exists(dest) && !fs.exists(src)
+            }
+        }
+      if (copied) {
+        // the stage copy may have been dropped by the racer already
+        try { if (fs.exists(src)) fs.delete(src, false): Unit }
+        catch { case _: java.io.FileNotFoundException => () }
+      } else throw new java.io.IOException(
         s"append promotion: could not move $src into $dest — " +
           "the stage is marked, vacuumDebris() completes the promotion")
     }
@@ -310,7 +365,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def completeAppendStage(staged: Path): Unit = {
     val mf = new Path(staged, LakeTable.AppendManifestName)
     if (!fs.exists(mf)) return
-    val (op, psAll, rels) = readAppendManifest(mf)
+    // exists→open is TOCTOU-racy against the LIVE writer's post-commit
+    // teardown (it deletes the stage after attributing): a vanished
+    // manifest here means the twin attempt finished the work — done
+    val (op, psAll, rels) =
+      try readAppendManifest(mf)
+      catch { case _: java.io.FileNotFoundException => return }
     val ps = psAll - LakeTable.AppendSchemaParam
     // schema FIRST: the crashed writer may have died before its own
     // saveSchema, and the promoted rows can carry mergeSchema-evolved
@@ -490,18 +550,21 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val (toWrite, consSeen) = constrainedBatch(assigned, genChecks)
     val baseParams = Map("mode" -> mode.toString,
       "partitionBy" -> partitionCols.mkString(",")) ++ idParams
-    lateConstraintCheck(toWrite, consSeen)
     if (mode == SaveMode.Append) {
-      val (staged, params) = appendViaStage(toPhysical(toWrite),
-        partitionCols.map(physicalOf), "WRITE PARTITIONED", baseParams, schema)
+      // late-constraint gate at the mark, inside appendViaStage
+      val (staged, params, poisoned) = appendViaStage(toPhysical(toWrite),
+        partitionCols.map(physicalOf), "WRITE PARTITIONED", baseParams, schema,
+        consSeen)
       saveSchema(schema)
       commitStagedAppend(staged, "WRITE PARTITIONED", params)
+      raisePoisoned("WRITE PARTITIONED", poisoned)
     } else {
+      lateConstraintCheck(toWrite, consSeen)
       preservingLog(mode) {
         toPhysical(toWrite).write.mode(mode)
           .partitionBy(partitionCols.map(physicalOf): _*).parquet(path)
       }
-      saveSchema(schema)
+      saveSchema(schema, replace = overwriteSchema)
       commit("WRITE PARTITIONED", baseParams)
     }
     this
@@ -536,7 +599,6 @@ final class LakeTable(spark: SparkSession, val path: String) {
       enforceSchema(withGen, appendLike = true, mergeSchema = false, overwriteSchema = false)
     val (assigned, idParams) = applyIdentityIngest(aligned, ic)
     val (toWrite, consSeen) = constrainedBatch(assigned, genChecks)
-    lateConstraintCheck(toWrite, consSeen)
     // partition-scoped OCC: the batch's partition values ARE this op's
     // logical write set — record them in the commit and check interlopers
     // for overlap before staging (cheap early abort) and again after
@@ -557,6 +619,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // metadata renames behind the check.
     val staged = new Path(
       s"$path${LakeTable.PartStageSuffix}${java.util.UUID.randomUUID().toString.take(12)}")
+    var seenCons: Set[String] = consSeen.keySet
     try {
       toPhysical(toWrite).write
         .mode(SaveMode.Overwrite)
@@ -566,6 +629,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
       // the residual window from here to the commit is the same
       // metadata-only window occCheck documents
       occCheckPartitions(occExpected, touched, op)
+      // late-constraint gate at the mark (see lateConstraintCheck's
+      // placement contract): a DDL published during the staging job is
+      // validated against the staged partitions before the swap begins —
+      // a violation aborts here, table untouched. An empty batch stages
+      // nothing (no files to read, nothing to violate) — skip.
+      if (touched.nonEmpty) seenCons = lateConstraintGate(staged, consSeen)
     } catch {
       case e: Throwable =>
         try fs.delete(staged, true): Unit
@@ -593,6 +662,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // half-swapped table whose remaining replacements age out and get
     // silently reclaimed as debris
     if (swapSet.nonEmpty) writeManifest(staged, swapSet.map(_._2), op, commitParams)
+    // post-mark detection BEFORE the swaps consume the staged dirs
+    val poisoned =
+      if (swapSet.isEmpty) None else postMarkConstraintCheck(staged, seenCons)
     swapSet.foreach { case (src, rel) => swapPartitionIn(src, rel) }
     saveSchema(schema)
     // commit BEFORE dropping the stage: the marked stage is the recovery
@@ -602,6 +674,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // history — recovery finds nothing left to rename and re-records.
     commit(op, commitParams)
     fs.delete(staged, true): Unit // marker + _SUCCESS + drained parents
+    raisePoisoned(op, poisoned)
     this
   }
 
@@ -1769,16 +1842,26 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // orphans — drop the dirs instead of carrying dead weight (rebased
     // appends never have either); selective rewrites keep them because
     // the untouched files' rows stay valid
+    // the pending op carries the change-stage claim and a swap uuid: a
+    // recovery completing this stage then attributes the op WITH its
+    // change set (the set publishes at the recovered version instead of
+    // aging out unclaimed — silent CDC starvation), and the live writer
+    // racing that recovery adopts the attribution by uuid
+    val swapId = java.util.UUID.randomUUID().toString.take(12)
+    val taggedParams = params ++
+      changeStage.map(LakeTable.ChangeStageParam -> _) +
+      (LakeTable.SwapStageParam -> swapId)
     writeManifest(staged,
       (untouched.map(_._1) ++ rebased) ++
         (if (keepSideDirs) Seq(LakeTable.StatsDirName, LakeTable.DvDirName)
          else Seq.empty),
-      op, params,
+      op, taggedParams,
       // the snapshot's complete file accounting: replaced originals die
       // with the old dir, everything else rides the manifest — any file
       // NOT here at delete time is a concurrent append completeSwap
       // sweeps through (see the sweep comment there)
       known = affected.map(_._1) ++ untouched.map(_._1) ++ rebased)
+    onSwapMarkedForTest()
     // same-process completion: commit inline below
     val (_, sweptLate) = completeSwap(staged)
     // post-swap audit (closing the lost-append window the rebase opened):
@@ -1794,24 +1877,35 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // removes entirely, record and all: undetectable, metadata-only,
     // documented.)
     val postSwapNext = CommitLog.nextVersion(fs, logDir)
-    if (postSwapNext != resolvedNext) {
-      val late = CommitLog.recordsSince(fs, logDir, resolvedNext)
-      val nonAppend = late.filterNot(isPureAppend)
-      if (nonAppend.nonEmpty || rebaseBaseFiles.isEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
-            "while the swap was in flight (their data files were carried " +
-            "through it where present). This operation's commit was NOT " +
-            "recorded — reconcile from history or RESTORE a pre-swap version.")
-    }
-    val actual = commit(op, params ++
-      changeStage.map(LakeTable.ChangeStageParam -> _) ++
-      Map("filesRewritten" -> affected.size.toString,
-        "filesKept" -> untouched.size.toString) ++
-      (if (rebased.nonEmpty) Map("filesRebased" -> rebased.size.toString)
-       else Map.empty) ++
-      (if (sweptLate > 0) Map("filesSweptLate" -> sweptLate.toString)
-       else Map.empty))
+    val selfAttributed =
+      if (postSwapNext == resolvedNext) Nil
+      else {
+        val late = CommitLog.recordsSince(fs, logDir, resolvedNext)
+        val (self, others0) = late.partition(
+          _.params.get(LakeTable.SwapStageParam).contains(swapId))
+        // a RECOVERED commit with OUR swap uuid is a concurrent recovery
+        // attributing this very op — adopt it; a VACUUM DEBRIS commit is
+        // metadata-only (the recovery twin's own bookkeeping); anything
+        // else follows the pre-existing contract (pure appends compose,
+        // the rest refuses)
+        val others = others0.filterNot(_.operation == "VACUUM DEBRIS")
+        val nonAppend = others.filterNot(isPureAppend)
+        if (nonAppend.nonEmpty || (others.nonEmpty && rebaseBaseFiles.isEmpty))
+          throw new java.util.ConcurrentModificationException(
+            s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
+              "while the swap was in flight (their data files were carried " +
+              "through it where present). This operation's commit was NOT " +
+              "recorded — reconcile from history or RESTORE a pre-swap version.")
+        self
+      }
+    val actual = selfAttributed.headOption.map(_.version).getOrElse(
+      commit(op, taggedParams ++
+        Map("filesRewritten" -> affected.size.toString,
+          "filesKept" -> untouched.size.toString) ++
+        (if (rebased.nonEmpty) Map("filesRebased" -> rebased.size.toString)
+         else Map.empty) ++
+        (if (sweptLate > 0) Map("filesSweptLate" -> sweptLate.toString)
+         else Map.empty)))
     changeStage.foreach(publishChanges(_, actual))
     this
   }
@@ -2337,30 +2431,77 @@ final class LakeTable(spark: SparkSession, val path: String) {
     require(name.nonEmpty && !constraints.contains(name),
       s"constraint '$name' already exists")
     // DDL-vs-writer race closure, the DDL half: validation reads the
-    // table at one version, but a concurrent append can commit rows the
+    // table at one version, but a concurrent writer can land rows the
     // validation never saw before the constraint file publishes — the
-    // published constraint would then LIE about the data. Re-validate
-    // whenever the log moved during validation (bounded retries); the
-    // residual — a writer whose batch was validated before this save and
-    // whose commit lands after — is closed from the writer's side
-    // (lateConstraintCheck re-validates late-arriving constraints before
-    // its point of no return). ConstraintRaceSpec interleaves both.
+    // published constraint would then LIE about the data. Movement is
+    // detected on BOTH channels a writer becomes irreversible through:
+    // the commit log (committed data) and MARKED stages (data past its
+    // writer's point of no return, commit still pending) — re-validate
+    // whenever either moved during validation (bounded retries). The
+    // symmetric closure is on the writer (lateConstraintGate at its
+    // mark); the crossing of the two ε-windows — a writer whose final
+    // constraints read AND mark both land inside our scan→save gap — is
+    // caught by the POST-SAVE audit below: the mark is visible by then,
+    // so roll the constraint back and retry over the landed rows. The
+    // DDL side can always retract; a writer past its mark cannot.
     var attempts = 0
     while (true) {
+      // marked APPEND stages existing NOW hold rows `read` cannot see
+      // but that WILL land — complete them first so validation covers
+      // them (recovery is idempotent; a live writer racing it tolerates
+      // the twin completion by design)
+      recoverAppendStages(): Unit
       val base = CommitLog.nextVersion(fs, logDir)
-      enforceConstraints(read, Map(name -> expr))
-      onConstraintValidatedForTest()
-      if (CommitLog.nextVersion(fs, logDir) == base) {
-        saveConstraints(constraints + (name -> expr))
-        commit("ADD CONSTRAINT", Map("name" -> name, "expr" -> expr))
-        return this
+      val stages0 = markedStageIds()
+      // a marked SWAP stage cannot be absorbed inline (mid-swap reads
+      // are torn) — wait for its writer to finish, then validate
+      if (stages0.isEmpty) {
+        enforceConstraints(read, Map(name -> expr))
+        onConstraintValidatedForTest()
+        if (CommitLog.nextVersion(fs, logDir) == base && markedStageIds().isEmpty) {
+          saveConstraints(constraints + (name -> expr))
+          if (CommitLog.nextVersion(fs, logDir) == base && markedStageIds().isEmpty) {
+            commit("ADD CONSTRAINT", Map("name" -> name, "expr" -> expr))
+            return this
+          }
+          // post-save audit tripped: retract, absorb the in-flight data,
+          // re-validate from scratch (writers that already validated
+          // against the retracted constraint merely over-enforced)
+          saveConstraints(constraints - name)
+        }
       }
       attempts += 1
       require(attempts < 8,
         s"addConstraint $name at $path: the table kept moving during " +
           "validation (8 attempts) — quiesce writers or retry")
+      Thread.sleep(25L * attempts)
     }
     this
+  }
+
+  /** Identities of every MARKED stage of this table — append stages,
+    * dynamic-overwrite part-stages, and the staged-rewrite slot, counted
+    * only once their manifest (the point-of-no-return marker) exists.
+    * A marked stage is data that WILL reach the table (recovery
+    * completes it even if its writer died), so the constraint DDL must
+    * treat it as movement exactly like a committed version.
+    */
+  private def markedStageIds(): Set[String] = {
+    val out = Set.newBuilder[String]
+    val parent = new Path(path).getParent
+    val prefix = new Path(path).getName + LakeTable.PartStageSuffix
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(prefix) &&
+          (fs.exists(new Path(st.getPath, LakeTable.AppendManifestName)) ||
+            fs.exists(new Path(st.getPath, LakeTable.SwapManifestName))))
+          out += n
+      }
+    val staged = new Path(s"$path${LakeTable.StageSuffix}")
+    if (fs.exists(new Path(staged, LakeTable.SwapManifestName)))
+      out += staged.getName
+    out.result()
   }
 
   /** Test seam (ConstraintRaceSpec): runs between addConstraint's
@@ -2634,18 +2775,87 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * ever checked (the DDL validated the pre-write table, the writer
     * validated against the pre-DDL constraint set — Delta surfaces the
     * same interleave as a MetadataChangedException on the writer).
-    * Re-read the constraint file and validate the batch against any
-    * LATE-ARRIVING checks only (one cheap metadata read per write; the
-    * extra data pass runs only when a DDL actually raced). Throws the
-    * ordinary violation error, which aborts BEFORE promotion — the
-    * stage rolls back like any pre-mark failure.
+    * Re-read the constraint file and validate against any LATE-ARRIVING
+    * checks, looping until a re-read shows nothing new arrived DURING
+    * the validation itself — the caller then reaches its point of no
+    * return one fs round-trip after the final clean read. One cheap
+    * metadata read per write on the no-race path; the extra data pass
+    * runs only when a DDL actually raced. Throws the ordinary violation
+    * error, which aborts BEFORE the point of no return.
+    *
+    * Placement contract: the staged-append and dynamic-overwrite paths
+    * run this IMMEDIATELY BEFORE their manifest mark via
+    * [[lateConstraintGate]] (validating the staged files — exactly what
+    * will promote, no upstream recompute), not before their staging job
+    * — a cluster-scale staging job is minutes of window; the final
+    * read→mark gap is microseconds. The residual (a save landing inside
+    * that gap) is detected from the DDL side: [[addConstraint]]'s
+    * post-save audit sees the mark, rolls the constraint back, and
+    * re-validates over the landed rows.
     */
   private def lateConstraintCheck(
-      batch: DataFrame, validated: Map[String, String]): Unit = {
+      batch: DataFrame, validated: Map[String, String]): Unit =
+    lateConstraintLoop(validated)(late => enforceConstraints(batch, late)): Unit
+
+  /** [[lateConstraintCheck]] over a STAGED directory (pre-promotion):
+    * validates the staged files themselves through the logical-name
+    * mapping, so nothing upstream of the staging job re-executes.
+    * Returns the full set of constraint names validated against this
+    * batch (for [[postMarkConstraintCheck]]).
+    */
+  private def lateConstraintGate(
+      staged: Path, validated: Map[String, String]): Set[String] =
+    lateConstraintLoop(validated)(late =>
+      enforceConstraints(stagedLogical(staged.toString), late))
+
+  private def lateConstraintLoop(
+      validated: Map[String, String])(check: Map[String, String] => Unit): Set[String] = {
     onBatchValidatedForTest()
-    val late = constraints -- validated.keys
-    if (late.nonEmpty) enforceConstraints(batch, late)
+    var seen = validated.keySet
+    var late = constraints.filter(kv => !seen.contains(kv._1))
+    while (late.nonEmpty) {
+      check(late)
+      seen = seen ++ late.keys
+      // re-read: a DDL landing DURING the validation pass must be seen
+      // before the caller's mark, or its checks never ran on this batch
+      late = constraints.filter(kv => !seen.contains(kv._1))
+    }
+    seen
   }
+
+  /** Post-mark detection — the writer's closure of the ε-crossing the
+    * pre-mark gate cannot cover: a constraint SAVED between the gate's
+    * final clean read and the mark is, by publish atomicity, visible to
+    * any read AFTER the mark, so this one extra read catches it with
+    * certainty. Past the point of no return a violation cannot abort;
+    * the caller throws the returned message AFTER its commit — the
+    * table stays consistent (data landed, attributed exactly once) and
+    * the operator hears about the unvalidated admission loudly instead
+    * of never. Usually moot: the DDL's own post-save audit sees the
+    * mark first and retracts the constraint, in which case this read
+    * finds nothing late. Staged-SWAP paths need no analogue — their
+    * post-swap audit refuses to commit over ANY interloping commit, and
+    * ADD CONSTRAINT commits, so the crossing fails loudly there already.
+    */
+  private def postMarkConstraintCheck(
+      staged: Path, seen: Set[String]): Option[String] = {
+    val late = constraints.filter(kv => !seen.contains(kv._1))
+    if (late.isEmpty) None
+    else
+      try { enforceConstraints(stagedLogical(staged.toString), late); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+  }
+
+  /** Raise the deferred [[postMarkConstraintCheck]] violation — called by
+    * append-family writers AFTER their commit.
+    */
+  private def raisePoisoned(op: String, poisoned: Option[String]): Unit =
+    poisoned.foreach(msg => throw new IllegalStateException(
+      s"$op at $path COMMITTED (exactly once, data consistent), but a CHECK " +
+        "constraint published concurrently inside the mark window is violated " +
+        s"by the batch: $msg. The constraint admitted rows it never validated " +
+        "— drop it or delete this batch. (addConstraint's post-save audit " +
+        "normally retracts such a constraint itself; re-check constraints.)"))
 
   /** Test seam (ConstraintRaceSpec): runs after a write validated its
     * batch and before the late-constraint re-read, so a spec can publish
@@ -3487,10 +3697,39 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
   }
 
-  private def saveSchema(schema: StructType): Unit = {
+  /** Persist the authoritative schema. MONOTONE by default: for every
+    * field the new schema shares with the stored one, the WIDER numeric
+    * type wins ([[LakeTable.widens]]) — a writer that aligned its batch
+    * against a pre-`ALTER COLUMN TYPE` read can then never save the
+    * narrow type back over a concurrent widening (which would leave the
+    * stored schema narrower than on-disk data and break every read;
+    * last-writer-wins was the witnessed hazard). Widening is the one
+    * schema edit with no commit-log OCC on the append path, and
+    * wider-of-two is commutative + idempotent, so concurrent widenings
+    * compose in any order. `replace = true` (explicit overwriteSchema:
+    * the data files are replaced wholesale, so there is no on-disk wide
+    * encoding left to protect) skips the merge and takes the schema
+    * verbatim — intentional re-narrowing stays possible.
+    */
+  private def saveSchema(schema: StructType, replace: Boolean = false): Unit = {
     val f = fs
     if (!f.exists(logDir)) f.mkdirs(logDir)
-    val json = schema.json
+    val toSave =
+      if (replace) schema
+      else storedSchema match {
+        case None => schema
+        case Some(st) =>
+          val byKey = st.fields
+            .map(x => x.name.toLowerCase(java.util.Locale.ROOT) -> x).toMap
+          StructType(schema.fields.map { nf =>
+            byKey.get(nf.name.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(sf) if LakeTable.widens(nf.dataType, sf.dataType) =>
+                nf.copy(dataType = sf.dataType)
+              case _ => nf
+            }
+          })
+      }
+    val json = toSave.json
     // skip-if-unchanged: every commit saves the schema but almost none
     // change it — one small read beats the tmp+rename publish, and
     // skipping also keeps concurrent disjoint-partition writers (who
@@ -3580,6 +3819,21 @@ final class LakeTable(spark: SparkSession, val path: String) {
       fs.listStatus(logDir)
         .filter(st => st.isFile && st.getPath.getName.startsWith(LakeIo.TmpPrefix))
         .foreach(st => fs.delete(st.getPath, false): Unit)
+    // coordinated-claim refs (object-store Coordinated mode) are NOT
+    // ageless debris: a crashed claim winner's ref is the recovery record
+    // for its claimed-but-unpublished commit — reclaim only past the
+    // stage-retention horizon (recovery normally runs at the next lost
+    // claim, long before; past the horizon the loud completeClaim error
+    // names the unrecoverable state)
+    locally {
+      val horizon = System.currentTimeMillis() - LakeTable.PartStageRetentionMs
+      Seq(logDir, new Path(path).getParent).filter(d => d != null && fs.exists(d))
+        .foreach(d => fs.listStatus(d)
+          .filter(st => st.isFile &&
+            st.getPath.getName.startsWith(LakeIo.ClaimRefPrefix) &&
+            st.getModificationTime < horizon)
+          .foreach(st => fs.delete(st.getPath, false): Unit))
+    }
     // a crashed stats refresh leaves its nested stage behind; it is not
     // data (listDataFiles skips _-prefixed dirs) but it is garbage, and
     // the next refresh's Overwrite should not inherit it
@@ -3631,10 +3885,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
         // commit the interrupted operation UNDER ITS OWN NAME first: it
         // is what changed the data — and its params carry the staged
         // change set's name (ChangeStageParam), so the reconciliation
-        // below publishes that set at exactly this commit's version
+        // below publishes that set at exactly this commit's version.
+        // The swap uuid is the attribution idempotence key: a LIVE
+        // writer racing this vacuum may have committed already (or will
+        // adopt OUR commit by uuid) — never attribute one change twice.
         val (pending, _) = completeSwap(staged)
         pending.foreach { case (op, params) =>
-          commit(s"RECOVERED $op", params): Unit
+          val already = params.get(LakeTable.SwapStageParam)
+            .exists(id => hasCommitParam(LakeTable.SwapStageParam, id))
+          if (!already) commit(s"RECOVERED $op", params): Unit
         }
         "completedSwap"
       } else { fs.delete(staged, true); "removedStage" }
@@ -3785,8 +4044,31 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * few files by construction (CommitCostProbe puts the local-fs cost
     * at ~10% of a compact, zero spread-aware bench flags).
     */
-  private def completeSwap(staged: Path): (Option[(String, Map[String, String])], Int) = {
+  private def completeSwap(staged: Path): (Option[(String, Map[String, String])], Int) =
+    // TWIN-ATTEMPT serialization: vacuumDebris completes the main staged
+    // swap AGELESSLY, so it can race the live writer's own completeSwap
+    // on one stage — unserialized, the later entrant re-runs phase 1's
+    // gather against a table the earlier one already mutated and phase
+    // 2a can classify just-placed files as old children (the empty-table
+    // shape CrashInjectionSpec caught for crash-RESUMED swaps). One JVM
+    // lock per stage path serializes them; the second entrant then sees
+    // the manifest gone and returns. Cross-PROCESS vacuum racing a live
+    // writer remains outside the contract (vacuum is a maintenance op to
+    // run while writers are quiesced or crashed — the stage-claim doc).
+    LakeTable.swapLocks.computeIfAbsent(
+      fs.makeQualified(staged).toString, _ => new Object).synchronized {
+      completeSwapLocked(staged)
+    }
+
+  private def completeSwapLocked(staged: Path): (Option[(String, Map[String, String])], Int) = {
     val f = fs
+    // the twin attempt (or a crash-resumed completion) may have finished
+    // while we waited on the lock: no manifest and no clear list means
+    // the swap is fully placed and the stage is dead bytes — report
+    // "nothing pending" so the caller consults the log for attribution
+    if (!f.exists(new Path(staged, LakeTable.SwapManifestName)) &&
+      !f.exists(new Path(staged, LakeTable.SwapClearName)))
+      return (None, 0)
     def moveIn(from: Path, name: String): Unit = {
       val dest = new Path(staged, name)
       if (f.exists(from) && !f.exists(dest) && !f.rename(from, dest))
@@ -4495,8 +4777,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // the manifest is the swap's point-of-no-return marker: once present,
     // a crash anywhere below is COMPLETED (not discarded) by vacuumDebris
     // — without it, a crash after the log moves would see the log deleted
-    // with the "orphaned" stage
-    writeManifest(s, Seq.empty, op, params)
+    // with the "orphaned" stage. The swap uuid makes the attribution
+    // idempotent when a live recovery (vacuumDebris racing this writer)
+    // completes-and-commits the same stage first.
+    val swapId = java.util.UUID.randomUUID().toString.take(12)
+    val taggedParams = params + (LakeTable.SwapStageParam -> swapId)
+    writeManifest(s, Seq.empty, op, taggedParams)
+    onSwapMarkedForTest()
     // keep the log: move it into the staged dir before the swap
     if (f.exists(logDir)) f.rename(logDir, new Path(s, LakeTable.LogDirName))
     // metadata mutations that must flip ATOMICALLY with the data files
@@ -4510,9 +4797,20 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // post-swap audit, mirroring swapSelective's: a commit that landed
     // between the occCheck and the log move rode into the stage but its
     // data files died with the old table dir — refuse to stack this
-    // op's commit on top of a lost update
+    // op's commit on top of a lost update. A RECOVERED commit carrying
+    // THIS swap's uuid is not an interloper: it is a concurrent recovery
+    // (vacuumDebris racing us) attributing our own op — adopt it.
     val postSwapNext = CommitLog.nextVersion(fs, logDir)
-    if (postSwapNext != occExpected)
+    val late =
+      if (postSwapNext == occExpected) Nil
+      else CommitLog.recordsSince(fs, logDir, occExpected)
+    val (selfAttributed, foreign0) = late.partition(
+      _.params.get(LakeTable.SwapStageParam).contains(swapId))
+    // VACUUM DEBRIS is metadata-only (it completes/reclaims, never adds
+    // data of its own) — a concurrent vacuum racing this swap as the
+    // recovery twin must not read as a lost update
+    val foreign = foreign0.filterNot(_.operation == "VACUUM DEBRIS")
+    if (foreign.nonEmpty)
       throw new java.util.ConcurrentModificationException(
         s"$op at $path: commit(s) v$occExpected..v${postSwapNext - 1} landed " +
           "while the swap was in flight; their data files were not carried " +
@@ -4524,7 +4822,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // (upsert casts to the table types, so this is a no-op for MERGE;
     // for optimize it refreshes nullability after the clustered rewrite)
     saveSchema(clustered.schema)
-    onCommit(commit(op, params))
+    selfAttributed.headOption match {
+      case Some(rec) => onCommit(rec.version) // attributed once, by the twin
+      case None      => onCommit(commit(op, taggedParams))
+    }
     this
   }
 
@@ -5097,6 +5398,24 @@ object LakeTable {
   // swap point-of-no-return marker inside a staged dir; lists the
   // untouched data files a selective rewrite pulls through the swap
   val SwapManifestName = "__graft_swap_manifest"
+
+  /** Commit param carrying a staged swap's uuid — the attribution
+    * idempotence key (the swap analogue of [[AppendStageParam]]): a
+    * recovery that completes a marked swap commits RECOVERED with the
+    * pending op's params including this id, and the live writer racing
+    * that recovery sees the id in the log and adopts the attribution
+    * instead of double-committing or refusing its own recovery as a
+    * foreign interloper.
+    */
+  val SwapStageParam = "swapStage"
+
+  /** In-JVM serialization of [[completeSwap]] per stage path — see the
+    * twin-attempt note there. Keyed by stage path (one live entry per
+    * table; stages are fixed-name slots, so the map is bounded by table
+    * count like [[LakeIo]]'s publish locks).
+    */
+  private[sources] val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   // append promotion set: marks a private append stage as past its point
   // of no return (see appendViaStage / completeAppendStage); the stage
   // uuid rides in the pending op under AppendStageParam as the

@@ -54,9 +54,11 @@ object TableDetail {
     // createdAt / lastModified from the commit timestamps (one log read,
     // already O(commits)); properties verbatim; clusteringColumns from
     // the most recent OPTIMIZE commit's recorded dimensions
+    // commits predating the timestamp field parse as timestamp = "" —
+    // DESCRIBE DETAIL consumers must see null (absent value), not ""
     val recs = CommitLog.recordsSince(fs, logDir, 0L)
-    val createdAt = recs.headOption.map(_.timestamp).orNull
-    val lastModified = recs.lastOption.map(_.timestamp).orNull
+    val createdAt = recs.headOption.map(_.timestamp).filter(_.nonEmpty).orNull
+    val lastModified = recs.lastOption.map(_.timestamp).filter(_.nonEmpty).orNull
     val clusterCols = recs.reverseIterator
       .find(r => r.operation.startsWith("OPTIMIZE"))
       .flatMap(r => r.params.get("zOrderBy").orElse(r.params.get("cols")))

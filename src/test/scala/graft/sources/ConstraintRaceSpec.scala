@@ -165,6 +165,91 @@ class ConstraintRaceSpec extends SparkSpec {
     assert(fresh2.read.select(countDistinct(col("rid"))).head().getLong(0) === 3L)
   }
 
+  test("ε-window: a constraint saved between the gate's final read and the mark raises post-commit") {
+    // the one crossing the pre-mark gate cannot see: the DDL's audit runs
+    // while the writer's stage is still UNMARKED (publishes cleanly), and
+    // the save lands after the gate's final clean read. The writer's
+    // post-mark read — after the atomic publish, so it sees the save with
+    // certainty — must detect it and fail LOUDLY after its commit instead
+    // of silently admitting rows the constraint never validated.
+    val dir = fresh("eps")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, 10.0)).toDF("id", "x").coalesce(1))
+    var fired = 0
+    lake.onStagePreMarkForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        LakeTable(spark, dir).addConstraint("x_pos", "x > 0"): Unit
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        lake.write(Seq((2L, -1.0)).toDF("id", "x").coalesce(1), SaveMode.Append)
+      }
+      assert(e.getMessage.contains("COMMITTED"), e.getMessage)
+      assert(e.getMessage.contains("x_pos"), e.getMessage)
+      assert(fired == 1, "interleaved DDL never ran")
+    } finally lake.onStagePreMarkForTest = () => ()
+    // exactly-once data, attributed; the error told the operator to decide
+    val fresh2 = LakeTable(spark, dir)
+    assert(fresh2.read.count() === 2L)
+    assert(fresh2.constraints.contains("x_pos"))
+  }
+
+  test("ε-window: a CLEAN batch passes the post-mark read silently") {
+    val dir = fresh("epsclean")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, 10.0)).toDF("id", "x").coalesce(1))
+    var fired = 0
+    lake.onStagePreMarkForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        LakeTable(spark, dir).addConstraint("x_pos", "x > 0"): Unit
+      }
+    }
+    try lake.write(Seq((2L, 5.0)).toDF("id", "x").coalesce(1), SaveMode.Append)
+    finally lake.onStagePreMarkForTest = () => ()
+    assert(fired == 1)
+    assert(LakeTable(spark, dir).read.count() === 2L)
+  }
+
+  test("DDL half: a pre-existing MARKED append stage is absorbed before validation") {
+    // the stage was marked BEFORE addConstraint started, so it is not
+    // "movement" — but its rows WILL land (recovery completes marked
+    // stages even if the writer died). Validation must cover them:
+    // addConstraint recovers marked append stages first, then validates.
+    val dir = fresh("premark")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, 10.0)).toDF("id", "x").coalesce(1))
+    val marked = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    lake.onStageMarkedForTest = () => {
+      marked.countDown()
+      release.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+    val writer = new Thread(() =>
+      try lake.write(Seq((2L, -7.0)).toDF("id", "x").coalesce(1), SaveMode.Append): Unit
+      catch { case _: Throwable => () })
+    writer.start()
+    marked.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LakeTable(spark, dir).addConstraint("x_pos", "x > 0")
+      }
+      assert(e.getMessage.contains("x_pos"), e.getMessage)
+    } finally {
+      release.countDown()
+      writer.join(60000)
+      lake.onStageMarkedForTest = () => ()
+    }
+    // the DDL's recovery absorbed the marked rows (the parked writer's own
+    // completion is the tolerated twin) and correctly refused to publish
+    val fresh2 = LakeTable(spark, dir)
+    assert(!fresh2.constraints.contains("x_pos"))
+    assert(fresh2.read.count() === 2L)
+    assert(fresh2.read.where(col("x") === -7.0).count() === 1L)
+  }
+
   test("writer half: a clean in-flight batch passes the late re-validation and lands") {
     val dir = fresh("clean")
     val lake = LakeTable(spark, dir)

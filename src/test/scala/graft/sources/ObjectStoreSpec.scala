@@ -3,112 +3,23 @@ package graft.sources
 import java.net.URI
 import java.nio.file.Files
 
-import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, Path, RawLocalFileSystem}
-import org.apache.hadoop.fs.permission.FsPermission
-import org.apache.hadoop.util.Progressable
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Object-store EMULATION over local disk, with S3-class semantics:
-  *
-  *   - `getScheme` reports `s3a`, so [[LakeIo.isObjectStore]] detection
-  *     fires exactly as it would against a real bucket;
-  *   - `rename` is CLIENT-SIDE COPY + DELETE — never atomic, never
-  *     refuses an existing destination (it clobbers, like S3 CopyObject)
-  *     — each copied file and each delete is a separate [[FsFuse]]
-  *     mutation, so a crash leaves src+dst mixtures a POSIX rename
-  *     cannot produce;
-  *   - `create` buffers and materializes the object ATOMICALLY AT CLOSE
-  *     (whole-object PUT): a crash before close leaves NOTHING, and
-  *     partial content is never visible — the one honest guarantee
-  *     object stores do give.
+/** Object-store EMULATION: [[S3SimFs]]'s honest S3-class semantics
+  * (PUT-at-close create, copy+delete rename that refuses an existing
+  * destination) with the crash fuse wired into the read/mutation seams.
   *
   * The spec walks the lake's claim/swap/publish protocol under this fs
-  * (the CrashInjectionSpec fuse pattern) in the opt-in SingleWriter
-  * mode, and pins the default: with no opt-in, lake writes REFUSE the
-  * substrate with an error naming the missing contract.
+  * (the CrashInjectionSpec fuse pattern) in the opt-in SingleWriter and
+  * Coordinated modes, and pins the default: with no opt-in, lake writes
+  * REFUSE the substrate with an error naming the missing contract.
   */
-final class ObjectStoreEmulFs extends RawLocalFileSystem {
-  override def getScheme: String = "s3a"
-
-  private def copyFile(src: Path, dst: Path): Unit = {
-    val in = super.open(src, 4096)
-    val bytes =
-      try org.apache.commons.io.IOUtils.toByteArray(in)
-      finally in.close()
-    // route through create(): the copy is itself a PUT — one mutation,
-    // visible whole at close, clobbering any existing dst (S3 CopyObject)
-    val out = create(dst, FsPermission.getFileDefault, true, 4096,
-      1.toShort, 33554432L, null)
-    try out.write(bytes)
-    finally out.close()
-  }
-
-  private def copyRec(src: Path, dst: Path): Unit = {
-    val st = super.getFileStatus(src)
-    if (st.isDirectory) {
-      super.listStatus(src).foreach(c => copyRec(c.getPath, new Path(dst, c.getPath.getName)))
-    } else copyFile(src, dst)
-  }
-
-  override def rename(src: Path, dst: Path): Boolean = {
-    FsFuse.read()
-    if (!super.exists(src)) return false
-    // honest S3A semantics: rename REFUSES an existing destination FILE
-    // (S3AFileSystem checks dest and returns false before any copy) —
-    // a crashed previous rename that completed its copy but not its
-    // source delete leaves src+dst BOTH present, and the retry gets
-    // `false`, not a silent re-copy. Recovery code must handle that
-    // state explicitly (promoteFile's completed-copy tolerance).
-    if (super.exists(dst) && super.getFileStatus(dst).isFile) return false
-    copyRec(src, dst)
-    FsFuse.mutation()
-    super.delete(src, true)
-  }
-
-  override def delete(p: Path, recursive: Boolean): Boolean = {
-    FsFuse.mutation(); super.delete(p, recursive)
-  }
-  // object stores have no directories — mkdirs is free and unfailing
-  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
-    FsFuse.read(); super.mkdirs(p, permission)
-  }
-  override def create(
-      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
-      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream = {
-    FsFuse.read() // opening an upload is not yet a visible mutation
-    val buf = new java.io.ByteArrayOutputStream()
-    val self = this
-    val stream = new java.io.OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit = buf.write(b, off, len)
-      override def close(): Unit = {
-        // the PUT: one mutation, visible whole or not at all
-        FsFuse.mutation()
-        val out = self.rawCreate(f, permission, overwrite, bufferSize,
-          replication, blockSize, progress)
-        try out.write(buf.toByteArray)
-        finally out.close()
-      }
-    }
-    new FSDataOutputStream(stream, null)
-  }
-  private def rawCreate(
-      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
-      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream =
-    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
-  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    FsFuse.read(); super.open(f, bufferSize)
-  }
-  override def listStatus(f: Path): Array[FileStatus] = {
-    FsFuse.read(); super.listStatus(f)
-  }
-  override def getFileStatus(f: Path): FileStatus = {
-    FsFuse.read(); super.getFileStatus(f)
-  }
-  override def mkdirs(p: Path): Boolean = { FsFuse.read(); super.mkdirs(p) }
+final class ObjectStoreEmulFs extends S3SimFs {
+  override protected def onRead(): Unit = FsFuse.read()
+  override protected def onMutation(): Unit = FsFuse.mutation()
 }
 
 class ObjectStoreSpec extends SparkSpec {
@@ -234,10 +145,61 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("SingleWriter: a second process attaching the same table is refused loudly") {
+    withObjectStore(LakeIo.SingleWriter) {
+      val dir = Files.createTempDirectory("graft_os_owner").toString + "/t"
+      LakeTable(spark, dir).write(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+      // impersonate a fresh process: distinct nonce, cold heartbeat cache
+      LakeIo.processNonceForTest = Some("second-process-nonce")
+      LakeIo.resetOwnershipForTest()
+      try {
+        val e = intercept[IllegalStateException] {
+          LakeTable(spark, dir).write(
+            Seq((2L, "b")).toDF("id", "v").coalesce(1), SaveMode.Append)
+        }
+        assert(e.getMessage.contains("ONE writer process"), e.getMessage)
+        assert(e.getMessage.contains("Coordinated"), e.getMessage)
+      } finally {
+        LakeIo.processNonceForTest = None
+        LakeIo.resetOwnershipForTest()
+      }
+      // the refusal fired at ENTRY: the second process staged nothing for
+      // recovery to mis-attribute later, and the owner continues unharmed
+      LakeTable(spark, dir).write(
+        Seq((3L, "c")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+      assert(rows(dir) === Seq((1L, "a"), (3L, "c")))
+    }
+  }
+
+  test("SingleWriter: a dead owner's stale stamp is reclaimed past the ttl") {
+    withObjectStore(LakeIo.SingleWriter) {
+      val dir = Files.createTempDirectory("graft_os_stale").toString + "/t"
+      LakeTable(spark, dir).write(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+      val oldTtl = LakeIo.singleWriterStampTtlMs
+      // the owner "dies"; its heartbeat goes stale past the (shortened) ttl
+      LakeIo.singleWriterStampTtlMs = 50L
+      LakeIo.processNonceForTest = Some("successor-process-nonce")
+      LakeIo.resetOwnershipForTest()
+      Thread.sleep(150L)
+      try {
+        LakeTable(spark, dir).write(
+          Seq((2L, "b")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+        assert(rows(dir) === Seq((1L, "a"), (2L, "b")),
+          "stale-stamp takeover did not land the successor's write")
+      } finally {
+        LakeIo.singleWriterStampTtlMs = oldTtl
+        LakeIo.processNonceForTest = None
+        LakeIo.resetOwnershipForTest()
+      }
+    }
+  }
+
   test("Coordinated: claims route through the external coordinator") {
-    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val claimed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val coord = new LakeIo.ClaimCoordinator {
-      def claim(key: String): Boolean = claimed.add(key)
+      def claim(key: String, stagedRef: String): Boolean =
+        claimed.putIfAbsent(key, stagedRef) == null
+      def claimedRef(key: String): Option[String] = Option(claimed.get(key))
     }
     withObjectStore(LakeIo.Coordinated(coord)) {
       val dir = Files.createTempDirectory("graft_os_coord").toString + "/t"
@@ -247,7 +209,10 @@ class ObjectStoreSpec extends SparkSpec {
       assert(rows(dir) === Seq((1L, "a"), (2L, "b")))
       assert(!claimed.isEmpty, "no claim ever reached the coordinator")
       // a coordinator refusing every claim surfaces as a clean conflict
-      val never = new LakeIo.ClaimCoordinator { def claim(key: String) = false }
+      val never = new LakeIo.ClaimCoordinator {
+        def claim(key: String, stagedRef: String) = false
+        def claimedRef(key: String): Option[String] = None
+      }
       LakeIo.objectStoreMode = LakeIo.Coordinated(never)
       intercept[Exception] {
         lake.write(Seq((3L, "c")).toDF("id", "v").coalesce(1), SaveMode.Append)
@@ -255,13 +220,74 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("Coordinated: a winner crashing between claim and PUT does not wedge the table") {
+    // the r15 ADVICE wedge: claim(v) consumed, v.json never PUT —
+    // nextVersion stalls at v, every writer "loses" the race forever.
+    // Recovery: content stages BEFORE the claim, and a loser completes
+    // the winner's publication from the claim's stagedRef.
+    val inner = new FileClaimCoordinator(
+      Files.createTempDirectory("graft_os_coorddir").toString)
+    @volatile var crashArmed = false
+    @volatile var crashed = false
+    val coord = new LakeIo.ClaimCoordinator {
+      def claim(key: String, stagedRef: String): Boolean = {
+        val won = inner.claim(key, stagedRef)
+        if (won && crashArmed && !crashed) {
+          crashed = true
+          throw new RuntimeException(
+            "simulated crash: claim recorded, PUT never made")
+        }
+        won
+      }
+      def claimedRef(key: String): Option[String] = inner.claimedRef(key)
+    }
+    withObjectStore(LakeIo.Coordinated(coord)) {
+      val dir = Files.createTempDirectory("graft_os_wedge").toString + "/t"
+      val lake = LakeTable(spark, dir)
+      lake.write(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+      crashArmed = true
+      // writer 1 dies after winning the claim for its commit version
+      intercept[RuntimeException] {
+        lake.write(Seq((2L, "b")).toDF("id", "v").coalesce(1), SaveMode.Append)
+      }
+      assert(crashed, "simulated crash never fired")
+      crashArmed = false
+      // writer 2 must NOT wedge: its lost claim completes the crashed
+      // winner's publication and moves on to the next version
+      LakeTable(spark, dir).write(
+        Seq((3L, "c")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+      // writer 1's data was promoted pre-commit and its recovered commit
+      // record attributes it — all three rows, exactly once
+      LakeTable(spark, dir).vacuumDebris(): Unit
+      assert(rows(dir) === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val versions = LakeTable(spark, dir).history
+        .select("version").as[Long].collect().toSeq
+      assert(versions.distinct.length === versions.length,
+        s"duplicate commit versions: $versions")
+    }
+  }
+
+  test("Coordinated: append converges from a crash at every object-store mutation") {
+    // the SingleWriter fuse walk, under Coordinated through a real
+    // file-backed coordinator — crashes land between content staging,
+    // claim, and PUT (the multi-writer mode's own windows)
+    val coord = new FileClaimCoordinator(
+      Files.createTempDirectory("graft_os_coordwalk").toString)
+    objectStoreCrashWalk("coord_append",
+      l => l.write(Seq((10L, "x"), (11L, "x")).toDF("id", "v").coalesce(1),
+        SaveMode.Append): Unit,
+      post = Seq((0L, "a"), (1L, "a"), (10L, "x"), (11L, "x")),
+      mode = LakeIo.Coordinated(coord))
+  }
+
   /** CrashInjectionSpec's fuse walk, under the object-store fs: template
     * table of 2 rows, op crashed at every mutation, vacuumDebris + the
     * pre-or-post + commit-never-lies contract, then a follow-up append.
     */
   private def objectStoreCrashWalk(
-      name: String, op: LakeTable => Unit, post: Seq[(Long, String)]): Unit =
-    withObjectStore(LakeIo.SingleWriter) {
+      name: String, op: LakeTable => Unit, post: Seq[(Long, String)],
+      mode: LakeIo.ObjectStoreMode = LakeIo.SingleWriter): Unit =
+    withObjectStore(mode) {
       val maxFuse = 200
       val pre = Seq((0L, "a"), (1L, "a"))
       var fuse = 0

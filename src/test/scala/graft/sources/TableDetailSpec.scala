@@ -69,4 +69,22 @@ class TableDetailSpec extends SparkSpec {
       .select("timestamp").as[String].collect().toSeq
     assert(byV === byV.sorted, s"history timestamps not monotone: $byV")
   }
+
+  test("created_at/last_modified are NULL, not empty, for legacy logs without timestamps") {
+    // commits predating the timestamp field parse as "" — DESCRIBE DETAIL
+    // consumers must get null (an absent value), not an empty string
+    val dir = Files.createTempDirectory("graft_detail_legacy").toString + "/t"
+    LakeTable(spark, dir).write(Seq((1L, "a")).toDF("id", "v").coalesce(1)): Unit
+    val logDir = new java.io.File(dir, LakeTable.LogDirName)
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val stripped = txt.replaceAll("\"timestamp\":\"[^\"]*\",", "")
+      java.nio.file.Files.write(f.toPath, stripped.getBytes("UTF-8")): Unit
+    }
+    val row = TableDetail.describe(spark, dir).head()
+    assert(row.getAs[String]("created_at") == null,
+      s"expected null created_at, got '${row.getAs[String]("created_at")}'")
+    assert(row.getAs[String]("last_modified") == null,
+      s"expected null last_modified, got '${row.getAs[String]("last_modified")}'")
+  }
 }

@@ -23,6 +23,36 @@ class TypeWideningSpec extends SparkSpec {
   private def fresh(name: String) =
     Files.createTempDirectory(s"graft_widen_$name").toString + "/t"
 
+  test("a concurrent ALTER COLUMN TYPE is never un-widened by an in-flight append's schema save") {
+    // the writer aligned its batch against the PRE-widening schema; the
+    // DDL lands while the append is staged (before the writer's own
+    // saveSchema). Last-writer-wins would save int back over long —
+    // leaving the stored schema narrower than the DDL's contract and,
+    // after any wide row lands, narrower than on-disk data. saveSchema's
+    // monotone merge must keep the wider type.
+    val dir = fresh("race")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1, 10)).toDF("id", "n").coalesce(1)) // n: int
+    var fired = 0
+    lake.onStagePreMarkForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        LakeTable(spark, dir).alterColumnType("n", LongType): Unit
+      }
+    }
+    try lake.write(Seq((2, 20)).toDF("id", "n").coalesce(1), SaveMode.Append)
+    finally lake.onStagePreMarkForTest = () => ()
+    assert(fired == 1, "interleaved DDL never ran")
+    val fresh2 = LakeTable(spark, dir)
+    assert(fresh2.read.schema("n").dataType === LongType,
+      s"widening was undone: ${fresh2.read.schema("n").dataType}")
+    // wide rows land and read alongside the narrow-era files
+    fresh2.write(Seq((3L, 3000000000L)).toDF("id", "n")
+      .withColumn("id", col("id").cast("int")).coalesce(1), SaveMode.Append): Unit
+    assert(fresh2.read.where(col("n") === 3000000000L).count() === 1L)
+    assert(fresh2.read.count() === 3L)
+  }
+
   test("int->long append: rejected without mergeSchema, widens with it, old files read back") {
     val dir = fresh("intlong")
     val lake = LakeTable(spark, dir)
