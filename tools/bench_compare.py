@@ -42,9 +42,19 @@ def main():
     old, new = load(args[0]), load(args[1])
     oq = {k: v for k, v in old["queries"].items() if v >= 0}
     nq = {k: v for k, v in new["queries"].items() if v >= 0}
-    om, nm = statistics.median(oq.values()), statistics.median(nq.values())
-    print(f"old total {old['value']:.1f}s ({len(oq)} queries, median {om:.2f}s)")
-    print(f"new total {new['value']:.1f}s ({len(nq)} queries, median {nm:.2f}s)")
+    # medians over the INTERSECTION only: a driver-captured map holds just
+    # the slowest-N queries while BENCH_local.json holds all of them, so
+    # whole-file medians are not comparable (a 52-vs-198 pairing shifts
+    # the median ~4x and flags every shared query as a regression)
+    shared = set(oq) & set(nq)
+    if not shared:
+        sys.exit("no shared queries between the two runs")
+    om = statistics.median(oq[k] for k in shared)
+    nm = statistics.median(nq[k] for k in shared)
+    print(f"old total {old['value']:.1f}s ({len(oq)} queries; "
+          f"median over {len(shared)} shared: {om:.2f}s)")
+    print(f"new total {new['value']:.1f}s ({len(nq)} queries; "
+          f"median over shared: {nm:.2f}s)")
     failed = [k for k, v in new["queries"].items() if v < 0]
     for k in failed:
         print(f"FAILED  {k}")
