@@ -26,7 +26,10 @@ import graft.text.Dedup
   * SIZE, distinct in VOLUME).
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
-  *        sbt "runMain graft.DecadeProbe [rep]"
+  *        sbt "runMain graft.DecadeProbe [rep [rep2]]"
+  * SPARK_GRAFT_DECADE_SHAPES=pagerank,minhash_banded selects a subset
+  * (the Bench SPARK_GRAFT_BENCH_QUERIES pattern) — re-measure one shape
+  * without paying the full suite.
   */
 object DecadeProbe {
 
@@ -63,9 +66,13 @@ object DecadeProbe {
           d.withColumn(k, col(k) + col("__r") * stride)).drop("__r")
       }
 
+    val onlyShapes = sys.env.get("SPARK_GRAFT_DECADE_SHAPES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = onlyShapes.forall(_.contains(name))
+
     var failures = 0
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
-    def scale(name: String)(body: Int => Long): Unit = {
+    def scale(name: String)(body: Int => Long): Unit = if (selected(name)) {
       def timeOnce(r: Int): Double = {
         val t0 = System.nanoTime()
         val n = body(r)
@@ -183,7 +190,9 @@ object DecadeProbe {
       val SecondSlack = 1.6
       val decadeFactor = rep2.toDouble / rep
       Seq(("triangle_count", triangleBody), ("pagerank", pagerankBody),
-        ("minhash_banded", minhashBody)).foreach { case (name, body) =>
+        ("minhash_banded", minhashBody))
+        .filter { case (name, _) => selected(name) }
+        .foreach { case (name, body) =>
         val t0 = System.nanoTime()
         val n = body(rep2)
         val sec = (System.nanoTime() - t0) / 1e9

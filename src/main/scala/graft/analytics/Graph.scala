@@ -29,6 +29,19 @@ import graft.core.Tables
   */
 object Graph {
 
+  /** Storage level for the lineage-cut checkpoints: SERIALIZED
+    * memory+disk, not the default deserialized level — the checkpointed
+    * edge/degree tables are the iteration's standing state and at large
+    * |E| their deserialized row objects pin the unified pool hard enough
+    * to starve the per-iteration hash aggregates of execution memory
+    * (measured: DecadeProbe's 100x point, 3.3M distinct edges x 100
+    * replicas, AGGREGATE_OUT_OF_MEMORY on an 8g driver). Serialized
+    * blocks are compact and evict/spill per-block, trading a one-time
+    * deserialization cost per iteration for bounded pressure.
+    */
+  private val CheckpointLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   /** PageRank with a fixed iteration count (deterministic, the form the
     * oracle can mirror). `edges` must be (src, dst) pairs; dangling nodes
     * (no out-edges) simply leak their rank — both engines apply the same
@@ -41,7 +54,7 @@ object Graph {
       damping: Double = 0.85
   ): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, CheckpointLevel)
     // nodes PRE-PARTITIONED on the key every iteration joins/aggregates
     // by: localCheckpoint preserves the physical partitioning (LogicalRDD
     // carries it), so the per-iteration rank rebuild never re-shuffles
@@ -49,7 +62,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, CheckpointLevel)
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // contribution edges with the sender's degree attached once, up
@@ -59,7 +72,7 @@ object Graph {
     // dominant cost on a real graph where |edges| >> |nodes|
     val withDeg = e.join(outDeg, Seq("src"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, CheckpointLevel)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
       val contribs = withDeg
@@ -73,7 +86,8 @@ object Graph {
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       // cut lineage every 3 rounds: the plan would otherwise nest one
       // join+agg deeper per iteration and optimizer time blows up
-      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+      if (i % 3 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true, CheckpointLevel)
     }
     ranks
   }
@@ -108,7 +122,7 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("hi"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, CheckpointLevel)
   }
 
   /** The wedge intermediate over an [[orientEdges]] frame — the join
