@@ -47,7 +47,13 @@ object ConnectedComponents {
   private def cutter(spark: SparkSession, checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
       case Some(_) => df => df.checkpoint(eager = true)
-      case None    => df => df.localCheckpoint(true)
+      // SERIALIZED memory+disk, not the default deserialized level: the
+      // checkpointed edge table is standing state across every round,
+      // and deserialized row objects pin the unified pool at large |E|
+      // (Graph.CheckpointLevel documents the measured
+      // AGGREGATE_OUT_OF_MEMORY this causes on the sibling kernel)
+      case None => df => df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   private def withCheckpointScope[T](

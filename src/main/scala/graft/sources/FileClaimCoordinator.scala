@@ -7,7 +7,8 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths}
   * conditional-write service the Coordinated object-store mode needs
   * (the seam the public Delta S3 multi-cluster LogStore design fills
   * with DynamoDB conditional writes). One claim = one file under a
-  * shared LOCAL coordination directory, holding the claim's stagedRef:
+  * shared LOCAL coordination directory, holding the claim's stagedRef
+  * and its key:
   *
   *   - exactly-once across PROCESSES: the claim file is content-written
   *     to a private temp first, then HARD-LINKED to its claim name —
@@ -17,7 +18,12 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths}
   *     winner and no reader ever observes a torn (empty) claim;
   *   - recoverable: [[claimedRef]] returns the winner's staged-content
   *     pointer, so any process can complete a claimed-but-unpublished
-  *     object (the crash-between-claim-and-PUT recovery).
+  *     object (the crash-between-claim-and-PUT recovery);
+  *   - boundable: [[expire]] reclaims claim records whose object
+  *     provably landed (one file per commit otherwise accumulates
+  *     forever — the DynamoDB LogStore design's TTL, made safe here by
+  *     LakeIo's exists-precheck: a completed version's key is never
+  *     re-claimed, so deleting its record cannot reopen the race).
   *
   * Suitable for tests and single-host multi-process deployments (the
   * coordination dir must be a real POSIX filesystem, NOT an object
@@ -39,7 +45,12 @@ final class FileClaimCoordinator(dir: String) extends LakeIo.ClaimCoordinator {
   override def claim(key: String, stagedRef: String): Boolean = {
     val tmp = Files.createTempFile(root, ".claimtmp_", "")
     try {
-      Files.write(tmp, stagedRef.getBytes(StandardCharsets.UTF_8)): Unit
+      // line 1: the recovery pointer; line 2: the claim's own key, so
+      // expire() can check the published object without reversing the
+      // filename hash (neither value contains a newline — both are
+      // qualified fs paths)
+      Files.write(tmp,
+        s"$stagedRef\n$key".getBytes(StandardCharsets.UTF_8)): Unit
       try { Files.createLink(fileFor(key), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp): Unit
@@ -47,6 +58,34 @@ final class FileClaimCoordinator(dir: String) extends LakeIo.ClaimCoordinator {
 
   override def claimedRef(key: String): Option[String] =
     try Some(new String(Files.readAllBytes(fileFor(key)), StandardCharsets.UTF_8))
+      .map(_.split("\n", 2)(0))
       .filter(_.nonEmpty)
     catch { case _: java.io.IOException => None }
+
+  /** Reclaim claim records older than `olderThanMs` whose key satisfies
+    * `completed` (caller passes an object-existence check against the
+    * table's filesystem). Claims for keys whose object is MISSING are
+    * kept regardless of age — they are the recovery pointers for a
+    * crashed winner, and deleting one wedges that version permanently.
+    * Pre-key-format records (no second line) are kept: their key is
+    * unknowable, and keeping them is the conservative side. Returns the
+    * number of records reclaimed.
+    */
+  def expire(olderThanMs: Long, completed: String => Boolean): Int = {
+    val now = System.currentTimeMillis()
+    val files = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+    files.count { f =>
+      f.getName.startsWith("claim_") &&
+        now - f.lastModified() >= olderThanMs && {
+          val key =
+            try new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+              .split("\n", 2) match {
+                case Array(_, k) if k.nonEmpty => Some(k)
+                case _ => None
+              }
+            catch { case _: java.io.IOException => None }
+          key.exists(completed) && Files.deleteIfExists(f.toPath)
+        }
+    }
+  }
 }

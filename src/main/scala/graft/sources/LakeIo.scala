@@ -371,6 +371,17 @@ object LakeIo {
         // a winner crashing between claim and PUT is then COMPLETABLE by
         // any process instead of wedging the table. The winner's PUT is
         // whole-object atomic so readers never see a torn claim.
+        //
+        // Exists-PRECHECK before staging anything: a version whose
+        // object already landed is a lost race, full stop — returning
+        // false here (the same answer the local and SingleWriter
+        // branches give) saves a staged PUT + claim round-trip per
+        // retry, and it is what makes claim-entry EXPIRY safe: once the
+        // object exists, no future writer re-reaches the coordinator
+        // for this key, so a completed claim record can be reclaimed
+        // (FileClaimCoordinator.expire) without reopening the
+        // first-writer-wins window.
+        if (fs.exists(path)) return false
         val key = fs.makeQualified(path).toString
         val stagedRef = claimRefSibling(path)
         putWhole(fs, stagedRef, text)

@@ -328,4 +328,47 @@ class ObjectStoreSpec extends SparkSpec {
       assert(completed, s"$name: still crashing after $maxFuse fuse positions")
       assert(crashes >= 3, s"$name walk exercised only $crashes crash points")
     }
+
+  test("Coordinated: completed claim records expire; crashed-winner claims survive") {
+    val coordDir = Files.createTempDirectory("graft_os_expire").toString
+    val coord = new FileClaimCoordinator(coordDir)
+    withObjectStore(LakeIo.Coordinated(coord)) {
+      val dir = Files.createTempDirectory("graft_os_expire_t").toString + "/t"
+      val lake = LakeTable(spark, dir)
+      lake.write(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+      lake.write(Seq((2L, "b")).toDF("id", "v").coalesce(1), SaveMode.Append)
+      val claimFiles = () => Option(new java.io.File(coordDir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("claim_"))
+      val before = claimFiles()
+      assert(before >= 2, s"expected one claim record per commit, got $before")
+      // a crashed winner: claim held, object never PUT — the recovery
+      // pointer expire() must never reclaim
+      val fs = newObjectFs()
+      val phantom = new org.apache.hadoop.fs.Path(dir, "_graft_log/99999.json")
+      assert(coord.claim(fs.makeQualified(phantom).toString, "stale-ref"))
+      val exists: String => Boolean =
+        key => fs.exists(new org.apache.hadoop.fs.Path(new URI(key)))
+      val reclaimed = coord.expire(0L, exists)
+      assert(reclaimed === before,
+        s"expire reclaimed $reclaimed of $before completed claims")
+      assert(claimFiles() === 1, "the crashed-winner claim must survive")
+      assert(coord.claimedRef(fs.makeQualified(phantom).toString)
+        .contains("stale-ref"), "surviving claim lost its recovery pointer")
+      // expiry is safe because a completed version is never re-claimed:
+      // publishing to an existing path answers false WITHOUT touching
+      // the coordinator (the exists-precheck)
+      val v0 = new org.apache.hadoop.fs.Path(dir,
+        "_graft_log/" + "0" * 20 + ".json")
+      assert(fs.exists(v0), "expected version 0 commit record")
+      val countBefore = claimFiles()
+      assert(!LakeIo.renamePublish(fs, v0, "interloper"),
+        "republish of an existing version must lose")
+      assert(claimFiles() === countBefore,
+        "a lost republish must not create a new claim record")
+      // and the table keeps committing normally after expiry
+      LakeTable(spark, dir).write(
+        Seq((3L, "c")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
+      assert(rows(dir) === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
 }
