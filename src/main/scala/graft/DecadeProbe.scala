@@ -167,7 +167,6 @@ object DecadeProbe {
       graft.analytics.Graph.pageRank(e, iterations = 5)
         .agg(count(lit(1))).head().getLong(0)
     }
-    val minhashBody: Int => Long = minhashBody0
     scale("triangle_count")(triangleBody)
     scale("pagerank")(pagerankBody)
 
@@ -190,7 +189,7 @@ object DecadeProbe {
       val SecondSlack = 1.6
       val decadeFactor = rep2.toDouble / rep
       Seq(("triangle_count", triangleBody), ("pagerank", pagerankBody),
-        ("minhash_banded", minhashBody))
+        ("minhash_banded", minhashBody0))
         .filter { case (name, _) => selected(name) }
         .foreach { case (name, body) =>
         val t0 = System.nanoTime()
@@ -210,9 +209,11 @@ object DecadeProbe {
       println(s"| query | t(${rep}x) -> t(${rep2}x) | decade1 | decade2 | verdict |")
       century.foreach { case (n, sec, r21, r32) =>
         val verdict =
-          if (r32 <= rep2.toDouble / rep) {
-            if (r21 > rep2.toDouble / rep / 2)
-              "decade-1 excess was fixed overhead"
+          // decade-1's LINEAR factor is rep (t(rep)/t(1)); a clean
+          // second decade after a superlinear-looking first means the
+          // first's excess was fixed overhead that amortized
+          if (r32 <= decadeFactor) {
+            if (r21 > rep.toDouble) "decade-1 excess was fixed overhead"
             else "linear"
           } else "residual superlinearity"
         println(f"| $n | $sec%.1f s | $r21%.1f | $r32%.1f | $verdict |")

@@ -136,6 +136,10 @@ object TwinAttemptProbe {
           recDone.countDown()
         }, s"twin-recovery-A$i")
         rec.start()
+        // drop counts from the seed write (and prior iterations): the
+        // writer-fs assertion below must prove THIS append's attempt
+        // reached the fs, not the accumulated history of the main thread
+        CountingFs.reset()
         lake.write(batch, SaveMode.Append)
         rec.join(60000)
         lake.onStageMarkedForTest = () => ()
@@ -184,6 +188,7 @@ object TwinAttemptProbe {
           vacDone.countDown()
         }, s"twin-vacuum-B$i")
         vac.start()
+        CountingFs.reset() // per-iteration counters (see section A)
         lake.upsert(Seq((1L, "U"), (5L, "n")).toDF("id", "v"), Seq("id"))
         vac.join(60000)
         lake.onSwapMarkedForTest = () => ()

@@ -260,27 +260,85 @@ private[sources] object CommitLog {
       v
     }
 
+  /** Conditional [[append]]: commit `(op, params)` only if NO commit at
+    * or after `base` already carries `params(keyParam) == keyValue`;
+    * otherwise ADOPT that commit. Returns (version, committedByUs).
+    *
+    * This is exactly-once ATTRIBUTION for twin writers — a live writer
+    * and a recovery (vacuumDebris, a peer's cold start) both holding one
+    * marked stage. The plain adopt-or-commit pattern is check-then-act:
+    * both twins can pass the "not yet attributed" check before either
+    * commits, double-attributing one data change. Here the check is
+    * ordered against the log's total version order: each attempt
+    * computes its claim version `v` FIRST, then scans `[base, v)`, then
+    * claims EXACTLY `v` ([[LakeIo.renamePublish]] refuses an existing
+    * name atomically). Claims only ever land at `max(listed) + 1`, so
+    * every version below `v` exists — immutably — when `v` is computed;
+    * a winning claim therefore proves no commit below `v` carries the
+    * key, and the losing twin's next attempt scans a range that now
+    * includes `v` and adopts. Assumes the log dir does not LOSE records
+    * mid-race (a truncated log plus the in-process high-water guard
+    * could leave a claimable gap below `v` — the same assumption
+    * [[append]]'s racing loop already makes).
+    */
+  def appendIfAbsent(
+      fs: FileSystem, logDir: Path, op: String, params: Map[String, String],
+      keyParam: String, keyValue: String, base: Long,
+      checkpointEvery: Int = 100): (Long, Boolean) =
+    commitLocks.computeIfAbsent(logDir.toString, _ => new Object).synchronized {
+      if (!fs.exists(logDir)) fs.mkdirs(logDir)
+      val paramJson = paramJsonOf(params)
+      val maxAttempts = 100
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val hw = Option(highWater.get(logDir.toString)).map(_.longValue).getOrElse(-1L)
+        val v = math.max(nextVersion(fs, logDir), hw + 1)
+        recordsSince(fs, logDir, base)
+          .find(_.params.get(keyParam).contains(keyValue)) match {
+          case Some(prior) => return (prior.version, false)
+          case None =>
+            if (LakeIo.renamePublish(
+                fs, new Path(logDir, f"$v%020d.json"), recordJson(v, op, paramJson))) {
+              highWater.merge(logDir.toString, java.lang.Long.valueOf(v),
+                (a, b) => if (a >= b) a else b)
+              if (checkpointEvery > 0 && v > 0 && v % checkpointEvery == 0)
+                writeCheckpoint(fs, logDir, v)
+              return (v, true)
+            }
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"commit contention: lost $maxAttempts consecutive version races under $logDir")
+    }
+
+  private def paramJsonOf(params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1)
+      .map { case (k, w) => s""""${esc(k)}":"${esc(w)}"""" }
+      .mkString("{", ",", "}")
+
+  private def recordJson(v: Long, op: String, paramJson: String): String = {
+    val ts = java.time.Instant.now().toString
+    s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
+  }
+
   private def appendRacing(
       fs: FileSystem, logDir: Path, op: String, params: Map[String, String]): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
-    val paramJson = params.toSeq.sortBy(_._1)
-      .map { case (k, w) => s""""${esc(k)}":"${esc(w)}"""" }
-      .mkString("{", ",", "}")
+    val paramJson = paramJsonOf(params)
     val maxAttempts = 100
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
       val hw = Option(highWater.get(logDir.toString)).map(_.longValue).getOrElse(-1L)
       val v = math.max(nextVersion(fs, logDir), hw + 1)
-      val ts = java.time.Instant.now().toString
-      val json =
-        s"""{"version":$v,"timestamp":"$ts","operation":"$op","operationParameters":$paramJson}"""
       // content-first publication (LakeIo): a bare create-then-write
       // left the record VISIBLE while empty, and a concurrent log scan
       // parsing it died on "no content to map" (witnessed killing a
       // live maintenance stream); the rename still refuses an existing
       // name, so version races lose exactly as before
-      if (LakeIo.renamePublish(fs, new Path(logDir, f"$v%020d.json"), json)) {
+      if (LakeIo.renamePublish(
+          fs, new Path(logDir, f"$v%020d.json"), recordJson(v, op, paramJson))) {
         committed = v
         highWater.merge(logDir.toString, java.lang.Long.valueOf(v),
           (a, b) => if (a >= b) a else b)

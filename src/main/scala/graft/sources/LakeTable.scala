@@ -149,12 +149,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
     } else {
       // the point of no return for a non-append write IS the parquet job
       // below — gate as late as possible
-      lateConstraintCheck(toWrite, consSeen)
+      val seenLate = lateConstraintCheck(toWrite, consSeen)
+      onOverwriteGatedForTest()
       preservingLog(mode) {
         toPhysical(toWrite).write.mode(mode).parquet(path)
       }
+      // post-job detection: a DDL published AND audited entirely inside
+      // the job's duration saw no log movement and no marked stage (an
+      // overwrite stages nothing), so the writer is the only side that
+      // can still see it — the written table IS this batch, re-read it
+      val poisoned = postMarkConstraintCheck(new Path(path), seenLate)
       saveSchema(schema, replace = overwriteSchema)
       commit(writeOp(mode), baseParams)
+      raisePoisoned(writeOp(mode), poisoned)
     }
     this
   }
@@ -263,13 +270,30 @@ final class LakeTable(spark: SparkSession, val path: String) {
     */
   private[graft] var onSwapMarkedForTest: () => Unit = () => ()
 
+  /** Test seam: fires in [[vacuumDebris]] between its completeSwap of a
+    * live marked stage and its RECOVERED attribution — the exact window
+    * where a check-then-act adoption double-commits (TwinRaceSpec pins
+    * that [[commitIfAbsent]] closes it in both interleave directions).
+    */
+  private[graft] var onVacuumPreAttributeForTest: () => Unit = () => ()
+
+  /** Test seam: fires on the plain-OVERWRITE path after the late-
+    * constraint gate and before the parquet job — the window where a
+    * DDL can validate+publish against the OLD data with nothing (no
+    * mark, no commit) to warn either side (ConstraintRaceSpec pins the
+    * post-job detection).
+    */
+  private[graft] var onOverwriteGatedForTest: () => Unit = () => ()
+
   /** The writer-side commit of an [[appendViaStage]] append, then stage
     * teardown. An ageless recovery (a peer's cold start, [[vacuumDebris]])
     * may have raced the live promotion and already attributed this stage
     * with a RECOVERED commit; the recovery deletes the stage only AFTER
     * its commit, so a vanished manifest is the cheap tell — probe the log
     * for the stage uuid only then, and skip the second commit that would
-    * attribute one data change twice. (Both sides committing inside the
+    * attribute one data change twice. (The recovery side adopts through
+    * [[commitIfAbsent]] and is exact; THIS side keeps the cheap
+    * manifest-presence fast path, so the writer committing inside the
     * tiny manifest-still-present window remains possible and harmless:
     * same tag value, no duplicate rows — history gains one spurious
     * entry.)
@@ -389,18 +413,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
           // them (the parquet reader only promotes upward). Taking the
           // wider of the two is monotone, so evolution that legitimately
           // happened after the crash still survives the recovery
-          val byKey = marker.fields
-            .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
-          val widened = st.fields.map { tf =>
-            byKey.get(tf.name.toLowerCase(java.util.Locale.ROOT)) match {
-              case Some(mf) if LakeTable.widens(tf.dataType, mf.dataType) =>
-                tf.copy(dataType = mf.dataType)
-              case _ => tf
-            }
-          }
-          val missing = marker.fields.filterNot(f =>
-            st.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-          StructType(widened ++ missing)
+          LakeTable.widerOf(st, marker, appendMissing = true)
       }
       if (!storedSchema.contains(merged)) saveSchema(merged)
     }
@@ -408,9 +421,19 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val src = new Path(staged, rel)
       if (fs.exists(src)) promoteFile(src, new Path(path, rel))
     }
-    val already = ps.get(LakeTable.AppendStageParam)
-      .exists(u => hasCommitParam(LakeTable.AppendStageParam, u))
-    if (!already && op.nonEmpty) commit(s"RECOVERED $op", ps): Unit
+    if (op.nonEmpty) ps.get(LakeTable.AppendStageParam) match {
+      case Some(u) =>
+        // adopt-or-commit through the log (commitIfAbsent): closes the
+        // recovery half of the dual-commit overlap — a live writer's
+        // commit landing between a plain "already attributed?" read and
+        // the RECOVERED commit is seen inside the claim loop instead.
+        // (The writer half keeps its cheap manifest-presence fast path;
+        // its residual remains the documented spurious entry.)
+        commitIfAbsent(s"RECOVERED $op", ps,
+          LakeTable.AppendStageParam, u, 0L): Unit
+      case None =>
+        commit(s"RECOVERED $op", ps): Unit
+    }
     fs.delete(staged, true): Unit
   }
 
@@ -559,13 +582,16 @@ final class LakeTable(spark: SparkSession, val path: String) {
       commitStagedAppend(staged, "WRITE PARTITIONED", params)
       raisePoisoned("WRITE PARTITIONED", poisoned)
     } else {
-      lateConstraintCheck(toWrite, consSeen)
+      val seenLate = lateConstraintCheck(toWrite, consSeen)
       preservingLog(mode) {
         toPhysical(toWrite).write.mode(mode)
           .partitionBy(partitionCols.map(physicalOf): _*).parquet(path)
       }
+      // post-job detection — see the plain-write overwrite branch
+      val poisoned = postMarkConstraintCheck(new Path(path), seenLate)
       saveSchema(schema, replace = overwriteSchema)
       commit("WRITE PARTITIONED", baseParams)
+      raisePoisoned("WRITE PARTITIONED", poisoned)
     }
     this
   }
@@ -653,7 +679,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
         .flatMap(st => stagedParts(st.getPath, depth - 1,
           if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"))
     val swapSet = stagedParts(staged, partitionCols.length, "")
+    // the swap uuid makes the attribution exactly-once against an aged
+    // recovery of this stage (crash between the commit and the stage
+    // delete below: the re-walked marked stage ADOPTS the commit by uuid
+    // instead of re-recording a spurious RECOVERED entry)
+    val swapId = java.util.UUID.randomUUID().toString.take(12)
     val commitParams = params ++ idParams +
+      (LakeTable.SwapStageParam -> swapId) +
       ("occPartitions" -> touched.toSeq.sorted.mkString("\u0001"))
     // point of no return: the first rename leaves the table part old /
     // part new, so mark the stage with the swap set and the pending op
@@ -669,10 +701,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     saveSchema(schema)
     // commit BEFORE dropping the stage: the marked stage is the recovery
     // record for the swap and must outlive the data change until the
-    // change is attributed. The residual (crash between commit and the
-    // delete below) costs at most one spurious RECOVERED entry in
-    // history — recovery finds nothing left to rename and re-records.
-    commit(op, commitParams)
+    // change is attributed. A crash between the commit and the delete
+    // below leaves a marked stage an aged recovery re-walks — the swap
+    // uuid makes that walk adopt this commit instead of re-recording.
+    commitIfAbsent(op, commitParams, LakeTable.SwapStageParam, swapId,
+      occExpected): Unit
     fs.delete(staged, true): Unit // marker + _SUCCESS + drained parents
     raisePoisoned(op, poisoned)
     this
@@ -1877,35 +1910,37 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // removes entirely, record and all: undetectable, metadata-only,
     // documented.)
     val postSwapNext = CommitLog.nextVersion(fs, logDir)
-    val selfAttributed =
-      if (postSwapNext == resolvedNext) Nil
-      else {
-        val late = CommitLog.recordsSince(fs, logDir, resolvedNext)
-        val (self, others0) = late.partition(
-          _.params.get(LakeTable.SwapStageParam).contains(swapId))
-        // a RECOVERED commit with OUR swap uuid is a concurrent recovery
-        // attributing this very op — adopt it; a VACUUM DEBRIS commit is
-        // metadata-only (the recovery twin's own bookkeeping); anything
-        // else follows the pre-existing contract (pure appends compose,
-        // the rest refuses)
-        val others = others0.filterNot(_.operation == "VACUUM DEBRIS")
-        val nonAppend = others.filterNot(isPureAppend)
-        if (nonAppend.nonEmpty || (others.nonEmpty && rebaseBaseFiles.isEmpty))
-          throw new java.util.ConcurrentModificationException(
-            s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
-              "while the swap was in flight (their data files were carried " +
-              "through it where present). This operation's commit was NOT " +
-              "recorded — reconcile from history or RESTORE a pre-swap version.")
-        self
-      }
-    val actual = selfAttributed.headOption.map(_.version).getOrElse(
-      commit(op, taggedParams ++
+    if (postSwapNext != resolvedNext) {
+      val late = CommitLog.recordsSince(fs, logDir, resolvedNext)
+      // a RECOVERED commit with OUR swap uuid is a concurrent recovery
+      // attributing this very op — commitIfAbsent below adopts it; a
+      // VACUUM DEBRIS commit is metadata-only (the recovery twin's own
+      // bookkeeping); anything else follows the pre-existing contract
+      // (pure appends compose, the rest refuses)
+      val others = late
+        .filterNot(_.params.get(LakeTable.SwapStageParam).contains(swapId))
+        .filterNot(_.operation == "VACUUM DEBRIS")
+      val nonAppend = others.filterNot(isPureAppend)
+      if (nonAppend.nonEmpty || (others.nonEmpty && rebaseBaseFiles.isEmpty))
+        throw new java.util.ConcurrentModificationException(
+          s"$op at $path: commit(s) v$resolvedNext..v${postSwapNext - 1} landed " +
+            "while the swap was in flight (their data files were carried " +
+            "through it where present). This operation's commit was NOT " +
+            "recorded — reconcile from history or RESTORE a pre-swap version.")
+    }
+    // adopt-or-commit is exactly-once THROUGH the log, not check-then-
+    // act: a recovery twin between its completeSwap and its RECOVERED
+    // commit is invisible to any snapshot read here, so the decision is
+    // made by commitIfAbsent's scan-then-claim-exactly-v loop instead
+    val actual = commitIfAbsent(
+      op, taggedParams ++
         Map("filesRewritten" -> affected.size.toString,
           "filesKept" -> untouched.size.toString) ++
         (if (rebased.nonEmpty) Map("filesRebased" -> rebased.size.toString)
          else Map.empty) ++
         (if (sweptLate > 0) Map("filesSweptLate" -> sweptLate.toString)
-         else Map.empty)))
+         else Map.empty),
+      LakeTable.SwapStageParam, swapId, resolvedNext)
     changeStage.foreach(publishChanges(_, actual))
     this
   }
@@ -1995,8 +2030,13 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val from = new Path(s"$path/${LakeTable.ChangesDirName}/$stage")
     val to = new Path(s"$path/${LakeTable.ChangesDirName}/v$version")
     if (fs.exists(from)) {
-      if (!fs.rename(from, to)) throw new java.io.IOException(
-        s"could not publish change set $from at version v$version")
+      // both attribution twins publish at the SAME version (the swap
+      // uuid's commitIfAbsent picks one commit) — a refused rename whose
+      // set meanwhile lives at the destination is the twin's completed
+      // publication, not a failure
+      if (!fs.rename(from, to) && !(fs.exists(to) && !fs.exists(from)))
+        throw new java.io.IOException(
+          s"could not publish change set $from at version v$version")
     } else require(fs.exists(to),
       s"change set stage $stage vanished before publication at v$version")
   }
@@ -2444,6 +2484,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // caught by the POST-SAVE audit below: the mark is visible by then,
     // so roll the constraint back and retry over the landed rows. The
     // DDL side can always retract; a writer past its mark cannot.
+    // A plain OVERWRITE in flight marks nothing and has not committed —
+    // invisible to both channels — so its writer carries the closure:
+    // a post-job postMarkConstraintCheck over the rewritten table,
+    // raised loudly after its commit (raisePoisoned).
     var attempts = 0
     while (true) {
       // marked APPEND stages existing NOW hold rows `read` cannot see
@@ -2794,8 +2838,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * re-validates over the landed rows.
     */
   private def lateConstraintCheck(
-      batch: DataFrame, validated: Map[String, String]): Unit =
-    lateConstraintLoop(validated)(late => enforceConstraints(batch, late)): Unit
+      batch: DataFrame, validated: Map[String, String]): Set[String] =
+    lateConstraintLoop(validated)(late => enforceConstraints(batch, late))
 
   /** [[lateConstraintCheck]] over a STAGED directory (pre-promotion):
     * validates the staged files themselves through the logical-name
@@ -3718,16 +3762,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
       if (replace) schema
       else storedSchema match {
         case None => schema
-        case Some(st) =>
-          val byKey = st.fields
-            .map(x => x.name.toLowerCase(java.util.Locale.ROOT) -> x).toMap
-          StructType(schema.fields.map { nf =>
-            byKey.get(nf.name.toLowerCase(java.util.Locale.ROOT)) match {
-              case Some(sf) if LakeTable.widens(nf.dataType, sf.dataType) =>
-                nf.copy(dataType = sf.dataType)
-              case _ => nf
-            }
-          })
+        case Some(st) => LakeTable.widerOf(schema, st, appendMissing = false)
       }
     val json = toSave.json
     // skip-if-unchanged: every commit saves the schema but almost none
@@ -3873,7 +3908,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
                 // same idempotent rename the writer would have done
                 if (fs.exists(src)) swapPartitionIn(src, rel)
               }
-              pending.foreach { case (op, ps) => commit(s"RECOVERED $op", ps): Unit }
+              pending.foreach { case (op, ps) => recoveredSwapCommit(op, ps) }
             }
             fs.delete(stage, true): Unit
           }
@@ -3890,10 +3925,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
         // writer racing this vacuum may have committed already (or will
         // adopt OUR commit by uuid) — never attribute one change twice.
         val (pending, _) = completeSwap(staged)
+        onVacuumPreAttributeForTest()
         pending.foreach { case (op, params) =>
-          val already = params.get(LakeTable.SwapStageParam)
-            .exists(id => hasCommitParam(LakeTable.SwapStageParam, id))
-          if (!already) commit(s"RECOVERED $op", params): Unit
+          recoveredSwapCommit(op, params)
         }
         "completedSwap"
       } else { fs.delete(staged, true); "removedStage" }
@@ -4804,12 +4838,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val late =
       if (postSwapNext == occExpected) Nil
       else CommitLog.recordsSince(fs, logDir, occExpected)
-    val (selfAttributed, foreign0) = late.partition(
-      _.params.get(LakeTable.SwapStageParam).contains(swapId))
     // VACUUM DEBRIS is metadata-only (it completes/reclaims, never adds
     // data of its own) — a concurrent vacuum racing this swap as the
     // recovery twin must not read as a lost update
-    val foreign = foreign0.filterNot(_.operation == "VACUUM DEBRIS")
+    val foreign = late
+      .filterNot(_.params.get(LakeTable.SwapStageParam).contains(swapId))
+      .filterNot(_.operation == "VACUUM DEBRIS")
     if (foreign.nonEmpty)
       throw new java.util.ConcurrentModificationException(
         s"$op at $path: commit(s) v$occExpected..v${postSwapNext - 1} landed " +
@@ -4822,10 +4856,11 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // (upsert casts to the table types, so this is a no-op for MERGE;
     // for optimize it refreshes nullability after the clustered rewrite)
     saveSchema(clustered.schema)
-    selfAttributed.headOption match {
-      case Some(rec) => onCommit(rec.version) // attributed once, by the twin
-      case None      => onCommit(commit(op, taggedParams))
-    }
+    // exactly-once through the log (see the swapSelective site): a
+    // recovery twin mid-attribution is invisible to a snapshot read, so
+    // adopt-or-commit runs inside commitIfAbsent's claim loop
+    onCommit(commitIfAbsent(
+      op, taggedParams, LakeTable.SwapStageParam, swapId, occExpected))
     this
   }
 
@@ -5301,6 +5336,39 @@ final class LakeTable(spark: SparkSession, val path: String) {
     maintainSymlinkManifest()
     v
   }
+
+  /** Exactly-once twin-safe commit ([[CommitLog.appendIfAbsent]]): the
+    * attribution of a marked stage both a live writer and a concurrent
+    * recovery hold. Commits `(op, params)` unless a commit at or after
+    * `base` already carries `keyParam -> keyValue` — then adopts it.
+    * Returns the attributing commit's version either way.
+    */
+  private def commitIfAbsent(
+      op: String, params: Map[String, String],
+      keyParam: String, keyValue: String, base: Long): Long = {
+    val (v, byUs) = CommitLog.appendIfAbsent(fs, logDir, op, params,
+      keyParam, keyValue, base,
+      spark.conf.get(LakeTable.CheckpointIntervalKey,
+        LakeTable.CheckpointIntervalDefault).toInt)
+    if (byUs) maintainSymlinkManifest()
+    v
+  }
+
+  /** The recovery twin's attribution of a completed swap stage. A swap
+    * uuid in the pending params keys a [[commitIfAbsent]] (exactly-once
+    * against the live writer AND against a crash that died between the
+    * writer's own commit and its stage teardown — the re-walked marked
+    * stage adopts instead of re-recording); a pre-uuid marker keeps the
+    * old unconditional behavior (at worst one spurious RECOVERED entry,
+    * metadata-only, as always documented).
+    */
+  private def recoveredSwapCommit(op: String, params: Map[String, String]): Unit =
+    params.get(LakeTable.SwapStageParam) match {
+      case Some(id) =>
+        commitIfAbsent(s"RECOVERED $op", params,
+          LakeTable.SwapStageParam, id, 0L): Unit
+      case None => commit(s"RECOVERED $op", params): Unit
+    }
 }
 
 object LakeTable {
@@ -5341,6 +5409,34 @@ object LakeTable {
         t.precision - t.scale >= intDigits(f)
       case _ => false
     }
+  }
+
+  /** `primary` with each field's type replaced by `other`'s when the
+    * other's is strictly wider on the [[widens]] lattice — the shared
+    * monotone merge both the write path ([[LakeTable.saveSchema]]: a
+    * narrow writer must not un-widen the stored schema) and the append
+    * crash recovery (the marker merge: promoted files physically hold
+    * the wide encoding) apply, so a lattice change lands in ONE place.
+    * `appendMissing` additionally appends `other`-only fields (the
+    * recovery merge's union shape; the write path keeps the caller's
+    * exact field set).
+    */
+  private[sources] def widerOf(
+      primary: StructType, other: StructType, appendMissing: Boolean): StructType = {
+    val byKey = other.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val widened = primary.fields.map { pf =>
+      byKey.get(pf.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(of) if widens(pf.dataType, of.dataType) =>
+          pf.copy(dataType = of.dataType)
+        case _ => pf
+      }
+    }
+    val missing =
+      if (!appendMissing) Array.empty[StructField]
+      else other.fields.filterNot(f =>
+        primary.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    StructType(widened ++ missing)
   }
 
   val LogDirName = "_graft_log"

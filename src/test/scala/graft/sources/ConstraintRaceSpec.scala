@@ -196,6 +196,57 @@ class ConstraintRaceSpec extends SparkSpec {
     assert(fresh2.constraints.contains("x_pos"))
   }
 
+  test("overwrite window: a DDL validated+published entirely inside the job raises post-commit") {
+    // the plain-Overwrite analogue of the ε-window: the writer's gate
+    // runs BEFORE its (possibly long) parquet job, and an overwrite
+    // stages nothing and has not committed — a DDL that validates the
+    // OLD data and completes its audit inside the job's duration is
+    // invisible to both channels the audit watches. The writer's
+    // post-job re-read of the REWRITTEN table is the only closure.
+    val dir = fresh("ovw")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, 10.0)).toDF("id", "x").coalesce(1))
+    var fired = 0
+    lake.onOverwriteGatedForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        // validates the pre-job table (passes), sees no mark and no log
+        // movement (the overwrite commits later) — publishes cleanly
+        LakeTable(spark, dir).addConstraint("x_pos", "x > 0"): Unit
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        lake.write(Seq((2L, -1.0)).toDF("id", "x").coalesce(1), SaveMode.Overwrite)
+      }
+      assert(e.getMessage.contains("COMMITTED"), e.getMessage)
+      assert(e.getMessage.contains("x_pos"), e.getMessage)
+      assert(fired == 1, "interleaved DDL never ran")
+    } finally lake.onOverwriteGatedForTest = () => ()
+    // the overwrite landed and committed; the operator was told loudly
+    val fresh2 = LakeTable(spark, dir)
+    assert(fresh2.read.count() === 1L)
+    assert(fresh2.read.select("x").as[Double].head() === -1.0)
+    assert(fresh2.constraints.contains("x_pos"))
+  }
+
+  test("overwrite window: a CLEAN overwrite passes the post-job read silently") {
+    val dir = fresh("ovwclean")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((1L, 10.0)).toDF("id", "x").coalesce(1))
+    var fired = 0
+    lake.onOverwriteGatedForTest = () => {
+      if (fired == 0) {
+        fired += 1
+        LakeTable(spark, dir).addConstraint("x_pos", "x > 0"): Unit
+      }
+    }
+    try lake.write(Seq((2L, 5.0)).toDF("id", "x").coalesce(1), SaveMode.Overwrite)
+    finally lake.onOverwriteGatedForTest = () => ()
+    assert(fired == 1)
+    assert(LakeTable(spark, dir).read.count() === 1L)
+  }
+
   test("ε-window: a CLEAN batch passes the post-mark read silently") {
     val dir = fresh("epsclean")
     val lake = LakeTable(spark, dir)

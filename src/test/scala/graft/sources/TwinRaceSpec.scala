@@ -96,6 +96,83 @@ class TwinRaceSpec extends SparkSpec {
     assert(rows(dir) == (expect :+ (9L -> "z")).sorted)
   }
 
+  test("swap twin: writer commits inside the vacuum's complete->attribute window; one commit") {
+    // the check-then-act hole the uuid adoption alone cannot close: the
+    // vacuum twin finishes completeSwap, then the WRITER's commit lands
+    // before the vacuum's attribution — a snapshot "already attributed?"
+    // read on the vacuum side taken pre-writer-commit would answer no
+    // and double-commit. commitIfAbsent's scan-then-claim-exactly-v
+    // loop must adopt instead, in THIS ordering too.
+    val dir = fresh("swapwin")
+    val lake = LakeTable(spark, dir)
+    lake.write(Seq((0L, "a"), (1L, "a"), (2L, "a")).toDF("id", "v").coalesce(1))
+    val marked = new CountDownLatch(1)
+    val vacCompleted = new CountDownLatch(1)
+    val writerCommitted = new CountDownLatch(1)
+    val vacLake = LakeTable(spark, dir)
+    vacLake.onVacuumPreAttributeForTest = () => {
+      vacCompleted.countDown()
+      assert(writerCommitted.await(60, TimeUnit.SECONDS), "writer hung")
+    }
+    lake.onSwapMarkedForTest = () => {
+      marked.countDown()
+      // resume the writer only once the vacuum twin holds the completed
+      // swap with its attribution still pending
+      assert(vacCompleted.await(60, TimeUnit.SECONDS), "vacuum twin hung")
+    }
+    val vac = new Thread(() => {
+      marked.await(60, TimeUnit.SECONDS): Unit
+      vacLake.vacuumDebris(): Unit
+    }, "twinrace-swapwin-vacuum")
+    vac.start()
+    try lake.upsert(Seq((1L, "U"), (5L, "n")).toDF("id", "v"), Seq("id"))
+    finally lake.onSwapMarkedForTest = () => ()
+    writerCommitted.countDown()
+    vac.join(60000)
+    assert(!vac.isAlive, "vacuum twin did not finish")
+    val expect = Seq((0L, "a"), (1L, "U"), (2L, "a"), (5L, "n"))
+    assert(rows(dir) == expect, s"swap twin drifted: ${rows(dir)}")
+    val merges = LakeTable(spark, dir).history
+      .select("operation").as[String].collect()
+      .count(o => o == "MERGE" || o == "RECOVERED MERGE")
+    assert(merges == 1, s"swap attributed $merges times (adoption raced)")
+  }
+
+  test("commitIfAbsent: racing attributions of one key yield exactly one commit") {
+    // the primitive under the adoption contract, hammered directly: N
+    // threads race the same (key, value) against one log; exactly one
+    // may win, every loser must adopt the winner's version
+    val logDir = new org.apache.hadoop.fs.Path(fresh("cia"), LakeTable.LogDirName)
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val n = 8
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    val start = new CountDownLatch(1)
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        start.await(30, TimeUnit.SECONDS): Unit
+        results.add(CommitLog.appendIfAbsent(
+          fs, logDir, "RECOVERED MERGE", Map("swapStage" -> "k1", "t" -> i.toString),
+          "swapStage", "k1", 0L)): Unit
+      }, s"cia-$i")
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000))
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    assert(rs.size == n, s"only ${rs.size}/$n attributions returned")
+    assert(rs.count(_._2) == 1, s"${rs.count(_._2)} threads believe they committed")
+    assert(rs.map(_._1).distinct.size == 1, s"divergent versions: $rs")
+    // a different key commits fresh, above the first
+    val (v2, byUs2) = CommitLog.appendIfAbsent(
+      fs, logDir, "RECOVERED MERGE", Map("swapStage" -> "k2"), "swapStage", "k2", 0L)
+    assert(byUs2 && v2 > rs.head._1)
+    // and re-asking for k1 adopts, never re-commits
+    val (v1b, byUs1b) = CommitLog.appendIfAbsent(
+      fs, logDir, "RECOVERED MERGE", Map("swapStage" -> "k1"), "swapStage", "k1", 0L)
+    assert(!byUs1b && v1b == rs.head._1)
+  }
+
   test("selective-delete twin: a recovery-completed delete still publishes its CDC set") {
     val dir = fresh("seldel")
     val lake = LakeTable(spark, dir)
