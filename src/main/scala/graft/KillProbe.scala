@@ -70,8 +70,14 @@ object KillProbe {
     require(Files.exists(Paths.get(flag)) || !p.isAlive,
       s"writer child never signalled start — see $log")
     // poll the commit log (cheap: one dir listing) until the child has
-    // visibly progressed past the target batch count
-    while (p.isAlive && LakeTable(spark, table).currentVersion < minCommits &&
+    // visibly progressed past the target batch count. The child's
+    // staged rewrites MOVE the log dir through the swap (index folds do
+    // this every batch), so the poll's exists→list can land mid-move —
+    // a transient listing failure means "mid-swap", not a dead table
+    def versionNow(): Long =
+      try LakeTable(spark, table).currentVersion
+      catch { case _: java.io.IOException => -1L }
+    while (p.isAlive && versionNow() < minCommits &&
       System.currentTimeMillis() < deadline) Thread.sleep(20)
     Thread.sleep(jitterMs)
     val killed = p.isAlive
