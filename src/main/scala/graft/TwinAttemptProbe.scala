@@ -91,7 +91,7 @@ object TwinAttemptProbe {
     val parent = new Path(dir).getParent
     val stages = fs.listStatus(parent).map(_.getPath.getName)
       .filter(n => n.contains(LakeTable.StageSuffix) ||
-        n.contains("__staging_part_"))
+        n.contains(LakeTable.PartStageSuffix))
     check(tag)(stages.isEmpty, s"stage debris survived vacuum: ${stages.mkString(",")}")
     val logDir = new Path(dir, LakeTable.LogDirName)
     if (fs.exists(logDir)) {

@@ -62,16 +62,26 @@ final class FileClaimCoordinator(dir: String) extends LakeIo.ClaimCoordinator {
       .filter(_.nonEmpty)
     catch { case _: java.io.IOException => None }
 
+  /** Conditional-write delete — the slot-release half of the contract
+    * (see [[LakeIo.ClaimCoordinator.release]]).
+    */
+  override def release(key: String): Unit =
+    Files.deleteIfExists(fileFor(key)): Unit
+
   /** Reclaim claim records older than `olderThanMs` whose key satisfies
-    * `completed` (caller passes an object-existence check against the
-    * table's filesystem). Claims for keys whose object is MISSING are
+    * `completed` — pass [[FileClaimCoordinator.completedOn]] for lake
+    * tables (a bare existence check under-reclaims: checkpoints fold
+    * per-commit files away, leaving their claims looking like crashed
+    * winners forever). Claims for keys that never provably landed are
     * kept regardless of age — they are the recovery pointers for a
     * crashed winner, and deleting one wedges that version permanently.
     * Pre-key-format records (no second line) are kept: their key is
     * unknowable, and keeping them is the conservative side. Returns the
     * number of records reclaimed.
     */
-  def expire(olderThanMs: Long, completed: String => Boolean): Int = {
+  def expire(
+      olderThanMs: Long,
+      completed: String => Boolean): Int = {
     val now = System.currentTimeMillis()
     val files = Option(root.toFile.listFiles()).getOrElse(Array.empty)
     files.count { f =>
@@ -86,6 +96,30 @@ final class FileClaimCoordinator(dir: String) extends LakeIo.ClaimCoordinator {
             catch { case _: java.io.IOException => None }
           key.exists(completed) && Files.deleteIfExists(f.toPath)
         }
+    }
+  }
+}
+
+object FileClaimCoordinator {
+
+  /** The canonical `completed` predicate for [[FileClaimCoordinator.expire]]
+    * over a lake table's claims: a key's object provably LANDED if it
+    * exists — or, for a commit-log record, if any LATER version exists.
+    * The second clause matters: checkpoints fold per-commit files away
+    * (every 100 commits by default), and a bare existence check then
+    * keeps every folded commit's claim forever as a false crashed
+    * winner — unbounded growth again. Versions are dense (claims only
+    * land at max(listed)+1), so a successor's existence proves this
+    * version was published at some point; the true crashed winner sits
+    * at max+1 and stays protected.
+    */
+  def completedOn(fs: org.apache.hadoop.fs.FileSystem): String => Boolean = key => {
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(key))
+    fs.exists(p) || {
+      val name = p.getName
+      name.endsWith(".json") &&
+        scala.util.Try(name.stripSuffix(".json").toLong).toOption
+          .exists(v => CommitLog.nextVersion(fs, p.getParent) > v)
     }
   }
 }

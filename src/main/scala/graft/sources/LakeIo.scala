@@ -110,6 +110,26 @@ object LakeIo {
     def claim(key: String, stagedRef: String): Boolean
     /** The stagedRef the winning claim recorded, if `key` is claimed. */
     def claimedRef(key: String): Option[String]
+    /** Drop the claim record for `key`, making it claimable again.
+      * Commit-log records never call this (they are publish-once —
+      * versions only move forward); it exists for CLAIM-RELEASE SLOTS,
+      * concretely the table's single staged-rewrite claim
+      * ([[LakeTable.claimStage]]): the slot object is deleted when the
+      * rewrite finishes, and without releasing the coordinator record
+      * the NEXT rewrite's claim would lose forever against a record
+      * whose object and staged ref are both long gone — wedging every
+      * future staged rewrite on the table. Default no-op keeps
+      * append-only coordinators source-compatible; implement it (a
+      * conditional-write service's delete) before running staged
+      * rewrites (upsert/delete/optimize) under Coordinated mode.
+      *
+      * Note the same persistence property means DROPPING a table and
+      * recreating it at the same path under Coordinated mode requires
+      * resetting the coordinator's entries for that path — version-0
+      * commit keys repeat, like the public Delta DynamoDB LogStore's
+      * retained entries.
+      */
+    def release(key: String): Unit = ()
   }
 
   /** How object-store substrates are handled. Process-wide because the
@@ -402,6 +422,24 @@ object LakeIo {
         }
     }
     else retryParentTorn(fs, path)(renamePublishOnce(fs, path, text))
+
+  /** Release a [[renamePublish]]-claimed SLOT: delete the published
+    * object and, under Coordinated mode, drop the coordinator's claim
+    * record so the key is claimable again. Record first, object second:
+    * a crash between the two leaves the object as a visible refusal
+    * (the slot reads as held) that the next release resolves — never a
+    * record-without-object, which is unrecoverable for a re-claimable
+    * key (no staged ref survives a completed publication). Commit-log
+    * records are publish-once and must NEVER be released.
+    */
+  def releasePublished(fs: FileSystem, path: Path): Unit = {
+    if (isObjectStore(fs)) objectStoreMode match {
+      case Coordinated(coordinator) =>
+        coordinator.release(fs.makeQualified(path).toString)
+      case _ => ()
+    }
+    fs.delete(path, false): Unit
+  }
 
   // ------------------------------------------------------------------ //
   // SingleWriter ownership stamp: the mode's "ONE writer process per    //

@@ -246,7 +246,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
           throw e
       }
     onStageMarkedForTest()
-    val poisoned = postMarkConstraintCheck(staged, seenCons)
+    val poisoned = postMarkConstraintCheck(staged, seenCons,
+      promotedFallback = rels.map(rel => new Path(path, rel)))
     rels.foreach(rel => promoteFile(new Path(staged, rel), new Path(path, rel)))
     (staged, params, poisoned)
   }
@@ -694,9 +695,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // half-swapped table whose remaining replacements age out and get
     // silently reclaimed as debris
     if (swapSet.nonEmpty) writeManifest(staged, swapSet.map(_._2), op, commitParams)
-    // post-mark detection BEFORE the swaps consume the staged dirs
+    // post-mark detection BEFORE the swaps consume the staged dirs (the
+    // fallback covers a recovery twin swapping them in first)
     val poisoned =
-      if (swapSet.isEmpty) None else postMarkConstraintCheck(staged, seenCons)
+      if (swapSet.isEmpty) None
+      else postMarkConstraintCheck(staged, seenCons,
+        promotedFallback = swapSet.map { case (_, rel) => new Path(path, rel) })
     swapSet.foreach { case (src, rel) => swapPartitionIn(src, rel) }
     saveSchema(schema)
     // commit BEFORE dropping the stage: the marked stage is the recovery
@@ -2882,12 +2886,31 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * ADD CONSTRAINT commits, so the crossing fails loudly there already.
     */
   private def postMarkConstraintCheck(
-      staged: Path, seen: Set[String]): Option[String] = {
+      staged: Path, seen: Set[String],
+      promotedFallback: Seq[Path] = Seq.empty): Option[String] = {
     val late = constraints.filter(kv => !seen.contains(kv._1))
     if (late.isEmpty) None
-    else
-      try { enforceConstraints(stagedLogical(staged.toString), late); None }
-      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    else {
+      def violation(df: DataFrame): Option[String] =
+        try { enforceConstraints(df, late); None }
+        catch { case e: IllegalArgumentException => Some(e.getMessage) }
+      try violation(stagedLogical(staged.toString))
+      catch {
+        case scala.util.control.NonFatal(_) if promotedFallback.nonEmpty =>
+          // the staged dir can vanish mid-check: an AGELESS recovery
+          // twin (a peer's recoverAppendStages, vacuumDebris) completes
+          // a marked stage — promotes its files into the table and
+          // deletes it. The batch's rows then live at the promoted
+          // names; validate those instead of failing a write whose data
+          // already landed. Files a concurrent compaction has since
+          // consumed are skipped — that rewrite re-validated the table.
+          val present = promotedFallback.filter(fs.exists)
+          if (present.isEmpty) None
+          else violation(logicalView(
+            spark.read.option("basePath", path)
+              .parquet(present.map(_.toString): _*)))
+      }
+    }
   }
 
   /** Raise the deferred [[postMarkConstraintCheck]] violation — called by
@@ -3386,8 +3409,14 @@ final class LakeTable(spark: SparkSession, val path: String) {
   /** Read staged (physical-named) files back as the logical view, for
     * constraint validation of a rewrite's output.
     */
-  private def stagedLogical(staged: String): DataFrame = {
-    val df = spark.read.parquet(staged)
+  private def stagedLogical(staged: String): DataFrame =
+    logicalView(spark.read.parquet(staged))
+
+  /** `df` with physical column names mapped back to their logical names
+    * (column mapping inverse) — shared by staged-dir reads and the
+    * promoted-file fallback in [[postMarkConstraintCheck]].
+    */
+  private def logicalView(df: DataFrame): DataFrame = {
     val (mapping, _) = columnMapping
     if (mapping.isEmpty) df
     else {
@@ -3936,7 +3965,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // refuse rewrites forever; a LIVE writer racing this vacuum loses its
     // stage under the pre-existing vacuum contract, so dropping its claim
     // adds no new hazard)
-    fs.delete(new Path(s"$path${LakeTable.StageClaimSuffix}"), false): Unit
+    LakeIo.releasePublished(fs, new Path(s"$path${LakeTable.StageClaimSuffix}"))
     // staged change sets: a crash between a commit and its publication
     // rename leaves a committed mutation's change set invisible under
     // its stage name — publish it at the version its commit claims
@@ -4037,7 +4066,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
   private def releaseStage(): Unit = {
     val staged = new Path(s"$path${LakeTable.StageSuffix}")
     if (!fs.exists(new Path(staged, LakeTable.SwapManifestName)))
-      fs.delete(new Path(s"$path${LakeTable.StageClaimSuffix}"), false): Unit
+      // releasePublished, not a bare delete: under Coordinated mode the
+      // claim's coordinator record must drop too, or the NEXT rewrite's
+      // claim loses forever against a record with no object behind it
+      LakeIo.releasePublished(fs, new Path(s"$path${LakeTable.StageClaimSuffix}"))
   }
 
   /** Finish a staged swap (manifest present) — shared by the live

@@ -80,20 +80,33 @@ class S3SimFs extends RawLocalFileSystem {
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         buf.write(b, off, len)
       override def close(): Unit = {
-        // the PUT: one mutation, visible whole or not at all
+        // the PUT: one mutation, visible whole or not at all — ACROSS
+        // PROCESSES too. A plain local create() makes the file visible
+        // (empty) before the bytes land, a window a reader in another
+        // JVM can observe (CoordProbe forks real JVMs); a real PUT never
+        // exposes partials. Materialize to a dot-prefixed upload temp,
+        // then: overwrite → rename(2) into place (atomic clobber, the
+        // S3 PUT contract); no-overwrite → hard-link (atomic refusal of
+        // an existing object). A crash mid-close leaves only the temp —
+        // invisible to listings-by-suffix and never parsed as data.
         onMutation()
-        val out = self.rawCreate(f, permission, overwrite, bufferSize,
-          replication, blockSize, progress)
-        try out.write(buf.toByteArray)
-        finally out.close()
+        val target = self.pathToFile(f).toPath
+        Option(target.getParent)
+          .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
+        val tmp = target.resolveSibling(
+          s".s3put_${java.util.UUID.randomUUID().toString.take(12)}")
+        java.nio.file.Files.write(tmp, buf.toByteArray): Unit
+        try {
+          if (overwrite)
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          else java.nio.file.Files.createLink(target, tmp): Unit
+        } finally java.nio.file.Files.deleteIfExists(tmp): Unit
       }
     }
     new FSDataOutputStream(stream, null)
   }
-  private def rawCreate(
-      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
-      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream =
-    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     onRead(); super.open(f, bufferSize)
   }

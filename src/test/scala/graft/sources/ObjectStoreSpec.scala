@@ -329,6 +329,24 @@ class ObjectStoreSpec extends SparkSpec {
       assert(crashes >= 3, s"$name walk exercised only $crashes crash points")
     }
 
+  test("Coordinated: staged rewrites release the slot claim — later rewrites proceed") {
+    // the stage claim is a claim-RELEASE slot, not a publish-once key:
+    // without coordinator.release on releaseStage, rewrite 2's claim
+    // loses forever against rewrite 1's retained record (object deleted,
+    // staged ref long gone) and the table can never rewrite again
+    val coordDir = Files.createTempDirectory("graft_os_slot").toString
+    val coord = new FileClaimCoordinator(coordDir)
+    withObjectStore(LakeIo.Coordinated(coord)) {
+      val dir = Files.createTempDirectory("graft_os_slot_t").toString + "/t"
+      val lake = LakeTable(spark, dir)
+      lake.write(Seq((0L, "a"), (1L, "a")).toDF("id", "v").coalesce(1))
+      lake.upsert(Seq((1L, "U1")).toDF("id", "v"), Seq("id"))
+      lake.upsert(Seq((0L, "U2"), (5L, "n")).toDF("id", "v"), Seq("id"))
+      LakeTable(spark, dir).delete(col("id") === 5L)
+      assert(rows(dir) === Seq((0L, "U2"), (1L, "U1")))
+    }
+  }
+
   test("Coordinated: completed claim records expire; crashed-winner claims survive") {
     val coordDir = Files.createTempDirectory("graft_os_expire").toString
     val coord = new FileClaimCoordinator(coordDir)
@@ -369,6 +387,42 @@ class ObjectStoreSpec extends SparkSpec {
       LakeTable(spark, dir).write(
         Seq((3L, "c")).toDF("id", "v").coalesce(1), SaveMode.Append): Unit
       assert(rows(dir) === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
+
+  test("Coordinated: checkpoint-folded commit claims still expire (completedOn)") {
+    // a bare existence predicate under-reclaims: checkpoints fold
+    // per-commit files away, so every folded commit's claim would read
+    // as a crashed winner and be kept forever — unbounded growth again.
+    // completedOn adds the density argument: any LATER version existing
+    // proves this one landed.
+    val coordDir = Files.createTempDirectory("graft_os_cpexp").toString
+    val coord = new FileClaimCoordinator(coordDir)
+    withObjectStore(LakeIo.Coordinated(coord)) {
+      val fs = newObjectFs()
+      val logDir = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("graft_os_cpexp_log").toString, "_graft_log")
+      def rec(v: Long) = new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json")
+      (0L to 2L).foreach(v =>
+        assert(LakeIo.renamePublish(fs, rec(v), s"""{"version":$v}""")))
+      // checkpoint fold: versions 0..1 deleted, covered by 1.checkpoint
+      LakeIo.atomicOverwrite(fs,
+        new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.checkpoint"), "folded")
+      fs.delete(rec(0L), false): Unit
+      fs.delete(rec(1L), false): Unit
+      val completed = FileClaimCoordinator.completedOn(fs)
+      assert(!fs.exists(rec(0L)) && completed(fs.makeQualified(rec(0L)).toString),
+        "a folded commit's claim must read as completed")
+      assert(completed(fs.makeQualified(rec(1L)).toString))
+      assert(completed(fs.makeQualified(rec(2L)).toString))
+      // the true crashed winner sits at head+1 and stays protected
+      assert(coord.claim(fs.makeQualified(rec(3L)).toString, "stale-ref"))
+      assert(!completed(fs.makeQualified(rec(3L)).toString))
+      val reclaimed = coord.expire(0L, completed)
+      assert(reclaimed === 3, s"expected 3 folded/present claims reclaimed, got $reclaimed")
+      val left = Option(new java.io.File(coordDir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("claim_"))
+      assert(left === 1, "only the crashed-winner claim may survive")
     }
   }
 }
