@@ -122,6 +122,16 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("hi"))
+      // pre-partition by lo before the checkpoint: the wedge self-join
+      // keys on lo, so the checkpointed partitioning is exactly the
+      // exchange the join needs (localCheckpoint preserves physical
+      // partitioning — the pageRank discipline). Pinned to the available
+      // cores, not to AQE's byte-based coalescing: the wedge kernel's
+      // cost is Σ out-deg² COMPUTE over a byte-small edge list, and
+      // without this the join inherited the (1-2 partition) upstream
+      // layout and ran the whole O(m^1.5) intermediate on one core
+      // (measured: q_triangle_count spent ~5 of its 6.2 s in one task).
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("lo"))
       .localCheckpoint(true, CheckpointLevel)
   }
 

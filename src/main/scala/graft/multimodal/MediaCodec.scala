@@ -353,10 +353,23 @@ object MediaCodec {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    MediaCodec.imageIoMemoryCache
     require(javax.imageio.ImageIO.write(img, "jpg", bos),
       "no JPEG ImageIO writer available")
     bos.toByteArray
   }
+
+  /** ImageIO defaults to a DISK-backed stream cache: every
+    * read/write-from-stream spools through a synchronized temp FILE,
+    * which serializes (and thrashes) concurrent codec tasks — measured:
+    * parallelizing q_image_decode across 32 cores made it SLOWER
+    * (2.6 → 4.2 s) until this. Memory-cached streams are lock-free per
+    * task and these payloads are small by contract (media cells, not
+    * whole videos). JVM-global, applied lazily from every codec task so
+    * each executor JVM gets it.
+    */
+  lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** A fully valid PCM WAV: RIFF/WAVE + fmt + data of silence sized to the
     * requested duration.

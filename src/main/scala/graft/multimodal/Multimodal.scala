@@ -280,6 +280,10 @@ object Multimodal {
   def decodeImages(media: Dataset[BinaryMediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // memory-cached ImageIO streams: the default disk cache serializes
+      // concurrent decodes through synchronized temp files (MediaCodec
+      // doc) — once per task, before the first decode
+      MediaCodec.imageIoMemoryCache
       rows.map { r =>
         try {
           val img = javax.imageio.ImageIO.read(
@@ -340,6 +344,10 @@ object Multimodal {
     val media = docs
       .where(col("doc_id") % 3 =!= 1)
       .select(col("doc_id")).as[Long]
+      // spread the synth+decode across cores: the generate/decode work is
+      // per-row CPU (ImageIO encode + decode), and the single parquet
+      // split upstream would otherwise run every image on one task
+      .repartition(spark.sparkContext.defaultParallelism)
       .map { id =>
         val w = (id % 320 + 16).toInt
         val h = (id % 240 + 16).toInt

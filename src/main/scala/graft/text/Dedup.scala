@@ -122,8 +122,21 @@ object Dedup {
         exploded0.join(broadcast(hot), Seq("g"), "left_anti")
       case None => exploded0
     }
-    exploded.as("a")
-      .join(exploded.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    // pre-partition the exploded stream by the join key: the pair join
+    // needs both sides hashed by g anyway (the same exchange serves both
+    // via ReuseExchange — one shuffle, not two), and WITHOUT it a small
+    // scan (one parquet split) feeds the planner a broadcast join whose
+    // streamed side keeps the scan's partitioning, serializing the
+    // O(pairs) join+aggregate onto a single core (measured: the whole
+    // 3.4 s of q_ngram_jaccard ran in one task). Keyed by g the pair
+    // compute spreads across the cluster's cores at every scale; the
+    // explicit count pins the CPU-bound kernel's parallelism to the
+    // cores available rather than to the (tiny) byte size AQE would
+    // coalesce to.
+    val part = exploded.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("g"))
+    part.as("a")
+      .join(part.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(
         col("a.id").as("a_id"), col("a.n_sh").as("a_sh"),
         col("b.id").as("b_id"), col("b.n_sh").as("b_sh"))

@@ -144,7 +144,13 @@ object TextQueries {
     */
   def embeddingPairsExact(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir).embeddings
+    // spread the streamed side of the nested-loop pair join across the
+    // cores: the all-pairs cosine is O(n²·dim) COMPUTE over a byte-small
+    // input, and the BroadcastNestedLoopJoin keeps the streamed side's
+    // partitioning — a single parquet split would serialize the whole
+    // quadratic kernel onto one task (measured: 3.3 s single-task)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos",
