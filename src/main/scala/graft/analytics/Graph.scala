@@ -53,16 +53,24 @@ object Graph {
       iterations: Int,
       damping: Double = 0.85
   ): DataFrame = {
+    // LAZY checkpoints throughout (eager = false): the logical plan is
+    // cut at creation either way (the Dataset wraps a LogicalRDD
+    // immediately, which is what keeps optimizer time bounded across
+    // iterations); eager additionally pays a DEDICATED materialization
+    // job per cut, whose work the next full-scan action would do anyway
+    // while persisting the blocks. Dropping the eager pass removed one
+    // job per checkpoint — a full extra pass over the standing state at
+    // cluster scale, and the dominant fixed cost per iteration locally.
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true, CheckpointLevel)
+      .localCheckpoint(false, CheckpointLevel)
     // nodes PRE-PARTITIONED on the key every iteration joins/aggregates
     // by: localCheckpoint preserves the physical partitioning (LogicalRDD
     // carries it), so the per-iteration rank rebuild never re-shuffles
-    // the node table
+    // the node table; materialized by the count() below
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(col("node"))
-      .localCheckpoint(true, CheckpointLevel)
+      .localCheckpoint(false, CheckpointLevel)
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // contribution edges with the sender's degree attached once, up
@@ -72,7 +80,7 @@ object Graph {
     // dominant cost on a real graph where |edges| >> |nodes|
     val withDeg = e.join(outDeg, Seq("src"))
       .repartition(col("src"))
-      .localCheckpoint(true, CheckpointLevel)
+      .localCheckpoint(false, CheckpointLevel)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
       val contribs = withDeg
@@ -85,9 +93,11 @@ object Graph {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       // cut lineage every 3 rounds: the plan would otherwise nest one
-      // join+agg deeper per iteration and optimizer time blows up
+      // join+agg deeper per iteration and optimizer time blows up (lazy:
+      // the Catalyst plan is cut NOW; the RDD chain computes — and each
+      // cut persists — under the caller's one final action)
       if (i % 3 == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(true, CheckpointLevel)
+        ranks = ranks.localCheckpoint(false, CheckpointLevel)
     }
     ranks
   }
@@ -132,7 +142,9 @@ object Graph {
       // layout and ran the whole O(m^1.5) intermediate on one core
       // (measured: q_triangle_count spent ~5 of its 6.2 s in one task).
       .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("lo"))
-      .localCheckpoint(true, CheckpointLevel)
+      // lazy, like pageRank's cuts: the caller's first full action
+      // (wedge probe or the count) materializes and persists it
+      .localCheckpoint(false, CheckpointLevel)
   }
 
   /** The wedge intermediate over an [[orientEdges]] frame — the join

@@ -51,8 +51,15 @@ object ConnectedComponents {
       // checkpointed edge table is standing state across every round,
       // and deserialized row objects pin the unified pool at large |E|
       // (Graph.CheckpointLevel documents the measured
-      // AGGREGATE_OUT_OF_MEMORY this causes on the sibling kernel)
-      case None => df => df.localCheckpoint(true,
+      // AGGREGATE_OUT_OF_MEMORY this causes on the sibling kernel).
+      // LAZY (eager = false): the logical plan is cut at creation either
+      // way; every cut here is immediately followed by a full-scan
+      // action (labelSum / signature), which materializes and persists
+      // the blocks in ONE job instead of eager's two — one saved pass
+      // per iteration (Graph.pageRank has the full rationale). Reliable
+      // checkpoints (the Some branch) stay eager: recovery semantics
+      // want the cut durable before the round is declared done.
+      case None => df => df.localCheckpoint(false,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 

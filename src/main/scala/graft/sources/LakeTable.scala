@@ -918,7 +918,9 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // target) so the later union can't silently widen the table schema
     val alignedRaw = withGen.select(cur.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      .localCheckpoint(true)
+      // lazy: the identity restore / requireUniqueKeys full scan below
+      // materializes the cut in its own job (merge() has the rationale)
+      .localCheckpoint(false)
     // identity columns: a whole-row upsert replaces matched rows from the
     // source, which never carries identity values — RESTORE them by key
     // from the target (matched rows must keep their ids), then assign
@@ -942,7 +944,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
         val bases = ic.specs.map { case (nm, st, _) =>
           nm -> nextIdentityBase(nm, st) }.toMap
         val (assignedRaw, counts) = assignIdentityRows(restored, ic.specs, bases)
-        (assignedRaw.localCheckpoint(true), ic.specs.map { case (nm, _, step) =>
+        (assignedRaw.localCheckpoint(false), ic.specs.map { case (nm, _, step) =>
           (LakeTable.IdentityHwmParamPrefix + nm) ->
             (bases(nm) + step * counts(nm)).toString
         }.toMap)
@@ -1132,7 +1134,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val src = sourceG.select(sourceG.columns.map { c =>
         fieldByName.get(c).fold(col(c))(f => col(c).cast(f.dataType).as(c))
       }.toIndexedSeq: _*)
-      .localCheckpoint(true)
+      // lazy: requireUniqueKeys' full-scan aggregate right below
+      // materializes (and persists) the cut in the same job — eager paid
+      // a dedicated extra pass over the source batch
+      .localCheckpoint(false)
     requireUniqueKeys(src, keys, "source")
 
     // ONE left_outer scan of the target covers matched AND untouched rows
@@ -1213,7 +1218,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
           val bases = ic.specs.map { case (nm, st, _) =>
             nm -> nextIdentityBase(nm, st) }.toMap
           val (assignedIns, counts) = assignIdentityRows(ins, ic.specs, bases)
-          (Some(assignedIns.localCheckpoint(true)),
+          (Some(assignedIns.localCheckpoint(false)),
             ic.specs.map { case (nm, _, step) =>
               (LakeTable.IdentityHwmParamPrefix + nm) ->
                 (bases(nm) + step * counts(nm)).toString
@@ -1359,7 +1364,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // materialized once: the violation count below and the staged write
     // both consume it, and identity values must not be re-drawn
     val (toInsertRaw, consSeen) = constrainedBatch(assigned, genChecks)
-    val toInsert = toInsertRaw.localCheckpoint(true)
+    val toInsert = toInsertRaw.localCheckpoint(false) // violating count below materializes
     lateConstraintCheck(toInsert, consSeen)
     val violating = toInsert.where(!coalesce(cond, lit(false))).count()
     require(violating == 0L,
@@ -1481,7 +1486,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val todo = found.filterNot(copiedFiles.contains).sorted.toSeq
     if (todo.isEmpty) return this
     val (good, bad) = JsonlIngest.readWithQuarantine(spark, todo, schema)
-    val badPinned = bad.localCheckpoint(true)
+    val badPinned = bad.localCheckpoint(false)
     if (!badPinned.isEmpty) quarantine.write(badPinned, SaveMode.Append)
     val ledger = "_copied_" + java.util.UUID.randomUUID().toString.replace("-", "")
     if (!fs.exists(logDir)) fs.mkdirs(logDir): Unit
@@ -2626,11 +2631,12 @@ final class LakeTable(spark: SparkSession, val path: String) {
     // struct access when the flag is read back
     def flag(i: Int) = s"__viol_$i"
     val idx = cons.indices
-    val pinned = df.localCheckpoint(true)
+    // lazy cuts: report.head() below is the materializing full scan
+    val pinned = df.localCheckpoint(false)
     val flagged = pinned.select(
       pinned.columns.map(col).toSeq ++ idx.map { i =>
         (!coalesce(expr(cons(i)._2), lit(false))).as(flag(i))
-      }: _*).localCheckpoint(true)
+      }: _*).localCheckpoint(false)
     val anyViol = idx.map(i => col(flag(i))).reduce(_ || _)
     val report = flagged.agg(
       sum(when(anyViol, 1L).otherwise(0L)).as("__n_bad"),
@@ -2811,7 +2817,10 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val cons = constraints ++ extraChecks
     if (cons.isEmpty) (aligned, cons)
     else {
-      val pinned = aligned.localCheckpoint(true)
+      // lazy: enforceConstraints' full-scan aggregate materializes the
+      // cut in the same job (the batch is still pinned exactly once,
+      // before anything writes)
+      val pinned = aligned.localCheckpoint(false)
       enforceConstraints(pinned, cons)
       (pinned, cons)
     }

@@ -121,8 +121,11 @@ final class MaterializedJoin(
       // plan several times (key-condition stats, the rewrite itself) —
       // materialize ONCE so the change-feed fold and the fact semi-scan
       // never replay
-      val cand = cand0.localCheckpoint(true)
-      val newState = cand.join(dim.read, Seq(joinKey)).localCheckpoint(true)
+      // lazy cuts: the isEmpty gates + merges below materialize them
+      // (each exactly once — doCheckpoint pins all partitions after the
+      // first action), without eager's dedicated pass per frame
+      val cand = cand0.localCheckpoint(false)
+      val newState = cand.join(dim.read, Seq(joinKey)).localCheckpoint(false)
       // a PURE dim delta never changes a fact row's join key, so pk →
       // joinKey agrees between every merge source below and the view —
       // the functional dependency that makes joinKey a SOUND extra
@@ -142,7 +145,7 @@ final class MaterializedJoin(
         .reduce(_.unionByName(_)).distinct()
       val gone = affected
         .join(newState.select(col(factKey)), Seq(factKey), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // skip empty merges: an empty source defeats the stats-pruned
       // selective path (no key bounds) and would pay a FULL staged
       // rewrite of the view for nothing

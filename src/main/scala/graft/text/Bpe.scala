@@ -87,9 +87,12 @@ object Bpe {
       if (sampleFraction < 1.0)
         docs.sample(withReplacement = false, sampleFraction, seed)
       else docs
+    // lazy cuts: each round's top-pair collect is a full scan that
+    // materializes (and persists) the pending checkpoint in the same job
+    // — eager paid a dedicated extra pass per cut (Graph.pageRank doc)
     var words = wordCounts(base, textCol)
       .select(chars(col("word")).as("syms"), col("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var done = false
@@ -108,7 +111,7 @@ object Bpe {
         learned += Merge(r, l, rr, freq)
         words = words.select(applyMerge(col("syms"), l, rr).as("syms"), col("n"))
         if ((r + 1) % checkpointEvery == 0)
-          words = words.localCheckpoint(true)
+          words = words.localCheckpoint(false)
         r += 1
       }
     }

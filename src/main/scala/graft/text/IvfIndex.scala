@@ -212,7 +212,9 @@ object IvfIndex {
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
-      .localCheckpoint(true) // reused for the cell list AND the join
+      // lazy: the cell-list collect below materializes it; reused for
+      // the cell list AND the join
+      .localCheckpoint(false)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     require(cells.nonEmpty, "serveTopK needs a non-empty query batch")

@@ -588,7 +588,7 @@ object TextQueries {
       .select(col("lang"), col("n_docs"),
         round(least(lit(1.0),
           lit(budget) * sqrt(col("n_docs")) / col("z") / col("n_docs")), 6).as("rate"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // the broadcast build below materializes
     // uniform in [0,1) from the first 8 md5 hex digits of the doc id —
     // deterministic, partition-independent, and reproducible in SQL
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
