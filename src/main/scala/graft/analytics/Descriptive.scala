@@ -171,7 +171,10 @@ object Descriptive {
     * window ever runs.
     */
   def interpolateDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables(spark, sfDir).orders
+    // spread the single-split scan: the per-day partial aggregation is
+    // the query's only corpus-sized work (decimal sums — exact under any
+    // partitioning)
+    val daily = Tables.spreadScan(Tables(spark, sfDir).orders)
       .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
       .groupBy(col("day"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))

@@ -27,7 +27,9 @@ object Sketches {
     * ~0.8% RSD — 2% is a conservative pin.
     */
   def hllDistinctCustomers(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir).orders
+    // spread the single-split scan so the sketch partials parallelize
+    // (the within-band boolean is partition-robust by design — doc above)
+    Tables.spreadScan(Tables(spark, sfDir).orders)
       .groupBy(col("o_orderstatus"))
       .agg(
         countDistinct(col("o_custkey")).as("n_exact"),
@@ -60,7 +62,7 @@ object Sketches {
     * while the (order-dependent) estimated counts stay out of the row.
     */
   def heavyHitterTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables(spark, sfDir).documents
+    val toks = Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
     val sketch = toks.agg(
       graft.functions.FrequentItems(col("tok"), 64).as("hh"))
@@ -80,7 +82,7 @@ object Sketches {
     */
   def heavyHittersByGroup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, sfDir).documents
+    val toks = Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(col("lang"),
         explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
     val sketches = toks.groupBy(col("lang"))
@@ -104,7 +106,9 @@ object Sketches {
     */
   def tdigestQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TDigest
-    Tables(spark, sfDir).orders
+    // spread: the exact percentiles sort per group and the digest
+    // partials are CPU-bound; the band booleans are partition-robust
+    Tables.spreadScan(Tables(spark, sfDir).orders)
       .groupBy(col("o_orderstatus"))
       .agg(
         round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
@@ -169,7 +173,9 @@ object Sketches {
     */
   def cmsPointCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.CountMinSketch
-    val li = Tables(spark, sfDir).lineitem
+    // spread: CMS partials hash every row; the guarantee bound is
+    // partition-robust (one-sided + 8N/width slack)
+    val li = Tables.spreadScan(Tables(spark, sfDir).lineitem)
     val merged = li.groupBy(col("l_returnflag"))
       .agg(CountMinSketch.agg(col("l_partkey").cast("string")).as("sk"))
       .agg(CountMinSketch.mergeAgg(col("sk")).as("sk"))

@@ -24,6 +24,14 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame = load("part")
   def orders: DataFrame = load("orders")
   def lineitem: DataFrame = load("lineitem")
+
+  /** NOT spread at the source, deliberately: a global [[Tables.spreadScan]]
+    * here measured well but (a) changes which rows a partition-sensitive
+    * seeded `sample()` draws (BPE sampled learning), and (b) puts an
+    * Exchange under the standing-model/BPE SERVING scans whose map-only
+    * plan shape is a pinned scale contract. Consumers that do heavy
+    * per-row work spread at their own call site instead.
+    */
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
@@ -49,6 +57,23 @@ final class Tables(spark: SparkSession, sfDir: String) {
 
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+
+  /** Spread an UNDER-PARTITIONED scan across the available cores before
+    * CPU-heavy per-row work (tokenize/explode, shingle, hash-family,
+    * sketch partial-aggregation). A single unsplittable parquet file
+    * (one row group) yields a one-partition scan, which serializes all
+    * map-side compute onto one core — the guide's "one huge unsplittable
+    * file → repartition immediately after the read" case. Adaptive, not
+    * a local-mode constant: when the scan already has at least
+    * `defaultParallelism` partitions (any real-scale input), this is a
+    * NO-OP — no shuffle is added, no payload moves. Round-robin
+    * assignment is deterministic (Spark sorts before round-robin
+    * repartition so retried tasks reproduce the assignment).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** epoch-nanos bigint -> TimestampType (micro precision, truncating).
     * Integral division via decimal: `c / 1000L` would promote to DOUBLE,

@@ -230,7 +230,7 @@ object ConnectedComponents {
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = graft.text.Dedup.ngramJaccardPairs(
-      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.8)
+      Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", n = 3, threshold = 0.8)
     val comp = components(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
     comp
@@ -250,7 +250,7 @@ object ConnectedComponents {
     * frame.
     */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     val pairs = graft.text.Dedup.ngramJaccardPairs(
       docs, "doc_id", "text", n = 3, threshold = 0.8)
     val comp = components(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))

@@ -31,7 +31,7 @@ object CorpusOps {
     * corpus shuffle), and the per-doc aggregate is the only exchange.
     */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     val tok = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .where(col("tok") =!= "")
@@ -66,7 +66,7 @@ object CorpusOps {
     * only exchange.
     */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     def bigrams(d: org.apache.spark.sql.DataFrame) = d
       .select(col("doc_id"), toks(col("text")).as("ts"))
       // A 0-or-1-token doc has no transitions; without this guard
@@ -115,7 +115,7 @@ object CorpusOps {
   def docTokenDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(col("text"))
     val dedup = graft.functions.TextExpressions.firstOccurrenceTokens(t)
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(
         col("doc_id"),
         size(t).cast("bigint").as("n_tokens"),
@@ -163,7 +163,7 @@ object CorpusOps {
     * product anywhere.
     */
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     val covered = coveredPositions(docs, "doc_id", "text", n = 8)
     rebuildWithout(docs, covered, "n_dup_positions")
   }
@@ -283,7 +283,7 @@ object CorpusOps {
     * position; this one cuts only long spans and reports how many).
     */
   def spanDedupSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     val spans = duplicatedSpans(docs, "doc_id", "text", n = 8, minLength = 16)
     val spanCount = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     val cut = spans.select(col("doc_id"),
@@ -333,7 +333,7 @@ object CorpusOps {
     org.apache.spark.sql.functions.size(c)
 
   def qDocChunks(spark: SparkSession, sfDir: String): DataFrame =
-    chunkDocuments(graft.core.Tables(spark, sfDir).documents,
+    chunkDocuments(graft.core.Tables.spreadScan(graft.core.Tables(spark, sfDir).documents),
       "doc_id", "text", size = 50, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
@@ -349,7 +349,7 @@ object CorpusOps {
     * ≪ 2^53) so both engines feed log() the identical value.
     */
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     val bg = docs
       .select(col("doc_id"), toks(col("text")).as("ts"))
       // Same sequence(1, 0)-descends guard as [[bigramLogprob]]: a
@@ -426,7 +426,7 @@ object CorpusOps {
   }
 
   def qLineDedup(spark: SparkSession, sfDir: String): DataFrame =
-    dedupLines(Tables(spark, sfDir).documents, "doc_id", "text",
+    dedupLines(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text",
       lineWidth = 8, maxDf = 2)
 
   /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 — the
@@ -447,7 +447,7 @@ object CorpusOps {
     * bounded by document length, not corpus size.
     */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionSignalsFor(Tables(spark, sfDir).documents, lineWidth = 2)
+    repetitionSignalsFor(Tables.spreadScan(Tables(spark, sfDir).documents), lineWidth = 2)
 
   def repetitionSignalsFor(docs: DataFrame, lineWidth: Int): DataFrame =
     docs
@@ -488,7 +488,7 @@ object CorpusOps {
     * to absorb.
     */
   def wordEntropy(spark: SparkSession, sfDir: String): DataFrame =
-    wordEntropyFor(Tables(spark, sfDir).documents)
+    wordEntropyFor(Tables.spreadScan(Tables(spark, sfDir).documents))
 
   def wordEntropyFor(docs: DataFrame): DataFrame =
     docs

@@ -16,7 +16,7 @@ object TextQueries {
     * regex (BPE-ish pre-tokenizer) tokens.
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir).documents.select(
+    Tables.spreadScan(Tables(spark, sfDir).documents).select(
       col("doc_id"),
       col("n_chars"),
       TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
@@ -26,7 +26,7 @@ object TextQueries {
 
   /** M4: corpus profile by (lang, source). */
   def docProfile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -37,7 +37,7 @@ object TextQueries {
 
   /** M4: global token frequency top-20 (explode + count + top-k). */
   def tokenTopK(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
@@ -59,7 +59,7 @@ object TextQueries {
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.8)
+      Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", n = 3, threshold = 0.8)
 
   /** The 100 TB variant of the above: hot shingles (doc frequency > cap)
     * are dropped before the pair join, bounding the worst shingle's
@@ -70,7 +70,7 @@ object TextQueries {
     */
   def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
+      Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", n = 3, threshold = 0.7,
       maxShingleDf = Some(4))
 
   /** Containment near-dup: pairs where the smaller doc's 3-gram shingle
@@ -79,7 +79,7 @@ object TextQueries {
     */
   def ngramContainmentPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramContainmentPairs(
-      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.9)
+      Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", n = 3, threshold = 0.9)
 
   /** M3: exact cosine top-5 neighbors for query vectors vec_id < 10. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -199,7 +199,7 @@ object TextQueries {
     * touched at all) stays pinned in IncrementalDedupSpec.
     */
   def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir).documents
+    val d = Tables.spreadScan(Tables(spark, sfDir).documents)
     val corpus = d.where(col("doc_id") % 2 === 0)
     val index = Dedup.buildMinhashIndex(
       corpus, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 2)
@@ -227,7 +227,7 @@ object TextQueries {
     */
   def qualityModelScores(spark: SparkSession, sfDir: String): DataFrame = {
     val trained = QualityClassifier.train(spark, sfDir)
-    QualityClassifier.score(Tables(spark, sfDir).documents, trained)
+    QualityClassifier.score(Tables.spreadScan(Tables(spark, sfDir).documents), trained)
       .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
       .orderBy(col("doc_id"))
   }
@@ -415,7 +415,7 @@ object TextQueries {
     val planted = concat(col("text"),
       lit(" e\u0301cole\u0007fin"), (col("doc_id") % 7).cast("string"))
     val clean = graft.functions.TextExpressions.normalizeText(planted)
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(col("doc_id"), length(clean).cast("bigint").as("n_clean"),
         md5(clean).as("clean_md5"))
       .orderBy(col("doc_id"))
@@ -431,7 +431,7 @@ object TextQueries {
       col("text"), lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail.example.com or +1 (555) 010-99 from 10.0.0."),
       (col("doc_id") % 256).cast("string"))
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(col("doc_id"), TextFunctions.redactPii(planted).as("clean"))
       .orderBy(col("doc_id"))
   }
@@ -444,7 +444,7 @@ object TextQueries {
     * at 100 TB the (small) benchmark gram side broadcasts.
     */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir).documents
+    val d = Tables.spreadScan(Tables(spark, sfDir).documents)
     val benchGrams = d.where(col("doc_id") % 50 === 0)
       .select(explode(TextFunctions.shingles(col("text"), 8)).as("g"))
       .distinct()
@@ -477,7 +477,7 @@ object TextQueries {
       when(nWords >= 3,
         lit(1.0) - size(TextFunctions.shinglesOf(toks, 3)).cast("double") /
           (nWords - 2)).otherwise(0.0), 6)
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_word_len"),
         symbol.as("symbol_ratio"), rep3.as("rep3"))
       .withColumn("pass_all",
@@ -560,7 +560,7 @@ object TextQueries {
     * model-then-score pipeline.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables(spark, sfDir).documents
+    val tok = Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc).limit(25)
@@ -657,7 +657,7 @@ object TextQueries {
     */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashBandedPairs(
-      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
+      Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", n = 3, threshold = 0.7,
       bands = 16, rowsPerBand = 2)
 
   /** SimHash near-dup pairs (hamming <= 3), via the engine-neutral
@@ -674,7 +674,7 @@ object TextQueries {
     * pinned in DedupSpec instead.
     */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashMd5Pairs(Tables(spark, sfDir).documents, "doc_id", "text", maxHamming = 3)
+    Dedup.simhashMd5Pairs(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", maxHamming = 3)
 
   /** Embedding near-dup via single-band hyperplane LSH + exact cosine
     * refine — the PRODUCTION candidate-pruner shape (16 buckets, pair
@@ -965,7 +965,7 @@ object TextQueries {
     * no DuckDB equivalent).
     */
   def langQualityProfile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir).documents
+    Tables.spreadScan(Tables(spark, sfDir).documents)
       .select(
         col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_guess"),

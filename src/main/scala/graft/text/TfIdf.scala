@@ -114,10 +114,10 @@ object TfIdf {
   type Q = (SparkSession, String) => DataFrame
 
   def qTopTerms(spark: SparkSession, sfDir: String): DataFrame =
-    topTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
+    topTerms(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", k = 3)
 
   def qBm25TopTerms(spark: SparkSession, sfDir: String): DataFrame =
-    bm25TopTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
+    bm25TopTerms(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", k = 3)
 
   /** Standing-index retrieval: [[InvertedIndex.build]] lays the corpus
     * out once (Z-ordered postings + df + stats lakes), then a 5-query
@@ -132,7 +132,7 @@ object TfIdf {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_models", sf, "bm25_index").toString
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     InvertedIndex.build(docs, "doc_id", "text", dir)
     val queries = docs
       .where(col("doc_id") % 100 === 0 && col("doc_id") < 500)
@@ -155,7 +155,7 @@ object TfIdf {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_models", sf, "bm25_index_sql").toString
-    val docs = Tables(spark, sfDir).documents
+    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
     InvertedIndex.build(docs, "doc_id", "text", dir)
     val terms = docs.where(col("doc_id") === 0)
       .select(explode(slice(array_sort(array_distinct(

@@ -91,10 +91,10 @@ object TrainingData {
   type Q = (SparkSession, String) => DataFrame
 
   def qTrainingCorpus(spark: SparkSession, sfDir: String): DataFrame =
-    prepare(Tables(spark, sfDir).documents, Config())
+    prepare(Tables.spreadScan(Tables(spark, sfDir).documents), Config())
 
   def qLeakageSplit(spark: SparkSession, sfDir: String): DataFrame =
-    leakageSafeSplit(Tables(spark, sfDir).documents, testFrac = 0.2)
+    leakageSafeSplit(Tables.spreadScan(Tables(spark, sfDir).documents), testFrac = 0.2)
       .orderBy(col("doc_id"))
 
   def queries: Map[String, Q] = Map(
