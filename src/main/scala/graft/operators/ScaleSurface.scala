@@ -62,10 +62,20 @@ object ScaleSurface {
     Seq(liTbl, ordTbl).foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
     }
+    // repartition by the bucket key INTO the bucket count before the
+    // bucketed write: Spark's bucket assignment is the same
+    // Murmur3-pmod hash as HashPartitioning, so each write task holds
+    // exactly one bucket — one file per bucket (instead of one file per
+    // (input-partition × bucket)) and the sort+write parallelizes
+    // across the buckets rather than serializing on the scan's split
+    // count. Keyed by the join key, sized by the table's bucket spec —
+    // nothing here depends on the local core count.
     t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(liTbl)
     t.orders.select("o_orderkey", "o_orderpriority")
+      .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(ordTbl)
     spark.table(liTbl)

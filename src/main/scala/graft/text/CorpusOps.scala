@@ -426,7 +426,9 @@ object CorpusOps {
   }
 
   def qLineDedup(spark: SparkSession, sfDir: String): DataFrame =
-    dedupLines(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text",
+    // NOT spread: the line explode shuffles by line hash immediately, so
+    // the extra exchange measured as a net loss here
+    dedupLines(Tables(spark, sfDir).documents, "doc_id", "text",
       lineWidth = 8, maxDf = 2)
 
   /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 — the

@@ -227,7 +227,9 @@ object TextQueries {
     */
   def qualityModelScores(spark: SparkSession, sfDir: String): DataFrame = {
     val trained = QualityClassifier.train(spark, sfDir)
-    QualityClassifier.score(Tables.spreadScan(Tables(spark, sfDir).documents), trained)
+    // NOT spread: measured slower with the exchange (3.44 vs 2.51 s) —
+    // the fresh-train pass dominates and tree scoring is cheap per row
+    QualityClassifier.score(Tables(spark, sfDir).documents, trained)
       .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
       .orderBy(col("doc_id"))
   }
