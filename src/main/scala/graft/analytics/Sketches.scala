@@ -173,9 +173,7 @@ object Sketches {
     */
   def cmsPointCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.CountMinSketch
-    // spread: CMS partials hash every row; the guarantee bound is
-    // partition-robust (one-sided + 8N/width slack)
-    val li = Tables.spreadScan(Tables(spark, sfDir).lineitem)
+    val li = Tables(spark, sfDir).lineitem
     val merged = li.groupBy(col("l_returnflag"))
       .agg(CountMinSketch.agg(col("l_partkey").cast("string")).as("sk"))
       .agg(CountMinSketch.mergeAgg(col("sk")).as("sk"))

@@ -31,7 +31,7 @@ object CorpusOps {
     * corpus shuffle), and the per-doc aggregate is the only exchange.
     */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
+    val docs = Tables(spark, sfDir).documents
     val tok = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .where(col("tok") =!= "")
@@ -115,7 +115,7 @@ object CorpusOps {
   def docTokenDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(col("text"))
     val dedup = graft.functions.TextExpressions.firstOccurrenceTokens(t)
-    Tables.spreadScan(Tables(spark, sfDir).documents)
+    Tables(spark, sfDir).documents
       .select(
         col("doc_id"),
         size(t).cast("bigint").as("n_tokens"),
@@ -333,7 +333,7 @@ object CorpusOps {
     org.apache.spark.sql.functions.size(c)
 
   def qDocChunks(spark: SparkSession, sfDir: String): DataFrame =
-    chunkDocuments(graft.core.Tables.spreadScan(graft.core.Tables(spark, sfDir).documents),
+    chunkDocuments(graft.core.Tables(spark, sfDir).documents,
       "doc_id", "text", size = 50, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 

@@ -16,7 +16,7 @@ object TextQueries {
     * regex (BPE-ish pre-tokenizer) tokens.
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spreadScan(Tables(spark, sfDir).documents).select(
+    Tables(spark, sfDir).documents.select(
       col("doc_id"),
       col("n_chars"),
       TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
@@ -26,7 +26,7 @@ object TextQueries {
 
   /** M4: corpus profile by (lang, source). */
   def docProfile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spreadScan(Tables(spark, sfDir).documents)
+    Tables(spark, sfDir).documents
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -37,7 +37,7 @@ object TextQueries {
 
   /** M4: global token frequency top-20 (explode + count + top-k). */
   def tokenTopK(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spreadScan(Tables(spark, sfDir).documents)
+    Tables(spark, sfDir).documents
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
@@ -70,7 +70,7 @@ object TextQueries {
     */
   def ngramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", n = 3, threshold = 0.7,
+      Tables(spark, sfDir).documents, "doc_id", "text", n = 3, threshold = 0.7,
       maxShingleDf = Some(4))
 
   /** Containment near-dup: pairs where the smaller doc's 3-gram shingle
@@ -417,7 +417,7 @@ object TextQueries {
     val planted = concat(col("text"),
       lit(" e\u0301cole\u0007fin"), (col("doc_id") % 7).cast("string"))
     val clean = graft.functions.TextExpressions.normalizeText(planted)
-    Tables.spreadScan(Tables(spark, sfDir).documents)
+    Tables(spark, sfDir).documents
       .select(col("doc_id"), length(clean).cast("bigint").as("n_clean"),
         md5(clean).as("clean_md5"))
       .orderBy(col("doc_id"))
@@ -562,7 +562,7 @@ object TextQueries {
     * model-then-score pipeline.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables.spreadScan(Tables(spark, sfDir).documents)
+    val tok = Tables(spark, sfDir).documents
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc).limit(25)
