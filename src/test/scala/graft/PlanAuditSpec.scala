@@ -17,9 +17,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("shuffle budgets hold") {
     val budgets: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame, Int)] = Seq(
-      // map-only signals: the output ordering is the ONLY exchange
-      ("q_repetition_signals", graft.text.CorpusOps.repetitionSignals _, 2),
-      ("q_word_entropy", graft.text.CorpusOps.wordEntropy _, 2),
+      // map-only signals: output ordering + the deliberate scan-spread
+      // exchange (Tables.spreadScan — round-16: the per-row signal
+      // compute is the query's whole cost and a single-split scan
+      // serialized it onto one core; the spread is a no-op the moment
+      // the scan has real parallelism, and the budget still forbids any
+      // corpus-wide shuffle beyond it)
+      ("q_repetition_signals", graft.text.CorpusOps.repetitionSignals _, 4),
+      ("q_word_entropy", graft.text.CorpusOps.wordEntropy _, 4),
       // model-then-score: vocab rollup + limit + per-doc rollup + order
       ("q_vocab_coverage", graft.text.TextQueries.vocabCoverage _, 8),
       // both windows and the session rollup share the user partitioning
