@@ -107,23 +107,32 @@ object QueryMeter {
       var best = Double.MaxValue
       var bj, bs, bt = 0
       var bsr, bsw, bsp, bin = 0L
+      var anyPassOk = false
       (1 to passes).foreach { _ =>
         jobs.set(0); stages.set(0); tasks.set(0)
         shufRead.set(0); shufWrite.set(0); spillMem.set(0); input.set(0)
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[meter] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[meter] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously; give them a beat
         Thread.sleep(300)
-        if (dt < best) {
+        // a failed pass must never become the row (a broken query would
+        // otherwise print a normal-looking time)
+        if (ok && dt < best) {
+          anyPassOk = true
           best = dt; bj = jobs.get; bs = stages.get; bt = tasks.get
           bsr = shufRead.get; bsw = shufWrite.get; bsp = spillMem.get; bin = input.get
         }
       }
-      println(f"$name%-32s $best%8.2f $bj%5d $bs%6d $bt%6d ${(bsr + bsw) / 1e6}%8.1f ${bsp / 1e6}%8.1f ${bin / 1e6}%8.1f")
+      if (anyPassOk)
+        println(f"$name%-32s $best%8.2f $bj%5d $bs%6d $bt%6d ${(bsr + bsw) / 1e6}%8.1f ${bsp / 1e6}%8.1f ${bin / 1e6}%8.1f")
+      else
+        println(f"$name%-32s ${"FAILED"}%8s")
     }
     spark.stop()
   }

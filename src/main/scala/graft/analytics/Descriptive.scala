@@ -171,10 +171,10 @@ object Descriptive {
     * window ever runs.
     */
   def interpolateDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread the single-split scan: the per-day partial aggregation is
-    // the query's only corpus-sized work (decimal sums — exact under any
-    // partitioning)
-    val daily = Tables.spreadScan(Tables(spark, sfDir).orders)
+    // NOT spread: the per-day decimal partial aggregation is cheap per
+    // row and the 3-pass bench showed the exchange as a loss
+    // (0.89 -> 1.15 s with the spread)
+    val daily = Tables(spark, sfDir).orders
       .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
       .groupBy(col("day"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))

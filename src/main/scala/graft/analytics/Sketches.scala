@@ -27,9 +27,12 @@ object Sketches {
     * ~0.8% RSD — 2% is a conservative pin.
     */
   def hllDistinctCustomers(spark: SparkSession, sfDir: String): DataFrame =
-    // spread the single-split scan so the sketch partials parallelize
-    // (the within-band boolean is partition-robust by design — doc above)
-    Tables.spreadScan(Tables(spark, sfDir).orders)
+    // NOT spread: the sketch partial is cheap per row, and the 3-pass
+    // bench showed the round-robin exchange costing more than the
+    // parallelism buys (0.97 -> 1.22 s with the spread; r16's claimed
+    // win came from a 1-pass meter in a colder regime). At real scale
+    // the scan arrives multi-partition anyway.
+    Tables(spark, sfDir).orders
       .groupBy(col("o_orderstatus"))
       .agg(
         countDistinct(col("o_custkey")).as("n_exact"),
@@ -62,7 +65,10 @@ object Sketches {
     * while the (order-dependent) estimated counts stay out of the row.
     */
   def heavyHitterTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.spreadScan(Tables(spark, sfDir).documents)
+    // NOT spread: tokenization here feeds a 64-counter sketch and a
+    // top-10 aggregate — light enough that the 3-pass bench showed the
+    // exchange as a pure loss (0.38 -> 0.65 s spread)
+    val toks = Tables(spark, sfDir).documents
       .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
     val sketch = toks.agg(
       graft.functions.FrequentItems(col("tok"), 64).as("hh"))
@@ -82,7 +88,9 @@ object Sketches {
     */
   def heavyHittersByGroup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.spreadScan(Tables(spark, sfDir).documents)
+    // NOT spread: same 3-pass verdict as heavyHitterTokens
+    // (0.54 -> 1.01 s with the spread)
+    val toks = Tables(spark, sfDir).documents
       .select(col("lang"),
         explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
     val sketches = toks.groupBy(col("lang"))

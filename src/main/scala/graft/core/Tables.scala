@@ -72,7 +72,46 @@ object Tables {
     */
   def spreadScan(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val parts = estimatedScanPartitions(df).getOrElse(df.rdd.getNumPartitions)
+    if (parts < p) df.repartition(p) else df
+  }
+
+  /** Planned partition count of a plain file scan WITHOUT instantiating
+    * the physical plan: `df.rdd` builds the whole RDD chain just to ask
+    * its partition count — a second full Catalyst pass per spreadScan
+    * call, and on a large catalog an extra file-listing/planning pass.
+    * Reproduces `FilePartition.maxSplitBytes` packing arithmetic from
+    * the relation's already-listed file statistics instead. None when
+    * the frame is not project/filter over ONE file relation — those
+    * callers fall back to the physical probe, so behavior is unchanged.
+    */
+  private def estimatedScanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def leaf(plan: LogicalPlan): Option[LogicalRelation] = plan match {
+      case lr: LogicalRelation => Some(lr)
+      case f: Filter => leaf(f.child)
+      case pr: Project => leaf(pr.child)
+      case s: SubqueryAlias => leaf(s.child)
+      case _ => None
+    }
+    leaf(df.queryExecution.analyzed).flatMap(_.relation match {
+      case fs: HadoopFsRelation =>
+        val spark = df.sparkSession
+        val conf = spark.sessionState.conf
+        val openCost = conf.filesOpenCostInBytes
+        val maxSplit = conf.filesMaxPartitionBytes
+        val minParts = conf.filesMinPartitionNum
+          .getOrElse(spark.sparkContext.defaultParallelism)
+        val nFiles = fs.location.inputFiles.length.toLong
+        val total = fs.location.sizeInBytes + nFiles * openCost
+        val bytesPerCore = total / math.max(minParts, 1)
+        val split = math.min(maxSplit, math.max(openCost, bytesPerCore))
+        Some(math.min(math.max(1L, (total + split - 1) / split),
+          Int.MaxValue.toLong).toInt)
+      case _ => None
+    })
   }
 
   /** epoch-nanos bigint -> TimestampType (micro precision, truncating).

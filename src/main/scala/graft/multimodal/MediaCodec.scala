@@ -367,9 +367,20 @@ object MediaCodec {
     * task and these payloads are small by contract (media cells, not
     * whole videos). JVM-global, applied lazily from every codec task so
     * each executor JVM gets it.
+    *
+    * CAVEAT (public contract): `ImageIO.setUseCache` is a JVM-wide
+    * switch — every other ImageIO user in the same executor JVM
+    * (including user UDFs decoding large images from streams) switches
+    * to fully memory-buffered stream caches too. That is the right
+    * default for an analytics executor; a deployment decoding huge
+    * images elsewhere in the same JVM can opt out with
+    * `-Dgraft.imageio.memoryCache=false` (the codec then runs with the
+    * platform default disk cache, correct but slower under concurrency).
     */
   lazy val imageIoMemoryCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
+    if (java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.imageio.memoryCache", "true")))
+      javax.imageio.ImageIO.setUseCache(false)
 
   /** A fully valid PCM WAV: RIFF/WAVE + fmt + data of silence sized to the
     * requested duration.

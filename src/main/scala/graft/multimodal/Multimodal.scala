@@ -341,13 +341,17 @@ object Multimodal {
   def imageDecodeProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.core.Tables(spark, sfDir).documents
-    val media = docs
+    // spread the synth+decode across cores: the generate/decode work is
+    // per-row CPU (ImageIO encode + decode), and the single parquet
+    // split upstream would otherwise run every image on one task.
+    // Adaptive (Tables.spreadScan), not an unconditional repartition: on
+    // a real cluster where the scan already has >= cores partitions this
+    // must no-op rather than add a shuffle that DOWN-partitions the
+    // decode stage.
+    val media = graft.core.Tables.spreadScan(docs
       .where(col("doc_id") % 3 =!= 1)
-      .select(col("doc_id")).as[Long]
-      // spread the synth+decode across cores: the generate/decode work is
-      // per-row CPU (ImageIO encode + decode), and the single parquet
-      // split upstream would otherwise run every image on one task
-      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id")))
+      .as[Long]
       .map { id =>
         val w = (id % 320 + 16).toInt
         val h = (id % 240 + 16).toInt

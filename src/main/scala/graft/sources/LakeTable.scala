@@ -967,7 +967,7 @@ final class LakeTable(spark: SparkSession, val path: String) {
     val widened = storedSchema.exists(s =>
       !s.fieldNames.sameElements(cur.schema.fieldNames))
     val selective =
-      if (widened) None
+      if (widened || !selectiveEligible) None
       else sourceKeyCondition(aligned, keys).flatMap { keyCond =>
         rewriteSelective(keyCond,
           affected => aligned.unionByName(
@@ -982,6 +982,15 @@ final class LakeTable(spark: SparkSession, val path: String) {
     }
   }
 
+  /** Cheap eligibility gate for the selective-rewrite path: without
+    * recorded stats (or on a shallow clone) [[rewriteSelective]] always
+    * falls back to the full rewrite — so the source-side key-bounds
+    * jobs below would be computed and thrown away, one to two wasted
+    * passes over the source batch per DML on stats-less tables.
+    */
+  private def selectiveEligible: Boolean =
+    !isShallowClone && fs.exists(new Path(statsDir))
+
   /** A predicate over the TARGET key columns that every row matching a
     * source key satisfies — the file-pruning condition for a selective
     * MERGE. Small single-key batches produce an exact IN-list (engages
@@ -989,25 +998,42 @@ final class LakeTable(spark: SparkSession, val path: String) {
     * produce per-key min/max ranges. None when the source is empty or a
     * key bound is null (fall back to the full rewrite).
     */
-  private def sourceKeyCondition(aligned: DataFrame, keys: Seq[String]): Option[Column] = {
+  private[sources] def sourceKeyCondition(
+      aligned: DataFrame, keys: Seq[String]): Option[Column] = {
     val inListMax = spark.conf
       .get(LakeTable.MergeInListThresholdKey, LakeTable.MergeInListThresholdDefault).toInt
-    val n = aligned.count()
-    if (n == 0) return None
-    if (keys.length == 1 && n <= inListMax) {
-      val vals = aligned.select(keys.head).distinct()
-        .collect().map(_.get(0)).filter(_ != null)
-      if (vals.isEmpty) None else Some(col(keys.head).isInCollection(vals.toIndexedSeq))
-    } else {
-      val aggs = keys.flatMap(k =>
-        Seq(min(col(k)).as(s"__graft_lo_$k"), max(col(k)).as(s"__graft_hi_$k")))
-      val r = aligned.agg(aggs.head, aggs.tail: _*).head()
-      val bounds = keys.zipWithIndex.map { case (k, i) => (k, r.get(2 * i), r.get(2 * i + 1)) }
-      if (bounds.exists(b => b._2 == null || b._3 == null)) None
-      else Some(bounds.map { case (k, lo, hi) =>
-        col(k) >= lit(lo) && col(k) <= lit(hi)
-      }.reduce(_ && _))
+    if (keys.length == 1) {
+      // ONE distinct+limit action decides both the emptiness check and
+      // the IN-list: <= inListMax distinct values gives the exact list;
+      // the (inListMax+1)-th row's existence alone means "too many"
+      // (fall through to bounds). The previous shape paid a dedicated
+      // count() first — one extra pass over the source per selective
+      // DML. Gating on DISTINCT count (not row count, as before) also
+      // keeps batches with many duplicate keys on the sharper IN-list
+      // path; the list stays bounded by inListMax either way.
+      val k = keys.head
+      val vals = aligned.select(col(k)).distinct().limit(inListMax + 1)
+        .collect().map(_.get(0))
+      if (vals.isEmpty) return None
+      if (vals.length <= inListMax) {
+        val nn = vals.filter(_ != null)
+        return if (nn.isEmpty) None
+        else Some(col(k).isInCollection(nn.toIndexedSeq))
+      }
+      // too many distinct keys — fall through to the min/max bounds
     }
+    // count rides the SAME aggregate as the bounds (no separate pass)
+    val aggs = count(lit(1)).as("__graft_n") +: keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__graft_lo_$k"), max(col(k)).as(s"__graft_hi_$k")))
+    val r = aligned.agg(aggs.head, aggs.tail: _*).head()
+    if (r.getLong(0) == 0L) return None
+    val bounds = keys.zipWithIndex.map { case (k, i) =>
+      (k, r.get(2 * i + 1), r.get(2 * i + 2))
+    }
+    if (bounds.exists(b => b._2 == null || b._3 == null)) None
+    else Some(bounds.map { case (k, lo, hi) =>
+      col(k) >= lit(lo) && col(k) <= lit(hi)
+    }.reduce(_ && _))
   }
 
   /** Conditional MERGE (the general Delta `MERGE INTO` shape —
@@ -1066,7 +1092,8 @@ final class LakeTable(spark: SparkSession, val path: String) {
       whenNotMatchedBySource: Seq[MergeClause] = Seq.empty,
       schemaEvolution: Boolean = false,
       extraParams: Map[String, String] = Map.empty,
-      pruneCols: Seq[String] = Seq.empty): LakeTable = {
+      pruneCols: Seq[String] = Seq.empty,
+      sourceKeyCond: Option[Column] = None): LakeTable = {
     val cur = evolveTarget(read, source, schemaEvolution)
     // OCC base AFTER evolveTarget (its ADD COLUMNS commit is our own,
     // metadata-only — data files are unchanged) but before every data
@@ -1248,14 +1275,25 @@ final class LakeTable(spark: SparkSession, val path: String) {
       val mergeParams = Map("keys" -> keys.mkString(","),
         "clauses" -> whenMatched.length.toString,
         "changeFeed" -> "false") ++ extraParams ++ idParams
-      val selective = sourceKeyCondition(src, keys).flatMap { keyCond =>
-        // pruneCols tighten the affected-file bound (see param doc for
-        // the functional-dependency soundness contract); a null-bounded
-        // prune column simply contributes nothing
-        val cond = pruneCols.filter(cur.columns.contains) match {
-          case Seq() => keyCond
-          case ps    => sourceKeyCondition(src, ps).map(keyCond && _).getOrElse(keyCond)
-        }
+      // a caller-supplied key condition (sourceKeyCond) skips the
+      // source-side bounds jobs entirely — callers issuing SEVERAL
+      // merges from one delta frame (e.g. MaterializedJoin.refresh)
+      // derive the condition once and pass it to each. CONTRACT: every
+      // source row's keys (and pruneCols values) must satisfy it — a
+      // wider condition only costs extra rewritten files, never rows.
+      val keyCondOpt =
+        if (!selectiveEligible) None
+        else sourceKeyCond.orElse(
+        sourceKeyCondition(src, keys).map { keyCond =>
+          // pruneCols tighten the affected-file bound (see param doc for
+          // the functional-dependency soundness contract); a null-bounded
+          // prune column simply contributes nothing
+          pruneCols.filter(cur.columns.contains) match {
+            case Seq() => keyCond
+            case ps    => sourceKeyCondition(src, ps).map(keyCond && _).getOrElse(keyCond)
+          }
+        })
+      val selective = keyCondOpt.flatMap { cond =>
         rewriteSelective(cond, affected => resultOver(affected),
           "MERGE", mergeParams + ("selective" -> "true"),
           changeStage = None, alwaysTransform = insertUnmatched,
@@ -5258,27 +5296,37 @@ final class LakeTable(spark: SparkSession, val path: String) {
             if inv.contains(a.name) => a.withName(inv(a.name))
       }
     }
-    // the dir, not a part* glob: parquet skips _-prefixed files
-    // itself, and the glob makes FileStreamSink's metadata probe
-    // log a spurious FileNotFoundException warn per read
-    val stats = spark.read.parquet(statsDir)
-    val statted = stats.columns.toSeq
-      .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
-    val bloomed = stats.columns.toSeq
-      .filter(_.endsWith("__graft_bloom")).map(_.stripSuffix("__graft_bloom")).toSet
     // verdict per STATTED file; files with no stats row are kept by
     // both strategies (missing map key / missing join partner)
-    val keep = stats.select(
-      FileStats.schemelessFile(col(FileStats.FileCol)).as("__graft_rel"),
-      coalesce(FileStats.canMatch(resolved, statted, bloomed), lit(false))
-        .as("__graft_keep"))
+    def keepOver(stats: DataFrame): DataFrame = {
+      val statted = stats.columns.toSeq
+        .filter(_.endsWith("__graft_min")).map(_.stripSuffix("__graft_min")).toSet
+      val bloomed = stats.columns.toSeq
+        .filter(_.endsWith("__graft_bloom")).map(_.stripSuffix("__graft_bloom")).toSet
+      stats.select(
+        FileStats.schemelessFile(col(FileStats.FileCol)).as("__graft_rel"),
+        coalesce(FileStats.canMatch(resolved, statted, bloomed), lit(false))
+          .as("__graft_keep"))
+    }
     val threshold = spark.conf
       .get(LakeTable.PruneDriverThresholdKey, LakeTable.PruneDriverThresholdDefault)
       .toInt
     if (all.size <= threshold) {
-      val decided = keep.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      // driver-side verdict, NO distributed action: the (signature-keyed)
+      // snapshot gives the stats rows, and evaluating the can-match
+      // projection over a LocalRelation collapses at optimization time
+      // (ConvertToLocalRelation) — collect() returns without a job
+      val (schema, rows) = LakeTable.statsSnapshot(spark, fs, statsDir)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      val decided = keepOver(local).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
       all.collect { case (rel, full) if decided.getOrElse(rel, true) => full }.toSeq
     } else {
+      // the dir, not a part* glob: parquet skips _-prefixed files
+      // itself, and the glob makes FileStreamSink's metadata probe
+      // log a spurious FileNotFoundException warn per read
+      val keep = keepOver(spark.read.parquet(statsDir))
       val filesDf = spark.createDataFrame(all).toDF("__graft_rel", "__graft_full")
       filesDf.join(keep, Seq("__graft_rel"), "left")
         .where(coalesce(col("__graft_keep"), lit(true)))
@@ -5687,13 +5735,49 @@ object LakeTable {
   val PruneDriverThresholdKey = "spark.graft.lake.pruneDriverThreshold"
   val PruneDriverThresholdDefault = "1000"
 
-  /** Max SINGLE-KEY source rows for which a selective MERGE prunes with
-    * an exact IN-list (bloom-filter-engaging point lookups) instead of a
-    * min/max range — the IN-list is collected to the driver, so it stays
-    * bounded. Streaming CDC batches are typically far below this.
+  /** Max SINGLE-KEY source DISTINCT keys for which a selective MERGE
+    * prunes with an exact IN-list (bloom-filter-engaging point lookups)
+    * instead of a min/max range — the IN-list is collected to the
+    * driver, so it stays bounded. Streaming CDC batches are typically
+    * far below this.
     */
   val MergeInListThresholdKey = "spark.graft.lake.mergeInListThreshold"
   val MergeInListThresholdDefault = "256"
+
+  /** Driver-side snapshot cache for SMALL stats tables (the
+    * under-[[PruneDriverThresholdKey]] prune path): (schema, rows) keyed
+    * by the stats dir's exact file signature — name, length, mtime of
+    * every parquet file — so any rewrite, including one by ANOTHER
+    * process, invalidates on the next call's listing. This is METADATA
+    * caching (the same class as Spark's file-listing cache), never query
+    * results: the prune verdict is recomputed from the rows per call.
+    * Payoff: repeat prunes against an unchanged stats version skip the
+    * per-call `spark.read.parquet(stats).collect()` — one distributed
+    * action per selective DML/readWhere saved, at any scale.
+    */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (String, org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
+  private[sources] def statsSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      statsDir: String): (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]) = {
+    val sig = fs.listStatus(new org.apache.hadoop.fs.Path(statsDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
+    val hit = statsCache.get(statsDir)
+    if (hit != null && hit._1 == sig) (hit._2, hit._3)
+    else {
+      val df = spark.read.parquet(statsDir)
+      val rows = df.collect()
+      if (statsCache.size > 64) statsCache.clear() // bound the map, crudely
+      statsCache.put(statsDir, (sig, df.schema, rows))
+      (df.schema, rows)
+    }
+  }
 
   /** Fold the commit log into a checkpoint every N commits (see
     * [[CommitLog.records]]); `<= 0` disables. Session conf so streaming

@@ -143,6 +143,25 @@ final class MaterializedJoin(
       val affected = (dF.map(_.select(col(factKey))).toSeq :+
         cand.select(goneCols: _*))
         .reduce(_.unionByName(_)).distinct()
+        // materialized once: the shared key-condition jobs below AND the
+        // gone anti-join both read it
+        .localCheckpoint(false)
+      // BOTH refresh merges' sources draw their keys from `affected`
+      // (newState's pks come from cand ⊆ affected; gone ⊆ affected; on a
+      // pure dim delta their join keys come from cand's too) — so derive
+      // the selective-rewrite key condition ONCE here and hand it to
+      // each merge, instead of every merge re-running distinct/bounds
+      // jobs over its own delta frame (2-4 actions per merge saved; at
+      // scale each was a full pass over the delta).
+      // (only worth deriving when the view has stats — without them the
+      // merges take the full rewrite and never consult the condition)
+      val sharedCond =
+        if (!view.hasStats) None
+        else view.sourceKeyCondition(affected, Seq(factKey)).map { kc =>
+          if (pureDimDelta)
+            view.sourceKeyCondition(affected, Seq(joinKey)).map(kc && _).getOrElse(kc)
+          else kc
+        }
       val gone = affected
         .join(newState.select(col(factKey)), Seq(factKey), "left_anti")
         .localCheckpoint(false)
@@ -155,12 +174,14 @@ final class MaterializedJoin(
           newState.columns.filterNot(_ == factKey).map(c => c -> col(s"s.$c")).toMap)),
         insertUnmatched = true,
         changeFeed = emitChangeFeed,
-        pruneCols = prune)
+        pruneCols = prune,
+        sourceKeyCond = sharedCond)
       if (!gone.isEmpty) view.merge(gone, Seq(factKey),
         whenMatched = Seq(MergeClause.DeleteWhen(None)),
         insertUnmatched = false,
         changeFeed = emitChangeFeed,
-        pruneCols = prune)
+        pruneCols = prune,
+        sourceKeyCond = sharedCond)
     }
     saveWatermarks(latestF, latestD)
     this

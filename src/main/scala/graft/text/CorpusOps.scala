@@ -66,7 +66,11 @@ object CorpusOps {
     * only exchange.
     */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.spreadScan(Tables(spark, sfDir).documents)
+    // NOT spread: the bigram projection is one transform per doc and the
+    // model/score joins shuffle vocab-sized frames — the 3-pass bench
+    // showed the spread exchange as a loss (1.98 -> 2.22 s), and the
+    // 8-core scaling ratio (0.71) flagged the 32-way exchange overhead
+    val docs = Tables(spark, sfDir).documents
     def bigrams(d: org.apache.spark.sql.DataFrame) = d
       .select(col("doc_id"), toks(col("text")).as("ts"))
       // A 0-or-1-token doc has no transitions; without this guard

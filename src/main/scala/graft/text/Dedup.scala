@@ -132,7 +132,13 @@ object Dedup {
     // compute spreads across the cluster's cores at every scale; the
     // explicit count pins the CPU-bound kernel's parallelism to the
     // cores available rather than to the (tiny) byte size AQE would
-    // coalesce to.
+    // coalesce to. Trade-off, noted: a user-specified partition count
+    // (REPARTITION_BY_NUM) also opts this exchange out of AQE's
+    // skew-join splitting — a pathologically hot shingle group in the
+    // UNCAPPED path becomes one unsplittable O(k²) partition. Scale
+    // callers with hostile corpora should use the hot-capped variant
+    // (maxShingleDf), which removes the hot groups before the join —
+    // a stronger fix than splitting them after the shuffle.
     val part = exploded.repartition(
       df.sparkSession.sparkContext.defaultParallelism, col("g"))
     part.as("a")

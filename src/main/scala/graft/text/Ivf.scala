@@ -1,7 +1,5 @@
 package graft.text
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,15 +32,47 @@ import graft.sources.LakeTable
   */
 object Ivf {
 
+  /** Above this many collected fit points the Lloyd loop runs
+    * distributed; at or below it the whole (sampled) fit set is pulled
+    * to the driver ONCE and iterated locally — zero per-iteration Spark
+    * actions. MLlib's own k-means|| does the same thing at its final
+    * step (local k-means over the collected candidate set); the cap
+    * bounds driver memory (points x dims doubles) and is a conf, not a
+    * local-mode constant.
+    */
+  val DriverFitMaxPointsKey = "spark.graft.kmeans.driverFitMaxPoints"
+  val DriverFitMaxPointsDefault = "16384"
+
   /** Fit the coarse quantizer (euclidean k-means, the standard IVF
     * metric) and return the tiny (cell, center) centroid table.
+    *
+    * FUSED Lloyd's loop, the [[Pq.fitCodebooks]] discipline, replacing
+    * the previous MLlib `KMeans.fit` (k-means|| init passes plus
+    * per-iteration collect/broadcast machinery — ~25-30 Spark jobs per
+    * fit measured at bench scale; each extra pass is a full scan of the
+    * sample at any scale). Two regimes:
+    *   - fit sets at or below [[DriverFitMaxPointsKey]] points collect
+    *     ONCE and iterate on the driver (one Spark action total; also
+    *     the most deterministic shape — no partial-aggregation merge
+    *     order in the means);
+    *   - larger fit sets run `iters` distributed iterations of ONE
+    *     assignment pass (a fused [[VectorFunctions.nearestCentroid]]
+    *     argmin) plus one per-(cell, dim) mean — `iters + 2` passes over
+    *     the sample, independent of k, only the k x d centroid matrix
+    *     ever reaching the driver.
+    * Both regimes: seeded hash-order init over distinct vectors; empty
+    * cells keep their previous centroid; a corpus with fewer than k
+    * distinct vectors pads the init by cycling (duplicate centroids
+    * leave their extra cells empty — the strict-less argmin always picks
+    * the lowest cell id, which both engines replay).
     */
   def fitCentroids(
       corpus: DataFrame,
       vecCol: String,
       nCells: Int = 16,
       seed: Long = 42L,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0,
+      iters: Int = 10): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
@@ -51,13 +81,110 @@ object Ivf {
       if (sampleFraction < 1.0)
         corpus.sample(withReplacement = false, sampleFraction, seed)
       else corpus
-    val feats = base.select(array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(feats)
-    model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat))
+    // widen once: float -> double is exact, and the mean/argmin loop
+    // then runs in one numeric domain (the returned centers round back
+    // to float exactly as before)
+    val points = base
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val cap = math.max(nCells, spark.conf
+      .get(DriverFitMaxPointsKey, DriverFitMaxPointsDefault).toInt)
+    // one bounded probe decides the regime AND feeds the local fit: a
+    // result within the cap IS the whole fit set
+    val head = points.limit(cap + 1).collect().map(_.getSeq[Double](0).toArray)
+    require(head.nonEmpty, "empty corpus")
+    val mat: Array[Array[Double]] =
+      if (head.length <= cap) fitLocal(head, nCells, seed, iters)
+      else fitDistributed(points, nCells, seed, iters)
+    mat.zipWithIndex.map { case (cvec, cell) =>
+      (cell, cvec.map(_.toFloat))
     }.toSeq.toDF("cell", "center")
+  }
+
+  /** Driver-local Lloyd over the full (bounded) fit set — exactly
+    * deterministic: fixed iteration order, no distributed reduction.
+    */
+  private def fitLocal(
+      pts: Array[Array[Double]], k: Int, seed: Long, iters: Int): Array[Array[Double]] = {
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    val uniq = pts.filter(p => seen.add(p.toIndexedSeq))
+    // seeded hash order; hash collisions fall back to input order
+    // (stable sort), which is itself deterministic
+    val ordered = uniq.sortBy(p =>
+      scala.util.hashing.MurmurHash3.orderedHash(p.toIndexedSeq, seed.toInt))
+    val init = ordered.take(k)
+    val mat: Array[Array[Double]] =
+      if (init.length >= k) init.map(_.clone())
+      else Array.tabulate(k)(i => init(i % init.length).clone())
+    val dim = mat.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = p(i) - mat(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+        cnt(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var i = 0
+          while (i < dim) { mat(c)(i) = sums(c)(i) / cnt(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    mat
+  }
+
+  /** Distributed fused Lloyd — the scale regime: one assignment+mean
+    * pass per iteration over the cached fit set.
+    */
+  private def fitDistributed(
+      points: DataFrame, nCells: Int, seed: Long, iters: Int): Array[Array[Double]] = {
+    val cached = points.cache()
+    try {
+      val init = cached.dropDuplicates("v")
+        .orderBy(xxhash64(col("v"), lit(seed)).asc)
+        .limit(nCells)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(init.nonEmpty, "empty corpus")
+      val mat: Array[Array[Double]] =
+        if (init.length >= nCells) init
+        else Array.tabulate(nCells)(i => init(i % init.length).clone())
+      val dim = mat.head.length
+      var it = 0
+      while (it < iters) {
+        val means = cached
+          .withColumn("cell", VectorFunctions.nearestCentroid(
+            col("v"), mat.map(_.toIndexedSeq).toIndexedSeq))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(avg(col("x")).as("c"))
+          .collect()
+        means.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+          val cvec = new Array[Double](dim)
+          rows.foreach(r => cvec(r.getInt(1)) = r.getDouble(2))
+          mat(cell) = cvec
+        }
+        it += 1
+      }
+      mat
+    } finally { cached.unpersist(); () }
   }
 
   /** Persist the centroid table as a standing index (a lake table of its

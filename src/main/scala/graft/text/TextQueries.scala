@@ -585,12 +585,18 @@ object TextQueries {
     val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
     // materialized once: rates feed the selection join AND the final
     // report join — left lazy, each occurrence would re-run the corpus
-    // counts and z aggregations (5 full scans instead of 2)
+    // counts and z aggregations (5 full scans instead of 2).
+    // EAGER, deliberately: the first consumer below is broadcast(rates),
+    // and a lazy cut would run the full corpus groupBy + z aggregation
+    // inside the BroadcastExchange build thread — subject to
+    // spark.sql.broadcastTimeout (300 s), which a 100 TB scan can blow.
+    // Eager materializes the scan as a normal job; the broadcast then
+    // collects only the tiny checkpointed blocks.
     val rates = counts.crossJoin(broadcast(z))
       .select(col("lang"), col("n_docs"),
         round(least(lit(1.0),
           lit(budget) * sqrt(col("n_docs")) / col("z") / col("n_docs")), 6).as("rate"))
-      .localCheckpoint(false) // the broadcast build below materializes
+      .localCheckpoint(true)
     // uniform in [0,1) from the first 8 md5 hex digits of the doc id —
     // deterministic, partition-independent, and reproducible in SQL
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)

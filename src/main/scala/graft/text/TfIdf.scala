@@ -113,11 +113,15 @@ object TfIdf {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // NOT spread: tf-idf/BM25 shuffle (doc, term) aggregates right after
+  // the tokenize — the 3-pass bench showed the extra round-robin
+  // exchange as a loss (tfidf 1.48 -> 1.85 s, bm25 ~flat), so the
+  // shuffle the aggregation needs anyway is the parallelism source
   def qTopTerms(spark: SparkSession, sfDir: String): DataFrame =
-    topTerms(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", k = 3)
+    topTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
 
   def qBm25TopTerms(spark: SparkSession, sfDir: String): DataFrame =
-    bm25TopTerms(Tables.spreadScan(Tables(spark, sfDir).documents), "doc_id", "text", k = 3)
+    bm25TopTerms(Tables(spark, sfDir).documents, "doc_id", "text", k = 3)
 
   /** Standing-index retrieval: [[InvertedIndex.build]] lays the corpus
     * out once (Z-ordered postings + df + stats lakes), then a 5-query
