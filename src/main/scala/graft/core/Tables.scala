@@ -70,22 +70,57 @@ object Tables {
     * assignment is deterministic (Spark sorts before round-robin
     * repartition so retried tasks reproduce the assignment).
     */
+  /** Bytes of scan input per spread partition. Only shapes scans SMALLER
+    * than the core count (the helper no-ops at real scale), where it
+    * stops a tiny input from being round-robined into `cores` near-empty
+    * shuffle blocks: the 8-vs-32-core scaling data showed exactly those
+    * queries running FASTER on fewer cores. ~64 KB of these text/orders
+    * tables is a few hundred rows — 100+ ms of tokenize-class CPU per
+    * task, amortizing the per-block exchange and scheduling cost.
+    * Session conf, not a local constant.
+    */
+  val SpreadTargetBytesKey = "spark.graft.spread.targetPartitionBytes"
+  val SpreadTargetBytesDefault: Long = 64L * 1024
+
   def spreadScan(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    estimatedScanSize(df) match {
+      case Some((parts, bytes)) if parts < p =>
+        val target = sess.conf.get(SpreadTargetBytesKey,
+          SpreadTargetBytesDefault.toString).toLong
+        val want = math.min(p.toLong,
+          math.max(1L, (bytes + target - 1) / target)).toInt
+        if (want > parts) df.repartition(want) else df
+      case Some(_) => df
+      case None =>
+        if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+  }
+
+  /** [[spreadScan]] for SUPERLINEAR kernels (all-pairs / quadratic
+    * compute over a byte-small input): bytes under-estimate the work, so
+    * the spread goes to the full core count rather than the byte-derived
+    * width. Still adaptive — a scan that already has >= cores partitions
+    * is untouched.
+    */
+  def spreadScanWide(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val parts = estimatedScanPartitions(df).getOrElse(df.rdd.getNumPartitions)
+    val parts = estimatedScanSize(df).map(_._1).getOrElse(df.rdd.getNumPartitions)
     if (parts < p) df.repartition(p) else df
   }
 
-  /** Planned partition count of a plain file scan WITHOUT instantiating
-    * the physical plan: `df.rdd` builds the whole RDD chain just to ask
-    * its partition count — a second full Catalyst pass per spreadScan
-    * call, and on a large catalog an extra file-listing/planning pass.
-    * Reproduces `FilePartition.maxSplitBytes` packing arithmetic from
-    * the relation's already-listed file statistics instead. None when
-    * the frame is not project/filter over ONE file relation — those
-    * callers fall back to the physical probe, so behavior is unchanged.
+  /** Planned (partition count, data bytes) of a plain file scan WITHOUT
+    * instantiating the physical plan: `df.rdd` builds the whole RDD
+    * chain just to ask its partition count — a second full Catalyst pass
+    * per spreadScan call, and on a large catalog an extra
+    * file-listing/planning pass. Reproduces `FilePartition.maxSplitBytes`
+    * packing arithmetic from the relation's already-listed file
+    * statistics instead. None when the frame is not project/filter over
+    * ONE file relation — those callers fall back to the physical probe,
+    * so behavior is unchanged.
     */
-  private def estimatedScanPartitions(df: DataFrame): Option[Int] = {
+  private def estimatedScanSize(df: DataFrame): Option[(Int, Long)] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     @annotation.tailrec
@@ -105,11 +140,12 @@ object Tables {
         val minParts = conf.filesMinPartitionNum
           .getOrElse(spark.sparkContext.defaultParallelism)
         val nFiles = fs.location.inputFiles.length.toLong
-        val total = fs.location.sizeInBytes + nFiles * openCost
+        val data = fs.location.sizeInBytes
+        val total = data + nFiles * openCost
         val bytesPerCore = total / math.max(minParts, 1)
         val split = math.min(maxSplit, math.max(openCost, bytesPerCore))
-        Some(math.min(math.max(1L, (total + split - 1) / split),
-          Int.MaxValue.toLong).toInt)
+        Some((math.min(math.max(1L, (total + split - 1) / split),
+          Int.MaxValue.toLong).toInt, data))
       case _ => None
     })
   }

@@ -148,9 +148,12 @@ object TextQueries {
     // cores: the all-pairs cosine is O(n²·dim) COMPUTE over a byte-small
     // input, and the BroadcastNestedLoopJoin keeps the streamed side's
     // partitioning — a single parquet split would serialize the whole
-    // quadratic kernel onto one task (measured: 3.3 s single-task)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    // quadratic kernel onto one task (measured: 3.3 s single-task).
+    // spreadScanWide, not the byte-derived spreadScan: bytes
+    // under-estimate a quadratic kernel, and on a real cluster the
+    // adaptive guard makes this a no-op instead of a down-partitioning
+    val a = Tables.spreadScanWide(
+      e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos",
