@@ -77,8 +77,12 @@ object HybridSearch {
       n: Int
   ): DataFrame = {
     val q = queryVecs.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val scored = embeddings
-      .select(col(idCol).as("doc_id"), col(vecCol).as("n_vec"))
+    // spread the streamed side of the non-equi broadcast join: the
+    // |corpus| x |queries| cosine kernel keeps the scan's partitioning,
+    // and a single parquet split would run it all on one task (the
+    // embeddingPairsExact shape — adaptive no-op at real scale)
+    val scored = graft.core.Tables.spreadScanWide(embeddings
+      .select(col(idCol).as("doc_id"), col(vecCol).as("n_vec")))
       .join(broadcast(q), col("doc_id") =!= col("q_id"))
       .select(col("q_id"), col("doc_id"),
         round(VectorFunctions.cosineSim(col("q_vec"), col("n_vec")), 6).as("sem_score"))

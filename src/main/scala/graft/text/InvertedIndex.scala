@@ -76,11 +76,15 @@ object InvertedIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val spark = docs.sparkSession
     val p = LakeTable(spark, sub(dir, "postings"))
-    p.write(tokenPostings(docs, idCol, textCol))
-    // single-dimension clustering: a linear sort IS the optimal curve
-    // (a 1-D Z-order degenerates to the same ordering, minus exactness —
-    // the string curve key ranks only a 6-byte prefix)
-    p.optimize(Seq("term"), numFiles = Some(8))
+    // write CLUSTERED directly — the same range-repartition + in-file
+    // sort OPTIMIZE would apply, minus OPTIMIZE's full read-rewrite-swap
+    // pass over the just-written postings (one whole write of the index
+    // saved per build; single-dimension clustering: a linear sort IS the
+    // optimal curve — a 1-D Z-order degenerates to the same ordering).
+    // The lazy checkpoint keeps the range sampler and the write reading
+    // ONE materialized postings aggregate instead of recomputing it.
+    val rows = tokenPostings(docs, idCol, textCol).localCheckpoint(false)
+    p.write(rows.repartitionByRange(8, col("term")).sortWithinPartitions(col("term")))
     // term min/max stats per file are what turn a serve's term IN-list
     // (and a maintenance merge's key bounds) into file-level skips
     p.collectStats(Seq("term"))

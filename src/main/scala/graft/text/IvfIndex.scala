@@ -38,8 +38,13 @@ object IvfIndex {
     val centers = Ivf.fitCentroids(corpus, vecCol, nCells, seed, sampleFraction)
     LakeTable(spark, sub(dir, "centers")).write(centers)
     val p = LakeTable(spark, sub(dir, "postings"))
-    p.write(assigned(corpus, centers, idCol, vecCol))
-    p.optimize(Seq("cell"), numFiles = Some(math.max(nCells / 2, 4)))
+    // write CLUSTERED BY CELL directly (the InvertedIndex.build shape):
+    // same layout OPTIMIZE produced, minus its full read-rewrite-swap
+    // pass over the just-written postings. Lazy checkpoint so the range
+    // sampler and the write share one materialized assignment pass.
+    val rows = assigned(corpus, centers, idCol, vecCol).localCheckpoint(false)
+    val n = math.max(nCells / 2, 4)
+    p.write(rows.repartitionByRange(n, col("cell")).sortWithinPartitions(col("cell")))
     p.collectStats(Seq("cell"))
   }
 
